@@ -1,0 +1,142 @@
+"""Readers: Parquet sources + the events→transcripts derivation.
+
+``transcripts_from_events`` deterministically reshapes the testdata
+``events`` table into the transcript envelope with embedded parseable
+text. Its whole derivation is also expressed as ANSI SQL
+(``TRANSCRIPTS_FROM_EVENTS_SQL``) so every downstream pipeline stage
+gets a DuckDB oracle on the *same* logical input — the engine-vs-oracle
+equality is then end-to-end through construction + parse + route +
+aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Column-pruned Parquet read of one testdata table as a Dataset."""
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def read_transcripts(path: str):
+    import ray.data as rd
+
+    return rd.read_parquet(path)
+
+
+# SQL prefix: CTEs `_ev` and `transcripts` over the pre-registered
+# `events` view. Oracles append `SELECT ... FROM transcripts`.
+TRANSCRIPTS_FROM_EVENTS_SQL = """
+WITH _ev AS (
+  SELECT event_id, user_id, event_type, value, ts,
+         CAST(floor(value * 10) AS BIGINT) AS lat,
+         (CASE WHEN event_type = 'error' THEN 500 ELSE 200 END + event_id % 7) AS status,
+         CASE WHEN event_type = 'error' THEN 'ERROR'
+              WHEN event_type = 'click' THEN 'DEBUG'
+              WHEN event_type = 'view' THEN 'TRACE'
+              ELSE 'INFO' END AS level,
+         event_id % 10 AS bucket
+  FROM events
+), transcripts AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'system'
+              WHEN event_type = 'signup' OR event_type = 'click' THEN 'user'
+              WHEN event_type = 'view' THEN 'tool'
+              ELSE 'assistant' END AS role,
+         CASE WHEN bucket < 5 THEN level || ' latency_ms=' || CAST(lat AS VARCHAR)
+                   || ' status=' || CAST(status AS VARCHAR) || ' msg=evt_' || event_type
+              WHEN bucket < 7 THEN '{"event": "' || event_type || '", "latency_ms": '
+                   || CAST(lat AS VARCHAR) || '}'
+              WHEN bucket < 9 THEN 'latency_ms=' || CAST(lat AS VARCHAR) || ' status='
+                   || CAST(status AS VARCHAR) || ' region=r' || CAST(event_id % 5 AS VARCHAR)
+              WHEN event_id % 3 = 0 THEN ''
+              WHEN event_id % 3 = 1 THEN '{broken json'
+              ELSE 'latency_ms=' END AS text,
+         CASE WHEN event_type = 'view' THEN 'browser'
+              WHEN event_type = 'purchase' THEN 'db_query'
+              ELSE '' END AS tool,
+         ts
+  FROM _ev
+)
+"""
+
+
+def _events_batch_to_transcripts(t: pa.Table) -> pa.Table:
+    """Vectorized per-batch derivation (all but turn_idx — that needs a
+    per-conversation shuffle, added by ``transcripts_from_events``)."""
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    etype = t["event_type"].to_numpy(zero_copy_only=False).astype("U16")
+    val = t["value"].to_numpy(zero_copy_only=False)
+
+    lat = np.floor(val * 10).astype(np.int64)
+    status = np.where(etype == "error", 500, 200) + eid % 7
+    level = np.select(
+        [etype == "error", etype == "click", etype == "view"],
+        ["ERROR", "DEBUG", "TRACE"],
+        default="INFO",
+    )
+    bucket = eid % 10
+
+    lat_s = lat.astype("U")
+    st_s = status.astype("U")
+    logline = np.char.add(
+        np.char.add(np.char.add(level, " latency_ms="), lat_s),
+        np.char.add(np.char.add(" status=", st_s), np.char.add(" msg=evt_", etype)),
+    )
+    jsons = np.char.add(
+        np.char.add('{"event": "', etype),
+        np.char.add(np.char.add('", "latency_ms": ', lat_s), "}"),
+    )
+    kv = np.char.add(
+        np.char.add(np.char.add("latency_ms=", lat_s), np.char.add(" status=", st_s)),
+        np.char.add(" region=r", (eid % 5).astype("U")),
+    )
+    bad = np.select([eid % 3 == 0, eid % 3 == 1], ["", "{broken json"], default="latency_ms=")
+    text = np.select([bucket < 5, bucket < 7, bucket < 9], [logline, jsons, kv], default=bad)
+
+    role = np.select(
+        [etype == "error", (etype == "signup") | (etype == "click"), etype == "view"],
+        ["system", "user", "tool"],
+        default="assistant",
+    )
+    tool = np.select([etype == "view", etype == "purchase"], ["browser", "db_query"], default="")
+    conv_id = np.char.add("conv-", np.char.zfill(uid.astype("U"), 8))
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id.astype(object)),
+            "event_id": t["event_id"],
+            "role": pa.array(role.astype(object)),
+            "text": pa.array(text.astype(object)),
+            "tool": pa.array(tool.astype(object)),
+            "ts": t["ts"],
+        }
+    )
+
+
+def transcripts_from_events(sf_dir: str, with_turn_idx: bool = True):
+    """events table → transcript-shaped Dataset.
+
+    turn_idx = rank within conversation by (ts, event_id) — computed with a
+    ``groupby(conv_id).map_groups`` hash shuffle (the one wide step this
+    source needs). With ``with_turn_idx=False`` the derivation is fully
+    narrow/streaming.
+    """
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value", "ts"])
+    ds = ds.map_batches(_events_batch_to_transcripts, batch_format="pyarrow")
+    if not with_turn_idx:
+        return ds
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g["turn_idx"] = np.arange(len(g), dtype=np.int32)
+        return g[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+    return ds.groupby("conv_id").map_groups(rank, batch_format="pandas")
