@@ -1,0 +1,375 @@
+"""OTTL-lite expression compiler → vectorized Arrow compute.
+
+The reference evaluates per-record boolean/value expressions in two
+places: stanza ``if``/filter/router expressions (expr-lang,
+/root/reference/pkg/stanza/operator/helper/expr_string.go:153-162) and
+OTTL ``where`` clauses (participle grammar /root/reference/pkg/ottl/
+grammar.go, evaluation expression.go, coercion compare.go:14-60).
+
+This module compiles the shared subset — dotted paths, literals,
+comparisons with numeric coercion, and/or/not, arithmetic, and a
+function-call registry (the OTTL converters) — into closures
+``fn(pa.Table) -> pa.Array | scalar`` built from ``pyarrow.compute``
+kernels, evaluated once per *batch* instead of once per record.
+
+Path resolution: flat dotted column names (``attributes.status`` is a
+column literally named that). A missing column evaluates to null,
+comparisons with null are null, and boolean consumers mask nulls to
+False — matching the reference's "errored condition = no match"
+behavior under ``error_mode: ignore``
+(connector/routingconnector/logs.go:77-83).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------------ tokens
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
+  | (?P<int>\d+)
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<op>==|!=|<=|>=|&&|\|\||[()<>+\-*/%,\[\]])
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_.]*)*)
+""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "true", "false", "nil", "null", "where"}
+
+
+@dataclass
+class _Tok:
+    kind: str
+    val: str
+
+
+def _tokenize(s: str) -> list[_Tok]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise ValueError(f"bad token at {s[i:i+20]!r} in expression {s!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        v = m.group()
+        if kind == "name" and v.lower() in _KEYWORDS:
+            out.append(_Tok(v.lower(), v.lower()))
+        else:
+            out.append(_Tok(kind, v))
+    out.append(_Tok("eof", ""))
+    return out
+
+
+# ------------------------------------------------------------------ AST
+
+Evaluator = Callable[[pa.Table], Any]  # returns pa.Array/ChunkedArray or python scalar
+
+
+def _as_array(v: Any, n: int) -> pa.Array:
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v
+    return pa.array([v] * n) if v is not None else pa.nulls(n)
+
+
+def _is_arr(v: Any) -> bool:
+    return isinstance(v, (pa.Array, pa.ChunkedArray))
+
+
+def _numeric(t: pa.DataType) -> bool:
+    return pa.types.is_integer(t) or pa.types.is_floating(t)
+
+
+def _coerce_pair(a: Any, b: Any) -> tuple[Any, Any]:
+    """Numeric cross-type comparisons coerce to float64
+    (reference compare.go:14-60 compares int/float numerically)."""
+    at = a.type if _is_arr(a) else None
+    bt = b.type if _is_arr(b) else None
+    if at is not None and bt is not None:
+        if _numeric(at) and _numeric(bt) and at != bt:
+            return pc.cast(a, pa.float64()), pc.cast(b, pa.float64())
+    elif at is not None and isinstance(b, (int, float)) and _numeric(at):
+        return a, b
+    elif bt is not None and isinstance(a, (int, float)) and _numeric(bt):
+        return a, b
+    return a, b
+
+
+_CMP = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+_ARITH = {
+    "+": pc.add,
+    "-": pc.subtract,
+    "*": pc.multiply,
+    "/": pc.divide,
+}
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok], funcs: dict[str, Callable]):
+        self.toks = toks
+        self.i = 0
+        self.funcs = funcs
+
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind_or_val: str) -> _Tok:
+        t = self.next()
+        if t.kind != kind_or_val and t.val != kind_or_val:
+            raise ValueError(f"expected {kind_or_val}, got {t.val!r}")
+        return t
+
+    # expr := or
+    def parse(self) -> Evaluator:
+        e = self.or_()
+        if self.peek().kind != "eof":
+            raise ValueError(f"trailing tokens at {self.peek().val!r}")
+        return e
+
+    def or_(self) -> Evaluator:
+        left = self.and_()
+        parts = [left]
+        while self.peek().val in ("or", "||"):
+            self.next()
+            parts.append(self.and_())
+        if len(parts) == 1:
+            return left
+
+        def ev(t: pa.Table, parts=parts):
+            n = t.num_rows
+            acc = _as_bool(parts[0](t), n)
+            for p in parts[1:]:
+                acc = pc.or_kleene(acc, _as_bool(p(t), n))
+            return acc
+
+        return ev
+
+    def and_(self) -> Evaluator:
+        left = self.not_()
+        parts = [left]
+        while self.peek().val in ("and", "&&"):
+            self.next()
+            parts.append(self.not_())
+        if len(parts) == 1:
+            return left
+
+        def ev(t: pa.Table, parts=parts):
+            n = t.num_rows
+            acc = _as_bool(parts[0](t), n)
+            for p in parts[1:]:
+                acc = pc.and_kleene(acc, _as_bool(p(t), n))
+            return acc
+
+        return ev
+
+    def not_(self) -> Evaluator:
+        if self.peek().val == "not":
+            self.next()
+            inner = self.not_()
+
+            def ev(t: pa.Table, inner=inner):
+                return pc.invert(_as_bool(inner(t), t.num_rows))
+
+            return ev
+        return self.cmp()
+
+    def cmp(self) -> Evaluator:
+        left = self.sum_()
+        if self.peek().val in _CMP:
+            op = self.next().val
+            right = self.sum_()
+            fn = _CMP[op]
+
+            def ev(t: pa.Table, left=left, right=right, fn=fn):
+                a, b = left(t), right(t)
+                if not _is_arr(a) and not _is_arr(b):
+                    return fn(pa.array([a]), pa.array([b]))[0].as_py()
+                a, b = _coerce_pair(a, b)
+                try:
+                    return fn(a, b)
+                except pa.ArrowNotImplementedError:
+                    # incomparable types: null (→ False under masking),
+                    # reference coerces or errors per compare.go
+                    n = a.length() if _is_arr(a) else b.length()
+                    return pa.nulls(n, pa.bool_())
+
+            return ev
+        return left
+
+    def sum_(self) -> Evaluator:
+        left = self.term()
+        while self.peek().val in ("+", "-"):
+            op = self.next().val
+            right = self.term()
+            fn = _ARITH[op]
+
+            def ev(t: pa.Table, left=left, right=right, fn=fn):
+                return fn(left(t), right(t))
+
+            left = ev
+        return left
+
+    def term(self) -> Evaluator:
+        left = self.factor()
+        while self.peek().val in ("*", "/", "%"):
+            op = self.next().val
+            right = self.factor()
+            if op == "%":
+                def ev(t: pa.Table, left=left, right=right):
+                    a, b = left(t), right(t)
+                    if _is_arr(a) or _is_arr(b):
+                        import numpy as np
+                        an = a.to_numpy(zero_copy_only=False) if _is_arr(a) else a
+                        bn = b.to_numpy(zero_copy_only=False) if _is_arr(b) else b
+                        return pa.array(np.mod(an, bn))
+                    return a % b
+            else:
+                fn = _ARITH[op]
+
+                def ev(t: pa.Table, left=left, right=right, fn=fn):
+                    return fn(left(t), right(t))
+
+            left = ev
+        return left
+
+    def factor(self) -> Evaluator:
+        t = self.peek()
+        if t.val == "(":
+            self.next()
+            e = self.or_()
+            self.expect(")")
+            return e
+        if t.val == "-":
+            self.next()
+            inner = self.factor()
+            return lambda tbl, inner=inner: pc.negate(inner(tbl)) if _is_arr(inner(tbl)) else -inner(tbl)
+        if t.kind == "int":
+            self.next()
+            v = int(t.val)
+            return lambda tbl, v=v: v
+        if t.kind == "float":
+            self.next()
+            v = float(t.val)
+            return lambda tbl, v=v: v
+        if t.kind == "str":
+            self.next()
+            v = t.val[1:-1].encode().decode("unicode_escape")
+            return lambda tbl, v=v: v
+        if t.val in ("true", "false"):
+            self.next()
+            v = t.val == "true"
+            return lambda tbl, v=v: v
+        if t.val in ("nil", "null"):
+            self.next()
+            return lambda tbl: None
+        if t.kind == "name":
+            self.next()
+            name = t.val
+            # map-style key access: attributes["k"] → attributes.k
+            while self.peek().val == "[":
+                self.next()
+                key = self.expect("str").val[1:-1]
+                self.expect("]")
+                name = f"{name}.{key}"
+            if self.peek().val == "(":
+                return self.call(name)
+            return _path_eval(name)
+        raise ValueError(f"unexpected token {t.val!r}")
+
+    def call(self, name: str) -> Evaluator:
+        self.expect("(")
+        args: list[Evaluator] = []
+        if self.peek().val != ")":
+            args.append(self.or_())
+            while self.peek().val == ",":
+                self.next()
+                args.append(self.or_())
+        self.expect(")")
+        fn = self.funcs.get(name)
+        if fn is None:
+            raise ValueError(f"unknown function {name!r}")
+
+        def ev(t: pa.Table, fn=fn, args=args):
+            return fn(t, *[a(t) for a in args])
+
+        return ev
+
+
+def _path_eval(name: str) -> Evaluator:
+    """Column ref with alias chain: `body` ≡ `text` for the transcript
+    envelope (reference field roots entry/field.go:13-15)."""
+
+    def ev(t: pa.Table, name=name):
+        if name in t.column_names:
+            return t[name]
+        if name == "body" and "text" in t.column_names:
+            return t["text"]
+        return pa.nulls(t.num_rows)
+
+    return ev
+
+
+def _as_bool(v: Any, n: int) -> pa.Array:
+    if not _is_arr(v):
+        return pa.array([bool(v)] * n)
+    if pa.types.is_boolean(v.type):
+        return v
+    if pa.types.is_null(v.type):
+        return pa.nulls(n, pa.bool_())
+    return pc.cast(v, pa.bool_())
+
+
+# ------------------------------------------------------------------ API
+
+_DEFAULT_FUNCS: dict[str, Callable] = {}
+
+
+def register_function(name: str, fn: Callable) -> None:
+    """Register ``fn(table, *evaluated_args) -> array|scalar`` for use in
+    expressions (the OTTL converter extension point,
+    pkg/ottl/parser.go:54-60)."""
+    _DEFAULT_FUNCS[name] = fn
+
+
+def compile_expr(src: str, funcs: dict[str, Callable] | None = None) -> Evaluator:
+    from .functions import converters  # noqa: F401  (registers defaults once)
+
+    merged = dict(_DEFAULT_FUNCS)
+    if funcs:
+        merged.update(funcs)
+    return _Parser(_tokenize(src), merged).parse()
+
+
+def compile_mask(src: str, funcs: dict[str, Callable] | None = None) -> Callable[[pa.Table], pa.Array]:
+    """Compile a boolean condition; nulls → False (no-match)."""
+    ev = compile_expr(src, funcs)
+
+    def mask(t: pa.Table) -> pa.Array:
+        v = _as_bool(ev(t), t.num_rows)
+        return pc.fill_null(v, False)
+
+    return mask
+
+

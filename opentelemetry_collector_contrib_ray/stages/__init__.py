@@ -1,0 +1,43 @@
+"""Batch operators (stages) — the engine's operator library.
+
+Every stage is a ``BatchOp``: a callable ``(pa.Table) -> pa.Table``
+with optional ``if_expr`` gating and ``on_error`` policy, mirroring the
+stanza operator contract
+(/root/reference/pkg/stanza/operator/helper/transformer.go:78-123).
+Chains of stateless ops fuse into ONE ``map_batches`` stage; stateful
+ops (enrichment) are actor-pool callables.
+"""
+
+from .base import BatchOp, Chain, apply_ops, set_column  # noqa: F401
+from .parsers import (  # noqa: F401
+    RegexParser,
+    JsonParser,
+    KeyValueParser,
+    CsvParser,
+    SeverityParser,
+    TimeParser,
+    TraceParser,
+    UriParser,
+    SyslogParser,
+    ScopeNameParser,
+)
+from .transformers import (  # noqa: F401
+    Add,
+    Move,
+    Copy,
+    Remove,
+    Retain,
+    Unquote,
+    Noop,
+    Filter,
+    AssignKeys,
+    PackStruct,
+    FlattenStruct,
+)
+from .ottl import TransformProcessor, parse_statement  # noqa: F401
+from .route import Router, RouteSpec  # noqa: F401
+from .count import CountConnector, MetricDef  # noqa: F401
+from .enrich import LookupEnricher  # noqa: F401
+from .recombine import recombine  # noqa: F401
+from .sampler import ProbabilisticSampler  # noqa: F401
+from .redact import Redactor  # noqa: F401

@@ -1,0 +1,133 @@
+"""BatchOp framework: gated, error-policied, fusable batch transforms.
+
+Reference contract (stanza): every operator may carry an ``if``
+expression (skip records where false) and an ``on_error`` policy
+``send | send_quiet | drop | drop_quiet``
+(/root/reference/pkg/stanza/operator/helper/transformer.go:78-123).
+Here both are *vectorized*: ``if_expr`` becomes a boolean mask blended
+per column with ``pc.if_else``; ``on_error: drop`` filters the errored
+rows out of the batch; ``send`` keeps them with null outputs.
+
+``Chain`` fuses consecutive stateless ops into one callable so a whole
+processor chain runs as a single ``map_batches`` stage — one pass over
+each Arrow block, no intermediate block materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..expr import compile_mask
+
+ON_ERROR_MODES = ("send", "send_quiet", "drop", "drop_quiet")
+
+
+def set_column(t: pa.Table, name: str, arr) -> pa.Table:
+    """Replace-or-append a column (chunk-safe)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr)
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, arr)
+    return t.append_column(name, arr)
+
+
+def blend_columns(t: pa.Table, new_cols: dict[str, pa.Array], mask) -> pa.Table:
+    """Write ``new_cols`` only where ``mask`` is true; elsewhere keep the
+    old value (or null for brand-new columns)."""
+    for name, arr in new_cols.items():
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if mask is None:
+            t = set_column(t, name, arr)
+            continue
+        if name in t.column_names:
+            old = t[name]
+            if old.type != arr.type and not pa.types.is_null(old.type):
+                try:
+                    old = pc.cast(old, arr.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    old = pa.nulls(t.num_rows, arr.type)
+            elif pa.types.is_null(old.type):
+                old = pa.nulls(t.num_rows, arr.type)
+        else:
+            old = pa.nulls(t.num_rows, arr.type)
+        t = set_column(t, name, pc.if_else(mask, arr, old))
+    return t
+
+
+class BatchOp:
+    """Base operator: subclasses implement ``transform(table) -> table``
+    (unconditional) and optionally ``error_mask(table) -> BooleanArray``
+    marking rows that failed to parse."""
+
+    def __init__(self, if_expr: str | None = None, on_error: str = "send"):
+        if on_error not in ON_ERROR_MODES:
+            raise ValueError(f"on_error must be one of {ON_ERROR_MODES}")
+        self.on_error = on_error
+        self._if_mask = compile_mask(if_expr) if if_expr else None
+
+    # -- subclass surface --
+    def transform(self, t: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError
+
+    # -- call protocol --
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return self.transform(t)
+        if self._if_mask is None:
+            return self._run(t)
+        mask = self._if_mask(t)
+        if pc.all(mask).as_py():
+            return self._run(t)
+        if not pc.any(mask).as_py():
+            return t
+        # split, transform the selected rows, and blend back preserving order
+        idx = pa.array(range(t.num_rows), type=pa.int64())
+        t2 = set_column(t, "__rowid", idx)
+        sel = t2.filter(mask)
+        rest = t2.filter(pc.invert(mask))
+        out = self._run(sel.drop_columns(["__rowid"]))
+        out = set_column(out, "__rowid", sel["__rowid"].combine_chunks())
+        merged = pa.concat_tables([out, rest], promote_options="permissive")
+        merged = merged.sort_by("__rowid")
+        return merged.drop_columns(["__rowid"])
+
+    def _run(self, t: pa.Table) -> pa.Table:
+        if self.on_error.startswith("drop"):
+            em = self.error_mask(t)
+            out = self.transform(t)
+            if em is not None and pc.any(em).as_py():
+                out = out.filter(pc.invert(pc.fill_null(em, False)))
+            return out
+        return self.transform(t)
+
+    def error_mask(self, t: pa.Table):
+        return None
+
+
+class Chain:
+    """Fuse a sequence of BatchOps/callables into one batch function."""
+
+    def __init__(self, ops: Iterable[Callable[[pa.Table], pa.Table]]):
+        self.ops = list(ops)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for op in self.ops:
+            t = op(t)
+        return t
+
+
+def apply_ops(ds, ops, batch_size: int = 32_768, **kwargs):
+    """Attach a fused op chain to a Dataset as ONE map_batches stage."""
+    return ds.map_batches(
+        Chain(ops) if not callable(ops) else ops,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **kwargs,
+    )

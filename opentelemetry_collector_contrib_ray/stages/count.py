@@ -1,0 +1,129 @@
+"""Count connector — declarative grouped counting, partial + final.
+
+Parity: /root/reference/connector/countconnector/connector.go:165-201,
+counter.go:38-108, config.go:17-52. Each metric def = OR'd OTTL
+``conditions`` + projected ``attributes`` (key + optional
+default_value); rows missing a required attribute with no default are
+skipped (counter.go:50-53); the default metric counts everything
+(``log.record.count``, config.go:17-20).
+
+Scale design (SURVEY.md §7.2 step 7): the reference emits per-batch
+partial delta sums and lets downstream accumulate — here the partial
+aggregate runs INSIDE ``map_batches`` (Arrow ``Table.group_by`` per
+block), so the global ``groupby().sum()`` shuffle only moves one row
+per (metric, attr-tuple) per block, not one per record. Attr tuples
+are carried as one canonical JSON string column so heterogeneous
+metric defs share a single partial table; hot keys therefore cost
+O(#blocks), no salting needed at this stage.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..expr import compile_mask
+
+
+@dataclass
+class MetricDef:
+    name: str
+    conditions: list[str] = field(default_factory=list)  # OR'd, empty = all
+    attributes: list[tuple[str, object]] = field(default_factory=list)
+    # attributes: (column, default_value); default None = required → skip
+
+
+DEFAULT_METRIC = MetricDef(name="log.record.count")
+
+
+class CountConnector:
+    def __init__(self, metrics: list[MetricDef] | None = None):
+        self.metrics = metrics or [DEFAULT_METRIC]
+        self._masks = {
+            m.name: [compile_mask(c) for c in m.conditions] for m in self.metrics
+        }
+
+    # ---- partial (inside map_batches) ----------------------------------
+
+    def partial(self, t: pa.Table) -> pa.Table:
+        """One batch → partial count rows (metric, attrs, count)."""
+        out_metric, out_attrs, out_count = [], [], []
+        for m in self.metrics:
+            sel = t
+            masks = self._masks[m.name]
+            if masks:
+                acc = masks[0](t)
+                for mk in masks[1:]:
+                    acc = pc.or_(acc, mk(t))
+                sel = t.filter(acc)
+            if sel.num_rows == 0:
+                continue
+            if not m.attributes:
+                out_metric.append(m.name)
+                out_attrs.append("{}")
+                out_count.append(sel.num_rows)
+                continue
+            cols, names = [], []
+            keep = None
+            for key, dflt in m.attributes:
+                c = (
+                    sel[key]
+                    if key in sel.column_names
+                    else pa.nulls(sel.num_rows, pa.string())
+                )
+                c = pc.cast(c, pa.string(), safe=False)
+                if dflt is None:
+                    v = pc.is_valid(c)
+                    keep = v if keep is None else pc.and_(keep, v)
+                else:
+                    c = pc.fill_null(c, str(dflt))
+                cols.append(c)
+                names.append(key)
+            proj = pa.table(dict(zip(names, cols)))
+            if keep is not None:
+                proj = proj.filter(keep)
+            if proj.num_rows == 0:
+                continue
+            grouped = proj.group_by(names).aggregate([([], "count_all")])
+            cnt = grouped["count_all"].to_pylist()
+            keys = [grouped[n].to_pylist() for n in names]
+            for i in range(grouped.num_rows):
+                out_metric.append(m.name)
+                out_attrs.append(
+                    json.dumps({n: keys[j][i] for j, n in enumerate(names)}, sort_keys=True)
+                )
+                out_count.append(cnt[i])
+        return pa.table(
+            {
+                "metric": pa.array(out_metric, type=pa.string()),
+                "attrs": pa.array(out_attrs, type=pa.string()),
+                "count": pa.array(out_count, type=pa.int64()),
+            }
+        )
+
+    # ---- final (tiny shuffle) ------------------------------------------
+
+    def aggregate(self, ds):
+        """Dataset of records → Dataset of (metric, attrs, count) totals."""
+        partials = ds.map_batches(
+            self.partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        out = partials.groupby(["metric", "attrs"]).sum("count")
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["metric", "attrs", "count"]
+            ),
+            batch_format="pyarrow",
+        )
+
+
+def counts_to_flat(t: pa.Table, attr_keys: list[str]) -> pa.Table:
+    """Explode the canonical ``attrs`` JSON back to flat columns for one
+    metric's rows — the oracle-comparison shape."""
+    rows = [json.loads(s) for s in t["attrs"].to_pylist()]
+    cols = {k: pa.array([r.get(k) for r in rows], type=pa.string()) for k in attr_keys}
+    cols["count"] = t["count"].combine_chunks()
+    return pa.table(cols)

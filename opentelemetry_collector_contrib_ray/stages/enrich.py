@@ -1,0 +1,88 @@
+"""Stateful lookup enrichment — the k8sattributes-processor analog.
+
+Parity: /root/reference/processor/k8sattributesprocessor/processor.go:
+110-160,256-272 — a per-process metadata cache consulted per record to
+attach resource attributes. Ray-native shape: a callable CLASS used as
+an actor pool via ``map_batches(LookupEnricher, concurrency=N)``; the
+lookup tables are built ONCE per actor in ``__init__`` (broadcast via
+``ray.put`` when large), and each ``__call__`` does a fully vectorized
+dictionary join (``pc.index_in`` + ``take``) — the broadcast-small-side
+pattern instead of a shuffle join (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class LookupEnricher:
+    """Attach columns from a small key→attrs table.
+
+    Parameters
+    ----------
+    key_col: input column to look up.
+    table: ``{key: {out_col: value}}`` mapping, or a ``ray.ObjectRef``
+        to one (resolved once per actor).
+    defaults: values for keys not in the table (else null).
+    """
+
+    def __init__(
+        self,
+        key_col: str,
+        table: Mapping[Any, Mapping[str, Any]] | "object",
+        defaults: Mapping[str, Any] | None = None,
+    ):
+        try:
+            import ray
+
+            if isinstance(table, ray.ObjectRef):
+                table = ray.get(table)
+        except ImportError:  # pragma: no cover
+            pass
+        self.key_col = key_col
+        defaults = dict(defaults or {})
+        keys = list(table.keys())
+        out_cols: set[str] = set(defaults)
+        for v in table.values():
+            out_cols.update(v)
+        self.keys = pa.array([str(k) for k in keys])
+        # value arrays with the default appended at index len(keys) for misses
+        self.values: dict[str, pa.Array] = {}
+        for c in sorted(out_cols):
+            vals = [table[k].get(c, defaults.get(c)) for k in keys]
+            vals.append(defaults.get(c))
+            self.values[c] = pa.array(vals)
+        self.miss_idx = len(keys)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        key = t[self.key_col]
+        if not pa.types.is_string(key.type):
+            key = pc.cast(key, pa.string())
+        idx = pc.index_in(key, value_set=self.keys)
+        idx = pc.fill_null(idx, self.miss_idx)
+        for c, vals in self.values.items():
+            arr = vals.take(idx)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if c in t.column_names:
+                t = t.set_column(t.column_names.index(c), c, arr)
+            else:
+                t = t.append_column(c, arr)
+        return t
+
+
+def enrich(ds, key_col: str, table, defaults=None, concurrency: int = 4,
+           batch_size: int = 32_768, num_cpus: float = 1):
+    """Attach a LookupEnricher actor pool to a Dataset."""
+    return ds.map_batches(
+        LookupEnricher,
+        fn_constructor_kwargs={"key_col": key_col, "table": table, "defaults": defaults},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

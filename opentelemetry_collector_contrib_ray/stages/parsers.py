@@ -1,0 +1,426 @@
+"""Parser operators — the "grok" layer, vectorized.
+
+Parity targets (all under /root/reference/pkg/stanza/operator/):
+regex  parser/regex/parser.go:46-74   json parser/json/parser.go:28-40
+csv    parser/csv/parser.go:29-107    keyvalue parser/keyvalue/parser.go:37-48
+syslog parser/syslog/parser.go:86-172 uri parser/uri/parser.go:16-46
+severity operator/helper/severity_builder.go:17-106
+time   operator/helper/time.go:19-107 trace operator/helper/trace.go
+scope  parser/scope/parser.go:20
+
+Shared ParserOperator semantics (operator/helper/parser.go:126-187):
+read ``parse_from``, produce fields, write under ``parse_to`` (default
+the ``attributes.`` namespace → flat dotted columns), honor ``if_expr``
+and ``on_error``. The reference's per-entry LRU regex memo cache
+(parser/regex/cache.go) is unnecessary here: ``pc.extract_regex`` runs
+the compiled pattern over the whole Arrow column in C++.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import SEVERITY_ALIASES, SEVERITY_TEXT
+from .base import BatchOp, set_column
+
+
+def _col(t: pa.Table, name: str):
+    if name not in t.column_names:
+        return pa.nulls(t.num_rows, pa.string())
+    c = t[name]
+    if not (pa.types.is_string(c.type) or pa.types.is_large_string(c.type)):
+        c = pc.cast(c, pa.string())
+    return c
+
+
+_TYPE_CASTS = {
+    "int64": pa.int64(), "int32": pa.int32(), "int8": pa.int8(),
+    "float64": pa.float64(), "string": pa.string(), "bool": pa.bool_(),
+}
+
+
+def _cast_typed(arr: pa.Array, typ: str) -> pa.Array:
+    target = _TYPE_CASTS[typ]
+    if pa.types.is_integer(target):
+        # tolerate float-looking strings; invalid → null
+        f = pc.cast(arr, pa.float64(), safe=False)
+        return pc.cast(pc.trunc(f), target, safe=False)
+    return pc.cast(arr, target, safe=False)
+
+
+class RegexParser(BatchOp):
+    """Named-capture-group regex parse of a string column.
+
+    Build-time validation mirrors parser/regex/config.go:110-158: the
+    pattern must contain at least one named group. Non-matching non-null
+    rows are parse errors (null outputs under ``send``, removed under
+    ``drop``).
+    """
+
+    def __init__(self, pattern: str, parse_from: str = "text", prefix: str = "attributes.",
+                 types: dict[str, str] | None = None, **kw):
+        super().__init__(**kw)
+        self.pattern = pattern
+        rx = re.compile(pattern)
+        self.groups = [g for g in rx.groupindex]
+        if not self.groups:
+            raise ValueError("regex pattern must define at least one named capture group")
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.types = types or {}
+
+    def _extract(self, t: pa.Table):
+        return pc.extract_regex(_col(t, self.parse_from), self.pattern)
+
+    def error_mask(self, t: pa.Table):
+        src = _col(t, self.parse_from)
+        ext = self._extract(t)
+        return pc.and_(pc.is_valid(src), pc.is_null(ext))
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        ext = self._extract(t)
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        for g in self.groups:
+            arr = pc.struct_field(ext, g)
+            typ = self.types.get(g)
+            if typ:
+                arr = _cast_typed(arr, typ)
+            t = set_column(t, self.prefix + g, arr)
+        return t
+
+
+class JsonParser(BatchOp):
+    """JSON-object parse of a string column into typed flat columns.
+
+    ``fields`` maps json key → arrow type name; dynamic keys outside
+    ``fields`` are preserved JSON-encoded in ``<prefix>__rest`` when
+    ``keep_rest=True`` (the map/JSON spill column of SURVEY.md §1.3).
+    """
+
+    def __init__(self, fields: dict[str, str], parse_from: str = "text",
+                 prefix: str = "attributes.", keep_rest: bool = False, **kw):
+        super().__init__(**kw)
+        self.fields = fields
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.keep_rest = keep_rest
+
+    def _parse_rows(self, t: pa.Table):
+        vals = _col(t, self.parse_from).to_pylist()
+        out, errs = [], np.zeros(len(vals), dtype=bool)
+        for i, s in enumerate(vals):
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                d = json.loads(s)
+                if not isinstance(d, dict):
+                    raise ValueError
+                out.append(d)
+            except (ValueError, TypeError):
+                out.append(None)
+                errs[i] = True
+        return out, errs
+
+    def error_mask(self, t: pa.Table):
+        _, errs = self._parse_rows(t)
+        return pa.array(errs)
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        rows, _ = self._parse_rows(t)
+        for key, typ in self.fields.items():
+            col = pa.array([None if r is None else r.get(key) for r in rows])
+            if pa.types.is_null(col.type):
+                col = pa.nulls(len(rows), _TYPE_CASTS.get(typ, pa.string()))
+            elif typ in _TYPE_CASTS:
+                try:
+                    col = _cast_typed(pc.cast(col, pa.string(), safe=False) if typ == "string" else col, typ)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    col = pa.nulls(len(rows), _TYPE_CASTS[typ])
+            t = set_column(t, self.prefix + key, col)
+        if self.keep_rest:
+            known = set(self.fields)
+            rest = [
+                None if r is None else json.dumps({k: v for k, v in r.items() if k not in known}, sort_keys=True)
+                for r in rows
+            ]
+            t = set_column(t, self.prefix + "__rest", pa.array(rest, type=pa.string()))
+        return t
+
+
+class KeyValueParser(BatchOp):
+    """key=value pair parse. With ``fields`` given the extraction is fully
+    vectorized (one anchored regex per field); without, a per-row split
+    fallback emits the dynamic-key JSON spill column."""
+
+    def __init__(self, fields: list[str] | None = None, delimiter: str = "=",
+                 pair_delimiter: str = " ", parse_from: str = "text",
+                 prefix: str = "attributes.", types: dict[str, str] | None = None, **kw):
+        super().__init__(**kw)
+        self.fields = fields
+        self.delimiter = delimiter
+        self.pair_delimiter = pair_delimiter
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.types = types or {}
+
+    def _field_pattern(self, f: str) -> str:
+        d, p = re.escape(self.delimiter), re.escape(self.pair_delimiter)
+        return f"(?:^|{p}){re.escape(f)}{d}(?P<v>[^{p}]*)"
+
+    def error_mask(self, t: pa.Table):
+        src = _col(t, self.parse_from)
+        has_pair = pc.match_substring(src, self.delimiter)
+        return pc.and_(pc.is_valid(src), pc.invert(pc.fill_null(has_pair, False)))
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        src = _col(t, self.parse_from)
+        if self.fields is not None:
+            for f in self.fields:
+                ext = pc.extract_regex(src, self._field_pattern(f))
+                if isinstance(ext, pa.ChunkedArray):
+                    ext = ext.combine_chunks()
+                arr = pc.struct_field(ext, "v")
+                if f in self.types:
+                    arr = _cast_typed(arr, self.types[f])
+                t = set_column(t, self.prefix + f, arr)
+            return t
+        out = []
+        for s in src.to_pylist():
+            if s is None:
+                out.append(None)
+                continue
+            d = {}
+            for pair in s.split(self.pair_delimiter):
+                if self.delimiter in pair:
+                    k, _, v = pair.partition(self.delimiter)
+                    if k:
+                        d[k] = v
+            out.append(json.dumps(d, sort_keys=True) if d else None)
+        return set_column(t, self.prefix + "__kv", pa.array(out, type=pa.string()))
+
+
+class CsvParser(BatchOp):
+    """CSV row → named columns (static header; parser/csv/parser.go:29-107).
+    Rows whose field count ≠ len(header) are parse errors."""
+
+    def __init__(self, header: list[str], delimiter: str = ",", parse_from: str = "text",
+                 prefix: str = "attributes.", types: dict[str, str] | None = None, **kw):
+        super().__init__(**kw)
+        self.header = header
+        self.delimiter = delimiter
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.types = types or {}
+
+    def _split(self, t):
+        return pc.split_pattern(_col(t, self.parse_from), self.delimiter)
+
+    def error_mask(self, t: pa.Table):
+        parts = self._split(t)
+        n = pc.list_value_length(parts)
+        bad = pc.not_equal(n, len(self.header))
+        return pc.and_(pc.is_valid(_col(t, self.parse_from)), pc.fill_null(bad, True))
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        parts = self._split(t)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        ok = pc.equal(pc.list_value_length(parts), len(self.header))
+        for i, name in enumerate(self.header):
+            arr = pc.if_else(ok, pc.list_element(parts, i), pa.nulls(t.num_rows, pa.string()))
+            if name in self.types:
+                arr = _cast_typed(arr, self.types[name])
+            t = set_column(t, self.prefix + name, arr)
+        return t
+
+
+class SeverityParser(BatchOp):
+    """Token → 24-level severity (severity_builder.go presets + custom
+    mapping + `` overwrite_text``). Fully vectorized via a dictionary
+    lookup (pc.index_in)."""
+
+    def __init__(self, parse_from: str = "attributes.level",
+                 mapping: dict[str, int] | None = None, default: int = 0,
+                 to_number: str = "severity_number", to_text: str = "severity_text", **kw):
+        super().__init__(**kw)
+        m = dict(SEVERITY_ALIASES)
+        if mapping:
+            m.update({k.lower(): v for k, v in mapping.items()})
+        self.keys = pa.array(list(m.keys()))
+        self.vals = np.array(list(m.values()), dtype=np.int64)
+        self.default = default
+        self.parse_from = parse_from
+        self.to_number = to_number
+        self.to_text = to_text
+        self.text_lut = np.array([SEVERITY_TEXT[i] for i in range(25)])
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        tok = pc.utf8_lower(_col(t, self.parse_from))
+        idx = pc.index_in(tok, value_set=self.keys)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx_np) if idx_np.dtype.kind == "f" else (idx_np < 0)
+        ii = np.where(miss, 0, idx_np).astype(np.int64)
+        nums = np.where(miss, self.default, self.vals[ii])
+        t = set_column(t, self.to_number, pa.array(nums.astype(np.int8)))
+        t = set_column(t, self.to_text, pa.array(self.text_lut[nums]))
+        return t
+
+    def error_mask(self, t: pa.Table):
+        tok = pc.utf8_lower(_col(t, self.parse_from))
+        idx = pc.index_in(tok, value_set=self.keys)
+        return pc.and_(pc.is_valid(tok), pc.is_null(idx))
+
+
+_GO_TO_STRPTIME = {
+    "2006-01-02 15:04:05": "%Y-%m-%d %H:%M:%S",
+    "2006-01-02T15:04:05Z07:00": "%Y-%m-%dT%H:%M:%S%z",
+    "2006-01-02": "%Y-%m-%d",
+    "Jan _2 15:04:05": "%b %d %H:%M:%S",
+}
+
+
+class TimeParser(BatchOp):
+    """strptime / gotime / epoch time parse (operator/helper/time.go).
+
+    epoch layouts: s | ms | us | ns | s.ms (float seconds) — integer
+    arithmetic on int64/float64 columns, no per-row parsing.
+    """
+
+    def __init__(self, parse_from: str, layout_type: str = "strptime",
+                 layout: str = "%Y-%m-%d %H:%M:%S", to: str = "event_ts", **kw):
+        super().__init__(**kw)
+        self.parse_from = parse_from
+        self.layout_type = layout_type
+        self.layout = _GO_TO_STRPTIME.get(layout, layout) if layout_type in ("strptime", "gotime") else layout
+        self.to = to
+
+    def _parse(self, t: pa.Table):
+        c = t[self.parse_from] if self.parse_from in t.column_names else pa.nulls(t.num_rows, pa.string())
+        if self.layout_type in ("strptime", "gotime"):
+            return pc.strptime(pc.cast(c, pa.string()), format=self.layout, unit="us", error_is_null=True)
+        mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[self.layout.split(".")[0]]
+        f = pc.cast(c, pa.float64(), safe=False)
+        us = pc.cast(pc.multiply(f, float(mult)), pa.int64(), safe=False)
+        if self.layout == "ns":
+            us = pc.divide(pc.cast(c, pa.int64(), safe=False), 1000)
+        return pc.cast(us, pa.timestamp("us"))
+
+    def error_mask(self, t: pa.Table):
+        c = t[self.parse_from] if self.parse_from in t.column_names else pa.nulls(t.num_rows, pa.string())
+        return pc.and_(pc.is_valid(c), pc.is_null(self._parse(t)))
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        return set_column(t, self.to, self._parse(t))
+
+
+class TraceParser(BatchOp):
+    """Hex-decode trace/span ids to fixed-width binary
+    (operator/helper/trace.go, parser/trace/parser.go:20)."""
+
+    def __init__(self, trace_id_from: str | None = None, span_id_from: str | None = None,
+                 flags_from: str | None = None, **kw):
+        super().__init__(**kw)
+        self.trace_id_from = trace_id_from
+        self.span_id_from = span_id_from
+        self.flags_from = flags_from
+
+    @staticmethod
+    def _hex(col, width):
+        def d(s):
+            try:
+                b = bytes.fromhex(s)
+                return b if len(b) == width else None
+            except (ValueError, TypeError):
+                return None
+
+        return pa.array([None if s is None else d(s) for s in col.to_pylist()], type=pa.binary(width))
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        if self.trace_id_from:
+            t = set_column(t, "trace_id", self._hex(_col(t, self.trace_id_from), 16))
+        if self.span_id_from:
+            t = set_column(t, "span_id", self._hex(_col(t, self.span_id_from), 8))
+        if self.flags_from:
+            t = set_column(t, "trace_flags", _cast_typed(_col(t, self.flags_from), "int64"))
+        return t
+
+
+_URI_RE = (
+    r"^(?:(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://)?"
+    r"(?P<host>[^/:?#]*)(?::(?P<port>\d+))?"
+    r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?"
+)
+
+
+class UriParser(RegexParser):
+    """URI → {scheme, host, port, path, query} (parser/uri/parser.go:16-46),
+    via one vectorized regex."""
+
+    def __init__(self, parse_from: str = "text", prefix: str = "attributes.uri.", **kw):
+        super().__init__(_URI_RE, parse_from=parse_from, prefix=prefix,
+                         types={"port": "int64"}, **kw)
+
+
+_RFC3164 = (
+    r"^<(?P<priority>\d{1,3})>(?P<timestamp>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
+    r"(?P<hostname>\S+) (?P<appname>[^\[:\s]+)(?:\[(?P<pid>\d+)\])?:?\s?(?P<message>.*)$"
+)
+_RFC5424 = (
+    r"^<(?P<priority>\d{1,3})>(?P<version>\d) (?P<timestamp>\S+) (?P<hostname>\S+) "
+    r"(?P<appname>\S+) (?P<procid>\S+) (?P<msgid>\S+) (?P<structured>(?:-|\[.*\])) ?(?P<message>.*)$"
+)
+
+
+class SyslogParser(BatchOp):
+    """RFC3164 / RFC5424 syslog parse (parser/syslog/parser.go:86-172):
+    regex extract + priority → facility/severity arithmetic, all
+    vectorized."""
+
+    def __init__(self, protocol: str = "rfc3164", parse_from: str = "text",
+                 prefix: str = "attributes.", **kw):
+        super().__init__(**kw)
+        self.rx = _RFC3164 if protocol == "rfc3164" else _RFC5424
+        self.groups = list(re.compile(self.rx).groupindex)
+        self.parse_from = parse_from
+        self.prefix = prefix
+        # syslog severity (0-7) → our 24-level numbers (severity_builder presets)
+        self.sev_map = np.array([21, 22, 21, 17, 13, 10, 9, 5], dtype=np.int64)
+
+    def error_mask(self, t: pa.Table):
+        src = _col(t, self.parse_from)
+        ext = pc.extract_regex(src, self.rx)
+        return pc.and_(pc.is_valid(src), pc.is_null(ext))
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(_col(t, self.parse_from), self.rx)
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        for g in self.groups:
+            t = set_column(t, self.prefix + g, pc.struct_field(ext, g))
+        pri = _cast_typed(pc.struct_field(ext, "priority"), "int64")
+        pri_np = pri.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(pri_np) if pri_np.dtype.kind == "f" else np.ones(len(pri_np), bool)
+        pri_i = np.where(valid, np.nan_to_num(pri_np), 0).astype(np.int64)
+        t = set_column(t, self.prefix + "facility",
+                       pa.array(np.where(valid, pri_i // 8, -1).astype(np.int64)))
+        t = set_column(t, "severity_number",
+                       pa.array(np.where(valid, self.sev_map[pri_i % 8], 0).astype(np.int8)))
+        return t
+
+
+class ScopeNameParser(BatchOp):
+    """Move a field into the scope name column (parser/scope/parser.go:20)."""
+
+    def __init__(self, parse_from: str, **kw):
+        super().__init__(**kw)
+        self.parse_from = parse_from
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        return set_column(t, "scope_name", _col(t, self.parse_from))

@@ -1,0 +1,62 @@
+"""Recombine — stateful multiline/turn join as a grouped shuffle.
+
+Parity: /root/reference/pkg/stanza/operator/transformer/recombine/
+transformer.go:95-189 — group consecutive entries per
+``source_identifier``, join ``combine_field`` with ``combine_with``,
+flush on ``max_batch_size`` overflow, base entry = oldest/newest
+(``overwrite_with``, flush at 206-227).
+
+Batch-engine rendering (SURVEY.md §2.10): wall-clock flush timers
+(``force_flush_period``) become flush-at-group-end; "consecutive
+buffer" state becomes a ``groupby(source).map_groups`` hash shuffle
+with an in-group sort — the Ray-idiomatic replacement for the
+mutex-guarded batchMap (transformer.go:38-51). Hot sources (Zipf
+conv_ids) are bounded by ``max_batch_size`` chunking, the reference's
+own overflow valve (transformer.go:182-188).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def recombine(
+    ds,
+    source_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    combine_col: str = "text",
+    combine_with: str = "\n",
+    max_batch_size: int | None = None,
+    overwrite_with: str = "oldest",
+    is_first_entry: str | None = None,
+):
+    """One output row per (source, chunk): the joined ``combine_col`` plus
+    the base row's other fields, and ``n_combined``.
+
+    ``is_first_entry``: optional pandas-eval boolean expression over the
+    group (e.g. ``"role == 'user'"``) that starts a new chunk at each
+    matching row — the reference's start-pattern mode
+    (recombine/config.go:49-62). Without it (and without
+    ``max_batch_size``) a whole source joins to one row.
+    """
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        if is_first_entry:
+            starts = g.eval(is_first_entry).to_numpy(dtype=bool)
+            starts[0] = True
+            chunk = np.cumsum(starts) - 1
+        elif max_batch_size:
+            chunk = np.arange(len(g)) // max_batch_size
+        else:
+            chunk = np.zeros(len(g), dtype=np.int64)
+        g = g.assign(__chunk=chunk)
+        base_pick = "first" if overwrite_with == "oldest" else "last"
+        agg = {c: base_pick for c in g.columns if c not in (combine_col, "__chunk")}
+        agg[combine_col] = lambda s: combine_with.join(s.astype(str))
+        out = g.groupby("__chunk", sort=True).agg(agg)
+        out["n_combined"] = g.groupby("__chunk", sort=True).size()
+        return out.reset_index(drop=True)
+
+    return ds.groupby(source_col).map_groups(join_group, batch_format="pandas")
