@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..schema import SEVERITY_ALIASES, SEVERITY_TEXT
-from .base import BatchOp, set_column
+from .base import BatchOp, blend_columns, set_column
 
 
 def _col(t: pa.Table, name: str):
@@ -46,8 +46,15 @@ _TYPE_CASTS = {
 
 def _cast_typed(arr: pa.Array, typ: str) -> pa.Array:
     target = _TYPE_CASTS[typ]
+    if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)) and (
+        pa.types.is_integer(target) or pa.types.is_floating(target)
+    ):
+        # invalid numeric strings → null instead of raising
+        ok = pc.fill_null(
+            pc.match_substring_regex(arr, r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), False
+        )
+        arr = pc.if_else(ok, arr, pa.nulls(len(arr), arr.type))
     if pa.types.is_integer(target):
-        # tolerate float-looking strings; invalid → null
         f = pc.cast(arr, pa.float64(), safe=False)
         return pc.cast(pc.trunc(f), target, safe=False)
     return pc.cast(arr, target, safe=False)
@@ -86,13 +93,15 @@ class RegexParser(BatchOp):
         ext = self._extract(t)
         if isinstance(ext, pa.ChunkedArray):
             ext = ext.combine_chunks()
+        ok = pc.is_valid(ext)  # write only where the parse succeeded
+        cols = {}
         for g in self.groups:
             arr = pc.struct_field(ext, g)
             typ = self.types.get(g)
             if typ:
                 arr = _cast_typed(arr, typ)
-            t = set_column(t, self.prefix + g, arr)
-        return t
+            cols[self.prefix + g] = arr
+        return blend_columns(t, cols, None if pc.all(ok).as_py() else ok)
 
 
 class JsonParser(BatchOp):
@@ -134,6 +143,9 @@ class JsonParser(BatchOp):
 
     def transform(self, t: pa.Table) -> pa.Table:
         rows, _ = self._parse_rows(t)
+        ok = pa.array([r is not None for r in rows])
+        all_ok = bool(pc.all(ok).as_py()) if len(rows) else True
+        cols = {}
         for key, typ in self.fields.items():
             col = pa.array([None if r is None else r.get(key) for r in rows])
             if pa.types.is_null(col.type):
@@ -143,15 +155,15 @@ class JsonParser(BatchOp):
                     col = _cast_typed(pc.cast(col, pa.string(), safe=False) if typ == "string" else col, typ)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
                     col = pa.nulls(len(rows), _TYPE_CASTS[typ])
-            t = set_column(t, self.prefix + key, col)
+            cols[self.prefix + key] = col
         if self.keep_rest:
             known = set(self.fields)
             rest = [
                 None if r is None else json.dumps({k: v for k, v in r.items() if k not in known}, sort_keys=True)
                 for r in rows
             ]
-            t = set_column(t, self.prefix + "__rest", pa.array(rest, type=pa.string()))
-        return t
+            cols[self.prefix + "__rest"] = pa.array(rest, type=pa.string())
+        return blend_columns(t, cols, None if all_ok else ok)
 
 
 class KeyValueParser(BatchOp):
@@ -189,7 +201,9 @@ class KeyValueParser(BatchOp):
                 arr = pc.struct_field(ext, "v")
                 if f in self.types:
                     arr = _cast_typed(arr, self.types[f])
-                t = set_column(t, self.prefix + f, arr)
+                ok = pc.is_valid(ext)  # per-field: keep old value if absent
+                t = blend_columns(t, {self.prefix + f: arr},
+                                  None if pc.all(ok).as_py() else ok)
             return t
         out = []
         for s in src.to_pylist():
@@ -232,13 +246,16 @@ class CsvParser(BatchOp):
         parts = self._split(t)
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
-        ok = pc.equal(pc.list_value_length(parts), len(self.header))
+        ok = pc.fill_null(pc.equal(pc.list_value_length(parts), len(self.header)), False)
+        from .transformers import _safe_list_element
+
+        cols = {}
         for i, name in enumerate(self.header):
-            arr = pc.if_else(ok, pc.list_element(parts, i), pa.nulls(t.num_rows, pa.string()))
+            arr = _safe_list_element(parts, i)
             if name in self.types:
                 arr = _cast_typed(arr, self.types[name])
-            t = set_column(t, self.prefix + name, arr)
-        return t
+            cols[self.prefix + name] = arr
+        return blend_columns(t, cols, None if pc.all(ok).as_py() else ok)
 
 
 class SeverityParser(BatchOp):
