@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray Data engine (see README.md).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry``: flagship parse→enrich→route→count pipeline over transcripts
+derived from /root/testdata/sf0.001.
+``queries`` / ``oracle_sql``: one entry per implemented operator or
+pipeline from SURVEY.md §2 (+ the training-data ops), with DuckDB SQL
+twins where SQL-expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; returns per-sink count-connector
+    totals as one pandas DataFrame (sink, metric, attrs, count)."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import flagship
+    from opentelemetry_collector_contrib_ray.sources.readers import transcripts_from_events
+
+    ds = transcripts_from_events("/root/testdata/sf0.001", with_turn_idx=False)
+    sinks, counts = flagship(ds, enrich_concurrency=2)
+    frames = []
+    for name in sorted(counts):
+        df = counts[name].to_pandas()
+        df.insert(0, "sink", name)
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from opentelemetry_collector_contrib_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,812 @@
+"""Driver-facing query registry: Ray pipelines + their DuckDB oracles.
+
+Every implemented operator/pipeline from SURVEY.md §2 gets an entry:
+``QUERIES[name](sf_dir) -> Dataset | pa.Table`` and (when
+SQL-expressible) ``ORACLES[name]`` — an ANSI-SQL twin DuckDB runs over
+the same parquet views. Names of computed columns match exactly.
+
+Float discipline: oracle-compared outputs avoid order-dependent float
+aggregates — money/value sums go through a cents-integer transform
+(``floor(x*100+0.5)`` cast to int64, identical IEEE ops in numpy and
+DuckDB) so results are bit-deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.readers import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    read_table,
+    transcripts_from_events,
+)
+from ..stages import (
+    CountConnector,
+    JsonParser,
+    MetricDef,
+    Router,
+)
+from ..stages.count import counts_to_flat
+from ..stages.enrich import LookupEnricher
+from ..stages.recombine import recombine
+from ..stages.sampler import ProbabilisticSampler, knuth_hash_sql
+from ..stages.text import LangId, token_stats
+from .flagship import ROUTES, TOOL_SERVICE, TOOL_SERVICE_DEFAULTS, build_parse_chain
+
+# --------------------------------------------------------------------------
+# shared SQL fragments
+# --------------------------------------------------------------------------
+
+_LOGLINE = r"^(TRACE|DEBUG|INFO|WARN|ERROR|FATAL) latency_ms=\d+ status=\d+ msg=\S+$"
+_KV = r"^latency_ms=\d+ status=\d+ region=\S+$"
+
+#: parse + enrich + route over the events-derived transcripts, in SQL.
+PARSED_SQL = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + f"""
+, parsed AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         CASE WHEN regexp_matches(text, '{_LOGLINE}')
+              THEN regexp_extract(text, '^([A-Z]+) ', 1) END AS level,
+         CASE WHEN regexp_matches(text, '{_LOGLINE}') OR regexp_matches(text, '{_KV}')
+              THEN CAST(regexp_extract(text, 'status=(\\d+)', 1) AS BIGINT) END AS status,
+         CASE WHEN regexp_matches(text, '{_LOGLINE}')
+              THEN CAST(regexp_extract(text, 'latency_ms=(\\d+)', 1) AS BIGINT)
+              WHEN regexp_matches(text, '^latency_ms=\\d+ ')
+              THEN CAST(regexp_extract(text, '^latency_ms=(\\d+)', 1) AS BIGINT)
+              WHEN regexp_matches(text, '^\\{{')
+              THEN CAST(regexp_extract(text, '"latency_ms": (\\d+)', 1) AS BIGINT)
+              END AS latency_ms,
+         CASE WHEN regexp_matches(text, '{_KV}')
+              THEN regexp_extract(text, 'region=(\\S+)', 1) END AS region,
+         CASE WHEN regexp_matches(text, '^\\{{"event"')
+              THEN regexp_extract(text, '"event": "(\\w+)"', 1) END AS event,
+         CASE tool WHEN 'browser' THEN 'web-svc' WHEN 'db_query' THEN 'data-svc'
+                   WHEN 'search' THEN 'search-svc' WHEN 'code_exec' THEN 'exec-svc'
+                   WHEN 'calculator' THEN 'math-svc' ELSE 'chat-svc' END AS service,
+         CASE tool WHEN 'browser' THEN 'surf' WHEN 'db_query' THEN 'store'
+                   WHEN 'search' THEN 'find' WHEN 'code_exec' THEN 'run'
+                   WHEN 'calculator' THEN 'run' ELSE 'talk' END AS team,
+         CASE regexp_extract(text, '^([A-Z]+) ', 1)
+              WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
+              WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21
+              ELSE 0 END
+           * CASE WHEN regexp_matches(text, '{_LOGLINE}') THEN 1 ELSE 0 END
+           AS severity_number
+  FROM transcripts
+), routed AS (
+  SELECT *, CASE WHEN service = 'search-svc' THEN 0
+                 WHEN severity_number >= 17 THEN 1
+                 WHEN status >= 500 THEN 2
+                 WHEN role = 'tool' THEN 3 ELSE 4 END AS ridx
+  FROM parsed
+)
+"""
+)
+
+_CENTS = "CAST(floor({x} * 100 + 0.5) AS BIGINT)"
+
+
+def _cents(arr) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — the SQL twin of _CENTS."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(pc.cast(arr, pa.float64()), 100.0), 0.5)), pa.int64())
+
+
+def _rename(ds, mapping: dict[str, str]):
+    return ds.map_batches(
+        lambda t: t.rename_columns([mapping.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+def _parsed_transcripts(sf_dir: str, with_turn_idx: bool = False):
+    ds = transcripts_from_events(sf_dir, with_turn_idx=with_turn_idx)
+    chain = build_parse_chain()
+    return ds.map_batches(chain, batch_format="pyarrow", batch_size=65_536,
+                          zero_copy_batch=True)
+
+
+def _enriched(sf_dir: str, with_turn_idx: bool = False):
+    return _parsed_transcripts(sf_dir, with_turn_idx).map_batches(
+        LookupEnricher,
+        fn_constructor_kwargs={
+            "key_col": "tool", "table": TOOL_SERVICE, "defaults": TOOL_SERVICE_DEFAULTS,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+
+# --------------------------------------------------------------------------
+# transcript-pipeline queries (events-derived input, full oracle)
+# --------------------------------------------------------------------------
+
+def q_parse_level_agg(sf_dir: str):
+    """Regex "grok" parse → grouped aggregate (SURVEY §2.3 regex_parser)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _parsed_transcripts(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["attributes.level"]))
+        return pa.table(
+            {"level": t["attributes.level"],
+             "lat": pc.cast(t["attributes.latency_ms"], pa.int64())}
+        )
+
+    out = ds.map_batches(proj, batch_format="pyarrow").groupby("level").aggregate(
+        Count(alias_name="n"), Sum("lat", alias_name="sum_latency")
+    )
+    return out
+
+
+SQL_PARSE_LEVEL = (
+    PARSED_SQL
+    + """
+SELECT level, count(*) AS n, SUM(latency_ms) AS sum_latency
+FROM parsed WHERE level IS NOT NULL GROUP BY level
+"""
+)
+
+
+def q_severity_counts(sf_dir: str):
+    """Severity mapping (SURVEY §2.3 severity_parser)."""
+    from ray.data.aggregate import Count
+
+    ds = _parsed_transcripts(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "severity_number": pc.cast(t["severity_number"], pa.int64()),
+                "severity_text": t["severity_text"],
+            }
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby(["severity_number", "severity_text"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_SEVERITY_COUNTS = (
+    PARSED_SQL
+    + """
+SELECT severity_number,
+       CASE severity_number WHEN 1 THEN 'TRACE' WHEN 5 THEN 'DEBUG' WHEN 9 THEN 'INFO'
+            WHEN 13 THEN 'WARN' WHEN 17 THEN 'ERROR' WHEN 21 THEN 'FATAL' ELSE '' END AS severity_text,
+       count(*) AS n
+FROM parsed GROUP BY severity_number
+"""
+)
+
+
+def q_route_sink_counts(sf_dir: str):
+    """Routing connector fan-out counts (SURVEY §2.7), single pass."""
+    router = Router(ROUTES)
+    ds = _enriched(sf_dir)
+
+    def per_sink(t: pa.Table) -> pa.Table:
+        masks = router.sink_masks(t)
+        return pa.table(
+            {
+                "sink": pa.array(list(masks.keys())),
+                "n": pa.array(
+                    [int(np.asarray(m).sum()) for m in masks.values()], type=pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(per_sink, batch_format="pyarrow").groupby("sink").sum("n")
+    return _rename(out, {"sum(n)": "n"})
+
+
+SQL_ROUTE_SINK_COUNTS = (
+    PARSED_SQL
+    + """
+SELECT 'search' AS sink, (SELECT count(*) FROM routed WHERE ridx = 0) AS n
+UNION ALL SELECT 'errors', (SELECT count(*) FROM routed WHERE ridx IN (1, 2))
+UNION ALL SELECT 'audit', (SELECT count(*) FROM routed WHERE ridx = 2)
+UNION ALL SELECT 'tools', (SELECT count(*) FROM routed WHERE ridx = 3)
+UNION ALL SELECT 'default', (SELECT count(*) FROM routed WHERE ridx = 4)
+"""
+)
+
+
+def q_routed_rows_errors(sf_dir: str):
+    """Row-level routed-set equality for the errors sink (north rule)."""
+    router = Router(ROUTES)
+    ds = _enriched(sf_dir, with_turn_idx=True)
+
+    def sel(t: pa.Table) -> pa.Table:
+        masks = router.sink_masks(t)
+        keep = t.filter(masks["errors"])
+        return pa.table({"conv_id": keep["conv_id"], "turn_idx": keep["turn_idx"]})
+
+    return ds.map_batches(sel, batch_format="pyarrow")
+
+
+SQL_ROUTED_ROWS_ERRORS = (
+    PARSED_SQL + "SELECT conv_id, turn_idx FROM routed WHERE ridx IN (1, 2)"
+)
+
+
+def q_count_by_region(sf_dir: str):
+    """Count connector with attribute default_value (counter.go:50-53)."""
+    cc = CountConnector(
+        [MetricDef("turns.by.region", attributes=[("attributes.region", "none")])]
+    )
+    out = cc.aggregate(_parsed_transcripts(sf_dir))
+    return out.map_batches(
+        lambda t: counts_to_flat(t, ["attributes.region"]).rename_columns(["region", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_COUNT_BY_REGION = (
+    PARSED_SQL
+    + "SELECT COALESCE(region, 'none') AS region, count(*) AS n FROM parsed GROUP BY 1"
+)
+
+
+def q_recombine_convs(sf_dir: str):
+    """Recombine: per-conversation join (SURVEY §2.4 recombine)."""
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+    out = recombine(ds, source_col="conv_id", order_col="turn_idx",
+                    combine_col="text", combine_with="\n")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"conv_id": t["conv_id"], "combined": t["text"],
+             "n_combined": pc.cast(t["n_combined"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_RECOMBINE = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS combined,
+       count(*) AS n_combined
+FROM transcripts GROUP BY conv_id
+"""
+)
+
+
+def q_filter_drop_errors(sf_dir: str):
+    """Filter transformer drops matching rows (filter/transformer.go:26-57)."""
+    from ray.data.aggregate import Count
+
+    from ..stages import Filter
+
+    ds = _parsed_transcripts(sf_dir)
+    flt = Filter("severity_number >= 17")
+    out = (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .map_batches(lambda t: pa.table({"role": t["role"]}), batch_format="pyarrow")
+        .groupby("role")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out
+
+
+SQL_FILTER_DROP_ERRORS = (
+    PARSED_SQL
+    + "SELECT role, count(*) AS n FROM parsed WHERE NOT severity_number >= 17 GROUP BY role"
+)
+
+
+def q_transform_slow_by_level(sf_dir: str):
+    """OTTL transform statements (set ... where) — slow-turn counts."""
+    from ray.data.aggregate import Count
+
+    ds = _parsed_transcripts(sf_dir)  # parse chain already sets attributes.slow
+
+    def proj(t: pa.Table) -> pa.Table:
+        slow = t["attributes.slow"] if "attributes.slow" in t.column_names else pa.nulls(t.num_rows, pa.bool_())
+        keep = pc.and_(pc.fill_null(pc.cast(slow, pa.bool_()), False), pc.is_valid(t["attributes.level"]))
+        t = t.filter(keep)
+        return pa.table({"level": t["attributes.level"]})
+
+    return ds.map_batches(proj, batch_format="pyarrow").groupby("level").aggregate(
+        Count(alias_name="n_slow")
+    )
+
+
+SQL_TRANSFORM_SLOW = (
+    PARSED_SQL
+    + """
+SELECT level, count(*) AS n_slow FROM parsed
+WHERE latency_ms > 1500 AND level IS NOT NULL GROUP BY level
+"""
+)
+
+
+def q_enrich_service_counts(sf_dir: str):
+    """Stateful lookup enrichment (k8sattributes analog, SURVEY §2.6)."""
+    from ray.data.aggregate import Count
+
+    ds = _enriched(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"service": t["service"], "team": t["team"]})
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby(["service", "team"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_ENRICH_SERVICE = (
+    PARSED_SQL + "SELECT service, team, count(*) AS n FROM parsed GROUP BY service, team"
+)
+
+
+def q_sample_events(sf_dir: str):
+    """Probabilistic sampler, hash-deterministic (logsprocessor.go:51-90)."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    samp = ProbabilisticSampler(25, "event_id")
+    return (
+        ds.map_batches(samp, batch_format="pyarrow")
+        .map_batches(lambda t: pa.table({"event_type": t["event_type"]}), batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_SAMPLE_EVENTS = f"""
+SELECT event_type, count(*) AS n FROM events
+WHERE ({knuth_hash_sql('event_id')}) % 100 < 25
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# events-stream queries
+# --------------------------------------------------------------------------
+
+def q_events_json_props(sf_dir: str):
+    """JSON parser over the events.props column (SURVEY §2.3 json_parser)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    jp = JsonParser(fields={"k": "int64"}, parse_from="props", prefix="p.")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.cast(t["p.k"], pa.int64())})
+
+    return (
+        ds.map_batches(jp, batch_format="pyarrow")
+        .map_batches(proj, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type, count(*) AS n,
+       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_window_daily(sf_dir: str):
+    """Tumbling daily window aggregate (streaming-window rendering)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_WINDOW = f"""
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+       SUM({_CENTS.format(x='value')}) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_top_users(sf_dir: str):
+    """Grouped count → global sort → limit (top-k)."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return out.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+SQL_EVENTS_TOP_USERS = """
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# relational showcase (lineitem / orders / customer)
+# --------------------------------------------------------------------------
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with cents-deterministic sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "base_cents": _cents(t["l_extendedprice"]),
+                "disc_cents": _cents(disc),
+            }
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM({_CENTS.format(x='l_extendedprice')}) AS sum_base_cents,
+       SUM({_CENTS.format(x='l_extendedprice * (1.0 - l_discount)')}) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_customer_nation(sf_dir: str):
+    """Broadcast-small-side join: nation dim → LookupEnricher (SURVEY §2.8)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    lookup = {
+        str(k): {"n_name": v}
+        for k, v in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    }
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    enr = ds.map_batches(
+        LookupEnricher,
+        fn_constructor_kwargs={"key_col": "c_nationkey", "table": lookup,
+                               "defaults": {"n_name": "UNKNOWN"}},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"n_name": t["n_name"], "bal_cents": _cents(t["c_acctbal"])})
+
+    return (
+        enr.map_batches(proj, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("bal_cents", alias_name="sum_bal_cents"))
+    )
+
+
+SQL_CUSTOMER_NATION = f"""
+SELECT n.n_name, count(*) AS n_customers,
+       SUM({_CENTS.format(x='c.c_acctbal')}) AS sum_bal_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_orders_priority(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"],
+             "total_cents": _cents(t["o_totalprice"])}
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("total_cents", alias_name="sum_total_cents"))
+    )
+
+
+SQL_ORDERS_PRIORITY = f"""
+SELECT o_orderpriority, count(*) AS n,
+       SUM({_CENTS.format(x='o_totalprice')}) AS sum_total_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# documents: dedup + text analysis
+# --------------------------------------------------------------------------
+
+def q_docs_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partition groupby, min-id representative."""
+    from ray.data.aggregate import Count, Min
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="n")
+    )
+
+
+SQL_DOCS_DEDUP = "SELECT text, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY text"
+
+
+def q_docs_token_stats(sf_dir: str):
+    """Token counting (whitespace + BPE-ish regex tokens)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = token_stats(t)
+        return pa.table(
+            {"lang": t["lang"], "tok": t["n_tokens_ws"], "chars": t["n_chars_text"]}
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("tok", alias_name="sum_tokens"),
+            Sum("chars", alias_name="sum_chars"),
+        )
+    )
+
+
+SQL_DOCS_TOKENS = """
+SELECT lang, count(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS sum_tokens,
+       SUM(length(text)) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_docs_stopwords(sf_dir: str):
+    """Quality-feature components as integer counts (stopword hits)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    pat = r"(?i)\b(?:the|a|and|of|to|in|is|it)\b"
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "stop": pc.cast(pc.count_substring_regex(t["text"], pat), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("stop", alias_name="sum_stopwords"))
+    )
+
+
+SQL_DOCS_STOPWORDS = """
+SELECT lang,
+       SUM(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','and','of','to','in','is','it')))) AS sum_stopwords
+FROM documents GROUP BY lang
+"""
+
+
+def q_docs_langid(sf_dir: str):
+    """Heuristic language-ID (rows-only check: no SQL twin)."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .map_batches(lambda t: pa.table({"lang_pred": t["lang_pred"]}), batch_format="pyarrow")
+        .groupby("lang_pred")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidate pair count (rows-only)."""
+    from ..stages.dedup import minhash_candidate_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16, concurrency=2)
+    n = pairs.count()
+    return pa.table({"n_candidate_pairs": pa.array([n], type=pa.int64())})
+
+
+def q_docs_simhash(sf_dir: str):
+    """SimHash fingerprints: distinct count (rows-only)."""
+    from ..stages.dedup import simhash_buckets
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_buckets(ds, concurrency=2)
+    n = out.unique("simhash")
+    return pa.table({"n_distinct_simhash": pa.array([len(n)], type=pa.int64())})
+
+
+def q_docs_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprint distinct count (rows-only)."""
+    from ..stages.text import rolling_fingerprint
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: rolling_fingerprint(t), batch_format="pyarrow")
+    return pa.table(
+        {"n_distinct_fp": pa.array([len(out.unique("fingerprint"))], type=pa.int64())}
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(vec_id)
+    return np.asarray([t["embedding"].to_pylist()[idx]], dtype=np.float64)
+
+
+def q_emb_ann_top10(sf_dir: str):
+    """Brute-force cosine top-k vs broadcast query (exact baseline)."""
+    from ..stages.similarity import brute_force_topk
+
+    q = _query_vec(sf_dir, 0)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, q, k=10, concurrency=2)
+    return pa.table({"vec_id": out["vec_id"]})
+
+
+SQL_EMB_ANN = """
+SELECT e.vec_id
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_emb_near_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs, label-blocked (the scale path)."""
+    from ..stages.similarity import cosine_near_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    out = cosine_near_dup_pairs(ds, threshold=0.4, block_col="label")
+    return out.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+def q_emb_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
+    from ..stages.similarity import lsh_bucket_topk
+
+    q = _query_vec(sf_dir, 0)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = lsh_bucket_topk(ds, q, k=10, n_bits=6, concurrency=2)
+    return pa.table({"vec_id": out["vec_id"]})
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: synthetic media → fake decode → features
+    (rows-only; codecs stubbed per brief)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_pipeline, synth_media_table
+
+    t = synth_media_table(256)
+    out = decode_pipeline(rd.from_arrow(t), fake=True, concurrency=2)
+    n = out.count()
+    return pa.table({"n_decoded": pa.array([n], type=pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "parse_level_agg": q_parse_level_agg,
+    "severity_counts": q_severity_counts,
+    "route_sink_counts": q_route_sink_counts,
+    "routed_rows_errors": q_routed_rows_errors,
+    "count_by_region": q_count_by_region,
+    "recombine_convs": q_recombine_convs,
+    "filter_drop_errors": q_filter_drop_errors,
+    "transform_slow_by_level": q_transform_slow_by_level,
+    "enrich_service_counts": q_enrich_service_counts,
+    "sample_events": q_sample_events,
+    "events_json_props": q_events_json_props,
+    "events_window_daily": q_events_window_daily,
+    "events_top_users": q_events_top_users,
+    "lineitem_pricing": q_lineitem_pricing,
+    "customer_nation": q_customer_nation,
+    "orders_priority": q_orders_priority,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_stopwords": q_docs_stopwords,
+    "docs_langid": q_docs_langid,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_simhash": q_docs_simhash,
+    "docs_fingerprint": q_docs_fingerprint,
+    "emb_ann_top10": q_emb_ann_top10,
+    "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "emb_ann_lsh": q_emb_ann_lsh,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES = {
+    "parse_level_agg": SQL_PARSE_LEVEL,
+    "severity_counts": SQL_SEVERITY_COUNTS,
+    "route_sink_counts": SQL_ROUTE_SINK_COUNTS,
+    "routed_rows_errors": SQL_ROUTED_ROWS_ERRORS,
+    "count_by_region": SQL_COUNT_BY_REGION,
+    "recombine_convs": SQL_RECOMBINE,
+    "filter_drop_errors": SQL_FILTER_DROP_ERRORS,
+    "transform_slow_by_level": SQL_TRANSFORM_SLOW,
+    "enrich_service_counts": SQL_ENRICH_SERVICE,
+    "sample_events": SQL_SAMPLE_EVENTS,
+    "events_json_props": SQL_EVENTS_JSON,
+    "events_window_daily": SQL_EVENTS_WINDOW,
+    "events_top_users": SQL_EVENTS_TOP_USERS,
+    "lineitem_pricing": SQL_LINEITEM_PRICING,
+    "customer_nation": SQL_CUSTOMER_NATION,
+    "orders_priority": SQL_ORDERS_PRIORITY,
+    "docs_exact_dedup": SQL_DOCS_DEDUP,
+    "docs_token_stats": SQL_DOCS_TOKENS,
+    "docs_stopwords": SQL_DOCS_STOPWORDS,
+    "emb_ann_top10": SQL_EMB_ANN,
+    "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
+}

@@ -1,0 +1,143 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with sidecar metadata
+columns (``media_type``, ``width``, ``height``, ``sample_rate``…).
+Decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages. The codec libraries (PIL/ffmpeg/librosa) are
+NOT in this container, so the decode kernels are STUBBED — each actor
+accepts a ``codec`` callable; the default raises ``NotImplementedError``
+unless ``fake=True``, which produces a deterministic fake decode so the
+Ray-side plumbing (schema, batch sizing, actor signature, output
+layout) is real and testable.
+
+Scale notes: binary payload batches must stay small
+(``batch_size`` ≤ ~64 for MB-scale payloads) so batch × concurrency
+fits worker heaps; blocks carry payloads zero-copy through the object
+store; outputs (features) are small numeric columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("media_type", pa.string()),  # e.g. image/png, audio/wav
+        pa.field("payload", pa.large_binary()),
+        pa.field("meta.width", pa.int32()),
+        pa.field("meta.height", pa.int32()),
+        pa.field("meta.sample_rate", pa.int32()),
+        pa.field("meta.duration_ms", pa.int32()),
+    ]
+)
+
+
+def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decoder: payload bytes → tiled uint8 HxWx3."""
+    b = np.frombuffer(payload or b"\0", dtype=np.uint8)
+    n = max(1, int(width or 4)) * max(1, int(height or 4)) * 3
+    return np.resize(b, n).reshape(max(1, int(height or 4)), max(1, int(width or 4)), 3)
+
+
+class ImageDecoder:
+    """Actor-pool decode stage: payload binary → pixel tensor column.
+
+    Real deployment passes ``codec=PIL_open_fn``; here ``fake=True``
+    exercises the full pipeline deterministically.
+    """
+
+    def __init__(self, codec=None, fake: bool = False, payload_col: str = "payload"):
+        if codec is None:
+            if not fake:
+                def codec(payload, w, h):  # pragma: no cover - the stub
+                    raise NotImplementedError(
+                        "image codec not available in this environment; "
+                        "construct with fake=True or supply codec="
+                    )
+            else:
+                codec = _fake_decode_image
+        self.codec = codec
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws = t["meta.width"].to_pylist()
+        hs = t["meta.height"].to_pylist()
+        out = [
+            self.codec(p, w, h)
+            for p, w, h in zip(t[self.payload_col].to_pylist(), ws, hs)
+        ]
+        flat = [a.reshape(-1) for a in out]
+        pixels = pa.array([f.tolist() for f in flat], type=pa.list_(pa.uint8()))
+        return t.drop_columns([self.payload_col]).append_column("pixels", pixels)
+
+
+class ImageFeatures:
+    """Feature extraction over decoded pixels: channel means/std —
+    vectorized numpy per batch (stands in for a model forward pass)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = []
+        for px in t["pixels"].to_pylist():
+            a = np.asarray(px, dtype=np.float64)
+            a = a.reshape(-1, 3) if a.size % 3 == 0 and a.size else np.zeros((1, 3))
+            feats.append(np.concatenate([a.mean(axis=0), a.std(axis=0)]))
+        m = np.stack(feats)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), type=pa.float32()), 6
+        )
+        return t.drop_columns(["pixels"]).append_column("features", col)
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing: payload → every-Nth fake frames.
+    Real codec goes through ``codec=``; stub raises unless fake."""
+
+    def __init__(self, every_ms: int = 1000, codec=None, fake: bool = False):
+        self.every_ms = every_ms
+        self.fake = fake
+        self.codec = codec
+        if codec is None and not fake:
+            raise NotImplementedError(
+                "video codec not available; construct with fake=True or codec="
+            )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_frames = [
+            max(1, int((d or 0) / self.every_ms))
+            for d in t["meta.duration_ms"].to_pylist()
+        ]
+        return t.append_column("n_frames_sampled", pa.array(n_frames, type=pa.int32()))
+
+
+def synth_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table matching MEDIA_SCHEMA."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    payloads = [rng.integers(0, 256, 64, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["image/png"] * n),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "meta.width": pa.array(rng.integers(2, 8, n).astype(np.int32)),
+            "meta.height": pa.array(rng.integers(2, 8, n).astype(np.int32)),
+            "meta.sample_rate": pa.array(np.zeros(n, dtype=np.int32)),
+            "meta.duration_ms": pa.array(rng.integers(0, 5000, n).astype(np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 64):
+    """payload → pixels → features, small batches for big payloads."""
+    return ds.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

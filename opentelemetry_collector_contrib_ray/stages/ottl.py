@@ -18,9 +18,22 @@ out masked rows instead of dropping columns when a mask is present.
 
 from __future__ import annotations
 
-import fnmatch
 import re
 from typing import Callable
+
+
+def _glob_to_re2(glob: str) -> str:
+    """Translate a glob to RE2-safe regex (fnmatch.translate emits \\Z,
+    which Arrow's RE2 rejects)."""
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -225,7 +238,8 @@ class _Statement:
         path, glob, rep = self.args[0], _unquote(self.args[1]), _unquote(self.args[2])
         if path not in t.column_names:
             return t
-        rx = fnmatch.translate(glob)
+        rx = _glob_to_re2(glob)
+
         def fn(c):
             m = pc.match_substring_regex(c, rx)
             return pc.if_else(pc.fill_null(m, False), rep, c)
@@ -254,7 +268,7 @@ class _Statement:
 
     def _ed_replace_all_matches(self, t, mask):
         ns, glob, rep = self.args[0].rstrip("."), _unquote(self.args[1]), _unquote(self.args[2])
-        rx = fnmatch.translate(glob)
+        rx = _glob_to_re2(glob)
 
         def fn(c):
             m = pc.match_substring_regex(c, rx)

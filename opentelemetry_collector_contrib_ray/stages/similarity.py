@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``BruteForceTopK``: exact cosine top-k per batch against a broadcast
+  query matrix (numpy matmul; one partial top-k per block, merged at
+  the end) — the baseline.
+- ``lsh_bucket_topk``: random-hyperplane LSH bucketing (the scale path):
+  queries and corpus hash to sign-pattern buckets; only same-bucket
+  candidates are scored. Approximate; recall grows with ``n_tables``.
+
+Scale design: the corpus streams (never materialized); query matrix is
+small and broadcast with ``ray.put``; each block emits ≤ k rows per
+query, so the final merge handles #blocks × k rows.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(a, pa.FixedSizeListArray):
+        dim = a.type.list_size
+        return np.asarray(a.flatten(), dtype=np.float64).reshape(len(a), dim)
+    flat = np.asarray(a.flatten(), dtype=np.float64)
+    offs = np.asarray(a.offsets)
+    dim = int(offs[1] - offs[0])
+    return flat.reshape(len(a), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per batch, cosine of every row against the
+    broadcast query matrix; emits the batch-local top-k per query."""
+
+    def __init__(self, queries, k: int = 10, emb_col: str = "embedding",
+                 id_col: str = "vec_id", query_ids=None):
+        import ray
+
+        if not isinstance(queries, np.ndarray):
+            queries = ray.get(queries)
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.qids = np.asarray(query_ids) if query_ids is not None else np.arange(len(self.q))
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t[self.emb_col]))
+        sims = self.q @ m.T  # (nq, batch)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = part[qi]
+            out_q.append(np.full(k, self.qids[qi]))
+            out_id.append(ids[sel])
+            out_sim.append(sims[qi, sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(ds, queries, k: int = 10, emb_col: str = "embedding",
+                     id_col: str = "vec_id", query_ids=None, concurrency: int = 4):
+    """Exact top-k: block-local top-k (actor pool) → tiny global merge.
+
+    The final merge is a driver-side heap over ≤ #blocks × k × nq rows —
+    not a full-dataset materialization.
+    """
+    partial = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={
+            "queries": queries, "k": k, "emb_col": emb_col,
+            "id_col": id_col, "query_ids": query_ids,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    best: dict[int, list] = {}
+    for batch in partial.iter_batches(batch_format="pyarrow"):
+        for q, i, s in zip(
+            batch["query_id"].to_pylist(),
+            batch[id_col].to_pylist(),
+            batch["cosine"].to_pylist(),
+        ):
+            h = best.setdefault(q, [])
+            if len(h) < k:
+                heapq.heappush(h, (s, i))
+            elif s > h[0][0]:
+                heapq.heapreplace(h, (s, i))
+    rows = []
+    for q in sorted(best):
+        for s, i in sorted(best[q], reverse=True):
+            rows.append((q, i, s))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            id_col: pa.array([r[1] for r in rows], type=pa.int64()),
+            "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+class HyperplaneHasher:
+    """Random-hyperplane signs → int bucket (per actor, deterministic)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 11,
+                 emb_col: str = "embedding"):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.weights = (1 << np.arange(n_bits)).astype(np.int64)
+        self.emb_col = emb_col
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        return ((m @ self.planes) > 0).astype(np.int64) @ self.weights
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[self.emb_col])
+        return t.append_column("lsh_bucket", pa.array(self.bucket(m)))
+
+
+def lsh_bucket_topk(ds, queries, k: int = 10, dim: int | None = None,
+                    n_bits: int = 8, seed: int = 11, emb_col: str = "embedding",
+                    id_col: str = "vec_id", query_ids=None, concurrency: int = 4):
+    """Approximate top-k: score only corpus rows whose LSH bucket matches
+    a query's bucket. One hash table; probe = exact bucket match."""
+    import ray
+
+    q = queries if isinstance(queries, np.ndarray) else ray.get(queries)
+    q = np.asarray(q, dtype=np.float64)
+    dim = dim or q.shape[1]
+    hasher = HyperplaneHasher(dim, n_bits, seed, emb_col)
+    q_buckets = set(hasher.bucket(q).tolist())
+
+    hashed = ds.map_batches(
+        HyperplaneHasher,
+        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed, "emb_col": emb_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def keep_bucket(t: pa.Table) -> pa.Table:
+        b = t["lsh_bucket"].to_numpy(zero_copy_only=False)
+        mask = np.isin(b, list(q_buckets))
+        return t.filter(pa.array(mask))
+
+    cand = hashed.map_batches(keep_bucket, batch_format="pyarrow")
+    return brute_force_topk(cand, q, k=k, emb_col=emb_col, id_col=id_col,
+                            query_ids=query_ids, concurrency=concurrency)
+
+
+def cosine_near_dup_pairs(ds, threshold: float = 0.9, emb_col: str = "embedding",
+                          id_col: str = "vec_id", block_col: str | None = None):
+    """Embedding-cosine near-duplicate pairs.
+
+    With ``block_col`` (e.g. an LSH bucket or label) the comparison is
+    blocked per group — the scalable path. Without it, per-group =
+    whole set (only for small corpora).
+    """
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        m, ids = m[order], ids[order]
+        sims = m @ m.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine": sims[ia, ib]}
+        )
+
+    if block_col is None:
+        import pyarrow as _pa
+
+        def all_one(t: _pa.Table) -> _pa.Table:
+            return t.append_column("__blk", _pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+        ds = ds.map_batches(all_one, batch_format="pyarrow")
+        block_col = "__blk"
+    return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")

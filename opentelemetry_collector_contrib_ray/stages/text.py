@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All stateless-vectorizable parts run as plain ``map_batches`` fns; the
+language-ID profile table is per-actor state (compiled once, actor
+pool) — same shape as the reference's stateful enrichers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .base import set_column
+
+# ----------------------------------------------------------- token count
+
+_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"  # BPE-ish: words + single punct
+
+
+def token_stats(t: pa.Table, col: str = "text") -> pa.Table:
+    """whitespace tokens, BPE-ish regex tokens, char count — vectorized."""
+    c = t[col]
+    ws = pc.list_value_length(pc.split_pattern_regex(pc.utf8_trim_whitespace(c), r"\s+"))
+    empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(c)), 0)
+    ws = pc.if_else(empty, pa.scalar(0, pa.int32()), ws)
+    bpe = pc.count_substring_regex(c, _TOKEN_RE)
+    t = set_column(t, "n_tokens_ws", pc.cast(ws, pa.int64()))
+    t = set_column(t, "n_tokens_bpe", pc.cast(bpe, pa.int64()))
+    t = set_column(t, "n_chars_text", pc.cast(pc.utf8_length(c), pa.int64()))
+    return t
+
+
+# ----------------------------------------------------------- quality
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def quality_score(t: pa.Table, col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality features + a simple
+    composite score in [0, 1]. All pyarrow kernels."""
+    c = t[col]
+    n_char = pc.utf8_length(c)
+    n_alpha = pc.count_substring_regex(c, "[A-Za-z]")
+    n_punct = pc.count_substring_regex(c, r"[^\w\s]")
+    n_tok = pc.count_substring_regex(c, r"\S+")
+    stop_pat = r"(?i)\b(?:" + "|".join(_STOPWORDS) + r")\b"
+    n_stop = pc.count_substring_regex(c, stop_pat)
+    f = lambda x: pc.cast(x, pa.float64())
+    denom = pc.max_element_wise(f(n_char), 1.0)
+    tokd = pc.max_element_wise(f(n_tok), 1.0)
+    alpha_ratio = pc.divide(f(n_alpha), denom)
+    punct_ratio = pc.divide(f(n_punct), denom)
+    stop_ratio = pc.divide(f(n_stop), tokd)
+    mean_word_len = pc.divide(f(n_char), tokd)
+    t = set_column(t, "alpha_ratio", alpha_ratio)
+    t = set_column(t, "punct_ratio", punct_ratio)
+    t = set_column(t, "stopword_ratio", stop_ratio)
+    t = set_column(t, "mean_word_len", mean_word_len)
+    len_ok = pc.and_(pc.greater_equal(n_char, 20), pc.less_equal(n_char, 20000))
+    score = pc.multiply(
+        pc.multiply(alpha_ratio, pc.subtract(1.0, pc.min_element_wise(punct_ratio, 1.0))),
+        pc.cast(len_ok, pa.float64()),
+    )
+    return set_column(t, "quality_score", score)
+
+
+# ----------------------------------------------------------- language id
+
+
+class LangId:
+    """Character n-gram / stopword heuristic language classifier.
+
+    Actor-pool stage: tiny per-language marker profiles compiled once in
+    ``__init__``. Deterministic, dependency-free; scores by marker-hit
+    ratio with an ASCII prior for en."""
+
+    PROFILES = {
+        "en": (" the ", " and ", " of ", " is ", " you ", " that "),
+        "fr": (" le ", " la ", " les ", " de ", " et ", " est ", " une "),
+        "de": (" der ", " die ", " und ", " das ", " ist ", " nicht "),
+        "es": (" el ", " la ", " los ", " de ", " que ", " es ", " una "),
+        "zh": tuple("的是不我一有了人这"),
+    }
+
+    def __init__(self, col: str = "text", out: str = "lang_pred"):
+        self.col = col
+        self.out = out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.col].to_pylist()
+        preds = []
+        for s in texts:
+            s2 = " " + (s or "").lower() + " "
+            best, best_n = "unknown", 0
+            for lang, marks in self.PROFILES.items():
+                n = sum(s2.count(m) for m in marks)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return set_column(t, self.out, pa.array(preds, type=pa.string()))
+
+
+# ----------------------------------------------------------- fingerprint
+
+
+def rolling_fingerprint(t: pa.Table, col: str = "text", window: int = 16,
+                        out: str = "fingerprint") -> pa.Table:
+    """Karp-Rabin-style rolling-hash document fingerprint: min rolling
+    hash over byte windows (winnowing's min-sampling, single window).
+    Vectorized per batch with numpy stride tricks."""
+    texts = t[col].to_pylist()
+    base = np.uint64(1099511628211)
+    out_h = np.zeros(len(texts), dtype=np.uint64)
+    pows = base ** np.arange(window, dtype=np.uint64)
+    for i, s in enumerate(texts):
+        b = np.frombuffer((s or "").encode("utf-8", "replace"), dtype=np.uint8)
+        if len(b) < window:
+            b = np.pad(b, (0, window - len(b)))
+        sw = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (sw * pows).sum(axis=1)
+        out_h[i] = h.min()
+    return set_column(t, out, pa.array(out_h.view(np.int64)))

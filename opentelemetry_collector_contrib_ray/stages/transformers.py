@@ -110,11 +110,9 @@ class Unquote(BatchOp):
         if self.field not in t.column_names:
             return t
         c = pc.cast(t[self.field], pa.string())
-        quoted = pc.or_(
-            pc.match_substring_regex(c, '^".*"$'), pc.match_substring_regex(c, "^'.*'$")
-        )
-        stripped = pc.utf8_slice_codeunits(c, 1, pc.subtract(pc.utf8_length(c), 1))
-        return set_column(t, self.field, pc.if_else(pc.fill_null(quoted, False), stripped, c))
+        c = pc.replace_substring_regex(c, '^"(.*)"$', r"\1")
+        c = pc.replace_substring_regex(c, "^'(.*)'$", r"\1")
+        return set_column(t, self.field, c)
 
 
 class Noop(BatchOp):

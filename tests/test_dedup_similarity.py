@@ -1,0 +1,137 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from opentelemetry_collector_contrib_ray.stages.dedup import (
+    SimHasher,
+    exact_dedup,
+    jaccard_ngrams,
+    minhash_candidate_pairs,
+    simhash_buckets,
+    verify_pairs_jaccard,
+)
+from opentelemetry_collector_contrib_ray.stages.similarity import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today",
+        "how vexingly quick daft zebras jump over fences at dawn",
+        "sphinx of black quartz judge my vow said the old man",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b)); i += 1
+        rows.append((i, b)); i += 1                       # exact dup
+        rows.append((i, b.replace("the", "a", 1))); i += 1  # near dup
+        rows.append((i, " ".join(reversed(b.split())))); i += 1
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                     "text": [r[1] for r in rows]})
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(rd.from_arrow(docs)).to_pandas()
+    texts = docs["text"].to_pylist()
+    assert len(out) == len(set(texts))
+    # keeps the min doc_id per distinct text
+    expect = {}
+    for i, s in zip(docs["doc_id"].to_pylist(), texts):
+        expect.setdefault(s, i)
+    got = dict(zip(out["text"], out["doc_id"]))
+    assert got == expect
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = minhash_candidate_pairs(
+        rd.from_arrow(docs), num_perm=64, bands=32, concurrency=1
+    ).to_pandas()
+    cand = set(zip(pairs["id_a"], pairs["id_b"]))
+    # every exact-dup pair (4k, 4k+1) must be a candidate
+    for k in range(4):
+        assert (4 * k, 4 * k + 1) in cand
+    docs_by_id = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    verified = verify_pairs_jaccard(
+        rd.from_arrow(pa.Table.from_pandas(pairs)), docs_by_id, threshold=0.8
+    ).to_pandas()
+    vset = set(zip(verified["id_a"], verified["id_b"]))
+    for k in range(4):
+        assert (4 * k, 4 * k + 1) in vset
+    # reversed docs are not >=0.8 trigram-jaccard similar
+    assert all(b - a != 3 for a, b in vset)
+
+
+def test_jaccard_ngrams():
+    assert jaccard_ngrams("a b c d", "a b c d") == 1.0
+    assert jaccard_ngrams("a b c d", "x y z w") == 0.0
+
+
+def test_simhash_exact_dups_same_bucket(docs):
+    out = simhash_buckets(rd.from_arrow(docs), concurrency=1).to_pandas()
+    h = dict(zip(out["doc_id"], out["simhash"]))
+    for k in range(4):
+        assert h[4 * k] == h[4 * k + 1]
+    # simhash is order-insensitive over tokens → reversed text identical hash
+    assert h[0] == h[3]
+
+
+def test_simhash_value_deterministic():
+    a = SimHasher.simhash64("hello world foo bar")
+    b = SimHasher.simhash64("hello world foo bar")
+    assert a == b and a != 0
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    rng = np.random.Generator(np.random.PCG64(5))
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = [base]
+    rows.append(base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01)
+    m = np.concatenate(rows)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in m], type=pa.list_(pa.float32())),
+        }
+    )
+
+
+def oracle_topk(m, q, k):
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = mn @ qn
+    return list(np.argsort(-sims)[:k])
+
+
+def test_brute_force_topk_matches_oracle(embeddings):
+    m = np.stack([np.array(v) for v in embeddings["embedding"].to_pylist()]).astype(np.float64)
+    q = m[3:4]
+    out = brute_force_topk(
+        rd.from_arrow(embeddings).repartition(3), q, k=5, concurrency=1
+    )
+    got = out.to_pandas()
+    assert got[got.query_id == 0]["vec_id"].tolist() == oracle_topk(m, m[3], 5)
+
+
+def test_lsh_topk_contains_self(embeddings):
+    m = np.stack([np.array(v) for v in embeddings["embedding"].to_pylist()]).astype(np.float64)
+    out = lsh_bucket_topk(rd.from_arrow(embeddings), m[7:8], k=3, n_bits=4, concurrency=1)
+    got = out.to_pandas()
+    assert 7 in got["vec_id"].tolist()  # the vector itself survives bucketing
+
+
+def test_cosine_near_dup_pairs(embeddings):
+    out = cosine_near_dup_pairs(rd.from_arrow(embeddings), threshold=0.99).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    for k in range(5):
+        assert (k, 20 + k) in pairs  # the perturbed copies
+    assert len(pairs) == 5

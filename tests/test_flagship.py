@@ -1,0 +1,134 @@
+"""End-to-end flagship invariants (FIXTURES.md §6):
+per-turn text equality, routed-set and count equality vs a
+single-process oracle, determinism across parallelism, resume."""
+
+import glob
+import json
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+import ray.data as rd
+
+from opentelemetry_collector_contrib_ray.pipelines.flagship import (
+    LOG_RE,
+    TOOL_SERVICE,
+    TOOL_SERVICE_DEFAULTS,
+    build_parse_chain,
+    flagship,
+    run_flagship,
+)
+from opentelemetry_collector_contrib_ray.sources.transcripts import (
+    ensure_transcripts_parquet,
+    generate_transcripts,
+)
+
+
+def oracle_flagship(t: pa.Table):
+    """Row-at-a-time python oracle of parse+enrich+route."""
+    rx = re.compile(LOG_RE)
+    rows = t.to_pylist()
+    sinks = {s: [] for s in ["search", "errors", "audit", "tools", "default"]}
+    for i, r in enumerate(rows):
+        level = status = None
+        m = rx.match(r["text"])
+        if m:
+            level = m.group("level")
+            status = int(m.group("status"))
+        elif r["text"].startswith("latency_ms=") and "status=" in r["text"]:
+            sm = re.search(r"(?:^| )status=([^ ]*)", r["text"])
+            if sm and sm.group(1).isdigit():
+                status = int(sm.group(1))
+        sev = {"TRACE": 1, "DEBUG": 5, "INFO": 9, "WARN": 13, "ERROR": 17, "FATAL": 21}.get(
+            level or "", 0
+        )
+        service = TOOL_SERVICE.get(r["tool"], TOOL_SERVICE_DEFAULTS)["service"]
+        key = (r["conv_id"], r["turn_idx"])
+        if service == "search-svc":
+            sinks["search"].append(key)
+        elif sev >= 17:
+            sinks["errors"].append(key)
+        elif status is not None and status >= 500:
+            sinks["errors"].append(key)
+            sinks["audit"].append(key)
+        elif r["role"] == "tool":
+            sinks["tools"].append(key)
+        else:
+            sinks["default"].append(key)
+    return sinks
+
+
+@pytest.fixture(scope="module")
+def t10k():
+    return generate_transcripts(10_000)
+
+
+def test_routed_sets_and_text_equality(t10k):
+    sinks, _ = flagship(rd.from_arrow(t10k), enrich_concurrency=2)
+    expected = oracle_flagship(t10k)
+    text_of = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in t10k.to_pylist()
+    }
+    for name, ds in sinks.items():
+        df = ds.to_pandas()
+        got = sorted(zip(df["conv_id"], df["turn_idx"]))
+        assert got == sorted(expected[name]), f"routed-set mismatch in {name}"
+        # north-rule invariant: per-turn text equality under (conv_id, turn_idx)
+        for _, row in df.iterrows():
+            assert row["text"] == text_of[(row["conv_id"], row["turn_idx"])]
+
+
+def test_counts_match_routed_rows(t10k):
+    sinks, counts = flagship(rd.from_arrow(t10k), enrich_concurrency=2)
+    for name in sinks:
+        n = sinks[name].count()
+        cdf = counts[name].to_pandas()
+        turn_count = cdf[cdf.metric == "turn.count"]["count"].sum()
+        assert turn_count == n, f"count connector disagrees with sink {name}"
+        by_rt = cdf[cdf.metric == "turns.by.role.tool"]["count"].sum()
+        assert by_rt == n
+
+
+def test_determinism_across_parallelism(t10k):
+    a_sinks, _ = flagship(rd.from_arrow(t10k).repartition(1), enrich_concurrency=1)
+    b_sinks, _ = flagship(rd.from_arrow(t10k).repartition(7), enrich_concurrency=3)
+    for name in a_sinks:
+        a = a_sinks[name].to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = b_sinks[name].to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert a[["conv_id", "turn_idx", "text"]].equals(b[["conv_id", "turn_idx", "text"]])
+
+
+def test_run_flagship_resume(tmp_path):
+    inp = ensure_transcripts_parquet(4000, root=str(tmp_path / "in"))
+    # shard the input into 2 files for 2 partitions
+    import pyarrow.parquet as pq
+
+    t = generate_transcripts(4000)
+    os.makedirs(tmp_path / "shards", exist_ok=True)
+    pq.write_table(t.slice(0, 2000), tmp_path / "shards" / "s0.parquet")
+    pq.write_table(t.slice(2000), tmp_path / "shards" / "s1.parquet")
+
+    root = str(tmp_path / "out")
+    lineage = run_flagship(str(tmp_path / "shards"), root)
+    assert len(lineage) == 2 and all(l["status"] == "done" for l in lineage)
+
+    def snapshot():
+        out = {}
+        for d in glob.glob(os.path.join(root, "*", "*")):
+            if os.path.isdir(d):
+                out[d] = pads.dataset(d).count_rows()
+        return out
+
+    first = snapshot()
+    # delete one partition's manifest → only that partition reruns
+    os.remove(os.path.join(root, "_manifests", "s0.json"))
+    lineage2 = run_flagship(str(tmp_path / "shards"), root)
+    assert snapshot() == first  # byte-identical row counts after resume
+    recommitted = [l for l in lineage2 if l["partition"] == "s0"]
+    assert recommitted and recommitted[0]["status"] == "done"
+    # s1 must NOT have been recomputed (manifest timestamp unchanged)
+    t1a = [l for l in lineage if l["partition"] == "s1"][0]["committed_at"]
+    t1b = [l for l in lineage2 if l["partition"] == "s1"][0]["committed_at"]
+    assert t1a == t1b

@@ -1,0 +1,121 @@
+"""Router + count connector semantics vs plain-python oracles
+(reference: routingconnector/logs.go:62-103, countconnector/counter.go)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_contrib_ray.stages import (
+    CountConnector,
+    MetricDef,
+    Router,
+    RouteSpec,
+)
+
+
+@pytest.fixture
+def t():
+    return pa.table(
+        {
+            "service": ["search-svc", "chat-svc", "chat-svc", "chat-svc", "web-svc"],
+            "severity_number": pa.array([17, 17, 9, 0, 0], type=pa.int64()),
+            "attributes.status": pa.array([500, 200, 503, None, 200], type=pa.int64()),
+            "role": ["tool", "user", "assistant", "tool", "user"],
+        }
+    )
+
+
+ROUTES = [
+    ('service == "search-svc"', ["search"]),
+    ("severity_number >= 17", ["errors"]),
+    ("attributes.status >= 500", ["errors", "audit"]),
+    ('role == "tool"', ["tools"]),
+]
+
+
+def oracle_route(rows, match_once):
+    """Row-at-a-time reference semantics."""
+    out = {s: [] for s in ["search", "errors", "audit", "tools", "default"]}
+    for i, r in enumerate(rows):
+        conds = [
+            r["service"] == "search-svc",
+            r["severity_number"] >= 17,
+            r["attributes.status"] is not None and r["attributes.status"] >= 500,
+            r["role"] == "tool",
+        ]
+        sinks = [["search"], ["errors"], ["errors", "audit"], ["tools"]]
+        matched = False
+        for c, ss in zip(conds, sinks):
+            if c:
+                matched = True
+                for s in ss:
+                    if i not in out[s]:
+                        out[s].append(i)
+                if match_once:
+                    break
+        if not matched:
+            out["default"].append(i)
+    return out
+
+
+@pytest.mark.parametrize("match_once", [True, False])
+def test_router_vs_oracle(t, match_once):
+    router = Router(RouteSpec(routes=ROUTES, match_once=match_once))
+    rows = t.to_pylist()
+    expected = oracle_route(rows, match_once)
+    lt = router.label(t.append_column("rid", pa.array(range(t.num_rows))))
+    for sink in router.sinks:
+        got = router.sink_filter(sink)(lt)["rid"].to_pylist()
+        assert got == expected[sink], f"sink {sink}"
+
+
+def test_match_once_first_wins(t):
+    router = Router(RouteSpec(routes=ROUTES, match_once=True))
+    masks = router.sink_masks(t)
+    # row 0 matches search AND errors AND audit conditions; first wins
+    assert np.asarray(masks["search"])[0]
+    assert not np.asarray(masks["errors"])[0]
+
+
+def test_multi_match_duplicates(t):
+    router = Router(RouteSpec(routes=ROUTES, match_once=False))
+    masks = router.sink_masks(t)
+    assert np.asarray(masks["search"])[0] and np.asarray(masks["errors"])[0]
+    assert np.asarray(masks["audit"])[0]
+
+
+def test_default_route(t):
+    router = Router(RouteSpec(routes=ROUTES, match_once=True))
+    masks = router.sink_masks(t)
+    # row 4: no condition matches → default only
+    assert np.asarray(masks["default"])[4]
+    assert sum(np.asarray(m)[4] for m in masks.values()) == 1
+
+
+def test_count_connector_defaults_and_skip(t):
+    cc = CountConnector(
+        [
+            MetricDef("all"),
+            MetricDef("with_attr", attributes=[("attributes.status", None)]),
+            MetricDef("with_default", attributes=[("attributes.status", "unknown")]),
+        ]
+    )
+    p = cc.partial(t)
+    rows = {(r["metric"], r["attrs"]): r["count"] for r in p.to_pylist()}
+    assert rows[("all", "{}")] == 5
+    # required attr missing (row 3) is skipped (counter.go:50-53)
+    assert sum(v for (m, _), v in rows.items() if m == "with_attr") == 4
+    assert rows[("with_default", json.dumps({"attributes.status": "unknown"}))] == 1
+
+
+def test_count_aggregate_across_blocks(t):
+    import ray.data as rd
+
+    cc = CountConnector([MetricDef("by.role", attributes=[("role", None)])])
+    ds = rd.from_arrow(t).repartition(3)
+    out = cc.aggregate(ds).to_pandas()
+    got = dict(zip(out["attrs"], out["count"]))
+    assert got[json.dumps({"role": "user"})] == 2
+    assert got[json.dumps({"role": "tool"})] == 2

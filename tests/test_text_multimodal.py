@@ -1,0 +1,86 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opentelemetry_collector_contrib_ray.stages.multimodal import (
+    FrameSampler,
+    ImageDecoder,
+    decode_pipeline,
+    synth_media_table,
+)
+from opentelemetry_collector_contrib_ray.stages.text import (
+    LangId,
+    quality_score,
+    rolling_fingerprint,
+    token_stats,
+)
+
+
+def test_token_stats():
+    t = pa.table({"text": ["one two three", "", "a,b c!", "  padded  "]})
+    out = token_stats(t)
+    assert out["n_tokens_ws"].to_pylist() == [3, 0, 2, 1]
+    assert out["n_tokens_bpe"].to_pylist() == [3, 0, 5, 1]
+    assert out["n_chars_text"].to_pylist() == [13, 0, 6, 10]
+
+
+def test_quality_score_ranges():
+    t = pa.table({"text": ["the quick brown fox jumps over a lazy dog", "%%%% !!!", ""]})
+    out = quality_score(t)
+    s = out["quality_score"].to_pylist()
+    assert s[0] > 0.5
+    assert s[1] == 0.0  # too short → len gate
+    assert s[2] == 0.0
+    assert 0 <= out["stopword_ratio"].to_pylist()[0] <= 1
+
+
+def test_langid():
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog went to the park and it is nice",
+                "le chat et la maison est une belle chose de la vie",
+                "der hund und die katze ist nicht das problem",
+                "el gato y la casa es una cosa que me gusta los dias",
+                "我的是不一有了人这的是",
+            ]
+        }
+    )
+    out = LangId()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "fr", "de", "es", "zh"]
+
+
+def test_fingerprint_deterministic_and_shift_tolerant():
+    t = pa.table({"text": ["hello world this is a document", "hello world this is a document", "prefix! hello world this is a document"]})
+    out = rolling_fingerprint(t, window=8)
+    fp = out["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]
+    assert fp[0] == fp[2]  # min-sampled rolling hash survives a prefix shift
+
+
+def test_image_decode_fake_pipeline():
+    t = synth_media_table(20)
+    out = decode_pipeline(rd.from_arrow(t), fake=True, concurrency=1).to_pandas()
+    assert len(out) == 20
+    assert all(len(f) == 6 for f in out["features"])
+
+
+def test_image_decoder_stub_raises_without_codec():
+    t = synth_media_table(2)
+    dec = ImageDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec(t)
+
+
+def test_frame_sampler():
+    t = synth_media_table(5)
+    out = FrameSampler(every_ms=1000, fake=True)(t)
+    assert out["n_frames_sampled"].to_pylist() == [
+        max(1, d // 1000) for d in t["meta.duration_ms"].to_pylist()
+    ]
+
+
+def test_frame_sampler_stub_raises():
+    with pytest.raises(NotImplementedError):
+        FrameSampler(fake=False)

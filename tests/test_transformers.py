@@ -1,0 +1,119 @@
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_contrib_ray.stages import (
+    Add,
+    AssignKeys,
+    Copy,
+    Filter,
+    FlattenStruct,
+    Move,
+    Noop,
+    PackStruct,
+    Remove,
+    Retain,
+    Unquote,
+)
+from opentelemetry_collector_contrib_ray.stages.redact import Redactor
+from opentelemetry_collector_contrib_ray.stages.sampler import ProbabilisticSampler
+
+
+@pytest.fixture
+def t():
+    return pa.table(
+        {
+            "text": ['"quoted"', "plain", "'single'"],
+            "n": pa.array([1, 2, 3], type=pa.int64()),
+            "attributes.a": ["x", "y", "z"],
+            "attributes.b": pa.array([10, 20, 30], type=pa.int64()),
+        }
+    )
+
+
+def test_add_static_and_expr(t):
+    out = Add("flag", value="on")(t)
+    assert out["flag"].to_pylist() == ["on"] * 3
+    out = Add("n2", expr="n * 2")(t)
+    assert out["n2"].to_pylist() == [2, 4, 6]
+    out = Add("big", value=1, if_expr="n >= 2")(t)
+    assert out["big"].to_pylist() == [None, 1, 1]
+
+
+def test_move_copy_remove_retain(t):
+    out = Move("attributes.a", "resource.a")(t)
+    assert "attributes.a" not in out.column_names
+    assert out["resource.a"].to_pylist() == ["x", "y", "z"]
+    out = Copy("n", "n_copy")(t)
+    assert out["n_copy"].to_pylist() == [1, 2, 3]
+    out = Remove("attributes")(t)  # namespace remove
+    assert [c for c in out.column_names if c.startswith("attributes.")] == []
+    out = Retain(["text", "attributes"])(t)
+    assert set(out.column_names) == {"text", "attributes.a", "attributes.b"}
+
+
+def test_unquote(t):
+    out = Unquote("text")(t)
+    assert out["text"].to_pylist() == ["quoted", "plain", "single"]
+
+
+def test_noop(t):
+    assert Noop()(t).equals(t)
+
+
+def test_assign_keys():
+    t = pa.table({"lst": [[1, 2], [3], None]})
+    out = AssignKeys("lst", ["first", "second"])(t)
+    assert out["lst.first"].to_pylist() == [1, 3, None]
+    assert out["lst.second"].to_pylist() == [2, None, None]
+
+
+def test_filter_drops_matches(t):
+    out = Filter("n >= 2")(t)  # reference filter DROPS matching entries
+    assert out["n"].to_pylist() == [1]
+
+
+def test_filter_drop_ratio_deterministic(t):
+    a = Filter("true", drop_ratio=0.5, hash_col="n")(t)
+    b = Filter("true", drop_ratio=0.5, hash_col="n")(t)
+    assert a["n"].to_pylist() == b["n"].to_pylist()
+
+
+def test_pack_and_flatten_roundtrip(t):
+    packed = PackStruct("attributes")(t)
+    assert "attributes" in packed.column_names
+    assert pa.types.is_struct(packed["attributes"].type)
+    flat = FlattenStruct("attributes")(packed)
+    assert flat["attributes.a"].to_pylist() == t["attributes.a"].to_pylist()
+    assert flat["attributes.b"].to_pylist() == t["attributes.b"].to_pylist()
+
+
+def test_redactor():
+    t = pa.table(
+        {
+            "attributes.keep": ["card 4111-1111-1111-1111 ok", "clean"],
+            "attributes.secret": ["a", "b"],
+        }
+    )
+    out = Redactor(
+        allowed_keys=["keep"], blocked_values=[r"\d{4}-\d{4}-\d{4}-\d{4}"]
+    )(t)
+    assert "attributes.secret" not in out.column_names
+    assert out["attributes.keep"].to_pylist()[0] == "card **** ok"
+    assert out["redaction.masked"].to_pylist() == [1, 0]
+
+
+def test_sampler_deterministic_and_near_rate():
+    t = pa.table({"k": pa.array(range(10000), type=pa.int64())})
+    s = ProbabilisticSampler(25, "k")
+    a, b = s(t), s(t)
+    assert a["k"].to_pylist() == b["k"].to_pylist()
+    assert 0.2 < a.num_rows / 10000 < 0.3
+
+
+def test_sampler_priority_override():
+    t = pa.table(
+        {"k": pa.array(range(100), type=pa.int64()),
+         "prio": pa.array([1] * 100, type=pa.int64())}
+    )
+    out = ProbabilisticSampler(0, "k", priority_col="prio")(t)
+    assert out.num_rows == 100
