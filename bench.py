@@ -1,0 +1,122 @@
+"""Benchmark driver: headline flagship pipeline + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": headline_sec, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input and reports throughputs plus
+scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "parse_level_agg",
+    "route_sink_counts",
+    "recombine_convs",
+    "events_window_daily",
+    "lineitem_pricing",
+    "docs_exact_dedup",
+    "emb_ann_top10",
+]
+
+
+def _consume(obj):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(obj, (pd.DataFrame, pa.Table)):
+        return len(obj)
+    return obj.count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+    from opentelemetry_collector_contrib_ray.pipelines.single_pass import run_single_pass
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        ensure_transcripts_parquet,
+        rows_for_sf,
+    )
+
+    n_rows = rows_for_sf(SF_DIR)
+    inp = ensure_transcripts_parquet(n_rows)  # cached; generation untimed
+
+    # warm page cache (measure compute+shuffle, not first disk read)
+    import ray.data as rd
+
+    rd.read_parquet(inp).count()
+
+    out_root = "/tmp/otelray/bench_out"
+    shutil.rmtree(out_root, ignore_errors=True)
+    t0 = time.time()
+    run_single_pass(inp, out_root, enrich_concurrency=max(2, NUM_CPUS // 4))
+    headline = time.time() - t0
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(QUERIES[name](SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship parse→enrich→route→count end-to-end (single pass, sinks written)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "transcript_rows": n_rows,
+        "turns_per_sec": round(n_rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same input, fresh ray.init at 8 vs 32 cpus)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

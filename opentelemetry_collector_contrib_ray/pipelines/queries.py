@@ -146,7 +146,7 @@ def q_parse_level_agg(sf_dir: str):
 SQL_PARSE_LEVEL = (
     PARSED_SQL
     + """
-SELECT level, count(*) AS n, SUM(latency_ms) AS sum_latency
+SELECT level, count(*) AS n, CAST(SUM(latency_ms) AS BIGINT) AS sum_latency
 FROM parsed WHERE level IS NOT NULL GROUP BY level
 """
 )
@@ -393,7 +393,7 @@ def q_events_json_props(sf_dir: str):
 
 SQL_EVENTS_JSON = """
 SELECT event_type, count(*) AS n,
-       SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -422,7 +422,7 @@ def q_events_window_daily(sf_dir: str):
 
 SQL_EVENTS_WINDOW = f"""
 SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
-       SUM({_CENTS.format(x='value')}) AS sum_value_cents
+       CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -486,9 +486,9 @@ def q_lineitem_pricing(sf_dir: str):
 
 SQL_LINEITEM_PRICING = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM({_CENTS.format(x='l_extendedprice')}) AS sum_base_cents,
-       SUM({_CENTS.format(x='l_extendedprice * (1.0 - l_discount)')}) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+       CAST(SUM({_CENTS.format(x='l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -527,7 +527,7 @@ def q_customer_nation(sf_dir: str):
 
 SQL_CUSTOMER_NATION = f"""
 SELECT n.n_name, count(*) AS n_customers,
-       SUM({_CENTS.format(x='c.c_acctbal')}) AS sum_bal_cents
+       CAST(SUM({_CENTS.format(x='c.c_acctbal')}) AS BIGINT) AS sum_bal_cents
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
@@ -553,7 +553,7 @@ def q_orders_priority(sf_dir: str):
 
 SQL_ORDERS_PRIORITY = f"""
 SELECT o_orderpriority, count(*) AS n,
-       SUM({_CENTS.format(x='o_totalprice')}) AS sum_total_cents
+       CAST(SUM({_CENTS.format(x='o_totalprice')}) AS BIGINT) AS sum_total_cents
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -600,8 +600,8 @@ def q_docs_token_stats(sf_dir: str):
 
 SQL_DOCS_TOKENS = """
 SELECT lang, count(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS sum_tokens,
-       SUM(length(text)) AS sum_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
 
@@ -630,8 +630,8 @@ def q_docs_stopwords(sf_dir: str):
 
 SQL_DOCS_STOPWORDS = """
 SELECT lang,
-       SUM(len(list_filter(string_split(text, ' '),
-               x -> x IN ('the','a','and','of','to','in','is','it')))) AS sum_stopwords
+       CAST(SUM(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','and','of','to','in','is','it')))) AS BIGINT) AS sum_stopwords
 FROM documents GROUP BY lang
 """
 

@@ -1,0 +1,97 @@
+"""Single-pass flagship runner — the at-scale consumption shape.
+
+``flagship()`` returns one lazy Dataset per sink, which is right for
+ad-hoc queries but re-executes the shared parse lineage once per
+consumed sink. At 100 TB the pipeline must touch the input ONCE:
+
+  pass 1 (streaming): parse → enrich → route-label → expand rows to
+    (sink, row) — multi-sink routes duplicate, reference semantics
+    (routingconnector README.md:33-40) — → ``write_parquet``
+    partitioned by sink (Hive layout = the grouping_file_exporter
+    analog, exporter/fileexporter/grouping_file_exporter.go:25-70).
+  pass 2 (cheap): count connector over the *written* sinks, reading
+    only the projected attribute columns back (columnar pruning), one
+    tiny groupby per sink.
+
+No full-dataset materialization at any point.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages import CountConnector
+from ..stages.enrich import LookupEnricher
+from ..stages.route import ROUTE_BITS_COL, Router
+from .flagship import (
+    METRICS,
+    ROUTES,
+    TOOL_SERVICE,
+    TOOL_SERVICE_DEFAULTS,
+    build_parse_chain,
+)
+
+
+def expand_by_sink(router: Router):
+    """Labeled batch → one copy of each row per receiving sink, with a
+    ``sink`` partition column."""
+    sink_bits = [(s, np.uint64(b)) for s, b in router._sink_bits.items()]
+
+    def fn(t: pa.Table) -> pa.Table:
+        bits = t[ROUTE_BITS_COL].to_numpy(zero_copy_only=False).view(np.uint64)
+        parts = []
+        base = t.drop_columns([ROUTE_BITS_COL])
+        for sink, b in sink_bits:
+            mask = (bits & b) != 0
+            if mask.any():
+                sel = base.filter(pa.array(mask))
+                parts.append(sel.append_column("sink", pa.array([sink] * sel.num_rows)))
+        if not parts:
+            return base.slice(0, 0).append_column("sink", pa.array([], type=pa.string()))
+        return pa.concat_tables(parts)
+
+    return fn
+
+
+def run_single_pass(input_path: str, out_root: str, enrich_concurrency: int = 8,
+                    batch_size: int = 65_536, write_counts: bool = True):
+    """One streaming pass writes all sinks; a second cheap pass counts.
+    Returns {"sinks": dir, "counts": {sink: pandas}}."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_path)
+    parse = build_parse_chain()
+    router = Router(ROUTES)
+    labeled = (
+        ds.map_batches(parse, batch_format="pyarrow", batch_size=batch_size,
+                       zero_copy_batch=True)
+        .map_batches(
+            LookupEnricher,
+            fn_constructor_kwargs={
+                "key_col": "tool", "table": TOOL_SERVICE,
+                "defaults": TOOL_SERVICE_DEFAULTS,
+            },
+            batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+            concurrency=enrich_concurrency,
+        )
+        .map_batches(router.label, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(expand_by_sink(router), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+    sink_dir = os.path.join(out_root, "sinks")
+    labeled.write_parquet(sink_dir, partition_cols=["sink"])
+
+    counts = {}
+    if write_counts:
+        cc = CountConnector(METRICS)
+        need_cols = ["role", "tool", "service", "severity_number", "attributes.status"]
+        for s in router.sinks:
+            d = os.path.join(sink_dir, f"sink={s}")
+            if not os.path.isdir(d):
+                continue
+            sds = rd.read_parquet(d, columns=[c for c in need_cols])
+            counts[s] = cc.aggregate(sds).to_pandas()
+    return {"sinks": sink_dir, "counts": counts}
