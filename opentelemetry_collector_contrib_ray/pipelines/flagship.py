@@ -136,7 +136,7 @@ def flagship(ds, enrich_concurrency: int = 4, batch_size: int = 65_536):
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=enrich_concurrency,
+        concurrency=(1, enrich_concurrency),
     )
     router = Router(ROUTES)
     sinks = router.fanout(enriched)

@@ -116,7 +116,7 @@ def _enriched(sf_dir: str, with_turn_idx: bool = False):
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 
@@ -512,7 +512,7 @@ def q_customer_nation(sf_dir: str):
         fn_constructor_kwargs={"key_col": "c_nationkey", "table": lookup,
                                "defaults": {"n_name": "UNKNOWN"}},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
     def proj(t: pa.Table) -> pa.Table:
@@ -642,7 +642,7 @@ def q_docs_langid(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
         .map_batches(lambda t: pa.table({"lang_pred": t["lang_pred"]}), batch_format="pyarrow")
         .groupby("lang_pred")
         .aggregate(Count(alias_name="n"))
@@ -654,7 +654,7 @@ def q_docs_minhash_pairs(sf_dir: str):
     from ..stages.dedup import minhash_candidate_pairs
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16, concurrency=2)
+    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16, concurrency=(1, 2))
     n = pairs.count()
     return pa.table({"n_candidate_pairs": pa.array([n], type=pa.int64())})
 
@@ -664,7 +664,7 @@ def q_docs_simhash(sf_dir: str):
     from ..stages.dedup import simhash_buckets
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = simhash_buckets(ds, concurrency=2)
+    out = simhash_buckets(ds, concurrency=(1, 2))
     n = out.unique("simhash")
     return pa.table({"n_distinct_simhash": pa.array([len(n)], type=pa.int64())})
 
@@ -698,7 +698,7 @@ def q_emb_ann_top10(sf_dir: str):
 
     q = _query_vec(sf_dir, 0)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = brute_force_topk(ds, q, k=10, concurrency=2)
+    out = brute_force_topk(ds, q, k=10, concurrency=(1, 2))
     return pa.table({"vec_id": out["vec_id"]})
 
 
@@ -736,7 +736,7 @@ def q_emb_ann_lsh(sf_dir: str):
 
     q = _query_vec(sf_dir, 0)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = lsh_bucket_topk(ds, q, k=10, n_bits=6, concurrency=2)
+    out = lsh_bucket_topk(ds, q, k=10, n_bits=6, concurrency=(1, 2))
     return pa.table({"vec_id": out["vec_id"]})
 
 
@@ -748,7 +748,7 @@ def q_multimodal_decode(sf_dir: str):
     from ..stages.multimodal import decode_pipeline, synth_media_table
 
     t = synth_media_table(256)
-    out = decode_pipeline(rd.from_arrow(t), fake=True, concurrency=2)
+    out = decode_pipeline(rd.from_arrow(t), fake=True, concurrency=(1, 2))
     n = out.count()
     return pa.table({"n_decoded": pa.array([n], type=pa.int64())})
 

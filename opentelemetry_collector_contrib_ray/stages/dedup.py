@@ -143,7 +143,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle: in
             "num_perm": num_perm, "shingle": shingle, "col": col, "id_col": id_col,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     bands_ds = sigs.map_batches(
         lambda t: minhash_bands(t, bands, rows, id_col), batch_format="pyarrow"
@@ -239,7 +239,7 @@ def simhash_buckets(ds, col: str = "text", id_col: str = "doc_id",
     for hamming-distance verification inside each bucket."""
     hashed = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"col": col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
     )
     shift = np.uint64(64 - prefix_bits)
 

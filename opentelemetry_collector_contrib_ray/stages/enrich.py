@@ -83,6 +83,6 @@ def enrich(ds, key_col: str, table, defaults=None, concurrency: int = 4,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         num_cpus=num_cpus,
     )

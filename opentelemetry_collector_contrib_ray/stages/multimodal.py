@@ -136,8 +136,8 @@ def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     ).map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -89,7 +89,7 @@ def brute_force_topk(ds, queries, k: int = 10, emb_col: str = "embedding",
             "id_col": id_col, "query_ids": query_ids,
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     best: dict[int, list] = {}
     for batch in partial.iter_batches(batch_format="pyarrow"):
@@ -151,7 +151,7 @@ def lsh_bucket_topk(ds, queries, k: int = 10, dim: int | None = None,
         HyperplaneHasher,
         fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed, "emb_col": emb_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def keep_bucket(t: pa.Table) -> pa.Table:
