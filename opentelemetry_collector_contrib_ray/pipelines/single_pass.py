@@ -86,12 +86,14 @@ def run_single_pass(input_path: str, out_root: str, enrich_concurrency: int = 8,
 
     counts = {}
     if write_counts:
+        from ..stages.count import aggregate_by_sink
+
         cc = CountConnector(METRICS)
         need_cols = ["role", "tool", "service", "severity_number", "attributes.status"]
-        for s in router.sinks:
-            d = os.path.join(sink_dir, f"sink={s}")
-            if not os.path.isdir(d):
-                continue
-            sds = rd.read_parquet(d, columns=[c for c in need_cols])
-            counts[s] = cc.aggregate(sds).to_pandas()
+        # ONE pruned read over the whole Hive-partitioned fan-out; the
+        # `sink` partition column is reconstructed by the reader.
+        sds = rd.read_parquet(sink_dir, columns=need_cols + ["sink"])
+        all_counts = aggregate_by_sink(cc, sds).to_pandas()
+        for s, g in all_counts.groupby("sink"):
+            counts[s] = g.drop(columns=["sink"]).reset_index(drop=True)
     return {"sinks": sink_dir, "counts": counts}

@@ -196,30 +196,44 @@ def transcripts_dataset(n_rows: int, n_convs: int | None = None, seed: int = 42,
 
 
 def rows_for_sf(sf_dir: str) -> int:
-    """Row count matched to a testdata scale-factor dir (lineitem-like)."""
+    """Transcript rows for a testdata scale-factor dir: 30M × sf (large
+    enough at sf0.1 that per-execution startup overhead amortizes and
+    the streaming executor gets full block parallelism)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     sf = float(name.replace("sf", "") or 0.001) if name.startswith("sf") else 0.001
-    return max(2000, int(sf * 6_000_000))
+    return max(2000, int(sf * 30_000_000))
 
 
 def ensure_transcripts_parquet(n_rows: int, seed: int = 42,
-                               root: str = "/tmp/otelray/transcripts") -> str:
+                               root: str = "/tmp/otelray/transcripts",
+                               shard: int = 250_000) -> str:
     """Generate-once cache: write the table to a deterministic path and
-    return it. Sharded files so Ray reads get natural partitions."""
+    return it. Sharded files so Ray reads get natural partitions.
+    Uses parallel Ray generation when a session is up and the table is
+    big; falls back to driver-side numpy."""
     path = os.path.join(root, f"n{n_rows}_s{seed}")
     done = os.path.join(path, "_SUCCESS")
     if os.path.exists(done):
         return path
     os.makedirs(path, exist_ok=True)
-    n_convs = max(3, n_rows // 30)
-    sizes = conv_sizes(n_rows, n_convs, seed)
-    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    shard = 500_000
-    i = 0
-    for lo in range(0, n_rows, shard):
-        t = _gen_range(lo, min(n_rows, lo + shard), starts, seed)
-        pq.write_table(t, os.path.join(path, f"part-{i:05d}.parquet"))
-        i += 1
+    use_ray = n_rows >= 1_000_000
+    if use_ray:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:  # pragma: no cover
+            use_ray = False
+    if use_ray:
+        ds = transcripts_dataset(n_rows, seed=seed, shard_rows=shard)
+        ds.write_parquet(path)
+    else:
+        n_convs = max(3, n_rows // 30)
+        sizes = conv_sizes(n_rows, n_convs, seed)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        for i, lo in enumerate(range(0, n_rows, shard)):
+            t = _gen_range(lo, min(n_rows, lo + shard), starts, seed)
+            pq.write_table(t, os.path.join(path, f"part-{i:05d}.parquet"))
     with open(done, "w") as f:
         f.write("ok")
     return path

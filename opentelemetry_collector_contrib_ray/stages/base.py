@@ -131,3 +131,10 @@ def apply_ops(ds, ops, batch_size: int = 32_768, **kwargs):
         zero_copy_batch=True,
         **kwargs,
     )
+
+
+def norm_concurrency(c):
+    """int → autoscaling (1, c) actor pool; tuple passes through."""
+    if c is None or isinstance(c, tuple):
+        return c
+    return (1, int(c))

@@ -120,6 +120,35 @@ class CountConnector:
         )
 
 
+def aggregate_by_sink(cc: "CountConnector", ds, sink_col: str = "sink"):
+    """Per-sink counts in ONE execution: the input carries a ``sink``
+    column (Hive partition col of the written fan-out); partials are
+    keyed (sink, metric, attrs) so a single tiny groupby serves every
+    sink — instead of one full pass per sink."""
+    import pyarrow.compute as pc2
+
+    def partial(t: pa.Table) -> pa.Table:
+        sinks = pc2.unique(t[sink_col]).to_pylist()
+        parts = []
+        for s in sinks:
+            sub = t.filter(pc2.equal(t[sink_col], s))
+            p = cc.partial(sub)
+            parts.append(p.append_column(sink_col, pa.array([s] * p.num_rows)))
+        if not parts:
+            return pa.table(
+                {"metric": pa.array([], pa.string()), "attrs": pa.array([], pa.string()),
+                 "count": pa.array([], pa.int64()), sink_col: pa.array([], pa.string())}
+            )
+        return pa.concat_tables(parts)
+
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = out.groupby([sink_col, "metric", "attrs"]).sum("count")
+    return out.map_batches(
+        lambda t: t.rename_columns([sink_col, "metric", "attrs", "count"]),
+        batch_format="pyarrow",
+    )
+
+
 def counts_to_flat(t: pa.Table, attr_keys: list[str]) -> pa.Table:
     """Explode the canonical ``attrs`` JSON back to flat columns for one
     metric's rows — the oracle-comparison shape."""

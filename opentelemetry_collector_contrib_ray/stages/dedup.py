@@ -24,6 +24,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from .base import norm_concurrency
 import pyarrow.compute as pc
 
 # ------------------------------------------------------------- exact dedup
@@ -143,7 +145,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle: in
             "num_perm": num_perm, "shingle": shingle, "col": col, "id_col": id_col,
         },
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=norm_concurrency(concurrency),
     )
     bands_ds = sigs.map_batches(
         lambda t: minhash_bands(t, bands, rows, id_col), batch_format="pyarrow"
@@ -239,7 +241,7 @@ def simhash_buckets(ds, col: str = "text", id_col: str = "doc_id",
     for hamming-distance verification inside each bucket."""
     hashed = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"col": col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_format="pyarrow", concurrency=norm_concurrency(concurrency),
     )
     shift = np.uint64(64 - prefix_bits)
 

@@ -17,6 +17,8 @@ from typing import Any, Mapping
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .base import norm_concurrency
+
 
 class LookupEnricher:
     """Attach columns from a small key→attrs table.
@@ -83,6 +85,6 @@ def enrich(ds, key_col: str, table, defaults=None, concurrency: int = 4,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=(1, concurrency),
+        concurrency=norm_concurrency(concurrency),
         num_cpus=num_cpus,
     )

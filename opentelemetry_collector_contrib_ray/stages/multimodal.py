@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .base import norm_concurrency
+
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
@@ -136,8 +138,8 @@ def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=norm_concurrency(concurrency),
     ).map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=norm_concurrency(concurrency),
     )

@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .base import norm_concurrency
+
 
 def _to_matrix(col) -> np.ndarray:
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -89,7 +91,7 @@ def brute_force_topk(ds, queries, k: int = 10, emb_col: str = "embedding",
             "id_col": id_col, "query_ids": query_ids,
         },
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=norm_concurrency(concurrency),
     )
     best: dict[int, list] = {}
     for batch in partial.iter_batches(batch_format="pyarrow"):
@@ -151,7 +153,7 @@ def lsh_bucket_topk(ds, queries, k: int = 10, dim: int | None = None,
         HyperplaneHasher,
         fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed, "emb_col": emb_col},
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=norm_concurrency(concurrency),
     )
 
     def keep_bucket(t: pa.Table) -> pa.Table:
