@@ -70,7 +70,7 @@ def run_bench() -> dict:
     out_root = "/tmp/otelray/bench_out"
     shutil.rmtree(out_root, ignore_errors=True)
     t0 = time.time()
-    run_single_pass(inp, out_root, enrich_concurrency=max(2, NUM_CPUS // 4))
+    run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS)
     headline = time.time() - t0
 
     qtimes = {}

@@ -75,7 +75,7 @@ def run_single_pass(input_path: str, out_root: str, enrich_concurrency: int = 8,
                 "defaults": TOOL_SERVICE_DEFAULTS,
             },
             batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
-            concurrency=(1, enrich_concurrency),
+            concurrency=(max(2, enrich_concurrency // 2), enrich_concurrency),
         )
         .map_batches(router.label, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(expand_by_sink(router), batch_format="pyarrow",

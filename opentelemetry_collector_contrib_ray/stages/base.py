@@ -86,7 +86,19 @@ class BatchOp:
             return self._run(t)
         if not pc.any(mask).as_py():
             return t
-        # split, transform the selected rows, and blend back preserving order
+        if hasattr(self, "transform_gated"):
+            # vectorized gating: the op blends outputs under the mask
+            # instead of splitting the batch (no copy, no re-sort)
+            if self.on_error.startswith("drop"):
+                em = self.error_mask(t)
+                out = self.transform_gated(t, mask)
+                if em is not None:
+                    bad = pc.and_(pc.fill_null(em, False), mask)
+                    if pc.any(bad).as_py():
+                        out = out.filter(pc.invert(bad))
+                return out
+            return self.transform_gated(t, mask)
+        # generic fallback: split, transform selected rows, restore order
         idx = pa.array(range(t.num_rows), type=pa.int64())
         t2 = set_column(t, "__rowid", idx)
         sel = t2.filter(mask)

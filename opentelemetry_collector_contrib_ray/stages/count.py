@@ -109,7 +109,8 @@ class CountConnector:
     def aggregate(self, ds):
         """Dataset of records → Dataset of (metric, attrs, count) totals."""
         partials = ds.map_batches(
-            self.partial, batch_format="pyarrow", zero_copy_batch=True
+            self.partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=65_536,
         )
         out = partials.groupby(["metric", "attrs"]).sum("count")
         return out.map_batches(
@@ -141,7 +142,7 @@ def aggregate_by_sink(cc: "CountConnector", ds, sink_col: str = "sink"):
             )
         return pa.concat_tables(parts)
 
-    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=65_536)
     out = out.groupby([sink_col, "metric", "attrs"]).sum("count")
     return out.map_batches(
         lambda t: t.rename_columns([sink_col, "metric", "attrs", "count"]),

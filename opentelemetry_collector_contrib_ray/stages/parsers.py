@@ -90,10 +90,15 @@ class RegexParser(BatchOp):
         return pc.and_(pc.is_valid(src), pc.is_null(ext))
 
     def transform(self, t: pa.Table) -> pa.Table:
+        return self.transform_gated(t, None)
+
+    def transform_gated(self, t: pa.Table, gate) -> pa.Table:
         ext = self._extract(t)
         if isinstance(ext, pa.ChunkedArray):
             ext = ext.combine_chunks()
         ok = pc.is_valid(ext)  # write only where the parse succeeded
+        if gate is not None:
+            ok = pc.and_(ok, gate)
         cols = {}
         for g in self.groups:
             arr = pc.struct_field(ext, g)
@@ -120,21 +125,33 @@ class JsonParser(BatchOp):
         self.prefix = prefix
         self.keep_rest = keep_rest
 
-    def _parse_rows(self, t: pa.Table):
-        vals = _col(t, self.parse_from).to_pylist()
-        out, errs = [], np.zeros(len(vals), dtype=bool)
-        for i, s in enumerate(vals):
+    def _parse_rows(self, t: pa.Table, gate=None):
+        """Materialize ONLY the gated rows (a '{'-prefixed minority in log
+        streams), parse, and scatter back — the hot-path trick that keeps
+        the per-row json.loads off the 90% of rows the gate excludes."""
+        col = _col(t, self.parse_from)
+        n = t.num_rows
+        out = [None] * n
+        errs = np.zeros(n, dtype=bool)
+        if gate is not None:
+            g = np.asarray(gate, dtype=bool)
+            idx = np.nonzero(g)[0]
+            if len(idx) == 0:
+                return out, errs
+            vals = col.take(pa.array(idx)).to_pylist()
+        else:
+            idx = np.arange(n)
+            vals = col.to_pylist()
+        for j, s in zip(idx, vals):
             if s is None:
-                out.append(None)
                 continue
             try:
                 d = json.loads(s)
                 if not isinstance(d, dict):
                     raise ValueError
-                out.append(d)
+                out[j] = d
             except (ValueError, TypeError):
-                out.append(None)
-                errs[i] = True
+                errs[j] = True
         return out, errs
 
     def error_mask(self, t: pa.Table):
@@ -142,7 +159,10 @@ class JsonParser(BatchOp):
         return pa.array(errs)
 
     def transform(self, t: pa.Table) -> pa.Table:
-        rows, _ = self._parse_rows(t)
+        return self.transform_gated(t, None)
+
+    def transform_gated(self, t: pa.Table, gate) -> pa.Table:
+        rows, _ = self._parse_rows(t, gate)
         ok = pa.array([r is not None for r in rows])
         all_ok = bool(pc.all(ok).as_py()) if len(rows) else True
         cols = {}
@@ -192,6 +212,9 @@ class KeyValueParser(BatchOp):
         return pc.and_(pc.is_valid(src), pc.invert(pc.fill_null(has_pair, False)))
 
     def transform(self, t: pa.Table) -> pa.Table:
+        return self.transform_gated(t, None)
+
+    def transform_gated(self, t: pa.Table, gate) -> pa.Table:
         src = _col(t, self.parse_from)
         if self.fields is not None:
             for f in self.fields:
@@ -202,12 +225,15 @@ class KeyValueParser(BatchOp):
                 if f in self.types:
                     arr = _cast_typed(arr, self.types[f])
                 ok = pc.is_valid(ext)  # per-field: keep old value if absent
+                if gate is not None:
+                    ok = pc.and_(ok, gate)
                 t = blend_columns(t, {self.prefix + f: arr},
                                   None if pc.all(ok).as_py() else ok)
             return t
+        g = None if gate is None else np.asarray(gate, dtype=bool)
         out = []
-        for s in src.to_pylist():
-            if s is None:
+        for i, s in enumerate(src.to_pylist()):
+            if s is None or (g is not None and not g[i]):
                 out.append(None)
                 continue
             d = {}
@@ -243,10 +269,15 @@ class CsvParser(BatchOp):
         return pc.and_(pc.is_valid(_col(t, self.parse_from)), pc.fill_null(bad, True))
 
     def transform(self, t: pa.Table) -> pa.Table:
+        return self.transform_gated(t, None)
+
+    def transform_gated(self, t: pa.Table, gate) -> pa.Table:
         parts = self._split(t)
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
         ok = pc.fill_null(pc.equal(pc.list_value_length(parts), len(self.header)), False)
+        if gate is not None:
+            ok = pc.and_(ok, gate)
         from .transformers import _safe_list_element
 
         cols = {}

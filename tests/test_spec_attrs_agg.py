@@ -1,0 +1,114 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opentelemetry_collector_contrib_ray.pipelines.spec import compile_pipeline
+from opentelemetry_collector_contrib_ray.registry import build_op, registered_ops
+from opentelemetry_collector_contrib_ray.stages.agg import salted_count, salted_groupby_sum
+from opentelemetry_collector_contrib_ray.stages.attributes import AttributesProcessor
+
+
+@pytest.fixture
+def t():
+    return pa.table(
+        {
+            "attributes.a": ["1", "2", None],
+            "attributes.src": ["x=9 y=8", "x=7 y=6", "nope"],
+            "attributes.secret": ["s1", "s2", "s3"],
+        }
+    )
+
+
+class TestAttributesProcessor:
+    def test_insert_update_upsert(self, t):
+        out = AttributesProcessor([{"action": "insert", "key": "a", "value": "z"}])(t)
+        assert out["attributes.a"].to_pylist() == ["1", "2", "z"]  # fills nulls only
+        out = AttributesProcessor([{"action": "update", "key": "missing", "value": "v"}])(t)
+        assert "attributes.missing" not in out.column_names
+        out = AttributesProcessor([{"action": "upsert", "key": "b", "value": "v"}])(t)
+        assert out["attributes.b"].to_pylist() == ["v"] * 3
+
+    def test_delete_hash_convert(self, t):
+        out = AttributesProcessor(
+            [
+                {"action": "hash", "key": "secret"},
+                {"action": "convert", "key": "a", "converted_type": "int"},
+                {"action": "delete", "key": "src"},
+            ]
+        )(t)
+        import hashlib
+
+        assert out["attributes.secret"].to_pylist()[0] == hashlib.sha1(b"s1").hexdigest()
+        assert out["attributes.a"].to_pylist() == [1, 2, None]
+        assert "attributes.src" not in out.column_names
+
+    def test_extract(self, t):
+        out = AttributesProcessor(
+            [{"action": "extract", "key": "src",
+              "pattern": r"x=(?P<x>\d+) y=(?P<y>\d+)"}]
+        )(t)
+        assert out["attributes.x"].to_pylist() == ["9", "7", None]
+
+    def test_from_attribute(self, t):
+        out = AttributesProcessor(
+            [{"action": "upsert", "key": "copy", "from_attribute": "a"}]
+        )(t)
+        assert out["attributes.copy"].to_pylist() == ["1", "2", None]
+
+
+def test_registry_covers_operator_surface():
+    ops = registered_ops()
+    for name in ["regex_parser", "json_parser", "csv_parser", "keyvalue_parser",
+                 "severity_parser", "time_parser", "filter", "transform",
+                 "attributes", "sampler", "redact"]:
+        assert name in ops
+    op = build_op({"type": "add", "field": "x", "value": 1})
+    t = pa.table({"a": [1]})
+    assert op(t)["x"].to_pylist() == [1]
+
+
+def test_salted_aggregates_match_plain():
+    n = 20000
+    t = pa.table(
+        {
+            "k": pa.array((np.arange(n) % 7).astype(np.int64)),  # hot keys
+            "v": pa.array(np.ones(n, dtype=np.int64)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    out = salted_groupby_sum(ds, ["k"], "v", salt=8).to_pandas()
+    assert sorted(out["sum_v"]) == sorted(
+        [len([x for x in range(n) if x % 7 == i]) for i in range(7)]
+    )
+    cnt = salted_count(ds, ["k"], salt=8).to_pandas()
+    assert cnt["n"].sum() == n
+
+
+def test_spec_compiler_end_to_end(tmp_path):
+    from opentelemetry_collector_contrib_ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(3000)
+    spec = {
+        "operators": [
+            {"type": "regex_parser",
+             "pattern": r"^(?P<level>[A-Z]+) latency_ms=(?P<latency_ms>\d+) "
+                        r"status=(?P<status>\d+) msg=(?P<msg>\S+)$",
+             "types": {"latency_ms": "int64", "status": "int64"}},
+            {"type": "severity_parser", "parse_from": "attributes.level"},
+        ],
+        "enrich": {"key_col": "role",
+                   "table": {"tool": {"kind": "tool"}, "user": {"kind": "human"}},
+                   "defaults": {"kind": "other"}, "concurrency": 2},
+        "routes": {"table": [["severity_number >= 17", ["errors"]]],
+                   "default_sinks": ["rest"]},
+        "metrics": {"turn.count": {}},
+    }
+    plan = compile_pipeline(spec, ds=rd.from_arrow(t))
+    sinks = plan.sinks()
+    assert set(sinks) == {"errors", "rest"}
+    n_err = sinks["errors"].count()
+    assert n_err > 0
+    counts = plan.counts()
+    cdf = counts["errors"].to_pandas()
+    assert cdf[cdf.metric == "turn.count"]["count"].iloc[0] == n_err
