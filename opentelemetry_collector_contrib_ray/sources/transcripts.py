@@ -115,44 +115,52 @@ def _gen_range(a: int, b: int, starts: np.ndarray, seed: int) -> pa.Table:
         + (h % np.uint64(999_999)).astype(np.int64)
     )
 
-    # text templates
+    # text templates — assembled with Arrow C++ string kernels (numpy
+    # U-dtype concat is memory-bandwidth-bound and kills parallel gen)
+    import pyarrow.compute as pc
+
     h3 = _mix64(h2)
     bucket = (h3 % np.uint64(100)).astype(np.int64)
-    lat = (h3 % np.uint64(2000)).astype(np.int64).astype("U")
-    status = _STATUS[(h2 % np.uint64(len(_STATUS))).astype(np.int64)].astype("U")
-    lvl = _LEVELS[np.searchsorted(_LEVEL_CUM, (h % np.uint64(64)).astype(np.int64), side="right")]
-    evt = _EVENTS[(h3 % np.uint64(len(_EVENTS))).astype(np.int64)]
-    word = np.array(_VOCAB)[(h3 % np.uint64(len(_VOCAB))).astype(np.int64)]
+    lat = pc.cast(pa.array((h3 % np.uint64(2000)).astype(np.int64)), pa.string())
+    status = pc.cast(
+        pa.array(_STATUS[(h2 % np.uint64(len(_STATUS))).astype(np.int64)]), pa.string()
+    )
+    lvl = pa.array(
+        _LEVELS[np.searchsorted(_LEVEL_CUM, (h % np.uint64(64)).astype(np.int64), side="right")]
+    )
+    evt = pa.array(_EVENTS[(h3 % np.uint64(len(_EVENTS))).astype(np.int64)])
+    word = pa.array(np.array(_VOCAB)[(h3 % np.uint64(len(_VOCAB))).astype(np.int64)])
 
-    prose = _PROSE_POOLS.setdefault(seed, _prose_pool(seed))[
-        (h3 % np.uint64(256)).astype(np.int64)
-    ]
-    logline = np.char.add(
-        np.char.add(np.char.add(lvl, " latency_ms="), lat),
-        np.char.add(np.char.add(" status=", status), np.char.add(" msg=", word)),
+    prose = pa.array(
+        _PROSE_POOLS.setdefault(seed, _prose_pool(seed))[(h3 % np.uint64(256)).astype(np.int64)]
     )
-    jsons = np.char.add(
-        np.char.add('{"event": "', evt),
-        np.char.add(np.char.add('", "latency_ms": ', lat), ', "tags": ["a", "b"]}'),
-    )
-    kv = np.char.add(
-        np.char.add(np.char.add("latency_ms=", lat), np.char.add(" status=", status)),
-        np.char.add(" region=", word),
-    )
-    bad = _MALFORMED[(h3 % np.uint64(len(_MALFORMED))).astype(np.int64)]
-    text = np.select(
-        [bucket < 55, bucket < 75, bucket < 85, bucket < 95],
-        [prose, logline, jsons, kv],
-        default=bad,
+    j = pc.binary_join_element_wise
+    logline = j(lvl, " latency_ms=", lat, " status=", status, " msg=", word, "")
+    jsons = j('{"event": "', evt, '", "latency_ms": ', lat, ', "tags": ["a", "b"]}', "")
+    kv = j("latency_ms=", lat, " status=", status, " region=", word, "")
+    bad = pa.array(_MALFORMED[(h3 % np.uint64(len(_MALFORMED))).astype(np.int64)])
+    text = pc.if_else(
+        pa.array(bucket < 55), prose,
+        pc.if_else(
+            pa.array(bucket < 75), logline,
+            pc.if_else(
+                pa.array(bucket < 85), jsons,
+                pc.if_else(pa.array(bucket < 95), kv, bad),
+            ),
+        ),
     )
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv.astype("U"), 8))
+    conv_id = j(
+        "conv-",
+        pc.utf8_lpad(pc.cast(pa.array(conv), pa.string()), width=8, padding="0"),
+        "",
+    )
     return pa.table(
         {
-            "conv_id": pa.array(conv_id),
+            "conv_id": conv_id,
             "turn_idx": pa.array(turn, type=pa.int32()),
             "role": pa.array(role),
-            "text": pa.array(text),
+            "text": text,
             "tool": pa.array(tool),
             "ts": pa.array(ts, type=pa.timestamp("us")),
         },
@@ -190,7 +198,7 @@ def transcripts_dataset(n_rows: int, n_convs: int | None = None, seed: int = 42,
             out.append(_gen_range(lo, hi, starts, seed))
         return pa.concat_tables(out)
 
-    return rd.range(n_shards).map_batches(
+    return rd.range(n_shards, override_num_blocks=n_shards).map_batches(
         gen_shard, batch_format="pyarrow", batch_size=1, zero_copy_batch=True
     )
 
@@ -201,7 +209,7 @@ def rows_for_sf(sf_dir: str) -> int:
     the streaming executor gets full block parallelism)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     sf = float(name.replace("sf", "") or 0.001) if name.startswith("sf") else 0.001
-    return max(2000, int(sf * 30_000_000))
+    return max(2000, int(sf * 100_000_000))
 
 
 def ensure_transcripts_parquet(n_rows: int, seed: int = 42,
