@@ -69,8 +69,9 @@ def run_bench() -> dict:
 
     out_root = "/tmp/otelray/bench_out"
     shutil.rmtree(out_root, ignore_errors=True)
+    os.sync()  # flush dirty pages so prior runs' writeback doesn't bleed in
     t0 = time.time()
-    run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS)
+    run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS, counts_mode="inline")
     headline = time.time() - t0
 
     qtimes = {}
