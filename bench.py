@@ -102,18 +102,19 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
-        "metric": "scaling efficiency (same input, fresh ray.init at 8 vs 32 cpus)",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "turns_per_sec_8": r_lo["turns_per_sec"],
-        "turns_per_sec_32": r_hi["turns_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "sf": SF_DIR,
-    }
+    out = {"metric": "scaling efficiency (same input, fresh ray.init, N vs 4N cpus)",
+           "sf": SF_DIR, "pairs": {}}
+    for lo, hi in ((8, 32), (4, 16)):
+        r_lo, r_hi = one(lo), one(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        out["pairs"][f"{lo}->{hi}"] = {
+            f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+            f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+            f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        }
+    out["scaling_efficiency"] = out["pairs"]["8->32"]["scaling_efficiency"]
+    return out
 
 
 if __name__ == "__main__":

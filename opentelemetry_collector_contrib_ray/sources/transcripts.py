@@ -209,7 +209,7 @@ def rows_for_sf(sf_dir: str) -> int:
     the streaming executor gets full block parallelism)."""
     name = os.path.basename(os.path.normpath(sf_dir))
     sf = float(name.replace("sf", "") or 0.001) if name.startswith("sf") else 0.001
-    return max(2000, int(sf * 100_000_000))
+    return max(2000, int(sf * 300_000_000))
 
 
 def ensure_transcripts_parquet(n_rows: int, seed: int = 42,
