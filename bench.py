@@ -75,6 +75,14 @@ def run_bench() -> dict:
     headline = time.time() - t0
 
     qtimes = {}
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        ray.shutdown()
+        return {
+            "metric": "flagship parse→enrich→route→count end-to-end (single pass, sinks written)",
+            "value": round(headline, 3), "unit": "sec", "queries": {},
+            "sf": SF_DIR, "num_cpus": NUM_CPUS, "transcript_rows": n_rows,
+            "turns_per_sec": round(n_rows / headline, 1),
+        }
     for name in BENCH_QUERIES:
         t0 = time.time()
         _consume(QUERIES[name](SF_DIR))
@@ -95,7 +103,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

@@ -132,3 +132,31 @@ def test_run_flagship_resume(tmp_path):
     t1a = [l for l in lineage if l["partition"] == "s1"][0]["committed_at"]
     t1b = [l for l in lineage2 if l["partition"] == "s1"][0]["committed_at"]
     assert t1a == t1b
+
+
+def test_single_pass_counts_match_flagship(tmp_path):
+    """Inline sidecar counts == per-sink lazy aggregates == two-pass."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.single_pass import run_single_pass
+
+    t = generate_transcripts(6000)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "t.parquet")
+
+    r_inline = run_single_pass(str(inp), str(tmp_path / "o1"),
+                               enrich_concurrency=2, counts_mode="inline")
+    r_two = run_single_pass(str(inp), str(tmp_path / "o2"),
+                            enrich_concurrency=2, counts_mode="two_pass")
+    assert set(r_inline["counts"]) == set(r_two["counts"])
+    for s in r_two["counts"]:
+        a = r_inline["counts"][s].sort_values(["metric", "attrs"]).reset_index(drop=True)
+        b = r_two["counts"][s].sort_values(["metric", "attrs"]).reset_index(drop=True)
+        assert a.equals(b), f"sink {s} inline vs two_pass"
+    # and against the lazy flagship fan-out counts
+    _, lazy_counts = flagship(rd.from_arrow(t), enrich_concurrency=2)
+    for s, cds in lazy_counts.items():
+        lz = cds.to_pandas().sort_values(["metric", "attrs"]).reset_index(drop=True)
+        b = r_two["counts"][s].sort_values(["metric", "attrs"]).reset_index(drop=True)
+        assert lz["count"].tolist() == b["count"].tolist(), f"sink {s} lazy vs single-pass"
