@@ -1,0 +1,96 @@
+import json
+
+import pyarrow as pa
+import ray.data as rd
+
+from opentelemetry_collector_contrib_ray.sources.otlp_json import (
+    decode_otlp_json_lines,
+    read_otlp_json_logs,
+)
+from opentelemetry_collector_contrib_ray.stages.sinks import (
+    drop_sink,
+    write_grouped_parquet,
+    write_time_partitioned,
+)
+
+
+def otlp_line():
+    return json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name", "value": {"stringValue": "svc-a"}}
+                        ]
+                    },
+                    "scopeLogs": [
+                        {
+                            "scope": {"name": "lib"},
+                            "logRecords": [
+                                {
+                                    "timeUnixNano": "1700000000000000000",
+                                    "severityNumber": 17,
+                                    "severityText": "ERROR",
+                                    "body": {"stringValue": "boom"},
+                                    "attributes": [
+                                        {"key": "code", "value": {"intValue": "500"}}
+                                    ],
+                                    "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                },
+                                {
+                                    "severityNumber": 9,
+                                    "body": {"stringValue": "fine"},
+                                },
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+
+
+def test_decode_otlp_json_lines():
+    t = pa.table({"text": [otlp_line(), "", "not json"]})
+    out = decode_otlp_json_lines(t)
+    assert out.num_rows == 2
+    assert out["resource.service.name"].to_pylist() == ["svc-a", "svc-a"]
+    assert out["severity_number"].to_pylist() == [17, 9]
+    assert out["body"].to_pylist() == ["boom", "fine"]
+    assert out["attributes.code"].to_pylist() == [500, None]
+    assert out["scope_name"].to_pylist() == ["lib", "lib"]
+
+
+def test_read_otlp_json_logs(tmp_path):
+    p = tmp_path / "logs.jsonl"
+    p.write_text(otlp_line() + "\n" + otlp_line() + "\n")
+    ds = read_otlp_json_logs(str(p))
+    assert ds.count() == 4
+
+
+def test_grouped_and_time_partitioned_sinks(tmp_path):
+    import numpy as np
+
+    t = pa.table(
+        {
+            "k": ["a", "b", "a", "b"],
+            "ts": pa.array(
+                np.array(
+                    ["2024-01-01T01:00", "2024-01-02T05:00",
+                     "2024-02-03T09:00", "2024-02-03T10:00"],
+                    dtype="datetime64[us]",
+                )
+            ),
+            "v": [1, 2, 3, 4],
+        }
+    )
+    write_grouped_parquet(rd.from_arrow(t), str(tmp_path / "g"), ["k"])
+    assert (tmp_path / "g" / "k=a").is_dir() and (tmp_path / "g" / "k=b").is_dir()
+
+    write_time_partitioned(rd.from_arrow(t), str(tmp_path / "tp"), "ts", "day")
+    assert (tmp_path / "tp" / "year=2024" / "month=1" / "day=1").is_dir() or (
+        tmp_path / "tp" / "year=2024" / "month=01" / "day=01"
+    ).is_dir()
+
+    assert drop_sink(rd.from_arrow(t)) == 4
