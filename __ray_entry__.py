@@ -31,7 +31,9 @@ def entry() -> Any:
         df = counts[name].to_pandas()
         df.insert(0, "sink", name)
         frames.append(df)
-    return pd.concat(frames, ignore_index=True)
+    out = pd.concat(frames, ignore_index=True)
+    out["count"] = out["count"].fillna(0).astype("int64")
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
