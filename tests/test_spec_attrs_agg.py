@@ -112,3 +112,47 @@ def test_spec_compiler_end_to_end(tmp_path):
     counts = plan.counts()
     cdf = counts["errors"].to_pandas()
     assert cdf[cdf.metric == "turn.count"]["count"].iloc[0] == n_err
+
+
+def test_groupbyattrs_moves_and_compacts():
+    from opentelemetry_collector_contrib_ray.stages.groupbyattrs import GroupByAttrs
+
+    t = pa.table(
+        {"attributes.host": ["h1", "h2", "h1"], "attributes.x": [1, 2, 3], "v": [1, 2, 3]}
+    )
+    out = GroupByAttrs(["host"])(t)
+    assert "resource.host" in out.column_names
+    assert "attributes.host" not in out.column_names
+    assert out["attributes.x"].to_pylist() == [1, 2, 3]
+
+
+def test_recombine_is_first_entry():
+    from opentelemetry_collector_contrib_ray.stages.recombine import recombine
+
+    t = pa.table(
+        {
+            "conv_id": ["c1"] * 5,
+            "turn_idx": pa.array([0, 1, 2, 3, 4], type=pa.int32()),
+            "role": ["user", "assistant", "user", "assistant", "assistant"],
+            "text": ["q1", "a1", "q2", "a2a", "a2b"],
+        }
+    )
+    out = recombine(
+        rd.from_arrow(t), is_first_entry="role == 'user'"
+    ).to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    assert out["text"].tolist() == ["q1\na1", "q2\na2a\na2b"]
+    assert out["n_combined"].tolist() == [2, 3]
+
+
+def test_recombine_max_batch_size():
+    from opentelemetry_collector_contrib_ray.stages.recombine import recombine
+
+    t = pa.table(
+        {
+            "conv_id": ["c1"] * 5,
+            "turn_idx": pa.array(range(5), type=pa.int32()),
+            "text": [f"t{i}" for i in range(5)],
+        }
+    )
+    out = recombine(rd.from_arrow(t), max_batch_size=2).to_pandas()
+    assert sorted(out["n_combined"].tolist()) == [1, 2, 2]
