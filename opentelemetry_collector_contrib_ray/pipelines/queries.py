@@ -176,7 +176,7 @@ def q_severity_counts(sf_dir: str):
 SQL_SEVERITY_COUNTS = (
     PARSED_SQL
     + """
-SELECT severity_number,
+SELECT CAST(severity_number AS BIGINT) AS severity_number,
        CASE severity_number WHEN 1 THEN 'TRACE' WHEN 5 THEN 'DEBUG' WHEN 9 THEN 'INFO'
             WHEN 13 THEN 'WARN' WHEN 17 THEN 'ERROR' WHEN 21 THEN 'FATAL' ELSE '' END AS severity_text,
        count(*) AS n
