@@ -408,15 +408,22 @@ def q_events_window_daily(sf_dir: str):
         return pa.table(
             {
                 "event_type": t["event_type"],
-                "day": pc.floor_temporal(t["ts"], unit="day"),
+                "day": pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")),
                 "value_cents": _cents(t["value"]),
             }
         )
 
-    return (
+    out = (
         ds.map_batches(proj, batch_format="pyarrow")
         .groupby(["event_type", "day"])
         .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+    # ray's sort-aggregate narrows day-aligned timestamps to [s]; restore [us]
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("day"), "day", pc.cast(t["day"], pa.timestamp("us"))
+        ),
+        batch_format="pyarrow",
     )
 
 

@@ -87,6 +87,15 @@ def main():
             problems.append(f"rows {len(rdf)} vs {len(odf)}")
         if sorted(map(str, rdf.columns)) != sorted(map(str, odf.columns)):
             problems.append(f"cols {sorted(rdf.columns)} vs {sorted(odf.columns)}")
+        elif [str(rdf[c].dtype) for c in sorted(rdf.columns)] != [
+            str(odf[c].dtype) for c in sorted(odf.columns)
+        ]:
+            problems.append(
+                "dtypes "
+                + str({c: (str(rdf[c].dtype), str(odf[c].dtype))
+                       for c in sorted(rdf.columns)
+                       if str(rdf[c].dtype) != str(odf[c].dtype)})
+            )
         elif value_hash(rdf) != value_hash(odf):
             problems.append("value-hash mismatch")
         if problems:
