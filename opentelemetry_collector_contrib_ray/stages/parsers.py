@@ -247,13 +247,25 @@ class KeyValueParser(BatchOp):
 
 
 class CsvParser(BatchOp):
-    """CSV row → named columns (static header; parser/csv/parser.go:29-107).
-    Rows whose field count ≠ len(header) are parse errors."""
+    """CSV row → named columns (parser/csv/parser.go:29-107).
 
-    def __init__(self, header: list[str], delimiter: str = ",", parse_from: str = "text",
-                 prefix: str = "attributes.", types: dict[str, str] | None = None, **kw):
+    Static ``header`` is the vectorized hot path; ``header_attribute``
+    enables the reference's dynamic per-entry header mode
+    (parser.go:46-66): each row's header comes from another column —
+    per-row fallback emitting a JSON spill column (dynamic keys can't
+    be stable Arrow columns). Rows whose field count ≠ header length
+    are parse errors.
+    """
+
+    def __init__(self, header: list[str] | None = None, delimiter: str = ",",
+                 parse_from: str = "text", prefix: str = "attributes.",
+                 types: dict[str, str] | None = None,
+                 header_attribute: str | None = None, **kw):
         super().__init__(**kw)
+        if header is None and header_attribute is None:
+            raise ValueError("csv parser needs header or header_attribute")
         self.header = header
+        self.header_attribute = header_attribute
         self.delimiter = delimiter
         self.parse_from = parse_from
         self.prefix = prefix
@@ -265,13 +277,42 @@ class CsvParser(BatchOp):
     def error_mask(self, t: pa.Table):
         parts = self._split(t)
         n = pc.list_value_length(parts)
-        bad = pc.not_equal(n, len(self.header))
+        if self.header is None:
+            hdr = _col(t, self.header_attribute)
+            want = pc.add(
+                pc.count_substring(hdr, self.delimiter), 1
+            )
+            bad = pc.not_equal(n, want)
+        else:
+            bad = pc.not_equal(n, len(self.header))
         return pc.and_(pc.is_valid(_col(t, self.parse_from)), pc.fill_null(bad, True))
 
     def transform(self, t: pa.Table) -> pa.Table:
         return self.transform_gated(t, None)
 
+    def _transform_dynamic_header(self, t: pa.Table, gate) -> pa.Table:
+        import numpy as np
+
+        src = _col(t, self.parse_from).to_pylist()
+        hdr = _col(t, self.header_attribute).to_pylist()
+        g = None if gate is None else np.asarray(gate, dtype=bool)
+        out = []
+        for i, (s, h) in enumerate(zip(src, hdr)):
+            if s is None or h is None or (g is not None and not g[i]):
+                out.append(None)
+                continue
+            keys = h.split(self.delimiter)
+            vals = s.split(self.delimiter)
+            out.append(
+                json.dumps(dict(zip(keys, vals)), sort_keys=True)
+                if len(keys) == len(vals)
+                else None
+            )
+        return set_column(t, self.prefix + "__csv", pa.array(out, type=pa.string()))
+
     def transform_gated(self, t: pa.Table, gate) -> pa.Table:
+        if self.header is None:
+            return self._transform_dynamic_header(t, gate)
         parts = self._split(t)
         if isinstance(parts, pa.ChunkedArray):
             parts = parts.combine_chunks()
@@ -299,8 +340,16 @@ class SeverityParser(BatchOp):
                  to_number: str = "severity_number", to_text: str = "severity_text", **kw):
         super().__init__(**kw)
         m = dict(SEVERITY_ALIASES)
+        self.ranges: list[tuple[int, int]] = []  # (hundreds-digit, severity)
         if mapping:
-            m.update({k.lower(): v for k, v in mapping.items()})
+            for k, v in mapping.items():
+                kl = str(k).lower()
+                if re.fullmatch(r"\dxx", kl):
+                    # "2xx"-style HTTP range token (severity_builder.go
+                    # range aliases): any numeric 200-299 → v
+                    self.ranges.append((int(kl[0]), v))
+                else:
+                    m[kl] = v
         self.keys = pa.array(list(m.keys()))
         self.vals = np.array(list(m.values()), dtype=np.int64)
         self.default = default
@@ -316,6 +365,11 @@ class SeverityParser(BatchOp):
         miss = np.isnan(idx_np) if idx_np.dtype.kind == "f" else (idx_np < 0)
         ii = np.where(miss, 0, idx_np).astype(np.int64)
         nums = np.where(miss, self.default, self.vals[ii])
+        if self.ranges:
+            num_tok = _cast_typed(tok, "int64").to_numpy(zero_copy_only=False)
+            hundreds = np.where(np.isnan(num_tok), -1, np.nan_to_num(num_tok) // 100)
+            for digit, sev in self.ranges:
+                nums = np.where(miss & (hundreds == digit), sev, nums)
         t = set_column(t, self.to_number, pa.array(nums.astype(np.int8)))
         t = set_column(t, self.to_text, pa.array(self.text_lut[nums]))
         return t

@@ -28,6 +28,7 @@ def recombine(
     combine_col: str = "text",
     combine_with: str = "\n",
     max_batch_size: int | None = None,
+    max_log_size: int | None = None,
     overwrite_with: str = "oldest",
     is_first_entry: str | None = None,
 ):
@@ -49,6 +50,18 @@ def recombine(
             chunk = np.cumsum(starts) - 1
         elif max_batch_size:
             chunk = np.arange(len(g)) // max_batch_size
+        elif max_log_size:
+            # size valve (transformer.go:182-188): start a new chunk when
+            # the joined byte budget would overflow
+            lens = g[combine_col].astype(str).str.len().to_numpy() + len(combine_with)
+            chunk = np.zeros(len(g), dtype=np.int64)
+            acc = cid = 0
+            for i, ln in enumerate(lens):
+                if acc + ln > max_log_size and acc > 0:
+                    cid += 1
+                    acc = 0
+                chunk[i] = cid
+                acc += ln
         else:
             chunk = np.zeros(len(g), dtype=np.int64)
         g = g.assign(__chunk=chunk)

@@ -171,3 +171,51 @@ class TestSyslogParser:
         assert out["attributes.message"].to_pylist() == ["boom", None]
         assert out["attributes.facility"].to_pylist()[0] == 4
         assert out["severity_number"].to_pylist()[0] == 21  # pri 34 → sev 2 → crit
+
+
+class TestCsvDynamicHeader:
+    def test_header_attribute_mode(self):
+        t = pa.table(
+            {
+                "text": ["1,2", "x,y,z", "7"],
+                "hdr": ["a,b", "p,q,r", "only"],
+            }
+        )
+        out = CsvParser(header_attribute="hdr")(t)
+        vals = out["attributes.__csv"].to_pylist()
+        import json
+
+        assert json.loads(vals[0]) == {"a": "1", "b": "2"}
+        assert json.loads(vals[1]) == {"p": "x", "q": "y", "r": "z"}
+        assert json.loads(vals[2]) == {"only": "7"}
+
+    def test_header_mismatch_is_error(self):
+        t = pa.table({"text": ["1,2,3"], "hdr": ["a,b"]})
+        out = CsvParser(header_attribute="hdr", on_error="drop")(t)
+        assert out.num_rows == 0
+
+
+class TestSeverityHttpRanges:
+    def test_range_tokens(self):
+        t = pa.table({"code": ["204", "404", "500", "999", "ERROR", None]})
+        out = SeverityParser(
+            parse_from="code", mapping={"2xx": 9, "4xx": 13, "5xx": 17}
+        )(t)
+        assert out["severity_number"].to_pylist() == [9, 13, 17, 0, 17, 0]
+
+
+def test_recombine_max_log_size():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.recombine import recombine
+
+    t = pa.table(
+        {
+            "conv_id": ["c"] * 4,
+            "turn_idx": pa.array(range(4), type=pa.int32()),
+            "text": ["aaaa", "bbbb", "cccc", "dddd"],
+        }
+    )
+    out = recombine(rd.from_arrow(t), max_log_size=10).to_pandas()
+    assert all(len(s) <= 10 for s in out["text"])
+    assert out["n_combined"].sum() == 4
