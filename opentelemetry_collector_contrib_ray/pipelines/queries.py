@@ -764,6 +764,109 @@ def q_multimodal_decode(sf_dir: str):
 # registry
 # --------------------------------------------------------------------------
 
+
+
+# --------------------------------------------------------------------------
+# windows + large-large join (custom operators with oracles)
+# --------------------------------------------------------------------------
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based session windows (stages/windows.py session_windows)."""
+    from ..stages.windows import session_windows
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    out = session_windows(ds, "user_id", "ts", gap_s=7200)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "session_start": pc.cast(t["session_start"], pa.timestamp("us")),
+                "session_end": pc.cast(t["session_end"], pa.timestamp("us")),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY ts, new ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_events_tumbling_6h(sf_dir: str):
+    """Tumbling event-time window via stages/windows.py."""
+    from ..stages.windows import tumbling_window
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return tumbling_window(ds, "user_id", "ts", size_s=21600).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT user_id,
+       make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)) AS window_start,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_orders_customer_join(sf_dir: str):
+    """Large-large bucketed hash join (stages/joins.py) with oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bucketed_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(orders, cust, on="o_custkey", n_buckets=16)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "total_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    return (
+        joined.map_batches(proj, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents"))
+    )
+
+
+SQL_ORDERS_CUSTOMER_JOIN = f"""
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(SUM({_CENTS.format(x='o.o_totalprice')}) AS BIGINT) AS sum_total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -792,6 +895,9 @@ QUERIES = {
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "emb_ann_lsh": q_emb_ann_lsh,
     "multimodal_decode": q_multimodal_decode,
+    "events_sessions": q_events_sessions,
+    "events_tumbling_6h": q_events_tumbling_6h,
+    "orders_customer_join": q_orders_customer_join,
 }
 
 ORACLES = {
@@ -816,4 +922,7 @@ ORACLES = {
     "docs_stopwords": SQL_DOCS_STOPWORDS,
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_tumbling_6h": SQL_EVENTS_TUMBLING,
+    "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
 }

@@ -1,0 +1,97 @@
+"""Windowed aggregates over an ordered, keyed stream.
+
+The reference is purely processing-time (SURVEY.md §2.10 — no
+event-time windows exist there); training/telemetry pipelines need
+them, so these are first-class custom operators per the brief. Batch
+rendering of the streaming guide: treat the input as a partitioned log
+(key → sorted by ts), implement windows as
+``groupby(key).map_groups(fn)``.
+
+- tumbling: assign ``window = floor(ts / size)`` — fully vectorized,
+  NO per-key grouping needed (a plain groupby on (key, window)).
+- sliding: per-key group, numpy searchsorted over the sorted ts.
+- session: per-key group, gap-based sessionization (new session when
+  the gap to the previous event exceeds ``gap``).
+
+Partitioning assumption (sliding/session): one key's rows fit in one
+group — bound hot keys upstream (cap or salt by coarse time range).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window(ds, key: str, ts: str, size_s: int,
+                    agg_col: str | None = None):
+    """Counts (and optional int-sum) per (key, window-start)."""
+    from ray.data.aggregate import Count, Sum
+
+    size_us = size_s * 1_000_000
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts], pa.int64())
+        win = pc.multiply(pc.floor(pc.divide(pc.cast(us, pa.float64()), size_us)), float(size_us))
+        cols = {key: t[key], "window_start": pc.cast(pc.cast(win, pa.int64()), pa.timestamp("us"))}
+        if agg_col:
+            cols[agg_col] = t[agg_col]
+        return pa.table(cols)
+
+    g = ds.map_batches(assign, batch_format="pyarrow").groupby([key, "window_start"])
+    aggs = [Count(alias_name="n")]
+    if agg_col:
+        aggs.append(Sum(agg_col, alias_name=f"sum_{agg_col}"))
+    out = g.aggregate(*aggs)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("window_start"), "window_start",
+            pc.cast(t["window_start"], pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sliding_window_counts(ds, key: str, ts: str, size_s: int, step_s: int):
+    """Per key: one row per step with the count of events in the
+    trailing ``size_s`` window ending at that step boundary."""
+    size = np.timedelta64(size_s, "s")
+    step_us = step_s * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        tsv = np.sort(g[ts].to_numpy().astype("datetime64[us]"))
+        lo = (tsv[0].astype("int64") // step_us) * step_us
+        hi = (tsv[-1].astype("int64") // step_us + 1) * step_us
+        bounds = np.arange(lo + step_us, hi + step_us, step_us).astype("datetime64[us]")
+        upper = np.searchsorted(tsv, bounds, side="right")
+        lower = np.searchsorted(tsv, bounds - size, side="right")
+        return pd.DataFrame(
+            {key: g[key].iloc[0], "window_end": bounds, "n": upper - lower}
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def session_windows(ds, key: str, ts: str, gap_s: int):
+    """Gap-based sessions per key: (key, session_start, session_end, n)."""
+    gap = np.timedelta64(gap_s, "s")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        tsv = np.sort(g[ts].to_numpy().astype("datetime64[us]"))
+        new = np.ones(len(tsv), dtype=bool)
+        new[1:] = (tsv[1:] - tsv[:-1]) > gap
+        sid = np.cumsum(new) - 1
+        df = pd.DataFrame({"sid": sid, "ts": tsv})
+        agg = df.groupby("sid")["ts"].agg(["min", "max", "count"]).reset_index()
+        return pd.DataFrame(
+            {
+                key: g[key].iloc[0],
+                "session_start": agg["min"],
+                "session_end": agg["max"],
+                "n": agg["count"].astype("int64"),
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
