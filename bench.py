@@ -23,6 +23,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "parse_level_agg",
+    "events_sessions",
+    "orders_customer_join",
     "route_sink_counts",
     "recombine_convs",
     "events_window_daily",

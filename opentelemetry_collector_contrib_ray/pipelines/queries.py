@@ -255,8 +255,10 @@ SQL_COUNT_BY_REGION = (
 
 def q_recombine_convs(sf_dir: str):
     """Recombine: per-conversation join (SURVEY §2.4 recombine)."""
-    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
-    out = recombine(ds, source_col="conv_id", order_col="turn_idx",
+    # ONE shuffle: order within conversation by (ts, event_id) — identical
+    # to turn_idx order by construction — instead of a separate rank pass
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+    out = recombine(ds, source_col="conv_id", order_col=["ts", "event_id"],
                     combine_col="text", combine_with="\n")
     return out.map_batches(
         lambda t: pa.table(

@@ -42,8 +42,10 @@ def recombine(
     ``max_batch_size``) a whole source joins to one row.
     """
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="mergesort")
+        g = g.sort_values(order_cols, kind="mergesort")
         if is_first_entry:
             starts = g.eval(is_first_entry).to_numpy(dtype=bool)
             starts[0] = True
