@@ -44,6 +44,23 @@ def recombine(
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
+    # Hot-key bound (SURVEY §7.4 skew): with max_batch_size and an integer
+    # order column, pre-chunk the SHUFFLE KEY itself — groups become
+    # (source, order // max_batch_size), so a conversation holding 5% of a
+    # 100 TB stream never has to fit one worker; chunk boundaries coincide
+    # with the reference's overflow flush (transformer.go:182-188).
+    prechunk = bool(max_batch_size) and isinstance(order_col, str)
+
+    def add_chunk_key(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ck = pc.cast(
+            pc.floor(pc.divide(pc.cast(t[order_col], pa.float64()), max_batch_size)),
+            pa.int64(),
+        )
+        return t.append_column("__ck", ck)
+
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols, kind="mergesort")
         if is_first_entry:
@@ -72,6 +89,12 @@ def recombine(
         agg[combine_col] = lambda s: combine_with.join(s.astype(str))
         out = g.groupby("__chunk", sort=True).agg(agg)
         out["n_combined"] = g.groupby("__chunk", sort=True).size()
-        return out.reset_index(drop=True)
+        out = out.reset_index(drop=True)
+        return out.drop(columns=[c for c in ("__ck",) if c in out.columns])
 
+    if prechunk:
+        keyed = ds.map_batches(add_chunk_key, batch_format="pyarrow")
+        return keyed.groupby([source_col, "__ck"]).map_groups(
+            join_group, batch_format="pandas"
+        )
     return ds.groupby(source_col).map_groups(join_group, batch_format="pandas")
