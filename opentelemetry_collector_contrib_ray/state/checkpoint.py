@@ -98,10 +98,19 @@ def run_partitioned(
 
             rows_out[sink] = pads.dataset(tmp).count_rows()
             os.replace(tmp, final)
+        import pyarrow.parquet as _pq
+
+        rows_in = 0
+        for f in files:
+            try:
+                rows_in += _pq.ParquetFile(f).metadata.num_rows  # metadata only
+            except OSError:
+                pass
         ck.commit(
             pid,
             {
                 "inputs": files,
+                "rows_in": rows_in,
                 "rows_out": rows_out,
                 "wall_sec": round(time.time() - t0, 3),
             },
