@@ -869,6 +869,49 @@ GROUP BY c.c_mktsegment
 """
 
 
+
+
+def q_route_multimatch_counts(sf_dir: str):
+    """Routing with match_once=False — a row fans out to EVERY matching
+    route (duplication semantics, routingconnector README.md:33-40)."""
+    from ..stages import RouteSpec
+
+    router = Router(RouteSpec(routes=list(ROUTES.routes), match_once=False,
+                              default_sinks=list(ROUTES.default_sinks)))
+    ds = _enriched(sf_dir)
+
+    def per_sink(t: pa.Table) -> pa.Table:
+        masks = router.sink_masks(t)
+        return pa.table(
+            {
+                "sink": pa.array(list(masks.keys())),
+                "n": pa.array(
+                    [int(np.asarray(m).sum()) for m in masks.values()], type=pa.int64()
+                ),
+            }
+        )
+
+    out = ds.map_batches(per_sink, batch_format="pyarrow").groupby("sink").sum("n")
+    return _rename(out, {"sum(n)": "n"})
+
+
+SQL_ROUTE_MULTIMATCH = (
+    PARSED_SQL
+    + """
+SELECT 'search' AS sink, (SELECT count(*) FROM parsed WHERE service = 'search-svc') AS n
+UNION ALL SELECT 'errors', (SELECT count(*) FROM parsed
+                            WHERE severity_number >= 17 OR status >= 500)
+UNION ALL SELECT 'audit', (SELECT count(*) FROM parsed WHERE status >= 500)
+UNION ALL SELECT 'tools', (SELECT count(*) FROM parsed WHERE role = 'tool')
+UNION ALL SELECT 'default', (SELECT count(*) FROM parsed
+                             WHERE NOT (service = 'search-svc'
+                                        OR severity_number >= 17
+                                        OR COALESCE(status >= 500, FALSE)
+                                        OR role = 'tool'))
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -900,6 +943,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_tumbling_6h": q_events_tumbling_6h,
     "orders_customer_join": q_orders_customer_join,
+    "route_multimatch_counts": q_route_multimatch_counts,
 }
 
 ORACLES = {
@@ -927,4 +971,5 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_tumbling_6h": SQL_EVENTS_TUMBLING,
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
+    "route_multimatch_counts": SQL_ROUTE_MULTIMATCH,
 }
