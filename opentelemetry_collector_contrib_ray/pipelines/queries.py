@@ -912,6 +912,35 @@ UNION ALL SELECT 'default', (SELECT count(*) FROM parsed
 )
 
 
+
+
+def q_events_prev_value_asof(sf_dir: str):
+    """As-of join (stages/joins.py): for each event, the value of the
+    latest strictly-earlier event of the same user — oracle = lag()."""
+    from ..stages.joins import asof_join
+
+    left = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    right = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    joined = asof_join(left, right, key="user_id", ts="ts",
+                       allow_exact_matches=False)
+
+    def proj(t: pa.Table) -> pa.Table:
+        prev = t["value"] if "value" in t.column_names else pa.nulls(t.num_rows, pa.float64())
+        return pa.table(
+            {"event_id": pc.cast(t["event_id"], pa.int64()),
+             "prev_cents": _cents(prev)}
+        )
+
+    return joined.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_EVENTS_PREV_VALUE = f"""
+SELECT event_id,
+       {_CENTS.format(x='lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)')} AS prev_cents
+FROM events
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -944,6 +973,7 @@ QUERIES = {
     "events_tumbling_6h": q_events_tumbling_6h,
     "orders_customer_join": q_orders_customer_join,
     "route_multimatch_counts": q_route_multimatch_counts,
+    "events_prev_value_asof": q_events_prev_value_asof,
 }
 
 ORACLES = {
@@ -972,4 +1002,5 @@ ORACLES = {
     "events_tumbling_6h": SQL_EVENTS_TUMBLING,
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
     "route_multimatch_counts": SQL_ROUTE_MULTIMATCH,
+    "events_prev_value_asof": SQL_EVENTS_PREV_VALUE,
 }

@@ -95,7 +95,7 @@ def bucketed_hash_join(left, right, on: str, n_buckets: int = 32, how: str = "in
 
 
 def asof_join(left, right, key: str, ts: str, direction: str = "backward",
-              suffix: str = "_r"):
+              suffix: str = "_r", allow_exact_matches: bool = True):
     """As-of join: for each left row, the latest right row with
     ``right.ts <= left.ts`` (backward) per key. One shuffle on key."""
     def tag(side):
@@ -118,7 +118,8 @@ def asof_join(left, right, key: str, ts: str, direction: str = "backward",
             return l
         r = r.sort_values(ts, kind="mergesort")
         return pd.merge_asof(
-            l, r, on=ts, by=key, direction=direction, suffixes=("", suffix)
+            l, r, on=ts, by=key, direction=direction, suffixes=("", suffix),
+            allow_exact_matches=allow_exact_matches,
         )
 
     return both.groupby(key).map_groups(merge_group, batch_format="pandas")
