@@ -143,3 +143,59 @@ def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int
         ImageFeatures, batch_format="pyarrow", batch_size=batch_size,
         concurrency=norm_concurrency(concurrency),
     )
+
+
+def _fake_decode_audio(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
+    """Deterministic fake PCM decode: payload bytes → float32 mono wave."""
+    b = np.frombuffer(payload or b"\0", dtype=np.uint8).astype(np.float32)
+    n = max(8, int((sample_rate or 8000) * (duration_ms or 100) / 1000))
+    return (np.resize(b, n) - 127.5) / 127.5
+
+
+class AudioDecoder:
+    """Actor-pool audio decode plumbing: payload binary → waveform
+    column. Real codec via ``codec=``; stub raises unless ``fake``."""
+
+    def __init__(self, codec=None, fake: bool = False, payload_col: str = "payload",
+                 max_samples: int = 16_000):
+        if codec is None:
+            if not fake:
+                def codec(payload, sr, dur):  # pragma: no cover - the stub
+                    raise NotImplementedError(
+                        "audio codec not available in this environment; "
+                        "construct with fake=True or supply codec="
+                    )
+            else:
+                codec = _fake_decode_audio
+        self.codec = codec
+        self.payload_col = payload_col
+        self.max_samples = max_samples
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        waves = [
+            self.codec(p, sr, d)[: self.max_samples]
+            for p, sr, d in zip(
+                t[self.payload_col].to_pylist(),
+                t["meta.sample_rate"].to_pylist(),
+                t["meta.duration_ms"].to_pylist(),
+            )
+        ]
+        col = pa.array([w.tolist() for w in waves], type=pa.list_(pa.float32()))
+        return t.drop_columns([self.payload_col]).append_column("waveform", col)
+
+
+class AudioFeatures:
+    """RMS energy + zero-crossing rate per clip (stands in for a
+    spectrogram/model pass) — numpy per batch."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rms, zcr = [], []
+        for w in t["waveform"].to_pylist():
+            a = np.asarray(w, dtype=np.float64)
+            if a.size == 0:
+                a = np.zeros(1)
+            rms.append(float(np.sqrt((a ** 2).mean())))
+            zcr.append(float((np.diff(np.signbit(a)) != 0).mean()) if a.size > 1 else 0.0)
+        t = t.drop_columns(["waveform"])
+        t = t.append_column("rms", pa.array(rms, type=pa.float64()))
+        return t.append_column("zcr", pa.array(zcr, type=pa.float64()))

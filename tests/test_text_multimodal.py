@@ -84,3 +84,36 @@ def test_frame_sampler():
 def test_frame_sampler_stub_raises():
     with pytest.raises(NotImplementedError):
         FrameSampler(fake=False)
+
+
+def test_audio_decode_features_fake():
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        AudioDecoder,
+        AudioFeatures,
+    )
+
+    t = synth_media_table(10)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = t.set_column(
+        t.column_names.index("meta.sample_rate"), "meta.sample_rate",
+        pa.array([8000] * 10, type=pa.int32()),
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(AudioDecoder, fn_constructor_kwargs={"fake": True},
+                     batch_format="pyarrow", batch_size=4, concurrency=(1, 2))
+        .map_batches(AudioFeatures(), batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+    assert len(out) == 10
+    assert (out["rms"] >= 0).all() and (out["zcr"] >= 0).all()
+
+
+def test_audio_decoder_stub_raises():
+    from opentelemetry_collector_contrib_ray.stages.multimodal import AudioDecoder
+
+    t = synth_media_table(2)
+    with pytest.raises(NotImplementedError):
+        AudioDecoder(fake=False)(t)
