@@ -65,10 +65,17 @@ class BatchOp:
     (unconditional) and optionally ``error_mask(table) -> BooleanArray``
     marking rows that failed to parse."""
 
-    def __init__(self, if_expr: str | None = None, on_error: str = "send"):
+    def __init__(self, if_expr: str | None = None, on_error: str = "send",
+                 mark_errors: bool = False):
+        """``mark_errors``: under ``send`` modes, OR this op's per-row
+        error mask into a ``__parse_errors`` dead-letter column instead
+        of dropping — the per-row error channel of SURVEY.md §7.4
+        (reference logs-and-sends, transformer.go:97-107; here the
+        errored rows stay addressable for a dead-letter sink filter)."""
         if on_error not in ON_ERROR_MODES:
             raise ValueError(f"on_error must be one of {ON_ERROR_MODES}")
         self.on_error = on_error
+        self.mark_errors = mark_errors
         self._if_mask = compile_mask(if_expr) if if_expr else None
 
     # -- subclass surface --
@@ -97,7 +104,12 @@ class BatchOp:
                     if pc.any(bad).as_py():
                         out = out.filter(pc.invert(bad))
                 return out
-            return self.transform_gated(t, mask)
+            out = self.transform_gated(t, mask)
+            if self.mark_errors:
+                em = self.error_mask(t)
+                if em is not None:
+                    out = _mark_dead_letter(out, pc.and_(pc.fill_null(em, False), mask))
+            return out
         # generic fallback: split, transform selected rows, restore order
         idx = pa.array(range(t.num_rows), type=pa.int64())
         t2 = set_column(t, "__rowid", idx)
@@ -115,6 +127,12 @@ class BatchOp:
             out = self.transform(t)
             if em is not None and pc.any(em).as_py():
                 out = out.filter(pc.invert(pc.fill_null(em, False)))
+            return out
+        if self.mark_errors:
+            em = self.error_mask(t)
+            out = self.transform(t)
+            if em is not None:
+                return _mark_dead_letter(out, em)
             return out
         return self.transform(t)
 
@@ -142,6 +160,43 @@ def apply_ops(ds, ops, batch_size: int = 32_768, **kwargs):
         batch_size=batch_size,
         zero_copy_batch=True,
         **kwargs,
+    )
+
+
+DEAD_LETTER_COL = "__parse_errors"
+
+
+def _mark_dead_letter(t: pa.Table, em) -> pa.Table:
+    em = pc.fill_null(em, False)
+    if DEAD_LETTER_COL in t.column_names:
+        em = pc.or_(pc.fill_null(t[DEAD_LETTER_COL], False), em)
+        return t.set_column(
+            t.column_names.index(DEAD_LETTER_COL), DEAD_LETTER_COL,
+            em.combine_chunks() if isinstance(em, pa.ChunkedArray) else em,
+        )
+    return t.append_column(
+        DEAD_LETTER_COL, em.combine_chunks() if isinstance(em, pa.ChunkedArray) else em
+    )
+
+
+def dead_letter_split(ds):
+    """Fan a parsed stream into (clean, dead_letter) Datasets on the
+    ``__parse_errors`` column — the dead-letter sink pattern."""
+
+    def keep(flag: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if DEAD_LETTER_COL not in t.column_names:
+                return t if not flag else t.slice(0, 0)
+            m = pc.fill_null(t[DEAD_LETTER_COL], False)
+            if not flag:
+                m = pc.invert(m)
+            return t.filter(m).drop_columns([DEAD_LETTER_COL])
+
+        return fn
+
+    return (
+        ds.map_batches(keep(False), batch_format="pyarrow"),
+        ds.map_batches(keep(True), batch_format="pyarrow"),
     )
 
 

@@ -219,3 +219,33 @@ def test_recombine_max_log_size():
     out = recombine(rd.from_arrow(t), max_log_size=10).to_pandas()
     assert all(len(s) <= 10 for s in out["text"])
     assert out["n_combined"].sum() == 4
+
+
+class TestDeadLetterChannel:
+    def test_mark_errors_column(self):
+        from opentelemetry_collector_contrib_ray.stages.base import DEAD_LETTER_COL
+
+        out = RegexParser(LOG_RE, mark_errors=True)(
+            tbl(["INFO lat=5", "nope", None])
+        )
+        assert out[DEAD_LETTER_COL].to_pylist() == [False, True, False]
+
+    def test_errors_accumulate_across_ops(self):
+        from opentelemetry_collector_contrib_ray.stages.base import DEAD_LETTER_COL
+
+        t = tbl(["INFO lat=5", "{broken", "k=v"])
+        t = RegexParser(LOG_RE, mark_errors=True)(t)
+        t = JsonParser(fields={"e": "string"}, mark_errors=True,
+                       if_expr='IsMatch(text, "^\\\\{")')(t)
+        # row0: regex ok; row1: regex err + json err; row2: regex err
+        assert t[DEAD_LETTER_COL].to_pylist() == [False, True, True]
+
+    def test_dead_letter_split(self):
+        import ray.data as rd
+
+        from opentelemetry_collector_contrib_ray.stages.base import dead_letter_split
+
+        t = RegexParser(LOG_RE, mark_errors=True)(tbl(["INFO lat=5", "nope"]))
+        clean, dead = dead_letter_split(rd.from_arrow(t))
+        assert clean.count() == 1 and dead.count() == 1
+        assert dead.to_pandas()["text"].tolist() == ["nope"]
