@@ -45,6 +45,22 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {"and", "or", "not", "true", "false", "nil", "null", "where"}
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\", "0": "\0"}
+_ESCAPE_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|.)")
+
+
+def _unescape(s: str) -> str:
+    """Decode escape sequences only — non-ASCII characters pass through
+    intact (``bytes.decode('unicode_escape')`` would mojibake them)."""
+
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e.startswith("u"):
+            return chr(int(e[1:], 16))
+        return _ESCAPES.get(e, e)
+
+    return _ESCAPE_RE.sub(sub, s)
+
 
 @dataclass
 class _Tok:
@@ -275,7 +291,7 @@ class _Parser:
             return lambda tbl, v=v: v
         if t.kind == "str":
             self.next()
-            v = t.val[1:-1].encode().decode("unicode_escape")
+            v = _unescape(t.val[1:-1])
             return lambda tbl, v=v: v
         if t.val in ("true", "false"):
             self.next()

@@ -140,17 +140,17 @@ def _hexdigest(algo):
 
 
 def conv_fnv(t, v):
-    """FNV-1a 64-bit over the UTF-8 bytes, vectorized with numpy."""
+    """FNV-1a 64-bit over the UTF-8 bytes (matches Go hash/fnv:
+    offset 0xCBF29CE484222325, prime 0x100000001B3)."""
     a = _str_arr(t, v)
     vals = a.to_pylist()
     out = np.empty(len(vals), dtype=np.int64)
     for i, s in enumerate(vals):
-        h = np.uint64(0xCBF29CE484222325)
+        h = 0xCBF29CE484222325
         if s is not None:
-            with np.errstate(over="ignore"):
-                for b in s.encode():
-                    h = np.uint64((int(h) ^ b) * 0x100000001B1 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = np.int64(h)
+            for b in s.encode():
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = np.int64(np.uint64(h))
     return pa.array(out)
 
 

@@ -31,7 +31,7 @@ from ..stages import (
 from ..stages.count import counts_to_flat
 from ..stages.enrich import LookupEnricher
 from ..stages.recombine import recombine
-from ..stages.sampler import ProbabilisticSampler, knuth_hash_sql
+from ..stages.sampler import ProbabilisticSampler, knuth_hash_sql, sample_keep_sql
 from ..stages.text import LangId, token_stats
 from .flagship import ROUTES, TOOL_SERVICE, TOOL_SERVICE_DEFAULTS, build_parse_chain
 
@@ -365,7 +365,7 @@ def q_sample_events(sf_dir: str):
 
 SQL_SAMPLE_EVENTS = f"""
 SELECT event_type, count(*) AS n FROM events
-WHERE ({knuth_hash_sql('event_id')}) % 100 < 25
+WHERE {sample_keep_sql('event_id', 25)}
 GROUP BY event_type
 """
 

@@ -492,8 +492,11 @@ class SyslogParser(BatchOp):
         self.groups = list(re.compile(self.rx).groupindex)
         self.parse_from = parse_from
         self.prefix = prefix
-        # syslog severity (0-7) → our 24-level numbers (severity_builder presets)
-        self.sev_map = np.array([21, 22, 21, 17, 13, 10, 9, 5], dtype=np.int64)
+        # syslog severity (0-7) → our 24-level numbers, matching the
+        # reference table (parser/syslog/parser.go severityMapping):
+        # emerg=Fatal4(21) alert=Error3(19) crit=Error2(18) err=Error(17)
+        # warning=Warn(13) notice=Info2(10) info=Info(9) debug=Debug(5)
+        self.sev_map = np.array([21, 19, 18, 17, 13, 10, 9, 5], dtype=np.int64)
 
     def error_mask(self, t: pa.Table):
         src = _col(t, self.parse_from)

@@ -29,6 +29,18 @@ def knuth_hash_sql(col_sql: str) -> str:
     return f"((CAST({col_sql} AS HUGEINT) * 2654435761) % 4294967296)"
 
 
+def sample_threshold(percent: float) -> int:
+    """Scaled keep-threshold over the 2^32 hash space — supports
+    fractional percentages (the reference probabilisticsampler scales
+    over numHashBuckets rather than truncating to integer percent)."""
+    return int(round(percent / 100.0 * 4294967296))
+
+
+def sample_keep_sql(col_sql: str, percent: float) -> str:
+    """SQL twin of the sampler keep predicate."""
+    return f"({knuth_hash_sql(col_sql)}) < {sample_threshold(percent)}"
+
+
 class ProbabilisticSampler(BatchOp):
     def __init__(self, percent: float, attribute_source: str,
                  priority_col: str | None = None, **kw):
@@ -55,7 +67,7 @@ class ProbabilisticSampler(BatchOp):
 
     def transform(self, t: pa.Table) -> pa.Table:
         h = self._hash(t[self.source])
-        keep = (h % np.uint64(100)) < np.uint64(int(self.percent))
+        keep = h < np.uint64(sample_threshold(self.percent))
         if self.priority_col and self.priority_col in t.column_names:
             prio = pc.fill_null(pc.cast(t[self.priority_col], pa.float64(), safe=False), 0)
             keep = keep | (np.asarray(prio) > 0)

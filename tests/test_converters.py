@@ -63,6 +63,11 @@ def test_hash_converters(t):
     fnv = ev("FNV(s)", t)
     assert len(set(fnv)) == 3  # distinct, deterministic
     assert ev("FNV(s)", t) == fnv
+    # known FNV-1a 64-bit vector: fnv1a64("a") = 0xaf63dc4c8601ec8c
+    import pyarrow as pa
+
+    va = ev("FNV(s)", pa.table({"s": ["a"]}))[0]
+    assert va & 0xFFFFFFFFFFFFFFFF == 0xAF63DC4C8601EC8C
 
 
 def test_time_converters(t):

@@ -58,6 +58,18 @@ def test_unknown_function_raises():
         compile_expr("Nope(text)")
 
 
+def test_non_ascii_literal_matches():
+    t = pa.table({"msg": ["café", "cafe"]})
+    assert compile_mask('msg == "café"')(t).to_pylist() == [True, False]
+
+
+def test_escape_sequences_in_literal():
+    t = pa.table({"msg": ["a\tb", "a\\tb"]})
+    assert compile_mask('msg == "a\\tb"')(t).to_pylist() == [True, False]
+    t2 = pa.table({"msg": ["é"]})
+    assert compile_mask('msg == "\\u00e9"')(t2).to_pylist() == [True]
+
+
 def test_bad_syntax_raises():
     with pytest.raises(ValueError):
         compile_expr("a ==")

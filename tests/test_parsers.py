@@ -170,7 +170,7 @@ class TestSyslogParser:
         assert out["attributes.appname"].to_pylist() == ["app", None]
         assert out["attributes.message"].to_pylist() == ["boom", None]
         assert out["attributes.facility"].to_pylist()[0] == 4
-        assert out["severity_number"].to_pylist()[0] == 21  # pri 34 → sev 2 → crit
+        assert out["severity_number"].to_pylist()[0] == 18  # pri 34 → sev 2 crit → Error2
 
 
 class TestCsvDynamicHeader:

@@ -110,6 +110,13 @@ def test_sampler_deterministic_and_near_rate():
     assert 0.2 < a.num_rows / 10000 < 0.3
 
 
+def test_sampler_fractional_percent():
+    t = pa.table({"k": pa.array(range(200000), type=pa.int64())})
+    out = ProbabilisticSampler(0.5, "k")(t)
+    assert 0.003 < out.num_rows / 200000 < 0.007  # 0.5% actually samples ~0.5%
+    assert ProbabilisticSampler(10.9, "k")(t).num_rows > ProbabilisticSampler(10, "k")(t).num_rows
+
+
 def test_sampler_priority_override():
     t = pa.table(
         {"k": pa.array(range(100), type=pa.int64()),
