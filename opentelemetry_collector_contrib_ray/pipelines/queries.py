@@ -841,10 +841,9 @@ def q_orders_customer_join(sf_dir: str):
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust = cust.map_batches(
-        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]), batch_format="pyarrow"
-    )
-    joined = bucketed_hash_join(orders, cust, on="o_custkey", n_buckets=16)
+    # partition count derived from input row counts (metadata-only for
+    # plain parquet reads) — per-worker memory stays bounded at scale
+    joined = bucketed_hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -921,8 +920,10 @@ def q_events_prev_value_asof(sf_dir: str):
 
     left = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     right = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    # (key, week-bucket) partitioning: one worker holds one user's rows
+    # for one week; earlier-bucket lookback via replicated carry rows
     joined = asof_join(left, right, key="user_id", ts="ts",
-                       allow_exact_matches=False)
+                       allow_exact_matches=False, bucket_width_s=7 * 86400)
 
     def proj(t: pa.Table) -> pa.Table:
         prev = t["value"] if "value" in t.column_names else pa.nulls(t.num_rows, pa.float64())

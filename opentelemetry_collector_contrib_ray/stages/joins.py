@@ -1,17 +1,29 @@
 """Join strategies — custom operators beyond the reference's lookup-only
-surface (SURVEY.md §2.8), built from Dataset primitives.
+surface (SURVEY.md §2.8), built Ray-Data-first.
 
-- broadcast_join: small side broadcast via ``ray.put``, vectorized
-  dict-join per batch (LookupEnricher generalization for DataFrames).
-- semi_join / anti_join: broadcast key set, mask filter.
-- bucketed_hash_join: both sides large — explicit partitioned hash
-  join: add ``bucket = hash(key) % B`` to both sides, co-group per
-  bucket, pandas merge inside. Partitioning assumption: key hash is
-  uniform enough that a bucket's two sides fit one worker's heap; salt
-  hot keys into sub-buckets before calling when a single key exceeds
-  that (see stages.agg for the salting pattern).
-- asof_join: within-bucket sort + ``pd.merge_asof`` per key group.
-  Partitioning assumption: rows for one key fit in one group.
+- broadcast_join: small side broadcast via ``ray.put``, resolved ONCE
+  per actor, vectorized merge per batch (the k8sattributesprocessor
+  lookup pattern generalized to whole tables). No shuffle.
+- semi_join / anti_join: broadcast key set resolved once per actor,
+  vectorized ``pc.is_in`` membership mask. For a large right side use
+  large_semi_join / large_anti_join (hash-partitioned native join).
+- bucketed_hash_join: both sides large — Ray Data's native
+  hash-partitioned ``Dataset.join``; the partition count is derived
+  from the input row counts (rows-per-partition target) so per-worker
+  memory stays bounded no matter the total size, instead of a fixed
+  bucket count that would concentrate ~total/n_buckets rows per worker.
+- asof_join: for each left row, the latest right row with
+  ``right.ts <= left.ts`` (backward) per key.
+  * scalable path (``bucket_width_s`` set): shuffle on
+    ``(key, time_bucket)`` so one worker holds only one key's rows for
+    one time slice. Cross-bucket lookback is handled by computing one
+    summary row per (key, bucket) on the right side and replicating the
+    latest-earlier summary ("carry row") into every left bucket — so a
+    single co-grouped pass resolves every row. Partitioning assumption:
+    one key's rows within one bucket fit a worker; pick the width from
+    event density.
+  * fallback (``bucket_width_s=None``): single shuffle on key; one
+    key's entire history must fit one worker (fine for bounded keys).
 """
 
 from __future__ import annotations
@@ -19,14 +31,26 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .transformers import _hash_u64
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left_outer",
+    "right": "right_outer",
+    "outer": "full_outer",
+}
+
+# Target rows per hash-join partition: bounds each aggregator worker's
+# heap at roughly rows_per_partition × row_width × 2 sides regardless of
+# total input size.
+DEFAULT_ROWS_PER_PARTITION = 1_000_000
 
 
 def broadcast_join(ds, small_ref, on: str, how: str = "left",
                    concurrency: int = 4):
     """``small_ref``: pandas DataFrame or ``ray.put`` ref of one (must
-    include ``on``). Vectorized pandas merge per batch — no shuffle."""
+    include ``on``). Resolved once per actor; vectorized pandas merge
+    per batch — no shuffle."""
 
     class Joiner:
         def __init__(self):
@@ -46,80 +70,272 @@ def broadcast_join(ds, small_ref, on: str, how: str = "left",
     )
 
 
-def _key_set_masker(keys_ref, on: str, keep_matches: bool):
-    def fn(t: pa.Table) -> pa.Table:
+class _KeySetMasker:
+    """Membership filter against a broadcast key set — the key array is
+    resolved from the object store ONCE per actor (``__init__``), and
+    each batch is masked with one vectorized ``pc.is_in`` call."""
+
+    def __init__(self, keys_ref, on: str, keep_matches: bool):
         import ray
 
-        keys = keys_ref if isinstance(keys_ref, (set, frozenset)) else set(ray.get(keys_ref))
-        col = t[on].to_pylist()
-        mask = pa.array([((v in keys) == keep_matches) for v in col])
-        return t.filter(mask)
+        keys = keys_ref if isinstance(keys_ref, (set, frozenset, list)) else ray.get(keys_ref)
+        self.value_set = pa.array(sorted(keys) if isinstance(keys, (set, frozenset)) else list(keys))
+        self.on = on
+        self.keep = keep_matches
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        member = pc.is_in(col, value_set=self.value_set.cast(col.type))
+        mask = member if self.keep else pc.invert(member)
+        return t.filter(pc.fill_null(mask, not self.keep))
+
+
+def _key_set_stage(ds, keys_ref, on: str, keep: bool, concurrency):
+    from .base import norm_concurrency
+
+    return ds.map_batches(
+        _KeySetMasker, fn_constructor_args=(keys_ref, on, keep),
+        batch_format="pyarrow", concurrency=norm_concurrency(concurrency),
+    )
+
+
+def semi_join(ds, keys_ref, on: str, concurrency: int = 4):
+    """Keep rows whose key is in the broadcast key set."""
+    return _key_set_stage(ds, keys_ref, on, True, concurrency)
+
+
+def anti_join(ds, keys_ref, on: str, concurrency: int = 4):
+    """Drop rows whose key is in the broadcast key set."""
+    return _key_set_stage(ds, keys_ref, on, False, concurrency)
+
+
+def large_semi_join(left, right, on: str, right_on: str | None = None,
+                    num_partitions: int | None = None):
+    """Semi join where the right side is too large to broadcast —
+    native hash-partitioned left_semi join."""
+    np_ = num_partitions or _derive_partitions(left, right)
+    return left.join(right, join_type="left_semi", num_partitions=np_,
+                     on=(on,), right_on=(right_on or on,))
+
+
+def large_anti_join(left, right, on: str, right_on: str | None = None,
+                    num_partitions: int | None = None):
+    """Anti join against a large right side — native left_anti join."""
+    np_ = num_partitions or _derive_partitions(left, right)
+    return left.join(right, join_type="left_anti", num_partitions=np_,
+                     on=(on,), right_on=(right_on or on,))
+
+
+def _derive_partitions(left, right,
+                       rows_per_partition: int = DEFAULT_ROWS_PER_PARTITION) -> int:
+    """Partition count from input sizes: ceil(total_rows / target).
+    ``count()`` is metadata-only for plain Parquet reads; for derived
+    datasets pass ``num_partitions`` explicitly to avoid an extra pass."""
+    total = left.count() + right.count()
+    return int(min(max(-(-total // rows_per_partition), 8), 1024))
+
+
+def bucketed_hash_join(left, right, on: str, how: str = "inner",
+                       right_on: str | None = None,
+                       num_partitions: int | None = None,
+                       rows_per_partition: int = DEFAULT_ROWS_PER_PARTITION,
+                       n_buckets: int | None = None):
+    """Large × large hash join via Ray Data's native hash-partitioned
+    ``Dataset.join``. Each of the ``num_partitions`` partitions is
+    joined independently by an aggregator worker, so per-worker memory
+    is ~(total rows / num_partitions) — derived from the input row
+    counts unless given explicitly (``n_buckets`` is the deprecated
+    alias)."""
+    if num_partitions is None:
+        num_partitions = n_buckets or _derive_partitions(left, right, rows_per_partition)
+    return left.join(
+        right,
+        join_type=_JOIN_TYPES.get(how, how),
+        num_partitions=int(num_partitions),
+        on=(on,),
+        right_on=(right_on or on,),
+    )
+
+
+# ------------------------------------------------------------------ as-of
+
+
+def _with_bucket(ts: str, width_us: int):
+    def fn(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts], pa.timestamp("us")), pa.int64())
+        b = pc.divide(us, width_us)
+        return t.append_column("__b", pc.cast(b, pa.int64()))
 
     return fn
 
 
-def semi_join(ds, keys_ref, on: str):
-    """Keep rows whose key is in the broadcast key set."""
-    return ds.map_batches(_key_set_masker(keys_ref, on, True), batch_format="pyarrow")
+def _pa_type(typ) -> pa.DataType:
+    """ray.data.Schema.types yields Python classes (e.g. ``object``) for
+    pandas-backed datasets — map those to a best-effort Arrow type."""
+    if isinstance(typ, pa.DataType):
+        return typ
+    return pa.string()
 
 
-def anti_join(ds, keys_ref, on: str):
-    """Drop rows whose key is in the broadcast key set."""
-    return ds.map_batches(_key_set_masker(keys_ref, on, False), batch_format="pyarrow")
+def _align_union(tagged, all_fields: dict):
+    """Union tables with different columns: add each side's missing
+    columns as typed nulls so every block shares one schema.
+    ``all_fields``: name → pa.DataType for the unified schema (built by
+    the caller from the INPUT schemas — derived datasets like
+    ``map_groups`` outputs can't report a schema without executing)."""
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = []
+        for name, typ in all_fields.items():
+            if name not in t.column_names:
+                cols.append(pa.nulls(t.num_rows, typ))
+            else:
+                c = t[name]
+                cols.append(c if c.type == typ else pc.cast(c, typ))
+        return pa.table(dict(zip(all_fields, cols)))
+
+    out = tagged[0].map_batches(pad, batch_format="pyarrow")
+    for ds in tagged[1:]:
+        out = out.union(ds.map_batches(pad, batch_format="pyarrow"))
+    return out
 
 
-def _add_bucket(on: str, n_buckets: int, side: str):
+def _tag(side: str):
     def fn(t: pa.Table) -> pa.Table:
-        h = _hash_u64(t[on])
-        t = t.append_column("__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
         return t.append_column("__side", pa.array([side] * t.num_rows))
 
     return fn
 
 
-def bucketed_hash_join(left, right, on: str, n_buckets: int = 32, how: str = "inner"):
-    """Explicit partitioned hash join: bucket both sides by key hash,
-    union, co-group per bucket, merge inside the group."""
-    lb = left.map_batches(_add_bucket(on, n_buckets, "l"), batch_format="pyarrow")
-    rb = right.map_batches(_add_bucket(on, n_buckets, "r"), batch_format="pyarrow")
-    both = lb.union(rb)
+def _add_part(keys: list, n_parts: int):
+    """Append ``__p = hash(keys) % n_parts`` — the explicit shuffle key.
+    Vectorized; combining hash for composite keys."""
+    from .transformers import _hash_u64
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        r = g[g["__side"] == "r"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        if l.empty or (r.empty and how == "inner"):
-            return l.iloc[0:0]
-        return l.merge(r, on=on, how=how)
+    def fn(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in keys:
+                h = h * np.uint64(1000003) + _hash_u64(t[k])
+        return t.append_column("__p", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return fn
 
 
 def asof_join(left, right, key: str, ts: str, direction: str = "backward",
-              suffix: str = "_r", allow_exact_matches: bool = True):
-    """As-of join: for each left row, the latest right row with
-    ``right.ts <= left.ts`` (backward) per key. One shuffle on key."""
-    def tag(side):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.append_column("__side", pa.array([side] * t.num_rows))
+              suffix: str = "_r", allow_exact_matches: bool = True,
+              bucket_width_s: int | None = None,
+              num_partitions: int | None = None):
+    """As-of join (see module docstring for the partitioning design).
+
+    Execution shape: both paths shuffle on a HASH PARTITION column
+    (``__p``) rather than the raw key, so one worker processes one
+    partition containing MANY whole key groups, and the asof itself is
+    a single vectorized ``pd.merge_asof(..., by=key)`` per partition —
+    no per-key Python call. ``num_partitions`` bounds per-worker memory
+    at ~total/num_partitions rows (derived from input sizes when not
+    given)."""
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    rvals = [c for c in rcols if c not in (key, ts)]
+    out_names = {c: (c + suffix if c in lcols else c) for c in rvals}
+    base_fields: dict = {}
+    for s in (lschema, rschema):
+        for name, typ in zip(s.names, s.types):
+            base_fields.setdefault(name, _pa_type(typ))
+    n_parts = num_partitions or _derive_partitions(left, right, 500_000)
+
+    def merge_part(by_cols):
+        """One partition (= many whole key/bucket groups): vectorized
+        multi-key asof in a single C call."""
+
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            l = g.loc[g["__side"] == "l", lcols + by_cols[1:]]
+            l = l.sort_values(ts, kind="mergesort")
+            r = g.loc[g["__side"] == "r", [key, ts] + rvals + by_cols[1:]]
+            r = r.dropna(subset=[ts]).sort_values(ts, kind="mergesort")
+            m = pd.merge_asof(
+                l, r, on=ts, by=by_cols, direction=direction, suffixes=("", suffix),
+                allow_exact_matches=allow_exact_matches,
+            )
+            m = m.rename(columns={c + suffix: out_names[c] for c in rvals if c + suffix in m.columns})
+            return m[lcols + [out_names[c] for c in rvals]]
 
         return fn
 
-    both = left.map_batches(tag("l"), batch_format="pyarrow").union(
-        right.map_batches(tag("r"), batch_format="pyarrow")
-    )
+    if bucket_width_s is None or direction != "backward":
+        # partition on hash(key): a key's whole history in one worker
+        both = _align_union([
+            left.map_batches(_tag("l"), batch_format="pyarrow"),
+            right.map_batches(_tag("r"), batch_format="pyarrow"),
+        ], dict(base_fields, __side=pa.string()))
+        both = both.map_batches(_add_part([key], n_parts), batch_format="pyarrow")
+        return both.groupby("__p").map_groups(merge_part([key]), batch_format="pandas")
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == "l"].drop(columns="__side").dropna(axis=1, how="all")
-        r = g[g["__side"] == "r"].drop(columns="__side").dropna(axis=1, how="all")
-        if l.empty:
-            return l
-        l = l.sort_values(ts, kind="mergesort")
-        if r.empty:
-            return l
-        r = r.sort_values(ts, kind="mergesort")
-        return pd.merge_asof(
-            l, r, on=ts, by=key, direction=direction, suffixes=("", suffix),
-            allow_exact_matches=allow_exact_matches,
+    width_us = int(bucket_width_s) * 1_000_000
+    # each side feeds two consumers (summary/bucket scan + final
+    # co-group) — materialize once into the (spillable) object store so
+    # the read+bucket lineage doesn't execute twice
+    lb = left.map_batches(_with_bucket(ts, width_us), batch_format="pyarrow").materialize()
+    rb = right.map_batches(_with_bucket(ts, width_us), batch_format="pyarrow").materialize()
+
+    # one summary row per (key, bucket) = the right row with max ts —
+    # shuffles only the right side; computed vectorized per partition
+    def last_rows(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(ts, kind="mergesort").groupby([key, "__b"], sort=False).tail(1)
         )
 
-    return both.groupby(key).map_groups(merge_group, batch_format="pandas")
+    summaries = (
+        rb.map_batches(_add_part([key], n_parts), batch_format="pyarrow")
+        .groupby("__p").map_groups(last_rows, batch_format="pandas")
+    )
+
+    # distinct (key, bucket) pairs present on the LEFT — two ints/row,
+    # Ray-native aggregate (no Python per group)
+    left_buckets = (
+        lb.select_columns([key, "__b"]).groupby([key, "__b"]).count()
+        .select_columns([key, "__b"])
+    )
+
+    # carry rows: for each left bucket, the latest summary from any
+    # STRICTLY EARLIER bucket, re-tagged to that left bucket — itself an
+    # asof on the bucket index, vectorized per partition
+    def make_carries(g: pd.DataFrame) -> pd.DataFrame:
+        tgt = g.loc[g["__c"] == "t", [key, "__b"]].sort_values("__b", kind="mergesort")
+        src = g.loc[g["__c"] == "s"].drop(columns=["__c", "__p"]).sort_values("__b", kind="mergesort")
+        if tgt.empty or src.empty:
+            return src.iloc[0:0]
+        m = pd.merge_asof(tgt, src, on="__b", by=key, suffixes=("", "__s"),
+                          allow_exact_matches=False)
+        return m.dropna(subset=[ts])[src.columns.tolist()]
+
+    tagged_s = summaries.map_batches(
+        lambda t: t.append_column("__c", pa.array(["s"] * t.num_rows)), batch_format="pyarrow"
+    )
+    tagged_t = left_buckets.map_batches(
+        lambda t: t.append_column("__c", pa.array(["t"] * t.num_rows)), batch_format="pyarrow"
+    )
+    rb_fields = {name: _pa_type(typ) for name, typ in zip(rschema.names, rschema.types)}
+    rb_fields["__b"] = pa.int64()
+    carries = (
+        _align_union([tagged_s, tagged_t], dict(rb_fields, __c=pa.string()))
+        .map_batches(_add_part([key], n_parts), batch_format="pyarrow")
+        .groupby("__p").map_groups(make_carries, batch_format="pandas")
+    )
+
+    # final co-grouped pass: partition on hash(key, bucket) — hot keys
+    # spread across time buckets; each partition resolved in one
+    # vectorized merge_asof(by=[key, bucket])
+    both = _align_union([
+        lb.map_batches(_tag("l"), batch_format="pyarrow"),
+        rb.map_batches(_tag("r"), batch_format="pyarrow"),
+        carries.map_batches(_tag("r"), batch_format="pyarrow"),
+    ], dict(base_fields, __b=pa.int64(), __side=pa.string()))
+    both = both.map_batches(_add_part([key, "__b"], n_parts), batch_format="pyarrow")
+    return both.groupby("__p").map_groups(
+        merge_part([key, "__b"]), batch_format="pandas"
+    )

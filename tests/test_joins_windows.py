@@ -9,6 +9,8 @@ from opentelemetry_collector_contrib_ray.stages.joins import (
     asof_join,
     broadcast_join,
     bucketed_hash_join,
+    large_anti_join,
+    large_semi_join,
     semi_join,
 )
 from opentelemetry_collector_contrib_ray.stages.windows import (
@@ -52,6 +54,42 @@ def test_bucketed_hash_join_vs_pandas():
     )
 
 
+def test_bucketed_hash_join_left_outer_unmatched():
+    # ADVICE round 1: left join with keys absent on the right must not
+    # error and must null-fill the right columns
+    l = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    r = pd.DataFrame({"k": [2], "rv": [200]})
+    out = bucketed_hash_join(
+        rd.from_pandas(l), rd.from_pandas(r), on="k", how="left", num_partitions=4
+    ).to_pandas()
+    assert len(out) == 3
+    got = dict(zip(out["k"], out["rv"]))
+    assert got[2] == 200 and pd.isna(got[1]) and pd.isna(got[3])
+
+
+def test_bucketed_hash_join_skewed_key():
+    # one key = 20% of left rows: output must still match pandas
+    rng = np.random.default_rng(7)
+    keys = np.where(rng.random(20000) < 0.2, 0, rng.integers(1, 200, 20000))
+    l = pd.DataFrame({"k": keys, "lv": np.arange(20000)})
+    r = pd.DataFrame({"k": np.arange(200), "rv": np.arange(200) * 3})
+    out = bucketed_hash_join(
+        rd.from_pandas(l).repartition(8), rd.from_pandas(r), on="k", num_partitions=16
+    ).to_pandas()
+    expected = l.merge(r, on="k")
+    assert len(out) == len(expected)
+    assert int(out["rv"].sum()) == int(expected["rv"].sum())
+
+
+def test_large_semi_anti_join():
+    l = rd.from_items([{"k": i} for i in range(10)])
+    r = rd.from_items([{"k": i} for i in [2, 4, 6, 99]])
+    assert sorted(large_semi_join(l, r, "k", num_partitions=2).to_pandas()["k"]) == [2, 4, 6]
+    assert sorted(large_anti_join(l, r, "k", num_partitions=2).to_pandas()["k"]) == [
+        0, 1, 3, 5, 7, 8, 9,
+    ]
+
+
 def test_asof_join():
     trades = pa.table(
         {"sym": ["a", "a", "b"], "ts": ts_arr(["2024-01-01T10:00:05", "2024-01-01T10:01:00", "2024-01-01T10:00:30"]),
@@ -65,6 +103,69 @@ def test_asof_join():
     df = out.to_pandas().sort_values(["sym", "ts"]).reset_index(drop=True)
     got = df[df["qty"].notna()]
     assert got["px"].tolist() == [100.0, 101.0, 50.0]
+
+
+def _asof_oracle(l: pd.DataFrame, r: pd.DataFrame, key, ts, val,
+                 allow_exact=True) -> dict:
+    """Brute-force per-row asof for verification."""
+    out = {}
+    for i, row in l.iterrows():
+        cand = r[(r[key] == row[key])
+                 & ((r[ts] <= row[ts]) if allow_exact else (r[ts] < row[ts]))]
+        out[i] = None if cand.empty else cand.sort_values(ts)[val].iloc[-1]
+    return out
+
+
+def test_asof_join_bucketed_cross_bucket_carry():
+    # right rows are sparse: most left buckets have no in-bucket right
+    # row and must resolve via the carry row from an earlier bucket
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    l = pd.DataFrame({
+        "k": ["a"] * 50 + ["b"] * 50,
+        "ts": np.concatenate([base + np.arange(50) * np.timedelta64(1800, "s")] * 2),
+        "lv": np.arange(100),
+    })
+    rng = np.random.default_rng(11)
+    r = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": [base + np.timedelta64(100, "s"), base + np.timedelta64(40000, "s"),
+               base + np.timedelta64(7000, "s")],
+        "px": [1.0, 2.0, 3.0],
+    })
+    out = asof_join(
+        rd.from_pandas(l).repartition(4), rd.from_pandas(r), key="k", ts="ts",
+        bucket_width_s=3600,
+    ).to_pandas()
+    assert len(out) == 100
+    oracle = _asof_oracle(l, r, "k", "ts", "px")
+    got = {
+        (row["k"], row["ts"]): (None if pd.isna(row["px"]) else row["px"])
+        for _, row in out.iterrows()
+    }
+    for i, row in l.iterrows():
+        assert got[(row["k"], row["ts"])] == oracle[i], (row["k"], row["ts"])
+
+
+def test_asof_join_bucketed_matches_key_shuffle_path():
+    rng = np.random.default_rng(5)
+    base = np.datetime64("2024-01-01", "us")
+    n = 2000
+    l = pd.DataFrame({
+        "k": rng.integers(0, 8, n),
+        "ts": base + rng.integers(0, 10**6, n).astype("timedelta64[s]"),
+        "lv": np.arange(n),
+    })
+    r = pd.DataFrame({
+        "k": rng.integers(0, 8, 300),
+        "ts": base + rng.integers(0, 10**6, 300).astype("timedelta64[s]"),
+        "px": rng.random(300),
+    })
+    a = asof_join(rd.from_pandas(l), rd.from_pandas(r), key="k", ts="ts").to_pandas()
+    b = asof_join(rd.from_pandas(l), rd.from_pandas(r), key="k", ts="ts",
+                  bucket_width_s=24 * 3600).to_pandas()
+    ka = sorted(zip(a["k"], a["ts"], a["lv"], a["px"].fillna(-1)))
+    kb = sorted(zip(b["k"], b["ts"], b["lv"], b["px"].fillna(-1)))
+    assert ka == kb
 
 
 def test_tumbling_window():
