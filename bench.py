@@ -73,7 +73,7 @@ def run_bench() -> dict:
     shutil.rmtree(out_root, ignore_errors=True)
     os.sync()  # flush dirty pages so prior runs' writeback doesn't bleed in
     t0 = time.time()
-    run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS, counts_mode="inline")
+    run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS, counts_mode="partials")
     headline = time.time() - t0
 
     qtimes = {}

@@ -159,7 +159,10 @@ class Filter(BatchOp):
     transformer/filter/transformer.go:26-57), with ``drop_ratio`` ∈ [0,1]
     as a *deterministic* hash-based keep decision (config.go:37-67 uses a
     random cutoff over [0,1000); we hash a key column for reproducibility
-    across runs and parallelism levels)."""
+    across runs and parallelism levels). Without ``hash_col`` the dice
+    hashes the ROW CONTENT (every column combined) — still independent
+    of block boundaries, so the kept set is identical at any
+    parallelism (batch-relative indices would not be)."""
 
     def __init__(self, expr: str, drop_ratio: float = 1.0, hash_col: str | None = None, **kw):
         super().__init__(**kw)
@@ -167,13 +170,22 @@ class Filter(BatchOp):
         self.drop_ratio = drop_ratio
         self.hash_col = hash_col
 
+    def _dice_hash(self, t: pa.Table) -> np.ndarray:
+        if self.hash_col and self.hash_col in t.column_names:
+            return _hash_u64(t[self.hash_col])
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for name in t.column_names:
+                try:
+                    h = h * np.uint64(1000003) + _hash_u64(t[name])
+                except (TypeError, ValueError, pa.ArrowInvalid):
+                    continue  # unhashable column type (nested) — skip
+        return h
+
     def transform(self, t: pa.Table) -> pa.Table:
         m = self.mask(t)  # True = candidate for drop
         if self.drop_ratio < 1.0:
-            if self.hash_col and self.hash_col in t.column_names:
-                h = _hash_u64(t[self.hash_col])
-            else:
-                h = _hash_u64(pa.array(np.arange(t.num_rows)))
+            h = self._dice_hash(t)
             cutoff = np.uint64(int(self.drop_ratio * 1000))
             dice = pa.array((h % np.uint64(1000)) < cutoff)
             m = pc.and_(m, dice)

@@ -134,6 +134,41 @@ def test_run_flagship_resume(tmp_path):
     assert t1a == t1b
 
 
+def test_two_pass_counts_survive_task_retry(tmp_path):
+    """Inject a real task failure + Ray retry into a streaming pass:
+    counts derived from the COMMITTED output (two_pass mode) are
+    unchanged — the write is idempotent per output file, so a
+    re-executed task cannot double-count. (The inline collector is
+    documented as not retry-safe; this is why two_pass is the
+    default.)"""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    t = generate_transcripts(4000)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(t, inp / "t.parquet")
+    marker = str(tmp_path / "boom_once")
+
+    def flaky(b: pa.Table) -> pa.Table:
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL)
+            os.close(fd)
+            raise RuntimeError("injected failure — Ray must retry this task")
+        except FileExistsError:
+            return b
+
+    ds = rd.read_parquet(str(inp), override_num_blocks=4).map_batches(
+        flaky, batch_format="pyarrow", retry_exceptions=True, max_retries=4,
+    )
+    out = tmp_path / "sinks"
+    ds.write_parquet(str(out))
+    assert os.path.exists(marker)  # the failure really fired
+    assert pads.dataset(str(out)).count_rows() == 4000  # exactly once
+
+
 def test_single_pass_counts_match_flagship(tmp_path):
     """Inline sidecar counts == per-sink lazy aggregates == two-pass."""
     import pyarrow.parquet as pq
@@ -149,11 +184,17 @@ def test_single_pass_counts_match_flagship(tmp_path):
                                enrich_concurrency=2, counts_mode="inline")
     r_two = run_single_pass(str(inp), str(tmp_path / "o2"),
                             enrich_concurrency=2, counts_mode="two_pass")
-    assert set(r_inline["counts"]) == set(r_two["counts"])
+    r_part = run_single_pass(str(inp), str(tmp_path / "o3"),
+                             enrich_concurrency=2, counts_mode="partials")
+    assert set(r_inline["counts"]) == set(r_two["counts"]) == set(r_part["counts"])
     for s in r_two["counts"]:
         a = r_inline["counts"][s].sort_values(["metric", "attrs"]).reset_index(drop=True)
         b = r_two["counts"][s].sort_values(["metric", "attrs"]).reset_index(drop=True)
+        p = r_part["counts"][s].sort_values(["metric", "attrs"]).reset_index(drop=True)
         assert a.equals(b), f"sink {s} inline vs two_pass"
+        assert list(p["metric"]) == list(b["metric"]) and list(p["count"]) == list(
+            b["count"]
+        ), f"sink {s} partials vs two_pass"
     # and against the lazy flagship fan-out counts
     _, lazy_counts = flagship(rd.from_arrow(t), enrich_concurrency=2)
     for s, cds in lazy_counts.items():

@@ -78,6 +78,21 @@ def test_filter_drop_ratio_deterministic(t):
     assert a["n"].to_pylist() == b["n"].to_pylist()
 
 
+def test_filter_drop_ratio_block_boundary_independent():
+    """Without hash_col the dice hashes row CONTENT, so the kept set is
+    identical whether the table arrives as 1 block or 16."""
+    big = pa.table({"id": pa.array(range(4000), type=pa.int64()),
+                    "txt": [f"row-{i}" for i in range(4000)]})
+    f = Filter("true", drop_ratio=0.5)
+    whole = f(big)["id"].to_pylist()
+    chunked = []
+    for i in range(16):
+        part = big.slice(i * 250, 250)
+        chunked.extend(f(part)["id"].to_pylist())
+    assert whole == chunked
+    assert 0.4 < 1 - len(whole) / 4000 < 0.6  # ~half dropped
+
+
 def test_pack_and_flatten_roundtrip(t):
     packed = PackStruct("attributes")(t)
     assert "attributes" in packed.column_names
