@@ -663,7 +663,7 @@ def q_docs_minhash_pairs(sf_dir: str):
     from ..stages.dedup import minhash_candidate_pairs
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16, concurrency=(1, 2))
+    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16, concurrency=(2, 8))
     n = pairs.count()
     return pa.table({"n_candidate_pairs": pa.array([n], type=pa.int64())})
 

@@ -37,22 +37,31 @@ def add_content_hash(t: pa.Table, col: str = "text", out: str = "__hash") -> pa.
     return t.append_column(out, pa.array(h.view(np.int64)))
 
 
-def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", num_partitions: int = 64):
     """Keep the min-id row per distinct content value.
 
     hash-partition + per-group first (the brief's required shape): the
-    groupby key is the 64-bit content hash (cheap to shuffle); ties on
-    hash are resolved by comparing the actual value inside the group.
-    """
+    shuffle key is ``hash(content) % num_partitions`` so one worker
+    handles MANY whole content groups and resolves them in one
+    vectorized pandas pass (per-distinct-value ``map_groups`` would pay
+    a Python call per group); ties on hash are resolved by comparing
+    the actual value inside the partition."""
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([col, id_col], kind="mergesort").groupby(col, sort=False).head(1)
+        out = g.sort_values([col, id_col], kind="mergesort").groupby(col, sort=False).head(1)
+        return out.drop(columns=["__hash", "__p"])
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, col)
+        h = t["__hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
 
     return (
-        ds.map_batches(lambda t: add_content_hash(t, col), batch_format="pyarrow")
-        .groupby("__hash")
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("__p")
         .map_groups(first_per_group, batch_format="pandas")
-        .drop_columns(["__hash"])
     )
 
 
@@ -82,15 +91,69 @@ class MinHasher:
         return pd.util.hash_array(np.array(sh, dtype="U")).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
+        """Reference per-row path — used only for short docs (< shingle
+        tokens); the batch path in ``__call__`` produces bit-identical
+        signatures for everything else."""
         sv = self.shingles(text) % _MERSENNE
         # (num_perm, n_shingles) universal hash, min over shingles
         with np.errstate(over="ignore"):
             m = (np.outer(self.a, sv) + self.b[:, None]) % _MERSENNE
         return m.min(axis=1)
 
+    def _batch_signatures(self, texts_col) -> np.ndarray:
+        """Whole-batch vectorized signatures: ONE split kernel, ONE
+        ``np.char`` shingle join over the flattened token array, ONE
+        hash_array call, then per-doc segment-min via
+        ``np.minimum.reduceat`` — no per-row hashing loop."""
+        k = self.shingle
+        filled = pc.fill_null(pc.cast(texts_col, pa.string()), "")
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(filled), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        counts = offsets[1:] - offsets[:-1]
+        flat = toks.flatten()
+        tok_np = flat.to_numpy(zero_copy_only=False).astype("U")
+        n = len(tok_np)
+        ndocs = len(counts)
+        sigs = np.empty((ndocs, self.num_perm), dtype=np.uint64)
+
+        # regex-split gives [""] for whitespace-only docs where
+        # ``str.split()`` gives [] — treat those as zero tokens
+        eff = counts.copy()
+        if n:
+            starts = offsets[:-1].clip(0, n - 1)
+            eff[(counts == 1) & (tok_np[starts] == "")] = 0
+        vec = eff >= k
+
+        if vec.any() and n >= k:
+            parts = tok_np[: n - k + 1].copy()
+            for j in range(1, k):
+                parts = np.char.add(np.char.add(parts, " "), tok_np[j : n - k + 1 + j])
+            doc_of = np.repeat(np.arange(ndocs), counts)
+            head = doc_of[: n - k + 1]
+            valid = (head == doc_of[k - 1 :]) & vec[head]
+            sv = pd.util.hash_array(parts[valid]).astype(np.uint64) % _MERSENNE
+            seg_doc = head[valid]
+            seg_starts = np.flatnonzero(np.r_[True, seg_doc[1:] != seg_doc[:-1]])
+            seg_docs = seg_doc[seg_starts]
+            with np.errstate(over="ignore"):
+                for p0 in range(0, self.num_perm, 16):
+                    p1 = min(p0 + 16, self.num_perm)
+                    m = (self.a[p0:p1, None] * sv[None, :] + self.b[p0:p1, None]) % _MERSENNE
+                    sigs[seg_docs, p0:p1] = np.minimum.reduceat(m, seg_starts, axis=1).T
+
+        # short docs: the padded per-row path (rare)
+        for i in np.flatnonzero(~vec):
+            s = filled[int(i)].as_py()
+            sigs[i] = self.signature(s)
+        return sigs
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.col].to_pylist()
-        sigs = np.stack([self.signature(x or "") for x in texts])
+        col = t[self.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sigs = self._batch_signatures(col)
         return pa.table(
             {
                 self.id_col: t[self.id_col],
@@ -151,21 +214,58 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle: in
         lambda t: minhash_bands(t, bands, rows, id_col), batch_format="pyarrow"
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        capped = len(ids) > max_bucket
-        ids = ids[:max_bucket]
-        if len(ids) < 2:
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """One hash partition = many whole (band, bucket) groups; only
+        buckets with ≥2 members (rare) do any per-bucket work."""
+        multi = g.groupby(["band", "bucket"], sort=False)[id_col].transform("size") >= 2
+        g = g.loc[multi].sort_values(["band", "bucket", id_col], kind="mergesort")
+        out_a, out_b, out_c = [], [], []
+        for _, sub in g.groupby(["band", "bucket"], sort=False):
+            ids = sub[id_col].to_numpy()
+            capped = len(ids) > max_bucket
+            ids = ids[:max_bucket]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_c.append(np.full(len(ia), capped))
+        if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "capped": []}).astype(
                 {"id_a": np.int64, "id_b": np.int64, "capped": bool}
             )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "capped": capped})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "capped": np.concatenate(out_c),
+            }
+        )
 
-    cand = bands_ds.groupby(["band", "bucket"]).map_groups(pairs, batch_format="pandas")
-    # dedup pairs found in multiple bands
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    from .joins import _add_part
+
+    cand = (
+        bands_ds.map_batches(_add_part(["band", "bucket"], 64), batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
+    # dedup pairs found in multiple bands: a plain DISTINCT-style
+    # aggregate (no per-pair Python call) — max(capped) keeps the flag
+    # if ANY band capped the bucket
+    agg = cand.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("capped"), "capped",
+            pc.cast(t["capped"], pa.int8()),
+        ),
+        batch_format="pyarrow",
+    ).groupby(["id_a", "id_b"]).max("capped")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "capped": pc.cast(t["max(capped)"], pa.bool_()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -211,7 +311,12 @@ def verify_pairs_jaccard(pairs_ds, docs_by_id_ref, threshold: float = 0.8,
 
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens (Charikar '02)."""
+    """64-bit SimHash over whitespace tokens (Charikar '02).
+
+    Batch path: one split kernel + ONE hash_array over the flattened
+    token array, bit-plane sums per doc via ``np.add.reduceat`` — no
+    per-row hashing. ``simhash64`` is the single-string reference
+    implementation (bit-identical)."""
 
     def __init__(self, col: str = "text", id_col: str = "doc_id"):
         self.col = col
@@ -230,8 +335,45 @@ class SimHasher:
             out |= np.uint64(1) << np.uint64(i)
         return out
 
+    def _batch_simhash(self, col) -> np.ndarray:
+        filled = pc.fill_null(pc.cast(col, pa.string()), "")
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(filled), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        counts = offsets[1:] - offsets[:-1]
+        tok_np = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        n = len(tok_np)
+        ndocs = len(counts)
+        out = np.zeros(ndocs, dtype=np.uint64)
+        eff = counts.copy()
+        if n:
+            starts = offsets[:-1].clip(0, n - 1)
+            eff[(counts == 1) & (tok_np[starts] == "")] = 0
+        # segment boundaries must cover EVERY doc that owns flat tokens
+        # (a whitespace-only doc still holds one "" token) — select the
+        # wanted rows only after the reduceat
+        docs_tok = np.flatnonzero(counts > 0)
+        keep = eff[docs_tok] > 0
+        if not keep.any():
+            return out
+        hs = pd.util.hash_array(tok_np).astype(np.uint64)
+        seg_starts = offsets[:-1][docs_tok]
+        seg_counts = counts[docs_tok]
+        tgt = docs_tok[keep]
+        for b0 in range(0, 64, 16):
+            shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            sums = np.add.reduceat(bits, seg_starts, axis=0)
+            vote = (sums * 2 > seg_counts[:, None]).astype(np.uint64)
+            out[tgt] |= (vote << shifts).sum(axis=1, dtype=np.uint64)[keep]
+        return out
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs = np.array([self.simhash64(x or "") for x in t[self.col].to_pylist()])
+        col = t[self.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hs = self._batch_simhash(col)
         return t.append_column("simhash", pa.array(hs.view(np.int64)))
 
 

@@ -88,18 +88,26 @@ class LangId:
     def __init__(self, col: str = "text", out: str = "lang_pred"):
         self.col = col
         self.out = out
+        self.langs = list(self.PROFILES)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.col].to_pylist()
-        preds = []
-        for s in texts:
-            s2 = " " + (s or "").lower() + " "
-            best, best_n = "unknown", 0
-            for lang, marks in self.PROFILES.items():
-                n = sum(s2.count(m) for m in marks)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
+        """Vectorized: one ``pc.count_substring`` kernel per marker over
+        the whole column (≈30 kernels), then a per-batch argmax — no
+        per-row Python loop. First language in profile order wins ties
+        (argmax returns the first maximum), matching the strict-``>``
+        scan it replaces."""
+        c = t[self.col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(pc.cast(c, pa.string()), ""))
+        padded = pc.binary_join_element_wise(" ", low, " ", "")
+        m = np.zeros((t.num_rows, len(self.langs)), dtype=np.int64)
+        for i, lang in enumerate(self.langs):
+            for mark in self.PROFILES[lang]:
+                m[:, i] += np.asarray(pc.count_substring(padded, mark))
+        best = m.max(axis=1)
+        idx = m.argmax(axis=1)
+        preds = np.where(best > 0, np.array(self.langs, dtype=object)[idx], "unknown")
         return set_column(t, self.out, pa.array(preds, type=pa.string()))
 
 

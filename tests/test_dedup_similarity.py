@@ -90,6 +90,39 @@ def test_simhash_value_deterministic():
     assert a == b and a != 0
 
 
+def test_simhash_batch_matches_per_row():
+    """The vectorized batch path must be bit-identical to the per-string
+    reference implementation, including empty/whitespace/None rows."""
+    texts = [
+        "hello world foo bar", "", "   ", None, "single",
+        "the quick brown fox", "a b c d e f g h i j k",
+    ]
+    t = pa.table({"text": pa.array(texts, type=pa.string())})
+    out = SimHasher()(t)["simhash"].to_numpy().view(np.uint64)
+    for i, s in enumerate(texts):
+        assert out[i] == SimHasher.simhash64(s or ""), f"row {i}: {s!r}"
+
+
+def test_minhash_batch_matches_per_row():
+    from opentelemetry_collector_contrib_ray.stages.dedup import MinHasher
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", "  ", None, "one two", "tiny",
+        "pack my box with five dozen liquor jugs today",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    mh = MinHasher(num_perm=32)
+    out = mh(t)
+    sigs = np.asarray(out["__sig"].combine_chunks().flatten()).view(np.uint64).reshape(
+        len(texts), 32
+    )
+    for i, s in enumerate(texts):
+        ref = mh.signature(s or "")
+        assert (sigs[i] == ref).all(), f"row {i}: {s!r}"
+
+
 @pytest.fixture(scope="module")
 def embeddings():
     rng = np.random.Generator(np.random.PCG64(5))
