@@ -913,6 +913,144 @@ UNION ALL SELECT 'default', (SELECT count(*) FROM parsed
 
 
 
+def q_csv_quoted_roundtrip(sf_dir: str):
+    """CSV quote handling (parser/csv/parser.go strict mode): build a
+    CSV line whose middle field embeds commas AND doubled quotes, parse
+    it back with the quote-aware CsvParser, and aggregate the recovered
+    payload — any quoting bug breaks the value hash vs the oracle that
+    computes from the raw columns."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages import CsvParser
+
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+    def build_line(t: pa.Table) -> pa.Table:
+        payload = pc.binary_join_element_wise(
+            t["c_name"], pc.cast(t["c_mktsegment"], pa.string()), ', says "')
+        payload = pc.binary_join_element_wise(payload, '"', "")
+        quoted = pc.binary_join_element_wise(
+            '"', pc.replace_substring(payload, '"', '""'), '"', "")
+        line = pc.binary_join_element_wise(
+            pc.cast(t["c_custkey"], pa.string()), quoted,
+            pc.cast(_cents(t["c_acctbal"]), pa.string()), ",")
+        return pa.table({"text": line})
+
+    parsed = ds.map_batches(build_line, batch_format="pyarrow").map_batches(
+        CsvParser(header=["key", "payload", "cents"],
+                  types={"key": "int64", "cents": "int64"}, on_error="drop"),
+        batch_format="pyarrow",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "payload_len": pc.cast(pc.utf8_length(t["attributes.payload"]), pa.int64()),
+                "cents": t["attributes.cents"],
+            }
+        )
+
+    return (
+        parsed.map_batches(proj, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Count(alias_name="n"), Sum("payload_len", alias_name="sum_len"),
+                   Sum("cents", alias_name="sum_cents"))
+    )
+
+
+SQL_CSV_QUOTED = f"""
+SELECT count(*) AS n,
+       CAST(SUM(length(c_name || ', says "' || c_mktsegment || '"')) AS BIGINT) AS sum_len,
+       CAST(SUM({_CENTS.format(x='c_acctbal')}) AS BIGINT) AS sum_cents
+FROM customer
+"""
+
+
+def q_time_tz_hour_counts(sf_dir: str):
+    """Timezone-aware time parse (operator/helper/time.go location):
+    format events.ts to a naive string, parse it back interpreted in
+    America/New_York, count rows per resulting UTC hour-of-day."""
+    from ray.data.aggregate import Count
+
+    from ..stages import TimeParser
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def fmt(t: pa.Table) -> pa.Table:
+        # Arrow's %S includes fractional digits for sub-second units —
+        # cast to second resolution so the string is plain %H:%M:%S
+        whole = pc.cast(pc.floor_temporal(t["ts"], unit="second"), pa.timestamp("s"))
+        return pa.table({"when": pc.strftime(whole, format="%Y-%m-%d %H:%M:%S")})
+
+    parsed = ds.map_batches(fmt, batch_format="pyarrow").map_batches(
+        TimeParser("when", layout_type="gotime", layout="2006-01-02 15:04:05",
+                   location="America/New_York"),
+        batch_format="pyarrow",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"utc_hour": pc.cast(pc.hour(t["event_ts"]), pa.int64())})
+
+    return (
+        parsed.map_batches(proj, batch_format="pyarrow")
+        .groupby("utc_hour")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_TIME_TZ = """
+SELECT CAST(EXTRACT(hour FROM CAST(timezone('America/New_York', ts) AS TIMESTAMP)) AS BIGINT) AS utc_hour,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_recombine_end_pattern(sf_dir: str):
+    """Recombine in END-pattern mode (recombine is_last_entry,
+    config.go:49-62): per user, join event_type runs terminated by the
+    matching row (matched-line flush)."""
+    from ..stages.recombine import recombine
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    out = recombine(
+        ds, source_col="user_id", order_col=["ts", "event_id"],
+        combine_col="event_type", combine_with="|",
+        is_last_entry="event_id % 7 == 0",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "first_event_id": pc.cast(t["event_id"], pa.int64()),
+                "combined_types": t["event_type"],
+                "n_combined": pc.cast(t["n_combined"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_RECOMBINE_END = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS is_end
+  FROM events
+), c AS (
+  SELECT *, COALESCE(SUM(is_end) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM e
+)
+SELECT user_id,
+       FIRST(event_id ORDER BY ts, event_id) AS first_event_id,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS combined_types,
+       count(*) AS n_combined
+FROM c GROUP BY user_id, chunk
+"""
+
+
 def q_events_prev_value_asof(sf_dir: str):
     """As-of join (stages/joins.py): for each event, the value of the
     latest strictly-earlier event of the same user — oracle = lag()."""
@@ -973,6 +1111,9 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_tumbling_6h": q_events_tumbling_6h,
     "orders_customer_join": q_orders_customer_join,
+    "csv_quoted_roundtrip": q_csv_quoted_roundtrip,
+    "time_tz_hour_counts": q_time_tz_hour_counts,
+    "recombine_end_pattern": q_recombine_end_pattern,
     "route_multimatch_counts": q_route_multimatch_counts,
     "events_prev_value_asof": q_events_prev_value_asof,
 }
@@ -1002,6 +1143,9 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_tumbling_6h": SQL_EVENTS_TUMBLING,
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
+    "csv_quoted_roundtrip": SQL_CSV_QUOTED,
+    "time_tz_hour_counts": SQL_TIME_TZ,
+    "recombine_end_pattern": SQL_RECOMBINE_END,
     "route_multimatch_counts": SQL_ROUTE_MULTIMATCH,
     "events_prev_value_asof": SQL_EVENTS_PREV_VALUE,
 }

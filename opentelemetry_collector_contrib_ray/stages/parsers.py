@@ -22,6 +22,7 @@ import json
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -110,14 +111,21 @@ class RegexParser(BatchOp):
 
 
 class JsonParser(BatchOp):
-    """JSON-object parse of a string column into typed flat columns.
+    """JSON-object parse of a string column.
 
-    ``fields`` maps json key → arrow type name; dynamic keys outside
-    ``fields`` are preserved JSON-encoded in ``<prefix>__rest`` when
-    ``keep_rest=True`` (the map/JSON spill column of SURVEY.md §1.3).
+    Two modes, matching parser/json/parser.go:28-40 which parses ANY
+    object into a dynamic map:
+    - ``fields`` given: typed flat columns (the vectorizable hot path);
+      dynamic keys outside ``fields`` are preserved JSON-encoded in
+      ``<prefix>__rest`` when ``keep_rest=True``.
+    - ``fields=None``: schema-free parse of arbitrary objects into ONE
+      Arrow ``map<string, string>`` column ``<prefix>__map`` (nested
+      values re-encoded as JSON strings) — schema-stable across batches
+      no matter which keys appear, the reference's map[string]any
+      equivalent under a columnar model (SURVEY.md §1.3).
     """
 
-    def __init__(self, fields: dict[str, str], parse_from: str = "text",
+    def __init__(self, fields: dict[str, str] | None = None, parse_from: str = "text",
                  prefix: str = "attributes.", keep_rest: bool = False, **kw):
         super().__init__(**kw)
         self.fields = fields
@@ -163,6 +171,16 @@ class JsonParser(BatchOp):
 
     def transform_gated(self, t: pa.Table, gate) -> pa.Table:
         rows, _ = self._parse_rows(t, gate)
+        if self.fields is None:
+            items = [
+                None if r is None else [
+                    (k, v if isinstance(v, str) else json.dumps(v))
+                    for k, v in r.items()
+                ]
+                for r in rows
+            ]
+            col = pa.array(items, type=pa.map_(pa.string(), pa.string()))
+            return set_column(t, self.prefix + "__map", col)
         ok = pa.array([r is not None for r in rows])
         all_ok = bool(pc.all(ok).as_py()) if len(rows) else True
         cols = {}
@@ -249,9 +267,23 @@ class KeyValueParser(BatchOp):
 class CsvParser(BatchOp):
     """CSV row → named columns (parser/csv/parser.go:29-107).
 
-    Static ``header`` is the vectorized hot path; ``header_attribute``
-    enables the reference's dynamic per-entry header mode
-    (parser.go:46-66): each row's header comes from another column —
+    Quote semantics mirror the reference's three modes
+    (csv/config.go ``lazy_quotes`` / ``ignore_quotes``,
+    parseutils/csv.go ReadCSVRow):
+    - default (strict): RFC-4180 quoting — quoted fields may contain the
+      delimiter, doubled quotes escape, a bare quote in an unquoted
+      field or an unterminated/misplaced quote is a parse error;
+      newlines inside a field are kept (the reference stitches
+      continuation lines back with ``\\n``).
+    - ``lazy_quotes``: bare quotes are literal; never a quote error.
+    - ``ignore_quotes``: plain split on the delimiter.
+
+    Vectorization: rows without a quote character take the one-kernel
+    ``pc.split_pattern`` path; only the quoted minority runs the per-row
+    state machine, scattered back with ``pc.replace_with_mask``.
+
+    Static ``header`` is the hot path; ``header_attribute`` enables the
+    reference's dynamic per-entry header mode (parser.go:46-66) —
     per-row fallback emitting a JSON spill column (dynamic keys can't
     be stable Arrow columns). Rows whose field count ≠ header length
     are parse errors.
@@ -260,39 +292,138 @@ class CsvParser(BatchOp):
     def __init__(self, header: list[str] | None = None, delimiter: str = ",",
                  parse_from: str = "text", prefix: str = "attributes.",
                  types: dict[str, str] | None = None,
-                 header_attribute: str | None = None, **kw):
+                 header_attribute: str | None = None,
+                 lazy_quotes: bool = False, ignore_quotes: bool = False, **kw):
         super().__init__(**kw)
         if header is None and header_attribute is None:
             raise ValueError("csv parser needs header or header_attribute")
+        if lazy_quotes and ignore_quotes:
+            raise ValueError("only one of 'ignore_quotes' or 'lazy_quotes' can be true")
         self.header = header
         self.header_attribute = header_attribute
         self.delimiter = delimiter
         self.parse_from = parse_from
         self.prefix = prefix
         self.types = types or {}
+        self.lazy_quotes = lazy_quotes
+        self.ignore_quotes = ignore_quotes
+
+    # ---------------------------------------------------- quote machine
+
+    def _csv_row(self, s: str) -> list[str] | None:
+        """Single-row CSV state machine (quoted-row slow path). Returns
+        the field list, or None on a strict-mode quote error — matching
+        Go encoding/csv incl. LazyQuotes (parseutils ReadCSVRow joins
+        embedded newlines back into the field, so a newline is just a
+        character here)."""
+        delim, lazy = self.delimiter, self.lazy_quotes
+        fields: list[str] = []
+        cur: list[str] = []
+        i, n = 0, len(s)
+        inq = False
+        at_start = True
+        while i < n:
+            ch = s[i]
+            if inq:
+                if ch == '"':
+                    if i + 1 < n and s[i + 1] == '"':
+                        cur.append('"')
+                        i += 2
+                        continue
+                    inq = False
+                    i += 1
+                    if i < n and s[i] != delim and s[i] != "\n":
+                        if not lazy:
+                            return None  # strict: junk after closing quote
+                        cur.append('"')  # lazy: the quote was literal
+                    continue
+                cur.append(ch)
+                i += 1
+                continue
+            if ch == '"':
+                if at_start:
+                    inq = True
+                    at_start = False
+                    i += 1
+                    continue
+                if lazy:
+                    cur.append(ch)
+                    i += 1
+                    continue
+                return None  # strict: bare quote in unquoted field
+            if ch == delim:
+                fields.append("".join(cur))
+                cur = []
+                at_start = True
+                i += 1
+                continue
+            cur.append(ch)
+            at_start = False
+            i += 1
+        if inq and not self.lazy_quotes:
+            return None  # strict: unterminated quote
+        fields.append("".join(cur))
+        return fields
+
+    def _row_fields(self, s: str) -> list[str] | None:
+        if self.ignore_quotes or '"' not in s:
+            return s.split(self.delimiter)
+        return self._csv_row(s)
+
+    # ---------------------------------------------------- static header
 
     def _split(self, t):
         return pc.split_pattern(_col(t, self.parse_from), self.delimiter)
 
+    def _quoted_mask(self, src) -> np.ndarray:
+        if self.ignore_quotes:
+            return np.zeros(len(src), dtype=bool)
+        return np.asarray(pc.fill_null(pc.match_substring(src, '"'), False))
+
+    def _parse_static(self, t: pa.Table):
+        """→ (cols {name: StringArray}, ok BooleanArray) with the quoted
+        minority overwritten via replace_with_mask."""
+        from .transformers import _safe_list_element
+
+        src = _col(t, self.parse_from)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        H = len(self.header)
+        parts = pc.split_pattern(src, self.delimiter)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        ok = pc.fill_null(pc.equal(pc.list_value_length(parts), H), False)
+        base = [_safe_list_element(parts, i) for i in range(H)]
+        qm = self._quoted_mask(src)
+        if qm.any():
+            idx = np.nonzero(qm)[0]
+            parsed = [self._csv_row(s) for s in src.take(pa.array(idx)).to_pylist()]
+            good = [p is not None and len(p) == H for p in parsed]
+            mask = pa.array(qm)
+            ok = pc.replace_with_mask(ok, mask, pa.array(good))
+            for i in range(H):
+                repl = pa.array(
+                    [p[i] if g else None for p, g in zip(parsed, good)], type=pa.string()
+                )
+                base[i] = pc.replace_with_mask(pc.cast(base[i], pa.string()), mask, repl)
+        return dict(zip(self.header, base)), ok
+
     def error_mask(self, t: pa.Table):
-        parts = self._split(t)
-        n = pc.list_value_length(parts)
+        src = _col(t, self.parse_from)
         if self.header is None:
             hdr = _col(t, self.header_attribute)
-            want = pc.add(
-                pc.count_substring(hdr, self.delimiter), 1
-            )
-            bad = pc.not_equal(n, want)
-        else:
-            bad = pc.not_equal(n, len(self.header))
-        return pc.and_(pc.is_valid(_col(t, self.parse_from)), pc.fill_null(bad, True))
+            rows = self._dynamic_rows(t, None)
+            bad = pa.array([r is None for r in rows])
+            return pc.and_(pc.and_(pc.is_valid(src), pc.is_valid(hdr)), bad)
+        _, ok = self._parse_static(t)
+        return pc.and_(pc.is_valid(src), pc.invert(ok))
 
     def transform(self, t: pa.Table) -> pa.Table:
         return self.transform_gated(t, None)
 
-    def _transform_dynamic_header(self, t: pa.Table, gate) -> pa.Table:
-        import numpy as np
+    # --------------------------------------------------- dynamic header
 
+    def _dynamic_rows(self, t: pa.Table, gate):
         src = _col(t, self.parse_from).to_pylist()
         hdr = _col(t, self.header_attribute).to_pylist()
         g = None if gate is None else np.asarray(gate, dtype=bool)
@@ -302,28 +433,27 @@ class CsvParser(BatchOp):
                 out.append(None)
                 continue
             keys = h.split(self.delimiter)
-            vals = s.split(self.delimiter)
+            vals = self._row_fields(s)
             out.append(
-                json.dumps(dict(zip(keys, vals)), sort_keys=True)
-                if len(keys) == len(vals)
+                dict(zip(keys, vals))
+                if vals is not None and len(keys) == len(vals)
                 else None
             )
+        return out
+
+    def _transform_dynamic_header(self, t: pa.Table, gate) -> pa.Table:
+        rows = self._dynamic_rows(t, gate)
+        out = [None if r is None else json.dumps(r, sort_keys=True) for r in rows]
         return set_column(t, self.prefix + "__csv", pa.array(out, type=pa.string()))
 
     def transform_gated(self, t: pa.Table, gate) -> pa.Table:
         if self.header is None:
             return self._transform_dynamic_header(t, gate)
-        parts = self._split(t)
-        if isinstance(parts, pa.ChunkedArray):
-            parts = parts.combine_chunks()
-        ok = pc.fill_null(pc.equal(pc.list_value_length(parts), len(self.header)), False)
+        fields, ok = self._parse_static(t)
         if gate is not None:
             ok = pc.and_(ok, gate)
-        from .transformers import _safe_list_element
-
         cols = {}
-        for i, name in enumerate(self.header):
-            arr = _safe_list_element(parts, i)
+        for name, arr in fields.items():
             if name in self.types:
                 arr = _cast_typed(arr, self.types[name])
             cols[self.prefix + name] = arr
@@ -380,6 +510,42 @@ class SeverityParser(BatchOp):
         return pc.and_(pc.is_valid(tok), pc.is_null(idx))
 
 
+# Go reference-time components → strptime directives, scanned
+# longest-match-first (operator/helper/time.go delegates to
+# timeutils.StrptimeToGotime for the inverse mapping; we translate the
+# Go layout grammar itself so both layout_type="gotime" and "strptime"
+# reach one vectorized parser).
+_GO_COMPONENTS = [
+    ("2006", "%Y"), ("January", "%B"), ("Monday", "%A"),
+    (".000000000", ".%f"), (".000000", ".%f"), (".000", ".%f"),
+    (",000000000", ",%f"), (",000000", ",%f"), (",000", ",%f"),
+    (".999999999", ".%f"), (".999999", ".%f"), (".999", ".%f"),
+    ("Z07:00", "%z"), ("Z0700", "%z"), ("-07:00", "%z"), ("-0700", "%z"),
+    ("15", "%H"), ("Jan", "%b"), ("Mon", "%a"), ("MST", "%Z"),
+    ("PM", "%p"), ("pm", "%p"),
+    ("01", "%m"), ("02", "%d"), ("03", "%I"), ("04", "%M"), ("05", "%S"),
+    ("06", "%y"), ("-07", "%z"), ("_2", "%d"), ("2", "%d"), ("1", "%m"),
+    ("3", "%I"),
+]
+
+
+def go_layout_to_strptime(layout: str) -> str:
+    """Translate a Go time layout (reference time
+    ``Mon Jan 2 15:04:05 MST 2006``) to a strptime format string."""
+    out, i, n = [], 0, len(layout)
+    while i < n:
+        for go, sp in _GO_COMPONENTS:
+            if layout.startswith(go, i):
+                out.append(sp)
+                i += len(go)
+                break
+        else:
+            ch = layout[i]
+            out.append("%%" if ch == "%" else ch)
+            i += 1
+    return "".join(out)
+
+
 _GO_TO_STRPTIME = {
     "2006-01-02 15:04:05": "%Y-%m-%d %H:%M:%S",
     "2006-01-02T15:04:05Z07:00": "%Y-%m-%dT%H:%M:%S%z",
@@ -389,24 +555,69 @@ _GO_TO_STRPTIME = {
 
 
 class TimeParser(BatchOp):
-    """strptime / gotime / epoch time parse (operator/helper/time.go).
+    """strptime / gotime / epoch time parse (operator/helper/time.go:
+    layouts 19-107, location handling 131-195 via setLocation).
 
-    epoch layouts: s | ms | us | ns | s.ms (float seconds) — integer
-    arithmetic on int64/float64 columns, no per-row parsing.
+    - ``layout_type="gotime"``: the Go layout is translated with
+      ``go_layout_to_strptime`` (full component grammar, not a lookup
+      table); ``"strptime"`` layouts pass through.
+    - ``location``: an IANA zone name; when the layout itself carries
+      no zone (%z), naive timestamps are interpreted in that zone and
+      stored as UTC instants (reference semantics — entry.Timestamp is
+      an absolute instant). Without a location, naive parses are taken
+      as UTC (the deterministic batch-engine stand-in for Go's
+      time.Local). Ambiguous/nonexistent local times (DST folds) parse
+      to null and fall to the operator's on_error policy.
+    - zone-carrying layouts (%z): offset applied, result in UTC.
+    - epoch layouts: s | ms | us | ns | s.ms (float seconds) — integer
+      arithmetic on int64/float64 columns, no per-row parsing.
+
+    Vectorization: %z/%f/location layouts parse via pandas
+    ``to_datetime`` (C fast path with explicit format); everything else
+    via ``pc.strptime``.
     """
 
     def __init__(self, parse_from: str, layout_type: str = "strptime",
-                 layout: str = "%Y-%m-%d %H:%M:%S", to: str = "event_ts", **kw):
+                 layout: str = "%Y-%m-%d %H:%M:%S", to: str = "event_ts",
+                 location: str | None = None, **kw):
         super().__init__(**kw)
         self.parse_from = parse_from
         self.layout_type = layout_type
-        self.layout = _GO_TO_STRPTIME.get(layout, layout) if layout_type in ("strptime", "gotime") else layout
+        if layout_type == "gotime":
+            self.layout = go_layout_to_strptime(layout)
+        elif layout_type == "strptime":
+            self.layout = _GO_TO_STRPTIME.get(layout, layout)
+        else:
+            self.layout = layout
         self.to = to
+        self.location = location
+        if location is not None:
+            from zoneinfo import ZoneInfo
+
+            ZoneInfo(location)  # validate eagerly, like setLocation
+
+    def _parse_strings(self, c):
+        fmt = self.layout
+        has_z = "%z" in fmt
+        if not has_z and "%f" not in fmt and not self.location:
+            return pc.strptime(pc.cast(c, pa.string()), format=fmt, unit="us",
+                               error_is_null=True)
+        s = pd.Series(pc.cast(c, pa.string()).to_pandas())
+        dt = pd.to_datetime(s, format=fmt, errors="coerce", utc=has_z)
+        if has_z:
+            dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+        elif self.location:
+            dt = (
+                dt.dt.tz_localize(self.location, ambiguous="NaT", nonexistent="NaT")
+                .dt.tz_convert("UTC")
+                .dt.tz_localize(None)
+            )
+        return pc.cast(pa.Array.from_pandas(dt), pa.timestamp("us"))
 
     def _parse(self, t: pa.Table):
         c = t[self.parse_from] if self.parse_from in t.column_names else pa.nulls(t.num_rows, pa.string())
         if self.layout_type in ("strptime", "gotime"):
-            return pc.strptime(pc.cast(c, pa.string()), format=self.layout, unit="us", error_is_null=True)
+            return self._parse_strings(c)
         mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[self.layout.split(".")[0]]
         f = pc.cast(c, pa.float64(), safe=False)
         us = pc.cast(pc.multiply(f, float(mult)), pa.int64(), safe=False)
@@ -463,11 +674,39 @@ _URI_RE = (
 
 class UriParser(RegexParser):
     """URI → {scheme, host, port, path, query} (parser/uri/parser.go:16-46),
-    via one vectorized regex."""
+    via one vectorized regex, plus the reference's query-string → param
+    map (``url.Values``, i.e. key → list of values): emitted as the
+    JSON spill column ``<prefix>query_params`` (the engine's stable
+    representation for dynamic keys, SURVEY.md §1.3). Only rows with a
+    non-empty query string run the per-row parse."""
 
-    def __init__(self, parse_from: str = "text", prefix: str = "attributes.uri.", **kw):
+    def __init__(self, parse_from: str = "text", prefix: str = "attributes.uri.",
+                 parse_query: bool = True, **kw):
         super().__init__(_URI_RE, parse_from=parse_from, prefix=prefix,
                          types={"port": "int64"}, **kw)
+        self.parse_query = parse_query
+
+    def transform_gated(self, t: pa.Table, gate) -> pa.Table:
+        t = super().transform_gated(t, gate)
+        qname = self.prefix + "query"
+        if not self.parse_query or qname not in t.column_names:
+            return t
+        from urllib.parse import parse_qs
+
+        q = t[qname]
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        nz = np.asarray(
+            pc.fill_null(pc.greater(pc.utf8_length(pc.cast(q, pa.string())), 0), False)
+        )
+        out = [None] * t.num_rows
+        if nz.any():
+            idx = np.nonzero(nz)[0]
+            for j, s in zip(idx, q.take(pa.array(idx)).to_pylist()):
+                out[j] = json.dumps(
+                    dict(sorted(parse_qs(s, keep_blank_values=True).items()))
+                )
+        return set_column(t, self.prefix + "query_params", pa.array(out, type=pa.string()))
 
 
 _RFC3164 = (

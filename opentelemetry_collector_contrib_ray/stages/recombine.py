@@ -31,6 +31,7 @@ def recombine(
     max_log_size: int | None = None,
     overwrite_with: str = "oldest",
     is_first_entry: str | None = None,
+    is_last_entry: str | None = None,
 ):
     """One output row per (source, chunk): the joined ``combine_col`` plus
     the base row's other fields, and ``n_combined``.
@@ -38,9 +39,15 @@ def recombine(
     ``is_first_entry``: optional pandas-eval boolean expression over the
     group (e.g. ``"role == 'user'"``) that starts a new chunk at each
     matching row — the reference's start-pattern mode
-    (recombine/config.go:49-62). Without it (and without
+    (recombine/config.go:49-62). ``is_last_entry`` (mutually exclusive,
+    same as the reference's Build validation): the END-pattern mode —
+    a matching row flushes the batch INCLUDING itself (matched-line
+    flush, transformer.go:95-189), the usual shape for stack-trace
+    joining anchored on the final line. Without either (and without
     ``max_batch_size``) a whole source joins to one row.
     """
+    if is_first_entry and is_last_entry:
+        raise ValueError("only one of is_first_entry and is_last_entry can be set")
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
@@ -67,6 +74,11 @@ def recombine(
             starts = g.eval(is_first_entry).to_numpy(dtype=bool)
             starts[0] = True
             chunk = np.cumsum(starts) - 1
+        elif is_last_entry:
+            # end-pattern: boundary AFTER each matching row, which stays
+            # in the chunk it closes (matched-line flush)
+            ends = g.eval(is_last_entry).to_numpy(dtype=bool)
+            chunk = np.concatenate(([0], np.cumsum(ends)[:-1]))
         elif max_batch_size:
             chunk = np.arange(len(g)) // max_batch_size
         elif max_log_size:

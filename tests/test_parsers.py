@@ -249,3 +249,171 @@ class TestDeadLetterChannel:
         clean, dead = dead_letter_split(rd.from_arrow(t))
         assert clean.count() == 1 and dead.count() == 1
         assert dead.to_pandas()["text"].tolist() == ["nope"]
+
+
+class TestCsvQuotes:
+    """Mirrors the reference quote cases (csv/parser_test.go:
+    comma-in-quotes, quotes-in-quotes, lazy, ignore)."""
+
+    HDR = ["name", "address", "age", "phone", "position"]
+
+    def test_comma_in_quotes(self):
+        out = CsvParser(header=self.HDR)(
+            tbl(['stanza,"Evergreen,49508",1,555-5555,agent'])
+        )
+        assert out["attributes.address"].to_pylist() == ["Evergreen,49508"]
+        assert out["attributes.position"].to_pylist() == ["agent"]
+
+    def test_quotes_in_quotes(self):
+        out = CsvParser(header=self.HDR)(
+            tbl(['"bob ""the man""",Evergreen,1,555-5555,agent'])
+        )
+        assert out["attributes.name"].to_pylist() == ['bob "the man"']
+
+    def test_newline_in_quoted_field(self):
+        out = CsvParser(header=["a", "b", "c"])(tbl(['x,"line1\nline2",z']))
+        assert out["attributes.b"].to_pylist() == ["line1\nline2"]
+
+    def test_strict_bare_quote_is_error(self):
+        out = CsvParser(header=["name", "age"], on_error="drop")(
+            tbl(['stanza "log parser",1', 'ok,2'])
+        )
+        assert out.num_rows == 1
+        assert out["attributes.name"].to_pylist() == ["ok"]
+
+    def test_lazy_quotes(self):
+        out = CsvParser(header=["name", "age", "height", "number"], lazy_quotes=True)(
+            tbl(['stanza "log parser",1,6ft,5'])
+        )
+        # Go lazy csv keeps both bare quotes literally (parser_test.go
+        # parse-with-lazy-quotes expects `stanza "log parser"`)
+        assert out["attributes.name"].to_pylist() == ['stanza "log parser"']
+        assert out["attributes.number"].to_pylist() == ["5"]
+
+    def test_ignore_quotes(self):
+        out = CsvParser(header=["a", "b", "c"], ignore_quotes=True)(
+            tbl(['x,"y,z']))
+        assert out["attributes.b"].to_pylist() == ['"y']
+
+    def test_lazy_and_ignore_mutually_exclusive(self):
+        with pytest.raises(ValueError):
+            CsvParser(header=["a"], lazy_quotes=True, ignore_quotes=True)
+
+    def test_unquoted_rows_stay_vectorized_path(self):
+        out = CsvParser(header=["a", "b"])(tbl(["1,2", "3,4", '5,"6,6"']))
+        assert out["attributes.a"].to_pylist() == ["1", "3", "5"]
+        assert out["attributes.b"].to_pylist() == ["2", "4", "6,6"]
+
+
+class TestTimeParserTz:
+    def test_gotime_layout_translation(self):
+        from opentelemetry_collector_contrib_ray.stages.parsers import go_layout_to_strptime
+
+        assert go_layout_to_strptime("2006-01-02 15:04:05") == "%Y-%m-%d %H:%M:%S"
+        assert go_layout_to_strptime("2006-01-02T15:04:05Z07:00") == "%Y-%m-%dT%H:%M:%S%z"
+        assert go_layout_to_strptime("Jan _2 15:04:05") == "%b %d %H:%M:%S"
+        assert go_layout_to_strptime("01/02/2006 03:04:05 PM") == "%m/%d/%Y %I:%M:%S %p"
+        assert go_layout_to_strptime("2006-01-02 15:04:05.000") == "%Y-%m-%d %H:%M:%S.%f"
+
+    def test_gotime_parse(self):
+        t = pa.table({"when": ["2024-03-01 10:30:00", "bad"]})
+        out = TimeParser("when", layout_type="gotime", layout="2006-01-02 15:04:05")(t)
+        vals = out["event_ts"].to_pylist()
+        assert str(vals[0]) == "2024-03-01 10:30:00"
+        assert vals[1] is None
+
+    def test_location_non_utc(self):
+        # 10:30 in New York (EST, UTC-5 in winter) = 15:30 UTC
+        t = pa.table({"when": ["2024-01-15 10:30:00"]})
+        out = TimeParser("when", layout="%Y-%m-%d %H:%M:%S",
+                         location="America/New_York")(t)
+        assert str(out["event_ts"].to_pylist()[0]) == "2024-01-15 15:30:00"
+        # and in summer (EDT, UTC-4)
+        t2 = pa.table({"when": ["2024-07-15 10:30:00"]})
+        out2 = TimeParser("when", layout="%Y-%m-%d %H:%M:%S",
+                          location="America/New_York")(t2)
+        assert str(out2["event_ts"].to_pylist()[0]) == "2024-07-15 14:30:00"
+
+    def test_zone_offset_in_layout(self):
+        t = pa.table({"when": ["2024-01-15T10:30:00+02:00"]})
+        out = TimeParser("when", layout_type="gotime",
+                         layout="2006-01-02T15:04:05Z07:00")(t)
+        assert str(out["event_ts"].to_pylist()[0]) == "2024-01-15 08:30:00"
+
+    def test_fractional_seconds(self):
+        t = pa.table({"when": ["2024-01-15 10:30:00.123"]})
+        out = TimeParser("when", layout_type="gotime",
+                         layout="2006-01-02 15:04:05.000")(t)
+        assert str(out["event_ts"].to_pylist()[0]) == "2024-01-15 10:30:00.123000"
+
+    def test_invalid_location_raises(self):
+        with pytest.raises(Exception):
+            TimeParser("when", location="Not/AZone")
+
+
+class TestJsonDynamicMap:
+    def test_arbitrary_object_to_map(self):
+        out = JsonParser()(tbl(['{"a": 1, "b": "x", "c": {"d": 2}}', "not json", None]))
+        maps = out["attributes.__map"].to_pylist()
+        assert dict(maps[0]) == {"a": "1", "b": "x", "c": '{"d": 2}'}
+        assert maps[1] is None and maps[2] is None
+
+    def test_dynamic_map_error_mask(self):
+        p = JsonParser(on_error="drop")
+        out = p(tbl(['{"k": "v"}', "nope"]))
+        assert out.num_rows == 1
+
+
+class TestUriQueryParams:
+    def test_query_param_map(self):
+        import json as _json
+
+        out = UriParser()(tbl([
+            "https://example.com/p?x=1&y=2&y=3",
+            "https://example.com/noquery",
+        ]))
+        qp = out["attributes.uri.query_params"].to_pylist()
+        assert _json.loads(qp[0]) == {"x": ["1"], "y": ["2", "3"]}
+        assert qp[1] is None
+
+
+def test_recombine_is_last_entry():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.recombine import recombine
+
+    t = pa.table({
+        "conv_id": ["c"] * 6,
+        "turn_idx": pa.array(range(6), type=pa.int32()),
+        "text": ["line1", "line2", "END", "a", "b", "END"],
+    })
+    out = recombine(rd.from_arrow(t), is_last_entry="text == 'END'").to_pandas()
+    out = out.sort_values("turn_idx").reset_index(drop=True)
+    assert out["text"].tolist() == ["line1\nline2\nEND", "a\nb\nEND"]
+    assert out["n_combined"].tolist() == [3, 3]
+
+
+def test_recombine_is_last_entry_trailing_unflushed():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.recombine import recombine
+
+    t = pa.table({
+        "conv_id": ["c"] * 4,
+        "turn_idx": pa.array(range(4), type=pa.int32()),
+        "text": ["x", "END", "tail1", "tail2"],
+    })
+    out = recombine(rd.from_arrow(t), is_last_entry="text == 'END'").to_pandas()
+    out = out.sort_values("turn_idx").reset_index(drop=True)
+    # end-of-stream flushes the open batch (batch semantics for the
+    # reference's force_flush_period timer)
+    assert out["text"].tolist() == ["x\nEND", "tail1\ntail2"]
+
+
+def test_recombine_first_last_mutually_exclusive():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.recombine import recombine
+
+    with pytest.raises(ValueError):
+        recombine(None, is_first_entry="a", is_last_entry="b")
