@@ -129,12 +129,47 @@ _CMP = {
     ">": pc.greater,
     ">=": pc.greater_equal,
 }
+
+# OTTL log-context enum symbols (contexts/ottllog/log.go:111-138): the
+# 24-level severity names resolve to their integer values anywhere an
+# expression expects a value.
+ENUM_SYMBOLS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
+for _i, _lvl in enumerate(("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")):
+    for _j in range(4):
+        ENUM_SYMBOLS[f"SEVERITY_NUMBER_{_lvl}{'' if _j == 0 else _j + 1}"] = _i * 4 + _j + 1
 _ARITH = {
     "+": pc.add,
     "-": pc.subtract,
     "*": pc.multiply,
     "/": pc.divide,
 }
+
+
+def _is_ts(x: Any) -> bool:
+    return _is_arr(x) and pa.types.is_timestamp(x.type)
+
+
+def _to_duration(x: Any):
+    """Numbers are seconds (the unit ``Duration()`` returns) → duration[us]."""
+    if _is_arr(x):
+        if pa.types.is_duration(x.type):
+            return x
+        us = pc.cast(pc.multiply(pc.cast(x, pa.float64()), 1e6), pa.int64())
+        return pc.cast(us, pa.duration("us"))
+    return pa.scalar(int(round(float(x) * 1e6)), pa.duration("us"))
+
+
+def _arith_apply(a: Any, b: Any, op: str, fn):
+    """OTTL math.go time semantics: time - time → seconds (float),
+    time ± duration-seconds → time. Everything else → plain kernel."""
+    if _is_ts(a) and _is_ts(b) and op == "-":
+        d = pc.cast(pc.cast(pc.subtract(a, b), pa.int64()), pa.float64())
+        return pc.divide(d, 1e6)
+    if _is_ts(a) and not _is_ts(b) and op in ("+", "-"):
+        return (pc.add if op == "+" else pc.subtract)(a, _to_duration(b))
+    if _is_ts(b) and op == "+":
+        return pc.add(b, _to_duration(a))
+    return fn(a, b)
 
 
 class _Parser:
@@ -218,8 +253,22 @@ class _Parser:
             right = self.sum_()
             fn = _CMP[op]
 
-            def ev(t: pa.Table, left=left, right=right, fn=fn):
+            def ev(t: pa.Table, left=left, right=right, fn=fn, op=op):
                 a, b = left(t), right(t)
+                if a is None or b is None:
+                    # reference nil semantics (compare.go:174-185): nils
+                    # equal each other and nothing else; inequalities
+                    # with nil never match
+                    other = b if a is None else a
+                    if op == "==":
+                        return True if other is None else (
+                            pc.is_null(other) if _is_arr(other) else False
+                        )
+                    if op == "!=":
+                        return False if other is None else (
+                            pc.is_valid(other) if _is_arr(other) else True
+                        )
+                    return False
                 if not _is_arr(a) and not _is_arr(b):
                     return fn(pa.array([a]), pa.array([b]))[0].as_py()
                 a, b = _coerce_pair(a, b)
@@ -241,8 +290,8 @@ class _Parser:
             right = self.term()
             fn = _ARITH[op]
 
-            def ev(t: pa.Table, left=left, right=right, fn=fn):
-                return fn(left(t), right(t))
+            def ev(t: pa.Table, left=left, right=right, fn=fn, op=op):
+                return _arith_apply(left(t), right(t), op, fn)
 
             left = ev
         return left
@@ -300,6 +349,10 @@ class _Parser:
         if t.val in ("nil", "null"):
             self.next()
             return lambda tbl: None
+        if t.val in ENUM_SYMBOLS:
+            self.next()
+            v = ENUM_SYMBOLS[t.val]
+            return lambda tbl, v=v: v
         if t.kind == "name":
             self.next()
             name = t.val

@@ -694,11 +694,15 @@ def q_docs_fingerprint(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    import pyarrow.parquet as pq
+    """Row-group-pruned single-row lookup: the filter pushes down to
+    parquet statistics — only matching row groups are decoded, never the
+    whole embedding column."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    idx = t["vec_id"].to_pylist().index(vec_id)
-    return np.asarray([t["embedding"].to_pylist()[idx]], dtype=np.float64)
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=pads.field("vec_id") == vec_id
+    )
+    return np.asarray(t["embedding"].to_pylist()[:1], dtype=np.float64)
 
 
 def q_emb_ann_top10(sf_dir: str):

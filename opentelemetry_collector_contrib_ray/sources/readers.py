@@ -29,6 +29,78 @@ def read_transcripts(path: str):
     return rd.read_parquet(path)
 
 
+def read_lines(paths, encoding: str = "utf-8",
+               line_start_pattern: str | None = None,
+               line_end_pattern: str | None = None,
+               include_file_path: bool = True):
+    """Framed line source — the fileconsumer split/encoding surface
+    (pkg/stanza/fileconsumer/file.go:23-36, pkg/stanza/split/split.go,
+    file attrs fileconsumer/attrs/attrs.go:14-17).
+
+    - ``encoding``: any Python codec (utf-8, latin-1, utf-16, ...);
+      undecodable bytes are replaced, matching the reference's lenient
+      decoder behavior.
+    - ``line_start_pattern``: multiline framing — an entry runs from one
+      match to the next (content before the first match is its own
+      entry, the reference's flush-at-EOF for a partial first token).
+    - ``line_end_pattern``: an entry ends with (and includes) the line
+      containing the match.
+    - neither: plain newline split.
+
+    One input file = one read task; files are the natural partitions
+    (rotation-bounded in log workloads). Emits ``text`` plus
+    ``log.file.path`` / ``log.file.name`` attribute columns.
+    """
+    import os
+
+    import ray.data as rd
+
+    if line_start_pattern and line_end_pattern:
+        raise ValueError("only one of line_start_pattern / line_end_pattern")
+    import re as _re
+
+    start_rx = _re.compile(line_start_pattern, _re.MULTILINE) if line_start_pattern else None
+    end_rx = _re.compile(line_end_pattern, _re.MULTILINE) if line_end_pattern else None
+
+    def frame(s: str) -> list[str]:
+        if start_rx is not None:
+            starts = [m.start() for m in start_rx.finditer(s)]
+            if not starts:
+                return [s.rstrip("\n")] if s else []
+            bounds = ([0] if starts[0] != 0 else []) + starts + [len(s)]
+            return [s[a:b].rstrip("\n") for a, b in zip(bounds[:-1], bounds[1:])]
+        if end_rx is not None:
+            out, prev = [], 0
+            for m in end_rx.finditer(s):
+                # entry includes the full line containing the match
+                nl = s.find("\n", m.end())
+                cut = len(s) if nl < 0 else nl + 1
+                out.append(s[prev:cut].rstrip("\n"))
+                prev = cut
+            if prev < len(s):
+                out.append(s[prev:].rstrip("\n"))  # EOF flush
+            return out
+        return s.splitlines()
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def split_batch(t: pa.Table) -> pa.Table:
+        texts, fpaths = [], []
+        for data, path in zip(t["bytes"].to_pylist(), t["path"].to_pylist()):
+            for line in frame(data.decode(encoding, errors="replace")):
+                texts.append(line)
+                fpaths.append(path)
+        cols = {"text": pa.array(texts, type=pa.string())}
+        if include_file_path:
+            cols["log.file.path"] = pa.array(fpaths, type=pa.string())
+            cols["log.file.name"] = pa.array(
+                [os.path.basename(p) for p in fpaths], type=pa.string()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(split_batch, batch_format="pyarrow")
+
+
 # SQL prefix: CTEs `_ev` and `transcripts` over the pre-registered
 # `events` view. Oracles append `SELECT ... FROM transcripts`.
 TRANSCRIPTS_FROM_EVENTS_SQL = """

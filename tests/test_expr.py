@@ -28,7 +28,15 @@ CASES = [
     ("severity_number + 1 > 17", [False, True, True, False]),
     ("f * 2 >= 3.0", [False, True, True, True]),
     ("true", [True, True, True, True]),
-    ("severity_number == nil", [False, False, False, False]),  # null == null → null → False
+    # reference nil semantics (compare.go:174-185): nil equals nil only
+    ("severity_number == nil", [False, False, False, True]),
+    ("severity_number != nil", [True, True, True, False]),
+    ("missing.col == nil", [True, True, True, True]),
+    ("severity_number > nil", [False, False, False, False]),
+    ("nil == nil", [True, True, True, True]),
+    # OTTL log-context enum symbols (ottllog/log.go:111-138)
+    ("severity_number >= SEVERITY_NUMBER_ERROR", [False, True, True, False]),
+    ("severity_number == SEVERITY_NUMBER_FATAL", [False, False, True, False]),
 ]
 
 
@@ -56,6 +64,23 @@ def test_string_number_incomparable(t):
 def test_unknown_function_raises():
     with pytest.raises(ValueError):
         compile_expr("Nope(text)")
+
+
+def test_time_duration_arithmetic():
+    """OTTL math.go time semantics in where clauses."""
+    import numpy as np
+
+    ts = pa.array(np.array(["2024-01-01T00:30:00", "2024-01-01T02:30:00"],
+                           dtype="datetime64[us]"))
+    t = pa.table({"ts": ts, "other": ts})
+    # ts - Duration("1h") shifts back one hour
+    m = compile_mask('ts - Duration("1h") >= Time("2024-01-01 00:00:00", "%Y-%m-%d %H:%M:%S")')(t)
+    assert m.to_pylist() == [False, True]
+    # time - time → seconds
+    v = compile_expr("ts - other")(t)
+    assert v.to_pylist() == [0.0, 0.0]
+    m2 = compile_mask('ts + Duration("30m") > Time("2024-01-01 02:59:00", "%Y-%m-%d %H:%M:%S")')(t)
+    assert m2.to_pylist() == [False, True]
 
 
 def test_non_ascii_literal_matches():

@@ -94,3 +94,56 @@ def test_grouped_and_time_partitioned_sinks(tmp_path):
     ).is_dir()
 
     assert drop_sink(rd.from_arrow(t)) == 4
+
+
+class TestReadLines:
+    def _write(self, tmp_path, name, data: bytes):
+        p = tmp_path / name
+        p.write_bytes(data)
+        return str(p)
+
+    def test_plain_lines_and_file_attrs(self, tmp_path):
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        p = self._write(tmp_path, "a.log", b"one\ntwo\nthree\n")
+        out = read_lines(p).to_pandas()
+        assert out["text"].tolist() == ["one", "two", "three"]
+        assert out["log.file.name"].unique().tolist() == ["a.log"]
+
+    def test_non_utf8_encoding(self, tmp_path):
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        p = self._write(tmp_path, "l1.log", "café\nöl\n".encode("latin-1"))
+        out = read_lines(p, encoding="latin-1").to_pandas()
+        assert out["text"].tolist() == ["café", "öl"]
+
+    def test_multiline_start_pattern(self, tmp_path):
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        data = (
+            b"2024-01-01 ERROR boom\n  at Foo.java:1\n  at Bar.java:2\n"
+            b"2024-01-01 INFO ok\n"
+        )
+        p = self._write(tmp_path, "m.log", data)
+        out = read_lines(p, line_start_pattern=r"^\d{4}-\d{2}-\d{2} ").to_pandas()
+        assert len(out) == 2
+        assert out["text"][0] == "2024-01-01 ERROR boom\n  at Foo.java:1\n  at Bar.java:2"
+        assert out["text"][1] == "2024-01-01 INFO ok"
+
+    def test_multiline_end_pattern(self, tmp_path):
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        data = b"part1\npart2 END\nnext START\ntail END\nleftover\n"
+        p = self._write(tmp_path, "e.log", data)
+        out = read_lines(p, line_end_pattern=r"END$").to_pandas()
+        assert out["text"].tolist() == [
+            "part1\npart2 END", "next START\ntail END", "leftover",
+        ]
+
+    def test_start_and_end_mutually_exclusive(self, tmp_path):
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            read_lines("x", line_start_pattern="a", line_end_pattern="b")
