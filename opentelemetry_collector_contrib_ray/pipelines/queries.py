@@ -917,6 +917,264 @@ UNION ALL SELECT 'default', (SELECT count(*) FROM parsed
 
 
 
+def _pc_mod(arr, k: int):
+    """x % k for non-negative ints (this pyarrow has no pc.modulo;
+    integer pc.divide truncates)."""
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, k), k))
+
+
+def q_uri_hosts(sf_dir: str):
+    """URI parse (parser/uri/parser.go): build URIs from events columns,
+    parse back, aggregate per host."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages import UriParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def build(t: pa.Table) -> pa.Table:
+        eid = t["event_id"]
+        host = pc.binary_join_element_wise(
+            "h", pc.cast(_pc_mod(eid, 20), pa.string()), ".example.com", "")
+        port = pc.cast(pc.add(_pc_mod(eid, 10), 8000), pa.string())
+        uri = pc.binary_join_element_wise(
+            "https://", host, ":", port, "/p/", t["event_type"],
+            "?q=", pc.cast(t["user_id"], pa.string()), "")
+        return pa.table({"text": uri})
+
+    parsed = ds.map_batches(build, batch_format="pyarrow").map_batches(
+        UriParser(), batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["attributes.uri.host"],
+                         "port": t["attributes.uri.port"]})
+
+    return (
+        parsed.map_batches(proj, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="n"), Sum("port", alias_name="sum_port"))
+    )
+
+
+SQL_URI_HOSTS = """
+SELECT 'h' || CAST(event_id % 20 AS VARCHAR) || '.example.com' AS host,
+       count(*) AS n,
+       CAST(SUM(8000 + event_id % 10) AS BIGINT) AS sum_port
+FROM events GROUP BY 1
+"""
+
+
+def q_syslog_facility(sf_dir: str):
+    """Syslog RFC3164 parse (parser/syslog/parser.go:86-172): build
+    syslog lines, parse back, count per (facility, severity)."""
+    from ray.data.aggregate import Count
+
+    from ..stages import SyslogParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def build(t: pa.Table) -> pa.Table:
+        pri = pc.cast(_pc_mod(t["event_id"], 192), pa.string())
+        line = pc.binary_join_element_wise(
+            "<", pri, ">Oct 11 22:14:15 host",
+            pc.cast(_pc_mod(t["user_id"], 5), pa.string()),
+            " app[", pc.cast(_pc_mod(t["event_id"], 100), pa.string()),
+            "]: m_", t["event_type"], "")
+        return pa.table({"text": line})
+
+    parsed = ds.map_batches(build, batch_format="pyarrow").map_batches(
+        SyslogParser(), batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "facility": pc.cast(t["attributes.facility"], pa.int64()),
+                "severity_number": pc.cast(t["severity_number"], pa.int64()),
+            }
+        )
+
+    return (
+        parsed.map_batches(proj, batch_format="pyarrow")
+        .groupby(["facility", "severity_number"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_SYSLOG_FACILITY = """
+SELECT CAST((event_id % 192) // 8 AS BIGINT) AS facility,
+       CAST(CASE (event_id % 192) % 8
+            WHEN 0 THEN 21 WHEN 1 THEN 19 WHEN 2 THEN 18 WHEN 3 THEN 17
+            WHEN 4 THEN 13 WHEN 5 THEN 10 WHEN 6 THEN 9 ELSE 5 END AS BIGINT)
+         AS severity_number,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_semi_join_building(sf_dir: str):
+    """Broadcast semi join (stages/joins.py): events whose user is a
+    BUILDING-segment customer, counted per event_type."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import semi_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    keys = [
+        r["c_custkey"]
+        for r in cust.map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+            batch_format="pyarrow",
+        ).take_all()
+    ]
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    kept = semi_join(ds, keys, "user_id", concurrency=(1, 2))
+    return (
+        kept.map_batches(lambda t: pa.table({"event_type": t["event_type"]}),
+                         batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_SEMI_JOIN_BUILDING = """
+SELECT event_type, count(*) AS n FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY event_type
+"""
+
+
+def q_anti_join_building(sf_dir: str):
+    """Native hash-partitioned anti join (large right side path)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import large_anti_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    bld = cust.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow",
+    )
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    kept = large_anti_join(ds, bld, on="user_id", right_on="c_custkey",
+                           num_partitions=8)
+    return (
+        kept.map_batches(lambda t: pa.table({"event_type": t["event_type"]}),
+                         batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_ANTI_JOIN_BUILDING = """
+SELECT event_type, count(*) AS n FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY event_type
+"""
+
+
+def q_sliding_window_2h(sf_dir: str):
+    """Sliding window (stages/windows.py): per user, trailing-2h count
+    at each 1h step boundary."""
+    from ..stages.windows import sliding_window_counts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    out = sliding_window_counts(ds, "user_id", "ts", size_s=7200, step_s=3600)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "window_end": pc.cast(t["window_end"], pa.timestamp("us")),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_SLIDING_WINDOW = """
+WITH k AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS lob,
+         CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS hib
+  FROM events GROUP BY user_id
+), w AS (
+  SELECT user_id, unnest(generate_series(lob + 1, hib + 1)) AS eb FROM k
+)
+SELECT w.user_id,
+       make_timestamp(CAST(eb * 3600 * 1000000 AS BIGINT)) AS window_end,
+       CAST(count(e.ts) AS BIGINT) AS n
+FROM w LEFT JOIN events e
+  ON e.user_id = w.user_id
+ AND e.ts <= make_timestamp(CAST(eb * 3600 * 1000000 AS BIGINT))
+ AND e.ts > make_timestamp(CAST((eb * 3600 - 7200) * 1000000 AS BIGINT))
+GROUP BY 1, 2
+"""
+
+
+def q_salted_event_type_sum(sf_dir: str):
+    """Salted two-phase aggregate (stages/agg.py) — the hot-key shuffle
+    shape; must equal a plain GROUP BY."""
+    from ..stages.agg import salted_groupby_sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def with_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "cents": _cents(t["value"])})
+
+    out = salted_groupby_sum(
+        ds.map_batches(with_cents, batch_format="pyarrow"),
+        keys=["event_type"], value_col="cents", salt=8, out_col="sum_cents",
+    )
+    return out
+
+
+SQL_SALTED_SUM = f"""
+SELECT event_type, CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+
+def q_redact_mask_counts(sf_dir: str):
+    """Redaction (processor/redactionprocessor): mask card-number-shaped
+    values, count masked rows."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.redact import Redactor
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        tail = pc.utf8_lpad(
+            pc.cast(_pc_mod(t["event_id"], 10000), pa.string()), 4, "0")
+        card = pc.binary_join_element_wise("pay 4111-1111-1111-", tail, "")
+        hit = pc.equal(_pc_mod(t["event_id"], 4), 0)
+        note = pc.if_else(hit, card, pa.scalar("ok"))
+        return pa.table({"attributes.note": note})
+
+    red = ds.map_batches(build, batch_format="pyarrow").map_batches(
+        Redactor(blocked_values=[r"\d{4}-\d{4}-\d{4}-\d{4}"]),
+        batch_format="pyarrow",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"masked": pc.cast(t["redaction.masked"], pa.int64())})
+
+    return (
+        red.map_batches(proj, batch_format="pyarrow")
+        .groupby("masked")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_REDACT_MASK = """
+SELECT CAST(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS masked,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_csv_quoted_roundtrip(sf_dir: str):
     """CSV quote handling (parser/csv/parser.go strict mode): build a
     CSV line whose middle field embeds commas AND doubled quotes, parse
@@ -1118,6 +1376,13 @@ QUERIES = {
     "csv_quoted_roundtrip": q_csv_quoted_roundtrip,
     "time_tz_hour_counts": q_time_tz_hour_counts,
     "recombine_end_pattern": q_recombine_end_pattern,
+    "uri_hosts": q_uri_hosts,
+    "syslog_facility": q_syslog_facility,
+    "semi_join_building": q_semi_join_building,
+    "anti_join_building": q_anti_join_building,
+    "sliding_window_2h": q_sliding_window_2h,
+    "salted_event_type_sum": q_salted_event_type_sum,
+    "redact_mask_counts": q_redact_mask_counts,
     "route_multimatch_counts": q_route_multimatch_counts,
     "events_prev_value_asof": q_events_prev_value_asof,
 }
@@ -1150,6 +1415,13 @@ ORACLES = {
     "csv_quoted_roundtrip": SQL_CSV_QUOTED,
     "time_tz_hour_counts": SQL_TIME_TZ,
     "recombine_end_pattern": SQL_RECOMBINE_END,
+    "uri_hosts": SQL_URI_HOSTS,
+    "syslog_facility": SQL_SYSLOG_FACILITY,
+    "semi_join_building": SQL_SEMI_JOIN_BUILDING,
+    "anti_join_building": SQL_ANTI_JOIN_BUILDING,
+    "sliding_window_2h": SQL_SLIDING_WINDOW,
+    "salted_event_type_sum": SQL_SALTED_SUM,
+    "redact_mask_counts": SQL_REDACT_MASK,
     "route_multimatch_counts": SQL_ROUTE_MULTIMATCH,
     "events_prev_value_asof": SQL_EVENTS_PREV_VALUE,
 }

@@ -191,7 +191,10 @@ def run_single_pass(input_path: str, out_root: str, enrich_concurrency: int = 8,
                      batch_format="pyarrow", zero_copy_batch=True)
     )
     sink_dir = os.path.join(out_root, "sinks")
-    labeled.write_parquet(sink_dir, partition_cols=["sink"])
+    # zstd: ~20% fewer bytes than snappy for these string-heavy sinks —
+    # compression CPU scales with cores, disk bandwidth doesn't, so
+    # trading bytes for cycles improves scaling on write-bound tails
+    labeled.write_parquet(sink_dir, partition_cols=["sink"], compression="zstd")
 
     counts: dict[str, pd.DataFrame] = {}
     if write_counts and counters is not None:

@@ -136,32 +136,70 @@ class HyperplaneHasher:
         return t.append_column("lsh_bucket", pa.array(self.bucket(m)))
 
 
+def _probe_buckets(buckets: np.ndarray, n_bits: int, n_probes: int) -> set:
+    """Exact buckets plus (multi-probe) their single-bit-flip neighbors —
+    the ``n_probes`` nearest alternative buckets per LSH convention
+    (flipping the lowest-margin bits; we flip the first n_probes-1 bits
+    deterministically, a simple but effective probe schedule)."""
+    out = set(int(b) for b in buckets)
+    if n_probes > 1:
+        for b in list(out):
+            for bit in range(min(n_probes - 1, n_bits)):
+                out.add(b ^ (1 << bit))
+    return out
+
+
+class _LshCandidateFilter:
+    """Actor-pool stage: keep rows matching ANY of ``n_tables``
+    independent hyperplane tables' allowed bucket sets (union of
+    query buckets + multi-probe neighbors). State (planes, allowed
+    sets) built once per actor."""
+
+    def __init__(self, dim, n_bits, seed, emb_col, q_ref, n_tables, n_probes):
+        import ray
+
+        q = q_ref if isinstance(q_ref, np.ndarray) else ray.get(q_ref)
+        self.hashers = [
+            HyperplaneHasher(dim, n_bits, seed + i, emb_col) for i in range(n_tables)
+        ]
+        self.allowed = [
+            np.fromiter(_probe_buckets(h.bucket(q), n_bits, n_probes), dtype=np.int64)
+            for h in self.hashers
+        ]
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _to_matrix(t[self.emb_col])
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for h, allowed in zip(self.hashers, self.allowed):
+            keep |= np.isin(h.bucket(m), allowed)
+        return t.filter(pa.array(keep))
+
+
 def lsh_bucket_topk(ds, queries, k: int = 10, dim: int | None = None,
                     n_bits: int = 8, seed: int = 11, emb_col: str = "embedding",
-                    id_col: str = "vec_id", query_ids=None, concurrency: int = 4):
-    """Approximate top-k: score only corpus rows whose LSH bucket matches
-    a query's bucket. One hash table; probe = exact bucket match."""
+                    id_col: str = "vec_id", query_ids=None, concurrency: int = 4,
+                    n_tables: int = 1, n_probes: int = 1):
+    """Approximate top-k: score only corpus rows that land in an allowed
+    LSH bucket. Recall levers (classic LSH):
+    - ``n_tables``: independent hyperplane tables OR-ed together;
+    - ``n_probes``: also probe neighboring buckets (bit flips).
+    Defaults reproduce the single-table exact-bucket behavior."""
     import ray
 
     q = queries if isinstance(queries, np.ndarray) else ray.get(queries)
     q = np.asarray(q, dtype=np.float64)
     dim = dim or q.shape[1]
-    hasher = HyperplaneHasher(dim, n_bits, seed, emb_col)
-    q_buckets = set(hasher.bucket(q).tolist())
 
-    hashed = ds.map_batches(
-        HyperplaneHasher,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed, "emb_col": emb_col},
+    cand = ds.map_batches(
+        _LshCandidateFilter,
+        fn_constructor_kwargs={
+            "dim": dim, "n_bits": n_bits, "seed": seed, "emb_col": emb_col,
+            "q_ref": q, "n_tables": n_tables, "n_probes": n_probes,
+        },
         batch_format="pyarrow",
         concurrency=norm_concurrency(concurrency),
     )
-
-    def keep_bucket(t: pa.Table) -> pa.Table:
-        b = t["lsh_bucket"].to_numpy(zero_copy_only=False)
-        mask = np.isin(b, list(q_buckets))
-        return t.filter(pa.array(mask))
-
-    cand = hashed.map_batches(keep_bucket, batch_format="pyarrow")
     return brute_force_topk(cand, q, k=k, emb_col=emb_col, id_col=id_col,
                             query_ids=query_ids, concurrency=concurrency)
 

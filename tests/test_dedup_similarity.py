@@ -162,6 +162,25 @@ def test_lsh_topk_contains_self(embeddings):
     assert 7 in got["vec_id"].tolist()  # the vector itself survives bucketing
 
 
+def test_lsh_multitable_improves_recall(embeddings):
+    """More tables + probes must find at least as much of the exact
+    top-k as the single-table exact-bucket path (classic LSH recall
+    levers)."""
+    m = np.stack([np.array(v) for v in embeddings["embedding"].to_pylist()]).astype(np.float64)
+    q = m[7:8]
+    exact = set(oracle_topk(m, m[7], 5))
+
+    def recall(**kw):
+        out = lsh_bucket_topk(rd.from_arrow(embeddings), q, k=5, n_bits=6,
+                              concurrency=1, **kw).to_pandas()
+        return len(set(out["vec_id"]) & exact) / len(exact)
+
+    r1 = recall()
+    r3 = recall(n_tables=8, n_probes=4)
+    assert r3 >= r1
+    assert r3 >= 0.8  # near-exact with 8 tables + probes at this size
+
+
 def test_cosine_near_dup_pairs(embeddings):
     out = cosine_near_dup_pairs(rd.from_arrow(embeddings), threshold=0.99).to_pandas()
     pairs = set(zip(out["id_a"], out["id_b"]))
