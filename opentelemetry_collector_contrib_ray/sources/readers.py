@@ -206,9 +206,22 @@ def transcripts_from_events(sf_dir: str, with_turn_idx: bool = True):
     if not with_turn_idx:
         return ds
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g["turn_idx"] = np.arange(len(g), dtype=np.int32)
+    # rank within conversation, computed per HASH PARTITION (many whole
+    # conversations per call) in one vectorized pass — not per-conv
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        idx = np.arange(len(g))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        g["turn_idx"] = (idx - start).astype(np.int32)
         return g[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
 
-    return ds.groupby("conv_id").map_groups(rank, batch_format="pandas")
+    from ..stages.joins import _add_part
+
+    return (
+        ds.map_batches(_add_part(["conv_id"], 64), batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(rank_partition, batch_format="pandas")
+    )

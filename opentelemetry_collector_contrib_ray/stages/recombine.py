@@ -50,6 +50,7 @@ def recombine(
         raise ValueError("only one of is_first_entry and is_last_entry can be set")
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    num_partitions = 64
 
     # Hot-key bound (SURVEY §7.4 skew): with max_batch_size and an integer
     # order column, pre-chunk the SHUFFLE KEY itself — groups become
@@ -57,6 +58,7 @@ def recombine(
     # 100 TB stream never has to fit one worker; chunk boundaries coincide
     # with the reference's overflow flush (transformer.go:182-188).
     prechunk = bool(max_batch_size) and isinstance(order_col, str)
+    group_keys = [source_col, "__ck"] if prechunk else [source_col]
 
     def add_chunk_key(t):
         import pyarrow as pa
@@ -68,45 +70,58 @@ def recombine(
         )
         return t.append_column("__ck", ck)
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="mergesort")
+    # One hash partition holds MANY whole (source[, order-chunk]) groups;
+    # boundaries are computed in a single vectorized pass over the sorted
+    # partition — no Ray-level call per source.
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(group_keys + order_cols, kind="mergesort")
+        kv = [g[k].to_numpy() for k in group_keys]
+        new_src = np.ones(len(g), dtype=bool)
+        new_src[1:] = False
+        for col in kv:
+            new_src[1:] |= col[1:] != col[:-1]
         if is_first_entry:
-            starts = g.eval(is_first_entry).to_numpy(dtype=bool)
-            starts[0] = True
-            chunk = np.cumsum(starts) - 1
+            starts = g.eval(is_first_entry).to_numpy(dtype=bool) | new_src
         elif is_last_entry:
             # end-pattern: boundary AFTER each matching row, which stays
             # in the chunk it closes (matched-line flush)
             ends = g.eval(is_last_entry).to_numpy(dtype=bool)
-            chunk = np.concatenate(([0], np.cumsum(ends)[:-1]))
+            starts = new_src.copy()
+            starts[1:] |= ends[:-1]
         elif max_batch_size:
-            chunk = np.arange(len(g)) // max_batch_size
+            # position within the source modulo the cap
+            idx = np.arange(len(g))
+            src_start = np.maximum.accumulate(np.where(new_src, idx, 0))
+            starts = new_src | (((idx - src_start) % max_batch_size) == 0)
         elif max_log_size:
-            # size valve (transformer.go:182-188): start a new chunk when
-            # the joined byte budget would overflow
             lens = g[combine_col].astype(str).str.len().to_numpy() + len(combine_with)
-            chunk = np.zeros(len(g), dtype=np.int64)
-            acc = cid = 0
-            for i, ln in enumerate(lens):
-                if acc + ln > max_log_size and acc > 0:
-                    cid += 1
+            starts = new_src.copy()
+            acc = 0
+            for i in range(len(g)):  # size valve: inherently sequential
+                if starts[i]:
                     acc = 0
-                chunk[i] = cid
-                acc += ln
+                elif acc + lens[i] > max_log_size and acc > 0:
+                    starts[i] = True
+                    acc = 0
+                acc += lens[i]
         else:
-            chunk = np.zeros(len(g), dtype=np.int64)
+            starts = new_src
+        chunk = np.cumsum(starts) - 1
         g = g.assign(__chunk=chunk)
         base_pick = "first" if overwrite_with == "oldest" else "last"
-        agg = {c: base_pick for c in g.columns if c not in (combine_col, "__chunk")}
+        agg = {
+            c: base_pick
+            for c in g.columns
+            if c not in (combine_col, "__chunk", "__p", "__ck")
+        }
         agg[combine_col] = lambda s: combine_with.join(s.astype(str))
         out = g.groupby("__chunk", sort=True).agg(agg)
         out["n_combined"] = g.groupby("__chunk", sort=True).size()
-        out = out.reset_index(drop=True)
-        return out.drop(columns=[c for c in ("__ck",) if c in out.columns])
+        return out.reset_index(drop=True)
+
+    from .joins import _add_part
 
     if prechunk:
-        keyed = ds.map_batches(add_chunk_key, batch_format="pyarrow")
-        return keyed.groupby([source_col, "__ck"]).map_groups(
-            join_group, batch_format="pandas"
-        )
-    return ds.groupby(source_col).map_groups(join_group, batch_format="pandas")
+        ds = ds.map_batches(add_chunk_key, batch_format="pyarrow")
+    keyed = ds.map_batches(_add_part(group_keys, num_partitions), batch_format="pyarrow")
+    return keyed.groupby("__p").map_groups(join_partition, batch_format="pandas")

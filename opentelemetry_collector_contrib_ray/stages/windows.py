@@ -54,44 +54,65 @@ def tumbling_window(ds, key: str, ts: str, size_s: int,
     )
 
 
-def sliding_window_counts(ds, key: str, ts: str, size_s: int, step_s: int):
+def _partitioned(ds, key: str, n_parts: int):
+    """Shuffle on ``hash(key) % n_parts`` so each worker gets MANY whole
+    key groups in one call — a per-key ``map_groups`` pays a Ray-level
+    Python invocation per key, which dominates when keys number in the
+    thousands."""
+    from .joins import _add_part
+
+    return ds.map_batches(_add_part([key], n_parts), batch_format="pyarrow").groupby("__p")
+
+
+def sliding_window_counts(ds, key: str, ts: str, size_s: int, step_s: int,
+                          num_partitions: int = 64):
     """Per key: one row per step with the count of events in the
     trailing ``size_s`` window ending at that step boundary."""
     size = np.timedelta64(size_s, "s")
     step_us = step_s * 1_000_000
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        tsv = np.sort(g[ts].to_numpy().astype("datetime64[us]"))
-        lo = (tsv[0].astype("int64") // step_us) * step_us
-        hi = (tsv[-1].astype("int64") // step_us + 1) * step_us
-        bounds = np.arange(lo + step_us, hi + step_us, step_us).astype("datetime64[us]")
-        upper = np.searchsorted(tsv, bounds, side="right")
-        lower = np.searchsorted(tsv, bounds - size, side="right")
-        return pd.DataFrame(
-            {key: g[key].iloc[0], "window_end": bounds, "n": upper - lower}
-        )
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, sub in g.groupby(key, sort=False):  # in-process, no Ray call
+            tsv = np.sort(sub[ts].to_numpy().astype("datetime64[us]"))
+            lo = (tsv[0].astype("int64") // step_us) * step_us
+            hi = (tsv[-1].astype("int64") // step_us + 1) * step_us
+            bounds = np.arange(lo + step_us, hi + step_us, step_us).astype("datetime64[us]")
+            upper = np.searchsorted(tsv, bounds, side="right")
+            lower = np.searchsorted(tsv, bounds - size, side="right")
+            out.append(pd.DataFrame({key: k, "window_end": bounds, "n": upper - lower}))
+        if not out:
+            return pd.DataFrame({key: [], "window_end": [], "n": []})
+        return pd.concat(out, ignore_index=True)
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _partitioned(ds, key, num_partitions).map_groups(per_part, batch_format="pandas")
 
 
-def session_windows(ds, key: str, ts: str, gap_s: int):
-    """Gap-based sessions per key: (key, session_start, session_end, n)."""
+def session_windows(ds, key: str, ts: str, gap_s: int, num_partitions: int = 64):
+    """Gap-based sessions per key: (key, session_start, session_end, n).
+    Fully vectorized within each hash partition: one sort + one boundary
+    scan covering every key group at once."""
     gap = np.timedelta64(gap_s, "s")
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        tsv = np.sort(g[ts].to_numpy().astype("datetime64[us]"))
-        new = np.ones(len(tsv), dtype=bool)
-        new[1:] = (tsv[1:] - tsv[:-1]) > gap
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="mergesort")
+        kv = g[key].to_numpy()
+        tsv = g[ts].to_numpy().astype("datetime64[us]")
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (kv[1:] != kv[:-1]) | ((tsv[1:] - tsv[:-1]) > gap)
         sid = np.cumsum(new) - 1
-        df = pd.DataFrame({"sid": sid, "ts": tsv})
-        agg = df.groupby("sid")["ts"].agg(["min", "max", "count"]).reset_index()
+        df = pd.DataFrame({key: kv, "sid": sid, "ts": tsv})
+        agg = df.groupby("sid", sort=True).agg(
+            __k=(key, "first"), session_start=("ts", "min"),
+            session_end=("ts", "max"), n=("ts", "count"),
+        )
         return pd.DataFrame(
             {
-                key: g[key].iloc[0],
-                "session_start": agg["min"],
-                "session_end": agg["max"],
-                "n": agg["count"].astype("int64"),
+                key: agg["__k"].to_numpy(),
+                "session_start": agg["session_start"].to_numpy(),
+                "session_end": agg["session_end"].to_numpy(),
+                "n": agg["n"].astype("int64").to_numpy(),
             }
         )
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return _partitioned(ds, key, num_partitions).map_groups(per_part, batch_format="pandas")
