@@ -12,6 +12,7 @@ from .base import BatchOp, Chain, apply_ops, set_column  # noqa: F401
 from .parsers import (  # noqa: F401
     RegexParser,
     JsonParser,
+    JsonArrayParser,
     KeyValueParser,
     CsvParser,
     SeverityParser,

@@ -204,6 +204,84 @@ class JsonParser(BatchOp):
         return blend_columns(t, cols, None if all_ok else ok)
 
 
+class JsonArrayParser(BatchOp):
+    """JSON-array parse (parser/jsonarray/parser.go): a string field
+    holding ``[...]``.
+
+    - ``header`` given (comma-joined names like the reference's
+      header mode): element i lands in ``<prefix><header[i]>``; arrays
+      with a different length are parse errors. ``types`` casts
+      individual columns; untyped elements are stringified (nested
+      objects JSON-encoded — the reference also flattens nested values
+      to strings, parser.go:56-58).
+    - no header: the whole array lands as one ``list<string>`` column
+      ``<prefix>__array``.
+    """
+
+    def __init__(self, header: list[str] | str | None = None, parse_from: str = "text",
+                 prefix: str = "attributes.", types: dict[str, str] | None = None, **kw):
+        super().__init__(**kw)
+        if isinstance(header, str):
+            header = header.split(",")
+        self.header = header
+        self.parse_from = parse_from
+        self.prefix = prefix
+        self.types = types or {}
+
+    def _rows(self, t: pa.Table, gate=None):
+        col = _col(t, self.parse_from)
+        g = None if gate is None else np.asarray(gate, dtype=bool)
+        out, errs = [], np.zeros(t.num_rows, dtype=bool)
+        for i, s in enumerate(col.to_pylist()):
+            if s is None or (g is not None and not g[i]):
+                out.append(None)
+                continue
+            try:
+                v = json.loads(s)
+                if not isinstance(v, list):
+                    raise ValueError
+                if self.header is not None and len(v) != len(self.header):
+                    raise ValueError
+                out.append(v)
+            except (ValueError, TypeError):
+                out.append(None)
+                errs[i] = True
+        return out, errs
+
+    def error_mask(self, t: pa.Table):
+        _, errs = self._rows(t)
+        return pa.array(errs)
+
+    @staticmethod
+    def _elem_str(v):
+        if v is None or isinstance(v, str):
+            return v
+        return json.dumps(v)
+
+    def transform(self, t: pa.Table) -> pa.Table:
+        return self.transform_gated(t, None)
+
+    def transform_gated(self, t: pa.Table, gate) -> pa.Table:
+        rows, _ = self._rows(t, gate)
+        if self.header is None:
+            arr = pa.array(
+                [None if r is None else [self._elem_str(x) for x in r] for r in rows],
+                type=pa.list_(pa.string()),
+            )
+            return set_column(t, self.prefix + "__array", arr)
+        ok = pa.array([r is not None for r in rows])
+        cols = {}
+        for i, name in enumerate(self.header):
+            vals = pa.array(
+                [None if r is None else self._elem_str(r[i]) for r in rows],
+                type=pa.string(),
+            )
+            if name in self.types:
+                vals = _cast_typed(vals, self.types[name])
+            cols[self.prefix + name] = vals
+        return blend_columns(t, cols, None if pc.all(ok).as_py() else ok)
+
+
 class KeyValueParser(BatchOp):
     """key=value pair parse. With ``fields`` given the extraction is fully
     vectorized (one anchored regex per field); without, a per-row split

@@ -417,3 +417,34 @@ def test_recombine_first_last_mutually_exclusive():
 
     with pytest.raises(ValueError):
         recombine(None, is_first_entry="a", is_last_entry="b")
+
+
+class TestJsonArrayParser:
+    def _p(self, **kw):
+        from opentelemetry_collector_contrib_ray.stages import JsonArrayParser
+
+        return JsonArrayParser(**kw)
+
+    def test_to_array_column(self):
+        out = self._p()(tbl(['[1, "x", true, null, {"a": 2}]', "not json", None]))
+        arrs = out["attributes.__array"].to_pylist()
+        assert arrs[0] == ["1", "x", "true", None, '{"a": 2}']
+        assert arrs[1] is None and arrs[2] is None
+
+    def test_header_mode_typed(self):
+        out = self._p(header="name,age", types={"age": "int64"})(
+            tbl(['["bob", 42]', '["solo"]'])
+        )
+        assert out["attributes.name"].to_pylist() == ["bob", None]
+        assert out["attributes.age"].to_pylist() == [42, None]
+
+    def test_length_mismatch_is_error(self):
+        out = self._p(header=["a", "b"], on_error="drop")(tbl(['[1, 2]', '[1]']))
+        assert out.num_rows == 1
+
+    def test_nested_object_stringified(self):
+        # reference flattens nested values to strings (parser.go:56-58)
+        out = self._p(header=["x"])(tbl(['[{"k": [1, 2]}]']))
+        import json as _json
+
+        assert _json.loads(out["attributes.x"].to_pylist()[0]) == {"k": [1, 2]}
