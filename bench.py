@@ -72,6 +72,7 @@ def run_bench() -> dict:
     out_root = "/tmp/otelray/bench_out"
     shutil.rmtree(out_root, ignore_errors=True)
     os.sync()  # flush dirty pages so prior runs' writeback doesn't bleed in
+    time.sleep(3)  # let the device drain — ±40% headline variance otherwise
     t0 = time.time()
     run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS, counts_mode="partials")
     headline = time.time() - t0
