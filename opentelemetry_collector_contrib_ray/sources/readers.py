@@ -32,7 +32,10 @@ def read_transcripts(path: str):
 def read_lines(paths, encoding: str = "utf-8",
                line_start_pattern: str | None = None,
                line_end_pattern: str | None = None,
-               include_file_path: bool = True):
+               include_file_path: bool = True,
+               header_pattern: str | None = None,
+               header_ops=None,
+               framing: str | None = None):
     """Framed line source — the fileconsumer split/encoding surface
     (pkg/stanza/fileconsumer/file.go:23-36, pkg/stanza/split/split.go,
     file attrs fileconsumer/attrs/attrs.go:14-17).
@@ -46,6 +49,21 @@ def read_lines(paths, encoding: str = "utf-8",
     - ``line_end_pattern``: an entry ends with (and includes) the line
       containing the match.
     - neither: plain newline split.
+    - ``framing``: RFC6587 transport framing for syslog streams
+      (parser/syslog/config.go:55-83, parser.go:300):
+      ``"octet_counting"`` — each message is prefixed with its byte
+      length (``"123 <34>1 ..."``); split on the length prefixes
+      (best-effort: a malformed prefix makes the remainder one entry).
+      ``"non_transparent"`` — messages terminated by a NUL trailer.
+      Mutually exclusive with the line patterns.
+    - ``header_pattern`` + ``header_ops``: file-header metadata
+      (fileconsumer/internal/header/reader.go:46-71, config.go:28-67).
+      Leading entries matching the pattern are consumed (not emitted);
+      each runs through the ``header_ops`` sub-chain and every non-
+      ``text`` column it produces is upserted into the file's attribute
+      set, which is attached as columns to all remaining entries of
+      that file. Like the reference, the header ends at the first
+      non-matching entry.
 
     One input file = one read task; files are the natural partitions
     (rotation-bounded in log workloads). Emits ``text`` plus
@@ -57,10 +75,18 @@ def read_lines(paths, encoding: str = "utf-8",
 
     if line_start_pattern and line_end_pattern:
         raise ValueError("only one of line_start_pattern / line_end_pattern")
+    if framing is not None:
+        if framing not in ("octet_counting", "non_transparent"):
+            raise ValueError(f"unknown framing {framing!r}")
+        if line_start_pattern or line_end_pattern:
+            raise ValueError("framing is mutually exclusive with line patterns")
+    if (header_pattern is None) != (header_ops is None):
+        raise ValueError("header_pattern and header_ops must be given together")
     import re as _re
 
     start_rx = _re.compile(line_start_pattern, _re.MULTILINE) if line_start_pattern else None
     end_rx = _re.compile(line_end_pattern, _re.MULTILINE) if line_end_pattern else None
+    header_rx = _re.compile(header_pattern) if header_pattern else None
 
     def frame(s: str) -> list[str]:
         if start_rx is not None:
@@ -82,20 +108,75 @@ def read_lines(paths, encoding: str = "utf-8",
             return out
         return s.splitlines()
 
+    def frame_bytes(data: bytes) -> list[str]:
+        """RFC6587 framing over the raw byte stream (length prefixes
+        count BYTES, so framing happens before decode)."""
+        if framing == "non_transparent":
+            return [
+                seg.decode(encoding, errors="replace").rstrip("\n")
+                for seg in data.split(b"\x00")
+                if seg
+            ]
+        out, i, n = [], 0, len(data)
+        while i < n:
+            j = i
+            while j < n and 0x30 <= data[j] <= 0x39:
+                j += 1
+            if j == i or j >= n or data[j] != 0x20:  # malformed prefix
+                out.append(data[i:].decode(encoding, errors="replace"))
+                break
+            ln = int(data[i:j])
+            out.append(data[j + 1 : j + 1 + ln].decode(encoding, errors="replace"))
+            i = j + 1 + ln
+        return out
+
     ds = rd.read_binary_files(paths, include_paths=True)
 
+    def file_header_attrs(lines: list[str]) -> tuple[list[str], dict]:
+        """Consume leading header lines; return (remaining, attrs)."""
+        n = 0
+        while n < len(lines) and header_rx.match(lines[n]):
+            n += 1
+        if n == 0:
+            return lines, {}
+        from ..stages.base import Chain
+
+        out = Chain(header_ops)(pa.table({"text": pa.array(lines[:n], type=pa.string())}))
+        attrs: dict = {}
+        for name in out.column_names:
+            if name == "text" or name.startswith("__"):
+                continue
+            # upsert per header entry in order — last non-null wins,
+            # matching the reference's per-line attribute copy loop
+            for v in out[name].to_pylist():
+                if v is not None:
+                    attrs[name] = v
+        return lines[n:], attrs
+
     def split_batch(t: pa.Table) -> pa.Table:
-        texts, fpaths = [], []
+        texts, fpaths, file_attrs = [], [], []
         for data, path in zip(t["bytes"].to_pylist(), t["path"].to_pylist()):
-            for line in frame(data.decode(encoding, errors="replace")):
+            if framing is not None:
+                lines = frame_bytes(data)
+            else:
+                lines = frame(data.decode(encoding, errors="replace"))
+            attrs = {}
+            if header_rx is not None:
+                lines, attrs = file_header_attrs(lines)
+            for line in lines:
                 texts.append(line)
                 fpaths.append(path)
+                file_attrs.append(attrs)
         cols = {"text": pa.array(texts, type=pa.string())}
         if include_file_path:
             cols["log.file.path"] = pa.array(fpaths, type=pa.string())
             cols["log.file.name"] = pa.array(
                 [os.path.basename(p) for p in fpaths], type=pa.string()
             )
+        if header_rx is not None:
+            keys = sorted({k for a in file_attrs for k in a})
+            for k in keys:
+                cols[k] = pa.array([a.get(k) for a in file_attrs])
         return pa.table(cols)
 
     return ds.map_batches(split_batch, batch_format="pyarrow")

@@ -147,3 +147,84 @@ class TestReadLines:
 
         with _pytest.raises(ValueError):
             read_lines("x", line_start_pattern="a", line_end_pattern="b")
+
+    def test_file_header_metadata(self, tmp_path):
+        # fileconsumer/internal/header/reader.go:46-71 — leading lines
+        # matching the pattern are consumed through metadata_operators
+        # and their attributes attach to every entry of that file.
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+        from opentelemetry_collector_contrib_ray.stages.parsers import RegexParser
+
+        p1 = self._write(
+            tmp_path, "h1.log",
+            b"#env: prod\n#version: 3\nline one\nline two\n",
+        )
+        p2 = self._write(tmp_path, "h2.log", b"#env: dev\nonly line\n")
+        ops = [RegexParser(pattern=r"^#(?P<hk>\w+): (?P<hv>\S+)",
+                           parse_from="text", prefix="")]
+
+        def kv_promote(t):
+            # turn (hk, hv) rows into per-key attr columns
+            import pyarrow as _pa
+            cols = {"text": t["text"]}
+            for k, v in zip(t["hk"].to_pylist(), t["hv"].to_pylist()):
+                cols[f"header.{k}"] = _pa.array(
+                    [v if kk == k else None
+                     for kk in t["hk"].to_pylist()])
+            return _pa.table(cols)
+
+        out = read_lines([p1, p2], header_pattern=r"^#",
+                         header_ops=ops + [kv_promote]).to_pandas()
+        out = out.sort_values(["log.file.name", "text"]).reset_index(drop=True)
+        assert out["text"].tolist() == ["line one", "line two", "only line"]
+        assert out["header.env"].tolist() == ["prod", "prod", "dev"]
+        assert out["header.version"].tolist()[:2] == ["3", "3"]
+        import pandas as _pd
+
+        assert _pd.isna(out["header.version"].tolist()[2])
+
+    def test_header_requires_both_params(self, tmp_path):
+        import pytest as _pytest
+
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        with _pytest.raises(ValueError):
+            read_lines("x", header_pattern="^#")
+
+    def test_octet_counting_framing(self, tmp_path):
+        # RFC6587 octet counting (parser/syslog/parser.go:300): each
+        # message prefixed with its byte length.
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        m1 = b"<34>1 2024-01-01T00:00:00Z host app - - - hi"
+        m2 = b"<13>1 2024-01-01T00:00:01Z host app - - - caf\xc3\xa9"
+        data = str(len(m1)).encode() + b" " + m1 + str(len(m2)).encode() + b" " + m2
+        p = self._write(tmp_path, "oc.log", data)
+        out = read_lines(p, framing="octet_counting").to_pandas()
+        assert out["text"].tolist() == [
+            m1.decode(), "<13>1 2024-01-01T00:00:01Z host app - - - café",
+        ]
+
+    def test_octet_counting_malformed_tail(self, tmp_path):
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        p = self._write(tmp_path, "bad.log", b"5 hellogarbage-no-prefix")
+        out = read_lines(p, framing="octet_counting").to_pandas()
+        assert out["text"].tolist() == ["hello", "garbage-no-prefix"]
+
+    def test_non_transparent_framing(self, tmp_path):
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        p = self._write(tmp_path, "nt.log", b"<34>1 msg one\x00<34>1 msg two\x00")
+        out = read_lines(p, framing="non_transparent").to_pandas()
+        assert out["text"].tolist() == ["<34>1 msg one", "<34>1 msg two"]
+
+    def test_framing_excludes_patterns(self, tmp_path):
+        import pytest as _pytest
+
+        from opentelemetry_collector_contrib_ray.sources.readers import read_lines
+
+        with _pytest.raises(ValueError):
+            read_lines("x", framing="octet_counting", line_start_pattern="a")
+        with _pytest.raises(ValueError):
+            read_lines("x", framing="bogus")
