@@ -60,6 +60,7 @@ def _register_builtins() -> None:
     )
     from .stages.attributes import AttributesProcessor
     from .stages.redact import Redactor
+    from .stages.resourcedetection import ResourceDetectionProcessor
     from .stages.sampler import ProbabilisticSampler
 
     for name, cls in {
@@ -87,6 +88,7 @@ def _register_builtins() -> None:
         "transform": TransformProcessor,
         "attributes": AttributesProcessor,
         "redact": Redactor,
+        "resource_detection": ResourceDetectionProcessor,
         "sampler": ProbabilisticSampler,
     }.items():
         register_op(name, cls)

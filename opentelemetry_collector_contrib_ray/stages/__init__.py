@@ -42,3 +42,4 @@ from .enrich import LookupEnricher  # noqa: F401
 from .recombine import recombine  # noqa: F401
 from .sampler import ProbabilisticSampler  # noqa: F401
 from .redact import Redactor  # noqa: F401
+from .resourcedetection import ResourceDetectionProcessor, parse_otel_resource_attrs  # noqa: F401

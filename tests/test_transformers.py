@@ -139,3 +139,70 @@ def test_sampler_priority_override():
     )
     out = ProbabilisticSampler(0, "k", priority_col="prio")(t)
     assert out.num_rows == 100
+
+
+class TestResourceDetection:
+    # processor/resourcedetectionprocessor parity
+    def _t(self):
+        import pyarrow as pa
+
+        return pa.table({
+            "text": ["a", "b"],
+            "resource.host.name": ["existing", None],
+        })
+
+    def test_env_detector_and_override(self):
+        from opentelemetry_collector_contrib_ray.stages import ResourceDetectionProcessor
+
+        p = ResourceDetectionProcessor(
+            detectors=("env",),
+            environ={"OTEL_RESOURCE_ATTRIBUTES": "service.name=web, host.name=h%201"},
+        )
+        out = p(self._t())
+        assert out["resource.service.name"].to_pylist() == ["web", "web"]
+        # percent-decoded + override=True replaces existing values
+        assert out["resource.host.name"].to_pylist() == ["h 1", "h 1"]
+
+    def test_no_override_fills_only_missing(self):
+        from opentelemetry_collector_contrib_ray.stages import ResourceDetectionProcessor
+
+        p = ResourceDetectionProcessor(
+            detectors=("env",), override=False,
+            environ={"OTEL_RESOURCE_ATTRIBUTES": "host.name=det"},
+        )
+        out = p(self._t())
+        assert out["resource.host.name"].to_pylist() == ["existing", "det"]
+
+    def test_detector_order_first_wins_and_keep_filter(self):
+        from opentelemetry_collector_contrib_ray.stages import ResourceDetectionProcessor
+
+        p = ResourceDetectionProcessor(
+            detectors=("env", "static"),
+            environ={"OTEL_RESOURCE_ATTRIBUTES": "cloud.region=env-r"},
+            static_attributes={"cloud.region": "static-r", "cloud.zone": "z1",
+                               "drop.me": "x"},
+            attributes=["cloud.region", "cloud.zone"],
+        )
+        out = p(self._t())
+        assert out["resource.cloud.region"].to_pylist() == ["env-r", "env-r"]
+        assert out["resource.cloud.zone"].to_pylist() == ["z1", "z1"]
+        assert "resource.drop.me" not in out.column_names
+
+    def test_system_detector_injectable(self):
+        from opentelemetry_collector_contrib_ray.stages import ResourceDetectionProcessor
+
+        p = ResourceDetectionProcessor(
+            detectors=("system",),
+            system_info={"host.name": "node-7", "os.type": "linux"},
+        )
+        out = p(self._t())
+        assert out["resource.os.type"].to_pylist() == ["linux", "linux"]
+
+    def test_bad_env_format_cleared(self):
+        from opentelemetry_collector_contrib_ray.stages.resourcedetection import (
+            parse_otel_resource_attrs,
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse_otel_resource_attrs("no-equals-sign-at-all,,")
