@@ -753,6 +753,20 @@ def q_emb_ann_lsh(sf_dir: str):
     return pa.table({"vec_id": out["vec_id"]})
 
 
+def q_emb_ann_ivf(sf_dir: str):
+    """IVF cell-probed top-k. Probing every cell makes IVF exact, so the
+    brute-force SQL oracle applies — the whole train/assign/probe/merge
+    machinery is hash-verified end-to-end. Recall at partial probing
+    (n_probe < n_clusters) is covered by pytest recall tests."""
+    from ..stages.similarity import ivf_topk
+
+    q = _query_vec(sf_dir, 0)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, q, k=10, n_clusters=8, n_probe=8,
+                   concurrency=(1, 2), sample_size=50_000)
+    return pa.table({"vec_id": out["vec_id"]})
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: synthetic media → fake decode → features
     (rows-only; codecs stubbed per brief)."""
@@ -1369,6 +1383,7 @@ QUERIES = {
     "emb_ann_top10": q_emb_ann_top10,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "emb_ann_lsh": q_emb_ann_lsh,
+    "emb_ann_ivf": q_emb_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
     "events_sessions": q_events_sessions,
     "events_tumbling_6h": q_events_tumbling_6h,
@@ -1409,6 +1424,7 @@ ORACLES = {
     "docs_stopwords": SQL_DOCS_STOPWORDS,
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
+    "emb_ann_ivf": SQL_EMB_ANN,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_tumbling_6h": SQL_EVENTS_TUMBLING,
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,

@@ -204,6 +204,165 @@ def lsh_bucket_topk(ds, queries, k: int = 10, dim: int | None = None,
                             query_ids=query_ids, concurrency=concurrency)
 
 
+def train_ivf_centroids(ds, n_clusters: int = 64, n_iters: int = 15,
+                        seed: int = 17, emb_col: str = "embedding",
+                        sample_size: int = 100_000) -> np.ndarray:
+    """Train an IVF coarse quantizer: deterministic Lloyd k-means over a
+    BOUNDED sample (first ``sample_size`` rows — the only materialized
+    piece; the corpus itself never leaves the stream). Centroids are
+    L2-normalized so nearest-centroid-by-dot-product = cosine cell.
+
+    At 100 TB the sample is still ``sample_size`` rows: training cost is
+    independent of corpus size, and the centroid matrix
+    (n_clusters × dim) is broadcast once with ``ray.put``.
+    """
+    import ray
+
+    tables = ray.get(ds.limit(sample_size).select_columns([emb_col]).to_arrow_refs())
+    col = pa.concat_tables(tables)[emb_col]
+    sample = _normalize(_to_matrix(col))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_clusters = min(n_clusters, len(sample))
+    cent = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _IvfSearcher:
+    """Actor-pool IVF search stage. State built once per actor:
+    centroids + the cluster→probing-queries inverted map. Per batch:
+    assign rows to cells (one matmul), then for each cell present score
+    its rows ONLY against the queries that probe that cell, emitting
+    block-local top-k partials."""
+
+    def __init__(self, cent_ref, q_ref, k, n_probe, emb_col, id_col, query_ids):
+        import ray
+
+        cent = cent_ref if isinstance(cent_ref, np.ndarray) else ray.get(cent_ref)
+        q = q_ref if isinstance(q_ref, np.ndarray) else ray.get(q_ref)
+        self.cent = _normalize(np.asarray(cent, dtype=np.float64))
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.qids = np.asarray(query_ids) if query_ids is not None else np.arange(len(self.q))
+        n_probe = min(n_probe, len(self.cent))
+        probes = np.argpartition(-(self.q @ self.cent.T), n_probe - 1, axis=1)[:, :n_probe]
+        self.cell_queries: dict[int, np.ndarray] = {}
+        for qi, cells in enumerate(probes):
+            for c in cells:
+                self.cell_queries.setdefault(int(c), []).append(qi)
+        self.cell_queries = {c: np.asarray(v) for c, v in self.cell_queries.items()}
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t[self.emb_col]))
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        cells = np.argmax(m @ self.cent.T, axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for c in np.unique(cells):
+            qsel = self.cell_queries.get(int(c))
+            if qsel is None:
+                continue
+            rows = np.nonzero(cells == c)[0]
+            sims = self.q[qsel] @ m[rows].T  # (nq_cell, n_rows_cell)
+            k = min(self.k, sims.shape[1])
+            part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            for j, qi in enumerate(qsel):
+                sel = part[j]
+                out_q.append(np.full(k, self.qids[qi]))
+                out_id.append(ids[rows][sel])
+                out_sim.append(sims[j, sel])
+        if not out_q:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                self.id_col: pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            })
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            self.id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+            "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+        })
+
+
+def ivf_topk(ds, queries, k: int = 10, n_clusters: int = 64, n_probe: int = 4,
+             n_iters: int = 15, seed: int = 17, emb_col: str = "embedding",
+             id_col: str = "vec_id", query_ids=None, concurrency: int = 4,
+             centroids: np.ndarray | None = None, sample_size: int = 100_000):
+    """IVF approximate top-k — the classic scale path next to LSH:
+    train a coarse quantizer on a bounded sample, then stream the corpus
+    once; each row is scored only against the queries probing its cell
+    (work ∝ n_probe/n_clusters of brute force). Recall lever: ``n_probe``
+    (= n_clusters ⇒ exact). Final merge = bounded driver heap
+    (≤ blocks × k × nq rows), same as brute force."""
+    import ray
+
+    q = queries if isinstance(queries, np.ndarray) else ray.get(queries)
+    q = np.asarray(q, dtype=np.float64)
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_clusters, n_iters, seed, emb_col, sample_size)
+    cent_ref = ray.put(centroids)
+
+    partial = ds.map_batches(
+        _IvfSearcher,
+        fn_constructor_kwargs={
+            "cent_ref": cent_ref, "q_ref": q, "k": k, "n_probe": n_probe,
+            "emb_col": emb_col, "id_col": id_col, "query_ids": query_ids,
+        },
+        batch_format="pyarrow",
+        concurrency=norm_concurrency(concurrency),
+    )
+    best: dict[int, list] = {}
+    for batch in partial.iter_batches(batch_format="pyarrow"):
+        for qid, i, s in zip(
+            batch["query_id"].to_pylist(),
+            batch[id_col].to_pylist(),
+            batch["cosine"].to_pylist(),
+        ):
+            h = best.setdefault(qid, [])
+            if len(h) < k:
+                heapq.heappush(h, (s, i))
+            elif s > h[0][0]:
+                heapq.heapreplace(h, (s, i))
+    rows = []
+    for qid in sorted(best):
+        for s, i in sorted(best[qid], reverse=True):
+            rows.append((qid, i, s))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        id_col: pa.array([r[1] for r in rows], type=pa.int64()),
+        "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
+    })
+
+
+def assign_ivf_clusters(ds, centroids, emb_col: str = "embedding",
+                        cluster_col: str = "ivf_cluster", concurrency: int = 4):
+    """Index build: add each row's IVF cell id — write the result
+    partitioned by ``cluster_col`` for a resumable, cell-pruned index."""
+    import ray
+
+    cent_ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    class Assign:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _normalize(_to_matrix(t[emb_col]))
+            return t.append_column(
+                cluster_col, pa.array(np.argmax(m @ self.cent.T, axis=1), type=pa.int32())
+            )
+
+    return ds.map_batches(Assign, batch_format="pyarrow",
+                          concurrency=norm_concurrency(concurrency))
+
+
 def cosine_near_dup_pairs(ds, threshold: float = 0.9, emb_col: str = "embedding",
                           id_col: str = "vec_id", block_col: str | None = None):
     """Embedding-cosine near-duplicate pairs.

@@ -187,3 +187,59 @@ def test_cosine_near_dup_pairs(embeddings):
     for k in range(5):
         assert (k, 20 + k) in pairs  # the perturbed copies
     assert len(pairs) == 5
+
+
+def test_ivf_exact_when_probing_all_cells(embeddings):
+    from opentelemetry_collector_contrib_ray.stages.similarity import ivf_topk
+
+    m = np.stack([np.array(v) for v in embeddings["embedding"].to_pylist()]).astype(np.float64)
+    q = m[3:4]
+    out = ivf_topk(
+        rd.from_arrow(embeddings).repartition(3), q, k=5,
+        n_clusters=4, n_probe=4, concurrency=1, sample_size=100,
+    ).to_pandas()
+    # probing every cell == exact brute force
+    assert out[out.query_id == 0]["vec_id"].tolist() == oracle_topk(m, m[3], 5)
+
+
+def test_ivf_recall_grows_with_n_probe(embeddings):
+    from opentelemetry_collector_contrib_ray.stages.similarity import ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    big = rng.standard_normal((400, 16)).astype(np.float64)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(big)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in big], type=pa.list_(pa.float32())),
+    })
+    q = big[:5]
+
+    def recall(n_probe):
+        out = ivf_topk(rd.from_arrow(t), q, k=10, n_clusters=16,
+                       n_probe=n_probe, concurrency=1, sample_size=400).to_pandas()
+        hits = 0
+        for qi in range(5):
+            truth = set(oracle_topk(big, big[qi], 10))
+            got = set(out[out.query_id == qi]["vec_id"])
+            hits += len(truth & got)
+        return hits / 50.0
+
+    r1, r16 = recall(1), recall(16)
+    assert r16 == 1.0  # all cells probed = exact
+    assert r16 >= r1
+    assert recall(6) >= 0.6  # multi-probe recovers most of the truth
+
+
+def test_assign_ivf_clusters_partitions(embeddings):
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        assign_ivf_clusters,
+        train_ivf_centroids,
+    )
+
+    ds = rd.from_arrow(embeddings)
+    cent = train_ivf_centroids(ds, n_clusters=4, sample_size=100)
+    assert cent.shape == (4, 16)
+    out = assign_ivf_clusters(ds, cent, concurrency=1).to_pandas()
+    assert out["ivf_cluster"].between(0, 3).all()
+    # exact duplicates land in the same cell
+    m = np.stack([np.array(v) for v in embeddings["embedding"].to_pylist()])
+    assert len(out) == len(m)
