@@ -645,6 +645,80 @@ FROM documents GROUP BY lang
 """
 
 
+def q_docs_gopher(sf_dir: str):
+    """Gopher-style quality rules per source — integer-exact flag sums
+    (stages/text.py gopher_rules), full SQL twin."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.text import gopher_rules
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    flags = ["words_ok", "mean_word_len_ok", "symbol_ratio_ok", "bullet_ok",
+             "ellipsis_ok", "alpha_words_ok", "stopwords_ok", "gopher_pass"]
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = gopher_rules(t, min_words=10)  # synthetic docs are short
+        cols = {"source": t["source"],
+                "n_words": t["n_words"]}
+        for f in flags:
+            cols[f] = pc.cast(t[f], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("n_words", alias_name="sum_words")]
+    aggs += [Sum(f, alias_name=f"n_{f}") for f in flags]
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), *aggs)
+    )
+
+
+SQL_DOCS_GOPHER = r"""
+WITH g AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\S+')) AS n_words,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nospace,
+         (length(text) - length(replace(text, '#', '')))
+           + len(regexp_extract_all(text, '\.\.\.|…')) AS n_sym,
+         length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+         len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+         len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS n_ellipsis,
+         len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha_words,
+         (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bbe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bthat\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bhave\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(text, '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
+  FROM documents
+), f AS (
+  SELECT source, n_words,
+         CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1 ELSE 0 END AS words_ok,
+         CASE WHEN 3*n_words <= n_nospace AND n_nospace <= 10*n_words THEN 1 ELSE 0 END AS mean_word_len_ok,
+         CASE WHEN 10*n_sym <= n_words THEN 1 ELSE 0 END AS symbol_ratio_ok,
+         CASE WHEN 10*n_bullet <= 9*n_lines THEN 1 ELSE 0 END AS bullet_ok,
+         CASE WHEN 10*n_ellipsis <= 3*n_lines THEN 1 ELSE 0 END AS ellipsis_ok,
+         CASE WHEN 10*n_alpha_words >= 8*n_words THEN 1 ELSE 0 END AS alpha_words_ok,
+         CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS stopwords_ok
+  FROM g
+)
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       CAST(SUM(words_ok) AS BIGINT) AS n_words_ok,
+       CAST(SUM(mean_word_len_ok) AS BIGINT) AS n_mean_word_len_ok,
+       CAST(SUM(symbol_ratio_ok) AS BIGINT) AS n_symbol_ratio_ok,
+       CAST(SUM(bullet_ok) AS BIGINT) AS n_bullet_ok,
+       CAST(SUM(ellipsis_ok) AS BIGINT) AS n_ellipsis_ok,
+       CAST(SUM(alpha_words_ok) AS BIGINT) AS n_alpha_words_ok,
+       CAST(SUM(stopwords_ok) AS BIGINT) AS n_stopwords_ok,
+       CAST(SUM(words_ok*mean_word_len_ok*symbol_ratio_ok*bullet_ok
+                *ellipsis_ok*alpha_words_ok*stopwords_ok) AS BIGINT) AS n_gopher_pass
+FROM f GROUP BY source
+"""
+
+
 def q_docs_langid(sf_dir: str):
     """Heuristic language-ID (rows-only check: no SQL twin)."""
     from ray.data.aggregate import Count
@@ -1376,6 +1450,7 @@ QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
     "docs_stopwords": q_docs_stopwords,
+    "docs_gopher_quality": q_docs_gopher,
     "docs_langid": q_docs_langid,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash": q_docs_simhash,
@@ -1422,6 +1497,7 @@ ORACLES = {
     "docs_exact_dedup": SQL_DOCS_DEDUP,
     "docs_token_stats": SQL_DOCS_TOKENS,
     "docs_stopwords": SQL_DOCS_STOPWORDS,
+    "docs_gopher_quality": SQL_DOCS_GOPHER,
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "emb_ann_ivf": SQL_EMB_ANN,

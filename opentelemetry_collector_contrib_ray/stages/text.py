@@ -67,6 +67,71 @@ def quality_score(t: pa.Table, col: str = "text") -> pa.Table:
     return set_column(t, "quality_score", score)
 
 
+# ----------------------------------------------------------- gopher rules
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(t: pa.Table, col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000) -> pa.Table:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    heuristics): word-count range, mean word length 3–10, symbol-to-word
+    ratio ≤0.1, bullet-line ratio ≤0.9, ellipsis-line ratio ≤0.3,
+    ≥80% words containing an alphabetic char, ≥2 stopwords present.
+
+    Every rule is an INTEGER cross-multiplied comparison (e.g.
+    ``3·n_words ≤ n_chars_nospace ≤ 10·n_words``) — no float ratios —
+    so a SQL twin hashes identically. All pyarrow RE2 kernels, one pass.
+    """
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    c = pc.fill_null(pc.cast(c, pa.string()), "")
+    i64 = lambda x: pc.cast(x, pa.int64())
+
+    n_words = i64(pc.count_substring_regex(c, r"\S+"))
+    n_nospace = i64(pc.count_substring_regex(c, r"\S"))
+    n_sym = i64(pc.add(pc.count_substring(c, "#"),
+                       pc.count_substring_regex(c, r"\.\.\.|…")))
+    n_lines = i64(pc.add(pc.count_substring(c, "\n"), 1))
+    n_bullet = i64(pc.count_substring_regex(c, r"(?m)^[ \t]*[-*•]"))
+    n_ellipsis_end = i64(pc.count_substring_regex(c, r"(?m)(\.\.\.|…)$"))
+    n_alpha_words = i64(pc.count_substring_regex(c, r"\S*[A-Za-z]\S*"))
+    n_stop = None
+    for w in _GOPHER_STOPWORDS:
+        hit = i64(pc.greater(pc.count_substring_regex(c, rf"\b{w}\b"), 0))
+        n_stop = hit if n_stop is None else pc.add(n_stop, hit)
+
+    words_ok = pc.and_(pc.greater_equal(n_words, min_words),
+                       pc.less_equal(n_words, max_words))
+    mwl_ok = pc.and_(
+        pc.less_equal(pc.multiply(n_words, 3), n_nospace),
+        pc.less_equal(n_nospace, pc.multiply(n_words, 10)),
+    )
+    sym_ok = pc.less_equal(pc.multiply(n_sym, 10), n_words)
+    bullet_ok = pc.less_equal(pc.multiply(n_bullet, 10), pc.multiply(n_lines, 9))
+    ellipsis_ok = pc.less_equal(pc.multiply(n_ellipsis_end, 10), pc.multiply(n_lines, 3))
+    alpha_ok = pc.greater_equal(pc.multiply(n_alpha_words, 10), pc.multiply(n_words, 8))
+    stop_ok = pc.greater_equal(n_stop, 2)
+
+    gopher_pass = words_ok
+    for flag in (mwl_ok, sym_ok, bullet_ok, ellipsis_ok, alpha_ok, stop_ok):
+        gopher_pass = pc.and_(gopher_pass, flag)
+
+    for name, arr in [
+        ("n_words", n_words), ("n_chars_nospace", n_nospace),
+        ("n_symbols", n_sym), ("n_lines", n_lines),
+        ("n_bullet_lines", n_bullet), ("n_ellipsis_lines", n_ellipsis_end),
+        ("n_alpha_words", n_alpha_words), ("n_stopwords_present", n_stop),
+        ("words_ok", words_ok), ("mean_word_len_ok", mwl_ok),
+        ("symbol_ratio_ok", sym_ok), ("bullet_ok", bullet_ok),
+        ("ellipsis_ok", ellipsis_ok), ("alpha_words_ok", alpha_ok),
+        ("stopwords_ok", stop_ok), ("gopher_pass", gopher_pass),
+    ]:
+        t = set_column(t, name, arr)
+    return t
+
+
 # ----------------------------------------------------------- language id
 
 

@@ -117,3 +117,23 @@ def test_audio_decoder_stub_raises():
     t = synth_media_table(2)
     with pytest.raises(NotImplementedError):
         AudioDecoder(fake=False)(t)
+
+
+def test_gopher_rules_components():
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.text import gopher_rules
+
+    good = ("this is a fine document that we have written with care and the "
+            "words flow to be of reasonable length " * 3)
+    bullets = "- one\n- two\n- three"
+    symbols = "# # # # tag soup"
+    t = pa.table({"text": [good, bullets, symbols, None]})
+    out = gopher_rules(t, min_words=10)
+    assert out["gopher_pass"].to_pylist() == [True, False, False, False]
+    assert out["n_bullet_lines"].to_pylist()[1] == 3
+    assert out["n_symbols"].to_pylist()[2] == 4
+    assert out["n_words"].to_pylist()[3] == 0
+    # ellipsis line counting (multiline $)
+    t2 = pa.table({"text": ["a...\nb\nc…"]})
+    assert gopher_rules(t2)["n_ellipsis_lines"].to_pylist() == [2]
