@@ -732,6 +732,45 @@ def q_docs_langid(sf_dir: str):
     )
 
 
+def _langid_sql() -> str:
+    """SQL twin of stages/text.py LangId, GENERATED from the same
+    profile table so the two can never drift: per-language score = sum
+    of non-overlapping marker occurrence counts in ' '||lower(text)||' '
+    (replace() removes non-overlapping matches left-to-right — exactly
+    ``pc.count_substring``'s semantics); argmax with first-language tie
+    win via a first-match CASE; all-zero ⇒ 'unknown'."""
+    langs = list(LangId.PROFILES)
+    score_expr = {}
+    for lang in langs:
+        terms = []
+        for m in LangId.PROFILES[lang]:
+            esc = m.replace("'", "''")
+            L = len(m)
+            diff = f"(length(p) - length(replace(p, '{esc}', '')))"
+            terms.append(diff if L == 1 else f"({diff} // {L})")
+        score_expr[lang] = " + ".join(terms)
+    scores = ",\n         ".join(f"{score_expr[l]} AS s_{l}" for l in langs)
+    zero = " AND ".join(f"s_{l} = 0" for l in langs)
+    arms = []
+    for i, l in enumerate(langs):
+        conds = [f"s_{l} >= s_{o}" for o in langs[i + 1:]]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{l}'" if conds else f"ELSE '{l}'")
+    case = "\n              ".join(arms)
+    return f"""
+WITH padded AS (
+  SELECT ' ' || lower(coalesce(text, '')) || ' ' AS p FROM documents
+), scored AS (
+  SELECT {scores}
+  FROM padded
+), pred AS (
+  SELECT CASE WHEN {zero} THEN 'unknown'
+              {case} END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+"""
+
+
 def q_docs_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidate pair count (rows-only)."""
     from ..stages.dedup import minhash_candidate_pairs
@@ -1498,6 +1537,7 @@ ORACLES = {
     "docs_token_stats": SQL_DOCS_TOKENS,
     "docs_stopwords": SQL_DOCS_STOPWORDS,
     "docs_gopher_quality": SQL_DOCS_GOPHER,
+    "docs_langid": _langid_sql(),
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "emb_ann_ivf": SQL_EMB_ANN,
