@@ -57,3 +57,26 @@ def drop_sink(ds):
     """Null sink: consume the stream, keep nothing (stanza drop output).
     Forces execution via a count (no materialization)."""
     return ds.count()
+
+
+def failover_write(ds, levels, max_retries: int = 1):
+    """Priority-level sink failover — the failoverconnector analog
+    (/root/reference/connector/failoverconnector: ``priority_levels``
+    1..n, route to the highest healthy level, ``max_retries`` per
+    level). Batch semantics replace the streaming health machinery
+    (retry_interval / retry_gap wall-clock probes, SURVEY §2.10): each
+    level is attempted up to ``max_retries`` times for THIS run; on
+    failure the next level gets the data.
+
+    ``levels``: ordered list of sink callables ``fn(ds) -> Any``
+    (highest priority first). Returns ``(level_index, result)``.
+    Raises the last error if every level fails.
+    """
+    last_err: Exception | None = None
+    for i, sink in enumerate(levels):
+        for _ in range(max(1, max_retries)):
+            try:
+                return i, sink(ds)
+            except Exception as e:  # noqa: BLE001 — any sink failure demotes
+                last_err = e
+    raise RuntimeError(f"all {len(levels)} failover levels failed") from last_err

@@ -228,3 +228,38 @@ class TestReadLines:
             read_lines("x", framing="octet_counting", line_start_pattern="a")
         with _pytest.raises(ValueError):
             read_lines("x", framing="bogus")
+
+
+class TestFailoverWrite:
+    def test_falls_to_next_level(self, tmp_path):
+        import ray.data as rd
+
+        from opentelemetry_collector_contrib_ray.stages.sinks import failover_write
+
+        ds = rd.range(10)
+        calls = []
+
+        def bad(ds):
+            calls.append("bad")
+            raise OSError("primary down")
+
+        def good(ds):
+            calls.append("good")
+            ds.write_parquet(str(tmp_path / "out"))
+            return "written"
+
+        level, res = failover_write(ds, [bad, good], max_retries=2)
+        assert level == 1 and res == "written"
+        assert calls == ["bad", "bad", "good"]
+
+    def test_all_levels_fail(self):
+        import pytest as _pytest
+        import ray.data as rd
+
+        from opentelemetry_collector_contrib_ray.stages.sinks import failover_write
+
+        def bad(ds):
+            raise OSError("down")
+
+        with _pytest.raises(RuntimeError, match="failover levels failed"):
+            failover_write(rd.range(1), [bad, bad])
