@@ -93,3 +93,102 @@ def read_otlp_json_logs(paths):
     return rd.read_text(paths).map_batches(
         decode_otlp_json_lines, batch_format="pyarrow"
     )
+
+
+def _any_value(v) -> dict:
+    """python scalar → OTLP AnyValue (inverse of _attr_value)."""
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, (int,)):
+        return {"intValue": str(v)}  # proto3 JSON: int64 as string
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    return {"stringValue": "" if v is None else str(v)}
+
+
+def encode_otlp_json_batch(t: pa.Table) -> str:
+    """Flat log-record batch → ONE OTLP-JSON ExportLogsServiceRequest
+    line (the fileexporter marshal analog,
+    /root/reference/exporter/fileexporter/file_exporter.go:38-45 — one
+    marshaled plog batch per line). Rows group by their ``resource.*``
+    values into resourceLogs, then by ``scope_name`` into scopeLogs.
+    Row-wise by nature (nested dynamic JSON), mirroring the decoder.
+    """
+    res_cols = [c for c in t.column_names if c.startswith("resource.")]
+    attr_cols = [c for c in t.column_names if c.startswith("attributes.")]
+    data = {c: t[c].to_pylist() for c in t.column_names}
+    n = t.num_rows
+    groups: dict = {}
+    for i in range(n):
+        res_key = tuple((c, data[c][i]) for c in res_cols if data[c][i] is not None)
+        scope = data.get("scope_name", [""] * n)[i] or ""
+        rec: dict = {}
+        tun = data.get("time_unix_nano", [0] * n)[i]
+        if tun:
+            rec["timeUnixNano"] = str(int(tun))
+        otun = data.get("observed_time_unix_nano", [0] * n)[i]
+        if otun:
+            rec["observedTimeUnixNano"] = str(int(otun))
+        sev = data.get("severity_number", [0] * n)[i]
+        if sev:
+            rec["severityNumber"] = int(sev)
+        sevt = data.get("severity_text", [""] * n)[i]
+        if sevt:
+            rec["severityText"] = sevt
+        if "body" in data:
+            rec["body"] = _any_value(data["body"][i])
+        attrs = [
+            {"key": c[len("attributes."):], "value": _any_value(data[c][i])}
+            for c in attr_cols if data[c][i] is not None
+        ]
+        if attrs:
+            rec["attributes"] = attrs
+        tid = data.get("trace_id", [""] * n)[i]
+        if tid:
+            rec["traceId"] = tid
+        sid = data.get("span_id", [""] * n)[i]
+        if sid:
+            rec["spanId"] = sid
+        groups.setdefault(res_key, {}).setdefault(scope, []).append(rec)
+
+    resource_logs = []
+    for res_key, scopes in groups.items():
+        rl: dict = {}
+        if res_key:
+            rl["resource"] = {
+                "attributes": [
+                    {"key": k[len("resource."):], "value": _any_value(v)}
+                    for k, v in res_key
+                ]
+            }
+        rl["scopeLogs"] = [
+            {"scope": {"name": scope}, "logRecords": recs}
+            for scope, recs in scopes.items()
+        ]
+        resource_logs.append(rl)
+    return json.dumps({"resourceLogs": resource_logs}, separators=(",", ":"))
+
+
+def write_otlp_json_logs(ds, path: str) -> int:
+    """OTLP-JSON lines sink: each block marshals to one request line in
+    its own file, named by content digest — idempotent under Ray task
+    retries (a re-executed task rewrites the same file). Assumes
+    ``path`` is shared storage, like every file sink. Returns the
+    number of files written."""
+    import hashlib
+    import os
+
+    def enc_write(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"written": pa.array([], type=pa.int64())})
+        line = encode_otlp_json_batch(t)
+        os.makedirs(path, exist_ok=True)
+        name = hashlib.sha1(line.encode()).hexdigest()[:20]
+        tmp = f"{path}/.{name}.tmp"
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.replace(tmp, f"{path}/{name}.jsonl")  # atomic publish
+        return pa.table({"written": pa.array([1], type=pa.int64())})
+
+    out = ds.map_batches(enc_write, batch_format="pyarrow")
+    return int(out.sum("written") or 0)

@@ -263,3 +263,40 @@ class TestFailoverWrite:
 
         with _pytest.raises(RuntimeError, match="failover levels failed"):
             failover_write(rd.range(1), [bad, bad])
+
+
+def test_otlp_json_round_trip(tmp_path):
+    # fileexporter marshal → otlpjsonfilereceiver parse round-trip
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.sources.otlp_json import (
+        read_otlp_json_logs,
+        write_otlp_json_logs,
+    )
+
+    t = pa.table({
+        "resource.service.name": ["svc-a", "svc-a", "svc-b"],
+        "scope_name": ["lib", "lib", "lib2"],
+        "time_unix_nano": [1700000000000000000, 1700000000000000001, 0],
+        "observed_time_unix_nano": [0, 0, 0],
+        "severity_number": [17, 9, 0],
+        "severity_text": ["ERROR", "INFO", ""],
+        "body": ["boom", "fine", "third"],
+        "attributes.code": [500, None, 404],
+        "trace_id": ["0af7651916cd43dd8448eb211c80319c", "", ""],
+        "span_id": ["", "", ""],
+    })
+    out = str(tmp_path / "otlp")
+    n_files = write_otlp_json_logs(rd.from_arrow(t).repartition(2), out)
+    assert n_files >= 1
+
+    back = read_otlp_json_logs(out + "/").to_pandas()
+    back = back.sort_values("body").reset_index(drop=True)
+    assert back["body"].tolist() == ["boom", "fine", "third"]
+    got = back.set_index("body")
+    assert got.loc["boom", "severity_number"] == 17
+    assert got.loc["boom", "attributes.code"] == 500
+    assert got.loc["boom", "resource.service.name"] == "svc-a"
+    assert got.loc["third", "resource.service.name"] == "svc-b"
+    assert got.loc["boom", "trace_id"] == "0af7651916cd43dd8448eb211c80319c"
