@@ -964,6 +964,32 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_log_dedup_windows(sf_dir: str):
+    """Windowed log dedup (logdedup-style first+count collapse)."""
+    from ..stages.dedup import log_dedup
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "event_id"])
+    out = log_dedup(ds, ["event_type"], ts_col="ts", interval_s=21600,
+                    id_col="event_id")
+    return out.map_batches(
+        lambda t: pa.table({
+            "window_start": pc.cast(t["window_start"], pa.int64()),
+            "event_type": t["event_type"],
+            "log.record.count": pc.cast(t["log.record.count"], pa.int64()),
+            "first_id": pc.cast(t["first_id"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LOG_DEDUP = """
+SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_start,
+       event_type, count(*) AS "log.record.count",
+       min(event_id) AS first_id
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_orders_customer_join(sf_dir: str):
     """Large-large bucketed hash join (stages/joins.py) with oracle."""
     from ray.data.aggregate import Count, Sum
@@ -1501,6 +1527,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "events_sessions": q_events_sessions,
     "events_tumbling_6h": q_events_tumbling_6h,
+    "log_dedup_windows": q_log_dedup_windows,
     "orders_customer_join": q_orders_customer_join,
     "csv_quoted_roundtrip": q_csv_quoted_roundtrip,
     "time_tz_hour_counts": q_time_tz_hour_counts,
@@ -1543,6 +1570,7 @@ ORACLES = {
     "emb_ann_ivf": SQL_EMB_ANN,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_tumbling_6h": SQL_EVENTS_TUMBLING,
+    "log_dedup_windows": SQL_LOG_DEDUP,
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
     "csv_quoted_roundtrip": SQL_CSV_QUOTED,
     "time_tz_hour_counts": SQL_TIME_TZ,

@@ -392,3 +392,36 @@ def simhash_buckets(ds, col: str = "text", id_col: str = "doc_id",
         return t.append_column("simhash_bucket", pa.array((h >> shift).view(np.int64)))
 
     return hashed.map_batches(bucketize, batch_format="pyarrow")
+
+
+def log_dedup(ds, key_cols: list[str], ts_col: str = "ts", interval_s: int = 3600,
+              id_col: str | None = None):
+    """Windowed log deduplication — the logdedup-processor shape (newer
+    contrib; not in the reference tree, included as a first-class
+    log/training op): identical records (same ``key_cols``) within a
+    tumbling ``interval_s`` window collapse to one output row carrying
+    ``log.record.count`` (and the first ``id_col`` seen, for lineage).
+
+    Pure partial+final aggregate — the window key is a vectorized
+    column, the groupby pre-aggregates inside blocks before the
+    shuffle, so only one tiny row per (window, key) crosses the wire.
+    """
+    import pyarrow.compute as _pc
+
+    from ray.data.aggregate import Count, Min
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = _pc.cast(_pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        epoch = _pc.divide(us, 1_000_000)  # int floor-div: epoch seconds
+        win = _pc.multiply(_pc.floor(_pc.divide(
+            _pc.cast(epoch, pa.float64()), float(interval_s))), float(interval_s))
+        return t.append_column("window_start", _pc.cast(win, pa.int64()))
+
+    aggs = [Count(alias_name="log.record.count")]
+    if id_col:
+        aggs.append(Min(id_col, alias_name="first_id"))
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["window_start", *key_cols])
+        .aggregate(*aggs)
+    )
