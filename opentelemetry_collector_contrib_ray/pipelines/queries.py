@@ -732,6 +732,48 @@ def q_docs_langid(sf_dir: str):
     )
 
 
+def q_docs_ngram_jaccard(sf_dir: str):
+    """Exact all-pairs n-gram Jaccard ≥ 0.8 via the inverted shingle
+    index (stages/dedup.py ngram_jaccard_pairs) — integer-exact
+    rational threshold, full SQL twin."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold_num=8, threshold_den=10,
+                              n=3, max_df=1000)
+    return out.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOCS_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks
+  )
+), keepg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) <= 1000
+), gf AS (
+  SELECT g.doc_id, g.gram FROM g JOIN keepg USING (gram)
+), dc AS (
+  SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b
+FROM pairs p JOIN dc da ON p.id_a = da.doc_id JOIN dc db ON p.id_b = db.doc_id
+WHERE 10 * p.shared >= 8 * (da.c + db.c - p.shared)
+"""
+
+
 def _langid_sql() -> str:
     """SQL twin of stages/text.py LangId, GENERATED from the same
     profile table so the two can never drift: per-language score = sum
@@ -1516,6 +1558,7 @@ QUERIES = {
     "docs_token_stats": q_docs_token_stats,
     "docs_stopwords": q_docs_stopwords,
     "docs_gopher_quality": q_docs_gopher,
+    "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_langid": q_docs_langid,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash": q_docs_simhash,
@@ -1565,6 +1608,7 @@ ORACLES = {
     "docs_stopwords": SQL_DOCS_STOPWORDS,
     "docs_gopher_quality": SQL_DOCS_GOPHER,
     "docs_langid": _langid_sql(),
+    "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "emb_ann_ivf": SQL_EMB_ANN,

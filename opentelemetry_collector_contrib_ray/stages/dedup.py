@@ -425,3 +425,143 @@ def log_dedup(ds, key_cols: list[str], ts_col: str = "ts", interval_s: int = 360
         .groupby(["window_start", *key_cols])
         .aggregate(*aggs)
     )
+
+
+class ShingleRows:
+    """Vectorized distinct word-n-gram extraction: batch → (id, gram)
+    int64 rows, one row per DISTINCT n-gram per doc. Same whole-batch
+    token machinery as ``MinHasher._batch_signatures`` (one split
+    kernel, one ``np.char`` join, one ``hash_array`` call, per-doc
+    distinct via one ``np.unique``) — the text column never leaves the
+    stage; only small int rows shuffle."""
+
+    def __init__(self, n: int = 3, col: str = "text", id_col: str = "doc_id"):
+        self.n = n
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = self.n
+        col = t[self.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(pc.cast(col, pa.string()), "")
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(filled), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        counts = offsets[1:] - offsets[:-1]
+        tok_np = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        n = len(tok_np)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        if n < k:
+            return pa.table({self.id_col: pa.array([], type=pa.int64()),
+                             "gram": pa.array([], type=pa.int64())})
+        parts = tok_np[: n - k + 1].copy()
+        for j in range(1, k):
+            parts = np.char.add(np.char.add(parts, " "), tok_np[j : n - k + 1 + j])
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        head = doc_of[: n - k + 1]
+        valid = head == doc_of[k - 1 :]  # gram must not cross doc boundary
+        hashes = pd.util.hash_array(parts[valid]).astype(np.uint64)
+        docs = head[valid]
+        pair = np.unique(np.stack([docs.astype(np.uint64), hashes], axis=1), axis=0)
+        return pa.table({
+            self.id_col: pa.array(ids[pair[:, 0].astype(np.int64)], type=pa.int64()),
+            "gram": pa.array(pair[:, 1].view(np.int64)),
+        })
+
+
+def _pairs_from_runs(doc: np.ndarray, gram: np.ndarray, max_df: int | None):
+    """All (id_a < id_b) co-occurrence pairs from gram-sorted rows.
+    Runs of equal length are processed together (one combinations
+    index per distinct run length) — no per-run Python loop."""
+    order = np.lexsort((doc, gram))
+    gram, doc = gram[order], doc[order]
+    starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
+    lens = np.diff(np.r_[starts, len(gram)])
+    out_a, out_b = [], []
+    for d in np.unique(lens):
+        if d < 2 or (max_df is not None and d > max_df):
+            continue
+        runs = starts[lens == d]
+        block = doc[runs[:, None] + np.arange(d)[None, :]]  # (n_runs, d)
+        ia, ib = np.triu_indices(int(d), k=1)
+        a = block[:, ia].ravel()
+        b = block[:, ib].ravel()
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out_a.append(lo)
+        out_b.append(hi)
+    if not out_a:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
+                        n: int = 3, col: str = "text", id_col: str = "doc_id",
+                        max_df: int | None = None, num_partitions: int = 64):
+    """All-pairs word-n-gram Jaccard ≥ threshold via a distributed
+    inverted shingle index — the exact counterpart to MinHash-LSH:
+
+    1. ``ShingleRows``: docs → distinct (id, gram-hash) int rows
+       (narrow; text stays behind).
+    2. hash-partition by gram; per partition, emit co-occurrence pairs
+       per gram run — ``max_df`` drops grams shared by more than that
+       many docs (the stopword-gram skew valve; at web scale a gram in
+       10k docs would emit 10⁸ pairs).
+    3. global ``groupby(id_a, id_b).count()`` → shared-gram count C.
+    4. Jaccard ≥ num/den as the INTEGER test
+       ``den·C ≥ num·(|A| + |B| − C)`` with per-doc distinct-gram
+       counts |·| (broadcast once via ``ray.put``; swap for a hash join
+       when the doc-count map outgrows one worker's heap).
+
+    Threshold as a rational keeps the whole pipeline integer-exact —
+    the SQL twin hashes identically.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    grams = ds.map_batches(ShingleRows(n=n, col=col, id_col=id_col),
+                           batch_format="pyarrow")
+
+    counts_t = grams.groupby(id_col).aggregate(Count(alias_name="c")).to_pandas()
+    counts_ref = ray.put((counts_t[id_col].to_numpy(), counts_t["c"].to_numpy()))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        return t.append_column("__p", pa.array((g % num_partitions).astype(np.int64)))
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = _pairs_from_runs(g[id_col].to_numpy(), g["gram"].to_numpy(), max_df)
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs = (
+        grams.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(pairs_partition, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="shared"))
+    )
+
+    class JaccardFilter:
+        def __init__(self):
+            ids, cs = ray.get(counts_ref)
+            order = np.argsort(ids)
+            self.ids, self.cs = ids[order], cs[order]
+
+        def _lookup(self, x):
+            return self.cs[np.searchsorted(self.ids, x)]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ia = t["id_a"].to_numpy(zero_copy_only=False)
+            ib = t["id_b"].to_numpy(zero_copy_only=False)
+            c = t["shared"].to_numpy(zero_copy_only=False)
+            keep = threshold_den * c >= threshold_num * (
+                self._lookup(ia) + self._lookup(ib) - c
+            )
+            return t.filter(pa.array(keep))
+
+    from .base import norm_concurrency
+
+    return pairs.map_batches(JaccardFilter, batch_format="pyarrow",
+                             concurrency=norm_concurrency((1, 2)))

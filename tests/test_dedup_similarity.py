@@ -243,3 +243,41 @@ def test_assign_ivf_clusters_partitions(embeddings):
     # exact duplicates land in the same cell
     m = np.stack([np.array(v) for v in embeddings["embedding"].to_pylist()])
     assert len(out) == len(m)
+
+
+def test_ngram_jaccard_pairs_exact():
+    from opentelemetry_collector_contrib_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",   # high overlap with 1
+            "completely different words entirely here now",
+            "the quick brown fox jumps over the lazy dog",   # exact dup of 1
+        ],
+    })
+    out = ngram_jaccard_pairs(rd.from_arrow(docs), threshold_num=1,
+                              threshold_den=2, n=3).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    # doc1 vs doc4: identical → J=1; doc1 vs doc2: 5 shared of 9 union → 5/9 ≥ 1/2
+    assert (1, 4) in got and (1, 2) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+    # strict threshold keeps only the exact dup
+    out2 = ngram_jaccard_pairs(rd.from_arrow(docs), threshold_num=9,
+                               threshold_den=10, n=3).to_pandas()
+    assert set(zip(out2["id_a"], out2["id_b"])) == {(1, 4)}
+
+
+def test_ngram_jaccard_max_df_valve():
+    from opentelemetry_collector_contrib_ray.stages.dedup import ngram_jaccard_pairs
+
+    # every doc shares the same grams → with max_df=2 no gram survives,
+    # so no pairs are generated (the hot-shingle skew valve)
+    docs = pa.table({
+        "doc_id": pa.array(list(range(5)), type=pa.int64()),
+        "text": ["common shared gram text here"] * 5,
+    })
+    out = ngram_jaccard_pairs(rd.from_arrow(docs), threshold_num=1,
+                              threshold_den=2, n=3, max_df=2).to_pandas()
+    assert len(out) == 0
