@@ -456,7 +456,8 @@ class ShingleRows:
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
         if n < k:
             return pa.table({self.id_col: pa.array([], type=pa.int64()),
-                             "gram": pa.array([], type=pa.int64())})
+                             "gram": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
         parts = tok_np[: n - k + 1].copy()
         for j in range(1, k):
             parts = np.char.add(np.char.add(parts, " "), tok_np[j : n - k + 1 + j])
@@ -466,35 +467,44 @@ class ShingleRows:
         hashes = pd.util.hash_array(parts[valid]).astype(np.uint64)
         docs = head[valid]
         pair = np.unique(np.stack([docs.astype(np.uint64), hashes], axis=1), axis=0)
+        doc_idx = pair[:, 0].astype(np.int64)
+        # |doc|: distinct-gram count, carried ON each gram row so the
+        # final Jaccard test needs no second pass over the corpus
+        per_doc = np.bincount(doc_idx, minlength=len(counts))
         return pa.table({
-            self.id_col: pa.array(ids[pair[:, 0].astype(np.int64)], type=pa.int64()),
+            self.id_col: pa.array(ids[doc_idx], type=pa.int64()),
             "gram": pa.array(pair[:, 1].view(np.int64)),
+            "c": pa.array(per_doc[doc_idx], type=pa.int64()),
         })
 
 
-def _pairs_from_runs(doc: np.ndarray, gram: np.ndarray, max_df: int | None):
-    """All (id_a < id_b) co-occurrence pairs from gram-sorted rows.
-    Runs of equal length are processed together (one combinations
-    index per distinct run length) — no per-run Python loop."""
+def _pairs_from_runs(doc: np.ndarray, gram: np.ndarray, c: np.ndarray,
+                     max_df: int | None):
+    """All (id_a < id_b) co-occurrence pairs from gram-sorted rows,
+    with each side's distinct-gram count carried along. Runs of equal
+    length are processed together (one combinations index per distinct
+    run length) — no per-run Python loop."""
     order = np.lexsort((doc, gram))
-    gram, doc = gram[order], doc[order]
+    gram, doc, c = gram[order], doc[order], c[order]
     starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
     lens = np.diff(np.r_[starts, len(gram)])
-    out_a, out_b = [], []
+    out = []
     for d in np.unique(lens):
         if d < 2 or (max_df is not None and d > max_df):
             continue
         runs = starts[lens == d]
-        block = doc[runs[:, None] + np.arange(d)[None, :]]  # (n_runs, d)
+        idx = runs[:, None] + np.arange(d)[None, :]  # (n_runs, d)
+        block, cblock = doc[idx], c[idx]
         ia, ib = np.triu_indices(int(d), k=1)
-        a = block[:, ia].ravel()
-        b = block[:, ib].ravel()
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        out_a.append(lo)
-        out_b.append(hi)
-    if not out_a:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    return np.concatenate(out_a), np.concatenate(out_b)
+        a, b = block[:, ia].ravel(), block[:, ib].ravel()
+        ca, cb = cblock[:, ia].ravel(), cblock[:, ib].ravel()
+        swap = a > b
+        out.append((np.where(swap, b, a), np.where(swap, a, b),
+                    np.where(swap, cb, ca), np.where(swap, ca, cb)))
+    if not out:
+        z = np.array([], dtype=np.int64)
+        return z, z, z.copy(), z.copy()
+    return tuple(np.concatenate([o[i] for o in out]) for i in range(4))
 
 
 def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
@@ -503,65 +513,51 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
     """All-pairs word-n-gram Jaccard ≥ threshold via a distributed
     inverted shingle index — the exact counterpart to MinHash-LSH:
 
-    1. ``ShingleRows``: docs → distinct (id, gram-hash) int rows
-       (narrow; text stays behind).
+    1. ``ShingleRows``: docs → distinct (id, gram-hash, |doc|) int rows
+       (narrow; text stays behind; |doc| = the doc's distinct-gram
+       count, computed in the same pass and carried on every row so no
+       second corpus pass or broadcast map is ever needed).
     2. hash-partition by gram; per partition, emit co-occurrence pairs
        per gram run — ``max_df`` drops grams shared by more than that
        many docs (the stopword-gram skew valve; at web scale a gram in
        10k docs would emit 10⁸ pairs).
-    3. global ``groupby(id_a, id_b).count()`` → shared-gram count C.
-    4. Jaccard ≥ num/den as the INTEGER test
-       ``den·C ≥ num·(|A| + |B| − C)`` with per-doc distinct-gram
-       counts |·| (broadcast once via ``ray.put``; swap for a hash join
-       when the doc-count map outgrows one worker's heap).
+    3. global ``groupby(id_a, id_b, |A|, |B|).count()`` → shared-gram
+       count C (|A|,|B| are functions of the ids, so the group keys are
+       unchanged — they just ride along).
+    4. Jaccard ≥ num/den as the stateless INTEGER test
+       ``den·C ≥ num·(|A| + |B| − C)``.
 
-    Threshold as a rational keeps the whole pipeline integer-exact —
-    the SQL twin hashes identically.
+    ONE streaming pipeline, one all-to-all exchange pair; the rational
+    threshold keeps everything integer-exact — the SQL twin hashes
+    identically.
     """
-    import ray
     from ray.data.aggregate import Count
 
     grams = ds.map_batches(ShingleRows(n=n, col=col, id_col=id_col),
                            batch_format="pyarrow")
-
-    counts_t = grams.groupby(id_col).aggregate(Count(alias_name="c")).to_pandas()
-    counts_ref = ray.put((counts_t[id_col].to_numpy(), counts_t["c"].to_numpy()))
 
     def add_part(t: pa.Table) -> pa.Table:
         g = t["gram"].to_numpy(zero_copy_only=False)
         return t.append_column("__p", pa.array((g % num_partitions).astype(np.int64)))
 
     def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = _pairs_from_runs(g[id_col].to_numpy(), g["gram"].to_numpy(), max_df)
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        a, b, ca, cb = _pairs_from_runs(
+            g[id_col].to_numpy(), g["gram"].to_numpy(), g["c"].to_numpy(), max_df
+        )
+        return pd.DataFrame({"id_a": a, "id_b": b, "c_a": ca, "c_b": cb})
 
-    pairs = (
+    def jaccard_filter(t: pa.Table) -> pa.Table:
+        c = t["shared"].to_numpy(zero_copy_only=False)
+        ca = t["c_a"].to_numpy(zero_copy_only=False)
+        cb = t["c_b"].to_numpy(zero_copy_only=False)
+        keep = threshold_den * c >= threshold_num * (ca + cb - c)
+        return t.filter(pa.array(keep)).drop_columns(["c_a", "c_b"])
+
+    return (
         grams.map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(pairs_partition, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
+        .groupby(["id_a", "id_b", "c_a", "c_b"])
         .aggregate(Count(alias_name="shared"))
+        .map_batches(jaccard_filter, batch_format="pyarrow")
     )
-
-    class JaccardFilter:
-        def __init__(self):
-            ids, cs = ray.get(counts_ref)
-            order = np.argsort(ids)
-            self.ids, self.cs = ids[order], cs[order]
-
-        def _lookup(self, x):
-            return self.cs[np.searchsorted(self.ids, x)]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ia = t["id_a"].to_numpy(zero_copy_only=False)
-            ib = t["id_b"].to_numpy(zero_copy_only=False)
-            c = t["shared"].to_numpy(zero_copy_only=False)
-            keep = threshold_den * c >= threshold_num * (
-                self._lookup(ia) + self._lookup(ib) - c
-            )
-            return t.filter(pa.array(keep))
-
-    from .base import norm_concurrency
-
-    return pairs.map_batches(JaccardFilter, batch_format="pyarrow",
-                             concurrency=norm_concurrency((1, 2)))
