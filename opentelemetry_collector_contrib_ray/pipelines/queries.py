@@ -930,7 +930,8 @@ def q_multimodal_decode(sf_dir: str):
     from ..stages.multimodal import decode_pipeline, synth_media_table
 
     t = synth_media_table(256)
-    out = decode_pipeline(rd.from_arrow(t), fake=True, concurrency=(1, 2))
+    out = decode_pipeline(rd.from_arrow(t), fake=True, concurrency=(1, 2),
+                          resize_to=(8, 8))
     n = out.count()
     return pa.table({"n_decoded": pa.array([n], type=pa.int64())})
 

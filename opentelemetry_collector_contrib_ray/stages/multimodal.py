@@ -75,6 +75,40 @@ class ImageDecoder:
         return t.drop_columns([self.payload_col]).append_column("pixels", pixels)
 
 
+class ImageResizer:
+    """Nearest-neighbor resize of decoded HxWx3 pixel arrays to a fixed
+    ``(out_h, out_w)`` — REAL numpy index-gather math (no codec needed:
+    it runs after the decode stage on raw pixel arrays). Updates
+    ``meta.width`` / ``meta.height`` so downstream stages see the new
+    geometry. Per-row loop over ragged shapes is inherent (each image
+    has its own dims); the gather itself is vectorized per image."""
+
+    def __init__(self, out_h: int = 64, out_w: int = 64):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ws = t["meta.width"].to_pylist()
+        hs = t["meta.height"].to_pylist()
+        out = []
+        for px, w, h in zip(t["pixels"].to_pylist(), ws, hs):
+            a = np.asarray(px, dtype=np.uint8)
+            if h and w and a.size == h * w * 3:
+                a = a.reshape(h, w, 3)
+            else:  # malformed: best-effort blank frame
+                a = np.zeros((1, 1, 3), dtype=np.uint8)
+                h, w = 1, 1
+            yi = (np.arange(self.out_h) * h) // self.out_h
+            xi = (np.arange(self.out_w) * w) // self.out_w
+            out.append(a[yi[:, None], xi[None, :], :].reshape(-1))
+        pixels = pa.array([o.tolist() for o in out], type=pa.list_(pa.uint8()))
+        t = t.drop_columns(["pixels", "meta.width", "meta.height"])
+        n = t.num_rows
+        t = t.append_column("meta.width", pa.array([self.out_w] * n, type=pa.int32()))
+        t = t.append_column("meta.height", pa.array([self.out_h] * n, type=pa.int32()))
+        return t.append_column("pixels", pixels)
+
+
 class ImageFeatures:
     """Feature extraction over decoded pixels: channel means/std —
     vectorized numpy per batch (stands in for a model forward pass)."""
@@ -131,15 +165,21 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
-def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 64):
-    """payload → pixels → features, small batches for big payloads."""
-    return ds.map_batches(
+def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 64,
+                    resize_to: tuple[int, int] | None = None):
+    """payload → pixels [→ resize] → features, small batches for big
+    payloads."""
+    ds = ds.map_batches(
         ImageDecoder,
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=norm_concurrency(concurrency),
-    ).map_batches(
+    )
+    if resize_to is not None:
+        ds = ds.map_batches(ImageResizer(*resize_to), batch_format="pyarrow",
+                            batch_size=batch_size)
+    return ds.map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=batch_size,
         concurrency=norm_concurrency(concurrency),
     )

@@ -137,3 +137,38 @@ def test_gopher_rules_components():
     # ellipsis line counting (multiline $)
     t2 = pa.table({"text": ["a...\nb\nc…"]})
     assert gopher_rules(t2)["n_ellipsis_lines"].to_pylist() == [2]
+
+
+def test_image_resizer():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ImageDecoder,
+        ImageFeatures,
+        ImageResizer,
+        synth_media_table,
+    )
+
+    t = synth_media_table(32)
+    ds = rd.from_arrow(t).map_batches(
+        ImageDecoder, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=16,
+    ).map_batches(ImageResizer(out_h=4, out_w=4), batch_format="pyarrow")
+    out = ds.to_pandas()
+    assert (out["meta.width"] == 4).all() and (out["meta.height"] == 4).all()
+    assert all(len(p) == 4 * 4 * 3 for p in out["pixels"])
+
+    # deterministic: constant-color image stays constant after resize
+    px = np.full(6 * 5 * 3, 7, dtype=np.uint8)
+    one = pa.table({
+        "pixels": pa.array([px.tolist()], type=pa.list_(pa.uint8())),
+        "meta.width": pa.array([5], type=pa.int32()),
+        "meta.height": pa.array([6], type=pa.int32()),
+    })
+    r = ImageResizer(out_h=2, out_w=3)(one)
+    assert r["pixels"].to_pylist()[0] == [7] * (2 * 3 * 3)
+    # features still consumable downstream
+    f = ImageFeatures()(r)
+    assert f["features"].to_pylist()[0][:3] == [7.0, 7.0, 7.0]
