@@ -673,9 +673,11 @@ def q_docs_gopher(sf_dir: str):
     )
 
 
-SQL_DOCS_GOPHER = r"""
+#: shared gopher-rule CTE prefix (flags per doc) — used by the
+#: per-source rollup AND the composed clean-corpus pipeline twin.
+_GOPHER_CTE = r"""
 WITH g AS (
-  SELECT source,
+  SELECT doc_id, text, lang, source,
          len(regexp_extract_all(text, '\S+')) AS n_words,
          length(regexp_replace(text, '\s', '', 'g')) AS n_nospace,
          (length(text) - length(replace(text, '#', '')))
@@ -694,7 +696,7 @@ WITH g AS (
           + CASE WHEN regexp_matches(text, '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
   FROM documents
 ), f AS (
-  SELECT source, n_words,
+  SELECT doc_id, text, lang, source, n_words,
          CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1 ELSE 0 END AS words_ok,
          CASE WHEN 3*n_words <= n_nospace AND n_nospace <= 10*n_words THEN 1 ELSE 0 END AS mean_word_len_ok,
          CASE WHEN 10*n_sym <= n_words THEN 1 ELSE 0 END AS symbol_ratio_ok,
@@ -704,6 +706,9 @@ WITH g AS (
          CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS stopwords_ok
   FROM g
 )
+"""
+
+SQL_DOCS_GOPHER = _GOPHER_CTE + r"""
 SELECT source, count(*) AS n_docs,
        CAST(SUM(n_words) AS BIGINT) AS sum_words,
        CAST(SUM(words_ok) AS BIGINT) AS n_words_ok,
@@ -730,6 +735,57 @@ def q_docs_langid(sf_dir: str):
         .groupby("lang_pred")
         .aggregate(Count(alias_name="n"))
     )
+
+
+def q_docs_clean_corpus(sf_dir: str):
+    """Composed training-data cleaning pipeline end-to-end:
+    gopher-rule filter → exact dedup (min-id representative) →
+    per-language doc/token rollup. One streaming chain; the SQL twin
+    reuses the same generated gopher CTE."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.text import gopher_rules, token_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        # min_stopwords=1: the synthetic vocabulary carries only 'the'
+        # from the Gopher stopword set, so the canonical >=2 empties it
+        t = gopher_rules(t, min_words=10, min_stopwords=1)
+        return t.filter(t["gopher_pass"]).select(["doc_id", "text", "lang"])
+
+    ds = ds.map_batches(filt, batch_format="pyarrow")
+    ds = exact_dedup(ds, col="text", id_col="doc_id")
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = token_stats(t)
+        return pa.table({"lang": t["lang"],
+                         "tok": pc.cast(t["n_tokens_ws"], pa.int64())})
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("tok", alias_name="sum_tokens"))
+    )
+
+
+SQL_DOCS_CLEAN = _GOPHER_CTE.replace("n_stop >= 2", "n_stop >= 1") + r"""
+, passed AS (
+  SELECT doc_id, text, lang FROM f
+  WHERE words_ok = 1 AND mean_word_len_ok = 1 AND symbol_ratio_ok = 1
+    AND bullet_ok = 1 AND ellipsis_ok = 1 AND alpha_words_ok = 1
+    AND stopwords_ok = 1
+), rep AS (
+  SELECT p.doc_id, p.text, p.lang
+  FROM passed p
+  JOIN (SELECT text, min(doc_id) AS doc_id FROM passed GROUP BY text) d
+    ON p.doc_id = d.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
+FROM rep GROUP BY lang
+"""
 
 
 def q_docs_ngram_jaccard(sf_dir: str):
@@ -1560,6 +1616,7 @@ QUERIES = {
     "docs_stopwords": q_docs_stopwords,
     "docs_gopher_quality": q_docs_gopher,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
+    "docs_clean_corpus": q_docs_clean_corpus,
     "docs_langid": q_docs_langid,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash": q_docs_simhash,
@@ -1610,6 +1667,7 @@ ORACLES = {
     "docs_gopher_quality": SQL_DOCS_GOPHER,
     "docs_langid": _langid_sql(),
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
+    "docs_clean_corpus": SQL_DOCS_CLEAN,
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "emb_ann_ivf": SQL_EMB_ANN,

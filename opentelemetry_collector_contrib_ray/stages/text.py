@@ -73,7 +73,8 @@ _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_rules(t: pa.Table, col: str = "text",
-                 min_words: int = 50, max_words: int = 100_000) -> pa.Table:
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_stopwords: int = 2) -> pa.Table:
     """Gopher-style document quality rules (Rae et al. 2021, public
     heuristics): word-count range, mean word length 3–10, symbol-to-word
     ratio ≤0.1, bullet-line ratio ≤0.9, ellipsis-line ratio ≤0.3,
@@ -112,7 +113,7 @@ def gopher_rules(t: pa.Table, col: str = "text",
     bullet_ok = pc.less_equal(pc.multiply(n_bullet, 10), pc.multiply(n_lines, 9))
     ellipsis_ok = pc.less_equal(pc.multiply(n_ellipsis_end, 10), pc.multiply(n_lines, 3))
     alpha_ok = pc.greater_equal(pc.multiply(n_alpha_words, 10), pc.multiply(n_words, 8))
-    stop_ok = pc.greater_equal(n_stop, 2)
+    stop_ok = pc.greater_equal(n_stop, min_stopwords)
 
     gopher_pass = words_ok
     for flag in (mwl_ok, sym_ok, bullet_ok, ellipsis_ok, alpha_ok, stop_ok):
