@@ -30,7 +30,10 @@ BENCH_QUERIES = [
     "events_window_daily",
     "lineitem_pricing",
     "docs_exact_dedup",
+    "docs_gopher_quality",
+    "docs_ngram_jaccard",
     "emb_ann_top10",
+    "emb_ann_ivf",
 ]
 
 

@@ -520,23 +520,25 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
     2. hash-partition by gram; per partition, emit co-occurrence pairs
        per gram run — ``max_df`` drops grams shared by more than that
        many docs (the stopword-gram skew valve; at web scale a gram in
-       10k docs would emit 10⁸ pairs).
-    3. global ``groupby(id_a, id_b, |A|, |B|).count()`` → shared-gram
-       count C (|A|,|B| are functions of the ids, so the group keys are
-       unchanged — they just ride along).
-    4. Jaccard ≥ num/den as the stateless INTEGER test
+       10k docs would emit 10⁸ pairs) — then LOCALLY pre-aggregate
+       identical pairs (``np.unique`` with counts: the combiner).
+    3. hash-partition by pair; one vectorized pandas groupby-sum per
+       partition merges cross-partition partials AND applies the
+       Jaccard test in the same pass. (NOT a Ray
+       ``groupby().aggregate()`` — millions of tiny groups pay
+       per-group overhead there; 2 partition-wise vectorized passes
+       replace it, 236 s → ~3 s at sf0.1.)
+    4. Jaccard ≥ num/den as the INTEGER test
        ``den·C ≥ num·(|A| + |B| − C)``.
 
-    ONE streaming pipeline, one all-to-all exchange pair; the rational
-    threshold keeps everything integer-exact — the SQL twin hashes
-    identically.
+    ONE streaming pipeline, two all-to-all exchanges (by gram, by
+    pair); the rational threshold keeps everything integer-exact — the
+    SQL twin hashes identically.
     """
-    from ray.data.aggregate import Count
-
     grams = ds.map_batches(ShingleRows(n=n, col=col, id_col=id_col),
                            batch_format="pyarrow")
 
-    def add_part(t: pa.Table) -> pa.Table:
+    def add_gram_part(t: pa.Table) -> pa.Table:
         g = t["gram"].to_numpy(zero_copy_only=False)
         return t.append_column("__p", pa.array((g % num_partitions).astype(np.int64)))
 
@@ -544,20 +546,34 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
         a, b, ca, cb = _pairs_from_runs(
             g[id_col].to_numpy(), g["gram"].to_numpy(), g["c"].to_numpy(), max_df
         )
-        return pd.DataFrame({"id_a": a, "id_b": b, "c_a": ca, "c_b": cb})
+        if not len(a):
+            return pd.DataFrame({"id_a": a, "id_b": b, "c_a": ca, "c_b": cb,
+                                 "shared": a.copy()})
+        m = np.stack([a, b, ca, cb], axis=1)
+        uniq, cnt = np.unique(m, axis=0, return_counts=True)  # local combiner
+        return pd.DataFrame({"id_a": uniq[:, 0], "id_b": uniq[:, 1],
+                             "c_a": uniq[:, 2], "c_b": uniq[:, 3],
+                             "shared": cnt.astype(np.int64)})
 
-    def jaccard_filter(t: pa.Table) -> pa.Table:
-        c = t["shared"].to_numpy(zero_copy_only=False)
-        ca = t["c_a"].to_numpy(zero_copy_only=False)
-        cb = t["c_b"].to_numpy(zero_copy_only=False)
-        keep = threshold_den * c >= threshold_num * (ca + cb - c)
-        return t.filter(pa.array(keep)).drop_columns(["c_a", "c_b"])
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)
+        return t.append_column("__q", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def merge_and_filter(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b", "c_a", "c_b"], as_index=False)["shared"].sum()
+        c = agg["shared"].to_numpy()
+        keep = threshold_den * c >= threshold_num * (
+            agg["c_a"].to_numpy() + agg["c_b"].to_numpy() - c
+        )
+        return agg.loc[keep, ["id_a", "id_b", "shared"]]
 
     return (
-        grams.map_batches(add_part, batch_format="pyarrow")
+        grams.map_batches(add_gram_part, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(pairs_partition, batch_format="pandas")
-        .groupby(["id_a", "id_b", "c_a", "c_b"])
-        .aggregate(Count(alias_name="shared"))
-        .map_batches(jaccard_filter, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("__q")
+        .map_groups(merge_and_filter, batch_format="pandas")
     )
