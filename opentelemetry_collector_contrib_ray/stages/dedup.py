@@ -232,13 +232,16 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle: in
             return pd.DataFrame({"id_a": [], "id_b": [], "capped": []}).astype(
                 {"id_a": np.int64, "id_b": np.int64, "capped": bool}
             )
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
                 "id_b": np.concatenate(out_b),
                 "capped": np.concatenate(out_c),
             }
         )
+        # local combiner: same pair from multiple bands in this
+        # partition collapses here; capped flag is max-merged
+        return df.groupby(["id_a", "id_b"], as_index=False)["capped"].max()
 
     from .joins import _add_part
 
@@ -247,25 +250,27 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle: in
         .groupby("__p")
         .map_groups(pairs_partition, batch_format="pandas")
     )
-    # dedup pairs found in multiple bands: a plain DISTINCT-style
-    # aggregate (no per-pair Python call) — max(capped) keeps the flag
-    # if ANY band capped the bucket
-    agg = cand.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("capped"), "capped",
-            pc.cast(t["capped"], pa.int8()),
-        ),
-        batch_format="pyarrow",
-    ).groupby(["id_a", "id_b"]).max("capped")
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "id_a": t["id_a"],
-                "id_b": t["id_b"],
-                "capped": pc.cast(t["max(capped)"], pa.bool_()),
-            }
-        ),
-        batch_format="pyarrow",
+    # dedup pairs found in multiple bands: local combiner inside the
+    # band partition (np.unique over pair rows, max(capped) per pair)
+    # then a pair-hash-partitioned vectorized merge — NOT a Ray
+    # groupby().max() whose per-group overhead is pathological once
+    # candidate pairs number in the millions (same fix as
+    # ngram_jaccard_pairs step 3).
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ b.astype(np.uint64)
+        return t.append_column("__q", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False)["capped"].max()
+        return agg.astype({"id_a": np.int64, "id_b": np.int64, "capped": bool})
+
+    return (
+        cand.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("__q")
+        .map_groups(merge_pairs, batch_format="pandas")
     )
 
 
@@ -546,14 +551,15 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
         a, b, ca, cb = _pairs_from_runs(
             g[id_col].to_numpy(), g["gram"].to_numpy(), g["c"].to_numpy(), max_df
         )
+        df = pd.DataFrame({"id_a": a, "id_b": b, "c_a": ca, "c_b": cb})
         if not len(a):
-            return pd.DataFrame({"id_a": a, "id_b": b, "c_a": ca, "c_b": cb,
-                                 "shared": a.copy()})
-        m = np.stack([a, b, ca, cb], axis=1)
-        uniq, cnt = np.unique(m, axis=0, return_counts=True)  # local combiner
-        return pd.DataFrame({"id_a": uniq[:, 0], "id_b": uniq[:, 1],
-                             "c_a": uniq[:, 2], "c_b": uniq[:, 3],
-                             "shared": cnt.astype(np.int64)})
+            df["shared"] = np.array([], dtype=np.int64)
+            return df
+        # local combiner (hashed pandas groupby — np.unique(axis=0)
+        # pays a full row lexsort and loses to it badly)
+        return df.groupby(["id_a", "id_b", "c_a", "c_b"], as_index=False).agg(
+            shared=("c_a", "size")
+        )
 
     def add_pair_part(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)
