@@ -26,25 +26,42 @@ import pyarrow.compute as pc
 
 
 def tumbling_window(ds, key: str, ts: str, size_s: int,
-                    agg_col: str | None = None):
-    """Counts (and optional int-sum) per (key, window-start)."""
-    from ray.data.aggregate import Count, Sum
+                    agg_col: str | None = None, num_partitions: int = 64):
+    """Counts (and optional int-sum) per (key, window-start).
 
+    Partial+final shape: each batch pre-aggregates with a hashed pandas
+    groupby (the combiner), then one (key, window)-hash-partitioned
+    vectorized merge. A plain Ray ``groupby().aggregate()`` pays
+    per-group overhead — pathological once (key × window) groups number
+    in the tens of thousands (7.9 s → 2 s at sf0.1 / 77k groups)."""
     size_us = size_s * 1_000_000
 
-    def assign(t: pa.Table) -> pa.Table:
-        us = pc.cast(t[ts], pa.int64())
-        win = pc.multiply(pc.floor(pc.divide(pc.cast(us, pa.float64()), size_us)), float(size_us))
-        cols = {key: t[key], "window_start": pc.cast(pc.cast(win, pa.int64()), pa.timestamp("us"))}
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        win = (us // size_us) * size_us
+        cols = {key: t[key].to_numpy(zero_copy_only=False), "window_start": win}
         if agg_col:
-            cols[agg_col] = t[agg_col]
-        return pa.table(cols)
+            cols[agg_col] = t[agg_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(cols)
+        g = df.groupby([key, "window_start"], as_index=False)
+        out = g.agg(n=("window_start", "size"),
+                    **({f"sum_{agg_col}": (agg_col, "sum")} if agg_col else {}))
+        h = pd.util.hash_pandas_object(out[[key, "window_start"]], index=False).to_numpy()
+        out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    g = ds.map_batches(assign, batch_format="pyarrow").groupby([key, "window_start"])
-    aggs = [Count(alias_name="n")]
-    if agg_col:
-        aggs.append(Sum(agg_col, alias_name=f"sum_{agg_col}"))
-    out = g.aggregate(*aggs)
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sums = {"n": ("n", "sum")}
+        if agg_col:
+            sums[f"sum_{agg_col}"] = (f"sum_{agg_col}", "sum")
+        out = g.groupby([key, "window_start"], as_index=False).agg(**sums)
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    )
     return out.map_batches(
         lambda t: t.set_column(
             t.column_names.index("window_start"), "window_start",
