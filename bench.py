@@ -72,7 +72,7 @@ def run_bench() -> dict:
 
     rd.read_parquet(inp).count()
 
-    out_root = "/tmp/otelray/bench_out"
+    out_root = os.environ.get("GRAFT_OUT_ROOT", "/tmp/otelray/bench_out")
     shutil.rmtree(out_root, ignore_errors=True)
     os.sync()  # flush dirty pages so prior runs' writeback doesn't bleed in
     time.sleep(3)  # let the device drain — ±40% headline variance otherwise
@@ -108,8 +108,10 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, out_root: str | None = None) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        if out_root:
+            env["GRAFT_OUT_ROOT"] = out_root
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
@@ -118,15 +120,25 @@ def run_scaling() -> dict:
 
     out = {"metric": "scaling efficiency (same input, fresh ray.init, N vs 4N cpus)",
            "sf": SF_DIR, "pairs": {}}
-    for lo, hi in ((8, 32), (4, 16)):
-        r_lo, r_hi = one(lo), one(hi)
-        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-        out["pairs"][f"{lo}->{hi}"] = {
-            f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
-            f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
-            f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
-            "scaling_efficiency": round(eff, 3),
-        }
+    # A /dev/shm (tmpfs) sink variant was measured once and did NOT
+    # improve the 32-cpu time (BASELINE.md) — the non-scaling constant
+    # is scheduler/actor overhead + memory bandwidth, not the shared
+    # disk; GRAFT_OUT_ROOT stays available for re-running it.
+    variants = [("", None, ((8, 32), (4, 16)))]
+    for prefix, oroot, pairs in variants:
+        for lo, hi in pairs:
+            r_lo, r_hi = one(lo, oroot), one(hi, oroot)
+            eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+            out["pairs"][f"{prefix}{lo}->{hi}"] = {
+                f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+                f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+                f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        if oroot:
+            import shutil as _sh
+
+            _sh.rmtree(oroot, ignore_errors=True)
     out["scaling_efficiency"] = out["pairs"]["8->32"]["scaling_efficiency"]
     return out
 

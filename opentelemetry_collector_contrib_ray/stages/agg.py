@@ -73,3 +73,61 @@ def salted_count(ds, keys: list[str], salt: int = 16, out_col: str = "n"):
         return t.select([c for c in t.column_names if c != "__salt"])
 
     return final.map_batches(clean, batch_format="pyarrow")
+
+
+class HLLPartial:
+    """HyperLogLog partial sketch per batch (Flajolet et al. 2007,
+    public algorithm): hash the column, bucket by the top ``p`` bits,
+    register = max leading-zero rank of the rest. Each batch emits ONE
+    row carrying its 2^p int8 registers — the classic partial+final
+    sketch shape: partials are ~4 KB regardless of batch size, so the
+    merge input is #blocks rows, never the data."""
+
+    def __init__(self, col: str, p: int = 12):
+        self.col = col
+        self.p = p
+        self.m = 1 << p
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        h = _pd.util.hash_array(
+            t[self.col].to_numpy(zero_copy_only=False).astype("U")
+            if t[self.col].type == pa.string()
+            else t[self.col].to_numpy(zero_copy_only=False)
+        ).astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of rest + 1 (rest has low bits set so
+        # rank is bounded by 64 - p + 1)
+        lz = np.zeros(len(h), dtype=np.int64)
+        x = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            x[mask] = x[mask] << np.uint64(shift)
+        rank = lz + 1
+        regs = np.zeros(self.m, dtype=np.int64)
+        np.maximum.at(regs, idx, rank)
+        return pa.table({"__hll": pa.array([regs.astype(np.int8).tobytes()],
+                                           type=pa.binary())})
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate COUNT DISTINCT via HyperLogLog: one streaming pass,
+    per-block 2^p-byte partials, register-max merge on the driver
+    (bounded by #blocks rows). Deterministic for a given input set
+    (order/partitioning invariant: merge is an elementwise max).
+    Standard error ≈ 1.04/√2^p (~1.6% at p=12)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int8)
+    partial = ds.map_batches(HLLPartial(col, p), batch_format="pyarrow")
+    for b in partial.iter_batches(batch_format="pyarrow"):
+        for buf in b["__hll"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(buf, dtype=np.int8))
+    r = regs.astype(np.float64)
+    est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(np.exp2(-r))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:  # small-range correction
+        est = m * np.log(m / zeros)
+    return float(est)

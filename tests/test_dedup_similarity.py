@@ -281,3 +281,24 @@ def test_ngram_jaccard_max_df_valve():
     out = ngram_jaccard_pairs(rd.from_arrow(docs), threshold_num=1,
                               threshold_den=2, n=3, max_df=2).to_pandas()
     assert len(out) == 0
+
+
+def test_ngram_jaccard_parallelism_invariant():
+    # identical pair set regardless of block structure
+    from opentelemetry_collector_contrib_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = [f"alpha beta gamma delta epsilon zeta {i % 7} eta theta" for i in range(60)]
+    docs = pa.table({
+        "doc_id": pa.array(list(range(60)), type=pa.int64()),
+        "text": texts,
+    })
+
+    def run(nblocks):
+        out = ngram_jaccard_pairs(
+            rd.from_arrow(docs).repartition(nblocks), threshold_num=1,
+            threshold_den=2, n=3,
+        ).to_pandas()
+        return sorted(zip(out["id_a"], out["id_b"]))
+
+    a, b = run(1), run(16)
+    assert a == b and len(a) > 0

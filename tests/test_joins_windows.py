@@ -200,3 +200,28 @@ def test_session_windows():
     out = out.sort_values("session_start").reset_index(drop=True)
     assert out["n"].tolist() == [2, 2]
     assert str(out["session_end"][0]) == "2024-01-01 00:30:00"
+
+
+def test_log_dedup_windows_unit():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import log_dedup
+
+    ts = np.array(
+        ["2024-01-01T00:10", "2024-01-01T00:50", "2024-01-01T01:10",
+         "2024-01-01T00:20", "2024-01-01T02:05"],
+        dtype="datetime64[us]",
+    )
+    t = pa.table({
+        "body": ["a", "a", "a", "b", "a"],
+        "ts": pa.array(ts),
+        "event_id": pa.array([5, 2, 3, 4, 1], type=pa.int64()),
+    })
+    out = log_dedup(rd.from_arrow(t), ["body"], ts_col="ts", interval_s=3600,
+                    id_col="event_id").to_pandas().sort_values(
+        ["window_start", "body"]).reset_index(drop=True)
+    # hour 0: two 'a' (ids 5,2 → first=2), one 'b'; hour 1: one 'a'; hour 2: one 'a'
+    assert out["log.record.count"].tolist() == [2, 1, 1, 1]
+    assert out["first_id"].tolist() == [2, 4, 3, 1]

@@ -156,3 +156,20 @@ def test_recombine_max_batch_size():
     )
     out = recombine(rd.from_arrow(t), max_batch_size=2).to_pandas()
     assert sorted(out["n_combined"].tolist()) == [1, 2, 2]
+
+
+def test_approx_distinct_hll():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import approx_distinct
+
+    vals = np.arange(200_000) % 12_345
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - 12_345) / 12_345 < 0.05
+    # partitioning invariant (register max merge is order-independent)
+    est2 = approx_distinct(
+        rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(2), "v", p=12)
+    assert est == est2
