@@ -154,7 +154,8 @@ def _make_counts_collectors(n_shards: int = 8):
 
 def run_single_pass(input_path: str, out_root: str, enrich_concurrency: int = 8,
                     batch_size: int = 65_536, write_counts: bool = True,
-                    counts_mode: str = "partials", counts_shards: int = 8):
+                    counts_mode: str = "partials", counts_shards: int = 8,
+                    enrich_mode: str = "auto"):
     """Streaming pass writes all sinks; counts per docstring modes.
     Returns {"sinks": dir, "counts": {sink: pandas}}."""
     import shutil
@@ -174,10 +175,25 @@ def run_single_pass(input_path: str, out_root: str, enrich_concurrency: int = 8,
         partials_dir = os.path.join(out_root, "_count_partials")
         shutil.rmtree(partials_dir, ignore_errors=True)  # stale digests
 
-    labeled = (
-        ds.map_batches(parse, batch_format="pyarrow", batch_size=batch_size,
-                       zero_copy_batch=True)
-        .map_batches(
+    # Enrichment table routing: TOOL_SERVICE is tiny, so the enricher
+    # INSTANCE ships in the task closure (broadcast-small-side — no
+    # actor pool to spin up, and the stage fuses with parse/label into
+    # one task op). A big table (k8s-scale metadata) takes the actor
+    # pool so it is built once per actor, not per task.
+    small_table = enrich_mode == "task" or (
+        enrich_mode == "auto" and len(TOOL_SERVICE) <= 10_000
+    )
+    if enrich_mode == "actor":
+        small_table = False
+    enriched = ds.map_batches(parse, batch_format="pyarrow", batch_size=batch_size,
+                              zero_copy_batch=True)
+    if small_table:
+        enriched = enriched.map_batches(
+            LookupEnricher("tool", TOOL_SERVICE, TOOL_SERVICE_DEFAULTS),
+            batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+        )
+    else:
+        enriched = enriched.map_batches(
             LookupEnricher,
             fn_constructor_kwargs={
                 "key_col": "tool", "table": TOOL_SERVICE,
@@ -186,6 +202,8 @@ def run_single_pass(input_path: str, out_root: str, enrich_concurrency: int = 8,
             batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
             concurrency=(max(2, enrich_concurrency // 2), enrich_concurrency),
         )
+    labeled = (
+        enriched
         .map_batches(router.label, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(expand_by_sink(router, counters, cc, partials_dir),
                      batch_format="pyarrow", zero_copy_batch=True)
