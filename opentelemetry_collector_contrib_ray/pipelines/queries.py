@@ -1063,6 +1063,39 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_cap_per_user(sf_dir: str):
+    """Deterministic per-key cap (≤3 events per user by hash order) —
+    the per-domain-cap curation op, then a verifiable rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sampler import cap_per_key
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    capped = cap_per_key(ds, "user_id", 3, "event_id")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+        })
+
+    return (
+        capped.map_batches(proj, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="sum_ids"))
+    )
+
+
+def _cap_per_user_sql() -> str:
+    from ..stages.sampler import cap_per_key_sql
+
+    return f"""
+WITH capped AS ({cap_per_key_sql('user_id', 'event_id', 3, 'events')})
+SELECT event_type, count(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM capped GROUP BY event_type
+"""
+
+
 def q_log_dedup_windows(sf_dir: str):
     """Windowed log dedup (logdedup-style first+count collapse)."""
     from ..stages.dedup import log_dedup
@@ -1629,6 +1662,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_tumbling_6h": q_events_tumbling_6h,
     "log_dedup_windows": q_log_dedup_windows,
+    "events_cap_per_user": q_events_cap_per_user,
     "orders_customer_join": q_orders_customer_join,
     "csv_quoted_roundtrip": q_csv_quoted_roundtrip,
     "time_tz_hour_counts": q_time_tz_hour_counts,
@@ -1674,6 +1708,7 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_tumbling_6h": SQL_EVENTS_TUMBLING,
     "log_dedup_windows": SQL_LOG_DEDUP,
+    "events_cap_per_user": _cap_per_user_sql(),
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
     "csv_quoted_roundtrip": SQL_CSV_QUOTED,
     "time_tz_hour_counts": SQL_TIME_TZ,

@@ -72,3 +72,52 @@ class ProbabilisticSampler(BatchOp):
             prio = pc.fill_null(pc.cast(t[self.priority_col], pa.float64(), safe=False), 0)
             keep = keep | (np.asarray(prio) > 0)
         return t.filter(pa.array(keep))
+
+
+def cap_per_key(ds, key_col: str, n: int, id_col: str, num_partitions: int = 64):
+    """Deterministic per-key cap — corpus curation's "at most N docs per
+    domain/user": within each key, keep the N rows with the smallest
+    ``(knuth_hash(id), id)`` — a uniform, seedless, reproducible choice
+    (same SQL twin as the sampler:
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY hash, id) <= N``).
+
+    Shape: hash-partition on the key (many whole key groups per
+    partition), one vectorized pandas pass per partition (sort +
+    cumcount — no per-key Python). Rows move once; per-worker memory
+    ≈ rows/num_partitions.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            h = k.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(k.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def cap_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.uint64)
+        g = g.assign(__h=(ids * np.uint64(2654435761)) % np.uint64(2**32))
+        g = g.sort_values([key_col, "__h", id_col], kind="mergesort")
+        keep = g.groupby(key_col, sort=False).cumcount() < n
+        return g.loc[keep].drop(columns=["__h", "__p"])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(cap_partition, batch_format="pandas")
+    )
+
+
+def cap_per_key_sql(key_sql: str, id_sql: str, n: int, src: str = "events") -> str:
+    """SQL twin row-filter CTE body for ``cap_per_key``."""
+    return (
+        f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key_sql} "
+        f"ORDER BY {knuth_hash_sql(id_sql)}, {id_sql}) AS __rn FROM {src}) "
+        f"WHERE __rn <= {n}"
+    )

@@ -206,3 +206,29 @@ class TestResourceDetection:
 
         with _pytest.raises(ValueError):
             parse_otel_resource_attrs("no-equals-sign-at-all,,")
+
+
+def test_cap_per_key_deterministic_across_parallelism():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.sampler import cap_per_key
+
+    t = pa.table({
+        "user": pa.array(np.arange(500) % 20),
+        "id": pa.array(np.arange(500), type=pa.int64()),
+    })
+
+    def run(nblocks):
+        out = cap_per_key(rd.from_arrow(t).repartition(nblocks),
+                          "user", 5, "id").to_pandas()
+        return sorted(out["id"].tolist())
+
+    a, b = run(1), run(16)
+    assert a == b
+    import pandas as pd
+
+    df = pd.DataFrame({"user": np.arange(500) % 20, "id": np.arange(500)})
+    df = df[df["id"].isin(a)]
+    assert (df.groupby("user").size() == 5).all()
