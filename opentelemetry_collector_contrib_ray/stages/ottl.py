@@ -299,4 +299,11 @@ class TransformProcessor(BatchOp):
             except Exception:
                 if self.error_mode == "propagate":
                     raise
+        # the log context's `cache` is per-record scratch
+        # (pkg/ottl/contexts/ottllog/log.go:155-210) — statements may
+        # stage values in cache.* paths, but it never leaves the
+        # processor
+        scratch = [c for c in t.column_names if c == "cache" or c.startswith("cache.")]
+        if scratch:
+            t = t.drop_columns(scratch)
         return t

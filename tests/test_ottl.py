@@ -118,3 +118,20 @@ def test_ordered_statements_chain(t):
         ],
     )
     assert out["attributes.stage"].to_pylist() == ["one", "one", "two"]
+
+
+def test_cache_paths_are_transient():
+    # ottllog cache: statements can stage through cache.* but it never
+    # leaves the processor (log.go:155-210)
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.ottl import TransformProcessor
+
+    t = pa.table({"attributes.v": [1, 2, 3]})
+    p = TransformProcessor([
+        'set(cache.double, attributes.v * 2)',
+        'set(attributes.out, cache.double) where cache.double > 2',
+    ])
+    out = p(t)
+    assert out["attributes.out"].to_pylist() == [None, 4, 6]
+    assert not any(c.startswith("cache") for c in out.column_names)
