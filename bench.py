@@ -73,12 +73,20 @@ def run_bench() -> dict:
     rd.read_parquet(inp).count()
 
     out_root = os.environ.get("GRAFT_OUT_ROOT", "/tmp/otelray/bench_out")
-    shutil.rmtree(out_root, ignore_errors=True)
-    os.sync()  # flush dirty pages so prior runs' writeback doesn't bleed in
-    time.sleep(3)  # let the device drain — ±40% headline variance otherwise
-    t0 = time.time()
-    run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS, counts_mode="partials")
-    headline = time.time() - t0
+    # the shared-VM disk + noisy neighbors produce bimodal headline
+    # walls (10 s vs 20 s for identical work); run 3x and report the
+    # MEDIAN, with every sample in the JSON for transparency
+    n_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "3"))
+    samples = []
+    for _ in range(n_reps):
+        shutil.rmtree(out_root, ignore_errors=True)
+        os.sync()  # flush dirty pages so prior runs' writeback doesn't bleed in
+        time.sleep(3)  # let the device drain
+        t0 = time.time()
+        run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS,
+                        counts_mode="partials")
+        samples.append(round(time.time() - t0, 3))
+    headline = sorted(samples)[len(samples) // 2]
 
     qtimes = {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):
@@ -86,6 +94,7 @@ def run_bench() -> dict:
         return {
             "metric": "flagship parse→enrich→route→count end-to-end (single pass, sinks written)",
             "value": round(headline, 3), "unit": "sec", "queries": {},
+            "headline_samples": samples,
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "transcript_rows": n_rows,
             "turns_per_sec": round(n_rows / headline, 1),
         }
@@ -99,6 +108,7 @@ def run_bench() -> dict:
         "metric": "flagship parse→enrich→route→count end-to-end (single pass, sinks written)",
         "value": round(headline, 3),
         "unit": "sec",
+        "headline_samples": samples,
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
