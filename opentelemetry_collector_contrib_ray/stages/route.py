@@ -33,9 +33,13 @@ ROUTE_BITS_COL = "__route_bits"
 
 @dataclass
 class RouteSpec:
-    """Ordered routing table (config.go:21-47)."""
+    """Ordered routing table (config.go:21-47). Each route is
+    ``(condition, sinks)`` or ``(condition, sinks, attributes)`` — the
+    stanza router's per-route added attributes
+    (transformer/router/config.go:160-212): rows taking the route get
+    those attribute columns set."""
 
-    routes: list[tuple[str, list[str]]]  # (condition, sinks)
+    routes: list[tuple]  # (condition, sinks[, attrs])
     match_once: bool = True
     default_sinks: list[str] = field(default_factory=lambda: ["default"])
     error_mode: str = "ignore"
@@ -46,14 +50,17 @@ class Router:
         if len(spec.routes) > 63:
             raise ValueError("at most 63 routes supported")
         self.spec = spec
-        self.masks = [compile_mask(cond) for cond, _ in spec.routes]
+        self.masks = [compile_mask(r[0]) for r in spec.routes]
+        self.route_attrs: list[dict] = [
+            (r[2] if len(r) > 2 else {}) for r in spec.routes
+        ]
         self.sinks: list[str] = sorted(
-            {s for _, sinks in spec.routes for s in sinks} | set(spec.default_sinks)
+            {s for r in spec.routes for s in r[1]} | set(spec.default_sinks)
         )
         # sink → bit pattern of routes feeding it (+ default bit 63)
         self._sink_bits: dict[str, int] = {s: 0 for s in self.sinks}
-        for i, (_, sinks) in enumerate(spec.routes):
-            for s in sinks:
+        for i, r in enumerate(spec.routes):
+            for s in r[1]:
                 self._sink_bits[s] |= 1 << i
         for s in spec.default_sinks:
             self._sink_bits[s] |= 1 << 63
@@ -77,13 +84,29 @@ class Router:
         return set_column(t, ROUTE_BITS_COL, pa.array(bits.view(np.int64)))
 
     def sink_filter(self, sink: str):
-        """Batch filter fn selecting this sink's rows from a labeled table."""
+        """Batch filter fn selecting this sink's rows from a labeled
+        table, applying per-route added attributes (first matching
+        route feeding this sink wins, router.go order)."""
         want = np.uint64(self._sink_bits[sink])
+        feeding = [i for i in range(len(self.masks))
+                   if self._sink_bits[sink] & (1 << i)]
+        attr_keys = sorted({k for i in feeding for k in self.route_attrs[i]})
 
         def fn(t: pa.Table) -> pa.Table:
             bits = t[ROUTE_BITS_COL].to_numpy(zero_copy_only=False).view(np.uint64)
             keep = (bits & want) != 0
-            return t.filter(pa.array(keep)).drop_columns([ROUTE_BITS_COL])
+            out = t.filter(pa.array(keep)).drop_columns([ROUTE_BITS_COL])
+            if attr_keys:
+                kb = bits[keep]
+                conds = [(kb & np.uint64(1 << i)) != 0 for i in feeding]
+                for k in attr_keys:
+                    vals = np.select(
+                        conds,
+                        [self.route_attrs[i].get(k) for i in feeding],
+                        default=None,
+                    )
+                    out = set_column(out, k, pa.array(vals.tolist()))
+            return out
 
         return fn
 

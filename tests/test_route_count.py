@@ -119,3 +119,30 @@ def test_count_aggregate_across_blocks(t):
     got = dict(zip(out["attrs"], out["count"]))
     assert got[json.dumps({"role": "user"})] == 2
     assert got[json.dumps({"role": "tool"})] == 2
+
+
+def test_route_added_attributes():
+    # stanza router per-route attributes (router/config.go:160-212)
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.route import Router, RouteSpec
+
+    spec = RouteSpec(
+        routes=[
+            ('attributes.level == "ERROR"', ["errors"], {"attributes.route": "err", "attributes.sev": "high"}),
+            ('attributes.level == "INFO"', ["info"], {"attributes.route": "inf"}),
+        ],
+        match_once=True,
+    )
+    r = Router(spec)
+    t = pa.table({"attributes.level": ["ERROR", "INFO", "DEBUG"]})
+    labeled = r.label(t)
+    err = r.sink_filter("errors")(labeled)
+    assert err["attributes.route"].to_pylist() == ["err"]
+    assert err["attributes.sev"].to_pylist() == ["high"]
+    inf = r.sink_filter("info")(labeled)
+    assert inf["attributes.route"].to_pylist() == ["inf"]
+    assert "attributes.sev" not in inf.column_names
+    dflt = r.sink_filter("default")(labeled)
+    assert dflt["attributes.level"].to_pylist() == ["DEBUG"]
+    assert "attributes.route" not in dflt.column_names
