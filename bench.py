@@ -125,7 +125,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int, out_root: str | None = None) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
+                   GRAFT_HEADLINE_REPS="1")
         # scaling pairs use a 3x corpus: the criterion measures how
         # throughput scales with width on a FIXED input — a bigger
         # input amortizes the per-session constant exactly as the
@@ -139,37 +140,34 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # The shared VM's absolute throughput drifts ~2x on minute
+    # timescales (noisy neighbors), so a lo-run and a hi-run measured
+    # minutes apart compare different machines. Interleave them —
+    # lo,hi,lo,hi,lo,hi — and take the MEDIAN of the three
+    # adjacent-pair ratios: slow drift cancels within each pair.
     out = {"metric": "scaling efficiency (same input, fresh ray.init, N vs 4N cpus)",
            "sf": SF_DIR, "pairs": {}}
-    # A /dev/shm (tmpfs) sink variant was measured once and did NOT
-    # improve the 32-cpu time (BASELINE.md) — the non-scaling constant
-    # is scheduler/actor overhead + memory bandwidth, not the shared
-    # disk; GRAFT_OUT_ROOT stays available for re-running it.
-    variants = [("", None, ((8, 32), (4, 16)))]
-    for prefix, oroot, pairs in variants:
-        for lo, hi in pairs:
-            r_lo, r_hi = one(lo, oroot), one(hi, oroot)
-            eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-            out["pairs"][f"{prefix}{lo}->{hi}"] = {
-                f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
-                f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
-                f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-            }
-        if oroot:
-            import shutil as _sh
-
-            _sh.rmtree(oroot, ignore_errors=True)
-    # headline pair: 4→16 — the N-vs-4N pair still below this box's
-    # absolute throughput ceiling. Evidence the ceiling is not CPU:
-    # 16 cpus already reach ~2.9M turns/s and 32 cpus add nothing
-    # (~2.7-3.4M), i.e. the single shared memory bus / disk saturates;
-    # on a real 4N-node cluster both scale with node count. Both pairs
-    # are reported above.
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    for lo, hi in ((4, 16), (8, 32)):
+        effs, lo_s, hi_s = [], [], []
+        for _ in range(rounds):
+            r_lo, r_hi = one(lo), one(hi)
+            lo_s.append(r_lo["value"])
+            hi_s.append(r_hi["value"])
+            effs.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
+        med = sorted(effs)[len(effs) // 2]
+        out["pairs"][f"{lo}->{hi}"] = {
+            f"sec_{lo}": lo_s, f"sec_{hi}": hi_s,
+            "per_round_efficiency": effs,
+            "scaling_efficiency": med,
+        }
+    # headline pair: 4→16 — the N-vs-4N pair below this box's absolute
+    # throughput ceiling (see BASELINE.md width sweep); 8→32 is
+    # reported alongside.
     out["scaling_efficiency"] = out["pairs"]["4->16"]["scaling_efficiency"]
-    out["note"] = ("4->16 is the uncapped N-vs-4N pair; 8->32 hits the "
-                   "single-box ~3M turns/s memory-bandwidth ceiling "
-                   "(32 cpus add nothing over 16)")
+    out["note"] = ("median of adjacent-in-time lo/hi ratios; shared-VM "
+                   "absolute throughput drifts ~2x on minute timescales, "
+                   "adjacent pairing cancels the drift")
     return out
 
 
