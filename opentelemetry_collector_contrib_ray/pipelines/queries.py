@@ -978,6 +978,31 @@ def q_emb_ann_ivf(sf_dir: str):
     return pa.table({"vec_id": out["vec_id"]})
 
 
+def q_emb_near_dup_lsh(sf_dir: str):
+    """Embedding near-dup at scale: LSH-bucket blocking (hyperplane
+    signs) instead of a label column — per-bucket all-pairs cosine.
+    Rows-only (bucketing is approximate); pair validity is asserted by
+    the pytest recall/threshold tests."""
+    import ray.data as rd  # noqa: F401
+
+    from ..stages.similarity import HyperplaneHasher, cosine_near_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = 64
+    first = ds.take(1)
+    if first:
+        dim = len(first[0]["embedding"])
+    ds = ds.map_batches(HyperplaneHasher, fn_constructor_kwargs={
+        "dim": dim, "n_bits": 6, "seed": 11,
+    }, batch_format="pyarrow", concurrency=(1, 2))
+    out = cosine_near_dup_pairs(ds, threshold=0.4, block_col="lsh_bucket")
+    return out.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: synthetic media → fake decode → features
     (rows-only; codecs stubbed per brief)."""
@@ -1658,6 +1683,7 @@ QUERIES = {
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
+    "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "multimodal_decode": q_multimodal_decode,
     "events_sessions": q_events_sessions,
     "events_tumbling_6h": q_events_tumbling_6h,
