@@ -104,10 +104,17 @@ def run_bench() -> dict:
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "transcript_rows": n_rows,
             "turns_per_sec": round(n_rows / headline, 1),
         }
+    # min-of-2 per query: the shared VM drifts 2-4x on minute
+    # timescales; the faster draw is the closer estimate of the
+    # engine's own cost
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _consume(QUERIES[name](SF_DIR))
-        qtimes[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _consume(QUERIES[name](SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        qtimes[name] = round(best, 3)
 
     ray.shutdown()
     return {
