@@ -130,6 +130,29 @@ def read_lines(paths, encoding: str = "utf-8",
             i = j + 1 + ln
         return out
 
+    plain = (encoding == "utf-8" and framing is None and header_rx is None
+             and start_rx is None and end_rx is None)
+    if plain:
+        # the newline-split fast path rides Ray's byte-range file
+        # splitting (a multi-GB file becomes many blocks, bounded
+        # worker memory); the framed/encoded/header paths below need
+        # whole-file context and read one file per task (log rotation
+        # bounds file size in those deployments)
+        import pyarrow.compute as pc
+
+        ds = rd.read_text(paths, include_paths=True)
+
+        def finish(t: pa.Table) -> pa.Table:
+            cols = {"text": t["text"]}
+            if include_file_path:
+                cols["log.file.path"] = t["path"]
+                cols["log.file.name"] = pc.replace_substring_regex(
+                    t["path"], r"^.*/", ""
+                )
+            return pa.table(cols)
+
+        return ds.map_batches(finish, batch_format="pyarrow")
+
     ds = rd.read_binary_files(paths, include_paths=True)
 
     def file_header_attrs(lines: list[str]) -> tuple[list[str], dict]:
