@@ -43,3 +43,16 @@ from .recombine import recombine  # noqa: F401
 from .sampler import ProbabilisticSampler  # noqa: F401
 from .redact import Redactor  # noqa: F401
 from .resourcedetection import ResourceDetectionProcessor, parse_otel_resource_attrs  # noqa: F401
+from .sinks import (  # noqa: F401
+    drop_sink,
+    failover_write,
+    stdout_sink,
+    write_grouped_parquet,
+    write_json_lines,
+    write_time_partitioned,
+)
+from .sampler import cap_per_key  # noqa: F401
+from .dedup import exact_dedup, log_dedup, minhash_candidate_pairs, ngram_jaccard_pairs  # noqa: F401
+from .similarity import brute_force_topk, ivf_topk, lsh_bucket_topk  # noqa: F401
+from .agg import approx_distinct  # noqa: F401
+from .text import gopher_rules, token_stats  # noqa: F401
