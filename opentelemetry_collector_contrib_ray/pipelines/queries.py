@@ -890,14 +890,40 @@ def q_docs_simhash(sf_dir: str):
 
 
 def q_docs_fingerprint(sf_dir: str):
-    """Rolling-hash fingerprint distinct count (rows-only)."""
+    """Rolling-hash fingerprints per doc — oracle-verified bit-exactly:
+    the Karp-Rabin window sum mod 2^64 is homomorphic, so numpy's
+    uint64 wraparound equals DuckDB HUGEINT arithmetic mod 2^64 (the
+    SQL twin embeds the same base^k constants; signed-int64 view
+    applied after the unsigned window-min on both sides)."""
     from ..stages.text import rolling_fingerprint
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: rolling_fingerprint(t), batch_format="pyarrow")
-    return pa.table(
-        {"n_distinct_fp": pa.array([len(out.unique("fingerprint"))], type=pa.int64())}
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "fingerprint": t["fingerprint"]}),
+        batch_format="pyarrow",
     )
+
+
+def _fingerprint_sql(window: int = 16) -> str:
+    base = np.uint64(1099511628211)
+    pows = [int(base ** np.uint64(k)) for k in range(window)]  # wraps mod 2^64
+    terms = " + ".join(
+        f"ascii(substring(s, j+{k}, 1)) * {pows[k]}::HUGEINT" for k in range(window)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+pos AS (SELECT doc_id, s,
+        unnest(range(1, greatest(length(s) - {window - 2}, 2))) AS j FROM d),
+h AS (SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS hv FROM pos),
+m AS (SELECT doc_id, min(hv) AS fp FROM h GROUP BY doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+                 THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT)
+         AS fingerprint
+FROM m
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1726,6 +1752,7 @@ ORACLES = {
     "docs_stopwords": SQL_DOCS_STOPWORDS,
     "docs_gopher_quality": SQL_DOCS_GOPHER,
     "docs_langid": _langid_sql(),
+    "docs_fingerprint": _fingerprint_sql(),
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "emb_ann_top10": SQL_EMB_ANN,
