@@ -724,6 +724,21 @@ FROM f GROUP BY source
 """
 
 
+def q_docs_top_terms(sf_dir: str):
+    """Corpus-wide top-20 terms (partial+final combiner over text)."""
+    from ..stages.text import top_terms
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return top_terms(ds, k=20)
+
+
+SQL_DOCS_TOP_TERMS = r"""
+SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+) WHERE term <> '' GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
 def q_docs_langid(sf_dir: str):
     """Heuristic language-ID (rows-only check: no SQL twin)."""
     from ray.data.aggregate import Count
@@ -1701,6 +1716,7 @@ QUERIES = {
     "docs_gopher_quality": q_docs_gopher,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_clean_corpus": q_docs_clean_corpus,
+    "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash": q_docs_simhash,
@@ -1755,6 +1771,7 @@ ORACLES = {
     "docs_fingerprint": _fingerprint_sql(),
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
+    "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "emb_ann_ivf": SQL_EMB_ANN,

@@ -198,3 +198,39 @@ def rolling_fingerprint(t: pa.Table, col: str = "text", window: int = 16,
             h = (sw * pows).sum(axis=1)
         out_h[i] = h.min()
     return set_column(t, out, pa.array(out_h.view(np.int64)))
+
+
+def top_terms(ds, col: str = "text", k: int = 20, num_partitions: int = 64):
+    """Corpus-wide term frequencies, top-k: per-batch pandas
+    value_counts (combiner) → term-hash partition merge → global
+    sort/limit. Only (term, partial-count) rows cross the wire; ties
+    broken by term for determinism."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t[col], pa.string()), "")),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        flat = flat[flat != ""]
+        vc = pd.Series(flat).value_counts()
+        terms = vc.index.to_numpy().astype("U")
+        h = pd.util.hash_array(terms)
+        return pa.table({
+            "term": pa.array(terms.tolist(), type=pa.string()),
+            "n": pa.array(vc.to_numpy(), type=pa.int64()),
+            "__p": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)["n"].sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    )
+    # Ray sort API: per-key descending flags
+    return out.sort(["n", "term"], descending=[True, False]).limit(k)
