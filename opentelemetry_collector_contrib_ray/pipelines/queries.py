@@ -734,7 +734,9 @@ def q_docs_top_terms(sf_dir: str):
 
 SQL_DOCS_TOP_TERMS = r"""
 SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
-  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+  SELECT unnest(string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS term
+  FROM documents
 ) WHERE term <> '' GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
@@ -821,7 +823,12 @@ def q_docs_ngram_jaccard(sf_dir: str):
 
 SQL_DOCS_NGRAM_JACCARD = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  -- regexp_replace, not trim(): DuckDB trim() strips only spaces while
+  -- the Ray side uses utf8_trim_whitespace (all whitespace) — trim()
+  -- would leak a leading '' token into gram construction
+  SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
 ), g AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -922,17 +929,32 @@ def q_docs_fingerprint(sf_dir: str):
 
 
 def _fingerprint_sql(window: int = 16) -> str:
+    """Byte-exact SQL twin of rolling_fingerprint for ARBITRARY UTF-8
+    (not just ASCII): the hash runs over UTF-8 *bytes*, so the SQL
+    iterates octet positions of ``hex(encode(text))`` and parses each
+    hex pair back to its byte value — ``ascii(substring(s, …))`` would
+    yield Unicode codepoints at character positions and diverge on any
+    non-ASCII input. Out-of-range substring → '' → byte 0, which
+    reproduces the Python side's zero-padding of short docs."""
     base = np.uint64(1099511628211)
     pows = [int(base ** np.uint64(k)) for k in range(window)]  # wraps mod 2^64
-    terms = " + ".join(
-        f"ascii(substring(s, j+{k}, 1)) * {pows[k]}::HUGEINT" for k in range(window)
-    )
+
+    def hv(c: str) -> str:
+        return (f"(CASE WHEN {c}='' THEN 0 WHEN ascii({c})>=65 "
+                f"THEN ascii({c})-55 ELSE ascii({c})-48 END)")
+
+    def byte_at(p: str) -> str:
+        return (f"(16*{hv(f'substring(h, 2*({p})-1, 1)')}"
+                f" + {hv(f'substring(h, 2*({p}), 1)')})")
+
+    terms = " + ".join(f"{byte_at(f'j+{k}')} * {pows[k]}::HUGEINT" for k in range(window))
     return f"""
-WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
-pos AS (SELECT doc_id, s,
-        unnest(range(1, greatest(length(s) - {window - 2}, 2))) AS j FROM d),
-h AS (SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS hv FROM pos),
-m AS (SELECT doc_id, min(hv) AS fp FROM h GROUP BY doc_id)
+WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                  octet_length(encode(coalesce(text, ''))) AS n FROM documents),
+pos AS (SELECT doc_id, h,
+        unnest(range(1, greatest(n - {window - 2}, 2))) AS j FROM d),
+hh AS (SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS hv FROM pos),
+m AS (SELECT doc_id, min(hv) AS fp FROM hh GROUP BY doc_id)
 SELECT doc_id,
        CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
                  THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT)

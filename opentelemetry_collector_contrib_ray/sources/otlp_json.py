@@ -171,24 +171,57 @@ def encode_otlp_json_batch(t: pa.Table) -> str:
 
 def write_otlp_json_logs(ds, path: str) -> int:
     """OTLP-JSON lines sink: each block marshals to one request line in
-    its own file, named by content digest — idempotent under Ray task
-    retries (a re-executed task rewrites the same file). Assumes
-    ``path`` is shared storage, like every file sink. Returns the
-    number of files written."""
+    its own file, named ``{run}-{task}-{seq}-{digest}.jsonl``:
+
+    - ``run`` (fresh per invocation) separates this run's output from
+      any earlier run's; stale ``*.jsonl`` files in the directory are
+      removed at sink start, so readers never see a mix of old and new
+      data after a re-run over changed input.
+    - ``task`` (the Ray task id, stable across task RETRIES) + ``seq``
+      (per-task batch counter) makes distinct blocks with identical
+      content land in distinct files — the returned count equals the
+      files on disk — while a retried task rewrites the same names
+      (atomic ``os.replace`` publish keeps that idempotent).
+
+    Assumes ``path`` is shared storage, like every file sink. Returns
+    the number of files written."""
     import hashlib
     import os
+    import uuid
 
-    def enc_write(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"written": pa.array([], type=pa.int64())})
-        line = encode_otlp_json_batch(t)
-        os.makedirs(path, exist_ok=True)
-        name = hashlib.sha1(line.encode()).hexdigest()[:20]
-        tmp = f"{path}/.{name}.tmp"
-        with open(tmp, "w") as f:
-            f.write(line + "\n")
-        os.replace(tmp, f"{path}/{name}.jsonl")  # atomic publish
-        return pa.table({"written": pa.array([1], type=pa.int64())})
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if stale.endswith(".jsonl") or stale.endswith(".tmp"):
+            os.unlink(os.path.join(path, stale))
+    run_id = uuid.uuid4().hex[:8]
 
-    out = ds.map_batches(enc_write, batch_format="pyarrow")
+    class _EncWrite:
+        """Per-call state: (task_id → next sequence number). A worker
+        runs one task at a time, so resetting the counter whenever the
+        task id changes reproduces the same name sequence if a retried
+        task lands on a reused worker."""
+
+        def __init__(self):
+            self.task = None
+            self.seq = 0
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"written": pa.array([], type=pa.int64())})
+            import ray
+
+            tid = ray.get_runtime_context().get_task_id() or "task"
+            if tid != self.task:
+                self.task, self.seq = tid, 0
+            line = encode_otlp_json_batch(t)
+            digest = hashlib.sha1(line.encode()).hexdigest()[:12]
+            name = f"{run_id}-{tid[:16]}-{self.seq:04d}-{digest}"
+            self.seq += 1
+            tmp = f"{path}/.{name}.tmp"
+            with open(tmp, "w") as f:
+                f.write(line + "\n")
+            os.replace(tmp, f"{path}/{name}.jsonl")  # atomic publish
+            return pa.table({"written": pa.array([1], type=pa.int64())})
+
+    out = ds.map_batches(_EncWrite, batch_format="pyarrow", concurrency=(1, 8))
     return int(out.sum("written") or 0)

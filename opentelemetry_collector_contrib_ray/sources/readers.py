@@ -133,14 +133,16 @@ def read_lines(paths, encoding: str = "utf-8",
     plain = (encoding == "utf-8" and framing is None and header_rx is None
              and start_rx is None and end_rx is None)
     if plain:
-        # the newline-split fast path rides Ray's byte-range file
-        # splitting (a multi-GB file becomes many blocks, bounded
-        # worker memory); the framed/encoded/header paths below need
-        # whole-file context and read one file per task (log rotation
-        # bounds file size in those deployments)
+        # newline-split fast path: one block per file (Ray's
+        # TextDatasource reads each file whole), many files → many
+        # blocks; the framed/encoded/header paths below additionally
+        # need whole-file context for multiline state.
+        # drop_empty_lines=False: Ray's default silently skips
+        # whitespace-only lines, which the splitlines paths keep —
+        # same function must yield the same rows on every path.
         import pyarrow.compute as pc
 
-        ds = rd.read_text(paths, include_paths=True)
+        ds = rd.read_text(paths, include_paths=True, drop_empty_lines=False)
 
         def finish(t: pa.Table) -> pa.Table:
             cols = {"text": t["text"]}

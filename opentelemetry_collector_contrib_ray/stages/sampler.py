@@ -104,7 +104,8 @@ def cap_per_key(ds, key_col: str, n: int, id_col: str, num_partitions: int = 64)
         ids = g[id_col].to_numpy().astype(np.uint64)
         g = g.assign(__h=(ids * np.uint64(2654435761)) % np.uint64(2**32))
         g = g.sort_values([key_col, "__h", id_col], kind="mergesort")
-        keep = g.groupby(key_col, sort=False).cumcount() < n
+        # dropna=False: a NULL key is one group (SQL PARTITION BY semantics)
+        keep = g.groupby(key_col, sort=False, dropna=False).cumcount() < n
         return g.loc[keep].drop(columns=["__h", "__p"])
 
     return (

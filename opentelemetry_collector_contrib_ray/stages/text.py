@@ -180,24 +180,71 @@ class LangId:
 # ----------------------------------------------------------- fingerprint
 
 
+_FP_BASE = np.uint64(1099511628211)
+# base is odd ⇒ invertible mod 2^64; the modular inverse turns the
+# window sum into a prefix-sum difference (see rolling_fingerprint)
+_FP_BASE_INV = np.uint64(pow(1099511628211, -1, 2**64))
+
+
+def _ragged_arange(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(intra-group index 0..count_i-1 flattened, group start offsets)."""
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    intra = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(starts, counts)
+    return intra, starts
+
+
 def rolling_fingerprint(t: pa.Table, col: str = "text", window: int = 16,
                         out: str = "fingerprint") -> pa.Table:
-    """Karp-Rabin-style rolling-hash document fingerprint: min rolling
-    hash over byte windows (winnowing's min-sampling, single window).
-    Vectorized per batch with numpy stride tricks."""
-    texts = t[col].to_pylist()
-    base = np.uint64(1099511628211)
-    out_h = np.zeros(len(texts), dtype=np.uint64)
-    pows = base ** np.arange(window, dtype=np.uint64)
-    for i, s in enumerate(texts):
-        b = np.frombuffer((s or "").encode("utf-8", "replace"), dtype=np.uint8)
-        if len(b) < window:
-            b = np.pad(b, (0, window - len(b)))
-        sw = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = (sw * pows).sum(axis=1)
-        out_h[i] = h.min()
-    return set_column(t, out, pa.array(out_h.view(np.int64)))
+    """Karp-Rabin-style rolling-hash document fingerprint: min over all
+    byte-window hashes ``h_j = Σ_k b[j+k]·base^k (mod 2^64)`` per doc
+    (winnowing's min-sampling, single window size).
+
+    Fully vectorized across the WHOLE batch — no per-row Python:
+    all docs' UTF-8 bytes are laid into one zero-padded buffer (each
+    doc padded to ≥ ``window`` bytes, matching the short-doc pad), then
+    ``h_j = (S[j+w] − S[j]) · base^{−j}`` where ``S`` is the prefix sum
+    of ``b[j]·base^j`` — exact in uint64 wraparound arithmetic because
+    the base is odd (invertible mod 2^64), so results are bit-identical
+    to the direct window sum. Per-doc min via ``np.minimum.reduceat``
+    over each doc's contiguous run of valid window starts (runs never
+    cross doc boundaries, so no masking is needed)."""
+    n = t.num_rows
+    if n == 0:
+        return set_column(t, out, pa.array([], type=pa.int64()))
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    b = pc.cast(pc.fill_null(pc.cast(c, pa.string()), ""), pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int64)[b.offset : b.offset + n + 1]
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8) if b.buffers()[2] else np.empty(0, np.uint8)
+    lens = np.diff(offs)
+    padlens = np.maximum(lens, window)
+
+    buf = np.zeros(int(padlens.sum()), dtype=np.uint8)
+    intra_src, _ = _ragged_arange(lens)
+    seg_starts = np.cumsum(padlens) - padlens
+    buf[np.repeat(seg_starts, lens) + intra_src] = data[
+        np.repeat(offs[:-1], lens) + intra_src
+    ]
+
+    with np.errstate(over="ignore"):
+        pows = np.concatenate(
+            [[np.uint64(1)], np.cumprod(np.full(len(buf) - 1, _FP_BASE, dtype=np.uint64))]
+        ) if len(buf) > 1 else np.ones(len(buf), dtype=np.uint64)
+        n_j = len(buf) - window + 1  # window starts in the global buffer
+        pinv = np.concatenate(
+            [[np.uint64(1)], np.cumprod(np.full(n_j - 1, _FP_BASE_INV, dtype=np.uint64))]
+        ) if n_j > 1 else np.ones(max(n_j, 0), dtype=np.uint64)
+        S = np.zeros(len(buf) + 1, dtype=np.uint64)
+        np.cumsum(buf.astype(np.uint64) * pows, out=S[1:])
+        h = (S[window:] - S[:-window]) * pinv  # h[j] for every global j
+
+    counts = padlens - window + 1  # valid window starts per doc
+    intra_w, red_starts = _ragged_arange(counts)
+    hv = h[np.repeat(seg_starts, counts) + intra_w]
+    mins = np.minimum.reduceat(hv, red_starts)
+    return set_column(t, out, pa.array(mins.view(np.int64)))
 
 
 def top_terms(ds, col: str = "text", k: int = 20, num_partitions: int = 64):

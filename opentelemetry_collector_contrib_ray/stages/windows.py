@@ -43,7 +43,9 @@ def tumbling_window(ds, key: str, ts: str, size_s: int,
         if agg_col:
             cols[agg_col] = t[agg_col].to_numpy(zero_copy_only=False)
         df = pd.DataFrame(cols)
-        g = df.groupby([key, "window_start"], as_index=False)
+        # dropna=False: SQL GROUP BY keeps NULL groups; pandas' default
+        # would silently drop rows with a null key
+        g = df.groupby([key, "window_start"], as_index=False, dropna=False)
         out = g.agg(n=("window_start", "size"),
                     **({f"sum_{agg_col}": (agg_col, "sum")} if agg_col else {}))
         h = pd.util.hash_pandas_object(out[[key, "window_start"]], index=False).to_numpy()
@@ -54,7 +56,7 @@ def tumbling_window(ds, key: str, ts: str, size_s: int,
         sums = {"n": ("n", "sum")}
         if agg_col:
             sums[f"sum_{agg_col}"] = (f"sum_{agg_col}", "sum")
-        out = g.groupby([key, "window_start"], as_index=False).agg(**sums)
+        out = g.groupby([key, "window_start"], as_index=False, dropna=False).agg(**sums)
         return out
 
     out = (
@@ -90,7 +92,7 @@ def sliding_window_counts(ds, key: str, ts: str, size_s: int, step_s: int,
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for k, sub in g.groupby(key, sort=False):  # in-process, no Ray call
+        for k, sub in g.groupby(key, sort=False, dropna=False):  # in-process, no Ray call
             tsv = np.sort(sub[ts].to_numpy().astype("datetime64[us]"))
             lo = (tsv[0].astype("int64") // step_us) * step_us
             hi = (tsv[-1].astype("int64") // step_us + 1) * step_us
