@@ -128,12 +128,31 @@ def large_anti_join(left, right, on: str, right_on: str | None = None,
                      on=(on,), right_on=(right_on or on,))
 
 
+DEFAULT_JOIN_PARTITIONS = 64
+
+
+def _rows_estimate(ds) -> int | None:
+    """Row count WITHOUT executing the lineage: plan metadata only
+    (``Dataset._meta_count`` — populated for plain file reads and
+    already-materialized datasets; None for derived lineages)."""
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
 def _derive_partitions(left, right,
                        rows_per_partition: int = DEFAULT_ROWS_PER_PARTITION) -> int:
-    """Partition count from input sizes: ceil(total_rows / target).
-    ``count()`` is metadata-only for plain Parquet reads; for derived
-    datasets pass ``num_partitions`` explicitly to avoid an extra pass."""
-    total = left.count() + right.count()
+    """Partition count from input sizes: ceil(total_rows / target),
+    clamped to [8, 1024]. Uses metadata-only row counts — a derived
+    dataset (map/filter lineage) has no metadata count, and executing
+    it here would run the whole upstream pipeline just to size the
+    join, so those fall back to ``DEFAULT_JOIN_PARTITIONS`` (pass
+    ``num_partitions`` explicitly to tune)."""
+    lc, rc = _rows_estimate(left), _rows_estimate(right)
+    if lc is None or rc is None:
+        return DEFAULT_JOIN_PARTITIONS
+    total = lc + rc
     return int(min(max(-(-total // rows_per_partition), 8), 1024))
 
 

@@ -14,13 +14,42 @@ query, so the final merge handles #blocks × k rows.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from .base import norm_concurrency
+
+
+def _merge_topk_partials(partial, k: int, id_col: str) -> pa.Table:
+    """Global top-k per query from block-local partials — one vectorized
+    lexsort + per-group rank instead of a per-row Python heap (the r2
+    driver-side heap serialized at thousands of queries). Input is
+    bounded (≤ #blocks × k × nq rows), so a single concat is safe; ties
+    broken by id for determinism, output sorted (query, -cosine, id)."""
+    parts = [pa.table(b) for b in partial.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(parts) if parts else None
+    if t is None or t.num_rows == 0:
+        return pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        })
+    q = t["query_id"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    sims = t["cosine"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sims, q))  # by query, cosine desc, id asc
+    q, ids, sims = q[order], ids[order], sims[order]
+    new_grp = np.ones(len(q), dtype=bool)
+    new_grp[1:] = q[1:] != q[:-1]
+    grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(q)), 0))
+    rank = np.arange(len(q)) - grp_start
+    keep = rank < k
+    return pa.table({
+        "query_id": pa.array(q[keep], type=pa.int64()),
+        id_col: pa.array(ids[keep], type=pa.int64()),
+        "cosine": pa.array(sims[keep], type=pa.float64()),
+    })
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -79,10 +108,9 @@ class BruteForceTopK:
 
 def brute_force_topk(ds, queries, k: int = 10, emb_col: str = "embedding",
                      id_col: str = "vec_id", query_ids=None, concurrency: int = 4):
-    """Exact top-k: block-local top-k (actor pool) → tiny global merge.
-
-    The final merge is a driver-side heap over ≤ #blocks × k × nq rows —
-    not a full-dataset materialization.
+    """Exact top-k: block-local top-k (actor pool) → tiny vectorized
+    global merge over ≤ #blocks × k × nq partial rows — never a
+    full-dataset materialization, and no per-row Python on the driver.
     """
     partial = ds.map_batches(
         BruteForceTopK,
@@ -93,29 +121,7 @@ def brute_force_topk(ds, queries, k: int = 10, emb_col: str = "embedding",
         batch_format="pyarrow",
         concurrency=norm_concurrency(concurrency),
     )
-    best: dict[int, list] = {}
-    for batch in partial.iter_batches(batch_format="pyarrow"):
-        for q, i, s in zip(
-            batch["query_id"].to_pylist(),
-            batch[id_col].to_pylist(),
-            batch["cosine"].to_pylist(),
-        ):
-            h = best.setdefault(q, [])
-            if len(h) < k:
-                heapq.heappush(h, (s, i))
-            elif s > h[0][0]:
-                heapq.heapreplace(h, (s, i))
-    rows = []
-    for q in sorted(best):
-        for s, i in sorted(best[q], reverse=True):
-            rows.append((q, i, s))
-    return pa.table(
-        {
-            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-            id_col: pa.array([r[1] for r in rows], type=pa.int64()),
-            "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
-        }
-    )
+    return _merge_topk_partials(partial, k, id_col)
 
 
 class HyperplaneHasher:
@@ -299,7 +305,7 @@ def ivf_topk(ds, queries, k: int = 10, n_clusters: int = 64, n_probe: int = 4,
     train a coarse quantizer on a bounded sample, then stream the corpus
     once; each row is scored only against the queries probing its cell
     (work ∝ n_probe/n_clusters of brute force). Recall lever: ``n_probe``
-    (= n_clusters ⇒ exact). Final merge = bounded driver heap
+    (= n_clusters ⇒ exact). Final merge = bounded vectorized lexsort
     (≤ blocks × k × nq rows), same as brute force."""
     import ray
 
@@ -318,27 +324,7 @@ def ivf_topk(ds, queries, k: int = 10, n_clusters: int = 64, n_probe: int = 4,
         batch_format="pyarrow",
         concurrency=norm_concurrency(concurrency),
     )
-    best: dict[int, list] = {}
-    for batch in partial.iter_batches(batch_format="pyarrow"):
-        for qid, i, s in zip(
-            batch["query_id"].to_pylist(),
-            batch[id_col].to_pylist(),
-            batch["cosine"].to_pylist(),
-        ):
-            h = best.setdefault(qid, [])
-            if len(h) < k:
-                heapq.heappush(h, (s, i))
-            elif s > h[0][0]:
-                heapq.heapreplace(h, (s, i))
-    rows = []
-    for qid in sorted(best):
-        for s, i in sorted(best[qid], reverse=True):
-            rows.append((qid, i, s))
-    return pa.table({
-        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
-        id_col: pa.array([r[1] for r in rows], type=pa.int64()),
-        "cosine": pa.array([r[2] for r in rows], type=pa.float64()),
-    })
+    return _merge_topk_partials(partial, k, id_col)
 
 
 def assign_ivf_clusters(ds, centroids, emb_col: str = "embedding",

@@ -225,3 +225,26 @@ def test_log_dedup_windows_unit():
     # hour 0: two 'a' (ids 5,2 → first=2), one 'b'; hour 1: one 'a'; hour 2: one 'a'
     assert out["log.record.count"].tolist() == [2, 1, 1, 1]
     assert out["first_id"].tolist() == [2, 4, 3, 1]
+
+
+def test_derive_partitions_no_execution_on_derived(tmp_path):
+    """Sizing a join must never execute a derived lineage: the map fn
+    below writes a sentinel file if it ever runs."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.joins import (
+        DEFAULT_JOIN_PARTITIONS, _derive_partitions)
+
+    sentinel = tmp_path / "executed"
+
+    def spy(t: pa.Table) -> pa.Table:
+        sentinel.write_text("ran")
+        return t
+
+    base = rd.from_arrow(pa.table({"k": list(range(10))}))
+    derived = base.map_batches(spy, batch_format="pyarrow")
+    n = _derive_partitions(derived, derived)
+    assert n == DEFAULT_JOIN_PARTITIONS
+    assert not sentinel.exists(), "derived lineage was executed"
+    # metadata-backed inputs still size from real row counts
+    assert _derive_partitions(base, base) == 8
