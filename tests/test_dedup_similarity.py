@@ -302,3 +302,57 @@ def test_ngram_jaccard_parallelism_invariant():
 
     a, b = run(1), run(16)
     assert a == b and len(a) > 0
+
+
+def test_char_simhash_matches_reference():
+    """CharSimHasher (byte 4-gram simhash) vs a direct per-doc
+    reference: explicit window hashes + bit-plane majority votes."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import CharSimHasher
+
+    def ref(s, window=4):
+        base = np.uint64(1099511628211)
+        b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
+        if len(b) < window:
+            b = np.pad(b, (0, window - len(b)))
+        sw = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hv = (sw * (base ** np.arange(window, dtype=np.uint64))).sum(axis=1)
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).sum(axis=0)
+        vote = bits * 2 > len(hv)
+        out = np.uint64(0)
+        for i in np.nonzero(vote)[0]:
+            out |= np.uint64(1) << np.uint64(i)
+        return int(out.view(np.int64))
+
+    texts = ["hello world document", "héllo … 中文 wörld", "", "abc",
+             "the quick brown fox jumps over the lazy dog " * 4]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    got = CharSimHasher(window=4)(t)["simhash"].to_pylist()
+    assert got == [ref(s) for s in texts]
+    # near-identical docs → small hamming distance, disjoint docs → large
+    a = CharSimHasher()(pa.table({"doc_id": [0], "text": [texts[4]]}))["simhash"][0].as_py()
+    b = CharSimHasher()(pa.table({"doc_id": [0], "text": [texts[4] + " tail"]}))["simhash"][0].as_py()
+    ham = bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham <= 8
+
+
+def test_lsh_near_dup_pairs_recall_and_exact_cosine(embeddings):
+    """Multi-table LSH near-dup: enough tables ⇒ finds every exact pair
+    (the perturbed copies at cosine ≈ 1); emitted cosines are exact;
+    no pair is duplicated across tables."""
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        cosine_near_dup_pairs, lsh_near_dup_pairs)
+
+    exact = cosine_near_dup_pairs(rd.from_arrow(embeddings), threshold=0.99).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    out = lsh_near_dup_pairs(rd.from_arrow(embeddings).repartition(3),
+                             threshold=0.99, n_bits=3, n_tables=16,
+                             concurrency=1).to_pandas()
+    got_pairs = list(zip(out["id_a"], out["id_b"]))
+    assert len(got_pairs) == len(set(got_pairs))  # pair dedup across tables
+    assert set(got_pairs) == exact_pairs  # recall 1 at 16 tables here
+    # fewer tables can only shrink the pair set (still a subset of exact)
+    small = lsh_near_dup_pairs(rd.from_arrow(embeddings), threshold=0.99,
+                               n_bits=6, n_tables=1, concurrency=1).to_pandas()
+    assert set(zip(small["id_a"], small["id_b"])) <= exact_pairs
