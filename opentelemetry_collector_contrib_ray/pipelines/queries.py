@@ -1174,17 +1174,30 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal plumbing: synthetic media → fake decode → features
-    (rows-only; codecs stubbed per brief)."""
+    """Multimodal decode end-to-end with REAL codecs: deterministic
+    BMP/PPM payloads → byte-level decode (stages/codecs.py, no external
+    libraries) → resize → channel features; plus WAV PCM audio →
+    waveform → RMS/ZCR. Rows-only at the driver gate (media isn't
+    SQL-expressible); pixel/waveform golden values are pinned in
+    pytest (test_text_multimodal.py)."""
     import ray.data as rd
 
-    from ..stages.multimodal import decode_pipeline, synth_media_table
+    from ..stages.multimodal import (AudioDecoder, AudioFeatures,
+                                     decode_pipeline, synth_real_audio_table,
+                                     synth_real_media_table)
 
-    t = synth_media_table(256)
-    out = decode_pipeline(rd.from_arrow(t), fake=True, concurrency=(1, 2),
-                          resize_to=(8, 8))
-    n = out.count()
-    return pa.table({"n_decoded": pa.array([n], type=pa.int64())})
+    img = decode_pipeline(rd.from_arrow(synth_real_media_table(256)),
+                          fake=False, concurrency=(1, 2), resize_to=(8, 8))
+    aud = (
+        rd.from_arrow(synth_real_audio_table(64))
+        .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 2))
+        .map_batches(AudioFeatures(), batch_format="pyarrow")
+    )
+    n_img = img.count()
+    n_aud = aud.count()
+    return pa.table({"n_decoded": pa.array([n_img], type=pa.int64()),
+                     "n_audio_decoded": pa.array([n_aud], type=pa.int64())})
 
 
 # --------------------------------------------------------------------------

@@ -3,12 +3,17 @@
 Image/audio/video payloads are ``binary`` columns with sidecar metadata
 columns (``media_type``, ``width``, ``height``, ``sample_rate``…).
 Decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. The codec libraries (PIL/ffmpeg/librosa) are
-NOT in this container, so the decode kernels are STUBBED — each actor
-accepts a ``codec`` callable; the default raises ``NotImplementedError``
-unless ``fake=True``, which produces a deterministic fake decode so the
-Ray-side plumbing (schema, batch sizing, actor signature, output
-layout) is real and testable.
+``map_batches`` stages.
+
+Decode is REAL for the formats parseable without codec libraries —
+BMP / P6-PPM images and RIFF PCM WAV audio (``stages/codecs.py``, pure
+numpy byte parsing; the default codec sniffs magic bytes). Compressed
+formats (PNG/JPEG/MP3/H.264) need PIL/ffmpeg, absent in this
+container: supply ``codec=`` to inject one, or ``fake=True`` for a
+deterministic fake decode that exercises the full Ray-side plumbing
+(schema, batch sizing, actor signature, output layout). Video frame
+EXTRACTION stays stubbed (no container-decodable video format);
+``FrameSampler`` is real sampling arithmetic over metadata.
 
 Scale notes: binary payload batches must stay small
 (``batch_size`` ≤ ~64 for MB-scale payloads) so batch × concurrency
@@ -46,20 +51,20 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 class ImageDecoder:
     """Actor-pool decode stage: payload binary → pixel tensor column.
 
-    Real deployment passes ``codec=PIL_open_fn``; here ``fake=True``
-    exercises the full pipeline deterministically.
-    """
+    Default codec REALLY decodes BMP / P6-PPM payloads (magic-byte
+    sniffing, ``stages/codecs.decode_image``) and raises for formats
+    needing external libraries; ``codec=`` injects e.g. a PIL opener,
+    ``fake=True`` swaps in the deterministic fake. Decoded geometry
+    REPLACES the metadata width/height (payload wins over sidecar)."""
 
     def __init__(self, codec=None, fake: bool = False, payload_col: str = "payload"):
         if codec is None:
-            if not fake:
-                def codec(payload, w, h):  # pragma: no cover - the stub
-                    raise NotImplementedError(
-                        "image codec not available in this environment; "
-                        "construct with fake=True or supply codec="
-                    )
-            else:
+            if fake:
                 codec = _fake_decode_image
+            else:
+                from .codecs import decode_image
+
+                codec = decode_image
         self.codec = codec
         self.payload_col = payload_col
 
@@ -70,9 +75,13 @@ class ImageDecoder:
             self.codec(p, w, h)
             for p, w, h in zip(t[self.payload_col].to_pylist(), ws, hs)
         ]
-        flat = [a.reshape(-1) for a in out]
-        pixels = pa.array([f.tolist() for f in flat], type=pa.list_(pa.uint8()))
-        return t.drop_columns([self.payload_col]).append_column("pixels", pixels)
+        pixels = pa.array([a.reshape(-1) for a in out], type=pa.list_(pa.uint8()))
+        heights = pa.array([a.shape[0] for a in out], type=pa.int32())
+        widths = pa.array([a.shape[1] for a in out], type=pa.int32())
+        t = t.drop_columns([self.payload_col, "meta.width", "meta.height"])
+        t = t.append_column("meta.width", widths)
+        t = t.append_column("meta.height", heights)
+        return t.append_column("pixels", pixels)
 
 
 class ImageResizer:
@@ -165,6 +174,70 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def synth_real_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Synthetic media table whose payloads are REAL encoded files —
+    alternating BMP and P6-PPM images with deterministic pixel content
+    (so the decode → feature path has golden values), matching
+    MEDIA_SCHEMA."""
+    from .codecs import encode_bmp, encode_ppm
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    payloads, types, ws, hs = [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(2, 9))
+        w = int(rng.integers(2, 9))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if i % 2 == 0:
+            payloads.append(encode_bmp(img))
+            types.append("image/bmp")
+        else:
+            payloads.append(encode_ppm(img))
+            types.append("image/x-portable-pixmap")
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(types),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "meta.width": pa.array(np.array(ws, dtype=np.int32)),
+            "meta.height": pa.array(np.array(hs, dtype=np.int32)),
+            "meta.sample_rate": pa.array(np.zeros(n, dtype=np.int32)),
+            "meta.duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synth_real_audio_table(n: int, seed: int = 43,
+                           sample_rate: int = 8000) -> pa.Table:
+    """Synthetic audio table with REAL 16-bit PCM WAV payloads
+    (deterministic sine bursts), matching MEDIA_SCHEMA."""
+    from .codecs import encode_wav
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    payloads, durs = [], []
+    for _ in range(n):
+        dur_ms = int(rng.integers(50, 300))
+        freq = float(rng.uniform(100, 1000))
+        tt = np.arange(int(sample_rate * dur_ms / 1000)) / sample_rate
+        wave = 0.5 * np.sin(2 * np.pi * freq * tt)
+        payloads.append(encode_wav(wave, sample_rate))
+        durs.append(dur_ms)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["audio/wav"] * n),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "meta.width": pa.array(np.zeros(n, dtype=np.int32)),
+            "meta.height": pa.array(np.zeros(n, dtype=np.int32)),
+            "meta.sample_rate": pa.array(np.full(n, sample_rate, dtype=np.int32)),
+            "meta.duration_ms": pa.array(np.array(durs, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 64,
                     resize_to: tuple[int, int] | None = None):
     """payload → pixels [→ resize] → features, small batches for big
@@ -193,20 +266,21 @@ def _fake_decode_audio(payload: bytes, sample_rate: int, duration_ms: int) -> np
 
 
 class AudioDecoder:
-    """Actor-pool audio decode plumbing: payload binary → waveform
-    column. Real codec via ``codec=``; stub raises unless ``fake``."""
+    """Actor-pool audio decode stage: payload binary → waveform column.
+    Default codec REALLY decodes RIFF PCM WAV payloads
+    (``stages/codecs.decode_audio``); ``codec=`` injects an external
+    decoder for compressed formats, ``fake=True`` swaps in the
+    deterministic fake."""
 
     def __init__(self, codec=None, fake: bool = False, payload_col: str = "payload",
                  max_samples: int = 16_000):
         if codec is None:
-            if not fake:
-                def codec(payload, sr, dur):  # pragma: no cover - the stub
-                    raise NotImplementedError(
-                        "audio codec not available in this environment; "
-                        "construct with fake=True or supply codec="
-                    )
-            else:
+            if fake:
                 codec = _fake_decode_audio
+            else:
+                from .codecs import decode_audio
+
+                codec = decode_audio
         self.codec = codec
         self.payload_col = payload_col
         self.max_samples = max_samples

@@ -66,7 +66,9 @@ def test_image_decode_fake_pipeline():
     assert all(len(f) == 6 for f in out["features"])
 
 
-def test_image_decoder_stub_raises_without_codec():
+def test_image_decoder_raises_on_undecodable_format():
+    # synth_media_table payloads are random bytes (no BMP/P6 magic):
+    # the real default codec must refuse them, not guess
     t = synth_media_table(2)
     dec = ImageDecoder(fake=False)
     with pytest.raises(NotImplementedError):
@@ -111,12 +113,65 @@ def test_audio_decode_features_fake():
     assert (out["rms"] >= 0).all() and (out["zcr"] >= 0).all()
 
 
-def test_audio_decoder_stub_raises():
+def test_audio_decoder_raises_on_undecodable_format():
     from opentelemetry_collector_contrib_ray.stages.multimodal import AudioDecoder
 
-    t = synth_media_table(2)
+    t = synth_media_table(2)  # random payloads: no RIFF magic
     with pytest.raises(NotImplementedError):
         AudioDecoder(fake=False)(t)
+
+
+def test_codec_roundtrips_and_golden_values():
+    """Real codecs: encode→decode is identity for BMP/PPM pixels and
+    near-identity (16-bit quantization) for WAV samples."""
+    from opentelemetry_collector_contrib_ray.stages.codecs import (
+        decode_bmp, decode_image, decode_ppm, decode_wav, encode_bmp,
+        encode_ppm, encode_wav)
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # odd width → row padding
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    # PPM comment + multi-digit dims
+    wide = rng.integers(0, 256, (3, 12, 3), dtype=np.uint8)
+    with_comment = b"P6\n# a comment\n12 3\n255\n" + wide.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), wide)
+
+    wave = 0.5 * np.sin(2 * np.pi * 440 * np.arange(800) / 8000)
+    dec, sr = decode_wav(encode_wav(wave, 8000))
+    assert sr == 8000 and len(dec) == 800
+    assert np.abs(dec - wave).max() < 1e-4  # 16-bit quantization only
+    dec8, _ = decode_wav(encode_wav(wave, 8000, bits=8))
+    assert np.abs(dec8 - wave).max() < 1e-2  # 8-bit quantization
+
+
+def test_real_decode_pipeline_golden():
+    """End-to-end real decode: encoded BMP/PPM payloads come back with
+    the exact pixel bytes; features match numpy computed directly."""
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        AudioDecoder, AudioFeatures, synth_real_audio_table,
+        synth_real_media_table)
+
+    t = synth_real_media_table(12)
+    dec = ImageDecoder(fake=False)(t)
+    # rebuild the source pixels from the same seed and compare exactly
+    rng = np.random.Generator(np.random.PCG64(42))
+    for i in range(12):
+        h = int(rng.integers(2, 9))
+        w = int(rng.integers(2, 9))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert dec["meta.height"][i].as_py() == h
+        assert dec["meta.width"][i].as_py() == w
+        assert np.array_equal(
+            np.asarray(dec["pixels"][i].as_py(), dtype=np.uint8), img.reshape(-1)
+        )
+
+    a = synth_real_audio_table(6)
+    out = AudioFeatures()(AudioDecoder(fake=False)(a))
+    # a 0.5-amplitude sine has RMS 0.5/sqrt(2) ≈ 0.3536
+    assert np.allclose(out["rms"].to_numpy(), 0.5 / np.sqrt(2), atol=0.01)
 
 
 def test_gopher_rules_components():
