@@ -1,3 +1,4 @@
 """Run state: partition checkpoints, lineage records, resumable sinks."""
 
-from .checkpoint import PartitionCheckpointer, run_partitioned  # noqa: F401
+from .checkpoint import (PartitionCheckpointer, checkpointed,  # noqa: F401
+                         run_partitioned)

@@ -66,6 +66,56 @@ class PartitionCheckpointer:
         return out
 
 
+def checkpointed(name: str, fn: Callable[[], "object"], root: str,
+                 resume: bool = True):
+    """Result-level checkpoint for ANY query — the generic resume
+    wrapper for pipelines whose semantics are GLOBAL (aggregates,
+    joins, all-pairs dedup) and therefore cannot be re-sharded by input
+    partition without changing the answer (``run_partitioned`` is the
+    finer-grained wrapper for per-shard map-style pipelines).
+
+    ``fn() -> Dataset | pyarrow.Table | pandas.DataFrame``. On success
+    the result is materialized to ``<root>/result/<name>/`` Parquet via
+    temp-dir + atomic rename, and a manifest commits. A rerun with a
+    committed manifest SKIPS the computation entirely and streams the
+    stored result back (a killed run left no manifest → recomputes).
+    Returns a pyarrow Table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    ck = PartitionCheckpointer(root)
+    final = ck.sink_dir("result", name)
+    if resume and ck.is_done(name) and os.path.isdir(final):
+        return pads.dataset(final).to_table()
+
+    t0 = time.time()
+    out = fn()
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    if isinstance(out, pd.DataFrame):
+        out = pa.Table.from_pandas(out, preserve_index=False)
+    if isinstance(out, pa.Table):
+        pq.write_table(out, os.path.join(tmp, "part-0.parquet"))
+    else:  # ray Dataset — streamed write, never materialized on the driver
+        out.write_parquet(tmp)
+        if not any(n.endswith(".parquet") for n in os.listdir(tmp)):
+            # zero-row datasets write no files; pin the schema anyway
+            pq.write_table(pa.table({}, schema=out.schema().base_schema),
+                           os.path.join(tmp, "part-0.parquet"))
+    rows = pads.dataset(tmp).count_rows()
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    os.replace(tmp, final)
+    ck.commit(name, {"rows_out": {"result": rows},
+                     "wall_sec": round(time.time() - t0, 3)})
+    return pads.dataset(final).to_table()
+
+
 def run_partitioned(
     partitions: dict[str, list[str]],
     pipeline_fn: Callable[[list[str]], dict[str, "object"]],

@@ -1,0 +1,95 @@
+"""Generic resume: result-level ``checkpointed`` for global queries and
+per-shard ``run_partitioned`` for map-style pipelines (non-flagship)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from opentelemetry_collector_contrib_ray.state import checkpointed, run_partitioned
+
+
+def _docs_table(n=40, seed=1):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    texts = [
+        " ".join(rng.choice(["alpha", "beta", "gamma", "delta", "epsilon"], 8))
+        for _ in range(n - n // 4)
+    ]
+    texts += texts[: n - len(texts)]  # exact dups → guaranteed pairs
+    return pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_checkpointed_global_query_skips_recompute(tmp_path):
+    """docs_ngram_jaccard-style global pipeline under ``checkpointed``:
+    second run must NOT re-execute (it streams the stored result)."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = _docs_table()
+    calls = []
+
+    def run():
+        calls.append(1)
+        return ngram_jaccard_pairs(rd.from_arrow(docs), threshold_num=1,
+                                   threshold_den=2, n=3)
+
+    first = checkpointed("ngram", run, str(tmp_path))
+    assert calls == [1]
+    second = checkpointed("ngram", run, str(tmp_path))
+    assert calls == [1], "committed query was re-executed"
+    key = lambda t: sorted(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    assert key(first) == key(second) and len(first) > 0
+
+
+def test_checkpointed_killed_run_recomputes(tmp_path):
+    """A run that dies mid-computation leaves no manifest: the rerun
+    recomputes from scratch (no partial output is visible)."""
+    calls = []
+
+    def dies():
+        calls.append("dead")
+        raise RuntimeError("killed")
+
+    with pytest.raises(RuntimeError):
+        checkpointed("q", dies, str(tmp_path))
+
+    def ok():
+        calls.append("ok")
+        return pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+
+    out = checkpointed("q", ok, str(tmp_path))
+    assert calls == ["dead", "ok"]
+    assert out["x"].to_pylist() == [1, 2, 3]
+    # and now it's committed
+    assert checkpointed("q", dies, str(tmp_path))["x"].to_pylist() == [1, 2, 3]
+
+
+def test_run_partitioned_nonflagship_skips_committed_shards(tmp_path):
+    """Per-shard resume on a row-wise (shardable) query — rolling
+    fingerprints: commit 2 of 3 shards, then a full run executes ONLY
+    the remaining shard and total output is identical to a fresh run."""
+    from opentelemetry_collector_contrib_ray.stages.text import rolling_fingerprint
+
+    shards = {}
+    for i in range(3):
+        p = tmp_path / f"shard{i}.parquet"
+        pq.write_table(_docs_table(20, seed=i), p)
+        shards[f"shard{i}"] = [str(p)]
+
+    executed = []
+
+    def pipeline(files):
+        executed.append(files[0])
+        ds = rd.read_parquet(files).map_batches(
+            lambda t: rolling_fingerprint(t).select(["doc_id", "fingerprint"]),
+            batch_format="pyarrow")
+        return {"fp": ds}
+
+    root = str(tmp_path / "out")
+    run_partitioned({k: shards[k] for k in ["shard0", "shard1"]}, pipeline, root)
+    assert len(executed) == 2
+    lineage = run_partitioned(shards, pipeline, root)
+    assert len(executed) == 3, "committed shards were re-executed"
+    assert sorted(r["partition"] for r in lineage) == ["shard0", "shard1", "shard2"]
+    assert all(r["rows_out"]["fp"] == 20 for r in lineage)
