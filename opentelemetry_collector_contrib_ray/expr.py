@@ -34,10 +34,11 @@ import pyarrow.compute as pc
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<bytes>0x(?:[0-9a-fA-F]{2})+)
   | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
   | (?P<int>\d+)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>==|!=|<=|>=|&&|\|\||[()<>+\-*/%,\[\]])
+  | (?P<op>==|!=|<=|>=|&&|\|\||[()<>+\-*/%,\[\]=])
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_.]*)*)
 """,
     re.VERBOSE,
@@ -353,37 +354,147 @@ class _Parser:
             self.next()
             v = ENUM_SYMBOLS[t.val]
             return lambda tbl, v=v: v
+        if t.kind == "bytes":
+            self.next()
+            v = bytes.fromhex(t.val[2:])
+            return lambda tbl, v=v: v
+        if t.val == "[":
+            return self.list_literal()
         if t.kind == "name":
             self.next()
             name = t.val
-            # map-style key access: attributes["k"] → attributes.k
-            while self.peek().val == "[":
+            if self.peek().val == "(":
+                # converter call; grammar.go:216 allows trailing keys on
+                # converter RESULTS (`Converter(...)["k"][0]`)
+                return self.keys_postfix(self.call(name))
+            # string keys on a path build the dotted column name of the
+            # flat data model (attributes["k"] ≡ attributes.k); an int
+            # key (or any key after one) indexes the VALUE at runtime
+            while self.peek().val == "[" and self.toks[self.i + 1].kind == "str":
                 self.next()
-                key = self.expect("str").val[1:-1]
+                key = _unescape(self.expect("str").val[1:-1])
                 self.expect("]")
                 name = f"{name}.{key}"
-            if self.peek().val == "(":
-                return self.call(name)
-            return _path_eval(name)
+            return self.keys_postfix(_path_eval(name))
         raise ValueError(f"unexpected token {t.val!r}")
+
+    def list_literal(self) -> Evaluator:
+        """``[v1, v2, …]`` (grammar.go list): scalar elements yield a
+        plain python list constant; any array-valued element promotes
+        the whole literal to a per-row list column."""
+        self.expect("[")
+        items: list[Evaluator] = []
+        if self.peek().val != "]":
+            items.append(self.or_())
+            while self.peek().val == ",":
+                self.next()
+                items.append(self.or_())
+        self.expect("]")
+
+        def ev(t: pa.Table, items=items):
+            vals = [it(t) for it in items]
+            if not any(_is_arr(v) for v in vals):
+                return vals
+            n = t.num_rows
+            cols = [_as_array(v, n) for v in vals]
+            py = [c.to_pylist() for c in cols]
+            return pa.array([[col[i] for col in py] for i in range(n)])
+
+        return ev
+
+    def keys_postfix(self, base: Evaluator) -> Evaluator:
+        """Zero or more ``["key"]`` / ``[int]`` accesses applied to an
+        evaluated VALUE (struct field, map lookup, list index) — the
+        grammar's ``Keys []key`` on converters and non-leading path
+        keys. A missing key/index yields null (error_mode: ignore)."""
+        keys: list[object] = []
+        while self.peek().val == "[":
+            self.next()
+            nxt = self.next()
+            if nxt.kind == "str":
+                keys.append(_unescape(nxt.val[1:-1]))
+            elif nxt.kind == "int":
+                keys.append(int(nxt.val))
+            else:
+                raise ValueError(f"expected string or int key, got {nxt.val!r}")
+            self.expect("]")
+        if not keys:
+            return base
+
+        def ev(t: pa.Table, base=base, keys=keys):
+            v = base(t)
+            for k in keys:
+                v = _apply_key(v, k, t.num_rows)
+            return v
+
+        return ev
 
     def call(self, name: str) -> Evaluator:
         self.expect("(")
         args: list[Evaluator] = []
+        kwargs: dict[str, Evaluator] = {}
         if self.peek().val != ")":
-            args.append(self.or_())
+            self.call_arg(args, kwargs)
             while self.peek().val == ",":
                 self.next()
-                args.append(self.or_())
+                self.call_arg(args, kwargs)
         self.expect(")")
         fn = self.funcs.get(name)
         if fn is None:
             raise ValueError(f"unknown function {name!r}")
 
-        def ev(t: pa.Table, fn=fn, args=args):
-            return fn(t, *[a(t) for a in args])
+        def ev(t: pa.Table, fn=fn, args=args, kwargs=kwargs):
+            return fn(t, *[a(t) for a in args],
+                      **{k: a(t) for k, a in kwargs.items()})
 
         return ev
+
+    def call_arg(self, args: list, kwargs: dict) -> None:
+        """One argument, positional or named (grammar.go:219
+        ``(name=)? value``) — named args must be lowercase identifiers
+        immediately followed by ``=`` (not ``==``)."""
+        t = self.peek()
+        if (t.kind == "name" and self.toks[self.i + 1].val == "="
+                and self.toks[self.i + 2].val != "="):
+            self.next()
+            self.next()
+            kwargs[t.val] = self.or_()
+        else:
+            args.append(self.or_())
+
+
+def _apply_key(v: Any, key, n: int):
+    """One ``["k"]`` / ``[i]`` access on an evaluated value: python
+    dict/list scalars, arrow struct/map/list columns. Missing keys and
+    out-of-range indices → null (reference error_mode: ignore)."""
+    if v is None:
+        return None
+    if isinstance(v, dict):
+        return v.get(key) if isinstance(key, str) else None
+    if isinstance(v, (list, tuple)):
+        return (v[key] if isinstance(key, int) and -len(v) <= key < len(v)
+                else None)
+    if not _is_arr(v):
+        return None
+    typ = v.type
+    try:
+        if isinstance(key, str):
+            if pa.types.is_struct(typ):
+                return pc.struct_field(v, key)
+            if pa.types.is_map(typ):
+                looked = pc.map_lookup(v, query_key=key, occurrence="first")
+                return looked
+            return pa.nulls(len(v))
+        if (pa.types.is_list(typ) or pa.types.is_large_list(typ)
+                or pa.types.is_fixed_size_list(typ)):
+            return pc.list_element(v, key)
+        if pa.types.is_struct(typ):
+            flds = typ
+            return (pc.struct_field(v, key) if 0 <= key < flds.num_fields
+                    else pa.nulls(len(v)))
+        return pa.nulls(len(v))
+    except (KeyError, pa.ArrowInvalid, pa.ArrowIndexError):
+        return pa.nulls(len(v))
 
 
 def _path_eval(name: str) -> Evaluator:

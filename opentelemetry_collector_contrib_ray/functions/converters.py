@@ -63,6 +63,15 @@ def conv_int(t, v):
 
 
 def conv_string(t, v):
+    # list VALUES (a `[1,2,3]` literal or a list-typed column) render
+    # compactly like the reference's String() (func_string.go via
+    # StringLikeGetter: JSON-style `[1,2,3]`)
+    if isinstance(v, list):
+        return json.dumps(v, separators=(",", ":"))
+    if _is_arr(v) and (pa.types.is_list(v.type) or pa.types.is_large_list(v.type)
+                       or pa.types.is_fixed_size_list(v.type)):
+        return pa.array([None if x is None else json.dumps(x, separators=(",", ":"))
+                         for x in v.to_pylist()], type=pa.string())
     return pc.cast(_arr(t, v), pa.string())
 
 
@@ -80,7 +89,14 @@ def conv_is_match(t, v, pattern):
     return pc.match_substring_regex(_str_arr(t, v), pattern)
 
 
-def conv_concat(t, delim, *parts):
+def conv_concat(t, first, *rest):
+    """Both reference argument orders: ``Concat([vals...], delim)``
+    (func_concat.go) and the legacy ``Concat(delim, v1, v2, ...)``."""
+    if isinstance(first, list) or (_is_arr(first) and pa.types.is_list(first.type)):
+        delim = rest[0] if rest else ""
+        parts = first if isinstance(first, list) else [first]
+    else:
+        delim, parts = first, list(rest)
     arrs = [_str_arr(t, p) for p in parts]
     return pc.binary_join_element_wise(*arrs, delim)
 

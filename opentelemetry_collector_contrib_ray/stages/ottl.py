@@ -113,6 +113,34 @@ def _unquote(s: str) -> str:
     return s
 
 
+_PATH_KEY_RE = re.compile(r'([\w.])\["((?:[^"\\]|\\.)+)"\]')
+
+
+def _norm_path_keys(s: str) -> str:
+    """Bracket string keys on a PATH → the flat dotted column name:
+    ``attributes["foo"]["test"]`` ≡ ``attributes.foo.test``
+    (grammar.go field keys). Only rewrites keys directly attached to an
+    identifier — list literals (``["a", "b"]`` after ``(`` or ``,``)
+    and keys on call RESULTS (after ``)``; those are runtime lookups in
+    expr.py) are untouched."""
+    prev = None
+    while prev != s:
+        prev, s = s, _PATH_KEY_RE.sub(r"\1.\2", s)
+    return s
+
+
+def _keys_list(args: list[str]) -> list[str]:
+    """Editor key-list argument: either the reference's single list
+    literal (``["flags", "total.string"]``, possibly empty) or the
+    legacy varargs form (``"flags", "total.string"``)."""
+    if len(args) == 1 and args[0].startswith("[") and args[0].endswith("]"):
+        inner = args[0][1:-1].strip()
+        if not inner:
+            return []
+        return [_unquote(p) for p in _split_top(inner)]
+    return [_unquote(a) for a in args]
+
+
 def _ns_cols(t: pa.Table, ns: str) -> list[str]:
     pref = ns.rstrip(".") + "."
     return [c for c in t.column_names if c.startswith(pref)]
@@ -121,7 +149,8 @@ def _ns_cols(t: pa.Table, ns: str) -> list[str]:
 class _Statement:
     def __init__(self, editor: str, args: list[str], where: str | None):
         self.editor = editor
-        self.args = args
+        self.args = [_norm_path_keys(a) for a in args]
+        args = self.args
         self.where = compile_mask(where) if where else None
         self.fn: Callable = getattr(self, "_ed_" + editor, None)
         if self.fn is None:
@@ -170,7 +199,7 @@ class _Statement:
 
     def _ed_keep_keys(self, t, mask):
         ns = self.args[0].rstrip(".")
-        keep = {f"{ns}.{_unquote(a)}" for a in self.args[1:]}
+        keep = {f"{ns}.{k}" for k in _keys_list(self.args[1:])}
         cols = [c for c in _ns_cols(t, ns) if c not in keep]
         return self._drop_or_null(t, cols, mask)
 
@@ -192,7 +221,7 @@ class _Statement:
         """Cap the namespace to n columns, priority keys first
         (column-level rendering of func_limit.go's per-record map cap)."""
         ns, n = self.args[0].rstrip("."), int(self.args[1])
-        prio = [f"{ns}.{_unquote(a)}" for a in self.args[2:]]
+        prio = [f"{ns}.{k}" for k in _keys_list(self.args[2:])]
         cols = _ns_cols(t, ns)
         ordered = [c for c in prio if c in cols] + [c for c in cols if c not in prio]
         return self._drop_or_null(t, ordered[n:], mask)

@@ -135,3 +135,79 @@ def test_cache_paths_are_transient():
     out = p(t)
     assert out["attributes.out"].to_pylist() == [None, 4, 6]
     assert not any(c.startswith("cache") for c in out.column_names)
+
+
+# ---- grammar tail: e2e statements that round 2 could NOT parse ----------
+# (mirrors pkg/ottl/e2e/e2e_test.go: bracket path keys, list-literal
+# arguments, keyed access on converter results, bytes literals)
+
+
+def test_bracket_path_keys_set_and_where(t):
+    out = run(t, ['set(attributes["test"], "pass") where attributes["code"] == 500'])
+    assert out["attributes.test"].to_pylist() == [None, "pass", None]
+
+
+def test_nested_bracket_path_keys(t):
+    t2 = t.append_column("attributes.foo.bar", pa.array(["a", "b", "c"]))
+    out = run(t2, ['set(attributes["test"], attributes["foo"]["bar"])'])
+    assert out["attributes.test"].to_pylist() == ["a", "b", "c"]
+
+
+def test_keep_keys_list_literal(t):
+    out = run(t, ['keep_keys(attributes, ["msg", "code"])'])
+    kept = {c for c in out.column_names if c.startswith("attributes.")}
+    assert kept == {"attributes.msg", "attributes.code"}
+
+
+def test_limit_empty_list_literal(t):
+    # e2e: limit(attributes, 100, []) — keeps everything at n=100
+    out = run(t, ['limit(attributes, 100, [])'])
+    assert {c for c in out.column_names if c.startswith("attributes.")} == {
+        "attributes.msg", "attributes.code", "attributes.token"}
+    out2 = run(t, ['limit(attributes, 1, ["token"])'])
+    assert {c for c in out2.column_names if c.startswith("attributes.")} == {
+        "attributes.token"}
+
+
+def test_concat_list_literal_argument(t):
+    # e2e: set(attributes["test"], Concat(["A","B"], ":"))
+    out = run(t, ['set(attributes["test"], Concat(["A", "B"], ":"))'])
+    assert out["attributes.test"].to_pylist() == ["A:B"] * 3
+
+
+def test_string_of_list_literal(t):
+    # e2e: set(attributes["test"], String([1,2,3]))
+    out = run(t, ['set(attributes["test"], String([1, 2, 3]))'])
+    assert out["attributes.test"].to_pylist() == ["[1,2,3]"] * 3
+
+
+def test_keyed_access_on_converter_result(t):
+    t2 = t.append_column(
+        "attributes.js", pa.array(['{"id": 1, "tags": ["x", "y"]}',
+                                   '{"id": 2, "tags": ["z"]}',
+                                   '{"id": 3, "tags": []}'])
+    )
+    out = run(t2, ['set(attributes["test"], ParseJSON(attributes["js"])["id"])'])
+    assert out["attributes.test"].to_pylist() == [1, 2, 3]
+    out2 = run(t2, ['set(attributes["first"], Split(attributes["msg"], " ")[0])'])
+    assert out2["attributes.first"].to_pylist() == ["hello", "boom", "fatal"]
+
+
+def test_keyed_access_missing_key_is_null(t):
+    t2 = t.append_column("attributes.js", pa.array(['{"id": 1}'] * 3))
+    out = run(t2, ['set(attributes["test"], ParseJSON(attributes["js"])["nope"])'],
+              error_mode="ignore")
+    assert out["attributes.test"].to_pylist() == [None, None, None]
+
+
+def test_expr_list_and_int_index_forms():
+    from opentelemetry_collector_contrib_ray.expr import compile_expr
+
+    t = pa.table({"x": pa.array([1, 2], type=pa.int64())})
+    assert compile_expr('["a", "b"]')(t) == ["a", "b"]
+    assert compile_expr("[]")(t) == []
+    # array element promotes literal to per-row list column
+    arr = compile_expr("[x, 10]")(t)
+    assert arr.to_pylist() == [[1, 10], [2, 10]]
+    # bytes literal
+    assert compile_expr("0x0102ff")(t) == b"\x01\x02\xff"
