@@ -38,6 +38,43 @@ class MetricDef:
 
 DEFAULT_METRIC = MetricDef(name="log.record.count")
 
+# printable ASCII minus '"' and '\': values matching this need no JSON
+# escaping, so the canonical encoding is a pure kernel concatenation
+_JSON_SAFE_RE = r'^[\x20\x21\x23-\x5B\x5D-\x7E]*$'
+
+
+def _canonical_attrs_json(grouped: pa.Table, names: list[str]) -> pa.Array:
+    """Canonical attrs encoding, byte-identical to
+    ``json.dumps({...}, sort_keys=True)`` — vectorized: one
+    ``binary_join_element_wise`` over key-sorted pieces for values that
+    need no escaping (the overwhelming case for attribute strings);
+    rows with quotes/backslashes/control/non-ASCII characters fall back
+    to per-row ``json.dumps`` via ``replace_with_mask``. Input columns
+    are null-free strings (defaults filled / required-missing rows
+    dropped upstream)."""
+    order = sorted(names)
+    vals = [grouped[n].combine_chunks() if isinstance(grouped[n], pa.ChunkedArray)
+            else grouped[n] for n in order]
+    safe = None
+    for v in vals:
+        s = pc.match_substring_regex(v, _JSON_SAFE_RE)
+        safe = s if safe is None else pc.and_(safe, s)
+    pieces: list = []
+    for j, n in enumerate(order):
+        pieces.append(("{" if j == 0 else '", ') + json.dumps(n) + ': "')
+        pieces.append(vals[j])
+    pieces.append('"}')
+    joined = pc.binary_join_element_wise(*pieces, "")
+    if not pc.min(safe).as_py():  # min of bools = all()
+        unsafe = pc.invert(safe)
+        idx = pc.indices_nonzero(unsafe)
+        rows = [{n: vals[j][int(i)].as_py() for j, n in enumerate(order)}
+                for i in idx.to_pylist()]
+        repl = pa.array([json.dumps(r, sort_keys=True) for r in rows],
+                        type=pa.string())
+        joined = pc.replace_with_mask(joined, unsafe, repl)
+    return joined
+
 
 class CountConnector:
     def __init__(self, metrics: list[MetricDef] | None = None):
@@ -88,14 +125,10 @@ class CountConnector:
             if proj.num_rows == 0:
                 continue
             grouped = proj.group_by(names).aggregate([([], "count_all")])
-            cnt = grouped["count_all"].to_pylist()
-            keys = [grouped[n].to_pylist() for n in names]
-            for i in range(grouped.num_rows):
-                out_metric.append(m.name)
-                out_attrs.append(
-                    json.dumps({n: keys[j][i] for j, n in enumerate(names)}, sort_keys=True)
-                )
-                out_count.append(cnt[i])
+            attrs = _canonical_attrs_json(grouped, names)
+            out_metric.extend([m.name] * grouped.num_rows)
+            out_attrs.extend(attrs.to_pylist())
+            out_count.extend(grouped["count_all"].to_pylist())
         return pa.table(
             {
                 "metric": pa.array(out_metric, type=pa.string()),
