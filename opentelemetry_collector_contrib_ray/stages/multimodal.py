@@ -119,20 +119,51 @@ class ImageResizer:
 
 
 class ImageFeatures:
-    """Feature extraction over decoded pixels: channel means/std —
-    vectorized numpy per batch (stands in for a model forward pass)."""
+    """Feature extraction over decoded pixels: channel means/std
+    (stands in for a model forward pass) — vectorized across the WHOLE
+    batch: one flatten of the ragged pixel column, per-image channel
+    sums via ``np.add.reduceat`` over the list offsets, std from
+    E[x²]−mean² (population std, matching ``np.std``). No per-row
+    loop."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = []
-        for px in t["pixels"].to_pylist():
-            a = np.asarray(px, dtype=np.float64)
-            a = a.reshape(-1, 3) if a.size % 3 == 0 and a.size else np.zeros((1, 3))
-            feats.append(np.concatenate([a.mean(axis=0), a.std(axis=0)]))
-        m = np.stack(feats)
-        col = pa.FixedSizeListArray.from_arrays(
+        col = t["pixels"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        n = t.num_rows
+        lens = np.diff(offs)
+        ok = (lens > 0) & (lens % 3 == 0)
+        # malformed rows (not a multiple of 3) feature as a zero image
+        npx = np.where(ok, lens // 3, 1).astype(np.float64)
+        m = np.zeros((n, 6), dtype=np.float64)
+        if flat.size:
+            if flat.size % 3 or not ok.all():
+                # mask malformed rows out, then flatten
+                keep = np.repeat(ok, lens)
+                flat = flat[keep]
+                lens = np.where(ok, lens, 0)
+                offs = np.concatenate([[0], np.cumsum(lens)])
+            px = flat.reshape(-1, 3)
+            # reduceat only at NON-EMPTY rows' starts (strictly
+            # increasing, all in range — indices for empty rows would
+            # truncate the preceding row's range), scatter back
+            nz = np.flatnonzero(lens > 0)
+            if len(px) and len(nz):
+                starts3 = offs[:-1][nz] // 3
+                sums = np.add.reduceat(px, starts3, axis=0)
+                sqs = np.add.reduceat(px * px, starts3, axis=0)
+                npx_nz = npx[nz][:, None]
+                mean = sums / npx_nz
+                var = np.maximum(sqs / npx_nz - mean * mean, 0.0)
+                m[nz, :3] = mean
+                m[nz, 3:] = np.sqrt(var)
+        col_out = pa.FixedSizeListArray.from_arrays(
             pa.array(m.reshape(-1), type=pa.float32()), 6
         )
-        return t.drop_columns(["pixels"]).append_column("features", col)
+        return t.drop_columns(["pixels"]).append_column("features", col_out)
 
 
 class FrameSampler:
@@ -300,16 +331,35 @@ class AudioDecoder:
 
 class AudioFeatures:
     """RMS energy + zero-crossing rate per clip (stands in for a
-    spectrogram/model pass) — numpy per batch."""
+    spectrogram/model pass) — vectorized across the batch: one flatten
+    of the ragged waveform column, per-clip ``np.add.reduceat`` sums of
+    squares and of sign changes (crossings at clip boundaries masked
+    out). No per-row loop."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        rms, zcr = [], []
-        for w in t["waveform"].to_pylist():
-            a = np.asarray(w, dtype=np.float64)
-            if a.size == 0:
-                a = np.zeros(1)
-            rms.append(float(np.sqrt((a ** 2).mean())))
-            zcr.append(float((np.diff(np.signbit(a)) != 0).mean()) if a.size > 1 else 0.0)
+        col = t["waveform"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        n = t.num_rows
+        lens = np.diff(offs)
+        rms = np.zeros(n, dtype=np.float64)
+        zcr = np.zeros(n, dtype=np.float64)
+        if flat.size:
+            nz = np.flatnonzero(lens > 0)
+            if len(nz):
+                sq = np.add.reduceat(flat * flat, offs[:-1][nz])
+                rms[nz] = np.sqrt(sq / lens[nz])
+            if flat.size > 1:
+                # ranged prefix-sums [start, end-1) per clip exclude the
+                # diff positions that straddle two clips by construction
+                cross = (np.diff(np.signbit(flat)) != 0).astype(np.float64)
+                cs = np.concatenate([[0.0], np.cumsum(cross)])
+                c = cs[np.minimum(offs[1:] - 1, flat.size - 1)] - cs[
+                    np.minimum(offs[:-1], flat.size - 1)]
+                zcr = np.where(lens > 1, c / np.maximum(lens - 1, 1), 0.0)
         t = t.drop_columns(["waveform"])
         t = t.append_column("rms", pa.array(rms, type=pa.float64()))
         return t.append_column("zcr", pa.array(zcr, type=pa.float64()))
