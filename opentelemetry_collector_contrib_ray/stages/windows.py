@@ -86,13 +86,25 @@ def _partitioned(ds, key: str, n_parts: int):
 def sliding_window_counts(ds, key: str, ts: str, size_s: int, step_s: int,
                           num_partitions: int = 64):
     """Per key: one row per step with the count of events in the
-    trailing ``size_s`` window ending at that step boundary."""
-    size = np.timedelta64(size_s, "s")
+    trailing ``size_s`` window ending at that step boundary — count of
+    ``ts ∈ (end − size, end]``.
+
+    When ``size`` is a multiple of ``step`` (the common case), the
+    partition pass is FULLY vectorized across all keys at once: events
+    collapse to per-(key, tumbling-bucket) counts, each key's bucket
+    range densifies via one ragged-arange, and every window is a
+    prefix-sum difference over ``r = size/step`` consecutive buckets
+    (exact boundary events — ``ts == k·step`` — carried in a separate
+    per-bucket edge count). The dense array is exactly output-sized, so
+    no extra asymptotic memory. Non-divisible sizes fall back to a
+    per-key searchsorted loop."""
+    size_us = size_s * 1_000_000
     step_us = step_s * 1_000_000
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part_fallback(g: pd.DataFrame) -> pd.DataFrame:
+        size = np.timedelta64(size_s, "s")
         out = []
-        for k, sub in g.groupby(key, sort=False, dropna=False):  # in-process, no Ray call
+        for k, sub in g.groupby(key, sort=False, dropna=False):
             tsv = np.sort(sub[ts].to_numpy().astype("datetime64[us]"))
             lo = (tsv[0].astype("int64") // step_us) * step_us
             hi = (tsv[-1].astype("int64") // step_us + 1) * step_us
@@ -104,7 +116,63 @@ def sliding_window_counts(ds, key: str, ts: str, size_s: int, step_s: int,
             return pd.DataFrame({key: [], "window_end": [], "n": []})
         return pd.concat(out, ignore_index=True)
 
-    return _partitioned(ds, key, num_partitions).map_groups(per_part, batch_format="pandas")
+    r = size_s // step_s
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({key: [], "window_end": [], "n": []})
+        us = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        kv = g[key].to_numpy()
+        b = us // step_us
+        df = pd.DataFrame({"k": kv, "b": b,
+                           "edge": (us == b * step_us).astype(np.int64)})
+        gb = df.groupby(["k", "b"], sort=True, dropna=False).agg(
+            cnt=("b", "size"), edge=("edge", "sum"))
+        gk = gb.index.get_level_values(0).to_numpy()
+        gbk = gb.index.get_level_values(1).to_numpy()
+        cnt = gb["cnt"].to_numpy()
+        edge = gb["edge"].to_numpy()
+        codes = pd.factorize(gk, use_na_sentinel=False)[0]  # NaN = one key
+        new_key = np.ones(len(gk), dtype=bool)
+        new_key[1:] = codes[1:] != codes[:-1]
+        key_first = np.flatnonzero(new_key)          # first group row per key
+        key_last = np.r_[key_first[1:] - 1, len(gk) - 1]
+        lo_k, hi_k = gbk[key_first], gbk[key_last]
+        nb = (hi_k - lo_k + 1).astype(np.int64)      # dense buckets per key
+
+        seg_end = np.cumsum(nb)
+        seg_start = seg_end - nb
+        total = int(seg_end[-1])
+        # scatter sparse (key,bucket) rows into the dense layout
+        pos = np.repeat(seg_start - lo_k, np.diff(np.r_[key_first, len(gk)])) + gbk
+        dense_cnt = np.zeros(total, dtype=np.int64)
+        dense_edge = np.zeros(total, dtype=np.int64)
+        dense_cnt[pos] = cnt
+        dense_edge[pos] = edge
+        GS = np.concatenate([[0], np.cumsum(dense_cnt)])
+
+        # output row j of key s ↔ local window index i = 0..nb_s-1,
+        # window end = (lo_k + 1 + i)·step; covered buckets local
+        # [max(i−r+1, 0), i], minus the left-edge events, plus the
+        # right-boundary events (bucket i+1's edge, 0 past the end)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(seg_start, nb)
+        segs = np.repeat(seg_start, nb)
+        hi_idx = segs + intra + 1
+        lo_local = intra - r + 1
+        lo_idx = segs + np.maximum(lo_local, 0)
+        n_out = GS[hi_idx] - GS[lo_idx]
+        # left edge: local bucket index i−r+1 (only when ≥ 0)
+        has_left = lo_local >= 0
+        n_out[has_left] -= dense_edge[(segs + lo_local)[has_left]]
+        # right edge: local bucket i+1 (only when < nb)
+        has_right = intra + 1 < np.repeat(nb, nb)
+        n_out[has_right] += dense_edge[(segs + intra + 1)[has_right]]
+        ends = ((np.repeat(lo_k, nb) + 1 + intra) * step_us).astype("datetime64[us]")
+        return pd.DataFrame({key: np.repeat(gk[key_first], nb),
+                             "window_end": ends, "n": n_out})
+
+    fn = per_part if size_s % step_s == 0 and r >= 1 else per_part_fallback
+    return _partitioned(ds, key, num_partitions).map_groups(fn, batch_format="pandas")
 
 
 def session_windows(ds, key: str, ts: str, gap_s: int, num_partitions: int = 64):
