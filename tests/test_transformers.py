@@ -232,3 +232,31 @@ def test_cap_per_key_deterministic_across_parallelism():
     df = pd.DataFrame({"user": np.arange(500) % 20, "id": np.arange(500)})
     df = df[df["id"].isin(a)]
     assert (df.groupby("user").size() == 5).all()
+
+
+def test_sampler_string_fnv_bit_identical():
+    """The vectorized byte-position FNV-1a must reproduce the per-byte
+    reference loop exactly (the sampler's determinism contract)."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.sampler import fnv1a_hash_strings
+
+    def ref(strings):
+        out = np.empty(len(strings), dtype=np.uint64)
+        for i, s in enumerate(strings):
+            h = 0xCBF29CE484222325
+            for b in ("" if s is None else s).encode():
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out[i] = h
+        return out
+
+    ss = ["", None, "a", "user-42", "héllo…中", "x" * 200,
+          "the quick brown fox", "\t\n weird \x00 bytes"]
+    col = pa.array(ss, type=pa.string())
+    assert np.array_equal(fnv1a_hash_strings(col), ref(ss))
+    # string-keyed sampling is deterministic across batch slicing
+    t = pa.table({"k": pa.array([f"user-{i%37}" for i in range(500)])})
+    s = ProbabilisticSampler(25, "k")
+    whole = s(t)["k"].to_pylist()
+    parts = s(t.slice(0, 250))["k"].to_pylist() + s(t.slice(250))["k"].to_pylist()
+    assert whole == parts
