@@ -852,6 +852,44 @@ WHERE 10 * p.shared >= 8 * (da.c + db.c - p.shared)
 """
 
 
+def q_docs_dedup_clusters(sf_dir: str):
+    """Fuzzy-dedup COMPLETION: exact n-gram-Jaccard pairs → distributed
+    connected components (min-label propagation over the pair graph,
+    stages/cluster.py) → every doc tagged with its component's min id
+    and a keep-canonical flag. The step the pair queries stop short of:
+    transitive chains A~B~C collapse to one cluster."""
+    from ..stages.cluster import dedup_by_clusters
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold_num=8, threshold_den=10,
+                                n=3, max_df=1000)
+    ids = read_table(sf_dir, "documents", columns=["doc_id"])
+    return dedup_by_clusters(ids, pairs)
+
+
+# Oracle: the proven pair SQL as a CTE + a recursive reachability
+# closure; min reachable id per node == min-label-propagation fixpoint.
+SQL_DOCS_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_DOCS_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+),
+lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+"""
+
+
 def _langid_sql() -> str:
     """SQL twin of stages/text.py LangId, GENERATED from the same
     profile table so the two can never drift: per-language score = sum
@@ -1857,6 +1895,7 @@ QUERIES = {
     "docs_stopwords": q_docs_stopwords,
     "docs_gopher_quality": q_docs_gopher,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
+    "docs_dedup_clusters": q_docs_dedup_clusters,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
@@ -1912,6 +1951,7 @@ ORACLES = {
     "docs_langid": _langid_sql(),
     "docs_fingerprint": _fingerprint_sql(),
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
+    "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,

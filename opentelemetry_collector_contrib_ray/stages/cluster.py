@@ -1,0 +1,180 @@
+"""Connected-components clustering over a near-duplicate pair graph,
+plus the keep-one-canonical-per-cluster step that completes a
+production dedup pipeline: pairs (MinHash-LSH / exact n-gram Jaccard /
+embedding near-dup) → components → keep min-id doc per component.
+
+The reference engine has no graph stage — this is one of the
+"operations a large-scale training-data pipeline would need" from the
+brief (fuzzy dedup in practice is pair generation THEN clustering;
+dropping only one side of each pair over-deletes on transitive chains
+A~B~C).
+
+Algorithm: distributed min-label propagation ("hash-min"), the classic
+MapReduce connected-components scheme (Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds" /
+Kiveris et al. CC-MR — public literature):
+
+- State: one ``(node, label)`` row per node of the PAIR GRAPH (not the
+  corpus); labels start as the node id and only ever decrease.
+- Round: edges and labels are co-partitioned by ``node % P``; inside a
+  partition a vectorized pandas merge sends each node's label along its
+  out-edges; messages re-partition by destination and a min-reduce
+  yields the new labels. Two small-int-row exchanges per round; the
+  corpus text never participates.
+- Convergence: the min label of a component spreads ≥1 hop per round,
+  so rounds ≤ graph diameter (near-dup clusters are shallow, typically
+  2–4). Labels are non-increasing, so an unchanged ``sum(label)`` (one
+  cheap aggregate on the tiny label table) detects the fixpoint.
+
+Scale notes (100 TB): the label/edge tables are proportional to the
+number of near-duplicate DOCUMENTS/PAIRS, not corpus bytes — orders of
+magnitude smaller than the input. Per-round ``materialize()`` on the
+label table is deliberate (iterative algorithms must pin each round's
+result or the lineage re-executes); it is the only materialization and
+it is on the small side. The final cluster-id attach over the corpus is
+a broadcast (labels ``ray.put`` once, ``np.searchsorted`` per batch),
+not a shuffle join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+_EMPTY_LABELS = pa.table({
+    "node": pa.array([], type=pa.int64()),
+    "label": pa.array([], type=pa.int64()),
+})
+
+
+def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                         num_partitions: int = 64, max_iters: int = 64):
+    """Pair Dataset → ``(node, label)`` Dataset, label = min node id in
+    the node's connected component. Only nodes that appear in ``pairs``
+    are returned (singletons are their own cluster by definition —
+    ``attach_clusters`` fills them in without a shuffle)."""
+    import ray
+
+    P = np.int64(num_partitions)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table({
+            "part": pa.array(src % P),
+            "a": pa.array(src),
+            "b": pa.array(dst),
+            "is_edge": pa.array(np.ones(len(src), dtype=np.int8)),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(_EMPTY_LABELS)
+
+    def init_labels(g: pd.DataFrame) -> pa.Table:
+        nodes = np.unique(g["a"].to_numpy())
+        return pa.table({
+            "part": pa.array(nodes % P), "a": pa.array(nodes),
+            "b": pa.array(nodes),
+            "is_edge": pa.array(np.zeros(len(nodes), dtype=np.int8)),
+        })
+
+    labels = (
+        edges.groupby("part")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+    prev_sum = labels.sum("b")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        """One node-partition: push each co-located node's label along
+        its out-edges; keep the identity row so no node loses its
+        label. Local min-combiner before the exchange."""
+        e = g[g["is_edge"] == 1]
+        l = g[g["is_edge"] == 0]
+        l = l.astype({"a": np.int64, "b": np.int64})
+        m = e.merge(l[["a", "b"]].rename(columns={"b": "lab"}), on="a", how="inner")
+        node = np.concatenate([m["b"].to_numpy(), l["a"].to_numpy()])
+        cand = np.concatenate([m["lab"].to_numpy(), l["b"].to_numpy()])
+        df = pd.DataFrame({"node": node, "cand": cand})
+        df = df.groupby("node", as_index=False)["cand"].min()
+        nodes = df["node"].to_numpy()
+        return pa.table({
+            "part": pa.array(nodes % P), "node": pa.array(nodes),
+            "cand": pa.array(df["cand"].to_numpy()),
+        })
+
+    def reduce_min(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby("node", as_index=False)["cand"].min()
+        nodes = m["node"].to_numpy()
+        return pa.table({
+            "part": pa.array(nodes % P), "a": pa.array(nodes),
+            "b": pa.array(m["cand"].to_numpy()),
+            "is_edge": pa.array(np.zeros(len(m), dtype=np.int8)),
+        })
+
+    for _ in range(max_iters):
+        msgs = edges.union(labels).groupby("part").map_groups(
+            emit, batch_format="pandas"
+        )
+        labels = (
+            msgs.groupby("part")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        cur_sum = labels.sum("b")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["a"], "label": t["b"]}),
+        batch_format="pyarrow",
+    )
+
+
+def attach_clusters(docs, labels, id_col: str = "doc_id",
+                    out_col: str = "cluster_id", keep_col: str = "keep"):
+    """Broadcast the (small) component-label table over the corpus:
+    every doc gets ``cluster_id`` (= itself for singletons) and
+    ``keep`` (is it the canonical min-id member). ``ray.put`` once,
+    ``np.searchsorted`` per batch — no shuffle over the corpus."""
+    import ray
+
+    lab = labels.to_pandas()
+    if len(lab) == 0 or "node" not in lab.columns:
+        nodes = np.array([], dtype=np.int64)
+        labs = np.array([], dtype=np.int64)
+    else:
+        nodes = lab["node"].to_numpy().astype(np.int64)
+        labs = lab["label"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    ref = ray.put((nodes[order], labs[order]))
+
+    def tag(t: pa.Table) -> pa.Table:
+        nodes_s, labs_s = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nodes_s) == 0:
+            cluster = ids
+        else:
+            pos = np.minimum(np.searchsorted(nodes_s, ids), len(nodes_s) - 1)
+            cluster = np.where(nodes_s[pos] == ids, labs_s[pos], ids)
+        t = t.append_column(out_col, pa.array(cluster, type=pa.int64()))
+        return t.append_column(keep_col, pa.array(cluster == ids))
+
+    return docs.map_batches(tag, batch_format="pyarrow")
+
+
+def dedup_by_clusters(docs, pairs, id_col: str = "doc_id",
+                      id_a: str = "id_a", id_b: str = "id_b",
+                      num_partitions: int = 64):
+    """End-to-end fuzzy-dedup completion: pairs → components → tag the
+    corpus with ``cluster_id``/``keep``. Filter ``keep`` downstream to
+    materialize the deduplicated corpus."""
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b,
+                                  num_partitions=num_partitions)
+    return attach_clusters(docs, labels, id_col=id_col)

@@ -1,0 +1,101 @@
+"""Connected-components dedup clustering (stages/cluster.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from opentelemetry_collector_contrib_ray.stages.cluster import (
+    attach_clusters,
+    connected_components,
+    dedup_by_clusters,
+)
+
+
+def _labels_df(pairs_tbl, **kw):
+    import pandas as pd
+
+    ds = rd.from_arrow(pairs_tbl)
+    df = connected_components(ds, **kw).to_pandas()
+    if "node" not in df.columns:  # Ray drops columns on empty to_pandas
+        df = pd.DataFrame({"node": [], "label": []})
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def test_transitive_chains_collapse():
+    # chain 1-2-3, pair 10-11, chain 20-21-22-23 (shuffled edge order)
+    pairs = pa.table({"id_a": [2, 1, 10, 21, 20, 22], "id_b": [3, 2, 11, 22, 21, 23]})
+    lab = _labels_df(pairs, num_partitions=8)
+    got = dict(zip(lab["node"], lab["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_empty_pairs():
+    pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    lab = _labels_df(pairs)
+    assert len(lab) == 0
+    docs = rd.from_arrow(pa.table({"doc_id": [7, 8]}))
+    out = (
+        attach_clusters(docs, rd.from_arrow(pairs).map_batches(
+            lambda t: pa.table({"node": pa.array([], pa.int64()),
+                                "label": pa.array([], pa.int64())}),
+            batch_format="pyarrow"))
+        .to_pandas().sort_values("doc_id")
+    )
+    assert list(out["cluster_id"]) == [7, 8]
+    assert list(out["keep"]) == [True, True]
+
+
+def _uf_reference(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize("num_partitions", [3, 16])
+def test_random_graph_matches_union_find(num_partitions):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 400, size=600)
+    b = rng.integers(0, 400, size=600)
+    m = a != b
+    a, b = a[m], b[m]
+    pairs = pa.table({"id_a": pa.array(a, pa.int64()),
+                      "id_b": pa.array(b, pa.int64())})
+    lab = _labels_df(pairs, num_partitions=num_partitions)
+    got = dict(zip(lab["node"], lab["label"]))
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    want = _uf_reference(list(zip(a.tolist(), b.tolist())), nodes)
+    assert got == want
+
+
+def test_dedup_by_clusters_tags_corpus():
+    pairs = pa.table({"id_a": [1, 2], "id_b": [2, 9]})
+    docs = rd.from_arrow(pa.table({"doc_id": [1, 2, 5, 9]}))
+    out = (
+        dedup_by_clusters(docs, rd.from_arrow(pairs), num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["cluster_id"]) == [1, 1, 5, 1]
+    assert list(out["keep"]) == [True, False, True, False]
