@@ -890,6 +890,58 @@ FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
 """
 
 
+def q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with ``doc_id % 97 == 0`` play
+    the held-out benchmark; the rest are the training corpus. The
+    benchmark's distinct word-3-grams broadcast once (``ray.put``);
+    training docs stream through one membership ``map_batches`` —
+    zero shuffles (stages/decontam.py)."""
+    from ..stages.decontam import collect_benchmark_ngrams, decontaminate
+
+    def _mod_filter(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            is_bench = (ids % 97) == 0
+            return t.filter(pa.array(is_bench if want_bench else ~is_bench))
+        return f
+
+    bench = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_mod_filter(True), batch_format="pyarrow")
+    train = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_mod_filter(False), batch_format="pyarrow")
+    grams = collect_benchmark_ngrams(bench, n=3)
+    out = decontaminate(train, grams, n=3)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_bad", "contaminated"]),
+        batch_format="pyarrow")
+
+
+SQL_DOCS_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks
+  )
+), bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_bad
+  FROM g JOIN bg USING (gram)
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_bad, 0) AS BIGINT) AS n_bad,
+       coalesce(h.n_bad, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 def _langid_sql() -> str:
     """SQL twin of stages/text.py LangId, GENERATED from the same
     profile table so the two can never drift: per-language score = sum
@@ -1896,6 +1948,7 @@ QUERIES = {
     "docs_gopher_quality": q_docs_gopher,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_dedup_clusters": q_docs_dedup_clusters,
+    "docs_decontaminate": q_docs_decontaminate,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
@@ -1952,6 +2005,7 @@ ORACLES = {
     "docs_fingerprint": _fingerprint_sql(),
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
+    "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,
