@@ -942,6 +942,56 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def q_docs_repetition(sf_dir: str):
+    """Within-doc repetition signals (dup-line / top-word / dup-2-gram
+    fractions, RefinedWeb-style) — one vectorized map_batches pass
+    (stages/text.py repetition_stats), integer-exact rule flags."""
+    from ..stages.text import repetition_stats
+
+    cols = ["doc_id", "n_lines", "n_dup_lines", "n_words", "max_word_count",
+            "n_2grams", "n_dup_2grams", "dup_line_ok", "top_word_ok",
+            "dup_2gram_ok", "repetition_pass"]
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: repetition_stats(t).select(cols), batch_format="pyarrow")
+
+
+SQL_DOCS_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(coalesce(text, ''), chr(10)) AS lines,
+         string_split_regex(regexp_replace(coalesce(text, ''),
+                            '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), wmode AS (
+  SELECT doc_id, max(c) AS maxc FROM (
+    SELECT doc_id, x, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS x FROM base)
+    GROUP BY doc_id, x
+  ) GROUP BY doc_id
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w), 1)),
+                        i -> w[i] || ' ' || w[i+1]) AS g2
+  FROM base
+)
+SELECT b.doc_id,
+       CAST(len(b.lines) AS BIGINT) AS n_lines,
+       CAST(len(b.lines) - len(list_distinct(b.lines)) AS BIGINT) AS n_dup_lines,
+       CAST(len(b.w) AS BIGINT) AS n_words,
+       CAST(m.maxc AS BIGINT) AS max_word_count,
+       CAST(len(g.g2) AS BIGINT) AS n_2grams,
+       CAST(len(g.g2) - len(list_distinct(g.g2)) AS BIGINT) AS n_dup_2grams,
+       10 * (len(b.lines) - len(list_distinct(b.lines))) <= 3 * len(b.lines) AS dup_line_ok,
+       5 * m.maxc <= len(b.w) AS top_word_ok,
+       10 * (len(g.g2) - len(list_distinct(g.g2))) <= 2 * len(g.g2) AS dup_2gram_ok,
+       (10 * (len(b.lines) - len(list_distinct(b.lines))) <= 3 * len(b.lines))
+         AND (5 * m.maxc <= len(b.w))
+         AND (10 * (len(g.g2) - len(list_distinct(g.g2))) <= 2 * len(g.g2)) AS repetition_pass
+FROM base b JOIN wmode m USING (doc_id) JOIN g USING (doc_id)
+"""
+
+
 def _langid_sql() -> str:
     """SQL twin of stages/text.py LangId, GENERATED from the same
     profile table so the two can never drift: per-language score = sum
@@ -1949,6 +1999,7 @@ QUERIES = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_dedup_clusters": q_docs_dedup_clusters,
     "docs_decontaminate": q_docs_decontaminate,
+    "docs_repetition": q_docs_repetition,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
@@ -2006,6 +2057,7 @@ ORACLES = {
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
+    "docs_repetition": SQL_DOCS_REPETITION,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,

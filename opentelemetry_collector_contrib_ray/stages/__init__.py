@@ -57,4 +57,4 @@ from .decontam import collect_benchmark_ngrams, decontaminate  # noqa: F401
 from .dedup import exact_dedup, log_dedup, minhash_candidate_pairs, ngram_jaccard_pairs  # noqa: F401
 from .similarity import brute_force_topk, ivf_topk, lsh_bucket_topk  # noqa: F401
 from .agg import approx_distinct  # noqa: F401
-from .text import gopher_rules, token_stats  # noqa: F401
+from .text import gopher_rules, repetition_stats, token_stats  # noqa: F401

@@ -288,3 +288,95 @@ def top_terms(ds, col: str = "text", k: int = 20, num_partitions: int = 64):
     )
     # Ray sort API: per-key descending flags
     return out.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+# ----------------------------------------------------------- repetition
+
+def repetition_stats(t: pa.Table, col: str = "text") -> pa.Table:
+    """Within-document repetition signals (RefinedWeb / Gopher
+    rep-removal, Rae et al. 2021 §A1.1, Penedo et al. 2023 —
+    public heuristics): duplicate-line fraction, most-frequent-word
+    share, duplicate word-2-gram fraction.
+
+    All rules are INTEGER cross-multiplied comparisons so a DuckDB SQL
+    twin (``list_distinct`` / per-doc mode counts) hashes identically:
+
+    - ``dup_line_ok``:  10·(n_lines − n_distinct_lines) ≤ 3·n_lines
+    - ``top_word_ok``:  5·max_word_count ≤ n_words  (most frequent
+      word ≤ 20% of tokens; vacuously true only via the counts)
+    - ``dup_2gram_ok``: 10·(n_2grams − n_distinct_2grams) ≤ 2·n_2grams
+
+    Vectorized: one split kernel per unit (lines, words), duplicate
+    counting via pandas ``drop_duplicates`` / ``groupby`` on the
+    exploded (doc, token) rows — C-speed hash tables, no Python loop
+    over rows. Tokenization mirrors the corpus-wide convention
+    (``utf8_trim_whitespace`` + ``\\s+`` split, empty doc → one ''
+    token) so the SQL twin's ``string_split_regex`` agrees."""
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    c = pc.fill_null(pc.cast(c, pa.string()), "")
+    nrows = len(c)
+
+    def _explode(list_arr):
+        if isinstance(list_arr, pa.ChunkedArray):
+            list_arr = list_arr.combine_chunks()
+        offsets = np.asarray(list_arr.offsets, dtype=np.int64)
+        counts = offsets[1:] - offsets[:-1]
+        flat = list_arr.flatten().to_numpy(zero_copy_only=False)
+        return np.repeat(np.arange(nrows), counts), flat, counts
+
+    # lines: raw split on \n (no trim — blank lines are real lines)
+    ld, lines, n_lines = _explode(pc.split_pattern(c, "\n"))
+    n_dl = np.bincount(
+        pd.DataFrame({"d": ld, "x": lines}).drop_duplicates()["d"].to_numpy(),
+        minlength=nrows)
+
+    # words: corpus tokenization convention
+    wd, words, n_words = _explode(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(c), r"\s+"))
+    wdf = pd.DataFrame({"d": wd, "x": words})
+    n_dw = np.bincount(wdf.drop_duplicates()["d"].to_numpy(), minlength=nrows)
+    per_word = wdf.groupby(["d", "x"], sort=False).size()
+    max_wc = per_word.groupby(level=0).max().reindex(
+        range(nrows), fill_value=0).to_numpy()
+
+    # word 2-grams (within-doc only)
+    w2 = len(words)
+    if w2 >= 2:
+        left_doc = wd[: w2 - 1]
+        same = left_doc == wd[1:]
+        g = np.char.add(np.char.add(words[: w2 - 1].astype("U"), " "),
+                        words[1:].astype("U"))
+        gd, gx = left_doc[same], g[same]
+    else:
+        gd = np.array([], dtype=np.int64)
+        gx = np.array([], dtype="U1")
+    n_g = np.bincount(gd, minlength=nrows)
+    n_dg = np.bincount(
+        pd.DataFrame({"d": gd, "x": gx}).drop_duplicates()["d"].to_numpy(),
+        minlength=nrows)
+
+    n_lines = n_lines.astype(np.int64)
+    n_words = n_words.astype(np.int64)
+    dup_lines = (n_lines - n_dl).astype(np.int64)
+    dup_g = (n_g - n_dg).astype(np.int64)
+    dup_line_ok = 10 * dup_lines <= 3 * n_lines
+    top_word_ok = 5 * max_wc <= n_words
+    dup_2gram_ok = 10 * dup_g <= 2 * n_g
+    rep_pass = dup_line_ok & top_word_ok & dup_2gram_ok
+
+    for name, arr, typ in [
+        ("n_lines", n_lines, pa.int64()),
+        ("n_dup_lines", dup_lines, pa.int64()),
+        ("n_words", n_words, pa.int64()),
+        ("max_word_count", max_wc.astype(np.int64), pa.int64()),
+        ("n_2grams", n_g.astype(np.int64), pa.int64()),
+        ("n_dup_2grams", dup_g, pa.int64()),
+        ("dup_line_ok", dup_line_ok, pa.bool_()),
+        ("top_word_ok", top_word_ok, pa.bool_()),
+        ("dup_2gram_ok", dup_2gram_ok, pa.bool_()),
+        ("repetition_pass", rep_pass, pa.bool_()),
+    ]:
+        t = set_column(t, name, pa.array(arr, type=typ))
+    return t

@@ -227,3 +227,45 @@ def test_image_resizer():
     # features still consumable downstream
     f = ImageFeatures()(r)
     assert f["features"].to_pylist()[0][:3] == [7.0, 7.0, 7.0]
+
+
+def test_repetition_stats_hand_cases():
+    from opentelemetry_collector_contrib_ray.stages.text import repetition_stats
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b\na b\nc",          # 3 lines / 1 dup; words a,b,a,b,c
+            "x " * 50 + "y",        # extreme word repetition
+            None,                    # null -> '' token conventions
+            "p q r\ns t u\nv w x",  # clean doc
+        ],
+    })
+    df = repetition_stats(t).to_pandas()
+
+    assert list(df["n_lines"]) == [3, 1, 1, 3]
+    assert list(df["n_dup_lines"]) == [1, 0, 0, 0]
+    assert list(df["n_words"]) == [5, 51, 1, 9]
+    assert list(df["max_word_count"]) == [2, 50, 1, 1]
+    # doc1 2-grams: "a b","b a","a b","b c" -> 4 total, 1 dup
+    assert df["n_2grams"][0] == 4 and df["n_dup_2grams"][0] == 1
+    # doc2: 50 2-grams ("x x" x49 + "x y"), 48 dups
+    assert df["n_2grams"][1] == 50 and df["n_dup_2grams"][1] == 48
+    assert list(df["repetition_pass"]) == [False, False, False, True]
+
+
+def test_repetition_stats_batch_slicing_invariant():
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.text import repetition_stats
+
+    texts = [f"w{i % 7} common {'dup line ' * (i % 3)}\ncommon w{i % 5}"
+             for i in range(40)]
+    t = pa.table({"doc_id": list(range(40)), "text": texts})
+    whole = repetition_stats(t).to_pandas()
+    parts = pd.concat([
+        repetition_stats(t.slice(0, 13)).to_pandas(),
+        repetition_stats(t.slice(13, 14)).to_pandas(),
+        repetition_stats(t.slice(27)).to_pandas(),
+    ]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, parts)
