@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(
   | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?)
   | (?P<int>\d+)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<op>==|!=|<=|>=|&&|\|\||[()<>+\-*/%,\[\]=])
+  | (?P<op>==|!=|<=|>=|&&|\|\||[()<>+\-*/%,:\[\]={}])
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_.]*)*)
 """,
     re.VERBOSE,
@@ -360,6 +360,8 @@ class _Parser:
             return lambda tbl, v=v: v
         if t.val == "[":
             return self.list_literal()
+        if t.val == "{":
+            return self.map_literal()
         if t.kind == "name":
             self.next()
             name = t.val
@@ -399,6 +401,36 @@ class _Parser:
             cols = [_as_array(v, n) for v in vals]
             py = [c.to_pylist() for c in cols]
             return pa.array([[col[i] for col in py] for i in range(n)])
+
+        return ev
+
+    def map_literal(self) -> Evaluator:
+        """``{"k": v, …}`` (grammar.go mapValue; string keys, values any
+        expression incl. nested maps/lists): scalar values yield a plain
+        python dict constant; any array-valued element promotes the
+        whole literal to a per-row column of structs."""
+        self.expect("{")
+        keys: list[str] = []
+        items: list[Evaluator] = []
+        if self.peek().val != "}":
+            while True:
+                keys.append(_unescape(self.expect("str").val[1:-1]))
+                self.expect(":")
+                items.append(self.or_())
+                if self.peek().val != ",":
+                    break
+                self.next()
+        self.expect("}")
+
+        def ev(t: pa.Table, keys=keys, items=items):
+            vals = [it(t) for it in items]
+            if not any(_is_arr(v) for v in vals):
+                return dict(zip(keys, vals))
+            n = t.num_rows
+            py = [_as_array(v, n).to_pylist() for v in vals]
+            return pa.array([
+                {k: col[i] for k, col in zip(keys, py)} for i in range(n)
+            ])
 
         return ev
 

@@ -54,10 +54,10 @@ def _split_top(s: str) -> list[str]:
         if ch in "\"'":
             q = ch
             cur.append(ch)
-        elif ch in "([":
+        elif ch in "([{":
             depth += 1
             cur.append(ch)
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
             cur.append(ch)
         elif ch == "," and depth == 0:

@@ -211,3 +211,23 @@ def test_expr_list_and_int_index_forms():
     assert arr.to_pylist() == [[1, 10], [2, 10]]
     # bytes literal
     assert compile_expr("0x0102ff")(t) == b"\x01\x02\xff"
+
+
+def test_map_literal_set(t):
+    # e2e_test.go style: set(attributes["test"], {"k1": "v1", "k2": {"k3": [1, 2]}})
+    out = run(t, ['set(attributes["m"], {"k1": "v1", "k2": {"k3": [1, 2]}})'])
+    v = out["attributes.m"][0].as_py()
+    assert v == {"k1": "v1", "k2": {"k3": [1, 2]}}
+
+
+def test_map_literal_per_row_promotion(t):
+    out = run(t, ['set(attributes["wrap"], {"orig": attributes["msg"], "env": resource.env})'])
+    vals = out["attributes.wrap"].to_pylist()
+    assert vals[0] == {"orig": "hello world", "env": "prod"}
+    assert vals[2] == {"orig": "fatal issue", "env": "dev"}
+
+
+def test_map_literal_empty_and_where(t):
+    out = run(t, ['set(attributes["empty"], {}) where severity_number >= 17'])
+    vals = out["attributes.empty"].to_pylist()
+    assert vals[0] is None and vals[1] == {} and vals[2] == {}
