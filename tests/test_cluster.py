@@ -23,9 +23,10 @@ def _labels_df(pairs_tbl, **kw):
 
 
 def test_transitive_chains_collapse():
-    # chain 1-2-3, pair 10-11, chain 20-21-22-23 (shuffled edge order)
+    # chain 1-2-3, pair 10-11, chain 20-21-22-23 (shuffled edge order);
+    # threshold 0 forces the distributed loop
     pairs = pa.table({"id_a": [2, 1, 10, 21, 20, 22], "id_b": [3, 2, 11, 22, 21, 23]})
-    lab = _labels_df(pairs, num_partitions=8)
+    lab = _labels_df(pairs, num_partitions=8, local_threshold=0)
     got = dict(zip(lab["node"], lab["label"]))
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
@@ -74,8 +75,12 @@ def _uf_reference(edges, nodes):
     return out
 
 
-@pytest.mark.parametrize("num_partitions", [3, 16])
-def test_random_graph_matches_union_find(num_partitions):
+@pytest.mark.parametrize("num_partitions,local_threshold",
+                         [(3, 0), (16, 0), (8, 4_000_000)])
+def test_random_graph_matches_union_find(num_partitions, local_threshold):
+    # local_threshold=0 forces the distributed loop; the default gate
+    # routes a graph this small through the driver-local numpy path —
+    # both must match the union-find reference exactly.
     rng = np.random.default_rng(11)
     a = rng.integers(0, 400, size=600)
     b = rng.integers(0, 400, size=600)
@@ -83,7 +88,8 @@ def test_random_graph_matches_union_find(num_partitions):
     a, b = a[m], b[m]
     pairs = pa.table({"id_a": pa.array(a, pa.int64()),
                       "id_b": pa.array(b, pa.int64())})
-    lab = _labels_df(pairs, num_partitions=num_partitions)
+    lab = _labels_df(pairs, num_partitions=num_partitions,
+                     local_threshold=local_threshold)
     got = dict(zip(lab["node"], lab["label"]))
     nodes = sorted(set(a.tolist()) | set(b.tolist()))
     want = _uf_reference(list(zip(a.tolist(), b.tolist())), nodes)
