@@ -1256,6 +1256,44 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 
+def q_emb_dedup_clusters(sf_dir: str):
+    """Embedding near-dup COMPLETION: cosine pairs (label-blocked) →
+    connected components → every vector tagged with cluster_id/keep —
+    the same cluster stage as the text path (stages/cluster.py),
+    demonstrating pair-source composability."""
+    from ..stages.cluster import dedup_by_clusters
+    from ..stages.similarity import cosine_near_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    pairs = cosine_near_dup_pairs(ds, threshold=0.4, block_col="label")
+    pairs = pairs.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64())}),
+        batch_format="pyarrow")
+    ids = read_table(sf_dir, "embeddings", columns=["vec_id"])
+    return dedup_by_clusters(ids, pairs, id_col="vec_id")
+
+
+SQL_EMB_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_EMB_NEAR_DUP}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+),
+lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT v.vec_id,
+       coalesce(l.cluster_id, v.vec_id) AS cluster_id,
+       v.vec_id = coalesce(l.cluster_id, v.vec_id) AS keep
+FROM embeddings v LEFT JOIN lab l ON l.node = v.vec_id
+"""
+
+
 def q_emb_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-k, hash-verified against the exact
     brute-force SQL oracle — the same trick that upgraded IVF: with the
@@ -2008,6 +2046,7 @@ QUERIES = {
     "docs_fingerprint": q_docs_fingerprint,
     "emb_ann_top10": q_emb_ann_top10,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
+    "emb_dedup_clusters": q_emb_dedup_clusters,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -2062,6 +2101,7 @@ ORACLES = {
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
+    "emb_dedup_clusters": SQL_EMB_DEDUP_CLUSTERS,
     "emb_ann_ivf": SQL_EMB_ANN,
     "emb_ann_lsh": SQL_EMB_ANN,
     "emb_near_dup_lsh": SQL_EMB_NEAR_DUP_ALL,
