@@ -992,6 +992,42 @@ FROM base b JOIN wmode m USING (doc_id) JOIN g USING (doc_id)
 """
 
 
+def q_docs_bigram_lm(sf_dir: str):
+    """Integer-exact LM-style fluency scoring: distributed top-k corpus
+    bigram counts (bounded table) → broadcast → one searchsorted
+    scoring pass (stages/text.py top_ngrams / ngram_lm_score)."""
+    from ..stages.text import ngram_lm_score, top_ngrams
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    top = top_ngrams(docs, n=2, k=10_000).to_pandas()
+    scored = ngram_lm_score(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), top, n=2)
+    return scored.map_batches(
+        lambda t: t.select(["doc_id", "lm_score"]), batch_format="pyarrow")
+
+
+SQL_DOCS_BIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+                 i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks
+), cnt AS (
+  SELECT gram, count(*) AS c FROM g GROUP BY gram
+), topk AS (
+  SELECT gram, c FROM cnt ORDER BY c DESC, gram ASC LIMIT 10000
+), score AS (
+  SELECT g.doc_id, sum(t.c) AS s FROM g JOIN topk t USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS lm_score
+FROM documents d LEFT JOIN score s USING (doc_id)
+"""
+
+
 def _langid_sql() -> str:
     """SQL twin of stages/text.py LangId, GENERATED from the same
     profile table so the two can never drift: per-language score = sum
@@ -2038,6 +2074,7 @@ QUERIES = {
     "docs_dedup_clusters": q_docs_dedup_clusters,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_repetition": q_docs_repetition,
+    "docs_bigram_lm": q_docs_bigram_lm,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
@@ -2097,6 +2134,7 @@ ORACLES = {
     "docs_dedup_clusters": SQL_DOCS_DEDUP_CLUSTERS,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_repetition": SQL_DOCS_REPETITION,
+    "docs_bigram_lm": SQL_DOCS_BIGRAM_LM,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,

@@ -380,3 +380,82 @@ def repetition_stats(t: pa.Table, col: str = "text") -> pa.Table:
     ]:
         t = set_column(t, name, pa.array(arr, type=typ))
     return t
+
+
+# ----------------------------------------------------------- n-gram LM score
+
+def top_ngrams(ds, n: int = 2, k: int = 10_000, col: str = "text",
+               num_partitions: int = 64):
+    """Corpus-wide word-n-gram OCCURRENCE counts, top-k by (count desc,
+    gram asc) — the bounded "language model" table for
+    ``ngram_lm_score``. Same shape as ``top_terms``: per-batch
+    value_counts combiner → gram-hash partition merge → distributed
+    sort/limit. Only (gram, partial-count) rows cross the wire; the
+    result is ≤ k rows no matter the corpus size."""
+    from .decontam import _word_ngrams
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, g = _word_ngrams(t[col], n)
+        vc = pd.Series(g).value_counts()
+        terms = vc.index.to_numpy().astype("U")
+        h = pd.util.hash_array(terms)
+        return pa.table({
+            "gram": pa.array(terms.tolist(), type=pa.string()),
+            "n": pa.array(vc.to_numpy(), type=pa.int64()),
+            "__p": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("gram", as_index=False)["n"].sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
+def ngram_lm_score(ds, gram_table, n: int = 2, col: str = "text",
+                   out_col: str = "lm_score"):
+    """Cheap LM-style fluency proxy (public practice: KenLM-perplexity
+    corpus filtering à la CCNet/Gopher, here with an integer-exact
+    count model instead of a float LM so the SQL twin hashes
+    identically): per doc, the sum over its n-gram OCCURRENCES of the
+    corpus-wide count of that n-gram from the broadcast top-k table.
+    High score = made of common constructions; rare/garbled text
+    scores low.
+
+    ``gram_table`` is the ``top_ngrams`` result as a pandas/arrow
+    table (gram, n) or a ``ray.ObjectRef`` to the prepared
+    (sorted_grams, counts) pair. Broadcast once; the scoring pass is
+    one ``np.searchsorted`` per batch — zero shuffles."""
+    import ray
+
+    from .decontam import _word_ngrams
+
+    if isinstance(gram_table, ray.ObjectRef):
+        ref = gram_table
+    else:
+        if isinstance(gram_table, pa.Table):
+            gram_table = gram_table.to_pandas()
+        grams = gram_table["gram"].to_numpy().astype("U")
+        counts = gram_table["n"].to_numpy().astype(np.int64)
+        order = np.argsort(grams, kind="stable")
+        ref = ray.put((grams[order], counts[order]))
+
+    def score(t: pa.Table) -> pa.Table:
+        grams_s, counts_s = ray.get(ref)
+        d, g = _word_ngrams(t[col], n)
+        nrows = t.num_rows
+        if len(g) == 0 or len(grams_s) == 0:
+            s = np.zeros(nrows, dtype=np.int64)
+        else:
+            g = g.astype(grams_s.dtype) if g.dtype.itemsize < grams_s.dtype.itemsize else g
+            pos = np.minimum(np.searchsorted(grams_s, g), len(grams_s) - 1)
+            hit = grams_s[pos] == g
+            s = np.bincount(d[hit], weights=counts_s[pos[hit]],
+                            minlength=nrows).astype(np.int64)
+        return t.append_column(out_col, pa.array(s))
+
+    return ds.map_batches(score, batch_format="pyarrow")

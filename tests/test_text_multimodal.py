@@ -269,3 +269,42 @@ def test_repetition_stats_batch_slicing_invariant():
         repetition_stats(t.slice(27)).to_pandas(),
     ]).reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, parts)
+
+
+def test_ngram_lm_score_hand_case():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import (
+        ngram_lm_score,
+        top_ngrams,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b a b c", "a b x", "zz qq ww"],
+    }))
+    top = top_ngrams(docs, n=2, k=100).to_pandas()
+    # "a b" occurs 3x corpus-wide; every other bigram once
+    assert dict(zip(top["gram"], top["n"]))["a b"] == 3
+    out = ngram_lm_score(docs, top, n=2).to_pandas().sort_values("doc_id")
+    # doc1: a b(3) + b a(1) + a b(3) + b c(1) = 8; doc2: 3+1; doc3: 1+1
+    assert list(out["lm_score"]) == [8, 4, 2]
+
+
+def test_ngram_lm_score_topk_cutoff():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import (
+        ngram_lm_score,
+        top_ngrams,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1],
+        "text": ["c c c c b b b a a"],  # grams: c c x3, c b, b b x2, b a, a a
+    }))
+    top = top_ngrams(docs, n=2, k=2).to_pandas()  # keeps "c c"(3), "b b"(2)
+    assert list(top["gram"]) == ["c c", "b b"]
+    out = ngram_lm_score(docs, top, n=2).to_pandas()
+    # only top-k grams score: 3*3 (c c occurrences) + 2*2 (b b)
+    assert list(out["lm_score"]) == [13]
