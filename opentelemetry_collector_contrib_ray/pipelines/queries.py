@@ -1028,6 +1028,50 @@ FROM documents d LEFT JOIN score s USING (doc_id)
 """
 
 
+def q_docs_line_dedup(sf_dir: str):
+    """Corpus-wide exact line dedup (RefinedWeb-style): docs are
+    re-lined into 4-token segments (identical RE2 rewrite on both
+    sides — the synthetic corpus has no newlines of its own), then
+    every non-first occurrence of a distinct line is removed GLOBALLY
+    and documents rebuilt from survivors (stages/dedup.py
+    segment_dedup: int-row decide exchange, single text shuffle)."""
+    from ..stages.dedup import segment_dedup
+
+    def reline(t: pa.Table) -> pa.Table:
+        txt = pc.replace_substring_regex(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""),
+            pattern=r"(\S+ \S+ \S+ \S+) ", replacement="\\1\n")
+        return t.set_column(t.schema.get_field_index("text"), "text", txt)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(reline, batch_format="pyarrow")
+    return segment_dedup(ds, sep="\n")
+
+
+SQL_DOCS_LINE_DEDUP = r"""
+WITH derived AS (
+  SELECT doc_id, regexp_replace(coalesce(text, ''),
+           '(\S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS p,
+         unnest(range(0, len(string_split(t, chr(10))))) AS i
+  FROM derived
+), ranked AS (
+  SELECT doc_id, p, i,
+         row_number() OVER (PARTITION BY p ORDER BY doc_id, i) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(p, chr(10) ORDER BY i) FILTER (WHERE rn = 1),
+                '') AS text,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
 def _langid_sql() -> str:
     """SQL twin of stages/text.py LangId, GENERATED from the same
     profile table so the two can never drift: per-language score = sum
@@ -2075,6 +2119,7 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_repetition": q_docs_repetition,
     "docs_bigram_lm": q_docs_bigram_lm,
+    "docs_line_dedup": q_docs_line_dedup,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
@@ -2135,6 +2180,7 @@ ORACLES = {
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_bigram_lm": SQL_DOCS_BIGRAM_LM,
+    "docs_line_dedup": SQL_DOCS_LINE_DEDUP,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,

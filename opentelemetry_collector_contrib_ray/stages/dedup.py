@@ -629,3 +629,127 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
         .groupby("__q")
         .map_groups(merge_and_filter, batch_format="pandas")
     )
+
+
+# ----------------------------------------------------- segment-level dedup
+
+
+def segment_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                  sep: str = "\n", num_partitions: int = 64):
+    """Corpus-wide EXACT segment (line/paragraph) deduplication: split
+    every document on the literal ``sep``, keep only the globally FIRST
+    occurrence (min ``(doc_id, idx)``) of each distinct segment, and
+    rebuild documents from their surviving segments — the exact
+    line-dedup used by RefinedWeb / the exact-substring variant of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), at segment granularity.
+
+    Shape for 100 TB (three exchanges, text shuffles ONCE):
+
+    1. explode — per batch, one ``pc.split_pattern`` → int occurrence
+       rows ``(h=hash64(segment), doc_id, idx)``; text stays behind.
+    2. decide — hash-partition the int rows on ``h``; within each
+       partition one vectorized pandas pass marks every non-first
+       occurrence of each ``h`` (sort + ``duplicated``). Only the DROP
+       rows ``(doc_id, idx)`` survive — duplicates only, a small
+       fraction of the corpus.
+    3. apply — drop rows and documents are co-partitioned on
+       ``hash(doc_id)`` (one union + groupby: the single text
+       shuffle); each partition re-splits its docs, anti-joins the
+       drop set on ``(doc_id, idx)`` and re-joins survivors with
+       ``sep``.
+
+    Segment identity is 64-bit-hash equality (``pd.util.hash_array``):
+    at trillion-segment scale swap in a 128-bit hash; the decision is
+    deterministic either way. Output: ``(id_col, col, n_segs,
+    n_dropped)`` with ``col`` rebuilt (empty string when every segment
+    of a doc was dropped)."""
+    from .text import _ragged_arange
+
+    P = num_partitions
+
+    def explode(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        segs = pc.split_pattern(pc.fill_null(pc.cast(c, pa.string()), ""), sep)
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        offsets = np.asarray(segs.offsets, dtype=np.int64)
+        counts = offsets[1:] - offsets[:-1]
+        flat = segs.flatten().to_numpy(zero_copy_only=False).astype("U")
+        h = pd.util.hash_array(flat)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        idx, _ = _ragged_arange(counts)
+        return pa.table({
+            "d": pa.array(np.repeat(ids, counts), type=pa.int64()),
+            "i": pa.array(idx),
+            "h": pa.array(h.view(np.int64)),
+            "__p": pa.array((h % np.uint64(P)).astype(np.int64)),
+        })
+
+    def decide_drops(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["h", "d", "i"], kind="mergesort")
+        dup = g.duplicated("h").to_numpy()
+        d = g["d"].to_numpy()[dup]
+        i = g["i"].to_numpy()[dup]
+        # arrow output with pinned types: an EMPTY pandas object column
+        # would convert to arrow null and break the union schema match
+        return pa.table({
+            "d": pa.array(d, type=pa.int64()),
+            "i": pa.array(i, type=pa.int64()),
+            col: pa.array([""] * len(d), type=pa.string()),
+            "__q": pa.array((d.astype(np.uint64)
+                             * np.uint64(0x9E3779B97F4A7C15)
+                             % np.uint64(P)).astype(np.int64)),
+        })
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        q = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             % np.uint64(P)).astype(np.int64)
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table({
+            "d": pa.array(ids, type=pa.int64()),
+            "i": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            col: pc.fill_null(pc.cast(c, pa.string()), ""),
+            "__q": pa.array(q),
+        })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True)
+        docs = g[g["i"] < 0]
+        drops = g.loc[g["i"] >= 0, ["d", "i"]]
+        if len(docs) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             col: pa.array([], type=pa.string()),
+                             "n_segs": pa.array([], type=pa.int64()),
+                             "n_dropped": pa.array([], type=pa.int64())})
+        ex = docs[["d"]].copy()
+        ex["s"] = docs[col].str.split(sep, regex=False)
+        ex = ex.reset_index(drop=True).explode("s")
+        ex["i"] = ex.groupby(level=0).cumcount()
+        merged = ex.merge(drops, on=["d", "i"], how="left", indicator=True)
+        kept = merged[merged["_merge"] == "left_only"]
+        doc_ids = docs["d"].to_numpy()
+        text = kept.groupby("d", sort=False)["s"].agg(sep.join) \
+            .reindex(doc_ids, fill_value="")
+        n_segs = ex.groupby("d", sort=False).size().reindex(doc_ids, fill_value=0)
+        n_kept = kept.groupby("d", sort=False).size().reindex(doc_ids, fill_value=0)
+        return pd.DataFrame({
+            id_col: doc_ids,
+            col: text.to_numpy(),
+            "n_segs": n_segs.to_numpy().astype(np.int64),
+            "n_dropped": (n_segs.to_numpy() - n_kept.to_numpy()).astype(np.int64),
+        })
+
+    drop_ds = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(decide_drops, batch_format="pandas")
+    )
+    docs_tagged = ds.map_batches(tag_docs, batch_format="pyarrow")
+    return docs_tagged.union(drop_ds).groupby("__q") \
+        .map_groups(rebuild, batch_format="pandas")

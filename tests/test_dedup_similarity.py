@@ -1,6 +1,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 import ray
 import ray.data as rd
@@ -356,3 +357,69 @@ def test_lsh_near_dup_pairs_recall_and_exact_cosine(embeddings):
     small = lsh_near_dup_pairs(rd.from_arrow(embeddings), threshold=0.99,
                                n_bits=6, n_tables=1, concurrency=1).to_pandas()
     assert set(zip(small["id_a"], small["id_b"])) <= exact_pairs
+
+
+# ---------------------------------------------------------- segment dedup
+
+
+def _segment_dedup_oracle(docs: list[tuple[int, str]], sep: str):
+    """Brute-force first-occurrence line dedup."""
+    seen = set()
+    out = {}
+    for did, text in docs:
+        kept, n_drop = [], 0
+        segs = text.split(sep)
+        for s in segs:
+            if s in seen:
+                n_drop += 1
+            else:
+                seen.add(s)
+                kept.append(s)
+        out[did] = (sep.join(kept), len(segs), n_drop)
+    return out
+
+
+def test_segment_dedup_hand_case():
+    from opentelemetry_collector_contrib_ray.stages.dedup import segment_dedup
+
+    rows = [
+        (1, "a\nb\nc"),
+        (2, "b\nx\na"),      # b, a are global dups
+        (3, "a\nb"),         # everything dropped -> empty text
+        (4, ""),             # empty doc: one empty segment, kept (first "" )
+        (5, "\n"),           # two empty segments, both dup of doc4's
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": [r[1] for r in rows],
+    }))
+    got = segment_dedup(ds, sep="\n").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _segment_dedup_oracle(rows, "\n")
+    for _, r in got.iterrows():
+        text, n_segs, n_drop = want[r["doc_id"]]
+        assert r["text"] == text, r["doc_id"]
+        assert r["n_segs"] == n_segs
+        assert r["n_dropped"] == n_drop
+    assert len(got) == len(rows)
+
+
+def test_segment_dedup_parallelism_invariant(docs):
+    from opentelemetry_collector_contrib_ray.stages.dedup import segment_dedup
+
+    # multi-word separator + many blocks: decisions are global, so the
+    # result must not depend on block layout
+    t = pa.table({
+        "doc_id": docs["doc_id"],
+        "text": pc.replace_substring(docs["text"], " ", "||"),
+    })
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        outs.append(segment_dedup(ds, sep="||", num_partitions=5)
+                    .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    rows = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    want = _segment_dedup_oracle(rows, "||")
+    for _, r in outs[0].iterrows():
+        assert r["text"] == want[r["doc_id"]][0]
