@@ -1072,6 +1072,74 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_docs_pii(sf_dir: str):
+    """PII scan + masking over the documents corpus. The synthetic
+    corpus carries no PII, so deterministic emails / IPv4s / phone
+    numbers derived from doc_id are injected with the IDENTICAL
+    construction on both sides; counts and the masked text then come
+    from one vectorized RE2 pass per pattern (stages/text.py
+    pii_stats) — zero shuffles."""
+    from ..stages.text import pii_stats
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "") \
+            .to_numpy(zero_copy_only=False).astype("U")
+        sid = ids.astype("U20")
+        email = np.where(ids % 3 == 0, np.char.add(
+            np.char.add(" contact user", sid), "@example.com"), "")
+        ip = np.where(ids % 4 == 0, np.char.add(np.char.add(np.char.add(
+            " ip 192.168.", (ids % 256).astype("U3")), "."),
+            (ids % 100).astype("U3")), "")
+        phone = np.where(ids % 5 == 0, np.char.add(np.char.add(np.char.add(
+            " call 555-", (100 + ids % 900).astype("U3")), "-"),
+            (1000 + ids % 9000).astype("U4")), "")
+        out = np.char.add(np.char.add(np.char.add(txt, email), ip), phone)
+        return t.set_column(t.schema.get_field_index("text"), "text",
+                            pa.array(out.astype(object), type=pa.string()))
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(inject, batch_format="pyarrow")
+    cols = ["doc_id", "n_email", "n_ipv4", "n_phone", "text_masked",
+            "has_pii"]
+    return ds.map_batches(
+        lambda t: pii_stats(t, mask="<PII>").select(cols),
+        batch_format="pyarrow")
+
+
+SQL_DOCS_PII = r"""
+WITH derived AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' ip 192.168.' || (doc_id % 256) || '.' || (doc_id % 100)
+         ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' call 555-' || (100 + doc_id % 900) || '-'
+              || (1000 + doc_id % 9000) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(t,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t,
+    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<PII>', 'g') AS text_masked,
+  (len(regexp_extract_all(t,
+     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+   + len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))) > 0 AS has_pii
+FROM derived
+"""
+
+
 def _langid_sql() -> str:
     """SQL twin of stages/text.py LangId, GENERATED from the same
     profile table so the two can never drift: per-language score = sum
@@ -2120,6 +2188,7 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_bigram_lm": q_docs_bigram_lm,
     "docs_line_dedup": q_docs_line_dedup,
+    "docs_pii": q_docs_pii,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
@@ -2181,6 +2250,7 @@ ORACLES = {
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_bigram_lm": SQL_DOCS_BIGRAM_LM,
     "docs_line_dedup": SQL_DOCS_LINE_DEDUP,
+    "docs_pii": SQL_DOCS_PII,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,

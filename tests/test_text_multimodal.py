@@ -308,3 +308,26 @@ def test_ngram_lm_score_topk_cutoff():
     out = ngram_lm_score(docs, top, n=2).to_pandas()
     # only top-k grams score: 3*3 (c c occurrences) + 2*2 (b b)
     assert list(out["lm_score"]) == [13]
+
+
+def test_pii_stats_counts_and_mask():
+    from opentelemetry_collector_contrib_ray.stages.text import pii_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            "mail a@b.co and c.d-e@f.org now",
+            "host 10.0.0.1 then 255.255.255.255",
+            "call 555-123-4567 ok",
+            "clean text, no pii here",
+        ],
+    })
+    out = pii_stats(t, mask="<PII>").to_pandas()
+    assert list(out["n_email"]) == [2, 0, 0, 0]
+    assert list(out["n_ipv4"]) == [0, 2, 0, 0]
+    assert list(out["n_phone"]) == [0, 0, 1, 0]
+    assert list(out["has_pii"]) == [True, True, True, False]
+    assert out["text_masked"][0] == "mail <PII> and <PII> now"
+    assert out["text_masked"][1] == "host <PII> then <PII>"
+    assert out["text_masked"][2] == "call <PII> ok"
+    assert out["text_masked"][3] == "clean text, no pii here"
