@@ -615,6 +615,38 @@ FROM documents GROUP BY lang
 """
 
 
+def q_docs_length_quantiles(sf_dir: str):
+    """EXACT corpus length-distribution quantiles without a global
+    sort: value-counts combiner → tiny histogram exchange → one
+    driver-side cumsum (stages/agg.py int_quantiles; selection rule
+    matches DuckDB quantile_disc bit-for-bit)."""
+    from ..stages.agg import int_quantiles
+
+    ds = read_table(sf_dir, "documents", columns=["text"]).map_batches(
+        lambda t: token_stats(t).select(["n_tokens_ws"]),
+        batch_format="pyarrow")
+    return int_quantiles(ds, "n_tokens_ws", {
+        "p00": 0.0, "p10": 0.1, "p25": 0.25, "p50": 0.5,
+        "p75": 0.75, "p90": 0.9, "p99": 0.99, "p100": 1.0,
+    })
+
+
+SQL_DOCS_LENGTH_QUANTILES = r"""
+WITH toks AS (
+  SELECT CASE WHEN len(regexp_replace(coalesce(text, ''),
+                      '^\s+|\s+$', '', 'g')) = 0 THEN 0
+         ELSE len(string_split_regex(regexp_replace(coalesce(text, ''),
+                      '^\s+|\s+$', '', 'g'), '\s+')) END AS n
+  FROM documents
+)
+SELECT quantile_disc(n, 0.0) AS p00, quantile_disc(n, 0.1) AS p10,
+       quantile_disc(n, 0.25) AS p25, quantile_disc(n, 0.5) AS p50,
+       quantile_disc(n, 0.75) AS p75, quantile_disc(n, 0.9) AS p90,
+       quantile_disc(n, 0.99) AS p99, quantile_disc(n, 1.0) AS p100
+FROM toks
+"""
+
+
 def q_docs_stopwords(sf_dir: str):
     """Quality-feature components as integer counts (stopword hits)."""
     from ray.data.aggregate import Sum
@@ -2189,6 +2221,7 @@ QUERIES = {
     "docs_bigram_lm": q_docs_bigram_lm,
     "docs_line_dedup": q_docs_line_dedup,
     "docs_pii": q_docs_pii,
+    "docs_length_quantiles": q_docs_length_quantiles,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
@@ -2251,6 +2284,7 @@ ORACLES = {
     "docs_bigram_lm": SQL_DOCS_BIGRAM_LM,
     "docs_line_dedup": SQL_DOCS_LINE_DEDUP,
     "docs_pii": SQL_DOCS_PII,
+    "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,

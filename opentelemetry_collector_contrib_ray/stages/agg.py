@@ -131,3 +131,58 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     if est <= 2.5 * m and zeros:  # small-range correction
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def int_quantiles(ds, col: str, qs: dict[str, float],
+                  num_partitions: int = 64) -> pa.Table:
+    """EXACT distributed quantiles over an integer column, without a
+    global sort: per-batch ``np.bincount``-style value-counts combiner
+    → value-hash partition merge → the merged ``(value, count)``
+    histogram (≤ |distinct values| rows — bounded for bounded-domain
+    stats like token/char counts no matter the corpus size) collects
+    to the driver, where one cumsum + searchsorted answers every
+    quantile. Selection rule matches DuckDB ``quantile_disc``:
+    ``idx = max(ceil(q*n) - 1, 0)`` over the ascending ordered column
+    (verified empirically across n and q). Returns a ONE-ROW table
+    ``{name: value}``; use q=0.0 / 1.0 entries for min / max.
+
+    For unbounded/continuous domains, pre-bucket the column (the
+    result is then quantiles of the bucketed values); the exchange
+    stays tiny either way — only (value, partial-count) int rows ever
+    cross the wire."""
+    import math
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(v, return_counts=True)
+        h = pd.util.hash_array(vals)
+        return pa.table({
+            "v": pa.array(vals),
+            "n": pa.array(cnts.astype(np.int64)),
+            "__p": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", as_index=False)["n"].sum()[["v", "n"]]
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    ).to_pandas()
+    hist = hist.sort_values("v")
+    vals = hist["v"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for name, q in qs.items():
+        if n == 0:
+            out[name] = pa.array([None], type=pa.int64())
+            continue
+        idx = max(math.ceil(np.float64(q) * n) - 1, 0)
+        pos = int(np.searchsorted(cum, idx + 1))
+        out[name] = pa.array([int(vals[min(pos, len(vals) - 1)])],
+                             type=pa.int64())
+    return pa.table(out)

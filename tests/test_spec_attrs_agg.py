@@ -173,3 +173,25 @@ def test_approx_distinct_hll():
     est2 = approx_distinct(
         rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(2), "v", p=12)
     assert est == est2
+
+
+def test_int_quantiles_matches_duckdb():
+    import duckdb
+
+    from opentelemetry_collector_contrib_ray.stages.agg import int_quantiles
+
+    rng = np.random.default_rng(7)
+    qs = {"p00": 0.0, "p05": 0.05, "p10": 0.1, "p33": 0.33, "p50": 0.5,
+          "p66": 0.66, "p90": 0.9, "p99": 0.99, "p100": 1.0}
+    for n in (1, 2, 99, 10_000):
+        vals = rng.integers(-50, 5_000, n)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+        got = int_quantiles(ds, "v", qs).to_pandas().iloc[0]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS v", [vals.tolist()])
+        want = con.execute(
+            "SELECT " + ",".join(f"quantile_disc(v, {q}) AS {k}"
+                                 for k, q in qs.items()) + " FROM t"
+        ).df().iloc[0]
+        for k in qs:
+            assert got[k] == want[k], (n, k)
