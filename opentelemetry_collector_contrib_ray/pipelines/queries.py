@@ -615,6 +615,35 @@ FROM documents GROUP BY lang
 """
 
 
+def q_docs_chunks(sf_dir: str):
+    """Training sequence chunking: every document split into fixed
+    8-token non-overlapping chunks (trailing partial kept), chunk text
+    whitespace-normalized — embarrassingly parallel, one Arrow
+    list-offset + binary_join kernel per batch (stages/text.py
+    chunk_tokens)."""
+    from ..stages.text import chunk_tokens
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: chunk_tokens(t, size=8),
+                          batch_format="pyarrow")
+
+
+SQL_DOCS_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(regexp_replace(coalesce(text, ''),
+           '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), chunks AS (
+  SELECT doc_id, w, unnest(range(0, len(w), 8)) AS s FROM toks
+)
+SELECT doc_id,
+       CAST(s // 8 AS BIGINT) AS chunk_idx,
+       CAST(least(8, len(w) - s) AS BIGINT) AS n_tokens,
+       array_to_string(w[s + 1 : least(s + 8, len(w))], ' ') AS chunk_text
+FROM chunks
+"""
+
+
 def q_docs_length_quantiles(sf_dir: str):
     """EXACT corpus length-distribution quantiles without a global
     sort: value-counts combiner → tiny histogram exchange → one
@@ -2222,6 +2251,7 @@ QUERIES = {
     "docs_line_dedup": q_docs_line_dedup,
     "docs_pii": q_docs_pii,
     "docs_length_quantiles": q_docs_length_quantiles,
+    "docs_chunks": q_docs_chunks,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
     "docs_langid": q_docs_langid,
@@ -2285,6 +2315,7 @@ ORACLES = {
     "docs_line_dedup": SQL_DOCS_LINE_DEDUP,
     "docs_pii": SQL_DOCS_PII,
     "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
+    "docs_chunks": SQL_DOCS_CHUNKS,
     "docs_clean_corpus": SQL_DOCS_CLEAN,
     "docs_top_terms": SQL_DOCS_TOP_TERMS,
     "emb_ann_top10": SQL_EMB_ANN,

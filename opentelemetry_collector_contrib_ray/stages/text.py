@@ -497,3 +497,51 @@ def pii_stats(t: pa.Table, col: str = "text", mask: str | None = None,
                                                 replacement=mask)
         t = set_column(t, f"{col}_masked", masked)
     return set_column(t, "has_pii", pa.array(total > 0))
+
+
+# ------------------------------------------------- training-chunk split
+
+def chunk_tokens(t: pa.Table, size: int = 512, col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """Split every document into fixed-size non-overlapping token
+    chunks (trailing partial kept) — the sequence-chunking step of a
+    training-data pipeline. Output rows: ``(id_col, chunk_idx,
+    n_tokens, chunk_text)`` with ``chunk_text`` the chunk's tokens
+    joined by single spaces (whitespace-normalized).
+
+    Fully vectorized: one split kernel → chunk boundaries are CONTIGUOUS
+    runs of the flat token array, so an Arrow ``LargeListArray`` built
+    from pure-offset arithmetic + ONE ``pc.binary_join`` kernel emits
+    every chunk string in C. Embarrassingly parallel per batch — zero
+    shuffles, no per-chunk Python."""
+    c0 = t[col]
+    if isinstance(c0, pa.ChunkedArray):
+        c0 = c0.combine_chunks()
+    segs = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(pc.cast(c0, pa.string()), "")),
+        r"\s+")
+    if isinstance(segs, pa.ChunkedArray):
+        segs = segs.combine_chunks()
+    offsets = np.asarray(segs.offsets, dtype=np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    toks_flat = segs.flatten()
+    n_chunks = (counts + size - 1) // size
+    doc_of = np.repeat(np.arange(len(counts)), n_chunks)
+    idx, _ = _ragged_arange(n_chunks)
+    tok_start = np.cumsum(counts) - counts
+    g_start = tok_start[doc_of] + idx * size
+    g_end = np.minimum(g_start + size, tok_start[doc_of] + counts[doc_of])
+    # consecutive chunks tile the flat token array exactly, so the
+    # list-offset array is just every chunk start + the global end
+    list_offs = np.concatenate([g_start, [int(counts.sum())]])
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(list_offs, type=pa.int64()),
+        pc.cast(toks_flat, pa.large_string()))
+    texts = pc.binary_join(lists, pa.scalar(" ", type=pa.large_string()))
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(ids[doc_of], type=pa.int64()),
+        "chunk_idx": pa.array(idx),
+        "n_tokens": pa.array((g_end - g_start).astype(np.int64)),
+        "chunk_text": pc.cast(texts, pa.string()),
+    })

@@ -331,3 +331,27 @@ def test_pii_stats_counts_and_mask():
     assert out["text_masked"][1] == "host <PII> then <PII>"
     assert out["text_masked"][2] == "call <PII> ok"
     assert out["text_masked"][3] == "clean text, no pii here"
+
+
+def test_chunk_tokens_hand_case_and_slicing():
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.text import chunk_tokens
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": ["a b c d e", "  x  y ", "", "one two three four"],
+    })
+    out = chunk_tokens(t, size=2).to_pandas()
+    want = [
+        (1, 0, 2, "a b"), (1, 1, 2, "c d"), (1, 2, 1, "e"),
+        (2, 0, 2, "x y"),
+        (3, 0, 1, ""),
+        (4, 0, 2, "one two"), (4, 1, 2, "three four"),
+    ]
+    assert [tuple(r) for r in out.itertuples(index=False)] == want
+    # batch-slicing invariance (chunk arithmetic has no cross-row state)
+    parts = pd.concat([chunk_tokens(t.slice(0, 2), size=2).to_pandas(),
+                       chunk_tokens(t.slice(2), size=2).to_pandas()]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, parts)
