@@ -2222,6 +2222,132 @@ FROM events
 """
 
 
+def q_events_cum_to_delta(sf_dir: str):
+    """cumulativetodeltaprocessor analog (stages/deltas.py): treat each
+    (user_id, event_type) as a metric stream with cumulative value
+    value_cents; emit per-point deltas + rates in (ts, event_id) order,
+    first point dropped (tracker.go InitialValueDrop)."""
+    from ..stages.deltas import cumulative_to_delta
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"], "ts": t["ts"],
+            "cents": _cents(t["value"]),
+        }),
+        batch_format="pyarrow",
+    )
+    out = cumulative_to_delta(ds, ["user_id", "event_type"], "ts", "cents",
+                              tie="event_id", initial_value="drop", with_rate=True)
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "delta": pc.cast(t["delta"], pa.int64()),
+            "rate": pc.cast(t["rate"], pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_CUM_TO_DELTA = f"""
+WITH v AS (
+  SELECT user_id, event_type, event_id, ts, {_CENTS.format(x='value')} AS cents
+  FROM events
+), d AS (
+  SELECT user_id, event_type, event_id,
+         cents - lag(cents) OVER w AS delta,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us
+  FROM v WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, event_id, delta,
+       CAST(delta * 1000000 AS DOUBLE) / CAST(dt_us AS DOUBLE) AS rate
+FROM d WHERE delta IS NOT NULL
+"""
+
+
+def q_events_delta_to_cum(sf_dir: str):
+    """deltatocumulativeprocessor analog: running per-stream total of
+    value_cents in (ts, event_id) order — boundary-reset cumsum."""
+    from ..stages.deltas import delta_to_cumulative
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"], "ts": t["ts"],
+            "cents": _cents(t["value"]),
+        }),
+        batch_format="pyarrow",
+    )
+    out = delta_to_cumulative(ds, ["user_id", "event_type"], "ts", "cents",
+                              tie="event_id")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "cumulative": pc.cast(t["cumulative"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_DELTA_TO_CUM = f"""
+SELECT user_id, event_type, event_id,
+       CAST(SUM({_CENTS.format(x='value')}) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative
+FROM events
+"""
+
+
+def q_events_interval_last(sf_dir: str):
+    """intervalprocessor analog: last point of each (user_id,
+    event_type) stream per 6h tumbling interval — partial+final argmax
+    aggregate, no sort shuffle."""
+    from ..stages.deltas import interval_last
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: t.set_column(t.column_names.index("value"), "value",
+                               _cents(t["value"])),
+        batch_format="pyarrow",
+    )
+    out = interval_last(ds, ["user_id", "event_type"], "ts", size_s=21600,
+                        carry=["event_id", "value"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "window_start": pc.cast(t["window_start"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "last_cents": pc.cast(t["value"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_INTERVAL_LAST = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT) AS window_start,
+         event_id, {_CENTS.format(x='value')} AS last_cents,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, floor(epoch(ts) / 21600)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, window_start, event_id, last_cents
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2282,6 +2408,9 @@ QUERIES = {
     "redact_mask_counts": q_redact_mask_counts,
     "route_multimatch_counts": q_route_multimatch_counts,
     "events_prev_value_asof": q_events_prev_value_asof,
+    "events_cum_to_delta": q_events_cum_to_delta,
+    "events_delta_to_cum": q_events_delta_to_cum,
+    "events_interval_last": q_events_interval_last,
 }
 
 ORACLES = {
@@ -2343,4 +2472,7 @@ ORACLES = {
     "redact_mask_counts": SQL_REDACT_MASK,
     "route_multimatch_counts": SQL_ROUTE_MULTIMATCH,
     "events_prev_value_asof": SQL_EVENTS_PREV_VALUE,
+    "events_cum_to_delta": SQL_EVENTS_CUM_TO_DELTA,
+    "events_delta_to_cum": SQL_EVENTS_DELTA_TO_CUM,
+    "events_interval_last": SQL_EVENTS_INTERVAL_LAST,
 }
