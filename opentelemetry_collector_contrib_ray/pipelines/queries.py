@@ -2348,6 +2348,61 @@ FROM r WHERE rn = 1
 """
 
 
+def q_events_tail_sample(sf_dir: str):
+    """tailsamplingprocessor analog (stages/tailsampling.py): traces =
+    (user, day) spans of the events stream; keep a trace when ANY of
+    (a) it contains an error span, (b) it has ≥5 spans AND spans ≥20h
+    (and.go composition), (c) it falls in a 10% deterministic hash
+    sample — then roll the sampled spans up per event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.tailsampling import tail_sample
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+
+    def add_trace(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        trace = pc.add(pc.multiply(pc.cast(t["user_id"], pa.int64()), 131072), day)
+        return t.append_column("trace_id", trace)
+
+    ds = ds.map_batches(add_trace, batch_format="pyarrow")
+    policies = [
+        {"type": "status_code", "col": "event_type", "values": ["error"]},
+        {"type": "and", "sub": [
+            {"type": "span_count", "min": 5},
+            {"type": "latency", "threshold_ms": 20 * 3600 * 1000},
+        ]},
+        {"type": "probabilistic", "percent": 10.0},
+    ]
+    sampled = tail_sample(ds, "trace_id", "ts", policies)
+    return (
+        sampled.select_columns(["event_type", "event_id"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="sum_ids"))
+    )
+
+
+SQL_EVENTS_TAIL_SAMPLE = f"""
+WITH sp AS (
+  SELECT *, user_id * 131072 + epoch_us(ts) // 86400000000 AS trace_id
+  FROM events
+), s AS (
+  SELECT trace_id, count(*) AS n,
+         max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_err,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS dur_ms
+  FROM sp GROUP BY trace_id
+), keep AS (
+  SELECT trace_id FROM s
+  WHERE has_err = 1
+     OR (n >= 5 AND dur_ms >= {20 * 3600 * 1000})
+     OR {sample_keep_sql('trace_id', 10.0)}
+)
+SELECT sp.event_type, count(*) AS n, CAST(SUM(sp.event_id) AS BIGINT) AS sum_ids
+FROM sp JOIN keep USING (trace_id) GROUP BY sp.event_type
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2411,6 +2466,7 @@ QUERIES = {
     "events_cum_to_delta": q_events_cum_to_delta,
     "events_delta_to_cum": q_events_delta_to_cum,
     "events_interval_last": q_events_interval_last,
+    "events_tail_sample": q_events_tail_sample,
 }
 
 ORACLES = {
@@ -2475,4 +2531,5 @@ ORACLES = {
     "events_cum_to_delta": SQL_EVENTS_CUM_TO_DELTA,
     "events_delta_to_cum": SQL_EVENTS_DELTA_TO_CUM,
     "events_interval_last": SQL_EVENTS_INTERVAL_LAST,
+    "events_tail_sample": SQL_EVENTS_TAIL_SAMPLE,
 }

@@ -148,12 +148,25 @@ def _derive_partitions(left, right,
     dataset (map/filter lineage) has no metadata count, and executing
     it here would run the whole upstream pipeline just to size the
     join, so those fall back to ``DEFAULT_JOIN_PARTITIONS`` (pass
-    ``num_partitions`` explicitly to tune)."""
+    ``num_partitions`` explicitly to tune). Either way the count is
+    capped at 4× the cluster's CPUs: Ray's hash-join spawns one
+    0.125-CPU aggregator actor per partition and blocks until ALL are
+    scheduled, so a partition count sized for a big cluster deadlocks
+    a small one (observed: 64 partitions on 4 CPUs never starts)."""
+    cap = 1024
+    try:
+        import ray
+
+        cpus = ray.cluster_resources().get("CPU") if ray.is_initialized() else None
+        if cpus:
+            cap = max(8, int(cpus) * 4)
+    except Exception:
+        pass
     lc, rc = _rows_estimate(left), _rows_estimate(right)
     if lc is None or rc is None:
-        return DEFAULT_JOIN_PARTITIONS
+        return min(DEFAULT_JOIN_PARTITIONS, cap)
     total = lc + rc
-    return int(min(max(-(-total // rows_per_partition), 8), 1024))
+    return int(min(max(-(-total // rows_per_partition), 8), cap))
 
 
 def bucketed_hash_join(left, right, on: str, how: str = "inner",
