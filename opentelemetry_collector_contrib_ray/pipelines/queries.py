@@ -2403,6 +2403,47 @@ FROM sp JOIN keep USING (trace_id) GROUP BY sp.event_type
 """
 
 
+def q_docs_packed(sf_dir: str):
+    """Sequence packing (stages/pack.py): concatenate all docs' tokens
+    in doc_id order and cut into fixed 128-token training sequences
+    (final partial dropped) — the doc offsets come from a distributed
+    two-pass prefix scan (range-bucket totals → driver cumsum →
+    intra-bucket scan), no global sort; output is the per-sequence
+    packing rollup (docs spanned, first/last doc)."""
+    from ..stages.pack import pack_sequences
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=128, num_buckets=32)
+
+
+SQL_DOCS_PACKED = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_replace(coalesce(text, ''),
+                        '^\s+|\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(string_split_regex(regexp_replace(coalesce(text, ''),
+                        '^\s+|\s+$', '', 'g'), '\s+')) END AS n
+  FROM documents
+), off AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM tok
+), seqs AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(o // 128, (o + n - 1) // 128)) AS BIGINT)
+           AS seq_id
+  FROM off WHERE n > 0
+)
+SELECT seq_id, count(*) AS n_docs,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM seqs
+WHERE seq_id < (SELECT CAST(SUM(n) // 128 AS BIGINT) FROM tok)
+GROUP BY seq_id
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2467,6 +2508,7 @@ QUERIES = {
     "events_delta_to_cum": q_events_delta_to_cum,
     "events_interval_last": q_events_interval_last,
     "events_tail_sample": q_events_tail_sample,
+    "docs_packed": q_docs_packed,
 }
 
 ORACLES = {
@@ -2532,4 +2574,5 @@ ORACLES = {
     "events_delta_to_cum": SQL_EVENTS_DELTA_TO_CUM,
     "events_interval_last": SQL_EVENTS_INTERVAL_LAST,
     "events_tail_sample": SQL_EVENTS_TAIL_SAMPLE,
+    "docs_packed": SQL_DOCS_PACKED,
 }
