@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "docs_ngram_jaccard",
     "emb_ann_top10",
     "emb_ann_ivf",
+    "events_tail_sample",
+    "docs_packed",
+    "docs_line_dedup",
+    "docs_dedup_clusters",
 ]
 
 

@@ -2444,6 +2444,33 @@ GROUP BY seq_id
 """
 
 
+def q_docs_stratified(sf_dir: str):
+    """Stratified quota resampling (stages/sampler.py stratified_cap):
+    rebalance the corpus to at most 100 'en' / 40 'zh' / 50 other docs
+    per language via the deterministic hash-rank rule, then roll up the
+    kept set per language (count + doc_id sum pins the exact rows)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sampler import stratified_cap
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    kept = stratified_cap(ds, "lang", {"en": 100, "zh": 40}, 50,
+                          id_col="doc_id", num_partitions=16)
+    return (kept.groupby("lang")
+            .aggregate(Count(alias_name="n_kept"),
+                       Sum("doc_id", alias_name="sum_ids")))
+
+
+def _stratified_sql() -> str:
+    from ..stages.sampler import stratified_cap_sql
+
+    body = stratified_cap_sql("lang", "doc_id", {"en": 100, "zh": 40}, 50,
+                              "(SELECT doc_id, lang FROM documents)")
+    return (f"WITH kept AS ({body}) "
+            "SELECT lang, count(*) AS n_kept, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM kept GROUP BY lang")
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2509,6 +2536,7 @@ QUERIES = {
     "events_interval_last": q_events_interval_last,
     "events_tail_sample": q_events_tail_sample,
     "docs_packed": q_docs_packed,
+    "docs_stratified": q_docs_stratified,
 }
 
 ORACLES = {
@@ -2575,4 +2603,5 @@ ORACLES = {
     "events_interval_last": SQL_EVENTS_INTERVAL_LAST,
     "events_tail_sample": SQL_EVENTS_TAIL_SAMPLE,
     "docs_packed": SQL_DOCS_PACKED,
+    "docs_stratified": _stratified_sql(),
 }

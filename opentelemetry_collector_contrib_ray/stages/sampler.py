@@ -139,6 +139,61 @@ def cap_per_key(ds, key_col: str, n: int, id_col: str, num_partitions: int = 64)
     )
 
 
+def stratified_cap(ds, stratum_col: str, quotas: dict, default_n: int,
+                   id_col: str, num_partitions: int = 64):
+    """Stratified quota sampling — corpus rebalancing's "at most Q_s
+    docs per language/domain s": ``cap_per_key`` generalized to a
+    per-stratum quota table. Within each stratum, keep the Q_s rows
+    with the smallest ``(knuth_hash(id), id)`` — deterministic,
+    seedless, reproducible, and exactly SQL-twinnable
+    (``ROW_NUMBER() OVER (PARTITION BY s ORDER BY hash, id) <= CASE s
+    …``).
+
+    Same shape as cap_per_key: one hash exchange on the stratum, many
+    whole strata per partition, one vectorized pandas pass (the quota
+    lookup is a vectorized map, not per-row Python). The quota dict is
+    driver-tiny (one entry per stratum) and ships in the task closure.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[stratum_col].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            h = k.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(k.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def cap_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.uint64)
+        g = g.assign(__h=(ids * np.uint64(2654435761)) % np.uint64(2**32))
+        g = g.sort_values([stratum_col, "__h", id_col], kind="mergesort")
+        q = g[stratum_col].map(quotas).fillna(default_n).to_numpy()
+        keep = g.groupby(stratum_col, sort=False, dropna=False).cumcount().to_numpy() < q
+        return g.loc[keep].drop(columns=["__h", "__p"])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(cap_partition, batch_format="pandas")
+    )
+
+
+def stratified_cap_sql(stratum_sql: str, id_sql: str, quotas: dict,
+                       default_n: int, src: str) -> str:
+    """SQL twin row-filter CTE body for ``stratified_cap``."""
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in quotas.items())
+    return (
+        f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {stratum_sql} "
+        f"ORDER BY {knuth_hash_sql(id_sql)}, {id_sql}) AS __rn FROM {src}) "
+        f"WHERE __rn <= CASE {stratum_sql} {cases} ELSE {default_n} END"
+    )
+
+
 def cap_per_key_sql(key_sql: str, id_sql: str, n: int, src: str = "events") -> str:
     """SQL twin row-filter CTE body for ``cap_per_key``."""
     return (

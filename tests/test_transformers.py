@@ -234,6 +234,39 @@ def test_cap_per_key_deterministic_across_parallelism():
     assert (df.groupby("user").size() == 5).all()
 
 
+def test_stratified_cap_quotas_and_determinism():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.sampler import stratified_cap
+
+    langs = np.array(["en", "de", "zh"])[np.arange(300) % 3]
+    t = pa.table({"lang": pa.array(langs),
+                  "id": pa.array(np.arange(300), type=pa.int64())})
+    quotas = {"en": 30, "zh": 10}
+
+    def run(nblocks):
+        out = stratified_cap(rd.from_arrow(t).repartition(nblocks),
+                             "lang", quotas, 20, id_col="id",
+                             num_partitions=4).to_pandas()
+        return out
+
+    a, b = run(1), run(8)
+    assert sorted(a["id"]) == sorted(b["id"])
+    sizes = a.groupby("lang").size()
+    assert sizes["en"] == 30 and sizes["zh"] == 10 and sizes["de"] == 20
+    # kept set = smallest (knuth_hash, id) per stratum
+    df = pd.DataFrame({"lang": langs, "id": np.arange(300, dtype=np.uint64)})
+    df["h"] = (df["id"] * np.uint64(2654435761)) % np.uint64(2**32)
+    df = df.sort_values(["lang", "h", "id"])
+    want = []
+    for lang, g in df.groupby("lang"):
+        want += g["id"].head(quotas.get(lang, 20)).astype(int).tolist()
+    assert sorted(a["id"]) == sorted(want)
+
+
 def test_sampler_string_fnv_bit_identical():
     """The vectorized byte-position FNV-1a must reproduce the per-byte
     reference loop exactly (the sampler's determinism contract)."""
