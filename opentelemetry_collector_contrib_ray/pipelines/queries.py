@@ -2471,6 +2471,48 @@ def _stratified_sql() -> str:
             "CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM kept GROUP BY lang")
 
 
+def q_docs_upsampled(sf_dir: str):
+    """Deterministic mixture upsampling (stages/sampler.py
+    upsample_by_weight): repeat docs by per-language epoch weights
+    (en×0.25, zh×2.5, others ×1.75 — dyadic so float math is exact on
+    both sides); pure map_batches expansion, zero shuffle; rollup
+    pins the exact emitted multiset (count, doc_id sum, rep_idx sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sampler import upsample_by_weight
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    up = ds.map_batches(
+        lambda t: upsample_by_weight(t, "lang", {"en": 0.25, "zh": 2.5},
+                                     1.75, id_col="doc_id"),
+        batch_format="pyarrow")
+    return (up.groupby("lang")
+            .aggregate(Count(alias_name="n_rows"),
+                       Sum("doc_id", alias_name="sum_ids"),
+                       Sum("rep_idx", alias_name="sum_reps")))
+
+
+def _upsampled_sql() -> str:
+    from ..stages.sampler import knuth_hash_sql, upsample_sql_cases
+
+    fl_case, thr_case = upsample_sql_cases("lang", {"en": 0.25, "zh": 2.5}, 1.75)
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         {fl_case} + CASE WHEN {knuth_hash_sql('doc_id')} < {thr_case}
+                          THEN 1 ELSE 0 END AS reps
+  FROM documents
+), e AS (
+  SELECT doc_id, lang,
+         CAST(unnest(generate_series(0, reps - 1)) AS BIGINT) AS rep_idx
+  FROM r WHERE reps > 0
+)
+SELECT lang, count(*) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(rep_idx) AS BIGINT) AS sum_reps
+FROM e GROUP BY lang
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2537,6 +2579,7 @@ QUERIES = {
     "events_tail_sample": q_events_tail_sample,
     "docs_packed": q_docs_packed,
     "docs_stratified": q_docs_stratified,
+    "docs_upsampled": q_docs_upsampled,
 }
 
 ORACLES = {
@@ -2604,4 +2647,5 @@ ORACLES = {
     "events_tail_sample": SQL_EVENTS_TAIL_SAMPLE,
     "docs_packed": SQL_DOCS_PACKED,
     "docs_stratified": _stratified_sql(),
+    "docs_upsampled": _upsampled_sql(),
 }

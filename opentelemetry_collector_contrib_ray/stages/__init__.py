@@ -51,7 +51,7 @@ from .sinks import (  # noqa: F401
     write_json_lines,
     write_time_partitioned,
 )
-from .sampler import cap_per_key, stratified_cap  # noqa: F401
+from .sampler import cap_per_key, stratified_cap, upsample_by_weight  # noqa: F401
 from .cluster import attach_clusters, connected_components, dedup_by_clusters  # noqa: F401
 from .decontam import collect_benchmark_ngrams, decontaminate  # noqa: F401
 from .dedup import exact_dedup, log_dedup, minhash_candidate_pairs, ngram_jaccard_pairs  # noqa: F401

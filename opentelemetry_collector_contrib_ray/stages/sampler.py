@@ -183,6 +183,60 @@ def stratified_cap(ds, stratum_col: str, quotas: dict, default_n: int,
     )
 
 
+def upsample_by_weight(t, stratum_col: str, weights: dict, default_w: float,
+                       id_col: str):
+    """Deterministic weighted upsampling — training-data mixture
+    weights ("repeat wikipedia 2.5 epochs"): each row is emitted
+    ``floor(w)`` times plus one more iff ``knuth_hash(id) <
+    frac(w)·2^32`` — seedless, reproducible, and independent per row
+    (NO shuffle: this is a pure ``map_batches`` expansion). Emits a
+    ``rep_idx`` (0..reps-1) column so downstream packing/shuffling can
+    distinguish copies.
+
+    Per-stratum thresholds are precomputed once on the driver (ints),
+    so the per-batch work is one map + compare + ``np.repeat``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def _split(w: float) -> tuple[int, int]:
+        fl = int(np.floor(w))
+        return fl, int((w - fl) * 2**32)
+
+    table = {k: _split(v) for k, v in weights.items()}
+    dfl, dthr = _split(default_w)
+
+    s = pd.Series(t[stratum_col].to_numpy(zero_copy_only=False))
+    fl = s.map({k: v[0] for k, v in table.items()}).fillna(dfl).to_numpy(np.int64)
+    thr = s.map({k: v[1] for k, v in table.items()}).fillna(dthr).to_numpy(np.uint64)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = (ids * KNUTH) % MOD32
+    reps = fl + (h < thr)
+    idx = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+    ends = np.cumsum(reps)
+    rep_idx = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+        - np.repeat(ends - reps, reps)
+    out = t.take(pa.array(idx))
+    return out.append_column("rep_idx", pa.array(rep_idx))
+
+
+def upsample_sql_cases(stratum_sql: str, weights: dict, default_w: float):
+    """(floor_case, threshold_case) SQL expressions with the SAME
+    integer thresholds the Python side uses."""
+    import numpy as np
+
+    def _split(w: float) -> tuple[int, int]:
+        fl = int(np.floor(w))
+        return fl, int((w - fl) * 2**32)
+
+    fls = " ".join(f"WHEN '{k}' THEN {_split(v)[0]}" for k, v in weights.items())
+    ths = " ".join(f"WHEN '{k}' THEN {_split(v)[1]}" for k, v in weights.items())
+    dfl, dthr = _split(default_w)
+    return (f"CASE {stratum_sql} {fls} ELSE {dfl} END",
+            f"CASE {stratum_sql} {ths} ELSE {dthr} END")
+
+
 def stratified_cap_sql(stratum_sql: str, id_sql: str, quotas: dict,
                        default_n: int, src: str) -> str:
     """SQL twin row-filter CTE body for ``stratified_cap``."""

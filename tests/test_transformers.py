@@ -267,6 +267,39 @@ def test_stratified_cap_quotas_and_determinism():
     assert sorted(a["id"]) == sorted(want)
 
 
+def test_upsample_by_weight_deterministic():
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.sampler import upsample_by_weight
+
+    langs = np.array(["en", "de", "zh"])[np.arange(90) % 3]
+    t = pa.table({"lang": pa.array(langs),
+                  "id": pa.array(np.arange(90), type=pa.int64())})
+    out = upsample_by_weight(t, "lang", {"en": 0.25, "zh": 2.5}, 1.75, "id")
+    df = out.to_pandas()
+    # per-row reps match the reference rule
+    h = (np.arange(90, dtype=np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    fl = np.select([langs == "en", langs == "zh"], [0, 2], 1)
+    thr = np.select([langs == "en", langs == "zh"],
+                    [np.uint64(0.25 * 2**32), np.uint64(0.5 * 2**32)],
+                    np.uint64(0.75 * 2**32))
+    reps = fl + (h < thr)
+    got = df.groupby("id").size().reindex(range(90), fill_value=0).to_numpy()
+    assert (got == reps).all()
+    # rep_idx runs 0..reps-1 per source row
+    assert (df.groupby("id")["rep_idx"].max().to_numpy()
+            == reps[reps > 0] - 1).all()
+    # slicing invariance: same result on a table slice union
+    parts = [upsample_by_weight(t.slice(0, 40), "lang",
+                                {"en": 0.25, "zh": 2.5}, 1.75, "id"),
+             upsample_by_weight(t.slice(40), "lang",
+                                {"en": 0.25, "zh": 2.5}, 1.75, "id")]
+    both = pa.concat_tables(parts).to_pandas()
+    assert sorted(zip(both["id"], both["rep_idx"])) == \
+        sorted(zip(df["id"], df["rep_idx"]))
+
+
 def test_sampler_string_fnv_bit_identical():
     """The vectorized byte-position FNV-1a must reproduce the per-byte
     reference loop exactly (the sampler's determinism contract)."""
