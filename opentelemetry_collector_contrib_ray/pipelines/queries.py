@@ -2513,6 +2513,55 @@ FROM e GROUP BY lang
 """
 
 
+def q_docs_span_dedup(sf_dir: str):
+    """Exact duplicate-span removal (stages/dedup.py span_dedup, the
+    Lee-et-al.-2021 ExactSubstr dedup at fixed 4-token windows,
+    keep-first): every 4-token window occurring ≥2 times corpus-wide
+    is masked from all but its first occurrence; docs rebuilt from
+    surviving tokens. Three int-row exchanges; text shuffles once."""
+    from ..stages.dedup import span_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_dedup(ds, k=4, num_partitions=16)
+
+
+SQL_DOCS_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(regexp_replace(coalesce(text, ''),
+                     '^\s+|\s+$', '', 'g'), '\s+') END AS w
+  FROM documents
+), win AS (
+  SELECT doc_id, unnest(range(1, len(w) - 4 + 2)) AS pos, w
+  FROM toks WHERE len(w) >= 4
+), g2 AS (
+  SELECT doc_id, pos, array_to_string(w[pos : pos + 3], chr(31)) AS g FROM win
+), ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS cnt
+  FROM g2
+), cover AS (
+  SELECT DISTINCT doc_id, pos + unnest(range(0, 4)) AS i
+  FROM ranked WHERE cnt >= 2 AND rn > 1
+), tok_exp AS (
+  SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS i FROM toks
+), kept AS (
+  SELECT e.doc_id, e.tok, e.i
+  FROM tok_exp e ANTI JOIN cover c ON e.doc_id = c.doc_id AND e.i = c.i
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text2, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.text2, '') AS text,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_masked
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2580,6 +2629,7 @@ QUERIES = {
     "docs_packed": q_docs_packed,
     "docs_stratified": q_docs_stratified,
     "docs_upsampled": q_docs_upsampled,
+    "docs_span_dedup": q_docs_span_dedup,
 }
 
 ORACLES = {
@@ -2648,4 +2698,5 @@ ORACLES = {
     "docs_packed": SQL_DOCS_PACKED,
     "docs_stratified": _stratified_sql(),
     "docs_upsampled": _upsampled_sql(),
+    "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
 }

@@ -54,7 +54,14 @@ from .sinks import (  # noqa: F401
 from .sampler import cap_per_key, stratified_cap, upsample_by_weight  # noqa: F401
 from .cluster import attach_clusters, connected_components, dedup_by_clusters  # noqa: F401
 from .decontam import collect_benchmark_ngrams, decontaminate  # noqa: F401
-from .dedup import exact_dedup, log_dedup, minhash_candidate_pairs, ngram_jaccard_pairs  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    log_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    segment_dedup,
+    span_dedup,
+)
 from .similarity import brute_force_topk, ivf_topk, lsh_bucket_topk  # noqa: F401
 from .agg import approx_distinct  # noqa: F401
 from .text import gopher_rules, repetition_stats, token_stats  # noqa: F401

@@ -423,3 +423,75 @@ def test_segment_dedup_parallelism_invariant(docs):
     want = _segment_dedup_oracle(rows, "||")
     for _, r in outs[0].iterrows():
         assert r["text"] == want[r["doc_id"]][0]
+
+
+# ---------------------------------------------------------------- span dedup
+
+
+def _span_dedup_oracle(docs, k):
+    """Brute-force keep-first duplicate-window masking."""
+    toks = {d: (s.split() if s.split() else []) for d, s in docs}
+    occ = {}
+    for d, s in docs:
+        w = toks[d]
+        for p in range(len(w) - k + 1):
+            occ.setdefault(tuple(w[p:p + k]), []).append((d, p))
+    covered = {d: set() for d, _ in docs}
+    for g, places in occ.items():
+        if len(places) >= 2:
+            for d, p in sorted(places)[1:]:
+                covered[d].update(range(p, p + k))
+    out = []
+    for d, _ in docs:
+        w = toks[d]
+        keep = [t for i, t in enumerate(w) if i not in covered[d]]
+        out.append((d, " ".join(keep), len(w), len(w) - len(keep)))
+    import pandas as pd
+
+    return pd.DataFrame(out, columns=["doc_id", "text", "n_tokens",
+                                      "n_masked"]).sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def test_span_dedup_hand_case():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import span_dedup
+
+    rows = [(0, "a b c d e f"), (1, "x y a b c d q"), (2, "  "),
+            (3, "a b c d"), (4, "p q r"), (5, "a b c d a b c d")]
+    ds = rd.from_arrow(pa.table({"doc_id": [r[0] for r in rows],
+                                 "text": [r[1] for r in rows]})).repartition(3)
+    got = span_dedup(ds, k=4, num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _span_dedup_oracle(rows, 4)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_span_dedup_random_vs_brute_force_and_parallelism():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import span_dedup
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{j}" for j in range(12)]  # small vocab => many dup windows
+    rows = [(i, " ".join(rng.choice(vocab, rng.integers(0, 25))))
+            for i in range(60)]
+    t = pa.table({"doc_id": [r[0] for r in rows],
+                  "text": [r[1] for r in rows]})
+    want = _span_dedup_oracle(rows, 3)
+
+    def run(blocks, parts):
+        return span_dedup(rd.from_arrow(t).repartition(blocks), k=3,
+                          num_partitions=parts).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    a = run(1, 2)
+    b = run(8, 16)
+    pd.testing.assert_frame_equal(a[want.columns], want)
+    pd.testing.assert_frame_equal(b[want.columns], want)
