@@ -2562,6 +2562,46 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_docs_top_tfidf(sf_dir: str):
+    """Per-doc most-distinctive term by integer-exact TF-IDF rank
+    (stages/text.py top_tfidf): score = tf * N_docs // df; the DF table
+    is computed in-partition on term-hash (never broadcast, never
+    driver-resident), one candidate row per doc per partition reaches
+    the per-doc argmax exchange."""
+    from ..stages.text import top_tfidf
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_tfidf(ds, num_partitions=16)
+
+
+SQL_DOCS_TOP_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(regexp_replace(coalesce(text, ''),
+                     '^\s+|\s+$', '', 'g'), '\s+') END AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, unnest(w) AS term FROM toks
+), tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tfc GROUP BY term
+), scored AS (
+  SELECT doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * (SELECT count(*) FROM documents) // d.df AS BIGINT) AS score
+  FROM tfc t JOIN dfc d USING (term)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, tf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2630,6 +2670,7 @@ QUERIES = {
     "docs_stratified": q_docs_stratified,
     "docs_upsampled": q_docs_upsampled,
     "docs_span_dedup": q_docs_span_dedup,
+    "docs_top_tfidf": q_docs_top_tfidf,
 }
 
 ORACLES = {
@@ -2699,4 +2740,5 @@ ORACLES = {
     "docs_stratified": _stratified_sql(),
     "docs_upsampled": _upsampled_sql(),
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
+    "docs_top_tfidf": SQL_DOCS_TOP_TFIDF,
 }

@@ -545,3 +545,77 @@ def chunk_tokens(t: pa.Table, size: int = 512, col: str = "text",
         "n_tokens": pa.array((g_end - g_start).astype(np.int64)),
         "chunk_text": pc.cast(texts, pa.string()),
     })
+
+
+def top_tfidf(ds, col: str = "text", id_col: str = "doc_id",
+              num_partitions: int = 64):
+    """Per-document most-distinctive term by an integer-exact TF-IDF
+    rank: ``score = tf * N_docs // df`` (monotone in tf/df, integer so
+    the SQL twin hashes identically), ties broken by higher tf then
+    lexicographically smallest term.
+
+    Shape for 100 TB — the document-frequency table is never
+    broadcast and never driver-resident:
+
+    1. per batch: one split + pandas (doc, term) groupby → distinct
+       ``(d, term, tf)`` rows.
+    2. partition by ``hash(term)``: each partition holds ALL rows of
+       its terms, so ``df`` is a local group size; score locally and
+       pre-reduce to ONE candidate row per doc per partition.
+    3. partition by ``hash(d)``: final argmax per doc (≤ P candidate
+       rows per doc arrive).
+
+    Output: ``(id_col, term, tf, df, score)``; empty docs emit no row.
+    """
+    P = num_partitions
+    n_docs = ds.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        c = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(t[col], pa.string()), ""))
+        segs = pc.split_pattern_regex(c, r"\s+")
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        offsets = np.asarray(segs.offsets, dtype=np.int64)
+        empty = np.asarray(pc.equal(pc.utf8_length(c), 0))
+        flat = segs.flatten().to_numpy(zero_copy_only=False)
+        keep = np.ones(len(flat), dtype=bool)
+        starts = offsets[:-1]
+        keep[starts[empty]] = False
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "d": np.repeat(ids, offsets[1:] - offsets[:-1])[keep],
+            "term": flat[keep],
+        })
+        out = df.groupby(["d", "term"], as_index=False, dropna=False).size() \
+            .rename(columns={"size": "tf"})
+        h = pd.util.hash_array(out["term"].to_numpy().astype("U"))
+        out["__p"] = (h % np.uint64(P)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def score_and_prereduce(g: pd.DataFrame) -> pd.DataFrame:
+        df_counts = g.groupby("term", sort=False)["d"].transform("size")
+        g = g.assign(df=df_counts.to_numpy(np.int64))
+        g["score"] = g["tf"].to_numpy(np.int64) * n_docs // g["df"].to_numpy()
+        g = g.sort_values(["d", "score", "tf", "term"],
+                          ascending=[True, False, False, True],
+                          kind="mergesort")
+        g = g.drop_duplicates("d", keep="first")
+        g["__q"] = (g["d"].to_numpy(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15) % np.uint64(P)).astype(np.int64)
+        return g[["d", "term", "tf", "df", "score", "__q"]]
+
+    def final_argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d", "score", "tf", "term"],
+                          ascending=[True, False, False, True],
+                          kind="mergesort").drop_duplicates("d", keep="first")
+        out = g[["d", "term", "tf", "df", "score"]].rename(columns={"d": id_col})
+        return out.astype({"tf": "int64", "df": "int64", "score": "int64"})
+
+    return (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(score_and_prereduce, batch_format="pandas")
+        .groupby("__q")
+        .map_groups(final_argmax, batch_format="pandas")
+    )

@@ -355,3 +355,27 @@ def test_chunk_tokens_hand_case_and_slicing():
                        chunk_tokens(t.slice(2), size=2).to_pandas()]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(out, parts)
+
+
+def test_top_tfidf_hand_case_and_parallelism():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import top_tfidf
+
+    t = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["a a b c", "b c c", "  ", "z z z a"]})
+
+    def run(blocks, parts):
+        return (top_tfidf(rd.from_arrow(t).repartition(blocks),
+                          num_partitions=parts)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    want = pd.DataFrame({"doc_id": [0, 1, 3], "term": ["a", "c", "z"],
+                         "tf": [2, 2, 3], "df": [2, 2, 1],
+                         "score": [4, 4, 12]})
+    for cols in [run(1, 2), run(4, 7)]:
+        pd.testing.assert_frame_equal(
+            cols[["doc_id", "term", "tf", "df", "score"]].astype(
+                {"tf": "int64", "df": "int64", "score": "int64"}), want)
