@@ -2602,6 +2602,29 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_emb_label_centroids(sf_dir: str):
+    """Per-class embedding centroids (stages/similarity.py
+    label_centroids): partial (sum, count) per label per block — one
+    pandas groupby-sum over the zero-copy-reshaped matrix — then a
+    label-hash merge; embeddings never shuffle."""
+    from ..stages.similarity import label_centroids
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+    return label_centroids(ds, num_partitions=4)
+
+
+SQL_EMB_LABEL_CENTROIDS = r"""
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       avg(CAST(v AS DOUBLE)) AS centroid
+FROM e GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2671,6 +2694,7 @@ QUERIES = {
     "docs_upsampled": q_docs_upsampled,
     "docs_span_dedup": q_docs_span_dedup,
     "docs_top_tfidf": q_docs_top_tfidf,
+    "emb_label_centroids": q_emb_label_centroids,
 }
 
 ORACLES = {
@@ -2741,4 +2765,5 @@ ORACLES = {
     "docs_upsampled": _upsampled_sql(),
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_top_tfidf": SQL_DOCS_TOP_TFIDF,
+    "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
 }

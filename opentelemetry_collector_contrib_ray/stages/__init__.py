@@ -62,7 +62,7 @@ from .dedup import (  # noqa: F401
     segment_dedup,
     span_dedup,
 )
-from .similarity import brute_force_topk, ivf_topk, lsh_bucket_topk  # noqa: F401
+from .similarity import brute_force_topk, ivf_topk, label_centroids, lsh_bucket_topk  # noqa: F401
 from .agg import approx_distinct  # noqa: F401
 from .text import gopher_rules, repetition_stats, token_stats, top_tfidf  # noqa: F401
 from .pack import doc_offsets, pack_sequences  # noqa: F401

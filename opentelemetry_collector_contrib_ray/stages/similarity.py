@@ -476,3 +476,60 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, emb_col: str = "embedding"
         ds = ds.map_batches(all_one, batch_format="pyarrow")
         block_col = "__blk"
     return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+
+
+def label_centroids(ds, emb_col: str = "embedding", label_col: str = "label",
+                    num_partitions: int = 8):
+    """Per-class embedding centroids (prototype vectors — the building
+    block of nearest-class-mean classifiers, k-means seeding, and
+    class-balanced coreset selection).
+
+    Partial+final mean: each block computes per-label (sum, count)
+    over its embedding matrix in ONE pandas groupby-sum over d columns
+    (zero-copy flatten → reshape; no per-row Python), emitting
+    labels×d tiny partial rows; the merge exchange is label-hash
+    partitioned. Embeddings themselves never shuffle.
+
+    Output: ``(label, dim, centroid)`` long-format rows (labels × d).
+    """
+    import pandas as pd
+
+    P = num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        offs = np.asarray(emb.offsets, dtype=np.int64)
+        widths = offs[1:] - offs[:-1]
+        d = int(widths[0]) if len(widths) else 0
+        if len(widths) and not (widths == d).all():
+            raise ValueError("ragged embedding column")
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        mat = flat.reshape(-1, d) if d else flat.reshape(0, 0)
+        labels = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(mat)
+        df["__l"] = labels
+        g = df.groupby("__l", dropna=False)
+        sums = g.sum()
+        ns = g.size()
+        out = sums.reset_index().melt(id_vars="__l", var_name="dim",
+                                      value_name="s")
+        out["dim"] = out["dim"].astype(np.int64)
+        out["n"] = ns.reindex(out["__l"]).to_numpy(np.int64)
+        out["__p"] = (out["__l"].to_numpy(np.uint64)
+                      % np.uint64(P)).astype(np.int64)
+        return pa.Table.from_pandas(out.rename(columns={"__l": "label"}),
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["label", "dim"], as_index=False, dropna=False) \
+            .agg(s=("s", "sum"), n=("n", "sum"))
+        agg["centroid"] = agg["s"] / agg["n"]
+        return agg[["label", "dim", "centroid"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    )

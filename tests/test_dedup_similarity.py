@@ -495,3 +495,25 @@ def test_span_dedup_random_vs_brute_force_and_parallelism():
     b = run(8, 16)
     pd.testing.assert_frame_equal(a[want.columns], want)
     pd.testing.assert_frame_equal(b[want.columns], want)
+
+
+def test_label_centroids_match_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import label_centroids
+
+    rng = np.random.default_rng(5)
+    n, d = 80, 6
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    t = pa.table({"embedding": pa.array(list(mat), pa.list_(pa.float32())),
+                  "label": pa.array(labels)})
+
+    out = label_centroids(rd.from_arrow(t).repartition(5), num_partitions=3) \
+        .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    for lab in range(4):
+        want = mat[labels == lab].astype(np.float64).mean(axis=0)
+        got = out[out["label"] == lab]["centroid"].to_numpy()
+        assert np.allclose(got, want, atol=1e-12)
