@@ -2625,6 +2625,33 @@ FROM e GROUP BY label, dim
 """
 
 
+def q_events_split(sf_dir: str):
+    """Deterministic train/valid/test split (stages/sampler.py
+    assign_split): hash-threshold assignment over the 2^32 space —
+    zero-shuffle map_batches; rollup pins the exact member sets."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sampler import assign_split
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    frac = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    tagged = ds.map_batches(lambda t: assign_split(t, "event_id", frac),
+                            batch_format="pyarrow")
+    return (tagged.groupby("split")
+            .aggregate(Count(alias_name="n"),
+                       Sum("event_id", alias_name="sum_ids")))
+
+
+def _events_split_sql() -> str:
+    from ..stages.sampler import split_thresholds_sql
+
+    case = split_thresholds_sql(
+        "event_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return (f"WITH s AS (SELECT event_id, {case} AS split FROM events) "
+            "SELECT split, count(*) AS n, "
+            "CAST(SUM(event_id) AS BIGINT) AS sum_ids FROM s GROUP BY split")
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2695,6 +2722,7 @@ QUERIES = {
     "docs_span_dedup": q_docs_span_dedup,
     "docs_top_tfidf": q_docs_top_tfidf,
     "emb_label_centroids": q_emb_label_centroids,
+    "events_split": q_events_split,
 }
 
 ORACLES = {
@@ -2766,4 +2794,5 @@ ORACLES = {
     "docs_span_dedup": SQL_DOCS_SPAN_DEDUP,
     "docs_top_tfidf": SQL_DOCS_TOP_TFIDF,
     "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
+    "events_split": _events_split_sql(),
 }

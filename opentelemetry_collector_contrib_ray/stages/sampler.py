@@ -255,3 +255,44 @@ def cap_per_key_sql(key_sql: str, id_sql: str, n: int, src: str = "events") -> s
         f"ORDER BY {knuth_hash_sql(id_sql)}, {id_sql}) AS __rn FROM {src}) "
         f"WHERE __rn <= {n}"
     )
+
+
+def assign_split(t, id_col: str, fractions: dict[str, float]):
+    """Deterministic dataset splitting ("train"/"valid"/"test"):
+    assign each row a split by where ``knuth_hash(id)`` falls among
+    cumulative-fraction thresholds over the 2^32 hash space — seedless,
+    reproducible, disjoint, and exactly SQL-twinnable (a CASE over the
+    same integer thresholds). Pure per-row arithmetic: a zero-shuffle
+    ``map_batches`` stage.
+
+    ``fractions`` maps split name → fraction (must sum to ~1; the last
+    split absorbs rounding).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    thr = np.array([int(c * 2**32) for c in cum[:-1]], dtype=np.uint64)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    if ids.dtype.kind in "iu":
+        h = (ids.astype(np.uint64) * KNUTH) % MOD32
+    else:
+        h = fnv1a_hash_strings(pa.array(ids)) % MOD32
+    idx = np.searchsorted(thr, h, side="right")
+    split = pd.Categorical.from_codes(idx, categories=names)
+    return t.append_column("split", pa.array(split.astype(str)))
+
+
+def split_thresholds_sql(id_sql: str, fractions: dict[str, float]) -> str:
+    """CASE expression with the SAME integer thresholds assign_split
+    uses."""
+    import numpy as np
+
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    arms = " ".join(
+        f"WHEN {knuth_hash_sql(id_sql)} < {int(c * 2**32)} THEN '{n}'"
+        for n, c in zip(names[:-1], cum[:-1]))
+    return f"CASE {arms} ELSE '{names[-1]}' END"

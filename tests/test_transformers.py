@@ -326,3 +326,27 @@ def test_sampler_string_fnv_bit_identical():
     whole = s(t)["k"].to_pylist()
     parts = s(t.slice(0, 250))["k"].to_pylist() + s(t.slice(250))["k"].to_pylist()
     assert whole == parts
+
+
+def test_assign_split_disjoint_and_matches_rule():
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.sampler import assign_split
+
+    ids = np.arange(10_000, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids)})
+    frac = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = assign_split(t, "id", frac)
+    split = out["split"].to_numpy(zero_copy_only=False)
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    t0, t1 = np.uint64(0.8 * 2**32), np.uint64(0.9 * 2**32)
+    want = np.where(h < t0, "train", np.where(h < t1, "valid", "test"))
+    assert (split == want).all()
+    # fractions land near targets
+    frac_train = (split == "train").mean()
+    assert abs(frac_train - 0.8) < 0.02
+    # slicing invariance
+    parts = pa.concat_tables([assign_split(t.slice(0, 4000), "id", frac),
+                              assign_split(t.slice(4000), "id", frac)])
+    assert parts["split"].to_numpy(zero_copy_only=False).tolist() == split.tolist()
