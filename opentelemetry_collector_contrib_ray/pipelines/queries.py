@@ -2652,6 +2652,39 @@ def _events_split_sql() -> str:
             "CAST(SUM(event_id) AS BIGINT) AS sum_ids FROM s GROUP BY split")
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (stages/windows.py funnel_steps): users who did
+    view, then click strictly after their first view, then purchase
+    strictly after that (greedy earliest-completion anchors); one
+    user-hash exchange over pre-filtered 3-column rows."""
+    from ..stages.windows import funnel_steps
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, ["view", "click", "purchase"],
+                        num_partitions=16)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s3)
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2723,6 +2756,7 @@ QUERIES = {
     "docs_top_tfidf": q_docs_top_tfidf,
     "emb_label_centroids": q_emb_label_centroids,
     "events_split": q_events_split,
+    "events_funnel": q_events_funnel,
 }
 
 ORACLES = {
@@ -2795,4 +2829,5 @@ ORACLES = {
     "docs_top_tfidf": SQL_DOCS_TOP_TFIDF,
     "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
     "events_split": _events_split_sql(),
+    "events_funnel": SQL_EVENTS_FUNNEL,
 }

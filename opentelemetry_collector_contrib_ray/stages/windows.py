@@ -203,3 +203,66 @@ def session_windows(ds, key: str, ts: str, gap_s: int, num_partitions: int = 64)
         )
 
     return _partitioned(ds, key, num_partitions).map_groups(per_part, batch_format="pandas")
+
+
+def funnel_steps(ds, steps: list[str], user_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 num_partitions: int = 64):
+    """Ordered funnel analysis: how many users performed step 1, then
+    step 2 STRICTLY after their first qualifying step 1, then step 3
+    strictly after that, … (the classic product-analytics funnel, with
+    the greedy earliest-completion rule — each step's anchor is the
+    MIN timestamp satisfying the predecessor constraint).
+
+    Shape: rows are pre-filtered to the step types and projected to
+    three columns before the single user-hash exchange; each partition
+    then resolves every resident user's whole funnel in ``len(steps)``
+    vectorized groupby-min passes (no per-user Python). Only
+    per-partition step counts reach the driver-side rollup — one tiny
+    row per step per partition.
+
+    Output: ``(step_idx, step, n_users)``, one row per step.
+    """
+    P = num_partitions
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        ty = pc.cast(t[type_col], pa.string())
+        m = pc.is_in(ty, value_set=pa.array(steps))
+        t = t.filter(pc.fill_null(m, False))
+        ty = pc.cast(t[type_col], pa.string()).to_pandas().map(step_ix)
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(u, type=pa.int64()),
+            "k": pa.array(ty.to_numpy(np.int64)),
+            "t": pc.cast(t[ts_col], pa.int64()),
+            "__p": pa.array((u.astype(np.uint64) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        prev = None  # per-user anchor timestamp of the previous step
+        for k in range(len(steps)):
+            sel = g[g["k"] == k]
+            if prev is not None:
+                anchor = prev.reindex(sel["u"])
+                keep = sel["t"].to_numpy() > anchor.fillna(np.iinfo(np.int64).max).to_numpy()
+                sel = sel[keep]
+            prev = sel.groupby("u")["t"].min()
+            counts.append(len(prev))
+        return pd.DataFrame({"step_idx": np.arange(len(steps), dtype=np.int64),
+                             "step": steps,
+                             "n_users": np.array(counts, dtype=np.int64)})
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["step_idx", "step"], as_index=False,
+                        dropna=False)["n_users"].sum()
+        return out.astype({"step_idx": "int64", "n_users": "int64"})
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby("step_idx")
+        .map_groups(rollup, batch_format="pandas")
+    )

@@ -253,3 +253,59 @@ def test_derive_partitions_no_execution_on_derived(tmp_path):
     assert not sentinel.exists(), "derived lineage was executed"
     # metadata-backed inputs still size from real row counts
     assert _derive_partitions(base, base) == 8
+
+
+def test_funnel_steps_hand_case_and_parallelism():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.windows import funnel_steps
+
+    def ts(*vals):
+        return pa.array(np.array([f"2024-01-01T00:0{v}:00" for v in vals],
+                                 dtype="datetime64[us]"))
+
+    # u1: view(1) click(2) purchase(3) -> completes all
+    # u2: click(1) view(2) click(3)    -> view, click-after-view; no purchase
+    # u3: view(1) purchase(2)          -> view only (no click step)
+    # u4: purchase(1)                  -> nothing (no view)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 3, 3, 4], type=pa.int64()),
+        "event_type": ["view", "click", "purchase",
+                       "click", "view", "click",
+                       "view", "purchase", "purchase"],
+        "ts": ts(1, 2, 3, 1, 2, 3, 1, 2, 1),
+    })
+
+    def run(blocks):
+        out = funnel_steps(rd.from_arrow(t).repartition(blocks),
+                           ["view", "click", "purchase"],
+                           num_partitions=4).to_pandas()
+        return out.sort_values("step_idx").reset_index(drop=True)
+
+    want = pd.DataFrame({"step_idx": [0, 1, 2],
+                         "step": ["view", "click", "purchase"],
+                         "n_users": [3, 2, 1]})
+    pd.testing.assert_frame_equal(run(1)[want.columns].astype(
+        {"step_idx": "int64", "n_users": "int64"}), want)
+    pd.testing.assert_frame_equal(run(5)[want.columns].astype(
+        {"step_idx": "int64", "n_users": "int64"}), want)
+
+
+def test_funnel_strict_ordering_excludes_ties():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.windows import funnel_steps
+
+    same = np.array(["2024-01-01T00:01:00"] * 2, dtype="datetime64[us]")
+    t = pa.table({"user_id": pa.array([7, 7], type=pa.int64()),
+                  "event_type": ["view", "click"],
+                  "ts": pa.array(same)})
+    out = funnel_steps(rd.from_arrow(t), ["view", "click"],
+                       num_partitions=2).to_pandas() \
+        .sort_values("step_idx")
+    assert out["n_users"].tolist() == [1, 0]  # tie is NOT strictly after
