@@ -2685,6 +2685,31 @@ SELECT 2, 'purchase', (SELECT count(*) FROM s3)
 """
 
 
+def q_events_retention(sf_dir: str):
+    """Retention cohort matrix (stages/windows.py retention_cohorts):
+    users cohorted by first-event week; distinct active users per
+    (cohort_week, week_offset) cell — one user-hash exchange over
+    2-int rows, disjoint per-partition cells, tiny sum rollup."""
+    from ..stages.windows import retention_cohorts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ds, num_partitions=16)
+
+
+SQL_EVENTS_RETENTION = """
+WITH w AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id
+)
+SELECT CAST(cw AS BIGINT) AS cohort_week,
+       CAST(wk - cw AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM w JOIN f USING (user_id)
+GROUP BY cw, wk - cw
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2757,6 +2782,7 @@ QUERIES = {
     "emb_label_centroids": q_emb_label_centroids,
     "events_split": q_events_split,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
 }
 
 ORACLES = {
@@ -2830,4 +2856,5 @@ ORACLES = {
     "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
     "events_split": _events_split_sql(),
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
 }

@@ -266,3 +266,56 @@ def funnel_steps(ds, steps: list[str], user_col: str = "user_id",
         .groupby("step_idx")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      week_us: int = 7 * 86_400_000_000,
+                      num_partitions: int = 64):
+    """Retention cohort matrix: users are cohorted by the week of
+    their FIRST event; for every (cohort_week, week_offset) cell,
+    count the distinct cohort users active in that week — the classic
+    product-analytics retention triangle.
+
+    Shape: rows project to two ints per event before the single
+    user-hash exchange; each partition resolves its resident users
+    completely (first week + distinct active weeks are user-local
+    after the exchange), so per-partition (cohort, offset) counts are
+    disjoint and the final rollup just sums tiny rows.
+
+    Output: ``(cohort_week, week_offset, n_users)``.
+    """
+    P = num_partitions
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        wk = pc.divide(pc.cast(t[ts_col], pa.int64()), week_us)
+        return pa.table({
+            "u": pa.array(u, type=pa.int64()),
+            "wk": wk,
+            "__p": pa.array((u.astype(np.uint64) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["u", "wk"]].drop_duplicates()
+        first = g.groupby("u")["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": first.to_numpy(np.int64),
+                            "week_offset": (g["wk"] - first).to_numpy(np.int64)})
+        cells = out.groupby(["cohort_week", "week_offset"], as_index=False) \
+            .size().rename(columns={"size": "n_users"})
+        cells["__q"] = (cells["cohort_week"].to_numpy(np.uint64)
+                        % np.uint64(P)).astype(np.int64)
+        return cells
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_week", "week_offset"], as_index=False,
+                        dropna=False)["n_users"].sum()
+        return out.astype({"cohort_week": "int64", "week_offset": "int64",
+                           "n_users": "int64"})
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby("__q")
+        .map_groups(rollup, batch_format="pandas")
+    )

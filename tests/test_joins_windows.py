@@ -309,3 +309,39 @@ def test_funnel_strict_ordering_excludes_ties():
                        num_partitions=2).to_pandas() \
         .sort_values("step_idx")
     assert out["n_users"].tolist() == [1, 0]  # tie is NOT strictly after
+
+
+def test_retention_cohorts_hand_case_and_parallelism():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.windows import retention_cohorts
+
+    day = np.timedelta64(86400, "s")
+    w0 = np.datetime64("2024-01-01T00:00:00", "us")
+    # u1: weeks 0,1,2; u2: weeks 0,2 (two events in week 0); u3: week 1 only
+    rows = [(1, w0), (1, w0 + 7 * day), (1, w0 + 14 * day),
+            (2, w0 + day), (2, w0 + 2 * day), (2, w0 + 15 * day),
+            (3, w0 + 8 * day)]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                  "ts": pa.array(np.array([r[1] for r in rows],
+                                          dtype="datetime64[us]"))})
+
+    def run(blocks):
+        out = retention_cohorts(rd.from_arrow(t).repartition(blocks),
+                                num_partitions=4).to_pandas()
+        return out.sort_values(["cohort_week", "week_offset"]) \
+            .reset_index(drop=True)
+
+    # epoch week of 2024-01-01 = 2819 (epoch_us // 7 days)
+    cw = int(w0.astype("datetime64[us]").astype(np.int64) // (7 * 86400000000))
+    want = pd.DataFrame({
+        "cohort_week": [cw] * 3 + [cw + 1],
+        "week_offset": [0, 1, 2, 0],
+        "n_users": [2, 1, 2, 1],
+    })
+    a, b = run(1), run(6)
+    pd.testing.assert_frame_equal(a[want.columns], want)
+    pd.testing.assert_frame_equal(b[want.columns], want)
