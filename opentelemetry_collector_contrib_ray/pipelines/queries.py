@@ -2710,6 +2710,69 @@ GROUP BY cw, wk - cw
 """
 
 
+def q_docs_curation_e2e(sf_dir: str):
+    """Full curation pipeline end-to-end in ONE streaming chain:
+    gopher-rule filter → corpus exact dedup (min-id representative) →
+    stratified per-language quota rebalance (en:100 / zh:40 / other 50,
+    deterministic hash-rank) → per-language doc/id/token rollup. Every
+    stage is an independently-oracled operator; this query pins their
+    composition."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.sampler import stratified_cap
+    from ..stages.text import gopher_rules, token_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        t = gopher_rules(t, min_words=10, min_stopwords=1)
+        return t.filter(t["gopher_pass"]).select(["doc_id", "text", "lang"])
+
+    ds = ds.map_batches(filt, batch_format="pyarrow")
+    ds = exact_dedup(ds, col="text", id_col="doc_id")
+    ds = stratified_cap(ds, "lang", {"en": 100, "zh": 40}, 50,
+                        id_col="doc_id", num_partitions=16)
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = token_stats(t)
+        return pa.table({"lang": t["lang"],
+                         "doc_id": t["doc_id"],
+                         "tok": pc.cast(t["n_tokens_ws"], pa.int64())})
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("doc_id", alias_name="sum_ids"),
+                   Sum("tok", alias_name="sum_tokens"))
+    )
+
+
+def _curation_e2e_sql() -> str:
+    from ..stages.sampler import stratified_cap_sql
+
+    body = stratified_cap_sql("lang", "doc_id", {"en": 100, "zh": 40}, 50,
+                              "rep")
+    return _GOPHER_CTE.replace("n_stop >= 2", "n_stop >= 1") + f"""
+, passed AS (
+  SELECT doc_id, text, lang FROM f
+  WHERE words_ok = 1 AND mean_word_len_ok = 1 AND symbol_ratio_ok = 1
+    AND bullet_ok = 1 AND ellipsis_ok = 1 AND alpha_words_ok = 1
+    AND stopwords_ok = 1
+), rep AS (
+  SELECT p.doc_id, p.text, p.lang
+  FROM passed p
+  JOIN (SELECT text, min(doc_id) AS doc_id FROM passed GROUP BY text) d
+    ON p.doc_id = d.doc_id
+), capped AS ({body})
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens
+FROM capped GROUP BY lang
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2783,6 +2846,7 @@ QUERIES = {
     "events_split": q_events_split,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "docs_curation_e2e": q_docs_curation_e2e,
 }
 
 ORACLES = {
@@ -2857,4 +2921,5 @@ ORACLES = {
     "events_split": _events_split_sql(),
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "docs_curation_e2e": _curation_e2e_sql(),
 }
