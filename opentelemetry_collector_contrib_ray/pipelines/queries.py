@@ -2773,6 +2773,34 @@ FROM capped GROUP BY lang
 """
 
 
+def q_events_outliers(sf_dir: str):
+    """Grouped z-score outlier profiling (stages/agg.py
+    grouped_outliers): per event_type, count values beyond
+    mean ± 2·stddev_pop — moment partials (one row per key per block),
+    broadcast thresholds, vectorized count pass; values never
+    shuffle."""
+    from ..stages.agg import grouped_outliers
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_outliers(ds, "event_type", "value", z=2.0)
+
+
+SQL_EVENTS_OUTLIERS = """
+WITH s AS (
+  SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(e.value) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value < s.m - 2 * s.sd
+                       OR e.value > s.m + 2 * s.sd
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN s USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2847,6 +2875,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "docs_curation_e2e": q_docs_curation_e2e,
+    "events_outliers": q_events_outliers,
 }
 
 ORACLES = {
@@ -2922,4 +2951,5 @@ ORACLES = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "docs_curation_e2e": _curation_e2e_sql(),
+    "events_outliers": SQL_EVENTS_OUTLIERS,
 }

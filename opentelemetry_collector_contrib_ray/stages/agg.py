@@ -186,3 +186,68 @@ def int_quantiles(ds, col: str, qs: dict[str, float],
         out[name] = pa.array([int(vals[min(pos, len(vals) - 1)])],
                              type=pa.int64())
     return pa.table(out)
+
+
+def grouped_outliers(ds, key: str, val: str, z: float = 2.0):
+    """Per-group z-score outlier profiling: for every ``key`` group,
+    count values with ``|v − mean| > z·stddev_pop`` — the data-quality
+    screen that precedes metric alerting and training-data value
+    clipping.
+
+    Two streaming passes, no value shuffle:
+
+    1. moment partials — one ``(key, n, Σv, Σv²)`` pandas-combined row
+       per key per block; the merged moment table is ONE row per
+       distinct key (assumed driver-bounded: group keys here are
+       categorical dimensions, not ids) and broadcasts in the task
+       closure.
+    2. threshold count — vectorized per-block compare + groupby-sum
+       partials, final tiny rollup.
+
+    Output: ``(key, n, n_outliers)`` over non-null values (SQL
+    avg/stddev semantics).
+    """
+    import pandas as pd
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t[key].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(v)
+        df = pd.DataFrame({"k": k[m], "v": v[m]})
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby("k", as_index=False, dropna=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("v2", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    stats = parts.groupby("k", as_index=False, dropna=False).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+    mean = stats["s"] / stats["n"]
+    var = stats["ss"] / stats["n"] - mean * mean
+    sd = np.sqrt(np.maximum(var.to_numpy(), 0.0))
+    lo = dict(zip(stats["k"], mean.to_numpy() - z * sd))
+    hi = dict(zip(stats["k"], mean.to_numpy() + z * sd))
+
+    def count_outliers(t: pa.Table) -> pa.Table:
+        v = t[val].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t[key].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(v)
+        kk, vv = k[m], v[m]
+        s = pd.Series(kk)
+        out = (vv < s.map(lo).to_numpy()) | (vv > s.map(hi).to_numpy())
+        df = pd.DataFrame({"k": kk, "o": out.astype(np.int64)})
+        g = df.groupby("k", as_index=False, dropna=False).agg(
+            n=("o", "size"), n_outliers=("o", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", as_index=False, dropna=False).agg(
+            n=("n", "sum"), n_outliers=("n_outliers", "sum"))
+        return out.rename(columns={"k": key}).astype(
+            {"n": "int64", "n_outliers": "int64"})
+
+    return (
+        ds.map_batches(count_outliers, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(rollup, batch_format="pandas")
+    )

@@ -195,3 +195,24 @@ def test_int_quantiles_matches_duckdb():
         ).df().iloc[0]
         for k in qs:
             assert got[k] == want[k], (n, k)
+
+
+def test_grouped_outliers_vs_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import grouped_outliers
+
+    rng = np.random.default_rng(9)
+    k = np.array(["a", "b"])[rng.integers(0, 2, 3000)]
+    v = np.where(k == "a", rng.normal(0, 1, 3000), rng.normal(10, 5, 3000))
+    t = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    out = grouped_outliers(rd.from_arrow(t).repartition(6), "k", "v") \
+        .to_pandas().set_index("k")
+    for lab in ["a", "b"]:
+        vv = v[k == lab]
+        m, sd = vv.mean(), vv.std()
+        want = int(((vv < m - 2 * sd) | (vv > m + 2 * sd)).sum())
+        assert out.loc[lab, "n"] == len(vv)
+        assert abs(int(out.loc[lab, "n_outliers"]) - want) <= 1  # FP boundary
