@@ -2801,6 +2801,35 @@ GROUP BY e.event_type
 """
 
 
+def q_docs_top_terms_per_lang(sf_dir: str):
+    """Per-language top-5 vocabulary (stages/text.py
+    top_terms_per_group): (group, term) value_counts combiner →
+    pair-hash merge with per-group k-candidate pre-reduce →
+    group-hash final rank; only (group, term, count) rows move."""
+    from ..stages.text import top_terms_per_group
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+    return top_terms_per_group(ds, "lang", k=5, num_partitions=16)
+
+
+SQL_DOCS_TOP_TERMS_PER_LANG = r"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(regexp_replace(coalesce(text, ''),
+           '^\s+|\s+$', '', 'g'), '\s+')) AS term
+  FROM documents
+), c AS (
+  SELECT lang, term, count(*) AS n FROM tok WHERE term <> ''
+  GROUP BY lang, term
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY n DESC, term ASC) AS rank
+  FROM c
+)
+SELECT lang, term, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2876,6 +2905,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "docs_curation_e2e": q_docs_curation_e2e,
     "events_outliers": q_events_outliers,
+    "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
 }
 
 ORACLES = {
@@ -2952,4 +2982,5 @@ ORACLES = {
     "events_retention": SQL_EVENTS_RETENTION,
     "docs_curation_e2e": _curation_e2e_sql(),
     "events_outliers": SQL_EVENTS_OUTLIERS,
+    "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
 }

@@ -64,7 +64,13 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import brute_force_topk, ivf_topk, label_centroids, lsh_bucket_topk  # noqa: F401
 from .agg import approx_distinct, grouped_outliers  # noqa: F401
-from .text import gopher_rules, repetition_stats, token_stats, top_tfidf  # noqa: F401
+from .text import (  # noqa: F401
+    gopher_rules,
+    repetition_stats,
+    token_stats,
+    top_terms_per_group,
+    top_tfidf,
+)
 from .pack import doc_offsets, pack_sequences  # noqa: F401
 from .windows import funnel_steps, retention_cohorts, session_windows, tumbling_window  # noqa: F401
 from .tailsampling import tail_sample  # noqa: F401

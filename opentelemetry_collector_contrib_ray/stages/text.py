@@ -619,3 +619,64 @@ def top_tfidf(ds, col: str = "text", id_col: str = "doc_id",
         .groupby("__q")
         .map_groups(final_argmax, batch_format="pandas")
     )
+
+
+def top_terms_per_group(ds, group_col: str, k: int = 5, col: str = "text",
+                        num_partitions: int = 64):
+    """Top-k terms within every group (per-language / per-domain
+    vocabulary profile): per-batch (group, term) pandas value_counts
+    combiner → (group, term)-hash merge (full counts per pair live in
+    one partition) → per-group rank pre-reduce (each count partition
+    keeps at most k candidates per group) → group-hash final top-k.
+    Ties break (count desc, term asc), so output is deterministic.
+
+    Only (group, term, count) rows cross the wire; rows reaching the
+    final exchange are ≤ k per group per count-partition.
+
+    Output: ``(group_col, term, n, rank)`` with rank 1..k.
+    """
+    P = num_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(t[col], pa.string()), ""))
+        toks = pc.split_pattern_regex(c, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        grp = np.repeat(t[group_col].to_numpy(zero_copy_only=False),
+                        offsets[1:] - offsets[:-1])
+        m = flat != ""
+        df = pd.DataFrame({"g": grp[m], "term": flat[m]})
+        out = df.groupby(["g", "term"], as_index=False, dropna=False).size() \
+            .rename(columns={"size": "n"})
+        h = (pd.util.hash_array(out["g"].to_numpy().astype("U"))
+             ^ pd.util.hash_array(out["term"].to_numpy().astype("U")))
+        out["__p"] = (h % np.uint64(P)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge_and_prereduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["g", "term"], as_index=False, dropna=False)["n"].sum()
+        g = g.sort_values(["g", "n", "term"], ascending=[True, False, True],
+                          kind="mergesort")
+        g = g[g.groupby("g", sort=False, dropna=False).cumcount() < k]
+        g["__q"] = (pd.util.hash_array(g["g"].to_numpy().astype("U"))
+                    % np.uint64(P)).astype(np.int64)
+        return g
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["g", "n", "term"], ascending=[True, False, True],
+                          kind="mergesort")
+        g["rank"] = g.groupby("g", sort=False, dropna=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        out = g[["g", "term", "n", "rank"]].rename(columns={"g": group_col})
+        return out.astype({"n": "int64", "rank": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge_and_prereduce, batch_format="pandas")
+        .groupby("__q")
+        .map_groups(final_topk, batch_format="pandas")
+    )

@@ -379,3 +379,32 @@ def test_top_tfidf_hand_case_and_parallelism():
         pd.testing.assert_frame_equal(
             cols[["doc_id", "term", "tf", "df", "score"]].astype(
                 {"tf": "int64", "df": "int64", "score": "int64"}), want)
+
+
+def test_top_terms_per_group_correct_and_prereduce_safe():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import top_terms_per_group
+
+    t = pa.table({
+        "lang": ["en", "en", "de", "de", "de"],
+        "text": ["x x y z", "y x q", "a b b", "b a", "c"],
+    })
+
+    def run(blocks, parts):
+        return (top_terms_per_group(rd.from_arrow(t).repartition(blocks),
+                                    "lang", k=2, num_partitions=parts)
+                .to_pandas().sort_values(["lang", "rank"])
+                .reset_index(drop=True))
+
+    want = pd.DataFrame({"lang": ["de", "de", "en", "en"],
+                         "term": ["b", "a", "x", "y"],
+                         "n": [3, 2, 3, 2], "rank": [1, 2, 1, 2]})
+    # many partitions: per-partition pre-reduce must not lose the true
+    # top-k (each (g, term) pair's full count lives in ONE partition)
+    for out in [run(1, 2), run(5, 16)]:
+        pd.testing.assert_frame_equal(
+            out[["lang", "term", "n", "rank"]].astype(
+                {"n": "int64", "rank": "int64"}), want)
