@@ -2830,6 +2830,40 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_docs_novelty(sf_dir: str):
+    """Per-doc n-gram novelty (stages/text.py ngram_novelty): how many
+    of each doc's distinct word 3-grams appear in no other document —
+    distinct int rows → gram-hash df exchange → doc-hash rollup, text
+    never shuffles; integer counts hash exactly vs SQL."""
+    from ..stages.text import ngram_novelty
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_novelty(ds, n=3, num_partitions=16)
+
+
+SQL_DOCS_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(regexp_replace(coalesce(text, ''),
+                     '^\s+|\s+$', '', 'g'), '\s+') END AS w
+  FROM documents
+), win AS (
+  SELECT doc_id, unnest(range(1, len(w) - 3 + 2)) AS pos, w
+  FROM toks WHERE len(w) >= 3
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(w[pos : pos + 2], chr(31)) AS gm
+  FROM win
+), df AS (
+  SELECT gm, count(*) AS df FROM g GROUP BY gm
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+FROM g JOIN df USING (gm) GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2906,6 +2940,7 @@ QUERIES = {
     "docs_curation_e2e": q_docs_curation_e2e,
     "events_outliers": q_events_outliers,
     "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
+    "docs_novelty": q_docs_novelty,
 }
 
 ORACLES = {
@@ -2983,4 +3018,5 @@ ORACLES = {
     "docs_curation_e2e": _curation_e2e_sql(),
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
+    "docs_novelty": SQL_DOCS_NOVELTY,
 }

@@ -66,6 +66,7 @@ from .similarity import brute_force_topk, ivf_topk, label_centroids, lsh_bucket_
 from .agg import approx_distinct, grouped_outliers  # noqa: F401
 from .text import (  # noqa: F401
     gopher_rules,
+    ngram_novelty,
     repetition_stats,
     token_stats,
     top_terms_per_group,

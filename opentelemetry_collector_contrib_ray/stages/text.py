@@ -680,3 +680,83 @@ def top_terms_per_group(ds, group_col: str, k: int = 5, col: str = "text",
         .groupby("__q")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def ngram_novelty(ds, n: int = 3, col: str = "text", id_col: str = "doc_id",
+                  num_partitions: int = 64):
+    """Per-document n-gram novelty: of a doc's DISTINCT word n-grams,
+    how many appear in no other document (corpus df = 1)? High-novelty
+    docs carry unique content; low-novelty docs are template/boilerplate
+    — a standard diversity signal for training-data selection.
+
+    Shape: distinct ``(doc, hash64(gram))`` int rows (one flat-token
+    shifted-slice join per batch, pandas drop_duplicates) → gram-hash
+    exchange where df is a local group size → per-doc partials
+    ``(doc, n_grams, n_unique)`` → doc-hash sum rollup. Text never
+    shuffles; everything after the explode is int rows. Counts are
+    integers, so the SQL twin hashes identically.
+
+    Output: ``(id_col, n_grams, n_unique)``; docs with < n tokens emit
+    no row (they have no n-grams).
+    """
+    P = num_partitions
+    SEP = "\x1f"
+    STEP = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode(t: pa.Table) -> pa.Table:
+        c = pc.utf8_trim_whitespace(
+            pc.fill_null(pc.cast(t[col], pa.string()), ""))
+        segs = pc.split_pattern_regex(c, r"\s+")
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        offsets = np.asarray(segs.offsets, dtype=np.int64)
+        counts = offsets[1:] - offsets[:-1]
+        empty = np.asarray(pc.equal(pc.utf8_length(c), 0))
+        flat = segs.flatten()
+        if empty.any():
+            keep = np.ones(len(flat), dtype=bool)
+            keep[offsets[:-1][empty]] = False
+            flat = flat.filter(pa.array(keep))
+            counts = np.where(empty, 0, counts)
+        nt = len(flat)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if nt < n:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.int64()),
+                             "__p": pa.array([], type=pa.int64())})
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(j, nt - n + 1) for j in range(n)], SEP)
+        docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        valid = docidx[: nt - n + 1] == docidx[n - 1:]
+        h = pd.util.hash_array(
+            grams.to_numpy(zero_copy_only=False).astype("U"))[valid]
+        d = np.repeat(ids, counts)[: nt - n + 1][valid]
+        df = pd.DataFrame({"d": d, "h": h.view(np.int64)}).drop_duplicates()
+        df["__p"] = (df["h"].to_numpy(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def df_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct (d, h) pairs, all occurrences of h co-located
+        g = g.drop_duplicates(["d", "h"])  # across-block dedup
+        dfc = g.groupby("h", sort=False)["d"].transform("size")
+        out = pd.DataFrame({"d": g["d"].to_numpy(),
+                            "u": (dfc.to_numpy() == 1).astype(np.int64)})
+        agg = out.groupby("d", as_index=False).agg(
+            n_grams=("u", "size"), n_unique=("u", "sum"))
+        agg["__q"] = (agg["d"].to_numpy(np.uint64) * STEP
+                      % np.uint64(P)).astype(np.int64)
+        return agg
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("d", as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_unique=("n_unique", "sum"))
+        return out.rename(columns={"d": id_col}).astype(
+            {"n_grams": "int64", "n_unique": "int64"})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(df_partial, batch_format="pandas")
+        .groupby("__q")
+        .map_groups(rollup, batch_format="pandas")
+    )

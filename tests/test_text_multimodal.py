@@ -408,3 +408,29 @@ def test_top_terms_per_group_correct_and_prereduce_safe():
         pd.testing.assert_frame_equal(
             out[["lang", "term", "n", "rank"]].astype(
                 {"n": "int64", "rank": "int64"}), want)
+
+
+def test_ngram_novelty_hand_case_and_parallelism():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import ngram_novelty
+
+    # doc0 and doc1 share the 3-gram "a b c"; doc0 also repeats it (distinct once)
+    t = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["a b c d a b c", "a b c", "x y z w", "p q"]})
+
+    def run(blocks, parts):
+        return (ngram_novelty(rd.from_arrow(t).repartition(blocks), n=3,
+                              num_partitions=parts)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # doc0 distinct 3-grams: abc, bcd, cda, dab (abc repeated) -> 4, unique 3
+    # doc1: abc -> 1, unique 0; doc2: xyz, yzw -> 2, unique 2; doc3: none
+    want = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "n_grams": [4, 1, 2], "n_unique": [3, 0, 2]})
+    for out in [run(1, 2), run(4, 8)]:
+        pd.testing.assert_frame_equal(
+            out[["doc_id", "n_grams", "n_unique"]].astype("int64"),
+            want.astype("int64"))
