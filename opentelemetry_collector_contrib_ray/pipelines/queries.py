@@ -2864,6 +2864,41 @@ FROM g JOIN df USING (gm) GROUP BY g.doc_id
 """
 
 
+def q_emb_nc_confusion(sf_dir: str):
+    """Nearest-class-mean classification audit (stages/similarity.py
+    nearest_centroid_confusion): assign every vector to its nearest
+    label centroid (squared L2, smallest-label ties) and report the
+    confusion counts; centroid table broadcasts, one matmul per batch."""
+    from ..stages.similarity import nearest_centroid_confusion
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+    return nearest_centroid_confusion(ds, num_partitions=4)
+
+
+SQL_EMB_NC_CONFUSION = """
+WITH ex AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, dim, avg(CAST(v AS DOUBLE)) AS c
+  FROM ex GROUP BY clabel, dim
+), dist AS (
+  SELECT ex.vec_id, ex.label, cent.clabel,
+         SUM(cent.c * cent.c - 2 * CAST(ex.v AS DOUBLE) * cent.c) AS d2
+  FROM ex JOIN cent USING (dim)
+  GROUP BY ex.vec_id, ex.label, cent.clabel
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY d2, clabel) AS rn
+  FROM dist
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS pred,
+       CAST(count(*) AS BIGINT) AS n
+FROM ranked WHERE rn = 1 GROUP BY label, clabel
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2941,6 +2976,7 @@ QUERIES = {
     "events_outliers": q_events_outliers,
     "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
     "docs_novelty": q_docs_novelty,
+    "emb_nc_confusion": q_emb_nc_confusion,
 }
 
 ORACLES = {
@@ -3019,4 +3055,5 @@ ORACLES = {
     "events_outliers": SQL_EVENTS_OUTLIERS,
     "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
     "docs_novelty": SQL_DOCS_NOVELTY,
+    "emb_nc_confusion": SQL_EMB_NC_CONFUSION,
 }

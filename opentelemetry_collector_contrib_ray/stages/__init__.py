@@ -62,7 +62,13 @@ from .dedup import (  # noqa: F401
     segment_dedup,
     span_dedup,
 )
-from .similarity import brute_force_topk, ivf_topk, label_centroids, lsh_bucket_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_topk,
+    label_centroids,
+    lsh_bucket_topk,
+    nearest_centroid_confusion,
+)
 from .agg import approx_distinct, grouped_outliers  # noqa: F401
 from .text import (  # noqa: F401
     gopher_rules,

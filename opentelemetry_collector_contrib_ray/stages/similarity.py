@@ -533,3 +533,59 @@ def label_centroids(ds, emb_col: str = "embedding", label_col: str = "label",
         .groupby("__p")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def nearest_centroid_confusion(ds, emb_col: str = "embedding",
+                               label_col: str = "label",
+                               num_partitions: int = 8):
+    """Nearest-class-mean classification audit: assign every vector to
+    its nearest label centroid (squared L2, ties → smallest label) and
+    report the confusion counts ``(label, pred, n)`` — the standard
+    quick check of embedding-space class separability.
+
+    Two passes: the centroid table (labels × d — tiny) comes from
+    ``label_centroids`` and broadcasts in the task closure; the
+    classify pass is one numpy matmul per batch (argmin of
+    ``|c|² − 2·X·Cᵀ``, same first-minimum tie rule as SQL's
+    ``ORDER BY dist, label``) with per-block pre-counted confusion
+    partials. Embeddings never shuffle.
+    """
+    import pandas as pd
+
+    cent = label_centroids(ds, emb_col, label_col, num_partitions) \
+        .to_pandas().sort_values(["label", "dim"])
+    labels = np.sort(cent["label"].unique())
+    d = int(cent["dim"].max()) + 1
+    C = cent.pivot(index="label", columns="dim", values="centroid") \
+        .loc[labels].to_numpy(np.float64)          # (L, d) label-ascending
+    c2 = (C * C).sum(axis=1)
+
+    def classify(t: pa.Table) -> pa.Table:
+        emb = t[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, d)
+        # argmin_j |x−c_j|² = argmin_j (|c_j|² − 2·x·c_j); first minimum
+        # wins, and rows of C are label-ascending → ties pick the
+        # smallest label, matching the SQL ORDER BY dist, label rule
+        scores = c2[None, :] - 2.0 * (X @ C.T)
+        pred = labels[np.argmin(scores, axis=1)]
+        df = pd.DataFrame({
+            "label": t[label_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "pred": pred.astype(np.int64),
+        })
+        out = df.groupby(["label", "pred"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["__p"] = (out["label"].to_numpy(np.uint64)
+                      % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["label", "pred"], as_index=False)["n"].sum()
+        return out.astype({"label": "int64", "pred": "int64", "n": "int64"})
+
+    return (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(rollup, batch_format="pandas")
+    )

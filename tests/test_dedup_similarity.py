@@ -517,3 +517,36 @@ def test_label_centroids_match_numpy():
         want = mat[labels == lab].astype(np.float64).mean(axis=0)
         got = out[out["label"] == lab]["centroid"].to_numpy()
         assert np.allclose(got, want, atol=1e-12)
+
+
+def test_nearest_centroid_confusion_vs_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        nearest_centroid_confusion,
+    )
+
+    rng = np.random.default_rng(13)
+    # 3 well-separated clusters with a few strays
+    centers = np.array([[0.0] * 4, [10.0] * 4, [-10.0, 10.0, -10.0, 10.0]])
+    labels = rng.integers(0, 3, 120)
+    X = centers[labels] + rng.normal(0, 1.0, (120, 4))
+    t = pa.table({"embedding": pa.array(list(X.astype(np.float32)),
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(labels.astype(np.int32))})
+    out = nearest_centroid_confusion(rd.from_arrow(t).repartition(5),
+                                     num_partitions=3).to_pandas()
+    # reference: numpy means + argmin
+    Xd = X.astype(np.float32).astype(np.float64)
+    C = np.stack([Xd[labels == j].mean(axis=0) for j in range(3)])
+    pred = np.argmin(((Xd[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+    import pandas as pd
+
+    want = pd.DataFrame({"label": labels.astype(np.int64), "pred": pred}) \
+        .groupby(["label", "pred"], as_index=False).size() \
+        .rename(columns={"size": "n"})
+    got = out.sort_values(["label", "pred"]).reset_index(drop=True)
+    want = want.sort_values(["label", "pred"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
