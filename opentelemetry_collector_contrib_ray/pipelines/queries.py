@@ -2899,6 +2899,44 @@ FROM ranked WHERE rn = 1 GROUP BY label, clabel
 """
 
 
+def q_docs_lang_quantiles(sf_dir: str):
+    """Per-language exact token-length quantiles (stages/agg.py
+    grouped_int_quantiles): (group, value) count combiner → group-hash
+    exchange → in-partition cumsum + quantile_disc rule; the histogram
+    never touches the driver."""
+    from ..stages.agg import grouped_int_quantiles
+    from ..stages.text import token_stats
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = token_stats(t)
+        return pa.table({"lang": t["lang"],
+                         "ntok": pc.cast(t["n_tokens_ws"], pa.int64())})
+
+    ds = ds.map_batches(proj, batch_format="pyarrow")
+    return grouped_int_quantiles(ds, "lang", "ntok",
+                                 {"p50": 0.5, "p90": 0.9, "p100": 1.0},
+                                 num_partitions=8)
+
+
+SQL_DOCS_LANG_QUANTILES = r"""
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN len(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0
+              THEN 0
+              ELSE len(string_split_regex(regexp_replace(coalesce(text, ''),
+                     '^\s+|\s+$', '', 'g'), '\s+')) END AS ntok
+  FROM documents
+)
+SELECT lang,
+       CAST(quantile_disc(ntok, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(ntok, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(ntok, 1.0) AS BIGINT) AS p100
+FROM toks GROUP BY lang
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -2977,6 +3015,7 @@ QUERIES = {
     "docs_top_terms_per_lang": q_docs_top_terms_per_lang,
     "docs_novelty": q_docs_novelty,
     "emb_nc_confusion": q_emb_nc_confusion,
+    "docs_lang_quantiles": q_docs_lang_quantiles,
 }
 
 ORACLES = {
@@ -3056,4 +3095,5 @@ ORACLES = {
     "docs_top_terms_per_lang": SQL_DOCS_TOP_TERMS_PER_LANG,
     "docs_novelty": SQL_DOCS_NOVELTY,
     "emb_nc_confusion": SQL_EMB_NC_CONFUSION,
+    "docs_lang_quantiles": SQL_DOCS_LANG_QUANTILES,
 }

@@ -69,7 +69,7 @@ from .similarity import (  # noqa: F401
     lsh_bucket_topk,
     nearest_centroid_confusion,
 )
-from .agg import approx_distinct, grouped_outliers  # noqa: F401
+from .agg import approx_distinct, grouped_int_quantiles, grouped_outliers  # noqa: F401
 from .text import (  # noqa: F401
     gopher_rules,
     ngram_novelty,

@@ -251,3 +251,57 @@ def grouped_outliers(ds, key: str, val: str, z: float = 2.0):
         .groupby("k")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def grouped_int_quantiles(ds, group_col: str, col: str, qs: dict[str, float],
+                          num_partitions: int = 64):
+    """EXACT per-group quantiles over an integer column, no sort and no
+    driver collection: per-batch (group, value) count combiner →
+    GROUP-hash exchange (every group's full histogram lands in one
+    partition) → per-partition vectorized cumsum + the quantile_disc
+    selection rule (``idx = max(ceil(q·n) − 1, 0)``, same rule
+    int_quantiles pins empirically against DuckDB).
+
+    Unlike the global op, the histogram never touches the driver —
+    per-worker state is one group's distinct values, so group count
+    scales freely. Output: one row per group with a column per
+    quantile name.
+    """
+    import math
+
+    import pandas as pd
+
+    names = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t[group_col].to_numpy(zero_copy_only=False),
+            "v": t[col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        out = df.groupby(["g", "v"], as_index=False, dropna=False).size() \
+            .rename(columns={"size": "n"})
+        h = pd.util.hash_array(out["g"].to_numpy().astype("U"))
+        out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def quantiles_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["g", "v"], as_index=False, dropna=False)["n"].sum()
+        g = g.sort_values(["g", "v"], kind="mergesort")
+        rows = []
+        for key, grp in g.groupby("g", sort=False, dropna=False):
+            vals = grp["v"].to_numpy()
+            cum = grp["n"].to_numpy().cumsum()
+            n = int(cum[-1])
+            row = {group_col: key}
+            for name in names:
+                idx = max(math.ceil(np.float64(qs[name]) * n) - 1, 0)
+                pos = int(np.searchsorted(cum, idx + 1))
+                row[name] = int(vals[min(pos, len(vals) - 1)])
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[group_col] + names)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(quantiles_per_group, batch_format="pandas")
+    )

@@ -216,3 +216,26 @@ def test_grouped_outliers_vs_numpy():
         want = int(((vv < m - 2 * sd) | (vv > m + 2 * sd)).sum())
         assert out.loc[lab, "n"] == len(vv)
         assert abs(int(out.loc[lab, "n_outliers"]) - want) <= 1  # FP boundary
+
+
+def test_grouped_int_quantiles_vs_duckdb():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import grouped_int_quantiles
+
+    rng = np.random.default_rng(17)
+    g = np.array(["a", "b", "c"])[rng.integers(0, 3, 700)]
+    v = rng.integers(0, 50, 700)
+    t = pa.table({"g": pa.array(g), "v": pa.array(v, type=pa.int64())})
+    out = grouped_int_quantiles(rd.from_arrow(t).repartition(6), "g", "v",
+                                {"p25": 0.25, "p50": 0.5, "p99": 0.99},
+                                num_partitions=4) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT g, quantile_disc(v, 0.25) p25, quantile_disc(v, 0.5) p50, "
+        "quantile_disc(v, 0.99) p99 FROM t GROUP BY g ORDER BY g").df()
+    for c in ["p25", "p50", "p99"]:
+        assert out[c].tolist() == want[c].tolist(), c
