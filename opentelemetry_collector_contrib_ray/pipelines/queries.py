@@ -2937,6 +2937,55 @@ FROM toks GROUP BY lang
 """
 
 
+def q_emb_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means (stages/similarity.py kmeans_lloyd):
+    k=4 smallest-id seeds, 2 exact assign/update iterations (broadcast
+    centroids, matmul-argmin, per-block (sum, count) partials), final
+    per-cluster rollup — the SQL twin unrolls both iterations as
+    dist-rank / avg CTE pairs."""
+    from ..stages.similarity import kmeans_lloyd
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_lloyd(ds, k=4, iters=2, num_partitions=4)
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    dist = """
+, d{i} AS (
+  SELECT ex.vec_id, c.cl,
+         SUM(c.c * c.c - 2 * CAST(ex.v AS DOUBLE) * c.c) AS d2
+  FROM ex JOIN c{j} c USING (dim) GROUP BY ex.vec_id, c.cl
+), a{i} AS (
+  SELECT vec_id, cl FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+    FROM d{i}) WHERE rn = 1
+)"""
+    upd = """
+, c{i} AS (
+  SELECT a{i}.cl, ex.dim, avg(CAST(ex.v AS DOUBLE)) AS c
+  FROM ex JOIN a{i} USING (vec_id) GROUP BY a{i}.cl, ex.dim
+)"""
+    sql = f"""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cl, dim, CAST(v AS DOUBLE) AS c FROM ex
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    for i in range(1, iters + 1):
+        sql += dist.format(i=i, j=i - 1) + upd.format(i=i)
+    final = iters + 1
+    sql += dist.format(i=final, j=iters)
+    sql += f"""
+SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+FROM a{final} GROUP BY cl
+"""
+    return sql
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -3016,6 +3065,7 @@ QUERIES = {
     "docs_novelty": q_docs_novelty,
     "emb_nc_confusion": q_emb_nc_confusion,
     "docs_lang_quantiles": q_docs_lang_quantiles,
+    "emb_kmeans": q_emb_kmeans,
 }
 
 ORACLES = {
@@ -3096,4 +3146,5 @@ ORACLES = {
     "docs_novelty": SQL_DOCS_NOVELTY,
     "emb_nc_confusion": SQL_EMB_NC_CONFUSION,
     "docs_lang_quantiles": SQL_DOCS_LANG_QUANTILES,
+    "emb_kmeans": _kmeans_sql(),
 }

@@ -65,6 +65,7 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk,
+    kmeans_lloyd,
     label_centroids,
     lsh_bucket_topk,
     nearest_centroid_confusion,

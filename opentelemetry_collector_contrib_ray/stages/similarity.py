@@ -589,3 +589,98 @@ def nearest_centroid_confusion(ds, emb_col: str = "embedding",
         .groupby("__p")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 num_partitions: int = 8):
+    """Distributed Lloyd's k-means over the embedding column, exact and
+    deterministic: seeds are the ``k`` vectors with the smallest ids
+    (cluster label = seed id), each iteration assigns every vector to
+    its nearest centroid (squared L2, smallest-label ties) and
+    recomputes centroids as exact means; after ``iters`` updates the
+    final assignment is rolled up per cluster.
+
+    Distribution shape per iteration — the textbook scalable k-means:
+    centroids broadcast (k×d floats), ONE matmul-argmin pass per batch
+    emitting per-cluster (sum, count) partials (k×d rows per block),
+    driver-merged update. Embeddings never shuffle; seeds come from a
+    per-block min-k combiner, not a sort.
+
+    Output: ``(cluster, n, sum_ids)`` for the final assignment.
+    """
+    import pandas as pd
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="mergesort")[:k]
+        emb = t[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({id_col: pa.array(ids[take], type=pa.int64()),
+                         emb_col: emb.take(pa.array(take))})
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    seeds = seeds.sort_values(id_col).head(k)
+    labels = seeds[id_col].to_numpy(np.int64)
+    C = np.stack(seeds[emb_col].to_numpy()).astype(np.float64)
+    d = C.shape[1]
+
+    def make_assign(Cmat):
+        c2 = (Cmat * Cmat).sum(axis=1)
+
+        def assign(t: pa.Table) -> pa.Table:
+            emb = t[emb_col]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, d)
+            a = np.argmin(c2[None, :] - 2.0 * (X @ Cmat.T), axis=1)
+            return a, X
+
+        return assign
+
+    for _ in range(iters):
+        assign = make_assign(C)
+
+        def moment(t: pa.Table, _assign=assign) -> pa.Table:
+            a, X = _assign(t)
+            sums = np.zeros((k, d))
+            np.add.at(sums, a, X)
+            ns = np.bincount(a, minlength=k)
+            nz = np.nonzero(ns)[0]
+            return pa.table({
+                "c": pa.array(nz, type=pa.int64()),
+                "n": pa.array(ns[nz], type=pa.int64()),
+                "s": pa.array(list(sums[nz]), type=pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(moment, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, d))
+        ns = np.zeros(k, dtype=np.int64)
+        for _, row in parts.iterrows():
+            sums[row["c"]] += np.asarray(row["s"])
+            ns[row["c"]] += row["n"]
+        nonempty = ns > 0
+        C = np.where(nonempty[:, None], sums / np.maximum(ns, 1)[:, None], C)
+
+    assign = make_assign(C)
+
+    def final(t: pa.Table) -> pa.Table:
+        a, _ = assign(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"cluster": labels[a], "id": ids})
+        out = df.groupby("cluster", as_index=False).agg(
+            n=("id", "size"), sum_ids=("id", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cluster", as_index=False).agg(
+            n=("n", "sum"), sum_ids=("sum_ids", "sum"))
+        return out.astype({"cluster": "int64", "n": "int64",
+                           "sum_ids": "int64"})
+
+    return (
+        ds.map_batches(final, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(rollup, batch_format="pandas")
+    )

@@ -550,3 +550,38 @@ def test_nearest_centroid_confusion_vs_numpy():
     got = out.sort_values(["label", "pred"]).reset_index(drop=True)
     want = want.sort_values(["label", "pred"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_kmeans_lloyd_matches_local_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(21)
+    centers = np.array([[0.0] * 4, [12.0] * 4, [-12.0, 12.0, -12.0, 12.0]])
+    X = np.concatenate([c + rng.normal(0, 1, (40, 4)) for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(X.astype(np.float32)),
+                                        pa.list_(pa.float32()))})
+    out = kmeans_lloyd(rd.from_arrow(t).repartition(5), k=3, iters=2) \
+        .to_pandas().sort_values("cluster").reset_index(drop=True)
+
+    # local reference Lloyd with the same seed/tie rules
+    Xd = X.astype(np.float32).astype(np.float64)
+    C = Xd[:3].copy()
+    for _ in range(2):
+        a = np.argmin(((Xd[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+        for j in range(3):
+            if (a == j).any():
+                C[j] = Xd[a == j].mean(axis=0)
+    a = np.argmin(((Xd[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+    import pandas as pd
+
+    want = pd.DataFrame({"cluster": ids[:3][a], "id": ids}) \
+        .groupby("cluster", as_index=False).agg(n=("id", "size"),
+                                                sum_ids=("id", "sum")) \
+        .sort_values("cluster").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
