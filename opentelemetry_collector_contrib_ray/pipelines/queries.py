@@ -2986,6 +2986,37 @@ FROM a{final} GROUP BY cl
     return sql
 
 
+def q_docs_normalized(sf_dir: str):
+    """Canonical text normalization (stages/text.py normalize_text):
+    lower → strip non-letter/digit (unicode classes) → collapse
+    spaces → trim; per-doc normalized text + its length, zero-shuffle."""
+    from ..stages.text import normalize_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        t = normalize_text(t)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_norm": t["text_norm"],
+            "n_chars_norm": pc.cast(pc.utf8_length(t["text_norm"]), pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_DOCS_NORMALIZED = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+              '[^\p{L}\p{N} ]+', ' ', 'g'), ' +', ' ', 'g'), ' ') AS text_norm
+  FROM documents
+)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -3066,6 +3097,7 @@ QUERIES = {
     "emb_nc_confusion": q_emb_nc_confusion,
     "docs_lang_quantiles": q_docs_lang_quantiles,
     "emb_kmeans": q_emb_kmeans,
+    "docs_normalized": q_docs_normalized,
 }
 
 ORACLES = {
@@ -3147,4 +3179,5 @@ ORACLES = {
     "emb_nc_confusion": SQL_EMB_NC_CONFUSION,
     "docs_lang_quantiles": SQL_DOCS_LANG_QUANTILES,
     "emb_kmeans": _kmeans_sql(),
+    "docs_normalized": SQL_DOCS_NORMALIZED,
 }

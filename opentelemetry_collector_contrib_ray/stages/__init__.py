@@ -74,6 +74,7 @@ from .agg import approx_distinct, grouped_int_quantiles, grouped_outliers  # noq
 from .text import (  # noqa: F401
     gopher_rules,
     ngram_novelty,
+    normalize_text,
     repetition_stats,
     token_stats,
     top_terms_per_group,

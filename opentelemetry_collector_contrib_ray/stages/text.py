@@ -760,3 +760,18 @@ def ngram_novelty(ds, n: int = 3, col: str = "text", id_col: str = "doc_id",
         .groupby("__q")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def normalize_text(t: pa.Table, col: str = "text",
+                   out: str = "text_norm") -> pa.Table:
+    """Canonical text normalization for dedup keys and matching:
+    lowercase → strip non-alphanumeric (keeping unicode letters/digits
+    and spaces) → collapse whitespace runs to single spaces → trim.
+    One pyarrow kernel per step, zero-shuffle; the SQL twin is the
+    same lower/regexp_replace chain."""
+    c = pc.fill_null(pc.cast(t[col], pa.string()), "")
+    c = pc.utf8_lower(c)
+    c = pc.replace_substring_regex(c, r"[^\p{L}\p{N} ]+", " ")
+    c = pc.replace_substring_regex(c, r" +", " ")
+    c = pc.utf8_trim(c, " ")
+    return set_column(t, out, c)

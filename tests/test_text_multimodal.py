@@ -434,3 +434,14 @@ def test_ngram_novelty_hand_case_and_parallelism():
         pd.testing.assert_frame_equal(
             out[["doc_id", "n_grams", "n_unique"]].astype("int64"),
             want.astype("int64"))
+
+
+def test_normalize_text_golden():
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.text import normalize_text
+
+    t = pa.table({"text": ["  Hello,   WORLD!! 123 ", "Émile—café №5",
+                           "的是，不。", None, ""]})
+    assert normalize_text(t)["text_norm"].to_pylist() == [
+        "hello world 123", "émile café 5", "的是 不", "", ""]
