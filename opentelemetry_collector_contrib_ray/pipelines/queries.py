@@ -3017,6 +3017,51 @@ FROM n
 """
 
 
+def q_docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking stats (stages/text.py cdc_chunk_stats):
+    rolling-hash breakpoints over UTF-8 bytes (8-byte window, cut when
+    hash ≡ 0 mod 64) — bit-exact vs the hex-pair byte SQL twin via the
+    same mod-2^64 homomorphism as docs_fingerprint; zero-shuffle."""
+    from ..stages.text import cdc_chunk_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: cdc_chunk_stats(t, window=8, mask_mod=64),
+                          batch_format="pyarrow")
+
+
+def _cdc_sql(window: int = 8, mask_mod: int = 64) -> str:
+    base = np.uint64(1099511628211)
+    pows = [int(base ** np.uint64(k)) for k in range(window)]
+
+    def hv(c: str) -> str:
+        return (f"(CASE WHEN {c}='' THEN 0 WHEN ascii({c})>=65 "
+                f"THEN ascii({c})-55 ELSE ascii({c})-48 END)")
+
+    def byte_at(p: str) -> str:
+        return (f"(16*{hv(f'substring(h, 2*({p})-1, 1)')}"
+                f" + {hv(f'substring(h, 2*({p}), 1)')})")
+
+    terms = " + ".join(f"{byte_at(f'j+{k}')} * {pows[k]}::HUGEINT"
+                       for k in range(window))
+    return f"""
+WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                  octet_length(encode(coalesce(text, ''))) AS n FROM documents),
+pos AS (SELECT doc_id, h, n,
+        unnest(range(1, greatest(n - {window - 2}, 2))) AS j FROM d),
+hh AS (SELECT doc_id, n, j,
+       ({terms}) % 18446744073709551616::HUGEINT AS hv FROM pos),
+br AS (SELECT doc_id, max(n) AS n,
+       SUM(CASE WHEN hv % {mask_mod} = 0 AND j <= n - {window}
+                THEN 1 ELSE 0 END) AS breaks
+       FROM hh GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN n = 0 THEN 0
+                 WHEN n < {window} THEN 1
+                 ELSE 1 + breaks END AS BIGINT) AS n_chunks
+FROM br
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -3098,6 +3143,7 @@ QUERIES = {
     "docs_lang_quantiles": q_docs_lang_quantiles,
     "emb_kmeans": q_emb_kmeans,
     "docs_normalized": q_docs_normalized,
+    "docs_cdc_chunks": q_docs_cdc_chunks,
 }
 
 ORACLES = {
@@ -3180,4 +3226,5 @@ ORACLES = {
     "docs_lang_quantiles": SQL_DOCS_LANG_QUANTILES,
     "emb_kmeans": _kmeans_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
+    "docs_cdc_chunks": _cdc_sql(),
 }

@@ -72,6 +72,7 @@ from .similarity import (  # noqa: F401
 )
 from .agg import approx_distinct, grouped_int_quantiles, grouped_outliers  # noqa: F401
 from .text import (  # noqa: F401
+    cdc_chunk_stats,
     gopher_rules,
     ngram_novelty,
     normalize_text,

@@ -775,3 +775,37 @@ def normalize_text(t: pa.Table, col: str = "text",
     c = pc.replace_substring_regex(c, r" +", " ")
     c = pc.utf8_trim(c, " ")
     return set_column(t, out, c)
+
+
+def cdc_chunk_stats(t: pa.Table, col: str = "text", window: int = 8,
+                    mask_mod: int = 64, id_col: str = "doc_id") -> pa.Table:
+    """Content-defined chunking (CDC) statistics: cut each document's
+    UTF-8 byte stream after every position whose ``window``-byte
+    Karp-Rabin hash ≡ 0 (mod ``mask_mod``) — the rolling-hash
+    breakpointing of storage/dataset dedup (avg chunk ≈ mask_mod
+    bytes), insertion-robust unlike fixed-size chunking. Cuts strictly
+    inside the doc; docs shorter than ``window`` are one chunk; empty
+    docs have zero.
+
+    Fully vectorized on the existing prefix-sum window-hash machinery
+    (bit-identical mod-2^64 arithmetic, so the SQL twin counts the
+    same breakpoints). Zero-shuffle; returns ``(id_col, n_bytes,
+    n_chunks)``.
+    """
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    b = pc.cast(pc.fill_null(pc.cast(c, pa.string()), ""), pa.large_binary())
+    lens = np.diff(np.frombuffer(b.buffers()[1], dtype=np.int64)
+                   [b.offset: b.offset + len(b) + 1])
+    hv, red_starts, _counts = _window_hashes(c, window)
+    mask = (hv % np.uint64(mask_mod) == 0).astype(np.int64)
+    cm = np.concatenate(([0], np.cumsum(mask)))
+    eligible = np.maximum(lens - window, 0)   # break-eligible window starts
+    breaks = cm[red_starts + eligible] - cm[red_starts]
+    n_chunks = np.where(lens == 0, 0, 1 + np.where(lens >= window, breaks, 0))
+    return pa.table({
+        id_col: t[id_col],
+        "n_bytes": pa.array(lens, type=pa.int64()),
+        "n_chunks": pa.array(n_chunks.astype(np.int64)),
+    })

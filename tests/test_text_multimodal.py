@@ -445,3 +445,36 @@ def test_normalize_text_golden():
                            "的是，不。", None, ""]})
     assert normalize_text(t)["text_norm"].to_pylist() == [
         "hello world 123", "émile café 5", "的是 不", "", ""]
+
+
+def test_cdc_chunk_stats_matches_reference_loop():
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.text import cdc_chunk_stats
+
+    _FP_BASE = np.uint64(1099511628211)
+
+    def ref_chunks(s: str, w: int, m: int) -> int:
+        b = s.encode("utf-8")
+        if not b:
+            return 0
+        if len(b) < w:
+            return 1
+        breaks = 0
+        for j in range(len(b) - w):  # break-eligible starts only
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for k2 in range(w):
+                    h += np.uint64(b[j + k2]) * _FP_BASE ** np.uint64(k2)
+            if int(h) % m == 0:
+                breaks += 1
+        return 1 + breaks
+
+    texts = ["", "short", "a" * 200, "the quick brown fox " * 30,
+             "的是不我一有了人这" * 20, "x" * 7]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = cdc_chunk_stats(t, window=8, mask_mod=16)
+    want = [ref_chunks(s, 8, 16) for s in texts]
+    assert out["n_chunks"].to_pylist() == want
+    assert out["n_bytes"].to_pylist() == [len(s.encode()) for s in texts]
