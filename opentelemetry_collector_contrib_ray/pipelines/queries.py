@@ -3062,6 +3062,71 @@ FROM br
 """
 
 
+def q_events_range_join(sf_dir: str):
+    """Range (interval) join — the custom wide operator the brief names
+    next to as-of (stages/joins.py range_join). Incidents are the
+    events with ``event_id % 97 == 0``, each opening a 2-hour window on
+    its event_type; every event of that type with ts in
+    [start, end) pairs with the covering incident. One (key, bucket)
+    hash exchange; intervals replicate to ≤2 buckets (width = max
+    interval length); rollup = pair count + id sums per event_type
+    (hash-pins the exact pair set without a distinct pass)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import range_join
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def mk_intervals(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        t = t.filter(pc.equal(pc.subtract(eid, pc.multiply(pc.divide(eid, 97), 97)), 0))
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        end = pc.cast(pc.add(us, 7_200_000_000), pa.timestamp("us"))
+        return pa.table({
+            "inc_id": t["event_id"],
+            "event_type": t["event_type"],
+            "start_ts": pc.cast(t["ts"], pa.timestamp("us")),
+            "end_ts": end,
+        })
+
+    intervals = ds.map_batches(mk_intervals, batch_format="pyarrow")
+    pairs = range_join(ds, intervals, key="event_type", ts="ts",
+                       start="start_ts", end="end_ts",
+                       bucket_width_s=7200, num_partitions=16)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "eid": pc.cast(t["event_id"], pa.int64()),
+            "inc": pc.cast(t["inc_id"], pa.int64()),
+        })
+
+    return (
+        pairs.map_batches(proj, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_pairs"),
+                   Sum("eid", alias_name="sum_eid"),
+                   Sum("inc", alias_name="sum_inc"))
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH inc AS (
+  SELECT event_id AS inc_id, event_type,
+         ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(e.event_id) AS BIGINT) AS sum_eid,
+       CAST(sum(i.inc_id) AS BIGINT) AS sum_inc
+FROM events e JOIN inc i
+  ON e.event_type = i.event_type
+ AND e.ts >= i.start_ts AND e.ts < i.end_ts
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -3144,6 +3209,7 @@ QUERIES = {
     "emb_kmeans": q_emb_kmeans,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES = {
@@ -3227,4 +3293,5 @@ ORACLES = {
     "emb_kmeans": _kmeans_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
 }

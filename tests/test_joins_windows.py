@@ -345,3 +345,66 @@ def test_retention_cohorts_hand_case_and_parallelism():
     a, b = run(1), run(6)
     pd.testing.assert_frame_equal(a[want.columns], want)
     pd.testing.assert_frame_equal(b[want.columns], want)
+
+
+def _range_brute(le: pd.DataFrame, iv: pd.DataFrame, closed_start=True,
+                 closed_end=False) -> pd.DataFrame:
+    m = le.merge(iv, on="k")
+    lo = m["ts"] >= m["start"] if closed_start else m["ts"] > m["start"]
+    hi = m["ts"] <= m["end"] if closed_end else m["ts"] < m["end"]
+    return m[lo & hi].reset_index(drop=True)
+
+
+def test_range_join_matches_brute_force():
+    from opentelemetry_collector_contrib_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(7)
+    n, ni = 400, 60
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    le = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "ts": base + rng.integers(0, 3_600_000_000 * 24, n).astype("timedelta64[us]"),
+        "eid": np.arange(n),
+    })
+    starts = base + rng.integers(0, 3_600_000_000 * 24, ni).astype("timedelta64[us]")
+    # interval lengths 0..3h: spans 1-3 buckets at 1h width (stresses
+    # replication), incl. empty intervals
+    lens = rng.integers(0, 3 * 3_600_000_000, ni).astype("timedelta64[us]")
+    iv = pd.DataFrame({"k": rng.integers(0, 5, ni), "start": starts,
+                       "end": starts + lens, "iid": np.arange(ni)})
+
+    for cs, ce in [(True, False), (True, True), (False, False)]:
+        got = range_join(
+            rd.from_pandas(le).repartition(7), rd.from_pandas(iv).repartition(3),
+            key="k", ts="ts", start="start", end="end", bucket_width_s=3600,
+            closed_start=cs, closed_end=ce, num_partitions=5,
+        ).to_pandas()
+        want = _range_brute(le, iv, cs, ce)
+        assert len(got) == len(want)
+        assert (sorted(zip(got["eid"].astype(int), got["iid"].astype(int)))
+                == sorted(zip(want["eid"], want["iid"])))
+        # pair set identical under a different partitioning too
+        got2 = range_join(
+            rd.from_pandas(le), rd.from_pandas(iv), key="k", ts="ts",
+            start="start", end="end", bucket_width_s=7200,
+            closed_start=cs, closed_end=ce, num_partitions=11,
+        ).to_pandas()
+        assert sorted(zip(got2["eid"], got2["iid"])) == sorted(zip(want["eid"], want["iid"]))
+
+
+def test_range_join_null_and_empty():
+    from opentelemetry_collector_contrib_ray.stages.joins import range_join
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    le = pd.DataFrame({"k": [1, 1, None], "ts": [base, base + np.timedelta64(90, "m"), base],
+                       "eid": [0, 1, 2]})
+    iv = pd.DataFrame({"k": pd.array([1, 1, None], dtype="Int64"),
+                       "start": [base, base, base],
+                       "end": [base + np.timedelta64(1, "h"), base, base + np.timedelta64(1, "h")],
+                       "iid": [0, 1, 2]})
+    out = range_join(rd.from_pandas(le), rd.from_pandas(iv), key="k", ts="ts",
+                     start="start", end="end", bucket_width_s=3600,
+                     num_partitions=4).to_pandas()
+    # only eid=0 × iid=0 matches: null keys drop, empty interval drops,
+    # eid=1 is past the 1h end
+    assert sorted(zip(out["eid"], out["iid"])) == [(0, 0)]
