@@ -3062,6 +3062,38 @@ FROM br
 """
 
 
+def q_log_templates(sf_dir: str):
+    """Log template extraction (stages/text.py template_mine): mask the
+    variable fields of every transcript line (msg= token, then all
+    digit runs) with RE2 kernels and count occurrences per template —
+    per-batch value_counts combiner, ONE template-hash exchange of
+    (template, count) rows; raw lines never shuffle. The batch analog
+    of streaming log-pattern miners (Drain-lite)."""
+    from ..stages.text import template_mine
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+    ds = ds.map_batches(lambda t: t.select(["text"]), batch_format="pyarrow")
+    return template_mine(
+        ds, col="text",
+        masks=((r"msg=\S+", "msg=<*>"), (r'"event": "\w+"', '"event": "<*>"'),
+               (r"[0-9]+(\.[0-9]+)?", "<#>")),
+        num_partitions=16,
+    )
+
+
+SQL_LOG_TEMPLATES = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + r"""
+SELECT regexp_replace(regexp_replace(regexp_replace(text,
+         'msg=\S+', 'msg=<*>', 'g'),
+         '"event": "\w+"', '"event": "<*>"', 'g'),
+         '[0-9]+(\.[0-9]+)?', '<#>', 'g') AS template,
+       CAST(count(*) AS BIGINT) AS n
+FROM transcripts GROUP BY template
+"""
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3210,6 +3242,7 @@ QUERIES = {
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_range_join": q_events_range_join,
+    "log_templates": q_log_templates,
 }
 
 ORACLES = {
@@ -3294,4 +3327,5 @@ ORACLES = {
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "log_templates": SQL_LOG_TEMPLATES,
 }

@@ -809,3 +809,50 @@ def cdc_chunk_stats(t: pa.Table, col: str = "text", window: int = 8,
         "n_bytes": pa.array(lens, type=pa.int64()),
         "n_chunks": pa.array(n_chunks.astype(np.int64)),
     })
+
+
+# ------------------------------------------------------------- templates
+
+def template_mine(ds, col: str = "text",
+                  masks: tuple = ((r"[0-9]+", "<#>"),),
+                  k: int | None = None, num_partitions: int = 64):
+    """Log template extraction (Drain-lite): collapse each line to its
+    template by masking variable fields with an ordered chain of RE2
+    ``(pattern, replacement)`` kernels, then count occurrences per
+    template. The masking is whole-column vectorized (one
+    ``pc.replace_substring_regex`` per mask), the count is a per-batch
+    pandas value_counts combiner, and only (template, partial-count)
+    rows cross the ONE template-hash exchange — raw lines never
+    shuffle. ``k`` adds a global sort/limit (top templates); None
+    returns every template with its count.
+
+    This is the batch analog of streaming log-pattern miners: with
+    digit + token masks the template set is tiny (or bounded by
+    ``k``), so the merge state is negligible at any corpus size."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t[col], pa.string()), "")
+        for pat, rep in masks:
+            s = pc.replace_substring_regex(s, pat, rep)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        vc = pd.Series(s.to_numpy(zero_copy_only=False)).value_counts()
+        tpl = vc.index.to_numpy().astype("U")
+        h = pd.util.hash_array(tpl)
+        return pa.table({
+            "template": pa.array(tpl.tolist(), type=pa.string()),
+            "n": pa.array(vc.to_numpy(), type=pa.int64()),
+            "__p": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("template", as_index=False)["n"].sum()
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    )
+    if k is not None:
+        out = out.sort(["n", "template"], descending=[True, False]).limit(k)
+    return out

@@ -478,3 +478,30 @@ def test_cdc_chunk_stats_matches_reference_loop():
     want = [ref_chunks(s, 8, 16) for s in texts]
     assert out["n_chunks"].to_pylist() == want
     assert out["n_bytes"].to_pylist() == [len(s.encode()) for s in texts]
+
+
+def test_template_mine_masks_and_merges():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import template_mine
+
+    lines = (["ERROR code=500 msg=boom"] * 3
+             + ["ERROR code=404 msg=gone"] * 2
+             + ["user 42 logged in", "user 7 logged in", None, ""])
+    ds = rd.from_arrow(pa.table({"text": lines})).repartition(4)
+    out = template_mine(
+        ds, masks=((r"msg=\S+", "msg=<*>"), (r"[0-9]+", "<#>")),
+        num_partitions=3,
+    ).to_pandas()
+    got = dict(zip(out["template"], out["n"]))
+    assert got == {
+        "ERROR code=<#> msg=<*>": 5,
+        "user <#> logged in": 2,
+        "": 2,
+    }
+    # top-k path: highest count first, template tiebreak
+    top = template_mine(
+        ds, masks=((r"msg=\S+", "msg=<*>"), (r"[0-9]+", "<#>")),
+        num_partitions=3, k=1,
+    ).to_pandas()
+    assert list(top["template"]) == ["ERROR code=<#> msg=<*>"]
