@@ -3094,6 +3094,46 @@ FROM transcripts GROUP BY template
 )
 
 
+def q_events_rate_limited(sf_dir: str):
+    """Time-windowed rate limiting (stages/sampler.py rate_limit): keep
+    the first 3 events per (user_id, 1-hour window) in (ts, event_id)
+    arrival order — per-tenant throttle semantics. One (key, window)
+    hash exchange, one vectorized sort+cumcount pass per partition;
+    rollup pins the exact kept set via id sums."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sampler import rate_limit
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    kept = rate_limit(ds, key_col="user_id", ts_col="ts", max_per_window=3,
+                      window_s=3600, id_col="event_id", num_partitions=16)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "eid": pc.cast(t["event_id"], pa.int64()),
+        })
+
+    return (
+        kept.map_batches(proj, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_kept"), Sum("eid", alias_name="sum_eid"))
+    )
+
+
+def _rate_limited_sql() -> str:
+    from ..stages.sampler import rate_limit_sql
+
+    body = rate_limit_sql("user_id", "ts", "event_id", 3, 3600, "events")
+    return f"""
+WITH kept AS ({body})
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(event_id) AS BIGINT) AS sum_eid
+FROM kept GROUP BY event_type
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3243,6 +3283,7 @@ QUERIES = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_range_join": q_events_range_join,
     "log_templates": q_log_templates,
+    "events_rate_limited": q_events_rate_limited,
 }
 
 ORACLES = {
@@ -3328,4 +3369,5 @@ ORACLES = {
     "docs_cdc_chunks": _cdc_sql(),
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "log_templates": SQL_LOG_TEMPLATES,
+    "events_rate_limited": _rate_limited_sql(),
 }

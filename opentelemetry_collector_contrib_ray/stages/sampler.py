@@ -296,3 +296,67 @@ def split_thresholds_sql(id_sql: str, fractions: dict[str, float]) -> str:
         f"WHEN {knuth_hash_sql(id_sql)} < {int(c * 2**32)} THEN '{n}'"
         for n, c in zip(names[:-1], cum[:-1]))
     return f"CASE {arms} ELSE '{names[-1]}' END"
+
+
+def rate_limit(ds, key_col: str, ts_col: str, max_per_window: int,
+               window_s: int, id_col: str, num_partitions: int = 64):
+    """Time-windowed rate limiter / throttle: within each
+    ``(key, tumbling window)`` cell keep only the FIRST
+    ``max_per_window`` rows in ``(ts, id)`` arrival order and drop the
+    rest — the batch analog of a per-tenant token bucket (the
+    deterministic ``id`` tiebreak makes equal-timestamp order, and so
+    the kept set, reproducible under any parallelism; SQL twin:
+    ``ROW_NUMBER() OVER (PARTITION BY key, window ORDER BY ts, id)
+    <= N``).
+
+    Shape: the window index is pure per-row arithmetic; one hash
+    exchange on (key, window) co-locates each cell whole, then a single
+    vectorized sort + groupby-cumcount pass per partition — no per-key
+    Python, per-worker memory ≈ rows/num_partitions, and a hot key's
+    cells spread over partitions because the window participates in the
+    hash."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    width_us = int(window_s) * 1_000_000
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        w = pc.divide(us, width_us)
+        t = t.append_column("__w", pc.cast(w, pa.int64()))
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            h = k.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(k.astype("U"))
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(1000003) + np.asarray(pc.cast(w, pa.uint64()))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def limit_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__w", ts_col, id_col], kind="mergesort")
+        keep = (g.groupby([key_col, "__w"], sort=False, dropna=False).cumcount()
+                < max_per_window)
+        return g.loc[keep].drop(columns=["__w", "__p"])
+
+    return (
+        ds.map_batches(add_cols, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(limit_partition, batch_format="pandas")
+    )
+
+
+def rate_limit_sql(key_sql: str, ts_sql: str, id_sql: str,
+                   max_per_window: int, window_s: int,
+                   src: str = "events") -> str:
+    """SQL twin row-filter CTE body for ``rate_limit``."""
+    return (
+        f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {key_sql}, "
+        f"epoch_us({ts_sql}) // {int(window_s) * 1_000_000} "
+        f"ORDER BY {ts_sql}, {id_sql}) AS __rn FROM {src}) "
+        f"WHERE __rn <= {max_per_window}"
+    )

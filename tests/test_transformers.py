@@ -350,3 +350,32 @@ def test_assign_split_disjoint_and_matches_rule():
     parts = pa.concat_tables([assign_split(t.slice(0, 4000), "id", frac),
                               assign_split(t.slice(4000), "id", frac)])
     assert parts["split"].to_numpy(zero_copy_only=False).tolist() == split.tolist()
+
+
+def test_rate_limit_window_rule_and_parallelism():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.sampler import rate_limit
+
+    rng = np.random.default_rng(3)
+    n = 500
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 8, n),
+        "ts": base + rng.integers(0, 6 * 3_600_000_000, n).astype("timedelta64[us]"),
+    })
+    # duplicate timestamps to exercise the id tiebreak
+    df.loc[10:20, "ts"] = df.loc[9, "ts"]
+
+    want = df.copy()
+    want["w"] = want["ts"].astype("int64") // 3_600_000_000
+    want = want.sort_values(["user_id", "w", "ts", "event_id"], kind="mergesort")
+    want_keep = want[want.groupby(["user_id", "w"]).cumcount() < 2]["event_id"]
+
+    for nparts, reparts in [(4, 3), (9, 11)]:
+        got = rate_limit(rd.from_pandas(df).repartition(reparts), "user_id", "ts",
+                         2, 3600, "event_id", num_partitions=nparts).to_pandas()
+        assert sorted(got["event_id"]) == sorted(want_keep)
