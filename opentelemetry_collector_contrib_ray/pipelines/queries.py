@@ -3134,6 +3134,25 @@ FROM kept GROUP BY event_type
 """
 
 
+def q_events_histogram(sf_dir: str):
+    """Explicit-bucket histogram (stages/agg.py bounded_histogram):
+    OTel metrics data-point semantics — per event_type, counts + cents
+    sums per value bucket with upper-inclusive bounds [10,50,100,250].
+    searchsorted bucket index + per-block (key,bucket) partials; values
+    never shuffle."""
+    from ..stages.agg import bounded_histogram
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return bounded_histogram(ds, "event_type", "value", [10.0, 50.0, 100.0, 250.0])
+
+
+def _events_histogram_sql() -> str:
+    from ..stages.agg import bounded_histogram_sql
+
+    return bounded_histogram_sql("event_type", "value",
+                                 [10.0, 50.0, 100.0, 250.0], "events")
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3284,6 +3303,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "log_templates": q_log_templates,
     "events_rate_limited": q_events_rate_limited,
+    "events_histogram": q_events_histogram,
 }
 
 ORACLES = {
@@ -3370,4 +3390,5 @@ ORACLES = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "log_templates": SQL_LOG_TEMPLATES,
     "events_rate_limited": _rate_limited_sql(),
+    "events_histogram": _events_histogram_sql(),
 }

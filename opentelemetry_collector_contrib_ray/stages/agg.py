@@ -305,3 +305,61 @@ def grouped_int_quantiles(ds, group_col: str, col: str, qs: dict[str, float],
         .groupby("__p")
         .map_groups(quantiles_per_group, batch_format="pandas")
     )
+
+
+def bounded_histogram(ds, key_col: str, value_col: str,
+                      bounds: list[float]):
+    """Explicit-bucket histogram with OTel data-point semantics
+    (opentelemetry metrics: bucket i counts values ≤ bounds[i],
+    upper-inclusive; the last bucket is the > bounds[-1] overflow) —
+    the aggregation a metrics connector emits per key.
+
+    Shape: the bucket index is one ``np.searchsorted`` per batch; the
+    partial is a pandas groupby over (key, bucket) emitting count +
+    integer-cents sum rows (≤ keys×(len(bounds)+1) rows per block), and
+    the final merge is a tiny Ray groupby-sum. Values never shuffle.
+    Null values are ignored (SQL aggregate semantics); null keys form
+    their own group."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    b = np.asarray(sorted(bounds), dtype=np.float64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        valid = pc.is_valid(v)
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], t.schema.field(key_col).type),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_cents": pa.array([], pa.int64())})
+        vv = pc.cast(t[value_col], pa.float64()).to_numpy()
+        idx = np.searchsorted(b, vv, side="left")
+        cents = np.floor(vv * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({key_col: t[key_col].to_numpy(zero_copy_only=False),
+                           "bucket": idx.astype(np.int64), "c": cents})
+        g = (df.groupby([key_col, "bucket"], as_index=False, dropna=False)
+             .agg(n=("c", "size"), sum_cents=("c", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "bucket"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+def bounded_histogram_sql(key_sql: str, value_sql: str, bounds: list[float],
+                          src: str = "events") -> str:
+    """SQL twin: bucket = count of bounds strictly below the value
+    (same upper-inclusive rule as np.searchsorted side='left')."""
+    b = sorted(bounds)
+    idx = " + ".join(f"(CASE WHEN {value_sql} > {x} THEN 1 ELSE 0 END)" for x in b)
+    return f"""
+SELECT {key_sql}, CAST(({idx}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor({value_sql} * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM {src} WHERE {value_sql} IS NOT NULL
+GROUP BY {key_sql}, bucket
+"""

@@ -239,3 +239,28 @@ def test_grouped_int_quantiles_vs_duckdb():
         "quantile_disc(v, 0.99) p99 FROM t GROUP BY g ORDER BY g").df()
     for c in ["p25", "p50", "p99"]:
         assert out[c].tolist() == want[c].tolist(), c
+
+
+def test_bounded_histogram_otel_semantics():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import bounded_histogram
+
+    t = pa.table({
+        "k": ["a", "a", "a", "a", "b", "b", "b"],
+        # 10.0 exactly on a bound -> bucket 0 (upper-inclusive);
+        # 300 -> overflow bucket 2; null value ignored
+        "v": [10.0, 10.5, 3.0, 300.0, 50.0, None, 0.0],
+    })
+    out = bounded_histogram(rd.from_arrow(t).repartition(3), "k", "v",
+                            [10.0, 50.0]).to_pandas()
+    got = {(r.k, r.bucket): (r.n, r.sum_cents) for r in out.itertuples()}
+    assert got == {
+        ("a", 0): (2, 1300),     # 10.0 (upper-inclusive) + 3.0
+        ("a", 1): (1, 1050),     # 10.5
+        ("a", 2): (1, 30000),    # 300.0 overflow
+        ("b", 0): (1, 0),        # 0.0
+        ("b", 1): (1, 5000),     # 50.0 (upper-inclusive in bucket 1)
+    }
