@@ -51,13 +51,13 @@ PARSED_SQL = (
          CASE WHEN regexp_matches(text, '{_LOGLINE}')
               THEN regexp_extract(text, '^([A-Z]+) ', 1) END AS level,
          CASE WHEN regexp_matches(text, '{_LOGLINE}') OR regexp_matches(text, '{_KV}')
-              THEN CAST(regexp_extract(text, 'status=(\\d+)', 1) AS BIGINT) END AS status,
+              THEN CAST(nullif(regexp_extract(text, 'status=(\\d+)', 1), '') AS BIGINT) END AS status,
          CASE WHEN regexp_matches(text, '{_LOGLINE}')
-              THEN CAST(regexp_extract(text, 'latency_ms=(\\d+)', 1) AS BIGINT)
+              THEN CAST(nullif(regexp_extract(text, 'latency_ms=(\\d+)', 1), '') AS BIGINT)
               WHEN regexp_matches(text, '^latency_ms=\\d+ ')
-              THEN CAST(regexp_extract(text, '^latency_ms=(\\d+)', 1) AS BIGINT)
+              THEN CAST(nullif(regexp_extract(text, '^latency_ms=(\\d+)', 1), '') AS BIGINT)
               WHEN regexp_matches(text, '^\\{{')
-              THEN CAST(regexp_extract(text, '"latency_ms": (\\d+)', 1) AS BIGINT)
+              THEN CAST(nullif(regexp_extract(text, '"latency_ms": (\\d+)', 1), '') AS BIGINT)
               END AS latency_ms,
          CASE WHEN regexp_matches(text, '{_KV}')
               THEN regexp_extract(text, 'region=(\\S+)', 1) END AS region,
@@ -3153,6 +3153,66 @@ def _events_histogram_sql() -> str:
                                  [10.0, 50.0, 100.0, 250.0], "events")
 
 
+def q_red_metrics(sf_dir: str):
+    """RED metrics (spanmetrics-connector pattern re-expressed for the
+    log pipeline: connector/spanmetricsconnector builds rate/error/
+    duration metrics from telemetry): parse chain → enrich → per
+    service, request count, error count (status ≥ 500 or severity ≥
+    ERROR), and an OTel explicit-bucket latency histogram — one
+    streaming pass; only (service, bucket) partials shuffle."""
+    from ray.data.aggregate import Sum
+
+    bounds = [5.0, 25.0, 100.0, 400.0]
+    ds = _enriched(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lat = pc.cast(t["attributes.latency_ms"], pa.float64())
+        t = t.filter(pc.is_valid(lat))
+        lat = pc.cast(t["attributes.latency_ms"], pa.float64()).to_numpy()
+        status = pc.fill_null(pc.cast(t["attributes.status"], pa.int64()), 0).to_numpy()
+        sev = pc.fill_null(pc.cast(t["severity_number"], pa.int64()), 0).to_numpy()
+        idx = np.searchsorted(np.asarray(bounds), lat, side="left")
+        err = ((status >= 500) | (sev >= 17)).astype(np.int64)
+        df = pd.DataFrame({
+            "service": t["service"].to_numpy(zero_copy_only=False),
+            "bucket": idx.astype(np.int64),
+            "n": 1, "n_err": err,
+            "sum_latency": lat.astype(np.int64),
+        })
+        g = (df.groupby(["service", "bucket"], as_index=False, dropna=False)
+             .agg(n=("n", "sum"), n_err=("n_err", "sum"),
+                  sum_latency=("sum_latency", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["service", "bucket"])
+        .aggregate(Sum("n", alias_name="n"), Sum("n_err", alias_name="n_err"),
+                   Sum("sum_latency", alias_name="sum_latency"))
+    )
+
+
+SQL_RED_METRICS = (
+    PARSED_SQL
+    + """
+SELECT service,
+       CAST((CASE WHEN latency_ms > 5 THEN 1 ELSE 0 END)
+          + (CASE WHEN latency_ms > 25 THEN 1 ELSE 0 END)
+          + (CASE WHEN latency_ms > 100 THEN 1 ELSE 0 END)
+          + (CASE WHEN latency_ms > 400 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN coalesce(status, 0) >= 500
+                       OR coalesce(severity_number, 0) >= 17
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+       CAST(SUM(latency_ms) AS BIGINT) AS sum_latency
+FROM parsed WHERE latency_ms IS NOT NULL
+GROUP BY service, bucket
+"""
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3304,6 +3364,7 @@ QUERIES = {
     "log_templates": q_log_templates,
     "events_rate_limited": q_events_rate_limited,
     "events_histogram": q_events_histogram,
+    "red_metrics": q_red_metrics,
 }
 
 ORACLES = {
@@ -3391,4 +3452,5 @@ ORACLES = {
     "log_templates": SQL_LOG_TEMPLATES,
     "events_rate_limited": _rate_limited_sql(),
     "events_histogram": _events_histogram_sql(),
+    "red_metrics": SQL_RED_METRICS,
 }
