@@ -3213,6 +3213,25 @@ GROUP BY service, bucket
 )
 
 
+def q_rollup_service_team(sf_dir: str):
+    """Hierarchical rollup (stages/agg.py rollup_counts): request
+    counts at (service, team), (service) and grand-total levels from
+    ONE pass over the enriched stream — the multi-level rollup that
+    would otherwise take one count-connector pass per level."""
+    from ..stages.agg import rollup_counts
+
+    ds = _enriched(sf_dir)
+    ds = ds.map_batches(lambda t: t.select(["service", "team"]),
+                        batch_format="pyarrow")
+    return rollup_counts(ds, ["service", "team"])
+
+
+def _rollup_sql() -> str:
+    from ..stages.agg import rollup_counts_sql
+
+    return PARSED_SQL + rollup_counts_sql(["service", "team"], "parsed")
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3365,6 +3384,7 @@ QUERIES = {
     "events_rate_limited": q_events_rate_limited,
     "events_histogram": q_events_histogram,
     "red_metrics": q_red_metrics,
+    "rollup_service_team": q_rollup_service_team,
 }
 
 ORACLES = {
@@ -3453,4 +3473,5 @@ ORACLES = {
     "events_rate_limited": _rate_limited_sql(),
     "events_histogram": _events_histogram_sql(),
     "red_metrics": SQL_RED_METRICS,
+    "rollup_service_team": _rollup_sql(),
 }

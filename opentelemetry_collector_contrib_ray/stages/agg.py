@@ -363,3 +363,49 @@ SELECT {key_sql}, CAST(({idx}) AS BIGINT) AS bucket,
 FROM {src} WHERE {value_sql} IS NOT NULL
 GROUP BY {key_sql}, bucket
 """
+
+
+def rollup_counts(ds, keys: list[str], total_marker: str = "*"):
+    """Hierarchical rollup — counts at every prefix level of ``keys``
+    plus the grand total (SQL ``GROUP BY ROLLUP``), the multi-level
+    metrics rollup a chain of count connectors would otherwise compute
+    with one pass per level. Here every level's partial comes out of
+    the SAME single pass (len(keys)+1 tiny pandas groupbys per block),
+    and one groupby-sum merges them; rolled-up key positions carry
+    ``total_marker`` so the group key stays a plain string (no
+    null-group edge cases in the exchange)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(keys).to_pandas()
+        outs = []
+        for lvl in range(len(keys), -1, -1):
+            if lvl:
+                g = (df.groupby(keys[:lvl], dropna=False).size()
+                     .reset_index(name="n"))
+            else:
+                g = pd.DataFrame({"n": [len(df)]})
+            for k in keys[lvl:]:
+                g[k] = total_marker
+            outs.append(g[keys + ["n"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def rollup_counts_sql(keys: list[str], src: str,
+                      total_marker: str = "*") -> str:
+    """SQL twin: GROUP BY ROLLUP with GROUPING() mapped to the marker."""
+    sel = ", ".join(
+        f"CASE WHEN GROUPING({k}) = 1 THEN '{total_marker}' ELSE {k} END AS {k}"
+        for k in keys
+    )
+    return (f"SELECT {sel}, CAST(count(*) AS BIGINT) AS n FROM {src} "
+            f"GROUP BY ROLLUP ({', '.join(keys)})")

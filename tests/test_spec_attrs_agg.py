@@ -264,3 +264,19 @@ def test_bounded_histogram_otel_semantics():
         ("b", 0): (1, 0),        # 0.0
         ("b", 1): (1, 5000),     # 50.0 (upper-inclusive in bucket 1)
     }
+
+
+def test_rollup_counts_levels():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import rollup_counts
+
+    t = pa.table({"a": ["x", "x", "y", "y", "y"],
+                  "b": ["1", "2", "1", "1", "2"]})
+    out = rollup_counts(rd.from_arrow(t).repartition(3), ["a", "b"]).to_pandas()
+    got = {(r.a, r.b): r.n for r in out.itertuples()}
+    assert got == {
+        ("x", "1"): 1, ("x", "2"): 1, ("y", "1"): 2, ("y", "2"): 1,
+        ("x", "*"): 2, ("y", "*"): 3, ("*", "*"): 5,
+    }
