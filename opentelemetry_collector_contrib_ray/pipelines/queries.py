@@ -3232,6 +3232,51 @@ def _rollup_sql() -> str:
     return PARSED_SQL + rollup_counts_sql(["service", "team"], "parsed")
 
 
+def q_events_late_data(sf_dir: str):
+    """Late-data / out-of-order detection (stages/windows.py
+    late_arrivals): per user, replay events in arrival order
+    (event_id), track the running max event time (per-key watermark)
+    and flag rows whose event time lags it by > 1h. One key-hash
+    exchange, one vectorized cummax pass; rollup counts late rows per
+    event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.windows import late_arrivals
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    flagged = late_arrivals(ds, key="user_id", ts_col="ts",
+                            order_col="event_id", allowed_lateness_s=3600,
+                            num_partitions=16)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "late": pc.cast(t["is_late"], pa.int64()),
+        })
+
+    return (
+        flagged.map_batches(proj, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("late", alias_name="n_late"))
+    )
+
+
+SQL_EVENTS_LATE_DATA = """
+WITH w AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN wm IS NOT NULL
+                      AND epoch_us(wm) - epoch_us(ts) > 3600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3385,6 +3430,7 @@ QUERIES = {
     "events_histogram": q_events_histogram,
     "red_metrics": q_red_metrics,
     "rollup_service_team": q_rollup_service_team,
+    "events_late_data": q_events_late_data,
 }
 
 ORACLES = {
@@ -3474,4 +3520,5 @@ ORACLES = {
     "events_histogram": _events_histogram_sql(),
     "red_metrics": SQL_RED_METRICS,
     "rollup_service_team": _rollup_sql(),
+    "events_late_data": SQL_EVENTS_LATE_DATA,
 }

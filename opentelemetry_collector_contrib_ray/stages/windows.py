@@ -319,3 +319,53 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
         .groupby("__q")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def late_arrivals(ds, key: str, ts_col: str, order_col: str,
+                  allowed_lateness_s: int, num_partitions: int = 64):
+    """Out-of-order / late-data detection — the watermark semantics a
+    streaming pipeline applies at ingest, evaluated in batch: process
+    each key's rows in ARRIVAL order (``order_col``, e.g. an ingest
+    sequence id), track the running max event time over strictly
+    earlier arrivals (the per-key watermark), and flag a row late when
+    its event time lags that watermark by more than
+    ``allowed_lateness_s``.
+
+    Shape: ONE key-hash exchange (many whole keys per partition), then
+    a single vectorized pass per partition — sort by (key, order),
+    per-key running max via grouped cummax of the shifted ts. Adds an
+    ``is_late`` boolean column; rows otherwise unchanged."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    lateness_us = int(allowed_lateness_s) * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            h = k.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(k.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def flag_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        grp = g.groupby(key, sort=False, dropna=False)
+        # watermark BEFORE this row: cummax of event time over strictly
+        # earlier arrivals of the same key
+        prev_max = grp[ts_col].shift(1).groupby(
+            g[key], sort=False, dropna=False).cummax()
+        ts_us = g[ts_col].astype("datetime64[us]").astype("int64")
+        wm_us = prev_max.astype("datetime64[us]").astype("int64")  # NaT -> i64 min
+        is_late = wm_us.sub(ts_us) > lateness_us
+        is_late &= prev_max.notna()
+        return g.assign(is_late=is_late.to_numpy()).drop(columns=["__p"])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(flag_partition, batch_format="pandas")
+    )

@@ -408,3 +408,23 @@ def test_range_join_null_and_empty():
     # only eid=0 × iid=0 matches: null keys drop, empty interval drops,
     # eid=1 is past the 1h end
     assert sorted(zip(out["eid"], out["iid"])) == [(0, 0)]
+
+
+def test_late_arrivals_watermark_rule():
+    from opentelemetry_collector_contrib_ray.stages.windows import late_arrivals
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    # arrival order = seq; user 1: ts goes 5h, 1h (late: 4h behind wm),
+    # 4.5h (only 30m behind wm=5h -> not late at 1h lateness), 6h (ahead)
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2, 2],
+        "seq": [0, 1, 2, 3, 0, 1],
+        "ts": [base + 5 * H, base + 1 * H, base + np.timedelta64(270, "m"),
+               base + 6 * H, base, base - 2 * H],
+    })
+    out = late_arrivals(rd.from_pandas(df).repartition(3), "u", "ts", "seq",
+                        3600, num_partitions=4).to_pandas()
+    got = dict(zip(zip(out["u"], out["seq"]), out["is_late"]))
+    assert got == {(1, 0): False, (1, 1): True, (1, 2): False, (1, 3): False,
+                   (2, 0): False, (2, 1): True}
