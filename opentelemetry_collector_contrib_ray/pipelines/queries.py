@@ -3277,6 +3277,42 @@ FROM w GROUP BY event_type
 """
 
 
+def q_docs_index_search(sf_dir: str):
+    """Inverted-index build + partition-pruned keyword search
+    (stages/index.py): posting rows (term, doc_id) written as Parquet
+    Hive-partitioned by term-hash bucket, then an AND query for
+    ['merge', 'scan', 'window'] that reads ONLY the ≤3 buckets those
+    terms hash to — query cost independent of corpus size. Result =
+    matching doc ids."""
+    import shutil
+    import tempfile
+
+    from ..stages.index import build_inverted_index, search_index
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tempfile.mkdtemp(prefix="invidx_", dir="/tmp")
+    try:
+        build_inverted_index(ds, out, n_buckets=64)
+        res = search_index(out, ["merge", "scan", "window"], mode="and",
+                           n_buckets=64)
+        # materialize before deleting the index files under the read
+        return res.materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_DOCS_INDEX_SEARCH = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(regexp_replace(coalesce(text, ''),
+           '^\s+|\s+$', '', 'g'), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id FROM tok
+WHERE list_contains(ws, 'merge') AND list_contains(ws, 'scan')
+  AND list_contains(ws, 'window')
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3431,6 +3467,7 @@ QUERIES = {
     "red_metrics": q_red_metrics,
     "rollup_service_team": q_rollup_service_team,
     "events_late_data": q_events_late_data,
+    "docs_index_search": q_docs_index_search,
 }
 
 ORACLES = {
@@ -3521,4 +3558,5 @@ ORACLES = {
     "red_metrics": SQL_RED_METRICS,
     "rollup_service_team": _rollup_sql(),
     "events_late_data": SQL_EVENTS_LATE_DATA,
+    "docs_index_search": SQL_DOCS_INDEX_SEARCH,
 }

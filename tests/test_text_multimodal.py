@@ -505,3 +505,29 @@ def test_template_mine_masks_and_merges():
         num_partitions=3, k=1,
     ).to_pandas()
     assert list(top["template"]) == ["ERROR code=<#> msg=<*>"]
+
+
+def test_inverted_index_build_and_pruned_search(tmp_path):
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.index import (
+        build_inverted_index,
+        search_index,
+    )
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma", "beta gamma", "alpha  beta", "delta"],
+    })
+    out = str(tmp_path / "idx")
+    build_inverted_index(rd.from_arrow(docs).repartition(2), out, n_buckets=8)
+    got = sorted(search_index(out, ["alpha", "beta"], mode="and",
+                              n_buckets=8).to_pandas()["doc_id"])
+    assert got == [1, 3]
+    got_or = sorted(search_index(out, ["alpha", "delta"], mode="or",
+                                 n_buckets=8).to_pandas()["doc_id"])
+    assert got_or == [1, 3, 4]
+    # pruning: only the buckets of the queried terms are read
+    import glob
+    n_dirs = len(glob.glob(out + "/bucket=*"))
+    assert n_dirs > 2  # corpus spans more buckets than one query touches
