@@ -3313,6 +3313,41 @@ WHERE list_contains(ws, 'merge') AND list_contains(ws, 'scan')
 """
 
 
+def q_docs_top_fraction(sf_dir: str):
+    """Global score-threshold selection — "keep the top ~30% of the
+    corpus by score": the exact p70 of n_chars from the distributed
+    histogram-merge quantile (stages/agg.py int_quantiles — no global
+    sort, driver holds one histogram cumsum), broadcast as a plain
+    filter constant, then a per-language rollup of the kept set. The
+    two passes stream; only (value, count) rows ever shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.agg import int_quantiles
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+    thr = int(int_quantiles(ds, "n_chars", {"p70": 0.7}).to_pandas()["p70"].iloc[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n_chars"], thr))
+        return pa.table({"lang": t["lang"],
+                         "doc_id": pc.cast(t["doc_id"], pa.int64())})
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("doc_id", alias_name="sum_ids"))
+    )
+
+
+SQL_DOCS_TOP_FRACTION = """
+WITH thr AS (SELECT quantile_disc(n_chars, 0.7) AS t FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM documents, thr WHERE n_chars >= t GROUP BY lang
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3468,6 +3503,7 @@ QUERIES = {
     "rollup_service_team": q_rollup_service_team,
     "events_late_data": q_events_late_data,
     "docs_index_search": q_docs_index_search,
+    "docs_top_fraction": q_docs_top_fraction,
 }
 
 ORACLES = {
@@ -3559,4 +3595,5 @@ ORACLES = {
     "rollup_service_team": _rollup_sql(),
     "events_late_data": SQL_EVENTS_LATE_DATA,
     "docs_index_search": SQL_DOCS_INDEX_SEARCH,
+    "docs_top_fraction": SQL_DOCS_TOP_FRACTION,
 }
