@@ -3348,6 +3348,137 @@ FROM documents, thr WHERE n_chars >= t GROUP BY lang
 """
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-join chain (TPC-H Q5-lite): lineitem ⋈ orders (large×large
+    native hash join) ⋈ (customer ⋈ nation broadcast — the tiny side
+    resolved once per actor), then per-nation revenue. Pins the
+    composition of both join strategies in one pipeline; revenue goes
+    through the cents-integer transform before any sum so the hash is
+    parallelism-exact."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_join, bucketed_hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                          pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_cents": _cents(rev)})
+
+    li = li.map_batches(li_cents, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = bucketed_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    cn = cn[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(joined, ray.put(cn), on="o_custkey", how="inner",
+                            concurrency=(1, 4))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"n_name": t["n_name"],
+                         "rev_cents": pc.cast(t["rev_cents"], pa.int64())})
+
+    return (
+        joined.map_batches(proj, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_items"),
+                   Sum("rev_cents", alias_name="sum_rev_cents"))
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM({_CENTS.format(x='l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT)
+         AS sum_rev_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_events_attribution(sf_dir: str):
+    """Click→purchase attribution (asof join with a tolerance window):
+    each purchase is attributed to the user's most recent click no more
+    than 30 minutes earlier. Composes the bucketed asof join with a
+    vectorized gap filter; result = one summary row (purchases,
+    attributed, integer gap-seconds sum) hash-pinning every match."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return t.select(["event_id", "ts", "user_id"])
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        # cts carries the click time through as a VALUE column (the
+        # `ts` join column itself survives only on the left side)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"], "cts": t["ts"]})
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    c = ev.map_batches(clicks, batch_format="pyarrow")
+    m = asof_join(p, c, key="user_id", ts="ts", direction="backward",
+                  suffix="_click", num_partitions=16)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        c_us = pc.cast(pc.cast(t["cts"], pa.timestamp("us")), pa.int64())
+        gap_s = pc.divide(pc.subtract(ts_us, c_us), 1_000_000)
+        attr = pc.and_kleene(pc.is_valid(gap_s), pc.less_equal(gap_s, 1800))
+        attr = pc.fill_null(attr, False)
+        gap_attr = pc.if_else(attr, gap_s, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "n_purchases": pa.array([t.num_rows], pa.int64()),
+            "n_attributed": pa.array([pc.sum(pc.cast(attr, pa.int64())).as_py() or 0],
+                                     pa.int64()),
+            "sum_gap_s": pa.array([pc.sum(gap_attr).as_py() or 0], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _S
+
+    return (
+        m.map_batches(rollup, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(_S("n_purchases", alias_name="n_purchases"),
+                   _S("n_attributed", alias_name="n_attributed"),
+                   _S("sum_gap_s", alias_name="sum_gap_s"))
+    )
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT p.event_id, p.ts, c.cts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN cts IS NOT NULL
+                      AND (epoch_us(ts) - epoch_us(cts)) // 1000000 <= 1800
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN cts IS NOT NULL
+                      AND (epoch_us(ts) - epoch_us(cts)) // 1000000 <= 1800
+                     THEN (epoch_us(ts) - epoch_us(cts)) // 1000000
+                     ELSE 0 END) AS BIGINT) AS sum_gap_s
+FROM m
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3504,6 +3635,8 @@ QUERIES = {
     "events_late_data": q_events_late_data,
     "docs_index_search": q_docs_index_search,
     "docs_top_fraction": q_docs_top_fraction,
+    "revenue_by_nation": q_revenue_by_nation,
+    "events_attribution": q_events_attribution,
 }
 
 ORACLES = {
@@ -3596,4 +3729,6 @@ ORACLES = {
     "events_late_data": SQL_EVENTS_LATE_DATA,
     "docs_index_search": SQL_DOCS_INDEX_SEARCH,
     "docs_top_fraction": SQL_DOCS_TOP_FRACTION,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "events_attribution": SQL_EVENTS_ATTRIBUTION,
 }
