@@ -3479,6 +3479,42 @@ FROM m
 """
 
 
+def q_docs_cooccurrence(sf_dir: str):
+    """Top co-occurring term pairs (stages/text.py cooccurrence_topk):
+    exact DF pass picks the top-20 vocabulary, then each batch reduces
+    to ONE V×V boolean matmul partial — the quadratic pair space is
+    capped at V² regardless of corpus size; text never shuffles."""
+    from ..stages.text import cooccurrence_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return cooccurrence_topk(ds, vocab_size=20, k=20, num_partitions=16)
+
+
+SQL_DOCS_COOCCURRENCE = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(regexp_replace(coalesce(text, ''),
+             '^\s+|\s+$', '', 'g'), '\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), v AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY count(*) DESC, term ASC) AS r
+    FROM tok GROUP BY term
+  ) WHERE r <= 20
+), f AS (
+  SELECT t.doc_id, t.term FROM tok t JOIN v USING (term)
+), p AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_docs
+  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY term_a, term_b
+)
+SELECT term_a, term_b, n_docs FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, term_a, term_b) AS r FROM p
+) WHERE r <= 20
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3637,6 +3673,7 @@ QUERIES = {
     "docs_top_fraction": q_docs_top_fraction,
     "revenue_by_nation": q_revenue_by_nation,
     "events_attribution": q_events_attribution,
+    "docs_cooccurrence": q_docs_cooccurrence,
 }
 
 ORACLES = {
@@ -3731,4 +3768,5 @@ ORACLES = {
     "docs_top_fraction": SQL_DOCS_TOP_FRACTION,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
+    "docs_cooccurrence": SQL_DOCS_COOCCURRENCE,
 }

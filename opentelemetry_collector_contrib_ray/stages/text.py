@@ -856,3 +856,99 @@ def template_mine(ds, col: str = "text",
     if k is not None:
         out = out.sort(["n", "template"], descending=[True, False]).limit(k)
     return out
+
+
+# ---------------------------------------------------------- co-occurrence
+
+def _distinct_doc_terms(t: pa.Table, col: str, id_col: str) -> pd.DataFrame:
+    """Distinct (doc, whitespace-term) rows for one batch — each doc
+    lives in exactly one batch, so per-batch distinct is globally
+    distinct."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t[col], pa.string()), "")),
+        r"\s+",
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+    ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
+    keep = flat != ""
+    return pd.DataFrame({"term": flat[keep], "doc": ids[keep]}).drop_duplicates()
+
+
+def cooccurrence_topk(ds, col: str = "text", id_col: str = "doc_id",
+                      vocab_size: int = 20, k: int = 20,
+                      num_partitions: int = 64):
+    """Top-k co-occurring term pairs over a BOUNDED vocabulary: pass A
+    computes exact document frequencies (distinct (term, doc) int rows
+    through one term-hash exchange) and picks the top ``vocab_size``
+    terms by (df desc, term asc); pass B broadcasts that tiny vocab and
+    reduces each batch to one V×V boolean-matmul co-occurrence partial
+    (docs × V membership matrix, ``M.T @ M`` — one BLAS call per
+    batch), merged by a groupby-sum over ≤ V² tiny rows.
+
+    Bounding the vocabulary is what makes doc-level co-occurrence scale:
+    the quadratic term-pair space is capped at V² regardless of corpus
+    size, and raw text never shuffles in either pass."""
+    from ray.data.aggregate import Sum
+
+    # ---- pass A: exact DF, top-V terms (df desc, term asc)
+    def df_partial(t: pa.Table) -> pa.Table:
+        df = _distinct_doc_terms(t, col, id_col)
+        vc = df.groupby("term", as_index=False).agg(df_=("doc", "size"))
+        terms = vc["term"].to_numpy().astype("U")
+        h = pd.util.hash_array(terms)
+        vc["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)["df_"].sum()
+
+    top = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("__p").map_groups(df_merge, batch_format="pandas")
+        .sort(["df_", "term"], descending=[True, False]).limit(vocab_size)
+        .to_pandas()
+    )
+    vocab = np.sort(top["term"].to_numpy().astype("U"))
+    V = len(vocab)
+
+    # ---- pass B: V×V matmul partial per batch
+    def co_partial(t: pa.Table) -> pa.Table:
+        df = _distinct_doc_terms(t, col, id_col)
+        df = df[np.isin(df["term"].to_numpy().astype("U"), vocab)]
+        if df.empty:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        doc_codes, _ = pd.factorize(df["doc"])
+        vidx = np.searchsorted(vocab, df["term"].to_numpy().astype("U"))
+        m = np.zeros((doc_codes.max() + 1, V), dtype=np.float64)
+        m[doc_codes, vidx] = 1.0
+        cm = (m.T @ m).astype(np.int64)
+        iu = np.triu_indices(V, k=1)
+        n = cm[iu]
+        nz = n > 0
+        return pa.table({"i": pa.array(iu[0][nz], pa.int64()),
+                         "j": pa.array(iu[1][nz], pa.int64()),
+                         "n": pa.array(n[nz], pa.int64())})
+
+    pairs = (
+        ds.map_batches(co_partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "term_a": pa.array(vocab[t["i"].to_numpy(zero_copy_only=False)]),
+            "term_b": pa.array(vocab[t["j"].to_numpy(zero_copy_only=False)]),
+            "n_docs": t["n_docs"],
+        })
+
+    return (
+        pairs.map_batches(attach, batch_format="pyarrow")
+        .sort(["n_docs", "term_a", "term_b"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -531,3 +531,20 @@ def test_inverted_index_build_and_pruned_search(tmp_path):
     import glob
     n_dirs = len(glob.glob(out + "/bucket=*"))
     assert n_dirs > 2  # corpus spans more buckets than one query touches
+
+
+def test_cooccurrence_topk_hand_case():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import cooccurrence_topk
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c", "a b", "a c", "b  a"],
+    })
+    out = cooccurrence_topk(rd.from_arrow(docs).repartition(3), vocab_size=3,
+                            k=10, num_partitions=4).to_pandas()
+    got = {(r.term_a, r.term_b): r.n_docs for r in out.itertuples()}
+    assert got == {("a", "b"): 3, ("a", "c"): 2, ("b", "c"): 1}
+    # ranking: count desc, then lexicographic
+    assert list(zip(out["term_a"], out["term_b"])) == [("a", "b"), ("a", "c"), ("b", "c")]
