@@ -3515,6 +3515,40 @@ SELECT term_a, term_b, n_docs FROM (
 """
 
 
+def q_events_first_paths(sf_dir: str):
+    """User-journey path mining (stages/windows.py first_k_paths): per
+    user, the ordered '>'-joined concatenation of their first 3 event
+    types by (ts, event_id) — string_agg semantics without per-group
+    Python (pivot + one binary_join_element_wise kernel per
+    partition). Rollup: count of users per distinct journey path."""
+    from ray.data.aggregate import Count
+
+    from ..stages.windows import first_k_paths
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    p = first_k_paths(ds, key="user_id", ts_col="ts", order_col="event_id",
+                      val_col="event_type", k=3, num_partitions=16)
+    return (
+        p.map_batches(lambda t: t.select(["path"]), batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_EVENTS_FIRST_PATHS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3674,6 +3708,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "events_attribution": q_events_attribution,
     "docs_cooccurrence": q_docs_cooccurrence,
+    "events_first_paths": q_events_first_paths,
 }
 
 ORACLES = {
@@ -3769,4 +3804,5 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "docs_cooccurrence": SQL_DOCS_COOCCURRENCE,
+    "events_first_paths": SQL_EVENTS_FIRST_PATHS,
 }

@@ -369,3 +369,53 @@ def late_arrivals(ds, key: str, ts_col: str, order_col: str,
         .groupby("__p")
         .map_groups(flag_partition, batch_format="pandas")
     )
+
+
+def first_k_paths(ds, key: str, ts_col: str, order_col: str, val_col: str,
+                  k: int = 3, sep: str = ">", num_partitions: int = 64):
+    """User-journey path mining: per key, the ordered concatenation of
+    the FIRST ``k`` values by ``(ts, order)`` — SQL's
+    ``string_agg(val, sep ORDER BY ts, id)`` over the first k rows.
+    One key-hash exchange; per partition one vectorized pass: sort +
+    grouped cumcount keeps the first k, a pandas pivot widens rn →
+    k columns (C path), and ``pc.binary_join_element_wise`` with
+    ``null_handling='skip'`` builds every path string in one kernel —
+    no per-group Python join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind in "iu":
+            h = kv.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(kv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def paths(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key, ts_col, order_col], kind="mergesort")
+        rn = g.groupby(key, sort=False, dropna=False).cumcount()
+        g = g.loc[rn < k].assign(__rn=rn[rn < k])
+        wide = g.pivot(index=key, columns="__rn", values=val_col)
+        cols = [pa.array(wide[c].to_numpy())
+                if c in wide.columns else pa.nulls(len(wide), pa.string())
+                for c in range(k)]
+        path = pc.binary_join_element_wise(
+            *[pc.cast(c, pa.string()) for c in cols], sep,
+            null_handling="skip")
+        n_steps = np.zeros(len(wide), dtype=np.int64)
+        for c in cols:
+            n_steps += np.asarray(pc.is_valid(c))
+        return pa.table({key: pa.array(wide.index.to_numpy()),
+                         "path": path,
+                         "n_steps": pa.array(n_steps)})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(paths, batch_format="pandas")
+    )

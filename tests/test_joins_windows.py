@@ -428,3 +428,23 @@ def test_late_arrivals_watermark_rule():
     got = dict(zip(zip(out["u"], out["seq"]), out["is_late"]))
     assert got == {(1, 0): False, (1, 1): True, (1, 2): False, (1, 3): False,
                    (2, 0): False, (2, 1): True}
+
+
+def test_first_k_paths_order_and_cap():
+    from opentelemetry_collector_contrib_ray.stages.windows import first_k_paths
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2, 3],
+        "eid": [4, 1, 2, 3, 9, 7],
+        # user 1: ties on ts broken by eid (b before c at t+1)
+        "ts": [base + 9 * S, base, base + S, base + S, base, base],
+        "v": ["z", "a", "b", "c", "solo", "x"],
+    })
+    out = first_k_paths(rd.from_pandas(df).repartition(3), "u", "ts", "eid",
+                        "v", k=3, num_partitions=4).to_pandas()
+    got = dict(zip(out["u"], out["path"]))
+    steps = dict(zip(out["u"], out["n_steps"]))
+    assert got == {1: "a>b>c", 2: "solo", 3: "x"}
+    assert steps == {1: 3, 2: 1, 3: 1}
