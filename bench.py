@@ -38,6 +38,10 @@ BENCH_QUERIES = [
     "docs_packed",
     "docs_line_dedup",
     "docs_dedup_clusters",
+    "events_range_join",
+    "red_metrics",
+    "docs_index_search",
+    "revenue_by_nation",
 ]
 
 

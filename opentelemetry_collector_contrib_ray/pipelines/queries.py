@@ -3363,32 +3363,49 @@ def q_revenue_by_nation(sf_dir: str):
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def li_cents(t: pa.Table) -> pa.Table:
+    def li_combine(t: pa.Table) -> pa.Table:
+        """Push the aggregation below the join: per-batch per-orderkey
+        (n_items, rev_cents) partials — the join then moves one row
+        per (order, batch) instead of one per lineitem."""
+        import pandas as pd
+
         rev = pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
                           pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())))
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev_cents": _cents(rev)})
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                           "c": _cents(rev).to_numpy(zero_copy_only=False)})
+        g = (df.groupby("l_orderkey", as_index=False)
+             .agg(n_items=("c", "size"), rev_cents=("c", "sum")))
+        g["n_items"] = g["n_items"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    li = li.map_batches(li_cents, batch_format="pyarrow")
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = bucketed_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    li = li.map_batches(li_combine, batch_format="pyarrow")
 
+    # tiny dims resolve driver-side; nation attaches to orders BEFORE
+    # the large join (broadcast, no shuffle)
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation",
                         columns=["n_nationkey", "n_name"]).to_pandas()
     cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     cn = cn[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
-    joined = broadcast_join(joined, ray.put(cn), on="o_custkey", how="inner",
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_join(orders, ray.put(cn), on="o_custkey", how="inner",
                             concurrency=(1, 4))
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "n_name"]), batch_format="pyarrow")
+
+    joined = bucketed_hash_join(li, orders, on="l_orderkey",
+                                right_on="o_orderkey", num_partitions=32)
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table({"n_name": t["n_name"],
+                         "n_items": pc.cast(t["n_items"], pa.int64()),
                          "rev_cents": pc.cast(t["rev_cents"], pa.int64())})
 
     return (
         joined.map_batches(proj, batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Count(alias_name="n_items"),
+        .aggregate(Sum("n_items", alias_name="n_items"),
                    Sum("rev_cents", alias_name="sum_rev_cents"))
     )
 
