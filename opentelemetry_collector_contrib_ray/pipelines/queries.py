@@ -3566,6 +3566,50 @@ SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path
 """
 
 
+def q_events_latest_state(sf_dir: str):
+    """CDC compaction / upsert materialization (stages/deltas.py
+    latest_state): treat events as a changelog keyed by user_id with
+    event_id as the sequence — keep each user's latest record, drop
+    users whose latest is an 'error' tombstone. Per-batch argmax
+    combiner means only one candidate row per (user, block) shuffles.
+    Rollup: per event_type of the surviving latest rows, user count +
+    cents sum of value."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.deltas import latest_state
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "value"])
+    state = latest_state(
+        ds, key="user_id", seq="event_id",
+        delete_expr=lambda t: pc.equal(t["event_type"], "error"),
+        num_partitions=16,
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "cents": _cents(t["value"])})
+
+    return (
+        state.map_batches(proj, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+SQL_EVENTS_LATEST_STATE = f"""
+WITH w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_cents
+FROM w WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3726,6 +3770,7 @@ QUERIES = {
     "events_attribution": q_events_attribution,
     "docs_cooccurrence": q_docs_cooccurrence,
     "events_first_paths": q_events_first_paths,
+    "events_latest_state": q_events_latest_state,
 }
 
 ORACLES = {
@@ -3822,4 +3867,5 @@ ORACLES = {
     "events_attribution": SQL_EVENTS_ATTRIBUTION,
     "docs_cooccurrence": SQL_DOCS_COOCCURRENCE,
     "events_first_paths": SQL_EVENTS_FIRST_PATHS,
+    "events_latest_state": SQL_EVENTS_LATEST_STATE,
 }

@@ -173,3 +173,45 @@ def interval_last(ds, keys: list[str], ts: str, size_s: int,
         .groupby("__p")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def latest_state(ds, key: str, seq: str, delete_expr=None,
+                 num_partitions: int = 64):
+    """CDC compaction / merge-on-read upsert: from a changelog of keyed
+    records, materialize the latest state — for every key keep ONLY the
+    row with the max ``seq`` (ties impossible with a unique sequence;
+    with dups the whole-row max-(seq) winner is deterministic), and
+    drop keys whose winning row matches ``delete_expr`` (a vectorized
+    ``pa.Table -> BooleanArray`` tombstone predicate).
+
+    Same partial+final shape as interval_last: each block reduces to
+    one candidate row per key (per-batch argmax combiner), a key-hash
+    exchange moves ONLY candidates, and the final per-partition pass
+    re-argmaxes — changelog volume never shuffles, state size does."""
+
+    def _winners(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, seq], kind="mergesort")
+        return df.drop_duplicates(subset=[key], keep="last")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = _winners(t.to_pandas())
+        kv = df[key].to_numpy()
+        if kv.dtype.kind in "iu":
+            h = kv.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(kv.astype("U"))
+        df["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        out = pa.Table.from_pandas(_winners(g.drop(columns="__p")),
+                                   preserve_index=False)
+        if delete_expr is not None:
+            out = out.filter(pc.invert(pc.fill_null(delete_expr(out), False)))
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(merge, batch_format="pandas")
+    )

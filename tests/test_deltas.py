@@ -122,3 +122,25 @@ def test_interval_last_combiner_merge():
            .to_pandas().sort_values(["k", "window_start"]).reset_index(drop=True))
     assert out["id"].tolist() == exp["id"].tolist()
     assert out["v"].tolist() == exp["v"].tolist()
+
+
+def test_latest_state_upsert_and_tombstone():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.deltas import latest_state
+
+    log = pa.table({
+        "k": [1, 1, 1, 2, 2, 3],
+        "seq": [10, 30, 20, 5, 6, 1],
+        "op": ["U", "U", "U", "U", "D", "U"],
+        "v": ["a", "final", "b", "x", "gone", "solo"],
+    })
+    out = latest_state(
+        rd.from_arrow(log).repartition(4), key="k", seq="seq",
+        delete_expr=lambda t: pc.equal(t["op"], "D"), num_partitions=3,
+    ).to_pandas()
+    got = dict(zip(out["k"], out["v"]))
+    # key 1: seq 30 wins; key 2: latest is a delete -> absent; key 3 kept
+    assert got == {1: "final", 3: "solo"}
