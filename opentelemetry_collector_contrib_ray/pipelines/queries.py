@@ -3610,6 +3610,38 @@ GROUP BY event_type
 """
 
 
+def q_service_latency_slo(sf_dir: str):
+    """Per-service latency SLO quantiles (p50/p95/p99 — the classic
+    dashboard) over the parsed+enriched stream: composes the parse
+    chain with grouped_int_quantiles, so the latency histogram of each
+    service resolves on one worker and never touches the driver."""
+    from ..stages.agg import grouped_int_quantiles
+
+    ds = _enriched(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        lat = pc.cast(t["attributes.latency_ms"], pa.int64())
+        t = pa.table({"service": t["service"], "lat": lat})
+        return t.filter(pc.is_valid(t["lat"]))
+
+    ds = ds.map_batches(proj, batch_format="pyarrow")
+    return grouped_int_quantiles(ds, "service", "lat",
+                                 {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+                                 num_partitions=16)
+
+
+SQL_SERVICE_LATENCY_SLO = (
+    PARSED_SQL
+    + """
+SELECT service,
+       quantile_disc(latency_ms, 0.5) AS p50,
+       quantile_disc(latency_ms, 0.95) AS p95,
+       quantile_disc(latency_ms, 0.99) AS p99
+FROM parsed WHERE latency_ms IS NOT NULL GROUP BY service
+"""
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3771,6 +3803,7 @@ QUERIES = {
     "docs_cooccurrence": q_docs_cooccurrence,
     "events_first_paths": q_events_first_paths,
     "events_latest_state": q_events_latest_state,
+    "service_latency_slo": q_service_latency_slo,
 }
 
 ORACLES = {
@@ -3868,4 +3901,5 @@ ORACLES = {
     "docs_cooccurrence": SQL_DOCS_COOCCURRENCE,
     "events_first_paths": SQL_EVENTS_FIRST_PATHS,
     "events_latest_state": SQL_EVENTS_LATEST_STATE,
+    "service_latency_slo": SQL_SERVICE_LATENCY_SLO,
 }
