@@ -1201,7 +1201,7 @@ FROM derived
 """
 
 
-def _langid_sql() -> str:
+def _langid_sql(confusion: bool = False) -> str:
     """SQL twin of stages/text.py LangId, GENERATED from the same
     profile table so the two can never drift: per-language score = sum
     of non-overlapping marker occurrence counts in ' '||lower(text)||' '
@@ -1225,18 +1225,22 @@ def _langid_sql() -> str:
         conds = [f"s_{l} >= s_{o}" for o in langs[i + 1:]]
         arms.append(f"WHEN {' AND '.join(conds)} THEN '{l}'" if conds else f"ELSE '{l}'")
     case = "\n              ".join(arms)
+    final = ("SELECT lang, lang_pred, count(*) AS n FROM pred "
+             "GROUP BY lang, lang_pred" if confusion else
+             "SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred")
+    carry = "lang, " if confusion else ""
     return f"""
 WITH padded AS (
-  SELECT ' ' || lower(coalesce(text, '')) || ' ' AS p FROM documents
+  SELECT {carry}' ' || lower(coalesce(text, '')) || ' ' AS p FROM documents
 ), scored AS (
-  SELECT {scores}
+  SELECT {carry}{scores}
   FROM padded
 ), pred AS (
-  SELECT CASE WHEN {zero} THEN 'unknown'
+  SELECT {carry}CASE WHEN {zero} THEN 'unknown'
               {case} END AS lang_pred
   FROM scored
 )
-SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+{final}
 """
 
 
@@ -3642,6 +3646,53 @@ FROM parsed WHERE latency_ms IS NOT NULL GROUP BY service
 )
 
 
+def q_docs_langid_confusion(sf_dir: str):
+    """Language-ID audit: predicted language vs the stored label as a
+    confusion matrix — groupby (lang, lang_pred) count over the same
+    vectorized LangId actor pool; the oracle is GENERATED from the same
+    marker-profile table with the label carried through."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return (
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(lambda t: pa.table({"lang": t["lang"],
+                                         "lang_pred": t["lang_pred"]}),
+                     batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_events_cohort_ltv(sf_dir: str):
+    """Cohort LTV matrix (stages/windows.py cohort_value_matrix):
+    users cohorted by first-event week; per (cohort_week, week_offset)
+    cell the event count and cents-integer value sum — the revenue
+    sibling of the retention triangle, one user-hash exchange of 3-int
+    rows."""
+    from ..stages.windows import cohort_value_matrix
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return cohort_value_matrix(ds, num_partitions=16)
+
+
+SQL_EVENTS_COHORT_LTV = f"""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+         coalesce({_CENTS.format(x='value')}, 0) AS cents
+  FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id
+)
+SELECT CAST(cw AS BIGINT) AS cohort_week,
+       CAST(wk - cw AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM w JOIN f USING (user_id)
+GROUP BY cw, wk - cw
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3804,6 +3855,8 @@ QUERIES = {
     "events_first_paths": q_events_first_paths,
     "events_latest_state": q_events_latest_state,
     "service_latency_slo": q_service_latency_slo,
+    "docs_langid_confusion": q_docs_langid_confusion,
+    "events_cohort_ltv": q_events_cohort_ltv,
 }
 
 ORACLES = {
@@ -3902,4 +3955,6 @@ ORACLES = {
     "events_first_paths": SQL_EVENTS_FIRST_PATHS,
     "events_latest_state": SQL_EVENTS_LATEST_STATE,
     "service_latency_slo": SQL_SERVICE_LATENCY_SLO,
+    "docs_langid_confusion": _langid_sql(confusion=True),
+    "events_cohort_ltv": SQL_EVENTS_COHORT_LTV,
 }

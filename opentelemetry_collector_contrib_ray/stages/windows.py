@@ -419,3 +419,55 @@ def first_k_paths(ds, key: str, ts_col: str, order_col: str, val_col: str,
         .groupby("__p")
         .map_groups(paths, batch_format="pandas")
     )
+
+
+def cohort_value_matrix(ds, user_col: str = "user_id", ts_col: str = "ts",
+                        val_col: str = "value",
+                        week_us: int = 7 * 86_400_000_000,
+                        num_partitions: int = 64):
+    """Cohort LTV matrix — retention_cohorts' value-sum sibling: users
+    cohorted by first-event week; for every (cohort_week, week_offset)
+    cell, the event count and integer-cents value sum contributed by
+    that cohort in that week. Same single user-hash exchange of 3-int
+    rows (a user's first week is user-local after the exchange);
+    per-partition cell partials merge in a tiny rollup."""
+    P = num_partitions
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False)
+        wk = pc.divide(pc.cast(t[ts_col], pa.int64()), week_us)
+        v = pc.cast(t[val_col], pa.float64())
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)), pa.int64())
+        cents = pc.fill_null(cents, 0)
+        return pa.table({
+            "u": pa.array(u, type=pa.int64()),
+            "wk": wk,
+            "cents": cents,
+            "__p": pa.array((u.astype(np.uint64) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("u")["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": first.to_numpy(np.int64),
+                            "week_offset": (g["wk"] - first).to_numpy(np.int64),
+                            "cents": g["cents"].to_numpy(np.int64)})
+        cells = (out.groupby(["cohort_week", "week_offset"], as_index=False)
+                 .agg(n_events=("cents", "size"), sum_cents=("cents", "sum")))
+        cells["n_events"] = cells["n_events"].astype("int64")
+        cells["__q"] = (cells["cohort_week"].to_numpy(np.uint64)
+                        % np.uint64(P)).astype(np.int64)
+        return cells
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_week", "week_offset"], as_index=False,
+                        dropna=False)[["n_events", "sum_cents"]].sum()
+        return out.astype({"cohort_week": "int64", "week_offset": "int64",
+                           "n_events": "int64", "sum_cents": "int64"})
+
+    return (
+        ds.map_batches(prefilter, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(per_partition, batch_format="pandas")
+        .groupby("__q")
+        .map_groups(rollup, batch_format="pandas")
+    )
