@@ -3693,6 +3693,51 @@ GROUP BY cw, wk - cw
 """
 
 
+def q_conv_length_quantiles(sf_dir: str):
+    """Aggregate-of-aggregate: exact quantiles of conversation length
+    (turns per conv). Stage 1: per-batch conv value_counts partials →
+    ONE conv-hash exchange merging each conversation's count; stage 2:
+    the histogram-merge exact quantile over those counts. Only
+    (conv, count) and (value, count) int-ish rows ever move."""
+    from ..stages.agg import int_quantiles
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(t["conv_id"].to_numpy(zero_copy_only=False)).value_counts()
+        conv = vc.index.to_numpy().astype("U")
+        h = pd.util.hash_array(conv)
+        return pa.table({
+            "conv": pa.array(conv.tolist(), pa.string()),
+            "n": pa.array(vc.to_numpy(), pa.int64()),
+            "__p": pa.array((h % np.uint64(64)).astype(np.int64)),
+        })
+
+    def merge(g):
+        out = g.groupby("conv", as_index=False)["n"].sum()
+        return out[["n"]].astype({"n": "int64"})
+
+    counts = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__p").map_groups(merge, batch_format="pandas")
+    )
+    return int_quantiles(counts, "n", {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
+SQL_CONV_LENGTH_QUANTILES = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, c AS (SELECT conv_id, count(*) AS n FROM transcripts GROUP BY conv_id)
+SELECT quantile_disc(n, 0.5) AS p50,
+       quantile_disc(n, 0.9) AS p90,
+       quantile_disc(n, 0.99) AS p99
+FROM c
+"""
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3857,6 +3902,7 @@ QUERIES = {
     "service_latency_slo": q_service_latency_slo,
     "docs_langid_confusion": q_docs_langid_confusion,
     "events_cohort_ltv": q_events_cohort_ltv,
+    "conv_length_quantiles": q_conv_length_quantiles,
 }
 
 ORACLES = {
@@ -3957,4 +4003,5 @@ ORACLES = {
     "service_latency_slo": SQL_SERVICE_LATENCY_SLO,
     "docs_langid_confusion": _langid_sql(confusion=True),
     "events_cohort_ltv": SQL_EVENTS_COHORT_LTV,
+    "conv_length_quantiles": SQL_CONV_LENGTH_QUANTILES,
 }
