@@ -3738,6 +3738,64 @@ FROM c
 )
 
 
+def q_events_wow_growth(sf_dir: str):
+    """Week-over-week growth per event_type (LAG over the weekly
+    series): weekly counts come from a per-batch combiner + one tiny
+    groupby-sum (raw events never shuffle for the series), then each
+    type's series shifts within one map_groups pass — the window
+    function runs on pre-aggregated rows (weeks × types), never on the
+    event stream."""
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        wk = pc.divide(pc.cast(t["ts"], pa.int64()), 604_800_000_000)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                           "week": np.asarray(wk)})
+        g = df.groupby(["event_type", "week"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    weekly = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "week"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def shift(g):
+        g = g.sort_values("week", kind="mergesort")
+        prev = g["n"].shift(1)
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy()),
+            "week": pa.array(g["week"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            # arrow int64-with-null -> pandas float64, matching the
+            # DuckDB LAG NULL representation in the comparison
+            "prev_n": pa.array(prev.astype("Int64").to_numpy(na_value=None),
+                               pa.int64(), from_pandas=True),
+        })
+
+    return weekly.groupby("event_type").map_groups(shift, batch_format="pandas")
+
+
+SQL_EVENTS_WOW_GROWTH = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, week
+)
+SELECT event_type, CAST(week AS BIGINT) AS week, n,
+       CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT)
+         AS prev_n
+FROM w
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3903,6 +3961,7 @@ QUERIES = {
     "docs_langid_confusion": q_docs_langid_confusion,
     "events_cohort_ltv": q_events_cohort_ltv,
     "conv_length_quantiles": q_conv_length_quantiles,
+    "events_wow_growth": q_events_wow_growth,
 }
 
 ORACLES = {
@@ -4004,4 +4063,5 @@ ORACLES = {
     "docs_langid_confusion": _langid_sql(confusion=True),
     "events_cohort_ltv": SQL_EVENTS_COHORT_LTV,
     "conv_length_quantiles": SQL_CONV_LENGTH_QUANTILES,
+    "events_wow_growth": SQL_EVENTS_WOW_GROWTH,
 }
