@@ -3796,6 +3796,37 @@ FROM w
 """
 
 
+def q_emb_power_iteration(sf_dir: str):
+    """Exact distributed Gram + power iteration (stages/similarity.py
+    gram_power_iteration): integer-quantized embeddings, one d×d int64
+    matmul partial per batch, arbitrary-precision driver power steps —
+    bit-exact at any parallelism; the SQL twin carries the same values
+    through HUGEINT arithmetic."""
+    from ..stages.similarity import gram_power_iteration
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    return gram_power_iteration(ds)
+
+
+SQL_EMB_POWER_ITERATION = r"""
+WITH q AS (
+  SELECT vec_id,
+         CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS HUGEINT) AS qv,
+         dim
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               unnest(range(0, len(embedding))) AS dim FROM embeddings)
+), m AS (
+  SELECT a.dim AS i, b.dim AS j, SUM(a.qv * b.qv) AS v
+  FROM q a JOIN q b USING (vec_id) GROUP BY i, j
+), v1 AS (
+  SELECT i, SUM(v) AS w FROM m GROUP BY i
+)
+SELECT CAST(m.i AS BIGINT) AS dim,
+       CAST(SUM(m.v * v1.w) AS VARCHAR) AS v2
+FROM m JOIN v1 ON m.j = v1.i GROUP BY m.i
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3962,6 +3993,7 @@ QUERIES = {
     "events_cohort_ltv": q_events_cohort_ltv,
     "conv_length_quantiles": q_conv_length_quantiles,
     "events_wow_growth": q_events_wow_growth,
+    "emb_power_iteration": q_emb_power_iteration,
 }
 
 ORACLES = {
@@ -4064,4 +4096,5 @@ ORACLES = {
     "events_cohort_ltv": SQL_EVENTS_COHORT_LTV,
     "conv_length_quantiles": SQL_CONV_LENGTH_QUANTILES,
     "events_wow_growth": SQL_EVENTS_WOW_GROWTH,
+    "emb_power_iteration": SQL_EMB_POWER_ITERATION,
 }

@@ -684,3 +684,50 @@ def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
         .groupby("cluster")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def gram_power_iteration(ds, col: str = "embedding", scale: int = 10_000):
+    """Distributed EXACT Gram matrix + 2-step power iteration — the
+    dominant-direction probe of PCA, made bit-exact: embeddings are
+    quantized to integers (``floor(x·scale + 0.5)``, the same half-up
+    rule as the cents transform), each batch reduces to ONE d×d int64
+    matmul partial ``Qᵀ Q`` (exact — no float summation order), partials
+    merge in a tiny (i, j) groupby-sum, and the driver runs the power
+    steps ``v₂ = G (G 1)`` in arbitrary-precision Python ints on the
+    d² ≈ 4k-row matrix. Every value is exactly reproducible at any
+    parallelism, and a SQL twin follows via HUGEINT arithmetic.
+
+    Scale shape: embeddings never shuffle; the wire carries d² int64
+    rows per block; driver state is d², independent of corpus size.
+    Returns one row per dimension: (dim, v2) with v2 as a decimal
+    string (the magnitudes exceed int64; HUGEINT prints the same)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = t[col]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        d = len(e[0])
+        x = e.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x.reshape(-1, d)
+        q = np.floor(x * scale + 0.5).astype(np.int64)
+        g = q.T @ q
+        ii, jj = np.indices((d, d))
+        return pa.table({"i": pa.array(ii.ravel(), pa.int64()),
+                         "j": pa.array(jj.ravel(), pa.int64()),
+                         "v": pa.array(g.ravel(), pa.int64())})
+
+    gram = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+    )
+    d = int(gram["i"].max()) + 1
+    M = [[0] * d for _ in range(d)]
+    for i, j, v in zip(gram["i"], gram["j"], gram["v"]):
+        M[int(i)][int(j)] = int(v)  # exact Python ints from here on
+    v1 = [sum(M[i][j] for j in range(d)) for i in range(d)]
+    v2 = [sum(M[i][j] * v1[j] for j in range(d)) for i in range(d)]
+    return pa.table({"dim": pa.array(range(d), pa.int64()),
+                     "v2": pa.array([str(x) for x in v2], pa.string())})
