@@ -3827,6 +3827,42 @@ FROM m JOIN v1 ON m.j = v1.i GROUP BY m.i
 """
 
 
+def q_events_activity_coverage(sf_dir: str):
+    """Interval-union coverage (stages/windows.py
+    interval_union_coverage): each event opens a 30-minute activity
+    window; per user, merged-island count and union-covered seconds
+    (overlaps counted once) — the gaps-and-islands problem, one
+    key-hash exchange + one vectorized pass."""
+    from ..stages.windows import interval_union_coverage
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return interval_union_coverage(ds, key="user_id", ts_col="ts",
+                                   length_s=1800, num_partitions=16)
+
+
+SQL_EVENTS_ACTIVITY_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+), m AS (
+  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_max
+  FROM iv
+), g AS (
+  SELECT *, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+            AS isl
+  FROM m
+), il AS (
+  SELECT user_id, isl, epoch_us(max(e)) - epoch_us(min(s)) AS len_us
+  FROM g GROUP BY user_id, isl
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(SUM(len_us) // 1000000 AS BIGINT) AS covered_s
+FROM il GROUP BY user_id
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -3994,6 +4030,7 @@ QUERIES = {
     "conv_length_quantiles": q_conv_length_quantiles,
     "events_wow_growth": q_events_wow_growth,
     "emb_power_iteration": q_emb_power_iteration,
+    "events_activity_coverage": q_events_activity_coverage,
 }
 
 ORACLES = {
@@ -4097,4 +4134,5 @@ ORACLES = {
     "conv_length_quantiles": SQL_CONV_LENGTH_QUANTILES,
     "events_wow_growth": SQL_EVENTS_WOW_GROWTH,
     "emb_power_iteration": SQL_EMB_POWER_ITERATION,
+    "events_activity_coverage": SQL_EVENTS_ACTIVITY_COVERAGE,
 }

@@ -471,3 +471,65 @@ def cohort_value_matrix(ds, user_col: str = "user_id", ts_col: str = "ts",
         .groupby("__q")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def interval_union_coverage(ds, key: str, ts_col: str, length_s: int,
+                            num_partitions: int = 64):
+    """Interval-union coverage (the gaps-and-islands problem): each row
+    opens an interval [ts, ts + length_s); per key, report the number
+    of merged islands and the total seconds covered by their union —
+    "how long was this tenant active, counting overlaps once".
+
+    ONE key-hash exchange, then a single vectorized pass per partition:
+    sort by (key, ts), island starts where ts exceeds the grouped
+    running max of previous interval ends (shift + grouped cummax —
+    same kernel as late_arrivals), island ids by grouped cumsum, island
+    extents by one groupby min/max. Output: (key, n_islands,
+    covered_s)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    len_us = int(length_s) * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind in "iu":
+            h = kv.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(kv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        s = g[ts_col].astype("datetime64[us]").astype("int64")
+        e = s + len_us
+        ee = pd.Series(e.to_numpy(), index=g.index)
+        # per-GROUP shift: a plain Series.shift(1) would leak the
+        # previous key's interval end into this key's first row, and
+        # cummax would then propagate it through the whole group
+        prev_max = ee.groupby(g[key], sort=False, dropna=False).shift(1).groupby(
+            g[key], sort=False, dropna=False).cummax()
+        first = prev_max.isna().to_numpy()
+        new_island = first | (s.to_numpy() > prev_max.to_numpy())
+        isl = pd.Series(new_island.astype(np.int64), index=g.index).groupby(
+            g[key], sort=False, dropna=False).cumsum()
+        d = pd.DataFrame({key: g[key].to_numpy(), "isl": isl.to_numpy(),
+                          "s": s.to_numpy(), "e": e.to_numpy()})
+        ext = (d.groupby([key, "isl"], as_index=False, dropna=False)
+               .agg(s=("s", "min"), e=("e", "max")))
+        out = (ext.assign(len_us=ext["e"] - ext["s"])
+               .groupby(key, as_index=False, dropna=False)
+               .agg(n_islands=("len_us", "size"), cov_us=("len_us", "sum")))
+        out["n_islands"] = out["n_islands"].astype("int64")
+        out["covered_s"] = (out["cov_us"] // 1_000_000).astype("int64")
+        return out.drop(columns=["cov_us"])
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(cover, batch_format="pandas")
+    )

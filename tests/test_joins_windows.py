@@ -448,3 +448,23 @@ def test_first_k_paths_order_and_cap():
     steps = dict(zip(out["u"], out["n_steps"]))
     assert got == {1: "a>b>c", 2: "solo", 3: "x"}
     assert steps == {1: 3, 2: 1, 3: 1}
+
+
+def test_interval_union_coverage_islands():
+    from opentelemetry_collector_contrib_ray.stages.windows import (
+        interval_union_coverage,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    df = pd.DataFrame({
+        # user 1: [0,30)+[10,40) merge (40m); [120,150) separate (30m)
+        # user 2: one event right after user 1's last (checks no
+        # cross-key leakage through the running max)
+        "u": [1, 1, 1, 2],
+        "ts": [base, base + 10 * M, base + 120 * M, base + 121 * M],
+    })
+    out = interval_union_coverage(rd.from_pandas(df).repartition(2), "u", "ts",
+                                  1800, num_partitions=2).to_pandas()
+    got = {r.u: (r.n_islands, r.covered_s) for r in out.itertuples()}
+    assert got == {1: (2, 40 * 60 + 30 * 60), 2: (1, 30 * 60)}
