@@ -3863,6 +3863,55 @@ FROM il GROUP BY user_id
 """
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered semi-join (stages/joins.py bloom_filter_build
+    + bloom_prefilter): high-value order keys fold into a fixed-size
+    bitmap (one m/8-byte partial per block, OR-merged streaming), the
+    lineitem stream drops definite non-matches BEFORE the shuffle (no
+    false negatives ⇒ still exact), and the native hash semi-join
+    finishes on the shrunken input. Rollup: per returnflag count +
+    quantity cents."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bloom_filter_build, bloom_prefilter, large_semi_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    hot = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400_000.0))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    bloom = bloom_filter_build(hot, "o_orderkey", m_bits=1 << 20, k=4)
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity", "l_returnflag"])
+    li = bloom_prefilter(li, "l_orderkey", ray.put(bloom), m_bits=1 << 20, k=4,
+                         concurrency=(1, 4))
+    kept = large_semi_join(li, hot, on="l_orderkey", right_on="o_orderkey",
+                           num_partitions=16)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "qty_cents": _cents(t["l_quantity"])})
+
+    return (
+        kept.map_batches(proj, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_items"),
+                   Sum("qty_cents", alias_name="sum_qty_cents"))
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM({_CENTS.format(x='l_quantity')}) AS BIGINT) AS sum_qty_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY l_returnflag
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4031,6 +4080,7 @@ QUERIES = {
     "events_wow_growth": q_events_wow_growth,
     "emb_power_iteration": q_emb_power_iteration,
     "events_activity_coverage": q_events_activity_coverage,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 ORACLES = {
@@ -4135,4 +4185,5 @@ ORACLES = {
     "events_wow_growth": SQL_EVENTS_WOW_GROWTH,
     "emb_power_iteration": SQL_EMB_POWER_ITERATION,
     "events_activity_coverage": SQL_EVENTS_ACTIVITY_COVERAGE,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
 }

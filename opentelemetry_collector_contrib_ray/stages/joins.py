@@ -467,3 +467,76 @@ def range_join(left, intervals, key: str, ts: str, start: str, end: str,
     )
     both = both.map_batches(_add_part([key, "__b"], n_parts), batch_format="pyarrow")
     return both.groupby("__p").map_groups(join_part, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ bloom
+
+_B1 = np.uint64(0x9E3779B97F4A7C15)
+_B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing (Kirsch–Mitzenmacher):
+    pos_i = (h1 + i·h2) mod m, all uint64 vectorized."""
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = x * _B1
+        h2 = (x * _B2) | np.uint64(1)
+        return np.stack(
+            [(h1 + np.uint64(i) * h2) % np.uint64(m_bits) for i in range(k)],
+            axis=1,
+        )
+
+
+def bloom_filter_build(ds, col: str, m_bits: int = 1 << 20, k: int = 4) -> bytes:
+    """Build a Bloom filter of a column's values: each block reduces to
+    one m/8-byte bitmap partial; partials OR together on the driver in
+    a constant-memory stream (one bitmap resident at a time). The
+    bitmap is what you broadcast when the key SET itself is too big to
+    ship — filter size is fixed regardless of key count."""
+    nbytes = m_bits // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[col].to_numpy(zero_copy_only=False)
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        if len(keys):
+            pos = _bloom_positions(keys, m_bits, k).ravel()
+            np.bitwise_or.at(bm, (pos // 8).astype(np.int64),
+                             np.left_shift(1, (pos % 8).astype(np.int64)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for buf in batch["bm"]:
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_prefilter(ds, col: str, bloom_ref, m_bits: int = 1 << 20, k: int = 4,
+                    concurrency=4):
+    """Drop rows whose key is definitely NOT in the Bloom filter (no
+    false negatives — survivors are a superset of true matches, so an
+    exact join downstream stays exact while its shuffle input shrinks).
+    The bitmap resolves from the object store once per actor; the probe
+    is one gather + bit-test per hash, whole-batch."""
+
+    class Probe:
+        def __init__(self):
+            import ray
+
+            b = bloom_ref if isinstance(bloom_ref, (bytes, bytearray)) else ray.get(bloom_ref)
+            self.bm = np.frombuffer(b, dtype=np.uint8)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t[col].to_numpy(zero_copy_only=False)
+            if not len(keys):
+                return t
+            pos = _bloom_positions(keys, m_bits, k)
+            bits = (self.bm[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+            return t.filter(pa.array(bits.all(axis=1)))
+
+    from .base import norm_concurrency
+
+    return ds.map_batches(Probe, batch_format="pyarrow",
+                          concurrency=norm_concurrency(concurrency))

@@ -468,3 +468,28 @@ def test_interval_union_coverage_islands():
                                   1800, num_partitions=2).to_pandas()
     got = {r.u: (r.n_islands, r.covered_s) for r in out.itertuples()}
     assert got == {1: (2, 40 * 60 + 30 * 60), 2: (1, 30 * 60)}
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective():
+    from opentelemetry_collector_contrib_ray.stages.joins import (
+        bloom_filter_build,
+        bloom_prefilter,
+    )
+
+    rng = np.random.default_rng(5)
+    members = rng.choice(10**9, 500, replace=False)
+    right = rd.from_pandas(pd.DataFrame({"k": members})).repartition(3)
+    bloom = bloom_filter_build(right, "k", m_bits=1 << 16, k=4)
+
+    probe_keys = np.concatenate([members[:200], rng.choice(10**9, 5000)])
+    left = rd.from_pandas(pd.DataFrame({"k": probe_keys})).repartition(4)
+    kept = bloom_prefilter(left, "k", bloom, m_bits=1 << 16, k=4,
+                           concurrency=1).to_pandas()["k"].to_numpy()
+    member_set = set(members.tolist())
+    # no false negatives: every true member survives
+    true_hits = [x for x in probe_keys if x in member_set]
+    assert sorted(x for x in kept if x in member_set) == sorted(true_hits)
+    # selective: the overwhelming majority of non-members are dropped
+    non_members = [x for x in probe_keys if x not in member_set]
+    false_pos = [x for x in kept if x not in member_set]
+    assert len(false_pos) < 0.05 * len(non_members)
