@@ -3912,6 +3912,36 @@ GROUP BY l_returnflag
 """
 
 
+def q_events_profile(sf_dir: str):
+    """One-pass column profiler (stages/agg.py profile_columns): per
+    column, row count / null count / typed min-max — the ANALYZE
+    staple; one stat row per column per block, tiny merge."""
+    from ..stages.agg import profile_columns
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "props"])
+    return profile_columns(ds, int_cols=["event_id", "user_id"],
+                           str_cols=["event_type", "props"])
+
+
+def _events_profile_sql() -> str:
+    parts = []
+    for c in ["event_id", "user_id"]:
+        parts.append(f"""
+SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       coalesce(CAST(min({c}) AS VARCHAR), '') AS min_v,
+       coalesce(CAST(max({c}) AS VARCHAR), '') AS max_v
+FROM events""")
+    for c in ["event_type", "props"]:
+        parts.append(f"""
+SELECT '{c}', count(*),
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       coalesce(min({c}), ''), coalesce(max({c}), '')
+FROM events""")
+    return " UNION ALL ".join(parts)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4081,6 +4111,7 @@ QUERIES = {
     "emb_power_iteration": q_emb_power_iteration,
     "events_activity_coverage": q_events_activity_coverage,
     "bloom_semi_join": q_bloom_semi_join,
+    "events_profile": q_events_profile,
 }
 
 ORACLES = {
@@ -4186,4 +4217,5 @@ ORACLES = {
     "emb_power_iteration": SQL_EMB_POWER_ITERATION,
     "events_activity_coverage": SQL_EVENTS_ACTIVITY_COVERAGE,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "events_profile": _events_profile_sql(),
 }

@@ -409,3 +409,65 @@ def rollup_counts_sql(keys: list[str], src: str,
     )
     return (f"SELECT {sel}, CAST(count(*) AS BIGINT) AS n FROM {src} "
             f"GROUP BY ROLLUP ({', '.join(keys)})")
+
+
+def profile_columns(ds, int_cols: list[str], str_cols: list[str]):
+    """One-pass column profiler (the ANALYZE staple): per column, row
+    count, null count, and min/max — integer columns compare as int64,
+    string columns lexicographically (typed min/max columns survive the
+    merge; rendering to strings happens only at the end, so '9' vs '10'
+    ordering bugs can't occur). Each block reduces to one row per
+    column; the merge is a tiny groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols, ns, nulls, mni, mxi, mns, mxs = [], [], [], [], [], [], []
+        for c in int_cols:
+            col = pc.cast(t[c], pa.int64())
+            valid = pc.drop_null(col)
+            cols.append(c); ns.append(t.num_rows); nulls.append(col.null_count)
+            mni.append(pc.min(valid).as_py() if len(valid) else None)
+            mxi.append(pc.max(valid).as_py() if len(valid) else None)
+            mns.append(None); mxs.append(None)
+        for c in str_cols:
+            col = pc.cast(t[c], pa.string())
+            valid = pc.drop_null(col)
+            cols.append(c); ns.append(t.num_rows); nulls.append(col.null_count)
+            mni.append(None); mxi.append(None)
+            mns.append(pc.min(valid).as_py() if len(valid) else None)
+            mxs.append(pc.max(valid).as_py() if len(valid) else None)
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "n_rows": pa.array(ns, pa.int64()),
+            "n_nulls": pa.array(nulls, pa.int64()),
+            "min_i": pa.array(mni, pa.int64()),
+            "max_i": pa.array(mxi, pa.int64()),
+            "min_s": pa.array(mns, pa.string()),
+            "max_s": pa.array(mxs, pa.string()),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_nulls", alias_name="n_nulls"),
+                   Min("min_i", alias_name="min_i"),
+                   Max("max_i", alias_name="max_i"),
+                   Min("min_s", alias_name="min_s"),
+                   Max("max_s", alias_name="max_s"))
+    )
+    int_set = set(int_cols)
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        is_int = df["column"].isin(int_set)
+        df["min_v"] = np.where(is_int,
+                               df["min_i"].map(lambda x: "" if pd.isna(x) else str(int(x))),
+                               df["min_s"].fillna(""))
+        df["max_v"] = np.where(is_int,
+                               df["max_i"].map(lambda x: "" if pd.isna(x) else str(int(x))),
+                               df["max_s"].fillna(""))
+        out = df[["column", "n_rows", "n_nulls", "min_v", "max_v"]]
+        return out.astype({"n_rows": "int64", "n_nulls": "int64"})
+
+    return merged.map_batches(render, batch_format="pandas")

@@ -280,3 +280,20 @@ def test_rollup_counts_levels():
         ("x", "1"): 1, ("x", "2"): 1, ("y", "1"): 2, ("y", "2"): 1,
         ("x", "*"): 2, ("y", "*"): 3, ("*", "*"): 5,
     }
+
+
+def test_profile_columns_typed_minmax_and_nulls():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import profile_columns
+
+    t = pa.table({
+        "i": [9, 10, None, 2],     # numeric min/max must not compare as strings
+        "s": ["b", None, "a", "c"],
+    })
+    out = profile_columns(rd.from_arrow(t).repartition(3),
+                          int_cols=["i"], str_cols=["s"]).to_pandas()
+    got = {r.column: (r.n_rows, r.n_nulls, r.min_v, r.max_v)
+           for r in out.itertuples()}
+    assert got == {"i": (4, 1, "2", "10"), "s": (4, 1, "a", "c")}
