@@ -3942,6 +3942,55 @@ FROM events""")
     return " UNION ALL ".join(parts)
 
 
+def q_docs_entropy(sf_dir: str):
+    """Per-document character entropy (stages/text.py char_entropy —
+    gibberish/boilerplate signal), rolled up to per-language doc count
+    + mean entropy; zero shuffle before the tiny (lang, sum, n)
+    partials. Floats compare under the harness's round-6 hash (the
+    per-doc H values are order-independent; only the final mean sums
+    across blocks)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.text import char_entropy
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = char_entropy(t)
+        t = t.filter(pc.is_valid(t["char_entropy"]))
+        return pa.table({"lang": t["lang"], "H": t["char_entropy"]})
+
+    out = (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("H", alias_name="sum_h"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "avg_entropy": pc.divide(pc.cast(t["sum_h"], pa.float64()),
+                                     pc.cast(t["n_docs"], pa.float64())),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(coalesce(text, ''), '')) AS c
+  FROM documents
+), de AS (
+  SELECT doc_id, any_value(lang) AS lang, entropy(c) AS H
+  FROM ch WHERE c <> '' GROUP BY doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, avg(H) AS avg_entropy
+FROM de GROUP BY lang
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4112,6 +4161,7 @@ QUERIES = {
     "events_activity_coverage": q_events_activity_coverage,
     "bloom_semi_join": q_bloom_semi_join,
     "events_profile": q_events_profile,
+    "docs_entropy": q_docs_entropy,
 }
 
 ORACLES = {
@@ -4218,4 +4268,5 @@ ORACLES = {
     "events_activity_coverage": SQL_EVENTS_ACTIVITY_COVERAGE,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "events_profile": _events_profile_sql(),
+    "docs_entropy": SQL_DOCS_ENTROPY,
 }

@@ -952,3 +952,46 @@ def cooccurrence_topk(ds, col: str = "text", id_col: str = "doc_id",
         .sort(["n_docs", "term_a", "term_b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+# ------------------------------------------------------------- entropy
+
+def char_entropy(t: pa.Table, col: str = "text",
+                 out: str = "char_entropy", chunk: int = 2048) -> pa.Table:
+    """Per-document character (codepoint) Shannon entropy in bits — a
+    classic gibberish/boilerplate quality signal. Vectorized across the
+    batch: docs are viewed as a fixed-width uint32 codepoint matrix
+    (numpy U-dtype view), padded cells masked by length, (doc, cp)
+    counts come from one value_counts over a combined int key, and
+    H = log2(n) − Σ c·log2(c)/n per doc via one grouped sum. ``chunk``
+    bounds the padded-matrix memory for skewed batches. Empty docs get
+    null entropy."""
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    s = pc.fill_null(pc.cast(c, pa.string()), "")
+    n_rows = len(s)
+    H = np.full(n_rows, np.nan)
+    arr = s.to_numpy(zero_copy_only=False)
+    for lo in range(0, n_rows, chunk):
+        sub = arr[lo:lo + chunk].astype("U")
+        if sub.dtype.itemsize == 0:
+            continue
+        width = sub.dtype.itemsize // 4
+        m = sub.view(np.uint32).reshape(len(sub), width)
+        lens = (m != 0).sum(axis=1)  # U-dtype zero-pads; NUL never in text
+        pos_doc, pos_col = np.nonzero(m)
+        key = pos_doc.astype(np.int64) * 2_097_152 + m[pos_doc, pos_col]
+        vc = pd.Series(key).value_counts()
+        doc = (vc.index.to_numpy() // 2_097_152)
+        cnt = vc.to_numpy().astype(np.float64)
+        clog = cnt * np.log2(cnt)
+        sums = np.zeros(len(sub))
+        np.add.at(sums, doc, clog)
+        nz = lens > 0
+        h = np.full(len(sub), np.nan)
+        h[nz] = np.log2(lens[nz]) - sums[nz] / lens[nz]
+        H[lo:lo + len(sub)] = h
+    from .base import set_column
+
+    return set_column(t, out, pa.array(H, pa.float64(), from_pandas=True))

@@ -548,3 +548,20 @@ def test_cooccurrence_topk_hand_case():
     assert got == {("a", "b"): 3, ("a", "c"): 2, ("b", "c"): 1}
     # ranking: count desc, then lexicographic
     assert list(zip(out["term_a"], out["term_b"])) == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_char_entropy_values():
+    import math
+
+    from opentelemetry_collector_contrib_ray.stages.text import char_entropy
+
+    t = pa.table({"text": ["aabbbb", "abcd", "aaaa", "", None, "…x…"]})
+    out = char_entropy(t)["char_entropy"].to_pylist()
+    p = [2 / 6, 4 / 6]
+    want0 = -sum(x * math.log2(x) for x in p)
+    assert abs(out[0] - want0) < 1e-12
+    assert abs(out[1] - 2.0) < 1e-12       # 4 distinct chars
+    assert out[2] == 0.0                   # single distinct char
+    assert out[3] is None and out[4] is None
+    p2 = [2 / 3, 1 / 3]                    # multibyte chars count once
+    assert abs(out[5] - (-sum(x * math.log2(x) for x in p2))) < 1e-12
