@@ -3991,6 +3991,54 @@ FROM de GROUP BY lang
 """
 
 
+def q_events_split_drift(sf_dir: str):
+    """Data-drift monitor: deterministic train/test split (hash
+    threshold) × explicit-bucket value histogram in one composed pass —
+    the per-(split, bucket) count table one diffs to detect
+    distribution drift between corpus slices. Zero shuffle before the
+    tiny (split, bucket) partials."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.sampler import assign_split
+
+    bounds = np.array([10.0, 50.0, 100.0, 250.0])
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = assign_split(t, "event_id", {"train": 0.8, "test": 0.2})
+        v = pc.cast(t["value"], pa.float64())
+        t = t.filter(pc.is_valid(v))
+        vv = pc.cast(t["value"], pa.float64()).to_numpy()
+        idx = np.searchsorted(bounds, vv, side="left")
+        df = pd.DataFrame({"split": t["split"].to_numpy(zero_copy_only=False),
+                           "bucket": idx.astype(np.int64)})
+        g = df.groupby(["split", "bucket"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _events_split_drift_sql() -> str:
+    from ..stages.sampler import split_thresholds_sql
+
+    case = split_thresholds_sql("event_id", {"train": 0.8, "test": 0.2})
+    idx = " + ".join(f"(CASE WHEN value > {x} THEN 1 ELSE 0 END)"
+                     for x in [10.0, 50.0, 100.0, 250.0])
+    return f"""
+SELECT {case} AS split, CAST(({idx}) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY split, bucket
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4162,6 +4210,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "events_profile": q_events_profile,
     "docs_entropy": q_docs_entropy,
+    "events_split_drift": q_events_split_drift,
 }
 
 ORACLES = {
@@ -4269,4 +4318,5 @@ ORACLES = {
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "events_profile": _events_profile_sql(),
     "docs_entropy": SQL_DOCS_ENTROPY,
+    "events_split_drift": _events_split_drift_sql(),
 }
