@@ -44,11 +44,15 @@ from .base import BatchOp, blend_columns, set_column
 
 def _split_top(s: str) -> list[str]:
     """Split on top-level commas, respecting quotes and parens."""
-    parts, depth, cur, q = [], 0, [], None
+    parts, depth, cur, q, esc = [], 0, [], None, False
     for ch in s:
         if q:
             cur.append(ch)
-            if ch == q:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == q:
                 q = None
             continue
         if ch in "\"'":
@@ -81,11 +85,15 @@ def parse_statement(stmt: str) -> tuple[str, list[str], str | None]:
         raise ValueError(f"bad statement: {stmt!r}")
     editor = m.group(1)
     # find matching close paren of the editor call
-    depth, q, i = 0, None, m.end() - 1
+    depth, q, i, esc = 0, None, m.end() - 1, False
     for j in range(i, len(stmt)):
         ch = stmt[j]
         if q:
-            if ch == q:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == q:
                 q = None
             continue
         if ch in "\"'":
@@ -109,7 +117,15 @@ def parse_statement(stmt: str) -> tuple[str, list[str], str | None]:
 
 def _unquote(s: str) -> str:
     if len(s) >= 2 and s[0] in "\"'" and s[-1] == s[0]:
-        return s[1:-1]
+        body = s[1:-1]
+        if "\\" in body:
+            # OTTL string literals use Go escapes (grammar.go String
+            # lexer); the common subset suffices for log configs
+            body = (body.replace("\\\\", "\x00")
+                        .replace('\\"', '"').replace("\\'", "'")
+                        .replace("\\n", "\n").replace("\\t", "\t")
+                        .replace("\\r", "\r").replace("\x00", "\\"))
+        return body
     return s
 
 

@@ -231,3 +231,23 @@ def test_map_literal_empty_and_where(t):
     out = run(t, ['set(attributes["empty"], {}) where severity_number >= 17'])
     vals = out["attributes.empty"].to_pylist()
     assert vals[0] is None and vals[1] == {} and vals[2] == {}
+
+
+def test_statement_string_escapes():
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.ottl import (
+        TransformProcessor,
+        parse_statement,
+    )
+
+    # the e2e corpus case that needs backslash-aware scanning: an
+    # escaped quote inside a string literal
+    parse_statement('set(attributes["test"], "\\"")')
+    t = pa.table({"attributes.test": ["x"], "attributes.b": ["y"]})
+    out = TransformProcessor(['set(attributes["test"], "\\"")'])(t)
+    assert out["attributes.test"].to_pylist() == ['"']
+    out = TransformProcessor(['set(attributes["test"], "a\\\\b, c")'])(t)
+    assert out["attributes.test"].to_pylist() == ["a\\b, c"]
+    out = TransformProcessor(['set(attributes["test"], "l1\\nl2")'])(t)
+    assert out["attributes.test"].to_pylist() == ["l1\nl2"]
