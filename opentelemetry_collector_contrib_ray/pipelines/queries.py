@@ -4039,6 +4039,88 @@ GROUP BY split, bucket
 """
 
 
+def q_events_transitions(sf_dir: str):
+    """Event-flow transition matrix (the Markov/sankey view): per user,
+    consecutive event pairs in (ts, event_id) order → global
+    (prev_type, type) counts. One user-hash exchange, one vectorized
+    sort + grouped shift per partition, then a tiny pair rollup."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__p", pa.array((u.astype(np.uint64) % np.uint64(16)).astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        d = pd.DataFrame({"prev_type": prev, "event_type": g["event_type"]})
+        d = d.dropna(subset=["prev_type"])
+        out = d.groupby(["prev_type", "event_type"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p").map_groups(pairs, batch_format="pandas")
+        .groupby(["prev_type", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH w AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact grouped count-distinct: distinct (event_type, user) pairs
+    resolved per block, ONE int-pair exchange co-locating each type's
+    pairs, per-partition nunique — the distinct never sits on the
+    driver."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pa.table({"event_type": t["event_type"],
+                       "user_id": t["user_id"]}).to_pandas().drop_duplicates()
+        et = df["event_type"].to_numpy().astype("U")
+        df["__p"] = (pd.util.hash_array(et) % np.uint64(8)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["event_type", "user_id"]].drop_duplicates()
+        out = d.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__p").map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4211,6 +4293,8 @@ QUERIES = {
     "events_profile": q_events_profile,
     "docs_entropy": q_docs_entropy,
     "events_split_drift": q_events_split_drift,
+    "events_transitions": q_events_transitions,
+    "events_distinct_users": q_events_distinct_users,
 }
 
 ORACLES = {
@@ -4319,4 +4403,6 @@ ORACLES = {
     "events_profile": _events_profile_sql(),
     "docs_entropy": SQL_DOCS_ENTROPY,
     "events_split_drift": _events_split_drift_sql(),
+    "events_transitions": SQL_EVENTS_TRANSITIONS,
+    "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
 }
