@@ -4121,6 +4121,38 @@ FROM events GROUP BY event_type
 """
 
 
+def q_docs_sample_k(sf_dir: str):
+    """Deterministic fixed-size global sample (eval-set carving): the
+    exactly-K docs with the smallest (knuth_hash(id), id) — a seedless
+    uniform sample reproducible at any parallelism. Block-local top-K
+    candidates → one tiny sort/limit merge; the corpus never sorts."""
+    K = 100
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        order = np.lexsort((ids, h))[:K]
+        out = t.take(pa.array(order))
+        return out.append_column("__h", pa.array(h[order].astype(np.int64)))
+
+    picked = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["__h", "doc_id"]).limit(K)
+    )
+    return picked.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow")
+
+
+def _docs_sample_k_sql() -> str:
+    from ..stages.sampler import knuth_hash_sql
+
+    h = knuth_hash_sql("doc_id")
+    return (f"SELECT doc_id, lang FROM documents "
+            f"ORDER BY {h}, doc_id LIMIT 100")
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4295,6 +4327,7 @@ QUERIES = {
     "events_split_drift": q_events_split_drift,
     "events_transitions": q_events_transitions,
     "events_distinct_users": q_events_distinct_users,
+    "docs_sample_k": q_docs_sample_k,
 }
 
 ORACLES = {
@@ -4405,4 +4438,5 @@ ORACLES = {
     "events_split_drift": _events_split_drift_sql(),
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
+    "docs_sample_k": _docs_sample_k_sql(),
 }
