@@ -4153,6 +4153,27 @@ def _docs_sample_k_sql() -> str:
             f"ORDER BY {h}, doc_id LIMIT 100")
 
 
+def q_docs_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup: n-gram CONTAINMENT ≥ 7/10 toward the
+    smaller gram set (stages/dedup.py ngram_jaccard_pairs
+    mode='containment') — catches a doc embedded in / near-superset of
+    another even at low Jaccard (the quote / boilerplate-copy case).
+    Same inverted-index shape and integer-rational exactness."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold_num=7, threshold_den=10,
+                                mode="containment", num_partitions=16)
+    return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow")
+
+
+SQL_DOCS_CONTAINMENT = SQL_DOCS_NGRAM_JACCARD.replace(
+    "WHERE 10 * p.shared >= 8 * (da.c + db.c - p.shared)",
+    "WHERE 10 * p.shared >= 7 * least(da.c, db.c)",
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4328,6 +4349,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "events_distinct_users": q_events_distinct_users,
     "docs_sample_k": q_docs_sample_k,
+    "docs_containment_pairs": q_docs_containment_pairs,
 }
 
 ORACLES = {
@@ -4439,4 +4461,5 @@ ORACLES = {
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     "docs_sample_k": _docs_sample_k_sql(),
+    "docs_containment_pairs": SQL_DOCS_CONTAINMENT,
 }

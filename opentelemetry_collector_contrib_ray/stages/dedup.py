@@ -560,7 +560,8 @@ def _pairs_from_runs(doc: np.ndarray, gram: np.ndarray, c: np.ndarray,
 
 def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
                         n: int = 3, col: str = "text", id_col: str = "doc_id",
-                        max_df: int | None = None, num_partitions: int = 64):
+                        max_df: int | None = None, num_partitions: int = 64,
+                        mode: str = "jaccard"):
     """All-pairs word-n-gram Jaccard ≥ threshold via a distributed
     inverted shingle index — the exact counterpart to MinHash-LSH:
 
@@ -616,9 +617,14 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
     def merge_and_filter(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["id_a", "id_b", "c_a", "c_b"], as_index=False)["shared"].sum()
         c = agg["shared"].to_numpy()
-        keep = threshold_den * c >= threshold_num * (
-            agg["c_a"].to_numpy() + agg["c_b"].to_numpy() - c
-        )
+        if mode == "containment":
+            # containment toward the SMALLER gram set — detects one doc
+            # embedded in / near-superset of another even when their
+            # Jaccard is low (the quote/boilerplate-copy case)
+            denom = np.minimum(agg["c_a"].to_numpy(), agg["c_b"].to_numpy())
+        else:
+            denom = agg["c_a"].to_numpy() + agg["c_b"].to_numpy() - c
+        keep = threshold_den * c >= threshold_num * denom
         return agg.loc[keep, ["id_a", "id_b", "shared"]]
 
     return (

@@ -585,3 +585,23 @@ def test_kmeans_lloyd_matches_local_numpy():
                                                 sum_ids=("id", "sum")) \
         .sort_values("cluster").reset_index(drop=True)
     pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
+
+
+def test_ngram_containment_mode():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import ngram_jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon"           # 3 grams
+    big = small + " zeta eta theta iota kappa lam mu"  # superset, many more grams
+    other = "one two three four five six seven"
+    docs = pa.table({"doc_id": [1, 2, 3], "text": [small, big, other]})
+    ds = rd.from_arrow(docs).repartition(2)
+    # containment of small in big = 1.0 -> pair found even though
+    # Jaccard is low
+    cont = ngram_jaccard_pairs(ds, threshold_num=9, threshold_den=10,
+                               mode="containment", num_partitions=4).to_pandas()
+    assert sorted(zip(cont["id_a"], cont["id_b"])) == [(1, 2)]
+    jac = ngram_jaccard_pairs(ds, threshold_num=9, threshold_den=10,
+                              num_partitions=4).to_pandas()
+    assert len(jac) == 0
