@@ -4174,6 +4174,53 @@ SQL_DOCS_CONTAINMENT = SQL_DOCS_NGRAM_JACCARD.replace(
 )
 
 
+def q_events_rolling_wau(sf_dir: str):
+    """Rolling 7-day active users (the WAU staple — sliding-window
+    COUNT DISTINCT): distinct (user, day) rows resolve per block, each
+    expands into the 7 window-end days it contributes to (int rows
+    ×7), ONE window-hash exchange co-locates each window's members, and
+    nunique resolves per partition — the distinct set never sits on
+    the driver."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        df = pd.DataFrame({"u": t["user_id"].to_numpy(zero_copy_only=False),
+                           "d": np.asarray(day)}).drop_duplicates()
+        n = len(df)
+        wd = np.repeat(df["d"].to_numpy(), 7) + np.tile(np.arange(7), n)
+        u = np.repeat(df["u"].to_numpy(), 7)
+        out = pd.DataFrame({"u": u, "wd": wd}).drop_duplicates()
+        out["__p"] = (out["wd"].to_numpy(np.uint64) % np.uint64(16)).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def count_windows(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["u", "wd"]].drop_duplicates()
+        out = d.groupby("wd", as_index=False).agg(n_users=("u", "size"))
+        return out.rename(columns={"wd": "window_day"}).astype(
+            {"window_day": "int64", "n_users": "int64"})
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("__p").map_groups(count_windows, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_ROLLING_WAU = """
+WITH du AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+), e AS (
+  SELECT user_id, d + o AS window_day
+  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+)
+SELECT CAST(window_day AS BIGINT) AS window_day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY window_day
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4350,6 +4397,7 @@ QUERIES = {
     "events_distinct_users": q_events_distinct_users,
     "docs_sample_k": q_docs_sample_k,
     "docs_containment_pairs": q_docs_containment_pairs,
+    "events_rolling_wau": q_events_rolling_wau,
 }
 
 ORACLES = {
@@ -4462,4 +4510,5 @@ ORACLES = {
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     "docs_sample_k": _docs_sample_k_sql(),
     "docs_containment_pairs": SQL_DOCS_CONTAINMENT,
+    "events_rolling_wau": SQL_EVENTS_ROLLING_WAU,
 }
