@@ -4221,6 +4221,66 @@ FROM e GROUP BY window_day
 """
 
 
+def q_docs_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary overlap between languages (set similarity
+    between GROUPS): distinct (lang, term) rows resolve per block, ONE
+    term-hash exchange makes each term's language set local, each
+    partition emits lang-pair co-occurrence counts, and a tiny rollup
+    joins per-lang vocabulary sizes — integer-exact overlap counts for
+    every language pair; terms never leave their partition."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def part(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t["text"], pa.string()), "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        lang = np.repeat(t["lang"].to_numpy(zero_copy_only=False), lens)
+        keep = flat != ""
+        df = pd.DataFrame({"term": flat[keep], "lang": lang[keep]}).drop_duplicates()
+        h = pd.util.hash_array(df["term"].to_numpy().astype("U"))
+        df["__p"] = (h % np.uint64(16)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["term", "lang"]].drop_duplicates()
+        m = d.merge(d, on="term")
+        m = m[m["lang_x"] < m["lang_y"]]
+        out = (m.groupby(["lang_x", "lang_y"], as_index=False).size()
+               .rename(columns={"size": "n_shared", "lang_x": "lang_a",
+                                "lang_y": "lang_b"}))
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__p").map_groups(pairs, batch_format="pandas")
+        .groupby(["lang_a", "lang_b"])
+        .aggregate(Sum("n_shared", alias_name="n_shared"))
+    )
+
+
+SQL_DOCS_VOCAB_OVERLAP = r"""
+WITH tok AS (
+  SELECT DISTINCT lang, term FROM (
+    SELECT lang, unnest(string_split_regex(regexp_replace(coalesce(text, ''),
+             '^\s+|\s+$', '', 'g'), '\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM tok a JOIN tok b ON a.term = b.term AND a.lang < b.lang
+GROUP BY lang_a, lang_b
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4398,6 +4458,7 @@ QUERIES = {
     "docs_sample_k": q_docs_sample_k,
     "docs_containment_pairs": q_docs_containment_pairs,
     "events_rolling_wau": q_events_rolling_wau,
+    "docs_vocab_overlap": q_docs_vocab_overlap,
 }
 
 ORACLES = {
@@ -4511,4 +4572,5 @@ ORACLES = {
     "docs_sample_k": _docs_sample_k_sql(),
     "docs_containment_pairs": SQL_DOCS_CONTAINMENT,
     "events_rolling_wau": SQL_EVENTS_ROLLING_WAU,
+    "docs_vocab_overlap": SQL_DOCS_VOCAB_OVERLAP,
 }
