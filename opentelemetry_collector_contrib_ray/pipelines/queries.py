@@ -4281,6 +4281,84 @@ GROUP BY lang_a, lang_b
 """
 
 
+def q_events_hourly_profile(sf_dir: str):
+    """Hour-of-day seasonality profile per event_type — one vectorized
+    hour-extraction kernel + per-block (type, hour) partials; the
+    classic traffic-shape table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        hr = pc.hour(pc.cast(t["ts"], pa.timestamp("us")))
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                           "hour": np.asarray(hr, dtype=np.int64)})
+        g = df.groupby(["event_type", "hour"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_EVENTS_HOURLY_PROFILE = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, hour
+"""
+
+
+def q_docs_moments(sf_dir: str):
+    """Exact integer moment table for corpus diagnostics: per language,
+    (n, Σlen, Σstop, Σlen², Σstop², Σlen·stop) over doc length and
+    stopword count — everything downstream of a correlation /
+    regression analysis, shipped as exact int64 partials (one row per
+    lang per block; floats never enter)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import gopher_rules
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def part(t: pa.Table) -> pa.Table:
+        t = gopher_rules(t, min_words=1, min_stopwords=0)
+        x = pc.cast(t["n_words"], pa.int64()).to_numpy()
+        y = pc.cast(t["n_stopwords_present"], pa.int64()).to_numpy()
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "n": 1, "sx": x, "sy": y,
+                           "sxx": x * x, "syy": y * y, "sxy": x * y})
+        g = df.groupby("lang", as_index=False).sum()
+        for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+                   Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"))
+    )
+
+
+def _docs_moments_sql() -> str:
+    return _GOPHER_CTE + """
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(n_words) AS BIGINT) AS sx,
+       CAST(SUM(n_stop) AS BIGINT) AS sy,
+       CAST(SUM(n_words * n_words) AS BIGINT) AS sxx,
+       CAST(SUM(n_stop * n_stop) AS BIGINT) AS syy,
+       CAST(SUM(n_words * n_stop) AS BIGINT) AS sxy
+FROM g GROUP BY lang
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4459,6 +4537,8 @@ QUERIES = {
     "docs_containment_pairs": q_docs_containment_pairs,
     "events_rolling_wau": q_events_rolling_wau,
     "docs_vocab_overlap": q_docs_vocab_overlap,
+    "events_hourly_profile": q_events_hourly_profile,
+    "docs_moments": q_docs_moments,
 }
 
 ORACLES = {
@@ -4573,4 +4653,6 @@ ORACLES = {
     "docs_containment_pairs": SQL_DOCS_CONTAINMENT,
     "events_rolling_wau": SQL_EVENTS_ROLLING_WAU,
     "docs_vocab_overlap": SQL_DOCS_VOCAB_OVERLAP,
+    "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
+    "docs_moments": _docs_moments_sql(),
 }
