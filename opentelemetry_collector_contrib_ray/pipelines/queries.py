@@ -4359,6 +4359,119 @@ FROM g GROUP BY lang
 """
 
 
+def q_docs_dup_rate(sf_dir: str):
+    """Per-source duplication rate: total docs vs distinct texts per
+    source — the first diagnostic a curation run prints. Distinct
+    resolves on (source, text-hash) int rows through ONE pair-hash
+    exchange (text never shuffles; 64-bit content hash stands in for
+    the text, the same convention the dedup tier uses)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text", "source"])
+
+    def part(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        h = pd.util.hash_array(s.to_numpy(zero_copy_only=False).astype("U"))
+        df = pd.DataFrame({"source": t["source"].to_numpy(zero_copy_only=False),
+                           "h": h.astype(np.int64)})
+        tot = df.groupby("source", as_index=False).size().rename(
+            columns={"size": "n_docs"})
+        dd = df.drop_duplicates()
+        dd["__p"] = (dd["h"].to_numpy(np.uint64) % np.uint64(16)).astype(np.int64)
+        dd = dd.assign(n_docs=0)
+        tot = tot.assign(h=-1, __p=0)
+        out = pd.concat([dd[["source", "h", "__p", "n_docs"]],
+                         tot[["source", "h", "__p", "n_docs"]]],
+                        ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g[g["h"] == -1].groupby("source", as_index=False)["n_docs"].sum()
+        dist = (g[g["h"] != -1][["source", "h"]].drop_duplicates()
+                .groupby("source", as_index=False).size()
+                .rename(columns={"size": "n_distinct"}))
+        out = counts.merge(dist, on="source", how="outer").fillna(0)
+        return out.astype({"n_docs": "int64", "n_distinct": "int64"})
+
+    from ray.data.aggregate import Sum as _S
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__p").map_groups(merge, batch_format="pandas")
+        .groupby("source")
+        .aggregate(_S("n_docs", alias_name="n_docs"),
+                   _S("n_distinct", alias_name="n_distinct"))
+    )
+
+
+SQL_DOCS_DUP_RATE = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS n_distinct
+FROM documents GROUP BY source
+"""
+
+
+def q_events_mad(sf_dir: str):
+    """Robust dispersion: per event_type the exact median (cents) and
+    the median absolute deviation around it — two grouped
+    histogram-quantile passes (stages/agg.py grouped_int_quantiles);
+    medians broadcast as a tiny dict between passes, values never
+    shuffle raw."""
+    from ..stages.agg import grouped_int_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["value"], pa.float64())
+        t = t.filter(pc.is_valid(v))
+        return pa.table({"event_type": t["event_type"],
+                         "cents": _cents(t["value"])})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+    med = grouped_int_quantiles(cents, "event_type", "cents",
+                                {"med": 0.5}, num_partitions=8).to_pandas()
+    med_map = dict(zip(med["event_type"], med["med"].astype(int)))
+
+    def dev(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        m = pd.Series(et).map(med_map).to_numpy(np.int64)
+        d = np.abs(t["cents"].to_numpy(zero_copy_only=False) - m)
+        return pa.table({"event_type": pa.array(et), "dev": pa.array(d, pa.int64())})
+
+    mad = grouped_int_quantiles(cents.map_batches(dev, batch_format="pyarrow"),
+                                "event_type", "dev", {"mad": 0.5},
+                                num_partitions=8)
+
+    def attach(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        med_col = pd.Series(t["event_type"].to_numpy(zero_copy_only=False)).map(
+            med_map).to_numpy(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "median_cents": pa.array(med_col, pa.int64()),
+                         "mad_cents": pc.cast(t["mad"], pa.int64())})
+
+    return mad.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_EVENTS_MAD = """
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med FROM c GROUP BY event_type
+)
+SELECT c.event_type, CAST(any_value(m.med) AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM c JOIN m USING (event_type)
+GROUP BY c.event_type
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4539,6 +4652,8 @@ QUERIES = {
     "docs_vocab_overlap": q_docs_vocab_overlap,
     "events_hourly_profile": q_events_hourly_profile,
     "docs_moments": q_docs_moments,
+    "docs_dup_rate": q_docs_dup_rate,
+    "events_mad": q_events_mad,
 }
 
 ORACLES = {
@@ -4655,4 +4770,6 @@ ORACLES = {
     "docs_vocab_overlap": SQL_DOCS_VOCAB_OVERLAP,
     "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
     "docs_moments": _docs_moments_sql(),
+    "docs_dup_rate": SQL_DOCS_DUP_RATE,
+    "events_mad": SQL_EVENTS_MAD,
 }
