@@ -4472,6 +4472,93 @@ GROUP BY c.event_type
 """
 
 
+def q_docs_longest_per_source(sf_dir: str):
+    """Grouped top-k ROWS by score (not terms): the 3 longest docs per
+    source by (n_chars desc, doc_id asc) — one source-hash exchange,
+    one vectorized sort + grouped cumcount per partition (the
+    rate-limit kernel with a score ordering)."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        sv = t["source"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(sv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(8)).astype(np.int64)))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        keep = g.groupby("source", sort=False).cumcount() < 3
+        out = g.loc[keep, ["source", "doc_id", "n_chars"]]
+        return out.astype({"doc_id": "int64", "n_chars": "int64"})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p").map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_DOCS_LONGEST_PER_SOURCE = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
+def q_events_interarrival_quantiles(sf_dir: str):
+    """Inter-arrival time distribution: per-user consecutive event gaps
+    (seconds, in (ts, event_id) order) feeding the global exact
+    histogram quantile — one user-hash exchange for the gaps, one
+    (value, count) merge for the quantile; raw timestamps never sort
+    globally."""
+    import pandas as pd
+
+    from ..stages.agg import int_quantiles
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__p", pa.array((u.astype(np.uint64) % np.uint64(16)).astype(np.int64)))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        prev = pd.Series(ts.to_numpy(), index=g.index).groupby(
+            g["user_id"], sort=False).shift(1)
+        gap = (ts - prev) // 1_000_000
+        out = pd.DataFrame({"gap_s": gap.dropna().astype("int64")})
+        return out
+
+    gap_ds = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p").map_groups(gaps, batch_format="pandas")
+    )
+    return int_quantiles(gap_ds, "gap_s",
+                         {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
+SQL_EVENTS_INTERARRIVAL = """
+WITH w AS (
+  SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id))) // 1000000 AS gap_s
+  FROM events
+)
+SELECT quantile_disc(gap_s, 0.5) AS p50,
+       quantile_disc(gap_s, 0.9) AS p90,
+       quantile_disc(gap_s, 0.99) AS p99
+FROM w WHERE gap_s IS NOT NULL
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4654,6 +4741,8 @@ QUERIES = {
     "docs_moments": q_docs_moments,
     "docs_dup_rate": q_docs_dup_rate,
     "events_mad": q_events_mad,
+    "docs_longest_per_source": q_docs_longest_per_source,
+    "events_interarrival_quantiles": q_events_interarrival_quantiles,
 }
 
 ORACLES = {
@@ -4772,4 +4861,6 @@ ORACLES = {
     "docs_moments": _docs_moments_sql(),
     "docs_dup_rate": SQL_DOCS_DUP_RATE,
     "events_mad": SQL_EVENTS_MAD,
+    "docs_longest_per_source": SQL_DOCS_LONGEST_PER_SOURCE,
+    "events_interarrival_quantiles": SQL_EVENTS_INTERARRIVAL,
 }
