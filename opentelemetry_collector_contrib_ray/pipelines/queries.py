@@ -4559,6 +4559,72 @@ FROM w WHERE gap_s IS NOT NULL
 """
 
 
+def q_conv_role_violations(sf_dir: str):
+    """Transcript-structure QA: adjacent turns with the SAME role
+    (broken user/assistant alternation) per conversation — one
+    conv-hash exchange, per-partition sort + grouped shift compare;
+    rollup = violating-conversation count + total violating pairs
+    (per-partition conv sets are disjoint, so the counts sum)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+    ds = ds.map_batches(lambda t: t.select(["conv_id", "turn_idx", "role"]),
+                        batch_format="pyarrow")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        cv = t["conv_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(cv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(16)).astype(np.int64)))
+
+    def viol(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        prev = g.groupby("conv_id", sort=False)["role"].shift(1)
+        bad = (g["role"] == prev)
+        per_conv = bad.groupby(g["conv_id"], sort=False).sum()
+        per_conv = per_conv[per_conv > 0]
+        return pd.DataFrame({"n_bad_pairs": per_conv.to_numpy(np.int64)})
+
+    per_conv = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p").map_groups(viol, batch_format="pandas")
+    )
+
+    def roll(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_bad_convs": pa.array([t.num_rows], pa.int64()),
+            "n_bad_pairs": pa.array(
+                [pc.sum(t["n_bad_pairs"]).as_py() or 0], pa.int64()),
+        })
+
+    return (
+        per_conv.map_batches(roll, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_bad_convs", alias_name="n_bad_convs"),
+                   Sum("n_bad_pairs", alias_name="n_bad_pairs"))
+    )
+
+
+SQL_CONV_ROLE_VIOLATIONS = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, w AS (
+  SELECT conv_id, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts
+), pc AS (
+  SELECT conv_id,
+         SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS n_bad
+  FROM w GROUP BY conv_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bad_convs,
+       CAST(SUM(n_bad) AS BIGINT) AS n_bad_pairs
+FROM pc WHERE n_bad > 0
+"""
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4743,6 +4809,7 @@ QUERIES = {
     "events_mad": q_events_mad,
     "docs_longest_per_source": q_docs_longest_per_source,
     "events_interarrival_quantiles": q_events_interarrival_quantiles,
+    "conv_role_violations": q_conv_role_violations,
 }
 
 ORACLES = {
@@ -4863,4 +4930,5 @@ ORACLES = {
     "events_mad": SQL_EVENTS_MAD,
     "docs_longest_per_source": SQL_DOCS_LONGEST_PER_SOURCE,
     "events_interarrival_quantiles": SQL_EVENTS_INTERARRIVAL,
+    "conv_role_violations": SQL_CONV_ROLE_VIOLATIONS,
 }
