@@ -4625,6 +4625,73 @@ FROM pc WHERE n_bad > 0
 )
 
 
+def q_events_window_anomalies(sf_dir: str):
+    """Windowed anomaly detection: 6-hour tumbling counts per
+    event_type, flag windows whose count exceeds that type's mean by
+    more than 2 population standard deviations — the spike-alert rule
+    evaluated on the PRE-AGGREGATED window series (tiny), never on the
+    event stream. Integer-exact flag: (n·w − S)² · 10⁴ > 4·(n·Q − S²)
+    · 10⁴... kept float-free by cross-multiplying with window counts:
+    n²(w − μ)² > 4n·σ²n² ⇔ (n·w − S)² > 4·(n·Q − S²) where S=Σw,
+    Q=Σw² over n windows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        w = pc.multiply(pc.divide(pc.cast(t["ts"], pa.int64()),
+                                  21_600_000_000), 21_600_000_000)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                           "w": np.asarray(w)})
+        g = df.groupby(["event_type", "w"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    windows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["event_type", "w"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def flag_one(g: pd.DataFrame) -> pd.DataFrame:
+        # map_groups: the WHOLE window series of one type (tiny) —
+        # a map_batches could split a type's series across blocks
+        w = g["n"].to_numpy(np.int64)
+        n = len(w)
+        S, Q = int(w.sum()), int((w * w).sum())
+        # (n·w − S)² > 4·(n·Q − S²)  ⇔  w > μ + 2σ_pop (exact ints)
+        lhs = (n * w - S).astype(object) ** 2
+        rhs = 4 * (n * Q - S * S)
+        anom = (lhs > rhs) & (n * w - S > 0)
+        return pd.DataFrame({"event_type": g["event_type"].iloc[:1],
+                             "n_windows": np.int64(n),
+                             "n_anomalous": np.int64(int(anom.sum()))})
+
+    return windows.groupby("event_type").map_groups(flag_one,
+                                                    batch_format="pandas")
+
+
+SQL_EVENTS_WINDOW_ANOMALIES = """
+WITH wc AS (
+  SELECT event_type, (epoch_us(ts) // 21600000000) * 21600000000 AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, w
+), st AS (
+  SELECT event_type, count(*) AS nw, SUM(n) AS S, SUM(n * n) AS Q
+  FROM wc GROUP BY event_type
+)
+SELECT wc.event_type, CAST(any_value(st.nw) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN (st.nw * wc.n - st.S) > 0
+                      AND (st.nw * wc.n - st.S) * (st.nw * wc.n - st.S)
+                          > 4 * (st.nw * st.Q - st.S * st.S)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+FROM wc JOIN st USING (event_type)
+GROUP BY wc.event_type
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4810,6 +4877,7 @@ QUERIES = {
     "docs_longest_per_source": q_docs_longest_per_source,
     "events_interarrival_quantiles": q_events_interarrival_quantiles,
     "conv_role_violations": q_conv_role_violations,
+    "events_window_anomalies": q_events_window_anomalies,
 }
 
 ORACLES = {
@@ -4931,4 +4999,5 @@ ORACLES = {
     "docs_longest_per_source": SQL_DOCS_LONGEST_PER_SOURCE,
     "events_interarrival_quantiles": SQL_EVENTS_INTERARRIVAL,
     "conv_role_violations": SQL_CONV_ROLE_VIOLATIONS,
+    "events_window_anomalies": SQL_EVENTS_WINDOW_ANOMALIES,
 }
