@@ -4692,6 +4692,54 @@ GROUP BY wc.event_type
 """
 
 
+def q_docs_length_quartiles(sf_dir: str):
+    """Equi-depth bucketing: exact global p25/p50/p75 length thresholds
+    from the histogram quantile (no sort), then per-(lang, quartile)
+    counts with upper-inclusive boundaries — the NTILE-style profile
+    that fixed-bound histograms can't give on skewed lengths."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.agg import int_quantiles
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    q = int_quantiles(ds, "n_chars",
+                      {"q1": 0.25, "q2": 0.5, "q3": 0.75}).to_pandas().iloc[0]
+    thr = np.array([int(q["q1"]), int(q["q2"]), int(q["q3"])])
+
+    def part(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["n_chars"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = np.searchsorted(thr, v, side="left")  # v <= thr[i] → bucket i
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "quartile": b.astype(np.int64)})
+        g = df.groupby(["lang", "quartile"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["lang", "quartile"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_DOCS_LENGTH_QUARTILES = """
+WITH t AS (
+  SELECT quantile_disc(n_chars, 0.25) AS q1,
+         quantile_disc(n_chars, 0.5) AS q2,
+         quantile_disc(n_chars, 0.75) AS q3
+  FROM documents
+)
+SELECT lang,
+       CAST((CASE WHEN n_chars > t.q1 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars > t.q2 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars > t.q3 THEN 1 ELSE 0 END) AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents, t GROUP BY lang, quartile
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4878,6 +4926,7 @@ QUERIES = {
     "events_interarrival_quantiles": q_events_interarrival_quantiles,
     "conv_role_violations": q_conv_role_violations,
     "events_window_anomalies": q_events_window_anomalies,
+    "docs_length_quartiles": q_docs_length_quartiles,
 }
 
 ORACLES = {
@@ -5000,4 +5049,5 @@ ORACLES = {
     "events_interarrival_quantiles": SQL_EVENTS_INTERARRIVAL,
     "conv_role_violations": SQL_CONV_ROLE_VIOLATIONS,
     "events_window_anomalies": SQL_EVENTS_WINDOW_ANOMALIES,
+    "docs_length_quartiles": SQL_DOCS_LENGTH_QUARTILES,
 }
