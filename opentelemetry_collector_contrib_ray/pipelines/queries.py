@@ -4740,6 +4740,49 @@ FROM documents, t GROUP BY lang, quartile
 """
 
 
+def q_docs_normalized_dedup(sf_dir: str):
+    """Normalization-aware exact dedup — dedup on the CANONICAL text
+    (lower → strip punctuation → collapse whitespace), catching the
+    case/punctuation variants raw exact dedup misses; standard
+    curation practice (normalize ∘ dedup composition pinned end to
+    end). Rollup: per lang, survivors + id sum (the exact kept set)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.text import normalize_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(normalize_text, batch_format="pyarrow")
+    kept = exact_dedup(ds, col="text_norm", id_col="doc_id")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "doc_id": pc.cast(t["doc_id"], pa.int64())})
+
+    return (
+        kept.map_batches(proj, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("doc_id", alias_name="sum_ids"))
+    )
+
+
+SQL_DOCS_NORMALIZED_DEDUP = r"""
+WITH n AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+              '[^\p{L}\p{N} ]+', ' ', 'g'), ' +', ' ', 'g'), ' ') AS tn
+  FROM documents
+), keep AS (
+  SELECT n.doc_id, n.lang
+  FROM n JOIN (SELECT tn, min(doc_id) AS doc_id FROM n GROUP BY tn) d
+    ON n.doc_id = d.doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM keep GROUP BY lang
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4927,6 +4970,7 @@ QUERIES = {
     "conv_role_violations": q_conv_role_violations,
     "events_window_anomalies": q_events_window_anomalies,
     "docs_length_quartiles": q_docs_length_quartiles,
+    "docs_normalized_dedup": q_docs_normalized_dedup,
 }
 
 ORACLES = {
@@ -5050,4 +5094,5 @@ ORACLES = {
     "conv_role_violations": SQL_CONV_ROLE_VIOLATIONS,
     "events_window_anomalies": SQL_EVENTS_WINDOW_ANOMALIES,
     "docs_length_quartiles": SQL_DOCS_LENGTH_QUARTILES,
+    "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
 }
