@@ -4783,6 +4783,66 @@ FROM keep GROUP BY lang
 """
 
 
+def q_emb_quant_error(sf_dir: str):
+    """Int8 quantization-error audit (model-compression diagnostics):
+    embeddings quantize to q8 = clip(round(x·127)) and the
+    reconstruction error is measured EXACTLY in fixed-point — per
+    element |round(x·10⁴)·127 − q8·10⁴| as int64 — rolled up per label
+    (element count, total and max error). One vectorized pass over the
+    zero-copy-reshaped matrix; per-block (label, partials) rows only."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def part(t: pa.Table) -> pa.Table:
+        e = t["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        d = len(e[0])
+        x = e.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, d)
+        xf = np.floor(x * 10_000 + 0.5).astype(np.int64)
+        q8 = np.clip(np.floor(x * 127 + 0.5), -127, 127).astype(np.int64)
+        err = np.abs(xf * 127 - q8 * 10_000)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"label": lab,
+                           "n_elems": d,
+                           "sum_err": err.sum(axis=1),
+                           "max_err": err.max(axis=1)})
+        g = df.groupby("label", as_index=False).agg(
+            n_elems=("n_elems", "sum"), sum_err=("sum_err", "sum"),
+            max_err=("max_err", "max"))
+        for c in ["n_elems", "sum_err", "max_err"]:
+            g[c] = g[c].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n_elems", alias_name="n_elems"),
+                   Sum("sum_err", alias_name="sum_err"),
+                   Max("max_err", alias_name="max_err"))
+    )
+
+
+SQL_EMB_QUANT_ERROR = """
+WITH v AS (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+), e AS (
+  SELECT label,
+         abs(CAST(floor(x * 10000 + 0.5) AS BIGINT) * 127
+             - greatest(least(CAST(floor(x * 127 + 0.5) AS BIGINT), 127), -127)
+               * 10000) AS err
+  FROM v
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_elems,
+       CAST(SUM(err) AS BIGINT) AS sum_err,
+       CAST(MAX(err) AS BIGINT) AS max_err
+FROM e GROUP BY label
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -4971,6 +5031,7 @@ QUERIES = {
     "events_window_anomalies": q_events_window_anomalies,
     "docs_length_quartiles": q_docs_length_quartiles,
     "docs_normalized_dedup": q_docs_normalized_dedup,
+    "emb_quant_error": q_emb_quant_error,
 }
 
 ORACLES = {
@@ -5095,4 +5156,5 @@ ORACLES = {
     "events_window_anomalies": SQL_EVENTS_WINDOW_ANOMALIES,
     "docs_length_quartiles": SQL_DOCS_LENGTH_QUARTILES,
     "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
+    "emb_quant_error": SQL_EMB_QUANT_ERROR,
 }
