@@ -4843,6 +4843,58 @@ FROM e GROUP BY label
 """
 
 
+def q_conv_tool_pairs(sf_dir: str):
+    """Tool co-usage within conversations (bipartite projection):
+    per-block distinct (conv, tool) combiner, ONE conv-hash exchange
+    co-locates each conv's tool set (the partition re-distincts, so
+    block layout is irrelevant), per-partition pair expansion (tool
+    vocabulary is tiny), tiny pair rollup — which tools appear together
+    in a conversation."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+    ds = ds.map_batches(lambda t: t.select(["conv_id", "tool"]),
+                        batch_format="pyarrow")
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["tool"]).drop_duplicates()
+        h = pd.util.hash_array(df["conv_id"].to_numpy().astype("U"))
+        df["__p"] = (h % np.uint64(16)).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["conv_id", "tool"]].drop_duplicates()
+        m = d.merge(d, on="conv_id")
+        m = m[m["tool_x"] < m["tool_y"]]
+        out = (m.groupby(["tool_x", "tool_y"], as_index=False).size()
+               .rename(columns={"size": "n_convs", "tool_x": "tool_a",
+                                "tool_y": "tool_b"}))
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("__p").map_groups(pairs, batch_format="pandas")
+        .groupby(["tool_a", "tool_b"])
+        .aggregate(Sum("n_convs", alias_name="n_convs"))
+    )
+
+
+SQL_CONV_TOOL_PAIRS = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, ct AS (
+  SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL
+)
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY tool_a, tool_b
+"""
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5032,6 +5084,7 @@ QUERIES = {
     "docs_length_quartiles": q_docs_length_quartiles,
     "docs_normalized_dedup": q_docs_normalized_dedup,
     "emb_quant_error": q_emb_quant_error,
+    "conv_tool_pairs": q_conv_tool_pairs,
 }
 
 ORACLES = {
@@ -5157,4 +5210,5 @@ ORACLES = {
     "docs_length_quartiles": SQL_DOCS_LENGTH_QUARTILES,
     "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
     "emb_quant_error": SQL_EMB_QUANT_ERROR,
+    "conv_tool_pairs": SQL_CONV_TOOL_PAIRS,
 }
