@@ -4895,6 +4895,70 @@ GROUP BY tool_a, tool_b
 )
 
 
+def q_events_value_concentration(sf_dir: str):
+    """Value concentration (whale analysis): share of total value held
+    by the top decile of users — per-user cents totals (one user
+    groupby), the exact p90 user-total from the histogram quantile,
+    then one vectorized pass over the per-user totals. Output: user
+    count, total cents, top-decile user count + their cents (exact
+    integers; the share is a downstream division)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.agg import int_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["value"], pa.float64())
+        t = t.filter(pc.is_valid(v))
+        return pa.table({"user_id": t["user_id"], "cents": _cents(t["value"])})
+
+    per_user = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .materialize()  # consumed twice: threshold pass + rollup pass
+    )
+    thr = int(int_quantiles(per_user, "cents", {"p90": 0.9})
+              .to_pandas()["p90"].iloc[0])
+
+    def roll(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["cents"], pa.int64())
+        top = pc.greater_equal(c, thr)
+        topc = pc.if_else(top, c, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "n_users": pa.array([t.num_rows], pa.int64()),
+            "total_cents": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+            "n_top_users": pa.array([pc.sum(pc.cast(top, pa.int64())).as_py() or 0],
+                                    pa.int64()),
+            "top_cents": pa.array([pc.sum(topc).as_py() or 0], pa.int64()),
+        })
+
+    return (
+        per_user.map_batches(roll, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("total_cents", alias_name="total_cents"),
+                   Sum("n_top_users", alias_name="n_top_users"),
+                   Sum("top_cents", alias_name="top_cents"))
+    )
+
+
+SQL_EVENTS_VALUE_CONCENTRATION = f"""
+WITH pu AS (
+  SELECT user_id, CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), t AS (SELECT quantile_disc(cents, 0.9) AS thr FROM pu)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN cents >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top_users,
+       CAST(SUM(CASE WHEN cents >= t.thr THEN cents ELSE 0 END) AS BIGINT)
+         AS top_cents
+FROM pu, t
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5085,6 +5149,7 @@ QUERIES = {
     "docs_normalized_dedup": q_docs_normalized_dedup,
     "emb_quant_error": q_emb_quant_error,
     "conv_tool_pairs": q_conv_tool_pairs,
+    "events_value_concentration": q_events_value_concentration,
 }
 
 ORACLES = {
@@ -5211,4 +5276,5 @@ ORACLES = {
     "docs_normalized_dedup": SQL_DOCS_NORMALIZED_DEDUP,
     "emb_quant_error": SQL_EMB_QUANT_ERROR,
     "conv_tool_pairs": SQL_CONV_TOOL_PAIRS,
+    "events_value_concentration": SQL_EVENTS_VALUE_CONCENTRATION,
 }
