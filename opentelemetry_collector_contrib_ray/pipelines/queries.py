@@ -4959,6 +4959,44 @@ FROM pu, t
 """
 
 
+def q_docs_sentence_stats(sf_dir: str):
+    """Sentence-level shape features per language: sentence count (one
+    RE2 terminator-run kernel), word count, and docs ending without
+    terminal punctuation (an extraction-truncation signal) — all
+    integer-exact sums, zero shuffle before the per-lang partials."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def part(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        sent = pc.cast(pc.count_substring_regex(c, r"[.!?]+"), pa.int64())
+        words = pc.cast(pc.count_substring_regex(c, r"\S+"), pa.int64())
+        trunc = pc.cast(pc.match_substring_regex(c, r"[^.!?\s]\s*$"), pa.int64())
+        return pa.table({"lang": t["lang"], "n_sentences": sent,
+                         "n_words": words, "truncated": trunc})
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_sentences", alias_name="sum_sentences"),
+                   Sum("n_words", alias_name="sum_words"),
+                   Sum("truncated", alias_name="n_truncated"))
+    )
+
+
+SQL_DOCS_SENTENCE_STATS = r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))) AS BIGINT)
+         AS sum_sentences,
+       CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '\S+'))) AS BIGINT)
+         AS sum_words,
+       CAST(SUM(CASE WHEN regexp_matches(coalesce(text, ''), '[^.!?\s]\s*$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+FROM documents GROUP BY lang
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5150,6 +5188,7 @@ QUERIES = {
     "emb_quant_error": q_emb_quant_error,
     "conv_tool_pairs": q_conv_tool_pairs,
     "events_value_concentration": q_events_value_concentration,
+    "docs_sentence_stats": q_docs_sentence_stats,
 }
 
 ORACLES = {
@@ -5277,4 +5316,5 @@ ORACLES = {
     "emb_quant_error": SQL_EMB_QUANT_ERROR,
     "conv_tool_pairs": SQL_CONV_TOOL_PAIRS,
     "events_value_concentration": SQL_EVENTS_VALUE_CONCENTRATION,
+    "docs_sentence_stats": SQL_DOCS_SENTENCE_STATS,
 }
