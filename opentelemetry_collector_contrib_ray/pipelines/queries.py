@@ -4997,6 +4997,116 @@ FROM documents GROUP BY lang
 """
 
 
+def q_docs_ttr(sf_dir: str):
+    """Lexical diversity (type-token ratio inputs): per language the
+    integer sums of distinct-word and total-word counts per doc — the
+    TTR is a downstream division; per-doc distincts resolve inside the
+    batch (exploded tokens + one pandas doc-local distinct), zero
+    shuffle before the per-lang partials."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def part(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t["text"], pa.string()), "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        doc = np.repeat(np.arange(t.num_rows), lens)
+        keep = flat != ""
+        df = pd.DataFrame({"doc": doc[keep], "w": flat[keep]})
+        n_tokens = np.bincount(df["doc"], minlength=t.num_rows).astype(np.int64)
+        dd = df.drop_duplicates()
+        n_types = np.bincount(dd["doc"], minlength=t.num_rows).astype(np.int64)
+        return pa.table({"lang": t["lang"],
+                         "n_types": pa.array(n_types),
+                         "n_tokens": pa.array(n_tokens)})
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_types", alias_name="sum_types"),
+                   Sum("n_tokens", alias_name="sum_tokens"))
+    )
+
+
+SQL_DOCS_TTR = r"""
+WITH d AS (
+  SELECT lang,
+         string_split_regex(regexp_replace(coalesce(text, ''),
+           '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), f AS (
+  SELECT lang,
+         len(list_distinct(list_filter(w, x -> x <> ''))) AS n_types,
+         len(list_filter(w, x -> x <> '')) AS n_tokens
+  FROM d
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_types) AS BIGINT) AS sum_types,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM f GROUP BY lang
+"""
+
+
+def q_events_new_returning(sf_dir: str):
+    """New-vs-returning traffic split: per week, events from users in
+    their FIRST week vs returning users — the cohort machinery's
+    traffic view; one user-hash exchange (first week is user-local
+    after it), disjoint per-partition week cells, tiny sum rollup."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = pc.divide(pc.cast(t["ts"], pa.int64()), 604_800_000_000)
+        return pa.table({
+            "u": pa.array(u.astype(np.int64)),
+            "wk": pc.cast(wk, pa.int64()),
+            "__p": pa.array((u.astype(np.uint64) % np.uint64(16)).astype(np.int64)),
+        })
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("u")["wk"].transform("min")
+        new = (g["wk"] == first)
+        out = pd.DataFrame({"week": g["wk"].to_numpy(np.int64),
+                            "n_new": new.to_numpy(np.int64),
+                            "n_returning": (~new).to_numpy(np.int64)})
+        c = out.groupby("week", as_index=False)[["n_new", "n_returning"]].sum()
+        return c.astype({"week": "int64", "n_new": "int64",
+                         "n_returning": "int64"})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p").map_groups(cells, batch_format="pandas")
+        .groupby("week")
+        .aggregate(Sum("n_new", alias_name="n_new"),
+                   Sum("n_returning", alias_name="n_returning"))
+    )
+
+
+SQL_EVENTS_NEW_RETURNING = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), f AS (
+  SELECT user_id, min(wk) AS fw FROM w GROUP BY user_id
+)
+SELECT CAST(w.wk AS BIGINT) AS week,
+       CAST(SUM(CASE WHEN w.wk = f.fw THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN w.wk > f.fw THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM w JOIN f USING (user_id)
+GROUP BY week
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5189,6 +5299,8 @@ QUERIES = {
     "conv_tool_pairs": q_conv_tool_pairs,
     "events_value_concentration": q_events_value_concentration,
     "docs_sentence_stats": q_docs_sentence_stats,
+    "docs_ttr": q_docs_ttr,
+    "events_new_returning": q_events_new_returning,
 }
 
 ORACLES = {
@@ -5317,4 +5429,6 @@ ORACLES = {
     "conv_tool_pairs": SQL_CONV_TOOL_PAIRS,
     "events_value_concentration": SQL_EVENTS_VALUE_CONCENTRATION,
     "docs_sentence_stats": SQL_DOCS_SENTENCE_STATS,
+    "docs_ttr": SQL_DOCS_TTR,
+    "events_new_returning": SQL_EVENTS_NEW_RETURNING,
 }
