@@ -5107,6 +5107,158 @@ GROUP BY week
 """
 
 
+def q_jsonarray_roundtrip(sf_dir: str):
+    """JsonArrayParser oracle (upgrades §2.3 jsonarray from unit-only):
+    build a JSON array string [event_id, "event_type", value_cents]
+    from events, parse it back in header mode with typed casts, and
+    aggregate the recovered columns — a parse bug breaks the hash vs
+    the oracle computing from the raw columns."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.parsers import JsonArrayParser
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def build(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["value"], pa.float64())
+        t = t.filter(pc.is_valid(v))
+        line = pc.binary_join_element_wise(
+            "[", pc.cast(t["event_id"], pa.string()), ", \"",
+            t["event_type"], "\", ",
+            pc.cast(_cents(t["value"]), pa.string()), "]", "")
+        return pa.table({"text": line})
+
+    parsed = ds.map_batches(build, batch_format="pyarrow").map_batches(
+        JsonArrayParser(header=["eid", "etype", "cents"],
+                        types={"eid": "int64", "cents": "int64"},
+                        on_error="drop"),
+        batch_format="pyarrow",
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["attributes.etype"],
+                         "eid": pc.cast(t["attributes.eid"], pa.int64()),
+                         "cents": pc.cast(t["attributes.cents"], pa.int64())})
+
+    return (
+        parsed.map_batches(proj, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("eid", alias_name="sum_eid"),
+                   Sum("cents", alias_name="sum_cents"))
+    )
+
+
+SQL_JSONARRAY_ROUNDTRIP = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+       CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_cents
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+"""
+
+
+def q_trace_roundtrip(sf_dir: str):
+    """TraceParser oracle (upgrades §2.3 trace_parser from unit-only):
+    derive a 32-hex trace id from each event id, hex-decode it to
+    binary16 with the parser, re-hex, and pin equality + the recovered
+    ids — decode/width bugs break the hash."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.parsers import TraceParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        hx = pd.Series(eid).map(lambda x: format(int(x), "032x")).to_numpy()
+        return pa.table({"event_id": t["event_id"],
+                         "trace_hex": pa.array(hx, pa.string())})
+
+    parsed = ds.map_batches(build, batch_format="pyarrow").map_batches(
+        TraceParser(trace_id_from="trace_hex"), batch_format="pyarrow")
+
+    def roll(t: pa.Table) -> pa.Table:
+        tid = t["trace_id"]
+        if isinstance(tid, pa.ChunkedArray):
+            tid = tid.combine_chunks()
+        n = len(tid)
+        # fixed-width binary16 data buffer viewed as (n, 16) bytes
+        got = np.frombuffer(tid.buffers()[1], dtype=np.uint8)[
+            tid.offset * 16 : (tid.offset + n) * 16].reshape(n, 16)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        want = np.zeros((n, 16), dtype=np.uint8)
+        want[:, 8:] = eid.astype(">u8").copy().view(np.uint8).reshape(n, 8)
+        match = (got == want).all(axis=1) & np.asarray(pc.is_valid(tid))
+        return pa.table({
+            "n_rows": pa.array([n], pa.int64()),
+            "n_match": pa.array([int(match.sum())], pa.int64()),
+            "sum_matched_ids": pa.array([int(eid[match].sum())], pa.int64()),
+        })
+
+    return (
+        parsed.map_batches(roll, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_match", alias_name="n_match"),
+                   Sum("sum_matched_ids", alias_name="sum_matched_ids"))
+    )
+
+
+SQL_TRACE_ROUNDTRIP = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_match,
+       CAST(SUM(event_id) AS BIGINT) AS sum_matched_ids
+FROM events
+"""
+
+
+def q_attrs_extract_region(sf_dir: str):
+    """AttributesProcessor oracle (upgrades §2.6 attributes from
+    unit-only): the reference's ``extract`` action pulls named groups
+    out of an attribute — run it over the raw kv transcript lines and
+    aggregate the extracted region."""
+    from ray.data.aggregate import Count
+
+    from ..stages.attributes import AttributesProcessor
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"attributes.src": t["text"]})
+
+    proc = AttributesProcessor([
+        {"action": "extract", "key": "src",
+         "pattern": r"^latency_ms=\d+ status=\d+ region=(?P<region2>\S+)$"},
+    ])
+    out = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        proc, batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["attributes.region2"]))
+        return pa.table({"region2": t["attributes.region2"]})
+
+    return (
+        out.map_batches(proj, batch_format="pyarrow")
+        .groupby("region2")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_ATTRS_EXTRACT_REGION = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + r"""
+SELECT regexp_extract(text, '^latency_ms=\d+ status=\d+ region=(\S+)$', 1)
+         AS region2,
+       CAST(count(*) AS BIGINT) AS n
+FROM transcripts
+WHERE regexp_matches(text, '^latency_ms=\d+ status=\d+ region=\S+$')
+GROUP BY region2
+"""
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5301,6 +5453,9 @@ QUERIES = {
     "docs_sentence_stats": q_docs_sentence_stats,
     "docs_ttr": q_docs_ttr,
     "events_new_returning": q_events_new_returning,
+    "jsonarray_roundtrip": q_jsonarray_roundtrip,
+    "trace_roundtrip": q_trace_roundtrip,
+    "attrs_extract_region": q_attrs_extract_region,
 }
 
 ORACLES = {
@@ -5431,4 +5586,7 @@ ORACLES = {
     "docs_sentence_stats": SQL_DOCS_SENTENCE_STATS,
     "docs_ttr": SQL_DOCS_TTR,
     "events_new_returning": SQL_EVENTS_NEW_RETURNING,
+    "jsonarray_roundtrip": SQL_JSONARRAY_ROUNDTRIP,
+    "trace_roundtrip": SQL_TRACE_ROUNDTRIP,
+    "attrs_extract_region": SQL_ATTRS_EXTRACT_REGION,
 }
