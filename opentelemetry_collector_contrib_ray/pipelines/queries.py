@@ -5259,6 +5259,69 @@ GROUP BY region2
 )
 
 
+def q_filelog_roundtrip(sf_dir: str):
+    """Filelog receiver path, end-to-end with an oracle (the
+    reference's flagship source, upgraded from unit-only): transcript
+    turn texts are written to temp LOG FILES (several shards), read
+    back through read_lines (the fileconsumer surface), grok-parsed,
+    and aggregated — a framing/encoding/ingest bug breaks the hash vs
+    the oracle computed from the events derivation directly."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.readers import read_lines
+    from ..stages.parsers import RegexParser
+
+    src = transcripts_from_events(sf_dir, with_turn_idx=False)
+    tmp = tempfile.mkdtemp(prefix="filelog_", dir="/tmp")
+    try:
+        texts = src.map_batches(lambda t: t.select(["text"]),
+                                batch_format="pyarrow")
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            import os
+            import uuid
+
+            path = os.path.join(tmp, f"{uuid.uuid4().hex}.log")
+            lines = t["text"].to_pylist()
+            with open(path, "w", encoding="utf-8") as f:
+                for ln in lines:
+                    f.write((ln or "") + "\n")
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        texts.map_batches(write_shard, batch_format="pyarrow").count()
+
+        import glob
+
+        ds = read_lines(sorted(glob.glob(tmp + "/*.log")))
+        parsed = ds.map_batches(
+            RegexParser(
+                pattern=(r"^(?P<level>[A-Z]+) latency_ms=(?P<latency_ms>\d+) "
+                         r"status=(?P<status>\d+) msg=(?P<msg>\S+)$"),
+                types={"latency_ms": "int64", "status": "int64"},
+                on_error="drop"),
+            batch_format="pyarrow")
+
+        def proj(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["attributes.level"]))
+            return pa.table({"level": t["attributes.level"],
+                             "lat": pc.cast(t["attributes.latency_ms"], pa.int64())})
+
+        return (
+            parsed.map_batches(proj, batch_format="pyarrow")
+            .groupby("level")
+            .aggregate(Count(alias_name="n"), Sum("lat", alias_name="sum_latency"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_FILELOG_ROUNDTRIP = SQL_PARSE_LEVEL
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5456,6 +5519,7 @@ QUERIES = {
     "jsonarray_roundtrip": q_jsonarray_roundtrip,
     "trace_roundtrip": q_trace_roundtrip,
     "attrs_extract_region": q_attrs_extract_region,
+    "filelog_roundtrip": q_filelog_roundtrip,
 }
 
 ORACLES = {
@@ -5589,4 +5653,5 @@ ORACLES = {
     "jsonarray_roundtrip": SQL_JSONARRAY_ROUNDTRIP,
     "trace_roundtrip": SQL_TRACE_ROUNDTRIP,
     "attrs_extract_region": SQL_ATTRS_EXTRACT_REGION,
+    "filelog_roundtrip": SQL_FILELOG_ROUNDTRIP,
 }
