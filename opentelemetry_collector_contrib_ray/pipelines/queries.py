@@ -5322,6 +5322,58 @@ def q_filelog_roundtrip(sf_dir: str):
 SQL_FILELOG_ROUNDTRIP = SQL_PARSE_LEVEL
 
 
+def q_otlp_roundtrip(sf_dir: str):
+    """OTLP-JSON marshal + receiver, end-to-end with an oracle: parsed
+    grok rows marshal to OTLP-JSON request lines (the fileexporter
+    analog — resource/scope grouping, proto3 int64-as-string), land in
+    a temp sink, re-ingest through the otlpjsonfile receiver path, and
+    re-aggregate — a marshal/flatten bug anywhere in the round trip
+    breaks the hash vs the direct-derivation oracle."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.otlp_json import read_otlp_json_logs, write_otlp_json_logs
+
+    tmp = tempfile.mkdtemp(prefix="otlprt_", dir="/tmp")
+    try:
+        ds = _enriched(sf_dir)  # service column drives resource grouping
+
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["attributes.level"]))
+            return pa.table({
+                "body": t["text"],
+                "attributes.level": t["attributes.level"],
+                "attributes.latency_ms": pc.cast(t["attributes.latency_ms"], pa.int64()),
+                "resource.service": t["service"],
+                "scope_name": pa.array(["otelray"] * t.num_rows),
+            })
+
+        write_otlp_json_logs(ds.map_batches(prep, batch_format="pyarrow"), tmp)
+
+        back = read_otlp_json_logs(sorted(
+            __import__("glob").glob(tmp + "/*.jsonl")))
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "level": t["attributes.level"],
+                "lat": pc.cast(t["attributes.latency_ms"], pa.int64()),
+            })
+
+        return (
+            back.map_batches(proj, batch_format="pyarrow")
+            .groupby("level")
+            .aggregate(Count(alias_name="n"), Sum("lat", alias_name="sum_latency"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_OTLP_ROUNDTRIP = SQL_PARSE_LEVEL
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5520,6 +5572,7 @@ QUERIES = {
     "trace_roundtrip": q_trace_roundtrip,
     "attrs_extract_region": q_attrs_extract_region,
     "filelog_roundtrip": q_filelog_roundtrip,
+    "otlp_roundtrip": q_otlp_roundtrip,
 }
 
 ORACLES = {
@@ -5654,4 +5707,5 @@ ORACLES = {
     "trace_roundtrip": SQL_TRACE_ROUNDTRIP,
     "attrs_extract_region": SQL_ATTRS_EXTRACT_REGION,
     "filelog_roundtrip": SQL_FILELOG_ROUNDTRIP,
+    "otlp_roundtrip": SQL_OTLP_ROUNDTRIP,
 }
