@@ -5374,6 +5374,90 @@ def q_otlp_roundtrip(sf_dir: str):
 SQL_OTLP_ROUNDTRIP = SQL_PARSE_LEVEL
 
 
+def q_transformer_chain(sf_dir: str):
+    """Stanza transformer editors end-to-end with an oracle (upgrades
+    §2.4 add/copy/move/unquote from unit-only): quote the level, copy
+    it, unquote the copy, move it to a new name, add a static pipeline
+    tag, then aggregate on the transformed fields — any editor bug
+    shifts the hash vs the oracle computed from the raw derivation."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.transformers import Add, Copy, Move, Unquote
+
+    ds = _parsed_transcripts(sf_dir)
+
+    def quote_level(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["attributes.level"]))
+        lvl = pc.binary_join_element_wise('"', t["attributes.level"], '"', "")
+        return pa.table({"attributes.level_q": lvl,
+                         "lat": pc.cast(t["attributes.latency_ms"], pa.int64())})
+
+    chain = [Copy(from_field="attributes.level_q", to_field="attributes.lvl2"),
+             Unquote(field="attributes.lvl2"),
+             Move(from_field="attributes.lvl2", to_field="attributes.level_out"),
+             Add(field="attributes.pipe", value="p1")]
+    out = ds.map_batches(quote_level, batch_format="pyarrow")
+    for op in chain:
+        out = out.map_batches(op, batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"level_out": t["attributes.level_out"],
+                         "pipe": t["attributes.pipe"],
+                         "lat": pc.cast(t["lat"], pa.int64())})
+
+    return (
+        out.map_batches(proj, batch_format="pyarrow")
+        .groupby(["level_out", "pipe"])
+        .aggregate(Count(alias_name="n"), Sum("lat", alias_name="sum_latency"))
+    )
+
+
+SQL_TRANSFORMER_CHAIN = (
+    PARSED_SQL
+    + """
+SELECT level AS level_out, 'p1' AS pipe, count(*) AS n,
+       CAST(SUM(latency_ms) AS BIGINT) AS sum_latency
+FROM parsed WHERE level IS NOT NULL GROUP BY level
+"""
+)
+
+
+def q_groupbyattrs_services(sf_dir: str):
+    """groupbyattrsprocessor oracle (upgrades §2.6 from unit-only):
+    promote the enriched service attribute to a resource attribute and
+    aggregate on the promoted column — the move-to-resource semantics
+    pinned end to end."""
+    from ray.data.aggregate import Count
+
+    from ..stages.groupbyattrs import GroupByAttrs
+
+    ds = _enriched(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"attributes.svc": t["service"], "body": t["text"]})
+
+    out = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        GroupByAttrs(["svc"]), batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        assert "attributes.svc" not in t.column_names
+        return pa.table({"service": t["resource.svc"]})
+
+    return (
+        out.map_batches(proj, batch_format="pyarrow")
+        .groupby("service")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_GROUPBYATTRS_SERVICES = (
+    PARSED_SQL
+    + """
+SELECT service, count(*) AS n FROM parsed GROUP BY service
+"""
+)
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5573,6 +5657,8 @@ QUERIES = {
     "attrs_extract_region": q_attrs_extract_region,
     "filelog_roundtrip": q_filelog_roundtrip,
     "otlp_roundtrip": q_otlp_roundtrip,
+    "transformer_chain": q_transformer_chain,
+    "groupbyattrs_services": q_groupbyattrs_services,
 }
 
 ORACLES = {
@@ -5708,4 +5794,6 @@ ORACLES = {
     "attrs_extract_region": SQL_ATTRS_EXTRACT_REGION,
     "filelog_roundtrip": SQL_FILELOG_ROUNDTRIP,
     "otlp_roundtrip": SQL_OTLP_ROUNDTRIP,
+    "transformer_chain": SQL_TRANSFORMER_CHAIN,
+    "groupbyattrs_services": SQL_GROUPBYATTRS_SERVICES,
 }
