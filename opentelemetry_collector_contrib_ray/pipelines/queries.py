@@ -5458,6 +5458,73 @@ SELECT service, count(*) AS n FROM parsed GROUP BY service
 )
 
 
+def q_syslog_framed_roundtrip(sf_dir: str):
+    """RFC6587 octet-counting transport framing, end-to-end with an
+    oracle (upgrades §2.1 framing from unit-only): the same syslog
+    lines as syslog_facility are packed into ONE continuous
+    octet-counted stream per shard file ("<len> <msg><len> <msg>…", no
+    newlines), re-ingested with ``framing='octet_counting'``, parsed,
+    and aggregated — a framing bug splits messages wrong and breaks the
+    hash vs the raw-column oracle."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from ..sources.readers import read_lines
+    from ..stages import SyslogParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    tmp = tempfile.mkdtemp(prefix="syslogrt_", dir="/tmp")
+    try:
+        def build(t: pa.Table) -> pa.Table:
+            pri = pc.cast(_pc_mod(t["event_id"], 192), pa.string())
+            line = pc.binary_join_element_wise(
+                "<", pri, ">Oct 11 22:14:15 host",
+                pc.cast(_pc_mod(t["user_id"], 5), pa.string()),
+                " app[", pc.cast(_pc_mod(t["event_id"], 100), pa.string()),
+                "]: m_", t["event_type"], "")
+            return pa.table({"text": line})
+
+        def write_framed(t: pa.Table) -> pa.Table:
+            import os
+            import uuid
+
+            path = os.path.join(tmp, f"{uuid.uuid4().hex}.sys")
+            with open(path, "wb") as f:
+                for ln in t["text"].to_pylist():
+                    b = ln.encode("utf-8")
+                    f.write(f"{len(b)} ".encode() + b)
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        (ds.map_batches(build, batch_format="pyarrow")
+           .map_batches(write_framed, batch_format="pyarrow").count())
+
+        import glob
+
+        back = read_lines(sorted(glob.glob(tmp + "/*.sys")),
+                          framing="octet_counting")
+        parsed = back.map_batches(SyslogParser(), batch_format="pyarrow")
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "facility": pc.cast(t["attributes.facility"], pa.int64()),
+                "severity_number": pc.cast(t["severity_number"], pa.int64()),
+            })
+
+        return (
+            parsed.map_batches(proj, batch_format="pyarrow")
+            .groupby(["facility", "severity_number"])
+            .aggregate(Count(alias_name="n"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_SYSLOG_FRAMED_ROUNDTRIP = SQL_SYSLOG_FACILITY
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5659,6 +5726,7 @@ QUERIES = {
     "otlp_roundtrip": q_otlp_roundtrip,
     "transformer_chain": q_transformer_chain,
     "groupbyattrs_services": q_groupbyattrs_services,
+    "syslog_framed_roundtrip": q_syslog_framed_roundtrip,
 }
 
 ORACLES = {
@@ -5796,4 +5864,5 @@ ORACLES = {
     "otlp_roundtrip": SQL_OTLP_ROUNDTRIP,
     "transformer_chain": SQL_TRANSFORMER_CHAIN,
     "groupbyattrs_services": SQL_GROUPBYATTRS_SERVICES,
+    "syslog_framed_roundtrip": SQL_SYSLOG_FRAMED_ROUNDTRIP,
 }
