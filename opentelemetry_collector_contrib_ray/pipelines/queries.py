@@ -5525,6 +5525,122 @@ def q_syslog_framed_roundtrip(sf_dir: str):
 SQL_SYSLOG_FRAMED_ROUNDTRIP = SQL_SYSLOG_FACILITY
 
 
+def q_multiline_roundtrip(sf_dir: str):
+    """Multiline (line_start_pattern) framing, end-to-end with an
+    oracle: each event becomes a 3-line stack-trace-style entry
+    ("ERR <type> id=<id>" + two indented continuation lines carrying
+    halves of the id), files re-ingest with the start-pattern framer,
+    and the aggregate recovers the id from the CONTINUATION lines — an
+    entry-boundary bug misattaches continuations and breaks the hash."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.readers import read_lines
+    from ..stages.parsers import RegexParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    tmp = tempfile.mkdtemp(prefix="mlrt_", dir="/tmp")
+    try:
+        def write_entries(t: pa.Table) -> pa.Table:
+            import os
+            import uuid
+
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            et = t["event_type"].to_pylist()
+            path = os.path.join(tmp, f"{uuid.uuid4().hex}.log")
+            with open(path, "w", encoding="utf-8") as f:
+                for i, x in enumerate(eid):
+                    a, b = divmod(int(x), 1000)
+                    f.write(f"ERR {et[i]}\n  part_a={a}\n  part_b={b}\n")
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        ds.map_batches(write_entries, batch_format="pyarrow").count()
+
+        import glob
+
+        back = read_lines(sorted(glob.glob(tmp + "/*.log")),
+                          line_start_pattern=r"^ERR ")
+        parsed = back.map_batches(
+            RegexParser(
+                pattern=(r"^ERR (?P<etype>\S+)\n  part_a=(?P<pa_>\d+)\n"
+                         r"  part_b=(?P<pb_>\d+)$"),
+                types={"pa_": "int64", "pb_": "int64"}, on_error="drop"),
+            batch_format="pyarrow")
+
+        def proj(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["attributes.etype"]))
+            eid = pc.add(pc.multiply(pc.cast(t["attributes.pa_"], pa.int64()), 1000),
+                         pc.cast(t["attributes.pb_"], pa.int64()))
+            return pa.table({"event_type": t["attributes.etype"], "eid": eid})
+
+        return (
+            parsed.map_batches(proj, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("eid", alias_name="sum_eid"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_MULTILINE_ROUNDTRIP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid
+FROM events GROUP BY event_type
+"""
+
+
+def q_time_partitioned_roundtrip(sf_dir: str):
+    """awss3-style time-partitioned sink, end-to-end with an oracle:
+    events write Hive-partitioned by year/month/day, the partition
+    directories read back (partition columns materialize from paths),
+    and per-(year,month,day) counts + id sums must equal the oracle
+    computed from raw timestamps — a partition-assignment bug breaks
+    the hash."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sinks import write_time_partitioned
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    tmp = tempfile.mkdtemp(prefix="tprt_", dir="/tmp")
+    try:
+        write_time_partitioned(ds, tmp, ts_col="ts", granularity="day")
+        back = rd.read_parquet(tmp)
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "year": pc.cast(t["year"], pa.int64()),
+                "month": pc.cast(t["month"], pa.int64()),
+                "day": pc.cast(t["day"], pa.int64()),
+                "eid": pc.cast(t["event_id"], pa.int64()),
+            })
+
+        return (
+            back.map_batches(proj, batch_format="pyarrow")
+            .groupby(["year", "month", "day"])
+            .aggregate(Count(alias_name="n"), Sum("eid", alias_name="sum_eid"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_TIME_PARTITIONED_ROUNDTRIP = """
+SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS year,
+       CAST(EXTRACT(month FROM ts) AS BIGINT) AS month,
+       CAST(EXTRACT(day FROM ts) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid
+FROM events GROUP BY year, month, day
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5727,6 +5843,8 @@ QUERIES = {
     "transformer_chain": q_transformer_chain,
     "groupbyattrs_services": q_groupbyattrs_services,
     "syslog_framed_roundtrip": q_syslog_framed_roundtrip,
+    "multiline_roundtrip": q_multiline_roundtrip,
+    "time_partitioned_roundtrip": q_time_partitioned_roundtrip,
 }
 
 ORACLES = {
@@ -5865,4 +5983,6 @@ ORACLES = {
     "transformer_chain": SQL_TRANSFORMER_CHAIN,
     "groupbyattrs_services": SQL_GROUPBYATTRS_SERVICES,
     "syslog_framed_roundtrip": SQL_SYSLOG_FRAMED_ROUNDTRIP,
+    "multiline_roundtrip": SQL_MULTILINE_ROUNDTRIP,
+    "time_partitioned_roundtrip": SQL_TIME_PARTITIONED_ROUNDTRIP,
 }
