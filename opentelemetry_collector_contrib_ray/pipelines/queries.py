@@ -5641,6 +5641,63 @@ FROM events GROUP BY year, month, day
 """
 
 
+def q_encoding_roundtrip(sf_dir: str):
+    """Non-UTF-8 encoding path, end-to-end with an oracle: log lines
+    carrying latin-1 high bytes (é/ü in the payload) are
+    written as LATIN-1 files, re-ingested with ``encoding='latin-1'``
+    (the fileconsumer decoder surface), parsed, and aggregated — a
+    decode bug mangles the payload and breaks the count/id hash."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.readers import read_lines
+    from ..stages.parsers import RegexParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    tmp = tempfile.mkdtemp(prefix="encrt_", dir="/tmp")
+    try:
+        def write_latin(t: pa.Table) -> pa.Table:
+            import os
+            import uuid
+
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            et = t["event_type"].to_pylist()
+            path = os.path.join(tmp, f"{uuid.uuid4().hex}.log")
+            with open(path, "w", encoding="latin-1") as f:
+                for i, x in enumerate(eid):
+                    f.write(f"café tür={et[i]} id={int(x)}\n")
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        ds.map_batches(write_latin, batch_format="pyarrow").count()
+
+        import glob
+
+        back = read_lines(sorted(glob.glob(tmp + "/*.log")), encoding="latin-1")
+        parsed = back.map_batches(
+            RegexParser(pattern=r"^café tür=(?P<etype>\S+) id=(?P<id_>\d+)$",
+                        types={"id_": "int64"}, on_error="drop"),
+            batch_format="pyarrow")
+
+        def proj(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["attributes.etype"]))
+            return pa.table({"event_type": t["attributes.etype"],
+                             "eid": pc.cast(t["attributes.id_"], pa.int64())})
+
+        return (
+            parsed.map_batches(proj, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("eid", alias_name="sum_eid"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_ENCODING_ROUNDTRIP = SQL_MULTILINE_ROUNDTRIP
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5845,6 +5902,7 @@ QUERIES = {
     "syslog_framed_roundtrip": q_syslog_framed_roundtrip,
     "multiline_roundtrip": q_multiline_roundtrip,
     "time_partitioned_roundtrip": q_time_partitioned_roundtrip,
+    "encoding_roundtrip": q_encoding_roundtrip,
 }
 
 ORACLES = {
@@ -5985,4 +6043,5 @@ ORACLES = {
     "syslog_framed_roundtrip": SQL_SYSLOG_FRAMED_ROUNDTRIP,
     "multiline_roundtrip": SQL_MULTILINE_ROUNDTRIP,
     "time_partitioned_roundtrip": SQL_TIME_PARTITIONED_ROUNDTRIP,
+    "encoding_roundtrip": SQL_ENCODING_ROUNDTRIP,
 }
