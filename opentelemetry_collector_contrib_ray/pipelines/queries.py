@@ -5698,6 +5698,75 @@ def q_encoding_roundtrip(sf_dir: str):
 SQL_ENCODING_ROUNDTRIP = SQL_MULTILINE_ROUNDTRIP
 
 
+def q_header_metadata_roundtrip(sf_dir: str):
+    """File-header metadata, end-to-end with an oracle (fileconsumer
+    header reader: leading matching lines parse through an op chain and
+    their attributes attach to EVERY entry of that file): one file per
+    event_type, its header carrying "#machine: <type>-host", body lines
+    carrying ids — the aggregate joins header-derived machine to the
+    body-recovered ids, so a header-attach bug (wrong file, wrong rows)
+    breaks the hash vs the raw-column twin."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.readers import read_lines
+    from ..stages.parsers import RegexParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    tmp = tempfile.mkdtemp(prefix="hdrrt_", dir="/tmp")
+    try:
+        def write_typed_file(g):
+            import os
+
+            et = g["event_type"].iloc[0]
+            path = os.path.join(tmp, f"{et}.log")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(f"#machine: {et}-host\n")
+                for x in g["event_id"]:
+                    f.write(f"id={int(x)}\n")
+            import pandas as pd
+
+            return pd.DataFrame({"n": [len(g)]})
+
+        ds.groupby("event_type").map_groups(
+            write_typed_file, batch_format="pandas").count()
+
+        import glob
+
+        hdr_ops = [RegexParser(pattern=r"^#machine: (?P<machine>\S+)$",
+                               parse_from="text", prefix="")]
+        back = read_lines(sorted(glob.glob(tmp + "/*.log")),
+                          header_pattern=r"^#", header_ops=hdr_ops)
+        parsed = back.map_batches(
+            RegexParser(pattern=r"^id=(?P<id_>\d+)$", types={"id_": "int64"},
+                        on_error="drop"),
+            batch_format="pyarrow")
+
+        def proj(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["attributes.id_"]))
+            return pa.table({"machine": t["machine"],
+                             "eid": pc.cast(t["attributes.id_"], pa.int64())})
+
+        return (
+            parsed.map_batches(proj, batch_format="pyarrow")
+            .groupby("machine")
+            .aggregate(Count(alias_name="n"), Sum("eid", alias_name="sum_eid"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_HEADER_METADATA_ROUNDTRIP = """
+SELECT event_type || '-host' AS machine,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid
+FROM events GROUP BY machine
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5903,6 +5972,7 @@ QUERIES = {
     "multiline_roundtrip": q_multiline_roundtrip,
     "time_partitioned_roundtrip": q_time_partitioned_roundtrip,
     "encoding_roundtrip": q_encoding_roundtrip,
+    "header_metadata_roundtrip": q_header_metadata_roundtrip,
 }
 
 ORACLES = {
@@ -6044,4 +6114,5 @@ ORACLES = {
     "multiline_roundtrip": SQL_MULTILINE_ROUNDTRIP,
     "time_partitioned_roundtrip": SQL_TIME_PARTITIONED_ROUNDTRIP,
     "encoding_roundtrip": SQL_ENCODING_ROUNDTRIP,
+    "header_metadata_roundtrip": SQL_HEADER_METADATA_ROUNDTRIP,
 }
