@@ -5767,6 +5767,49 @@ FROM events GROUP BY machine
 """
 
 
+def q_grouped_sink_roundtrip(sf_dir: str):
+    """grouping_file_exporter path with an oracle: events write
+    Hive-partitioned by event_type (the per-group sink layout), read
+    back with partition columns from paths, and re-aggregate — a
+    grouping/layout bug misassigns rows to partition directories and
+    breaks the hash."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sinks import write_grouped_parquet
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    tmp = tempfile.mkdtemp(prefix="grprt_", dir="/tmp")
+    try:
+        write_grouped_parquet(ds, tmp, group_cols=["event_type"])
+        back = rd.read_parquet(tmp)
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": pc.cast(t["event_type"], pa.string()),
+                "eid": pc.cast(t["event_id"], pa.int64()),
+            })
+
+        return (
+            back.map_batches(proj, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("eid", alias_name="sum_eid"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_GROUPED_SINK_ROUNDTRIP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -5973,6 +6016,7 @@ QUERIES = {
     "time_partitioned_roundtrip": q_time_partitioned_roundtrip,
     "encoding_roundtrip": q_encoding_roundtrip,
     "header_metadata_roundtrip": q_header_metadata_roundtrip,
+    "grouped_sink_roundtrip": q_grouped_sink_roundtrip,
 }
 
 ORACLES = {
@@ -6115,4 +6159,5 @@ ORACLES = {
     "time_partitioned_roundtrip": SQL_TIME_PARTITIONED_ROUNDTRIP,
     "encoding_roundtrip": SQL_ENCODING_ROUNDTRIP,
     "header_metadata_roundtrip": SQL_HEADER_METADATA_ROUNDTRIP,
+    "grouped_sink_roundtrip": SQL_GROUPED_SINK_ROUNDTRIP,
 }
