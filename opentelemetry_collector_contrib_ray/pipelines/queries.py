@@ -5810,6 +5810,71 @@ FROM events GROUP BY event_type
 """
 
 
+def q_ref_integrity_audit(sf_dir: str):
+    """Cross-table referential-integrity audit (the ETL smoke check):
+    lineitems whose order key has no orders row, and events whose user
+    id has no customer row — both via the native hash-partitioned
+    anti-join, rolled into one summary row with orphan-id sums pinning
+    the exact orphan sets."""
+    from ..stages.joins import large_anti_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    orphan_li = large_anti_join(li, orders, on="l_orderkey",
+                                right_on="o_orderkey", num_partitions=16)
+    orphan_ev = large_anti_join(ev, cust, on="user_id",
+                                right_on="c_custkey", num_partitions=16)
+
+    def roll_li(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table({
+            "n_orphan_lineitems": pa.array([t.num_rows], pa.int64()),
+            "sum_orphan_orderkeys": pa.array([pc.sum(k).as_py() or 0], pa.int64()),
+            "n_orphan_events": pa.array([0], pa.int64()),
+            "sum_orphan_event_ids": pa.array([0], pa.int64()),
+        })
+
+    def roll_ev(t: pa.Table) -> pa.Table:
+        e = pc.cast(t["event_id"], pa.int64())
+        return pa.table({
+            "n_orphan_lineitems": pa.array([0], pa.int64()),
+            "sum_orphan_orderkeys": pa.array([0], pa.int64()),
+            "n_orphan_events": pa.array([t.num_rows], pa.int64()),
+            "sum_orphan_event_ids": pa.array([pc.sum(e).as_py() or 0], pa.int64()),
+        })
+
+    li_rows = orphan_li.map_batches(roll_li, batch_format="pyarrow").to_pandas()
+    ev_rows = orphan_ev.map_batches(roll_ev, batch_format="pyarrow").to_pandas()
+    cols = ["n_orphan_lineitems", "sum_orphan_orderkeys",
+            "n_orphan_events", "sum_orphan_event_ids"]
+    # the per-block rollups are single tiny rows; combine driver-side
+    # (an empty anti-join side yields zero blocks, which poisons a
+    # union's schema into object dtype)
+    total = {c: int(li_rows[c].sum() if len(li_rows) else 0)
+             + int(ev_rows[c].sum() if len(ev_rows) else 0) for c in cols}
+    return pa.table({c: pa.array([total[c]], pa.int64()) for c in cols})
+
+
+SQL_REF_INTEGRITY_AUDIT = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS n_orphan_lineitems,
+  (SELECT CAST(coalesce(SUM(l_orderkey), 0) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS sum_orphan_orderkeys,
+  (SELECT CAST(count(*) AS BIGINT) FROM events e
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+    AS n_orphan_events,
+  (SELECT CAST(coalesce(SUM(event_id), 0) AS BIGINT) FROM events e
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+    AS sum_orphan_event_ids
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -6017,6 +6082,7 @@ QUERIES = {
     "encoding_roundtrip": q_encoding_roundtrip,
     "header_metadata_roundtrip": q_header_metadata_roundtrip,
     "grouped_sink_roundtrip": q_grouped_sink_roundtrip,
+    "ref_integrity_audit": q_ref_integrity_audit,
 }
 
 ORACLES = {
@@ -6160,4 +6226,5 @@ ORACLES = {
     "encoding_roundtrip": SQL_ENCODING_ROUNDTRIP,
     "header_metadata_roundtrip": SQL_HEADER_METADATA_ROUNDTRIP,
     "grouped_sink_roundtrip": SQL_GROUPED_SINK_ROUNDTRIP,
+    "ref_integrity_audit": SQL_REF_INTEGRITY_AUDIT,
 }
