@@ -45,6 +45,25 @@ BENCH_QUERIES = [
 ]
 
 
+_SENT = None
+
+
+def sentinel_sec() -> float:
+    """Load sentinel: wall time of a FIXED numpy kernel (1200×1200
+    float64 matmul, seeded once). Recorded before each timed section so
+    shared-VM drift is distinguishable from code regressions when
+    comparing BENCH files across rounds: if a query got slower AND the
+    adjacent sentinels got slower by a similar factor, it's the box."""
+    global _SENT
+    import numpy as np
+
+    if _SENT is None:
+        _SENT = np.random.default_rng(42).random((1200, 1200))
+    t0 = time.time()
+    _ = _SENT @ _SENT
+    return round(time.time() - t0, 4)
+
+
 def _consume(obj):
     import pandas as pd
     import pyarrow as pa
@@ -91,24 +110,28 @@ def run_bench() -> dict:
     # walls (10 s vs 20 s for identical work); run 3x and report the
     # MEDIAN, with every sample in the JSON for transparency
     n_reps = int(os.environ.get("GRAFT_HEADLINE_REPS", "3"))
-    samples = []
+    samples, sent_headline = [], []
     for _ in range(n_reps):
         shutil.rmtree(out_root, ignore_errors=True)
         os.sync()  # flush dirty pages so prior runs' writeback doesn't bleed in
         time.sleep(3)  # let the device drain
+        sent_headline.append(sentinel_sec())
         t0 = time.time()
         run_single_pass(inp, out_root, enrich_concurrency=NUM_CPUS,
                         counts_mode="partials")
         samples.append(round(time.time() - t0, 3))
+    sent_headline.append(sentinel_sec())
     headline = sorted(samples)[len(samples) // 2]
 
-    qtimes = {}
+    qtimes, qsent = {}, {}
     if os.environ.get("GRAFT_SKIP_QUERIES"):
         ray.shutdown()
         return {
             "metric": "flagship parse→enrich→route→count end-to-end (single pass, sinks written)",
             "value": round(headline, 3), "unit": "sec", "queries": {},
             "headline_samples": samples,
+            "sentinel_headline": sent_headline,
+            "sentinel_unit": "sec per fixed 1200x1200 float64 matmul",
             "sf": SF_DIR, "num_cpus": NUM_CPUS, "transcript_rows": n_rows,
             "turns_per_sec": round(n_rows / headline, 1),
         }
@@ -117,6 +140,7 @@ def run_bench() -> dict:
     # engine's own cost
     for name in BENCH_QUERIES:
         best = None
+        qsent[name] = sentinel_sec()
         for _ in range(2):
             t0 = time.time()
             _consume(QUERIES[name](SF_DIR))
@@ -130,6 +154,9 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "headline_samples": samples,
+        "sentinel_headline": sent_headline,
+        "sentinel_queries": qsent,
+        "sentinel_unit": "sec per fixed 1200x1200 float64 matmul",
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

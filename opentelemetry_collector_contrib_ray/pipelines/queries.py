@@ -34,6 +34,7 @@ from ..stages.recombine import recombine
 from ..stages.sampler import ProbabilisticSampler, knuth_hash_sql, sample_keep_sql
 from ..stages.text import LangId, token_stats
 from .flagship import ROUTES, TOOL_SERVICE, TOOL_SERVICE_DEFAULTS, build_parse_chain
+from ..stages.base import pa_from_pandas
 
 # --------------------------------------------------------------------------
 # shared SQL fragments
@@ -1723,8 +1724,7 @@ FROM events GROUP BY 1, 2
 
 def q_orders_customer_join(sf_dir: str):
     """Large-large bucketed hash join (stages/joins.py) with oracle."""
-    from ray.data.aggregate import Count, Sum
-
+    from ..stages.agg import compact_groupby
     from ..stages.joins import bucketed_hash_join
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -1741,10 +1741,12 @@ def q_orders_customer_join(sf_dir: str):
             }
         )
 
-    return (
-        joined.map_batches(proj, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents"))
+    # 5 segments — partial+final rollup, no shuffle-aggregate
+    return compact_groupby(
+        joined.map_batches(proj, batch_format="pyarrow"),
+        keys=["c_mktsegment"],
+        sum_cols={"total_cents": "sum_total_cents"},
+        count_alias="n_orders",
     )
 
 
@@ -1895,23 +1897,27 @@ FROM events GROUP BY 1, 2
 """
 
 
-def q_semi_join_building(sf_dir: str):
-    """Broadcast semi join (stages/joins.py): events whose user is a
-    BUILDING-segment customer, counted per event_type."""
+def q_semi_join_building(sf_dir: str, broadcast_threshold: int | None = None):
+    """Size-gated semi join (stages/joins.py): events whose user is a
+    BUILDING-segment customer, counted per event_type. The key list is
+    materialized on the driver ONLY while the customer read's metadata
+    row count bounds it under BROADCAST_ROWS_THRESHOLD; a corpus-scaled
+    customer table flips the plan to the hash-partitioned left_semi
+    join instead of OOMing the driver."""
     from ray.data.aggregate import Count
 
-    from ..stages.joins import semi_join
+    from ..stages.joins import gated_semi_join
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = [
-        r["c_custkey"]
-        for r in cust.map_batches(
-            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
-            batch_format="pyarrow",
-        ).take_all()
-    ]
+    bld = cust.map_batches(
+        lambda t: pa.table({"c_custkey": t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow",
+    )
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
-    kept = semi_join(ds, keys, "user_id", concurrency=(1, 2))
+    kept = gated_semi_join(ds, bld, on="user_id", right_on="c_custkey",
+                           size_hint=cust,  # filter only shrinks the read
+                           threshold=broadcast_threshold, concurrency=(1, 2))
     return (
         kept.map_batches(lambda t: pa.table({"event_type": t["event_type"]}),
                          batch_format="pyarrow")
@@ -3188,7 +3194,7 @@ def q_red_metrics(sf_dir: str):
         g = (df.groupby(["service", "bucket"], as_index=False, dropna=False)
              .agg(n=("n", "sum"), n_err=("n_err", "sum"),
                   sum_latency=("sum_latency", "sum")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -3352,20 +3358,29 @@ FROM documents, thr WHERE n_chars >= t GROUP BY lang
 """
 
 
-def q_revenue_by_nation(sf_dir: str):
+def q_revenue_by_nation(sf_dir: str, broadcast_threshold: int | None = None):
     """Multi-join chain (TPC-H Q5-lite): lineitem ⋈ orders (large×large
-    native hash join) ⋈ (customer ⋈ nation broadcast — the tiny side
-    resolved once per actor), then per-nation revenue. Pins the
-    composition of both join strategies in one pipeline; revenue goes
-    through the cents-integer transform before any sum so the hash is
-    parallelism-exact."""
-    import ray
-    from ray.data.aggregate import Count, Sum
+    native hash join) ⋈ (customer ⋈ nation), then per-nation revenue.
+    Pins the composition of both join strategies in one pipeline;
+    revenue goes through the cents-integer transform before any sum so
+    the hash is parallelism-exact.
 
-    from ..stages.joins import broadcast_join, bucketed_hash_join
+    The customer dim is SIZE-GATED: broadcast (resolved once per actor)
+    while its metadata row count is ≤ BROADCAST_ROWS_THRESHOLD, else it
+    joins orders through the hash-partitioned path — customer scales
+    with the corpus (SF×150k), so the broadcast that is right at SF 1
+    is wrong at SF 1000. The final per-nation rollup is compact_groupby
+    (partial+final, 25 groups — no shuffle-aggregate)."""
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import (_derive_partitions, bucketed_hash_join,
+                                gated_broadcast_join)
 
-    li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    li_raw = read_table(sf_dir, "lineitem",
+                        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders_raw = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    # derive the big join's partition count from the READ metadata
+    # (the post-combiner lineages can't report counts without executing)
+    n_parts = _derive_partitions(li_raw, orders_raw)
 
     def li_combine(t: pa.Table) -> pa.Table:
         """Push the aggregation below the join: per-batch per-orderkey
@@ -3380,37 +3395,45 @@ def q_revenue_by_nation(sf_dir: str):
         g = (df.groupby("l_orderkey", as_index=False)
              .agg(n_items=("c", "size"), rev_cents=("c", "sum")))
         g["n_items"] = g["n_items"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
-    li = li.map_batches(li_combine, batch_format="pyarrow")
+    li = li_raw.map_batches(li_combine, batch_format="pyarrow")
 
-    # tiny dims resolve driver-side; nation attaches to orders BEFORE
-    # the large join (broadcast, no shuffle)
-    cust = read_table(sf_dir, "customer",
-                      columns=["c_custkey", "c_nationkey"]).to_pandas()
+    # nation (25 rows, constant) always broadcasts onto customer;
+    # customer⋈nation onto orders goes through the size gate
+    import ray
+
+    from ..stages.joins import broadcast_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = read_table(sf_dir, "nation",
                         columns=["n_nationkey", "n_name"]).to_pandas()
-    cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    cn = cn[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    orders = broadcast_join(orders, ray.put(cn), on="o_custkey", how="inner",
-                            concurrency=(1, 4))
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    cn = broadcast_join(cust, ray.put(nation), on="c_nationkey", how="inner",
+                        concurrency=(1, 4))
+    cn = cn.map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"], "n_name": t["n_name"]}),
+        batch_format="pyarrow")
+    orders = gated_broadcast_join(
+        orders_raw, cn, on="o_custkey", how="inner",
+        size_hint=cust,  # pre-derivation read bounds the joined dim
+        threshold=broadcast_threshold, concurrency=(1, 4),
+        num_partitions=n_parts)
     orders = orders.map_batches(
         lambda t: t.select(["o_orderkey", "n_name"]), batch_format="pyarrow")
 
     joined = bucketed_hash_join(li, orders, on="l_orderkey",
-                                right_on="o_orderkey", num_partitions=32)
+                                right_on="o_orderkey", num_partitions=n_parts)
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table({"n_name": t["n_name"],
                          "n_items": pc.cast(t["n_items"], pa.int64()),
                          "rev_cents": pc.cast(t["rev_cents"], pa.int64())})
 
-    return (
-        joined.map_batches(proj, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("n_items", alias_name="n_items"),
-                   Sum("rev_cents", alias_name="sum_rev_cents"))
+    return compact_groupby(
+        joined.map_batches(proj, batch_format="pyarrow"),
+        keys=["n_name"],
+        sum_cols={"n_items": "n_items", "rev_cents": "sum_rev_cents"},
     )
 
 
@@ -3757,7 +3780,7 @@ def q_events_wow_growth(sf_dir: str):
         g = df.groupby(["event_type", "week"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -4016,7 +4039,7 @@ def q_events_split_drift(sf_dir: str):
         g = df.groupby(["split", "bucket"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -4100,7 +4123,7 @@ def q_events_distinct_users(sf_dir: str):
                        "user_id": t["user_id"]}).to_pandas().drop_duplicates()
         et = df["event_type"].to_numpy().astype("U")
         df["__p"] = (pd.util.hash_array(et) % np.uint64(8)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["event_type", "user_id"]].drop_duplicates()
@@ -4194,7 +4217,7 @@ def q_events_rolling_wau(sf_dir: str):
         u = np.repeat(df["u"].to_numpy(), 7)
         out = pd.DataFrame({"u": u, "wd": wd}).drop_duplicates()
         out["__p"] = (out["wd"].to_numpy(np.uint64) % np.uint64(16)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def count_windows(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["u", "wd"]].drop_duplicates()
@@ -4246,7 +4269,7 @@ def q_docs_vocab_overlap(sf_dir: str):
         df = pd.DataFrame({"term": flat[keep], "lang": lang[keep]}).drop_duplicates()
         h = pd.util.hash_array(df["term"].to_numpy().astype("U"))
         df["__p"] = (h % np.uint64(16)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["term", "lang"]].drop_duplicates()
@@ -4297,7 +4320,7 @@ def q_events_hourly_profile(sf_dir: str):
         g = df.groupby(["event_type", "hour"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
@@ -4336,7 +4359,7 @@ def q_docs_moments(sf_dir: str):
         g = df.groupby("lang", as_index=False).sum()
         for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]:
             g[c] = g[c].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
@@ -4385,7 +4408,7 @@ def q_docs_dup_rate(sf_dir: str):
                          tot[["source", "h", "__p", "n_docs"]]],
                         ignore_index=True)
         out["n_docs"] = out["n_docs"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         counts = g[g["h"] == -1].groupby("source", as_index=False)["n_docs"].sum()
@@ -4647,7 +4670,7 @@ def q_events_window_anomalies(sf_dir: str):
         g = df.groupby(["event_type", "w"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     windows = (
         ds.map_batches(part, batch_format="pyarrow")
@@ -4715,7 +4738,7 @@ def q_docs_length_quartiles(sf_dir: str):
         g = df.groupby(["lang", "quartile"], as_index=False).size()
         g = g.rename(columns={"size": "n"})
         g["n"] = g["n"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
@@ -4814,7 +4837,7 @@ def q_emb_quant_error(sf_dir: str):
             max_err=("max_err", "max"))
         for c in ["n_elems", "sum_err", "max_err"]:
             g[c] = g[c].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
@@ -4861,7 +4884,7 @@ def q_conv_tool_pairs(sf_dir: str):
         df = t.to_pandas().dropna(subset=["tool"]).drop_duplicates()
         h = pd.util.hash_array(df["conv_id"].to_numpy().astype("U"))
         df["__p"] = (h % np.uint64(16)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["conv_id", "tool"]].drop_duplicates()
@@ -5374,6 +5397,60 @@ def q_otlp_roundtrip(sf_dir: str):
 SQL_OTLP_ROUNDTRIP = SQL_PARSE_LEVEL
 
 
+def q_otlp_proto_roundtrip(sf_dir: str):
+    """OTLP-protobuf marshal + file source, end-to-end with an oracle:
+    the same enriched rows marshal to hand-encoded proto3 ``LogsData``
+    files (the fileexporter ``format: proto`` path,
+    /root/reference/exporter/fileexporter/marshaller.go:26-28), land in
+    a temp sink, re-ingest through the proto receiver path, and
+    re-aggregate — a wire-format bug anywhere (varint, fixed64,
+    length-delimited nesting, AnyValue oneof) breaks the hash vs the
+    direct-derivation oracle."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.otlp_proto import read_otlp_proto_logs, write_otlp_proto_logs
+
+    tmp = tempfile.mkdtemp(prefix="otlppb_", dir="/tmp")
+    try:
+        ds = _enriched(sf_dir)
+
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["attributes.level"]))
+            return pa.table({
+                "body": t["text"],
+                "attributes.level": t["attributes.level"],
+                "attributes.latency_ms": pc.cast(t["attributes.latency_ms"], pa.int64()),
+                "resource.service": t["service"],
+                "scope_name": pa.array(["otelray"] * t.num_rows),
+            })
+
+        write_otlp_proto_logs(ds.map_batches(prep, batch_format="pyarrow"), tmp)
+
+        back = read_otlp_proto_logs(sorted(
+            __import__("glob").glob(tmp + "/*.pb")))
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "level": t["attributes.level"],
+                "lat": pc.cast(t["attributes.latency_ms"], pa.int64()),
+            })
+
+        return (
+            back.map_batches(proj, batch_format="pyarrow")
+            .groupby("level")
+            .aggregate(Count(alias_name="n"), Sum("lat", alias_name="sum_latency"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_OTLP_PROTO_ROUNDTRIP = SQL_PARSE_LEVEL
+
+
 def q_transformer_chain(sf_dir: str):
     """Stanza transformer editors end-to-end with an oracle (upgrades
     §2.4 add/copy/move/unquote from unit-only): quote the level, copy
@@ -5813,49 +5890,72 @@ FROM events GROUP BY event_type
 def q_ref_integrity_audit(sf_dir: str):
     """Cross-table referential-integrity audit (the ETL smoke check):
     lineitems whose order key has no orders row, and events whose user
-    id has no customer row — both via the native hash-partitioned
-    anti-join, rolled into one summary row with orphan-id sums pinning
-    the exact orphan sets."""
-    from ..stages.joins import large_anti_join
-
+    id has no customer row — via a co-grouped anti-membership exchange
+    (see inline note on why not the native anti-join here), rolled into
+    one summary row with orphan-id sums pinning the exact orphan
+    sets."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
 
-    orphan_li = large_anti_join(li, orders, on="l_orderkey",
-                                right_on="o_orderkey", num_partitions=16)
-    orphan_ev = large_anti_join(ev, cust, on="user_id",
-                                right_on="c_custkey", num_partitions=16)
-
-    def roll_li(t: pa.Table) -> pa.Table:
-        k = pc.cast(t["l_orderkey"], pa.int64())
-        return pa.table({
-            "n_orphan_lineitems": pa.array([t.num_rows], pa.int64()),
-            "sum_orphan_orderkeys": pa.array([pc.sum(k).as_py() or 0], pa.int64()),
-            "n_orphan_events": pa.array([0], pa.int64()),
-            "sum_orphan_event_ids": pa.array([0], pa.int64()),
-        })
-
-    def roll_ev(t: pa.Table) -> pa.Table:
-        e = pc.cast(t["event_id"], pa.int64())
-        return pa.table({
-            "n_orphan_lineitems": pa.array([0], pa.int64()),
-            "sum_orphan_orderkeys": pa.array([0], pa.int64()),
-            "n_orphan_events": pa.array([t.num_rows], pa.int64()),
-            "sum_orphan_event_ids": pa.array([pc.sum(e).as_py() or 0], pa.int64()),
-        })
-
-    li_rows = orphan_li.map_batches(roll_li, batch_format="pyarrow").to_pandas()
-    ev_rows = orphan_ev.map_batches(roll_ev, batch_format="pyarrow").to_pandas()
     cols = ["n_orphan_lineitems", "sum_orphan_orderkeys",
             "n_orphan_events", "sum_orphan_event_ids"]
-    # the per-block rollups are single tiny rows; combine driver-side
-    # (an empty anti-join side yields zero blocks, which poisons a
-    # union's schema into object dtype)
-    total = {c: int(li_rows[c].sum() if len(li_rows) else 0)
-             + int(ev_rows[c].sum() if len(ev_rows) else 0) for c in cols}
-    return pa.table({c: pa.array([total[c]], pa.int64()) for c in cols})
+
+    # An anti join whose output is (by design) NEARLY EMPTY is the
+    # worst case for Ray's JoinOperator: fully-matched partitions emit
+    # ZERO-COLUMN empty blocks that downstream map stages forward
+    # verbatim (Ray skips UDFs on empty non-Mapping batches,
+    # plan_udf_map_op.py:452-461), tripping the executor's
+    # schema-divergence warning on every queue they cross. So the
+    # audit co-groups instead: ONE hash exchange on the key with both
+    # sides tagged, and the anti-membership + rollup happen INSIDE
+    # map_groups — every partition emits exactly one schema-carrying
+    # summary row (only key columns shuffle, the rollup never
+    # materializes the orphan rows at all).
+    def _anti_rollup(big, keys_ds, key: str, val: str, rkey: str,
+                     n_slot: int, s_slot: int, n_parts: int = 16):
+        """Per partition: count of ``big`` rows whose ``key`` has no
+        ``keys_ds`` match, and the sum of their ``val`` column."""
+        from ..stages.joins import _add_part, _align_union, _tag
+
+        right = keys_ds.map_batches(
+            lambda t, _rk=rkey, _k=key: pa.table({_k: t[_rk]}),
+            batch_format="pyarrow")
+        fields = {key: pa.int64(), "__side": pa.string()}
+        if val != key:
+            fields[val] = pa.int64()
+        both = _align_union([
+            big.map_batches(_tag("l"), batch_format="pyarrow"),
+            right.map_batches(_tag("r"), batch_format="pyarrow"),
+        ], fields)
+        both = both.map_batches(_add_part([key], n_parts), batch_format="pyarrow")
+
+        def roll(g: pd.DataFrame) -> pa.Table:
+            left = g.loc[g["__side"] == "l"]
+            orphan = left.loc[
+                ~left[key].isin(g.loc[g["__side"] == "r", key].unique()), val]
+            vals = [0, 0, 0, 0]
+            vals[n_slot] = int(len(orphan))
+            vals[s_slot] = int(orphan.sum()) if len(orphan) else 0
+            return pa.table({c: pa.array([v], pa.int64())
+                             for c, v in zip(cols, vals)})
+
+        return both.groupby("__p").map_groups(roll, batch_format="pandas")
+
+    rolled = _anti_rollup(li, orders, "l_orderkey", "l_orderkey",
+                          "o_orderkey", 0, 1).union(
+        _anti_rollup(ev, cust, "user_id", "event_id", "c_custkey", 2, 3))
+
+    def total(t: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(pc.cast(t[c], pa.int64())).as_py() or 0],
+                        pa.int64())
+            for c in cols
+        })
+
+    return rolled.repartition(1).map_batches(total, batch_format="pyarrow",
+                                             batch_size=None)
 
 
 SQL_REF_INTEGRITY_AUDIT = """
@@ -6074,6 +6174,7 @@ QUERIES = {
     "attrs_extract_region": q_attrs_extract_region,
     "filelog_roundtrip": q_filelog_roundtrip,
     "otlp_roundtrip": q_otlp_roundtrip,
+    "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
     "transformer_chain": q_transformer_chain,
     "groupbyattrs_services": q_groupbyattrs_services,
     "syslog_framed_roundtrip": q_syslog_framed_roundtrip,
@@ -6218,6 +6319,7 @@ ORACLES = {
     "attrs_extract_region": SQL_ATTRS_EXTRACT_REGION,
     "filelog_roundtrip": SQL_FILELOG_ROUNDTRIP,
     "otlp_roundtrip": SQL_OTLP_ROUNDTRIP,
+    "otlp_proto_roundtrip": SQL_OTLP_PROTO_ROUNDTRIP,
     "transformer_chain": SQL_TRANSFORMER_CHAIN,
     "groupbyattrs_services": SQL_GROUPBYATTRS_SERVICES,
     "syslog_framed_roundtrip": SQL_SYSLOG_FRAMED_ROUNDTRIP,

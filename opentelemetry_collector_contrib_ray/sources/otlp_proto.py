@@ -1,0 +1,335 @@
+"""OTLP/protobuf logs marshal + file source — the fileexporter
+``format: proto`` path and its re-ingest twin.
+
+Parity: /root/reference/exporter/fileexporter/marshaller.go:26-28
+selects ``plog.ProtoMarshaler`` for ``formatTypeProto`` — the wire
+default of the OTLP ecosystem; the repo previously shipped only the
+JSON marshal (sources/otlp_json.py). The message tree is the public
+opentelemetry-proto ``LogsData`` schema
+(opentelemetry/proto/logs/v1/logs.proto):
+
+    LogsData          { 1: repeated ResourceLogs }
+    ResourceLogs      { 1: Resource, 2: repeated ScopeLogs }
+    Resource          { 1: repeated KeyValue }
+    ScopeLogs         { 1: InstrumentationScope, 2: repeated LogRecord }
+    InstrumentationScope { 1: string name }
+    LogRecord         { 1: fixed64 time_unix_nano,
+                        11: fixed64 observed_time_unix_nano,
+                        2: varint severity_number, 3: string severity_text,
+                        5: AnyValue body, 6: repeated KeyValue attributes,
+                        9: bytes trace_id, 10: bytes span_id }
+    KeyValue          { 1: string key, 2: AnyValue value }
+    AnyValue (oneof)  { 1: string, 2: bool, 3: int64 varint,
+                        4: double fixed64, 7: bytes }
+
+Hand-encoded proto3 wire format (varint / fixed64 / length-delimited)
+— dependency-free, byte-compatible with any standard protobuf reader
+of that schema. The decoder skips unknown fields by wire type, so
+files written by the reference collector with extra fields (flags,
+dropped counts, schema_url) still parse.
+
+The per-record encode/decode is row-wise by nature (nested dynamic
+tree); it runs inside ``map_batches`` so decode parallelism = block
+parallelism, exactly like the JSON twin.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pyarrow as pa
+
+# ------------------------------------------------------------- encode
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= (1 << 64) - 1  # two's-complement for negative int64
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field."""
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _enc_any_value(v) -> bytes:
+    if isinstance(v, bool):
+        return _tag(2, 0) + _varint(1 if v else 0)
+    if isinstance(v, int):
+        return _tag(3, 0) + _varint(v)
+    if isinstance(v, float):
+        return _tag(4, 1) + struct.pack("<d", v)
+    if isinstance(v, (bytes, bytearray)):
+        return _ld(7, bytes(v))
+    return _ld(1, ("" if v is None else str(v)).encode("utf-8"))
+
+
+def _enc_keyvalue(key: str, v) -> bytes:
+    return _ld(1, key.encode("utf-8")) + _ld(2, _enc_any_value(v))
+
+
+def _enc_log_record(rec: dict) -> bytes:
+    out = bytearray()
+    if rec.get("time_unix_nano"):
+        out += _tag(1, 1) + struct.pack("<Q", int(rec["time_unix_nano"]))
+    if rec.get("observed_time_unix_nano"):
+        out += _tag(11, 1) + struct.pack("<Q", int(rec["observed_time_unix_nano"]))
+    if rec.get("severity_number"):
+        out += _tag(2, 0) + _varint(int(rec["severity_number"]))
+    if rec.get("severity_text"):
+        out += _ld(3, rec["severity_text"].encode("utf-8"))
+    if "body" in rec:
+        out += _ld(5, _enc_any_value(rec["body"]))
+    for k, v in rec.get("attributes", ()):
+        out += _ld(6, _enc_keyvalue(k, v))
+    if rec.get("trace_id"):
+        out += _ld(9, bytes.fromhex(rec["trace_id"]))
+    if rec.get("span_id"):
+        out += _ld(10, bytes.fromhex(rec["span_id"]))
+    return bytes(out)
+
+
+def encode_otlp_proto_batch(t: pa.Table) -> bytes:
+    """Flat log-record batch → ONE serialized ``LogsData`` message (the
+    proto analog of ``encode_otlp_json_batch`` — same resource/scope
+    grouping: rows group by their ``resource.*`` values into
+    resourceLogs, then by ``scope_name`` into scopeLogs)."""
+    res_cols = [c for c in t.column_names if c.startswith("resource.")]
+    attr_cols = [c for c in t.column_names if c.startswith("attributes.")]
+    data = {c: t[c].to_pylist() for c in t.column_names}
+    n = t.num_rows
+    groups: dict = {}
+    for i in range(n):
+        res_key = tuple((c, data[c][i]) for c in res_cols if data[c][i] is not None)
+        scope = data.get("scope_name", [""] * n)[i] or ""
+        rec: dict = {}
+        for src, dst in (("time_unix_nano", "time_unix_nano"),
+                         ("observed_time_unix_nano", "observed_time_unix_nano"),
+                         ("severity_number", "severity_number"),
+                         ("severity_text", "severity_text"),
+                         ("trace_id", "trace_id"), ("span_id", "span_id")):
+            val = data.get(src, [None] * n)[i]
+            if val:
+                rec[dst] = val
+        if "body" in data:
+            rec["body"] = data["body"][i]
+        rec["attributes"] = [
+            (c[len("attributes."):], data[c][i])
+            for c in attr_cols if data[c][i] is not None
+        ]
+        groups.setdefault(res_key, {}).setdefault(scope, []).append(rec)
+
+    out = bytearray()
+    for res_key, scopes in groups.items():
+        rl = bytearray()
+        if res_key:
+            res = b"".join(
+                _ld(1, _enc_keyvalue(k[len("resource."):], v)) for k, v in res_key
+            )
+            rl += _ld(1, res)
+        for scope, recs in scopes.items():
+            sl = _ld(1, _ld(1, scope.encode("utf-8")))  # scope { name }
+            sl += b"".join(_ld(2, _enc_log_record(r)) for r in recs)
+            rl += _ld(2, sl)
+        out += _ld(1, bytes(rl))
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decode
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one message's bytes.
+    value: int for varint/fixed, bytes for length-delimited."""
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, i = _read_varint(buf, i)
+        elif wire == 1:
+            val = struct.unpack_from("<Q", buf, i)[0]
+            i += 8
+        elif wire == 2:
+            ln, i = _read_varint(buf, i)
+            val = buf[i:i + ln]
+            i += ln
+        elif wire == 5:
+            val = struct.unpack_from("<I", buf, i)[0]
+            i += 4
+        else:  # groups (3/4) don't occur in proto3 OTLP
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _dec_any_value(buf: bytes):
+    for field, _wire, val in _iter_fields(buf):
+        if field == 1:
+            return val.decode("utf-8")
+        if field == 2:
+            return bool(val)
+        if field == 3:
+            return val - (1 << 64) if val >= (1 << 63) else val  # int64
+        if field == 4:
+            return struct.unpack("<d", struct.pack("<Q", val))[0]
+        if field == 7:
+            return bytes(val)
+    return None
+
+
+def _dec_keyvalue(buf: bytes) -> tuple[str, object]:
+    key, value = "", None
+    for field, _wire, val in _iter_fields(buf):
+        if field == 1:
+            key = val.decode("utf-8")
+        elif field == 2:
+            value = _dec_any_value(val)
+    return key, value
+
+
+def _dec_log_record(buf: bytes) -> dict:
+    rec: dict = {"time_unix_nano": 0, "observed_time_unix_nano": 0,
+                 "severity_number": 0, "severity_text": "", "body": None,
+                 "trace_id": "", "span_id": ""}
+    for field, _wire, val in _iter_fields(buf):
+        if field == 1:
+            rec["time_unix_nano"] = int(val)
+        elif field == 11:
+            rec["observed_time_unix_nano"] = int(val)
+        elif field == 2:
+            rec["severity_number"] = int(val)
+        elif field == 3:
+            rec["severity_text"] = val.decode("utf-8")
+        elif field == 5:
+            rec["body"] = _dec_any_value(val)
+        elif field == 6:
+            k, v = _dec_keyvalue(val)
+            rec[f"attributes.{k}"] = v
+        elif field == 9:
+            rec["trace_id"] = bytes(val).hex()
+        elif field == 10:
+            rec["span_id"] = bytes(val).hex()
+    return rec
+
+
+def decode_logs_data(buf: bytes) -> list[dict]:
+    """Serialized LogsData → flat rows (the same flat-row model as the
+    OTLP-JSON receiver: ``resource.<key>`` / ``attributes.<key>`` /
+    envelope columns)."""
+    rows: list[dict] = []
+    for field, _wire, rl_buf in _iter_fields(buf):
+        if field != 1:
+            continue
+        res: dict = {}
+        scope_bufs = []
+        for f2, _w2, v2 in _iter_fields(rl_buf):
+            if f2 == 1:  # Resource
+                for f3, _w3, v3 in _iter_fields(v2):
+                    if f3 == 1:
+                        k, v = _dec_keyvalue(v3)
+                        res[f"resource.{k}"] = v
+            elif f2 == 2:
+                scope_bufs.append(v2)
+        for sl_buf in scope_bufs:
+            scope_name = ""
+            for f2, _w2, v2 in _iter_fields(sl_buf):
+                if f2 == 1:  # InstrumentationScope
+                    for f3, _w3, v3 in _iter_fields(v2):
+                        if f3 == 1:
+                            scope_name = v3.decode("utf-8")
+            for f2, _w2, v2 in _iter_fields(sl_buf):
+                if f2 == 2:  # LogRecord
+                    row = dict(res)
+                    row["scope_name"] = scope_name
+                    row.update(_dec_log_record(v2))
+                    rows.append(row)
+    return rows
+
+
+def decode_otlp_proto_files(t: pa.Table, bytes_col: str = "bytes") -> pa.Table:
+    """Batch of serialized LogsData payloads → flat log-record rows.
+    Unknown keys across payloads are unioned (nulls elsewhere)."""
+    rows: list[dict] = []
+    for buf in t[bytes_col]:
+        b = buf.as_py()
+        if b:
+            rows.extend(decode_logs_data(b))
+    if not rows:
+        return pa.table({"body": pa.array([], type=pa.string())})
+    cols = sorted({k for r in rows for k in r})
+    return pa.table({c: pa.array([r.get(c) for r in rows]) for c in cols})
+
+
+def read_otlp_proto_logs(paths):
+    """File(s) of serialized LogsData → flat-row Dataset."""
+    import ray.data as rd
+
+    return rd.read_binary_files(paths).map_batches(
+        decode_otlp_proto_files, batch_format="pyarrow"
+    )
+
+
+def write_otlp_proto_logs(ds, path: str) -> int:
+    """OTLP-proto sink: each block marshals to one ``LogsData`` file
+    (``.pb``), same naming/idempotency contract as
+    ``write_otlp_json_logs`` (atomic publish, stale-file cleanup,
+    task-stable names across retries). Returns files written."""
+    import hashlib
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    for stale in os.listdir(path):
+        if stale.endswith(".pb") or stale.endswith(".tmp"):
+            os.unlink(os.path.join(path, stale))
+    run_id = uuid.uuid4().hex[:8]
+
+    class _EncWrite:
+        def __init__(self):
+            self.task = None
+            self.seq = 0
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"written": pa.array([], type=pa.int64())})
+            import ray
+
+            tid = ray.get_runtime_context().get_task_id() or "task"
+            if tid != self.task:
+                self.task, self.seq = tid, 0
+            payload = encode_otlp_proto_batch(t)
+            digest = hashlib.sha1(payload).hexdigest()[:12]
+            name = f"{run_id}-{tid[:16]}-{self.seq:04d}-{digest}"
+            self.seq += 1
+            tmp = f"{path}/.{name}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, f"{path}/{name}.pb")  # atomic publish
+            return pa.table({"written": pa.array([1], type=pa.int64())})
+
+    out = ds.map_batches(_EncWrite, batch_format="pyarrow", concurrency=(1, 8))
+    return int(out.sum("written") or 0)

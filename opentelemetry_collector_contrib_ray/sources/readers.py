@@ -16,17 +16,46 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _clean_schema(path: str, columns: list[str] | None):
+    """Metadata-free (sub)schema of a parquet file/dir — one footer read.
+
+    pandas-written parquet carries ``b'pandas'`` schema metadata, and
+    pyarrow's ``Schema.__hash__`` raises on ANY metadata, which defeats
+    Ray's per-block schema deduplication in every hash-shuffle stage
+    downstream (transform_pyarrow.unify_schemas) and floods the logs
+    with ``Failed to hash the schemas`` warnings. Passing an explicit
+    metadata-free schema to ``read_parquet`` makes every read block
+    hashable while keeping the read a plain op (metadata row counts
+    still work for join partition derivation)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+        if not names:
+            return None
+        f = os.path.join(path, names[0])
+    s = pq.read_schema(f)
+    if columns is not None:
+        s = pa.schema([s.field(c) for c in columns])
+    return s.remove_metadata()
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     """Column-pruned Parquet read of one testdata table as a Dataset."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    path = f"{sf_dir}/{name}.parquet"
+    return rd.read_parquet(path, columns=columns,
+                           schema=_clean_schema(path, columns))
 
 
 def read_transcripts(path: str):
     import ray.data as rd
 
-    return rd.read_parquet(path)
+    return rd.read_parquet(path, schema=_clean_schema(path, None))
 
 
 def read_lines(paths, encoding: str = "utf-8",

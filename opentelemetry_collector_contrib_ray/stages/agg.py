@@ -17,6 +17,63 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .base import pa_from_pandas
+
+
+def compact_groupby(ds, keys: list[str], sum_cols: dict[str, str] | None = None,
+                    count_alias: str | None = None):
+    """Partial+final sum/count aggregate for SMALL final group
+    cardinality (≤ ~100k groups) — the shape every per-category rollup
+    in this repo ends with.
+
+    Phase 1: one vectorized ``pyarrow.Table.group_by`` per block emits
+    one partial row per (key tuple, block) — so at most
+    ``groups × blocks`` tiny rows leave the map stage. Phase 2: the
+    partials coalesce into ONE block (``repartition(1)`` — bounded, the
+    partials are the only thing moving) and reduce with a single arrow
+    group_by. No Ray ``Aggregate`` operator at all, which also means no
+    empty per-partition output blocks: Ray's shuffle-based aggregate
+    emits zero-column empty bundles for partitions with no groups,
+    tripping the streaming executor's schema-divergence warning
+    (streaming_executor_state.py:793) whenever partitions > groups.
+    For high-cardinality or skewed keys use ``salted_groupby_sum`` /
+    a hash-partitioned ``map_groups`` instead.
+
+    ``sum_cols``: {input_col: output_alias}; ``count_alias``: emit a
+    row count under this name. Empty input blocks produce
+    schema-carrying empty partials (arrow group_by preserves schema).
+    """
+    sum_cols = sum_cols or {}
+
+    def combine(t: pa.Table, first: bool) -> pa.Table:
+        proj = {k: t[k] for k in keys}
+        for c in sum_cols:
+            proj[c] = pc.cast(t[c], pa.int64()) if pa.types.is_integer(t[c].type) else t[c]
+        if count_alias:
+            # first pass counts rows; the final pass re-SUMS the partials
+            proj["__cnt"] = (pa.array(np.ones(t.num_rows, np.int64))
+                             if first else pc.cast(t["__cnt"], pa.int64()))
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_alias:
+            aggs.append(("__cnt", "sum"))
+        g = pa.table(proj).group_by(keys).aggregate(aggs)
+        # arrow names sum outputs "<col>_sum"; restore input names so
+        # the final pass re-applies the same combiner
+        return g.rename_columns(keys + list(sum_cols) + (["__cnt"] if count_alias else []))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return combine(t, True)
+
+    def final(t: pa.Table) -> pa.Table:
+        g = combine(t, False)
+        names = keys + [sum_cols[c] for c in sum_cols] + ([count_alias] if count_alias else [])
+        return g.rename_columns(names)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def salted_groupby_sum(ds, keys: list[str], value_col: str, salt: int = 16,
@@ -217,7 +274,7 @@ def grouped_outliers(ds, key: str, val: str, z: float = 2.0):
         df["v2"] = df["v"] * df["v"]
         g = df.groupby("k", as_index=False, dropna=False).agg(
             n=("v", "size"), s=("v", "sum"), ss=("v2", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
     stats = parts.groupby("k", as_index=False, dropna=False).agg(
@@ -238,7 +295,7 @@ def grouped_outliers(ds, key: str, val: str, z: float = 2.0):
         df = pd.DataFrame({"k": kk, "o": out.astype(np.int64)})
         g = df.groupby("k", as_index=False, dropna=False).agg(
             n=("o", "size"), n_outliers=("o", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("k", as_index=False, dropna=False).agg(
@@ -282,7 +339,7 @@ def grouped_int_quantiles(ds, group_col: str, col: str, qs: dict[str, float],
             .rename(columns={"size": "n"})
         h = pd.util.hash_array(out["g"].to_numpy().astype("U"))
         out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def quantiles_per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.groupby(["g", "v"], as_index=False, dropna=False)["n"].sum()
@@ -341,7 +398,7 @@ def bounded_histogram(ds, key_col: str, value_col: str,
                            "bucket": idx.astype(np.int64), "c": cents})
         g = (df.groupby([key_col, "bucket"], as_index=False, dropna=False)
              .agg(n=("c", "size"), sum_cents=("c", "sum")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -391,7 +448,7 @@ def rollup_counts(ds, keys: list[str], total_marker: str = "*"):
             outs.append(g[keys + ["n"]])
         out = pd.concat(outs, ignore_index=True)
         out["n"] = out["n"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -25,6 +25,18 @@ from ..expr import compile_mask
 ON_ERROR_MODES = ("send", "send_quiet", "drop", "drop_quiet")
 
 
+def pa_from_pandas(df) -> pa.Table:
+    """``pa.Table.from_pandas`` with the ``b'pandas'`` schema metadata
+    stripped. pyarrow's ``Schema.__hash__`` raises ``unhashable type:
+    'dict'`` on any schema carrying metadata, which defeats Ray's
+    schema deduplication in hash-shuffle stages
+    (ray/data/_internal/arrow_ops/transform_pyarrow.py:175-181) and
+    floods the logs. Every stage that builds a table from pandas goes
+    through this so blocks from different workers dedup to ONE hashable
+    schema."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def set_column(t: pa.Table, name: str, arr) -> pa.Table:
     """Replace-or-append a column (chunk-safe)."""
     if isinstance(arr, pa.ChunkedArray):

@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .base import pa_from_pandas
 
 
 def _stream_partitioned(ds, keys: list[str], n_parts: int):
@@ -163,7 +164,7 @@ def interval_last(ds, keys: list[str], ts: str, size_s: int,
         df = _last_rows(pd.DataFrame(cols))
         h = pd.util.hash_pandas_object(df[[*keys, "window_start"]], index=False).to_numpy()
         df["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return _last_rows(g.drop(columns="__p")).drop(columns="__ts")
@@ -201,11 +202,10 @@ def latest_state(ds, key: str, seq: str, delete_expr=None,
         else:
             h = pd.util.hash_array(kv.astype("U"))
         df["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     def merge(g: pd.DataFrame) -> pa.Table:
-        out = pa.Table.from_pandas(_winners(g.drop(columns="__p")),
-                                   preserve_index=False)
+        out = pa_from_pandas(_winners(g.drop(columns="__p")))
         if delete_expr is not None:
             out = out.filter(pc.invert(pc.fill_null(delete_expr(out), False)))
         return out

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .base import pa_from_pandas
 
 
 def _term_bucket(terms: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -49,7 +50,7 @@ def build_inverted_index(ds, out_dir: str, text_col: str = "text",
         df = pd.DataFrame({"term": flat[keep], id_col: ids[keep]}).drop_duplicates()
         terms = df["term"].to_numpy().astype("U")
         df["bucket"] = _term_bucket(terms, n_buckets)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     ds.map_batches(postings, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["bucket"]
@@ -87,7 +88,7 @@ def search_index(out_dir: str, terms: list[str], id_col: str = "doc_id",
         df = t.to_pandas().drop_duplicates()
         g = df.groupby(id_col, as_index=False).agg(n_terms=("term", "nunique"))
         g["n_terms"] = g["n_terms"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa_from_pandas(g)
 
     counts = (
         ds.map_batches(member, batch_format="pyarrow")

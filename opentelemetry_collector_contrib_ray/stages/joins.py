@@ -50,7 +50,10 @@ def broadcast_join(ds, small_ref, on: str, how: str = "left",
                    concurrency: int = 4):
     """``small_ref``: pandas DataFrame or ``ray.put`` ref of one (must
     include ``on``). Resolved once per actor; vectorized pandas merge
-    per batch — no shuffle."""
+    per batch — no shuffle. Emits metadata-free Arrow blocks (a pandas
+    return would make Ray re-attach ``b'pandas'`` schema metadata on
+    the next conversion, defeating downstream schema dedup)."""
+    from .base import norm_concurrency, pa_from_pandas
 
     class Joiner:
         def __init__(self):
@@ -60,10 +63,8 @@ def broadcast_join(ds, small_ref, on: str, how: str = "left",
                 ray.get(small_ref) if not isinstance(small_ref, pd.DataFrame) else small_ref
             )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            return b.merge(self.small, on=on, how=how)
-
-    from .base import norm_concurrency
+        def __call__(self, b: pd.DataFrame) -> pa.Table:
+            return pa_from_pandas(b.merge(self.small, on=on, how=how))
 
     return ds.map_batches(
         Joiner, batch_format="pandas", concurrency=norm_concurrency(concurrency)
@@ -129,6 +130,69 @@ def large_anti_join(left, right, on: str, right_on: str | None = None,
 
 
 DEFAULT_JOIN_PARTITIONS = 64
+
+# Rows above which a "small" side is no longer broadcast to every actor
+# / materialized on the driver, and the plan falls back to the
+# hash-partitioned path. ~2M rows ≈ tens of MB for narrow key+value
+# schemas — cheap to ship once per actor; beyond that the dim scales
+# with the corpus (TPC-H customer is SF×150k) and must shuffle.
+BROADCAST_ROWS_THRESHOLD = 2_000_000
+
+
+def _side_rows(ds, size_hint=None) -> int | None:
+    """Upper-bound row count for the gate: an explicit ``size_hint``
+    (int, or a Dataset whose metadata count bounds the side — e.g. the
+    pre-filter read, since filters only shrink), else the side's own
+    metadata count. None = unknown (derived lineage)."""
+    if isinstance(size_hint, int):
+        return size_hint
+    if size_hint is not None:
+        return _rows_estimate(size_hint)
+    return _rows_estimate(ds)
+
+
+def gated_semi_join(ds, right, on: str, right_on: str | None = None,
+                    size_hint=None, threshold: int | None = None,
+                    concurrency=4, num_partitions: int | None = None):
+    """Semi join that picks its strategy from the right side's size:
+    provably small (≤ threshold rows by metadata / size_hint) → key set
+    materialized ONCE, broadcast, vectorized ``pc.is_in`` per batch (no
+    shuffle); unknown or large → hash-partitioned native left_semi join.
+    The threshold is a parameter so tests can force either path."""
+    import ray
+
+    thr = BROADCAST_ROWS_THRESHOLD if threshold is None else threshold
+    n = _side_rows(right, size_hint)
+    key = right_on or on
+    if n is not None and n <= thr:
+        keys = [r[key] for r in right.take_all()]
+        return semi_join(ds, ray.put(set(keys)), on, concurrency=concurrency)
+    return large_semi_join(ds, right, on, right_on=key,
+                           num_partitions=num_partitions)
+
+
+def gated_broadcast_join(large, small, on: str, right_on: str | None = None,
+                         how: str = "inner", size_hint=None,
+                         threshold: int | None = None, concurrency=4,
+                         num_partitions: int | None = None):
+    """Inner/left join that broadcasts the small side when it is
+    provably small (≤ threshold rows), else falls back to the
+    hash-partitioned native join. The broadcast path materializes the
+    small side ONCE (bounded by the threshold), renames its key to the
+    left key, and ships it to every actor via ``ray.put``."""
+    import ray
+
+    thr = BROADCAST_ROWS_THRESHOLD if threshold is None else threshold
+    n = _side_rows(small, size_hint)
+    key = right_on or on
+    if n is not None and n <= thr:
+        sm = small.to_pandas()
+        if key != on:
+            sm = sm.rename(columns={key: on})
+        return broadcast_join(large, ray.put(sm), on=on, how=how,
+                              concurrency=concurrency)
+    return bucketed_hash_join(large, small, on=on, how=how, right_on=key,
+                              num_partitions=num_partitions)
 
 
 def _rows_estimate(ds) -> int | None:

@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .base import pa_from_pandas
 
 
 def token_counts(t: pa.Table, key: str = "doc_id", col: str = "text") -> pa.Table:
@@ -70,7 +71,7 @@ def _bucket_offsets(counts, key: str, num_buckets: int):
         b = (k - lo) // width
         df = pd.DataFrame({"b": b, "n": t["n_tok"].to_numpy(zero_copy_only=False)})
         out = df.groupby("b", as_index=False, dropna=False)["n"].sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     parts = counts.map_batches(partial, batch_format="pyarrow").to_pandas()
     sums = np.zeros(num_buckets, dtype=np.int64)
@@ -141,7 +142,7 @@ def pack_sequences(ds, seq_len: int, key: str = "doc_id",
         out = df.groupby("seq_id", as_index=False, dropna=False).agg(
             n_docs=("d", "size"), first_doc=("d", "min"), last_doc=("d", "max"))
         out["__p"] = out["seq_id"].to_numpy() % num_buckets
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("seq_id", as_index=False, dropna=False).agg(

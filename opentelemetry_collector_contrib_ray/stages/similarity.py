@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .base import norm_concurrency
+from .base import norm_concurrency, pa_from_pandas
 
 
 def _merge_topk_partials(partial, k: int, id_col: str) -> pa.Table:
@@ -519,8 +519,7 @@ def label_centroids(ds, emb_col: str = "embedding", label_col: str = "label",
         out["n"] = ns.reindex(out["__l"]).to_numpy(np.int64)
         out["__p"] = (out["__l"].to_numpy(np.uint64)
                       % np.uint64(P)).astype(np.int64)
-        return pa.Table.from_pandas(out.rename(columns={"__l": "label"}),
-                                    preserve_index=False)
+        return pa_from_pandas(out.rename(columns={"__l": "label"}))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby(["label", "dim"], as_index=False, dropna=False) \
@@ -578,7 +577,7 @@ def nearest_centroid_confusion(ds, emb_col: str = "embedding",
             .rename(columns={"size": "n"})
         out["__p"] = (out["label"].to_numpy(np.uint64)
                       % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["label", "pred"], as_index=False)["n"].sum()
@@ -671,7 +670,7 @@ def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
         df = pd.DataFrame({"cluster": labels[a], "id": ids})
         out = df.groupby("cluster", as_index=False).agg(
             n=("id", "size"), sum_ids=("id", "sum"))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("cluster", as_index=False).agg(

@@ -48,6 +48,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .sampler import KNUTH, MOD32, fnv1a_hash_strings, sample_threshold
+from .base import pa_from_pandas
 
 
 def _leaf_predicates(policies: list[dict]) -> list[dict]:
@@ -103,7 +104,7 @@ def trace_summaries(ds, trace_key: str, ts: str, policies: list[dict],
         out = df.groupby(trace_key, as_index=False, dropna=False).agg(**aggs)
         h = pd.util.hash_pandas_object(out[trace_key], index=False).to_numpy()
         out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         aggs = {"n": ("n", "sum"), "min_us": ("min_us", "min"),

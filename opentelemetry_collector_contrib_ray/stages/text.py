@@ -13,7 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import set_column
+from .base import set_column, pa_from_pandas
 
 # ----------------------------------------------------------- token count
 
@@ -591,7 +591,7 @@ def top_tfidf(ds, col: str = "text", id_col: str = "doc_id",
             .rename(columns={"size": "tf"})
         h = pd.util.hash_array(out["term"].to_numpy().astype("U"))
         out["__p"] = (h % np.uint64(P)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def score_and_prereduce(g: pd.DataFrame) -> pd.DataFrame:
         df_counts = g.groupby("term", sort=False)["d"].transform("size")
@@ -654,7 +654,7 @@ def top_terms_per_group(ds, group_col: str, k: int = 5, col: str = "text",
         h = (pd.util.hash_array(out["g"].to_numpy().astype("U"))
              ^ pd.util.hash_array(out["term"].to_numpy().astype("U")))
         out["__p"] = (h % np.uint64(P)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def merge_and_prereduce(g: pd.DataFrame) -> pd.DataFrame:
         g = g.groupby(["g", "term"], as_index=False, dropna=False)["n"].sum()
@@ -733,7 +733,7 @@ def ngram_novelty(ds, n: int = 3, col: str = "text", id_col: str = "doc_id",
         d = np.repeat(ids, counts)[: nt - n + 1][valid]
         df = pd.DataFrame({"d": d, "h": h.view(np.int64)}).drop_duplicates()
         df["__p"] = (df["h"].to_numpy(np.uint64) % np.uint64(P)).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa_from_pandas(df)
 
     def df_partial(g: pd.DataFrame) -> pd.DataFrame:
         # rows are distinct (d, h) pairs, all occurrences of h co-located
@@ -900,7 +900,7 @@ def cooccurrence_topk(ds, col: str = "text", id_col: str = "doc_id",
         terms = vc["term"].to_numpy().astype("U")
         h = pd.util.hash_array(terms)
         vc["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(vc, preserve_index=False)
+        return pa_from_pandas(vc)
 
     def df_merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("term", as_index=False)["df_"].sum()

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .base import pa_from_pandas
 
 
 def tumbling_window(ds, key: str, ts: str, size_s: int,
@@ -50,7 +51,7 @@ def tumbling_window(ds, key: str, ts: str, size_s: int,
                     **({f"sum_{agg_col}": (agg_col, "sum")} if agg_col else {}))
         h = pd.util.hash_pandas_object(out[[key, "window_start"]], index=False).to_numpy()
         out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa_from_pandas(out)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         sums = {"n": ("n", "sum")}

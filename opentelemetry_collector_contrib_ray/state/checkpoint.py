@@ -25,6 +25,7 @@ import os
 import shutil
 import time
 from typing import Callable
+from ..stages.base import pa_from_pandas
 
 
 class PartitionCheckpointer:
@@ -97,7 +98,7 @@ def checkpointed(name: str, fn: Callable[[], "object"], root: str,
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     if isinstance(out, pd.DataFrame):
-        out = pa.Table.from_pandas(out, preserve_index=False)
+        out = pa_from_pandas(out)
     if isinstance(out, pa.Table):
         pq.write_table(out, os.path.join(tmp, "part-0.parquet"))
     else:  # ray Dataset — streamed write, never materialized on the driver

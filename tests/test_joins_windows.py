@@ -493,3 +493,77 @@ def test_bloom_prefilter_no_false_negatives_and_selective():
     non_members = [x for x in probe_keys if x not in member_set]
     false_pos = [x for x in kept if x not in member_set]
     assert len(false_pos) < 0.05 * len(non_members)
+
+
+def test_gated_semi_join_both_paths():
+    from opentelemetry_collector_contrib_ray.stages.joins import gated_semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4, 5, 6], "v": list("abcdef")}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [2, 4, 6]}))
+    want = {(2, "b"), (4, "d"), (6, "f")}
+    # broadcast path (threshold well above the side size)
+    got_b = gated_semi_join(left, right, on="k", right_on="rk",
+                            threshold=1000, concurrency=1).to_pandas()
+    assert set(map(tuple, got_b[["k", "v"]].itertuples(index=False))) == want
+    # forced-low threshold -> hash-partitioned large path, same rows
+    got_h = gated_semi_join(left, right, on="k", right_on="rk",
+                            threshold=0, num_partitions=8).to_pandas()
+    assert set(map(tuple, got_h[["k", "v"]].itertuples(index=False))) == want
+
+
+def test_gated_broadcast_join_both_paths():
+    from opentelemetry_collector_contrib_ray.stages.joins import gated_broadcast_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 2, 3], "v": [10, 20, 21, 30]}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [1, 2], "name": ["x", "y"]}))
+    want = {(1, 10, "x"), (2, 20, "y"), (2, 21, "y")}
+    got_b = gated_broadcast_join(left, right, on="k", right_on="rk",
+                                 threshold=1000, concurrency=1).to_pandas()
+    assert set(map(tuple, got_b[["k", "v", "name"]].itertuples(index=False))) == want
+    got_h = gated_broadcast_join(left, right, on="k", right_on="rk",
+                                 threshold=0, num_partitions=8).to_pandas()
+    assert set(map(tuple, got_h[["k", "v", "name"]].itertuples(index=False))) == want
+
+
+def test_gated_join_size_hint_drives_the_gate():
+    """A derived (filtered) side has no metadata count; the size_hint
+    dataset's metadata count decides the path."""
+    from opentelemetry_collector_contrib_ray.stages import joins as J
+
+    right_raw = rd.from_pandas(pd.DataFrame({"rk": list(range(20))})).materialize()
+    right = right_raw.filter(lambda r: r["rk"] % 2 == 0)
+    assert J._rows_estimate(right) is None  # derived lineage
+    assert J._side_rows(right, size_hint=right_raw) == 20
+    assert J._side_rows(right, size_hint=7) == 7
+
+
+def test_compact_groupby_matches_pandas():
+    from opentelemetry_collector_contrib_ray.stages.agg import compact_groupby
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 500),
+        "h": rng.integers(0, 2, 500),
+        "x": rng.integers(-100, 100, 500).astype("int64"),
+    })
+    ds = rd.from_pandas(df).repartition(7)
+    got = (compact_groupby(ds, keys=["g", "h"], sum_cols={"x": "sum_x"},
+                           count_alias="n")
+           .to_pandas().sort_values(["g", "h"]).reset_index(drop=True))
+    want = (df.groupby(["g", "h"], as_index=False)
+            .agg(sum_x=("x", "sum"), n=("x", "size"))
+            .sort_values(["g", "h"]).reset_index(drop=True))
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["g", "h", "sum_x", "n"]], want[["g", "h", "sum_x", "n"]],
+        check_dtype=False)
+
+
+def test_compact_groupby_empty_blocks_keep_schema():
+    from opentelemetry_collector_contrib_ray.stages.agg import compact_groupby
+
+    df = pd.DataFrame({"g": ["a", "b"], "x": [1, 2]})
+    ds = rd.from_pandas(df).repartition(6)  # more blocks than rows -> empties
+    got = compact_groupby(ds, keys=["g"], sum_cols={"x": "sum_x"}).to_pandas()
+    assert sorted(map(tuple, got[["g", "sum_x"]].itertuples(index=False))) == [
+        ("a", 1), ("b", 2)]

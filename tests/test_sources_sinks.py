@@ -1,5 +1,7 @@
 import json
 
+import pandas as pd
+
 import pyarrow as pa
 import ray.data as rd
 
@@ -300,3 +302,99 @@ def test_otlp_json_round_trip(tmp_path):
     assert got.loc["boom", "resource.service.name"] == "svc-a"
     assert got.loc["third", "resource.service.name"] == "svc-b"
     assert got.loc["boom", "trace_id"] == "0af7651916cd43dd8448eb211c80319c"
+
+
+def test_otlp_proto_roundtrip_pure():
+    """Wire-format round trip without Ray: every AnyValue variant,
+    negative ints, resource/scope grouping, trace/span id bytes."""
+    from opentelemetry_collector_contrib_ray.sources.otlp_proto import (
+        decode_logs_data,
+        encode_otlp_proto_batch,
+    )
+
+    t = pa.table({
+        "body": ["hello", "world", None],
+        "attributes.level": ["INFO", "ERROR", "WARN"],
+        "attributes.latency_ms": [12, -3456, None],
+        "attributes.ok": [True, False, None],
+        "attributes.score": [1.5, -2.25, None],
+        "resource.service": ["a-svc", "a-svc", "b-svc"],
+        "scope_name": ["s1", "s1", "s2"],
+        "time_unix_nano": [1700000000000000001, 1700000000000000002, 0],
+        "severity_number": [9, 17, 0],
+        "severity_text": ["INFO", "ERROR", ""],
+        "trace_id": ["0102030405060708090a0b0c0d0e0f10", "", ""],
+        "span_id": ["0102030405060708", "", ""],
+    })
+    rows = decode_logs_data(encode_otlp_proto_batch(t))
+    assert len(rows) == 3
+    rows.sort(key=lambda r: (r.get("resource.service") or "", r["body"] or ""))
+    r0, r1, r2 = rows
+    assert r0["body"] == "hello" and r0["attributes.latency_ms"] == 12
+    assert r0["attributes.ok"] is True and r0["attributes.score"] == 1.5
+    assert r0["time_unix_nano"] == 1700000000000000001
+    assert r0["trace_id"] == "0102030405060708090a0b0c0d0e0f10"
+    assert r0["span_id"] == "0102030405060708"
+    assert r1["attributes.latency_ms"] == -3456  # two's-complement varint
+    assert r1["attributes.ok"] is False and r1["attributes.score"] == -2.25
+    assert r1["severity_number"] == 17
+    assert r2["resource.service"] == "b-svc" and r2["scope_name"] == "s2"
+    assert r2["severity_number"] == 0 and r2["trace_id"] == ""
+
+
+def test_otlp_proto_decoder_skips_unknown_fields():
+    """Files written by the reference collector carry fields we don't
+    model (flags fixed32, dropped counts varint, schema_url) — the
+    decoder must skip them by wire type."""
+    import struct
+
+    from opentelemetry_collector_contrib_ray.sources.otlp_proto import (
+        _ld,
+        _tag,
+        _varint,
+        decode_logs_data,
+        encode_otlp_proto_batch,
+    )
+
+    t = pa.table({"body": ["x"], "attributes.k": ["v"], "scope_name": ["s"]})
+    buf = bytearray(encode_otlp_proto_batch(t))
+    # splice extra unknown fields into the LogRecord: flags (8, fixed32),
+    # dropped_attributes_count (7, varint) — rebuild the nesting around it
+    rec = _ld(5, _ld(1, b"x")) + _ld(6, _ld(1, b"k") + _ld(2, _ld(1, b"v")))
+    rec += _tag(8, 5) + struct.pack("<I", 1)      # flags
+    rec += _tag(7, 0) + _varint(3)                # dropped count
+    sl = _ld(1, _ld(1, b"s")) + _ld(2, rec) + _ld(3, b"https://schema")
+    full = _ld(1, _ld(2, sl) + _ld(3, b"https://schema"))
+    rows = decode_logs_data(bytes(full))
+    assert rows == [{
+        "scope_name": "s", "time_unix_nano": 0, "observed_time_unix_nano": 0,
+        "severity_number": 0, "severity_text": "", "body": "x",
+        "trace_id": "", "span_id": "", "attributes.k": "v",
+    }]
+
+
+def test_otlp_proto_file_sink_and_source(ray_session, tmp_path):
+    from opentelemetry_collector_contrib_ray.sources.otlp_proto import (
+        read_otlp_proto_logs,
+        write_otlp_proto_logs,
+    )
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "body": [f"m{i}" for i in range(50)],
+        "attributes.level": ["INFO", "ERROR"] * 25,
+        "resource.service": ["svc"] * 50,
+        "scope_name": ["sc"] * 50,
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    n_files = write_otlp_proto_logs(ds, str(tmp_path / "pb"))
+    assert n_files >= 1
+    import glob
+
+    back = read_otlp_proto_logs(sorted(glob.glob(str(tmp_path / "pb" / "*.pb"))))
+    got = back.to_pandas()
+    assert len(got) == 50
+    assert sorted(got["body"]) == sorted(df["body"])
+    assert (got["resource.service"] == "svc").all()
+    counts = got["attributes.level"].value_counts()
+    assert counts["INFO"] == 25 and counts["ERROR"] == 25
