@@ -44,5 +44,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from opentelemetry_collector_contrib_ray.pipelines.queries import ORACLES
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ensure_mm_oracle_tables,
+    )
 
+    # the multimodal oracle re-decodes payload BYTES in DuckDB; write
+    # the deterministic payload parquet now (pure pyarrow, no Ray) so
+    # the SQL runs whichever side the driver executes first
+    ensure_mm_oracle_tables()
     return dict(ORACLES)

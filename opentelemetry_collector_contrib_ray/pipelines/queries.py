@@ -1566,30 +1566,103 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal decode end-to-end with REAL codecs: deterministic
-    BMP/PPM payloads → byte-level decode (stages/codecs.py, no external
-    libraries) → resize → channel features; plus WAV PCM audio →
-    waveform → RMS/ZCR. Rows-only at the driver gate (media isn't
-    SQL-expressible); pixel/waveform golden values are pinned in
-    pytest (test_text_multimodal.py)."""
+    """Multimodal decode end-to-end with REAL codecs AND a hash
+    oracle: deterministic BMP/PPM payloads → byte-level decode
+    (stages/codecs.py, no external libraries) → per-image integer
+    checksums over the decoded pixels in (y, x, channel) order; plus
+    WAV PCM audio → waveform → per-clip checksums over the exact int16
+    samples. The SQL twin re-decodes the SAME payload bytes
+    independently in DuckDB (hex(payload) + offset arithmetic: BMP
+    bottom-up BGR rows with 4-byte stride, PPM ASCII header skip, WAV
+    44-byte header + int16 LE), so any codec bug — wrong offset, row
+    flip, channel order, stride, sign — breaks the value hash. The
+    linear-index-weighted checksum pins the exact value ORDER, not
+    just the multiset. Resize/feature stages keep their pytest golden
+    values (test_text_multimodal.py)."""
     import ray.data as rd
 
-    from ..stages.multimodal import (AudioDecoder, AudioFeatures,
-                                     decode_pipeline, synth_real_audio_table,
-                                     synth_real_media_table)
+    from ..stages.multimodal import (AudioDecoder, ImageDecoder,
+                                     ensure_mm_oracle_tables,
+                                     pixel_checksums, waveform_checksums)
 
-    img = decode_pipeline(rd.from_arrow(synth_real_media_table(256)),
-                          fake=False, concurrency=(1, 2), resize_to=(8, 8))
+    d = ensure_mm_oracle_tables()
+    # Ray and DuckDB read the SAME parquet payload bytes
+    img = (
+        rd.read_parquet(f"{d}/media.parquet")
+        .map_batches(ImageDecoder, fn_constructor_kwargs={"fake": False},
+                     batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+        .map_batches(pixel_checksums, batch_format="pyarrow")
+    )
     aud = (
-        rd.from_arrow(synth_real_audio_table(64))
+        rd.read_parquet(f"{d}/audio.parquet")
         .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64,
                      concurrency=(1, 2))
-        .map_batches(AudioFeatures(), batch_format="pyarrow")
+        .map_batches(waveform_checksums, batch_format="pyarrow")
     )
-    n_img = img.count()
-    n_aud = aud.count()
-    return pa.table({"n_decoded": pa.array([n_img], type=pa.int64()),
-                     "n_audio_decoded": pa.array([n_aud], type=pa.int64())})
+    return img.union(aud)
+
+
+def _mm_sql() -> str:
+    """DuckDB blob re-decode of the multimodal payloads (see
+    q_multimodal_decode). Byte value extraction: hex(payload) →
+    2-hex-digit substring → strpos arithmetic."""
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+    return f"""
+WITH media AS (
+  SELECT media_id, media_type, hex(payload) AS hx,
+         CAST("meta.width" AS BIGINT) AS w, CAST("meta.height" AS BIGINT) AS h
+  FROM read_parquet('{MM_ORACLE_DIR}/media.parquet')
+), px AS (
+  SELECT media_id, media_type, hx, w, h,
+         unnest(range(0, w * h * 3)) AS li
+  FROM media
+), pxv AS (
+  SELECT media_id, li, hx,
+    CASE WHEN media_type = 'image/bmp'
+      -- bottom-up BGR rows, 4-byte stride, 54-byte header
+      THEN 54 + (h - 1 - (li // (w * 3))) * (((w * 3 + 3) // 4) * 4)
+           + ((li % (w * 3)) // 3) * 3 + (2 - (li % 3))
+      -- P6: "P6\\n{{w}} {{h}}\\n255\\n" header then RGB row-major
+      ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + li
+    END AS pos
+  FROM px
+), pxb AS (
+  SELECT media_id, li,
+    (strpos('{hexd}', substr(hx, 2 * pos + 1, 1)) - 1) * 16
+    + (strpos('{hexd}', substr(hx, 2 * pos + 2, 1)) - 1) AS val
+  FROM pxv
+), img AS (
+  SELECT media_id, 'image' AS kind,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(val) AS BIGINT) AS sum_units,
+         CAST(sum(val * (li + 1)) AS BIGINT) AS wsum_units
+  FROM pxb GROUP BY media_id
+), audio_files AS (
+  SELECT media_id, hex(payload) AS hx,
+         (octet_length(payload) - 44) // 2 AS n_samp
+  FROM read_parquet('{MM_ORACLE_DIR}/audio.parquet')
+), smp AS (
+  SELECT media_id, hx, unnest(range(0, n_samp)) AS i FROM audio_files
+), smpv AS (
+  SELECT media_id, i,
+    ((strpos('{hexd}', substr(hx, 2 * (44 + 2 * i) + 1, 1)) - 1) * 16
+     + (strpos('{hexd}', substr(hx, 2 * (44 + 2 * i) + 2, 1)) - 1))
+    + 256 * ((strpos('{hexd}', substr(hx, 2 * (45 + 2 * i) + 1, 1)) - 1) * 16
+             + (strpos('{hexd}', substr(hx, 2 * (45 + 2 * i) + 2, 1)) - 1)) AS u
+  FROM smp
+), aud AS (
+  SELECT media_id, 'audio' AS kind,
+         CAST(count(*) AS BIGINT) AS n_units,
+         CAST(sum(u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END) AS BIGINT)
+           AS sum_units,
+         CAST(sum((u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END) * (i + 1))
+              AS BIGINT) AS wsum_units
+  FROM smpv GROUP BY media_id
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
 
 
 # --------------------------------------------------------------------------
@@ -6187,6 +6260,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multimodal_decode": _mm_sql(),
     "parse_level_agg": SQL_PARSE_LEVEL,
     "severity_counts": SQL_SEVERITY_COUNTS,
     "route_sink_counts": SQL_ROUTE_SINK_COUNTS,

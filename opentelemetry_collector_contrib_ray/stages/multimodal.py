@@ -269,6 +269,83 @@ def synth_real_audio_table(n: int, seed: int = 43,
     )
 
 
+MM_ORACLE_DIR = "/tmp/otelray/mm_oracle"
+
+
+def ensure_mm_oracle_tables(dir_: str = MM_ORACLE_DIR, n_img: int = 256,
+                            n_aud: int = 64) -> str:
+    """Write the deterministic synthetic media/audio tables as parquet
+    so the DuckDB oracle can independently re-decode the payload BYTES
+    (pixel/sample values at fixed offsets via hex(payload) arithmetic)
+    against this engine's codec output. Pure pyarrow (no Ray) — callable
+    from ``oracle_sql()`` as well, so the files exist whichever side the
+    driver runs first. Atomic + always rewritten (content is
+    deterministic; rewriting keeps a stale file from an older generator
+    version from poisoning the comparison)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_, exist_ok=True)
+    for name, tbl in (("media", synth_real_media_table(n_img)),
+                      ("audio", synth_real_audio_table(n_aud))):
+        path = f"{dir_}/{name}.parquet"
+        tmp = f"{path}.tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return dir_
+
+
+def _ragged_checksums(col, ids, kind: str, values: np.ndarray) -> pa.Table:
+    """Per-row (n_units, sum, linear-index-weighted sum) over a ragged
+    list column's flattened ``values`` — one ``np.add.reduceat`` per
+    statistic, no per-row loop. The weighted sum pins the exact VALUE
+    ORDER (a row-flip / channel-swap / stride bug reorders values and
+    shifts the weighted sum even when the plain sum survives)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    n = len(lens)
+    sums = np.zeros(n, dtype=np.int64)
+    wsums = np.zeros(n, dtype=np.int64)
+    nz = np.flatnonzero(lens > 0)
+    if len(values) and len(nz):
+        pos = np.arange(len(values), dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        sums[nz] = np.add.reduceat(values, offs[:-1][nz])
+        wsums[nz] = np.add.reduceat(values * pos, offs[:-1][nz])
+    return pa.table({
+        "media_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "kind": pa.array([kind] * n),
+        "n_units": pa.array(lens.astype(np.int64)),
+        "sum_units": pa.array(sums),
+        "wsum_units": pa.array(wsums),
+    })
+
+
+def pixel_checksums(t: pa.Table) -> pa.Table:
+    """Decoded pixels → per-image integer checksums in (y, x, channel)
+    RGB row-major order (the ImageDecoder output layout)."""
+    col = t["pixels"]
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(c.flatten(), dtype=np.int64)
+    return _ragged_checksums(col, t["media_id"].to_numpy(zero_copy_only=False),
+                             "image", flat)
+
+
+def waveform_checksums(t: pa.Table) -> pa.Table:
+    """Decoded waveform → per-clip integer checksums over the EXACT
+    int16 PCM samples: the float32 waveform is i/32768 with |i| ≤ 32767
+    (exactly representable in float32), so round(w·32768) recovers the
+    encoded sample losslessly."""
+    col = t["waveform"]
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    i16 = np.round(np.asarray(c.flatten(), dtype=np.float64) * 32768.0).astype(np.int64)
+    return _ragged_checksums(col, t["media_id"].to_numpy(zero_copy_only=False),
+                             "audio", i16)
+
+
 def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 64,
                     resize_to: tuple[int, int] | None = None):
     """payload → pixels [→ resize] → features, small batches for big

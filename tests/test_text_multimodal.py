@@ -565,3 +565,42 @@ def test_char_entropy_values():
     assert out[3] is None and out[4] is None
     p2 = [2 / 3, 1 / 3]                    # multibyte chars count once
     assert abs(out[5] - (-sum(x * math.log2(x) for x in p2))) < 1e-12
+
+
+def test_pixel_and_waveform_checksums_hand_computed():
+    """Checksum stages pin (n, sum, order-weighted sum) exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        pixel_checksums,
+        waveform_checksums,
+    )
+
+    px = [10, 20, 30, 40, 50, 60]  # one 1x2 RGB image
+    t = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "pixels": pa.array([px], pa.list_(pa.uint8())),
+    })
+    got = pixel_checksums(t).to_pydict()
+    assert got["n_units"] == [6]
+    assert got["sum_units"] == [sum(px)]
+    assert got["wsum_units"] == [sum(v * (i + 1) for i, v in enumerate(px))]
+    # order sensitivity: a channel swap changes wsum but not sum
+    swapped = pixel_checksums(pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "pixels": pa.array([[30, 20, 10, 60, 50, 40]], pa.list_(pa.uint8())),
+    })).to_pydict()
+    assert swapped["sum_units"] == got["sum_units"]
+    assert swapped["wsum_units"] != got["wsum_units"]
+
+    i16 = np.array([100, -32768, 32767, 0], dtype=np.int64)
+    wav = pa.table({
+        "media_id": pa.array([3], pa.int64()),
+        "waveform": pa.array([(i16 / 32768.0).astype("float32").tolist()],
+                             pa.list_(pa.float32())),
+    })
+    g = waveform_checksums(wav).to_pydict()
+    assert g["n_units"] == [4]
+    assert g["sum_units"] == [int(i16.sum())]
+    assert g["wsum_units"] == [int((i16 * np.arange(1, 5)).sum())]
