@@ -3296,6 +3296,66 @@ GROUP BY service, bucket
 )
 
 
+def q_service_graph_edges(sf_dir: str):
+    """servicegraphconnector pattern (stages/servicegraph.py): client
+    spans (one per event, id = event_id) pair with server spans
+    parented at event_id − 1 — a GENUINE cross-row pairing, so the
+    hash-partitioned join is semantically real and the oracle is a
+    self-join. Edge metrics: request/failed totals, per-side duration
+    sums, cumulative server-latency histogram."""
+    from ..stages.servicegraph import service_graph_edges
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+
+    def clients(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        svc = pc.binary_join_element_wise(
+            "client-", pc.cast(_pc_mod(pc.cast(t["user_id"], pa.int64()), 3),
+                               pa.string()), "")
+        return pa.table({
+            "span_id": eid,
+            "client_service": svc,
+            "duration_client_ms": _pc_mod(eid, 250),
+            "client_failed": pc.equal(_pc_mod(eid, 23), 0),
+        })
+
+    def servers(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        return pa.table({
+            "parent_span_id": pc.subtract(eid, 1),
+            "server_service": pc.binary_join_element_wise(
+                "srv-", t["event_type"], ""),
+            "duration_server_ms": _pc_mod(eid, 180),
+            "server_failed": pc.equal(_pc_mod(eid, 31), 0),
+        })
+
+    return service_graph_edges(
+        ev.map_batches(clients, batch_format="pyarrow"),
+        ev.map_batches(servers, batch_format="pyarrow"),
+        num_partitions=8,
+    )
+
+
+SQL_SERVICE_GRAPH_EDGES = """
+SELECT 'client-' || CAST(c.user_id % 3 AS VARCHAR) AS client,
+       'srv-' || s.event_type AS server,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(SUM(CASE WHEN c.event_id % 23 = 0 OR s.event_id % 31 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       CAST(SUM(c.event_id % 250) AS BIGINT) AS sum_client_ms,
+       CAST(SUM(s.event_id % 180) AS BIGINT) AS sum_server_ms,
+       CAST(SUM(CASE WHEN s.event_id % 180 <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS le_50,
+       CAST(SUM(CASE WHEN s.event_id % 180 <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS le_100,
+       CAST(SUM(CASE WHEN s.event_id % 180 <= 150 THEN 1 ELSE 0 END) AS BIGINT)
+         AS le_150
+FROM events c JOIN events s ON s.event_id - 1 = c.event_id
+GROUP BY 1, 2
+"""
+
+
 def q_rollup_service_team(sf_dir: str):
     """Hierarchical rollup (stages/agg.py rollup_counts): request
     counts at (service, team), (service) and grand-total levels from
@@ -6200,6 +6260,7 @@ QUERIES = {
     "events_rate_limited": q_events_rate_limited,
     "events_histogram": q_events_histogram,
     "red_metrics": q_red_metrics,
+    "service_graph_edges": q_service_graph_edges,
     "rollup_service_team": q_rollup_service_team,
     "events_late_data": q_events_late_data,
     "docs_index_search": q_docs_index_search,
@@ -6346,6 +6407,7 @@ ORACLES = {
     "events_rate_limited": _rate_limited_sql(),
     "events_histogram": _events_histogram_sql(),
     "red_metrics": SQL_RED_METRICS,
+    "service_graph_edges": SQL_SERVICE_GRAPH_EDGES,
     "rollup_service_team": _rollup_sql(),
     "events_late_data": SQL_EVENTS_LATE_DATA,
     "docs_index_search": SQL_DOCS_INDEX_SEARCH,

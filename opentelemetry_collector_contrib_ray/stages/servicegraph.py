@@ -1,0 +1,93 @@
+"""Service-graph connector: caller→callee edge metrics from paired
+client/server spans.
+
+Parity: /root/reference/connector/servicegraphconnector/connector.go —
+the reference pairs spans with a parent/child request relationship
+(client span_id == server parent_span_id, README "How it works"),
+holds unpaired spans in an in-memory store until the partner arrives,
+and emits per-edge series keyed by (client, server): request totals,
+failed totals, and latency histograms
+(connector.go:70-76 reqClient/ServerDurationSeconds{Count,Sum,Bucket}).
+
+Batch rendering: the bounded-wait in-memory pairing store becomes ONE
+hash-partitioned join on the pairing key (client.span_id ==
+server.parent_span_id) — Ray Data's native hash join co-locates every
+possible pair, so "wait for the partner" is simply join locality;
+spans with no partner drop out exactly like store-expired spans. The
+per-edge aggregate is a per-batch vectorized combiner followed by a
+``compact_groupby`` (edge cardinality = services², tiny), so only
+edge-partial rows leave the map stage.
+
+Histogram: cumulative ``le_<bound>`` counts over the SERVER duration
+(explicit-bucket, the reference's reqServerDurationSecondsBucketCounts)
+as plain columns — one row per edge keeps the output SQL-twinnable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .agg import compact_groupby
+from .base import pa_from_pandas
+from .joins import bucketed_hash_join
+
+
+def service_graph_edges(client_spans, server_spans,
+                        client_key: str = "span_id",
+                        server_key: str = "parent_span_id",
+                        client_service: str = "client_service",
+                        server_service: str = "server_service",
+                        client_dur: str = "duration_client_ms",
+                        server_dur: str = "duration_server_ms",
+                        client_failed: str | None = "client_failed",
+                        server_failed: str | None = "server_failed",
+                        bounds_ms: tuple = (50, 100, 150),
+                        num_partitions: int | None = None):
+    """Edge metrics from two span Datasets.
+
+    ``client_spans``: one row per outgoing (client-kind) span with its
+    span id, service, duration and failure flag. ``server_spans``: one
+    row per incoming (server-kind) span carrying the PARENT span id it
+    answers. Returns one row per (client, server) edge:
+    ``n_requests, n_failed, sum_client_ms, sum_server_ms`` and
+    cumulative ``le_<b>`` histogram counts over the server duration.
+
+    A request is failed when EITHER side flags failure (the reference
+    marks the edge failed on any error status, connector.go)."""
+    pairs = bucketed_hash_join(client_spans, server_spans, on=client_key,
+                               right_on=server_key, how="inner",
+                               num_partitions=num_partitions)
+    bounds = [int(b) for b in bounds_ms]
+
+    def indicators(t: pa.Table) -> pa.Table:
+        """Per-batch edge partials: vectorized flag/bucket columns then
+        one pandas hashed groupby — at most edges×blocks rows shuffle."""
+        sdur = pc.cast(t[server_dur], pa.int64()).to_numpy(zero_copy_only=False)
+        cdur = pc.cast(t[client_dur], pa.int64()).to_numpy(zero_copy_only=False)
+        failed = np.zeros(t.num_rows, dtype=bool)
+        for col in (client_failed, server_failed):
+            if col is not None:
+                failed |= pc.fill_null(
+                    pc.cast(t[col], pa.bool_()), False).to_numpy(zero_copy_only=False)
+        cols = {
+            "client": t[client_service].to_numpy(zero_copy_only=False),
+            "server": t[server_service].to_numpy(zero_copy_only=False),
+            "n_requests": np.ones(t.num_rows, dtype=np.int64),
+            "n_failed": failed.astype(np.int64),
+            "sum_client_ms": cdur,
+            "sum_server_ms": sdur,
+        }
+        for b in bounds:
+            cols[f"le_{b}"] = (sdur <= b).astype(np.int64)
+        df = pd.DataFrame(cols)
+        g = df.groupby(["client", "server"], as_index=False, sort=False).sum()
+        return pa_from_pandas(g)
+
+    partial = pairs.map_batches(indicators, batch_format="pyarrow")
+    sum_cols = {c: c for c in
+                ["n_requests", "n_failed", "sum_client_ms", "sum_server_ms"]
+                + [f"le_{b}" for b in bounds]}
+    return compact_groupby(partial, keys=["client", "server"], sum_cols=sum_cols)

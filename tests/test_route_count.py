@@ -146,3 +146,40 @@ def test_route_added_attributes():
     dflt = r.sink_filter("default")(labeled)
     assert dflt["attributes.level"].to_pylist() == ["DEBUG"]
     assert "attributes.route" not in dflt.column_names
+
+
+def test_service_graph_edges_pairs_and_rollup():
+    """Pairing drops unmatched spans (the store-expiry analog); an edge
+    fails when EITHER side flags failure; histogram is cumulative."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.servicegraph import (
+        service_graph_edges,
+    )
+
+    clients = pd.DataFrame({
+        "span_id": [1, 2, 3, 9],  # 9 never answered -> no edge
+        "client_service": ["web", "web", "api", "web"],
+        "duration_client_ms": [10, 20, 30, 40],
+        "client_failed": [False, True, False, False],
+    })
+    servers = pd.DataFrame({
+        "parent_span_id": [1, 2, 3, 77],  # 77 orphan -> no edge
+        "server_service": ["db", "db", "db", "db"],
+        "duration_server_ms": [40, 120, 160, 5],
+        "server_failed": [False, False, True, False],
+    })
+    got = service_graph_edges(
+        rd.from_pandas(clients).repartition(2),
+        rd.from_pandas(servers).repartition(2),
+        num_partitions=8,
+    ).to_pandas().set_index(["client", "server"]).sort_index()
+    assert len(got) == 2
+    web = got.loc[("web", "db")]
+    assert web["n_requests"] == 2 and web["n_failed"] == 1
+    assert web["sum_client_ms"] == 30 and web["sum_server_ms"] == 160
+    assert (web["le_50"], web["le_100"], web["le_150"]) == (1, 1, 2)
+    api = got.loc[("api", "db")]
+    assert api["n_requests"] == 1 and api["n_failed"] == 1
+    assert (api["le_50"], api["le_100"], api["le_150"]) == (0, 0, 0)
