@@ -138,6 +138,24 @@ ENUM_SYMBOLS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
 for _i, _lvl in enumerate(("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")):
     for _j in range(4):
         ENUM_SYMBOLS[f"SEVERITY_NUMBER_{_lvl}{'' if _j == 0 else _j + 1}"] = _i * 4 + _j + 1
+
+# span-context enums (pkg/ottl/contexts/internal/span.go:29-37)
+ENUM_SYMBOLS.update({
+    "SPAN_KIND_UNSPECIFIED": 0, "SPAN_KIND_INTERNAL": 1, "SPAN_KIND_SERVER": 2,
+    "SPAN_KIND_CLIENT": 3, "SPAN_KIND_PRODUCER": 4, "SPAN_KIND_CONSUMER": 5,
+    "STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1, "STATUS_CODE_ERROR": 2,
+})
+# datapoint-context enums (contexts/ottldatapoint/datapoint.go:122-123)
+ENUM_SYMBOLS.update({"FLAG_NONE": 0, "FLAG_NO_RECORDED_VALUE": 1})
+# metric-context enums (pkg/ottl/contexts/internal/metric.go:19-27)
+ENUM_SYMBOLS.update({
+    "AGGREGATION_TEMPORALITY_UNSPECIFIED": 0,
+    "AGGREGATION_TEMPORALITY_DELTA": 1,
+    "AGGREGATION_TEMPORALITY_CUMULATIVE": 2,
+    "METRIC_DATA_TYPE_NONE": 0, "METRIC_DATA_TYPE_GAUGE": 1,
+    "METRIC_DATA_TYPE_SUM": 2, "METRIC_DATA_TYPE_HISTOGRAM": 3,
+    "METRIC_DATA_TYPE_EXPONENTIAL_HISTOGRAM": 4, "METRIC_DATA_TYPE_SUMMARY": 5,
+})
 _ARITH = {
     "+": pc.add,
     "-": pc.subtract,

@@ -329,6 +329,89 @@ WHERE latency_ms > 1500 AND level IS NOT NULL GROUP BY level
 )
 
 
+def q_ottl_span_transform(sf_dir: str):
+    """OTTL SPAN context end-to-end (stages/contexts.py;
+    pkg/ottl/contexts/ottlspan): a trace-shaped derivation of events
+    (span ids, kind, start/end nanos, http status) runs a span-context
+    statement group that exercises the context's derived paths and
+    enums — the ``end_time - start_time`` TIMESTAMP views (math.go
+    time−time→seconds semantics), ``kind == SPAN_KIND_SERVER``,
+    ``set(status.code, STATUS_CODE_ERROR)``, and the read-only
+    ``kind.string`` name view — then aggregates per (kind, kind_name,
+    status_code)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.ottl import TransformProcessor
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def to_spans(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        start_ns = pc.multiply(
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()), 1000)
+        dur_ms = _pc_mod(eid, 100)
+        http = pc.if_else(pc.equal(_pc_mod(eid, 10), 0),
+                          pa.scalar(503, pa.int64()), pa.scalar(200, pa.int64()))
+        return pa.table({
+            "span_id": eid,
+            "trace_id": pc.divide(eid, 4),
+            "name": t["event_type"],
+            "kind": pc.add(_pc_mod(eid, 5), 1),
+            "start_time_unix_nano": start_ns,
+            "end_time_unix_nano": pc.add(
+                start_ns, pc.multiply(dur_ms, 1_000_000)),
+            "attributes.http_status": http,
+            "status.code": pa.array(np.zeros(t.num_rows, np.int64)),
+        })
+
+    proc = TransformProcessor([
+        "set(attributes.slow, true) where end_time - start_time > 0.05 "
+        "and kind == SPAN_KIND_SERVER",
+        "set(status.code, STATUS_CODE_ERROR) where attributes.http_status >= 500",
+        "set(attributes.kind_name, kind.string)",
+    ], context="span")
+
+    out = ev.map_batches(to_spans, batch_format="pyarrow").map_batches(
+        proc, batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        slow = (t["attributes.slow"] if "attributes.slow" in t.column_names
+                else pa.nulls(t.num_rows, pa.bool_()))
+        return pa.table({
+            "kind": pc.cast(t["kind"], pa.int64()),
+            "kind_name": t["attributes.kind_name"],
+            "status_code": pc.cast(t["status.code"], pa.int64()),
+            "slow": pc.cast(pc.fill_null(pc.cast(slow, pa.bool_()), False),
+                            pa.int64()),
+        })
+
+    return (
+        out.map_batches(proj, batch_format="pyarrow")
+        .groupby(["kind", "kind_name", "status_code"])
+        .aggregate(Count(alias_name="n"), Sum("slow", alias_name="n_slow"))
+    )
+
+
+SQL_OTTL_SPAN_TRANSFORM = """
+WITH spans AS (
+  SELECT 1 + event_id % 5 AS kind,
+         event_id % 100 AS dur_ms,
+         CASE WHEN event_id % 10 = 0 THEN 503 ELSE 200 END AS http_status
+  FROM events
+)
+SELECT CAST(kind AS BIGINT) AS kind,
+       CASE kind WHEN 1 THEN 'Internal' WHEN 2 THEN 'Server'
+                 WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer'
+                 WHEN 5 THEN 'Consumer' ELSE 'Unspecified' END AS kind_name,
+       CAST(CASE WHEN http_status >= 500 THEN 2 ELSE 0 END AS BIGINT)
+         AS status_code,
+       count(*) AS n,
+       CAST(SUM(CASE WHEN dur_ms > 50 AND kind = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_slow
+FROM spans GROUP BY 1, 2, 3
+"""
+
+
 def q_enrich_service_counts(sf_dir: str):
     """Stateful lookup enrichment (k8sattributes analog, SURVEY §2.6)."""
     from ray.data.aggregate import Count
@@ -6182,6 +6265,7 @@ QUERIES = {
     "recombine_convs": q_recombine_convs,
     "filter_drop_errors": q_filter_drop_errors,
     "transform_slow_by_level": q_transform_slow_by_level,
+    "ottl_span_transform": q_ottl_span_transform,
     "enrich_service_counts": q_enrich_service_counts,
     "sample_events": q_sample_events,
     "events_json_props": q_events_json_props,
@@ -6330,6 +6414,7 @@ ORACLES = {
     "recombine_convs": SQL_RECOMBINE,
     "filter_drop_errors": SQL_FILTER_DROP_ERRORS,
     "transform_slow_by_level": SQL_TRANSFORM_SLOW,
+    "ottl_span_transform": SQL_OTTL_SPAN_TRANSFORM,
     "enrich_service_counts": SQL_ENRICH_SERVICE,
     "sample_events": SQL_SAMPLE_EVENTS,
     "events_json_props": SQL_EVENTS_JSON,

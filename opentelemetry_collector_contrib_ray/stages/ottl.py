@@ -330,20 +330,40 @@ class _Statement:
 
 class TransformProcessor(BatchOp):
     """Ordered OTTL statement group over log batches
-    (processor/transformprocessor/internal/logs/processor.go:50-59)."""
+    (processor/transformprocessor/internal/logs/processor.go:50-59).
 
-    def __init__(self, statements: list[str], error_mode: str = "ignore", **kw):
+    ``context`` selects the OTTL context: ``log`` (default), ``span``,
+    ``spanevent`` or ``datapoint`` — non-log contexts attach their
+    derived path views (``start_time``/``end_time``/``time`` timestamp
+    forms of the nano columns, the read-only ``kind.string`` name) for
+    the statement group and sync edits back afterwards
+    (stages/contexts.py; pkg/ottl/contexts/ottlspan, ottldatapoint).
+    Context enum symbols (SPAN_KIND_*, STATUS_CODE_*, FLAG_*,
+    METRIC_DATA_TYPE_*) are always available in expressions."""
+
+    def __init__(self, statements: list[str], error_mode: str = "ignore",
+                 context: str = "log", **kw):
         super().__init__(**kw)
+        if context not in ("log", "resource", "scope", "span", "spanevent",
+                           "datapoint", "metric"):
+            raise ValueError(f"unknown OTTL context {context!r}")
         self.statements = [_Statement(*parse_statement(s)) for s in statements]
         self.error_mode = error_mode
+        self.context = context
 
     def transform(self, t: pa.Table) -> pa.Table:
+        from .contexts import attach_context_aliases, sync_context_aliases
+
+        if self.context not in ("log", "resource", "scope"):
+            t = attach_context_aliases(t, self.context)
         for st in self.statements:
             try:
                 t = st(t)
             except Exception:
                 if self.error_mode == "propagate":
                     raise
+        if self.context not in ("log", "resource", "scope"):
+            t = sync_context_aliases(t, self.context)
         # the log context's `cache` is per-record scratch
         # (pkg/ottl/contexts/ottllog/log.go:155-210) — statements may
         # stage values in cache.* paths, but it never leaves the

@@ -251,3 +251,95 @@ def test_statement_string_escapes():
     assert out["attributes.test"].to_pylist() == ["a\\b, c"]
     out = TransformProcessor(['set(attributes["test"], "l1\\nl2")'])(t)
     assert out["attributes.test"].to_pylist() == ["l1\nl2"]
+
+
+# ------------------------------------------------------------- contexts
+# span / datapoint context statement tests mirroring the reference
+# context tests (pkg/ottl/contexts/ottlspan/span_test.go path coverage,
+# contexts/internal/span.go:26-98 paths + :29-37 enums).
+
+
+def _span_table():
+    return pa.table({
+        "span_id": pa.array([1, 2, 3], pa.int64()),
+        "name": ["GET /a", "GET /b", "POST /c"],
+        "kind": pa.array([2, 3, 2], pa.int64()),  # server, client, server
+        "start_time_unix_nano": pa.array(
+            [1_700_000_000_000_000_000] * 3, pa.int64()),
+        "end_time_unix_nano": pa.array(
+            [1_700_000_000_060_000_000,   # +60ms
+             1_700_000_000_200_000_000,   # +200ms
+             1_700_000_000_010_000_000],  # +10ms
+            pa.int64()),
+        "status.code": pa.array([0, 0, 0], pa.int64()),
+        "attributes.http_status": pa.array([200, 503, 200], pa.int64()),
+    })
+
+
+def test_span_context_enums_and_time_views():
+    from opentelemetry_collector_contrib_ray.stages.ottl import TransformProcessor
+
+    out = TransformProcessor([
+        "set(attributes.slow, true) where end_time - start_time > 0.05 "
+        "and kind == SPAN_KIND_SERVER",
+        "set(status.code, STATUS_CODE_ERROR) where attributes.http_status >= 500",
+    ], context="span")(_span_table())
+    d = out.to_pydict()
+    # only span 1 is server AND >50ms; span 2 is slower but client-kind
+    assert d["attributes.slow"] == [True, None, None]
+    assert d["status.code"] == [0, 2, 0]
+    # derived views never leave the processor
+    assert "start_time" not in out.column_names
+    assert "end_time" not in out.column_names
+
+
+def test_span_context_kind_string_view():
+    from opentelemetry_collector_contrib_ray.stages.ottl import TransformProcessor
+
+    out = TransformProcessor([
+        "set(attributes.kind_name, kind.string)",
+    ], context="span")(_span_table())
+    assert out["attributes.kind_name"].to_pylist() == ["Server", "Client", "Server"]
+    assert "kind.string" not in out.column_names
+
+
+def test_span_context_time_write_back():
+    """Setting the start_time TIMESTAMP view syncs the nano column
+    (span.go:74-80 exposes both forms over the same field)."""
+    from opentelemetry_collector_contrib_ray.stages.ottl import TransformProcessor
+
+    out = TransformProcessor([
+        # shift starts forward 1s via the timestamp view
+        "set(start_time, start_time + 1)",
+    ], context="span")(_span_table())
+    assert out["start_time_unix_nano"].to_pylist() == [
+        1_700_000_001_000_000_000] * 3
+    assert "start_time" not in out.column_names
+
+
+def test_datapoint_context_flags_and_time():
+    from opentelemetry_collector_contrib_ray.stages.ottl import TransformProcessor
+
+    t = pa.table({
+        "metric.name": ["cpu", "cpu", "mem"],
+        "time_unix_nano": pa.array([1_700_000_000_000_000_000,
+                                    1_700_000_005_000_000_000,
+                                    1_700_000_000_000_000_000], pa.int64()),
+        "value_double": pa.array([0.5, 0.9, 0.1], pa.float64()),
+        "flags": pa.array([0, 1, 0], pa.int64()),
+    })
+    out = TransformProcessor([
+        'set(attributes.stale, true) where flags == FLAG_NO_RECORDED_VALUE',
+        'set(attributes.late, true) where time - start_time > 0 and false',
+    ], context="datapoint")(t)
+    assert out["attributes.stale"].to_pylist() == [None, True, None]
+    assert "time" not in out.column_names
+
+
+def test_unknown_context_rejected():
+    import pytest
+
+    from opentelemetry_collector_contrib_ray.stages.ottl import TransformProcessor
+
+    with pytest.raises(ValueError):
+        TransformProcessor(["set(a, 1)"], context="connector")
