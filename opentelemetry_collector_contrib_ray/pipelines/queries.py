@@ -6404,6 +6404,46 @@ QUERIES = {
     "ref_integrity_audit": q_ref_integrity_audit,
 }
 
+# ----------------------------------------------------------- resumable
+# Result-level resume for the most expensive queries (BENCH top-5 by
+# wall time): a killed sweep rerun skips every committed query and
+# recomputes only the one that died. The checkpoint key includes the
+# sf_dir so results from one scale can never serve another. QUERIES
+# entries themselves stay pure (bench times must measure compute, not
+# cache reads) — the sweep wrapper opts in.
+
+RESUMABLE_QUERIES = [
+    "revenue_by_nation",
+    "orders_customer_join",
+    "events_range_join",
+    "route_sink_counts",
+    "events_tail_sample",
+]
+
+
+def resumable_query(name: str, sf_dir: str,
+                    root: str = "/tmp/otelray/query_ckpt",
+                    resume: bool = True):
+    """Run ``QUERIES[name]`` under a result-level checkpoint
+    (state/checkpoint.checkpointed — temp-dir + atomic rename + manifest
+    commit). Returns a pyarrow Table; a committed rerun streams the
+    stored result without executing the pipeline."""
+    from ..state.checkpoint import checkpointed
+
+    slug = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return checkpointed(f"{name}@{slug}", lambda: QUERIES[name](sf_dir),
+                        root, resume=resume)
+
+
+def run_resumable_sweep(sf_dir: str, names: list[str] | None = None,
+                        root: str = "/tmp/otelray/query_ckpt") -> dict:
+    """Run the expensive-query sweep with kill/resume semantics: each
+    query commits independently, so a mid-sweep crash loses at most the
+    in-flight query."""
+    return {n: resumable_query(n, sf_dir, root)
+            for n in (names or RESUMABLE_QUERIES)}
+
+
 ORACLES = {
     "multimodal_decode": _mm_sql(),
     "parse_level_agg": SQL_PARSE_LEVEL,

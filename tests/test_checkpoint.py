@@ -93,3 +93,54 @@ def test_run_partitioned_nonflagship_skips_committed_shards(tmp_path):
     assert len(executed) == 3, "committed shards were re-executed"
     assert sorted(r["partition"] for r in lineage) == ["shard0", "shard1", "shard2"]
     assert all(r["rows_out"]["fp"] == 20 for r in lineage)
+
+
+def test_resumable_sweep_kill_resume_revenue_by_nation(ray_session, tmp_path,
+                                                       monkeypatch):
+    """Kill/resume on the real expensive-query sweep: the sweep dies
+    INSIDE revenue_by_nation after two queries committed; the rerun
+    skips the committed ones (their pipelines never execute again) and
+    recomputes only the dead query, with results identical to a direct
+    run."""
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ckpt")
+    names = ["orders_customer_join", "route_sink_counts", "revenue_by_nation"]
+    calls = []
+    real = {n: Q.QUERIES[n] for n in names}
+
+    def spied(n):
+        def fn(sf_dir):
+            calls.append(n)
+            return real[n](sf_dir)
+        return fn
+
+    for n in names:
+        monkeypatch.setitem(Q.QUERIES, n, spied(n))
+    # revenue dies mid-run on the first sweep (the "kill")
+    monkeypatch.setitem(
+        Q.QUERIES, "revenue_by_nation",
+        lambda sf_dir: (_ for _ in ()).throw(RuntimeError("killed mid-query")))
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        Q.run_resumable_sweep(sf, names=names, root=root)
+    assert calls == ["orders_customer_join", "route_sink_counts"]
+
+    # "restart": restore the real query, rerun the sweep
+    monkeypatch.setitem(Q.QUERIES, "revenue_by_nation",
+                        spied("revenue_by_nation"))
+    out = Q.run_resumable_sweep(sf, names=names, root=root)
+    # committed queries did NOT re-execute; only the dead one ran
+    assert calls == ["orders_customer_join", "route_sink_counts",
+                     "revenue_by_nation"]
+    direct = real["revenue_by_nation"](sf).to_pandas().sort_values(
+        "n_name").reset_index(drop=True)
+    got = out["revenue_by_nation"].to_pandas().sort_values(
+        "n_name").reset_index(drop=True)
+    assert got.equals(direct[got.columns.tolist()])
+    # third sweep: everything streams from the store, zero executions
+    Q.run_resumable_sweep(sf, names=names, root=root)
+    assert len(calls) == 3
