@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "red_metrics",
     "docs_index_search",
     "revenue_by_nation",
+    "service_graph_edges",
 ]
 
 

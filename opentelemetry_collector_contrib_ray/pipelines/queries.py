@@ -3439,6 +3439,55 @@ GROUP BY 1, 2
 """
 
 
+def q_exceptions_connector(sf_dir: str):
+    """exceptionsconnector pattern (stages/servicegraph.py
+    exceptions_rollup): span events named 'exception' roll up to one
+    counter per (service, span kind, status code, exception type,
+    exception message) — the connector's default dimension set."""
+    from ..stages.servicegraph import exceptions_rollup
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+
+    def to_span_events(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        name = pc.if_else(pc.equal(_pc_mod(eid, 7), 0),
+                          pa.scalar("exception"), pa.scalar("other"))
+        svc = pc.binary_join_element_wise(
+            "svc-", pc.cast(_pc_mod(pc.cast(t["user_id"], pa.int64()), 4),
+                            pa.string()), "")
+        status = pc.if_else(pc.equal(_pc_mod(eid, 10), 0),
+                            pa.scalar(2, pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({
+            "event_name": name,
+            "service": svc,
+            "kind": pc.add(_pc_mod(eid, 5), 1),
+            "status_code": status,
+            "exception_type": pc.binary_join_element_wise(
+                "E", pc.cast(_pc_mod(eid, 3), pa.string()), ""),
+            "exception_message": t["event_type"],
+        })
+
+    return exceptions_rollup(
+        ev.map_batches(to_span_events, batch_format="pyarrow"),
+        dims=["service", "kind", "status_code",
+              "exception_type", "exception_message"],
+    )
+
+
+SQL_EXCEPTIONS_CONNECTOR = """
+SELECT 'svc-' || CAST(user_id % 4 AS VARCHAR) AS service,
+       CAST(1 + event_id % 5 AS BIGINT) AS kind,
+       CAST(CASE WHEN event_id % 10 = 0 THEN 2 ELSE 0 END AS BIGINT)
+         AS status_code,
+       'E' || CAST(event_id % 3 AS VARCHAR) AS exception_type,
+       event_type AS exception_message,
+       CAST(count(*) AS BIGINT) AS exceptions_total
+FROM events WHERE event_id % 7 = 0
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def q_rollup_service_team(sf_dir: str):
     """Hierarchical rollup (stages/agg.py rollup_counts): request
     counts at (service, team), (service) and grand-total levels from
@@ -6345,6 +6394,7 @@ QUERIES = {
     "events_histogram": q_events_histogram,
     "red_metrics": q_red_metrics,
     "service_graph_edges": q_service_graph_edges,
+    "exceptions_connector": q_exceptions_connector,
     "rollup_service_team": q_rollup_service_team,
     "events_late_data": q_events_late_data,
     "docs_index_search": q_docs_index_search,
@@ -6533,6 +6583,7 @@ ORACLES = {
     "events_histogram": _events_histogram_sql(),
     "red_metrics": SQL_RED_METRICS,
     "service_graph_edges": SQL_SERVICE_GRAPH_EDGES,
+    "exceptions_connector": SQL_EXCEPTIONS_CONNECTOR,
     "rollup_service_team": _rollup_sql(),
     "events_late_data": SQL_EVENTS_LATE_DATA,
     "docs_index_search": SQL_DOCS_INDEX_SEARCH,

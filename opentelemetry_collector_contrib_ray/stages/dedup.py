@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .base import norm_concurrency
+from .base import norm_concurrency, pa_from_pandas
 import pyarrow.compute as pc
 
 # ------------------------------------------------------------- exact dedup
@@ -594,19 +594,24 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
         g = t["gram"].to_numpy(zero_copy_only=False)
         return t.append_column("__p", pa.array((g % num_partitions).astype(np.int64)))
 
-    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_partition(g: pd.DataFrame) -> pa.Table:
+        # returns ARROW (metadata-free): a pandas return would make Ray
+        # re-attach b'pandas' schema metadata on the next conversion,
+        # and the second shuffle's reduce tasks then fail to hash-dedup
+        # the schemas (pyarrow Schema.__hash__ raises on metadata)
         a, b, ca, cb = _pairs_from_runs(
             g[id_col].to_numpy(), g["gram"].to_numpy(), g["c"].to_numpy(), max_df
         )
         df = pd.DataFrame({"id_a": a, "id_b": b, "c_a": ca, "c_b": cb})
         if not len(a):
             df["shared"] = np.array([], dtype=np.int64)
-            return df
+            return pa_from_pandas(df)
         # local combiner (hashed pandas groupby — np.unique(axis=0)
         # pays a full row lexsort and loses to it badly)
-        return df.groupby(["id_a", "id_b", "c_a", "c_b"], as_index=False).agg(
-            shared=("c_a", "size")
-        )
+        return pa_from_pandas(
+            df.groupby(["id_a", "id_b", "c_a", "c_b"], as_index=False).agg(
+                shared=("c_a", "size")
+            ))
 
     def add_pair_part(t: pa.Table) -> pa.Table:
         a = t["id_a"].to_numpy(zero_copy_only=False)

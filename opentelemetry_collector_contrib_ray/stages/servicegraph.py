@@ -35,6 +35,27 @@ from .base import pa_from_pandas
 from .joins import bucketed_hash_join
 
 
+def exceptions_rollup(span_events, dims: list[str],
+                      event_name_col: str = "event_name",
+                      exception_name: str = "exception",
+                      count_alias: str = "exceptions_total"):
+    """exceptionsconnector analog
+    (/root/reference/connector/exceptionsconnector/connector_metrics.go:173
+    buildKey over service + span kind + status code + exception
+    type/message; README "Each metric will have at least ..."): span
+    events named ``exception`` roll up to one counter row per dimension
+    tuple. One vectorized filter + compact_groupby — exception
+    cardinality is services × types, tiny. The filtered events
+    themselves are the connector's LOG output (``connector_logs.go``);
+    callers keep that stream by reusing the filter."""
+
+    def only_exceptions(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t[event_name_col], exception_name))
+
+    filtered = span_events.map_batches(only_exceptions, batch_format="pyarrow")
+    return compact_groupby(filtered, keys=dims, count_alias=count_alias)
+
+
 def service_graph_edges(client_spans, server_spans,
                         client_key: str = "span_id",
                         server_key: str = "parent_span_id",
