@@ -197,18 +197,26 @@ def run_scaling() -> dict:
     criterion_rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS_CRITERION", "7"))
     for lo, hi in ((4, 16), (8, 32)):
         rounds = criterion_rounds if (lo, hi) == (4, 16) else default_rounds
-        effs, lo_s, hi_s = [], [], []
+        effs, lo_s, hi_s, sent = [], [], [], []
         for _ in range(rounds):
             r_lo, r_hi = one(lo), one(hi)
             lo_s.append(r_lo["value"])
             hi_s.append(r_hi["value"])
             effs.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
+            # per-round box-load sentinel (mean of the fixed-kernel
+            # samples each subprocess took around its timed section):
+            # an EXOGENOUS quiet-period signal measured independently of
+            # the result, so box-noise rounds are identifiable later
+            sl = r_lo.get("sentinel_headline") or []
+            sh = r_hi.get("sentinel_headline") or []
+            sent.append(round(sum(sl + sh) / max(len(sl + sh), 1), 4))
         s = sorted(effs)
         med = s[len(s) // 2] if len(s) % 2 else round((s[len(s)//2 - 1] + s[len(s)//2]) / 2, 3)
         q1, q3 = s[len(s) // 4], s[(3 * len(s)) // 4]
         out["pairs"][f"{lo}->{hi}"] = {
             f"sec_{lo}": lo_s, f"sec_{hi}": hi_s,
             "per_round_efficiency": effs,
+            "per_round_sentinel": sent,
             "scaling_efficiency": med,
             "iqr": [q1, q3],
         }

@@ -138,10 +138,12 @@ def q_parse_level_agg(sf_dir: str):
              "lat": pc.cast(t["attributes.latency_ms"], pa.int64())}
         )
 
-    out = ds.map_batches(proj, batch_format="pyarrow").groupby("level").aggregate(
-        Count(alias_name="n"), Sum("lat", alias_name="sum_latency")
-    )
-    return out
+    from ..stages.agg import compact_groupby
+
+    # 4 levels — partial+final rollup, no shuffle-aggregate
+    return compact_groupby(ds.map_batches(proj, batch_format="pyarrow"),
+                           keys=["level"], sum_cols={"lat": "sum_latency"},
+                           count_alias="n")
 
 
 SQL_PARSE_LEVEL = (
@@ -167,11 +169,12 @@ def q_severity_counts(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(proj, batch_format="pyarrow")
-        .groupby(["severity_number", "severity_text"])
-        .aggregate(Count(alias_name="n"))
-    )
+    from ..stages.agg import compact_groupby
+
+    # ≤6 severity levels — partial+final rollup, no shuffle-aggregate
+    return compact_groupby(ds.map_batches(proj, batch_format="pyarrow"),
+                           keys=["severity_number", "severity_text"],
+                           count_alias="n")
 
 
 SQL_SEVERITY_COUNTS = (
@@ -202,8 +205,11 @@ def q_route_sink_counts(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(per_sink, batch_format="pyarrow").groupby("sink").sum("n")
-    return _rename(out, {"sum(n)": "n"})
+    from ..stages.agg import compact_groupby
+
+    # handful of sinks — partial+final rollup, no shuffle-aggregate
+    return compact_groupby(ds.map_batches(per_sink, batch_format="pyarrow"),
+                           keys=["sink"], sum_cols={"n": "n"})
 
 
 SQL_ROUTE_SINK_COUNTS = (
@@ -565,15 +571,15 @@ def q_lineitem_pricing(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(proj, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="count_order"),
-        )
+    from ..stages.agg import compact_groupby
+
+    # 6 (flag, status) groups — partial+final rollup, no shuffle-aggregate
+    return compact_groupby(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols={"qty": "sum_qty", "base_cents": "sum_base_cents",
+                  "disc_cents": "sum_disc_cents"},
+        count_alias="count_order",
     )
 
 
@@ -1685,6 +1691,86 @@ def q_multimodal_decode(sf_dir: str):
     return img.union(aud)
 
 
+def q_multimodal_dhash_pairs(sf_dir: str):
+    """Perceptual image near-dup pairs (stages/multimodal.dhash_pairs):
+    REAL decode → 9×8 integer-luminance difference-hash → pigeonhole
+    LSH banding (recall 1 at the hamming threshold) → exact xor-popcount
+    verify. The DuckDB twin re-derives every hash from the payload
+    BYTES (same grid/luminance/bit math over hex(payload)) and
+    self-joins with bit_count(xor(...)) — so decode, sampling grid,
+    luminance weights, bit order, banding recall and the hamming filter
+    are all pinned by one value hash."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (MM_ORACLE_DIR, dhash_pairs,
+                                     ensure_mm_oracle_tables)
+
+    ensure_mm_oracle_tables()
+    ds = rd.read_parquet(f"{MM_ORACLE_DIR}/media_dup.parquet")
+    out = dhash_pairs(ds, max_hamming=6)
+    return out.map_batches(
+        lambda t: pa.table({
+            "id_a": pc.cast(t["id_a"], pa.int64()),
+            "id_b": pc.cast(t["id_b"], pa.int64()),
+            "hamming": pc.cast(t["hamming"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _dhash_sql() -> str:
+    """DuckDB re-derivation of the 64-bit dHash from payload bytes."""
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+
+    def val(y: str, x: str, c: str) -> str:
+        pos = (
+            f"(CASE WHEN media_type = 'image/bmp' "
+            f"THEN 54 + (h - 1 - ({y})) * (((w * 3 + 3) // 4) * 4) "
+            f"+ ({x}) * 3 + (2 - ({c})) "
+            f"ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) "
+            f"+ (({y}) * w + ({x})) * 3 + ({c}) END)"
+        )
+        return (f"((strpos('{hexd}', substr(hx, 2 * {pos} + 1, 1)) - 1) * 16"
+                f" + (strpos('{hexd}', substr(hx, 2 * {pos} + 2, 1)) - 1))")
+
+    def lum(x: str) -> str:
+        return (f"(299 * {val('yy', x, '0')} + 587 * {val('yy', x, '1')}"
+                f" + 114 * {val('yy', x, '2')})")
+
+    return f"""
+WITH media AS (
+  SELECT media_id, media_type, hex(payload) AS hx,
+         CAST("meta.width" AS BIGINT) AS w, CAST("meta.height" AS BIGINT) AS h
+  FROM read_parquet('{MM_ORACLE_DIR}/media_dup.parquet')
+), kk AS (
+  SELECT media_id, media_type, hx, w, h, unnest(range(0, 64)) AS k FROM media
+), pos AS (
+  SELECT media_id, media_type, hx, w, h, k,
+         ((k // 8) * h) // 8 AS yy,
+         ((k % 8) * w) // 9 AS xa,
+         (((k % 8) + 1) * w) // 9 AS xb
+  FROM kk
+), bits AS (
+  SELECT media_id, k,
+         CASE WHEN {lum('xa')} > {lum('xb')} THEN 1 ELSE 0 END AS bit
+  FROM pos
+), hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN k = 63
+                       THEN CASE WHEN bit = 1
+                                 THEN -9223372036854775808 ELSE 0 END
+                       ELSE bit * (1::BIGINT << k) END) AS BIGINT) AS dhash
+  FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
 def _mm_sql() -> str:
     """DuckDB blob re-decode of the multimodal payloads (see
     q_multimodal_decode). Byte value extraction: hex(payload) →
@@ -1936,8 +2022,11 @@ def q_route_multimatch_counts(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(per_sink, batch_format="pyarrow").groupby("sink").sum("n")
-    return _rename(out, {"sum(n)": "n"})
+    from ..stages.agg import compact_groupby
+
+    # handful of sinks — partial+final rollup, no shuffle-aggregate
+    return compact_groupby(ds.map_batches(per_sink, batch_format="pyarrow"),
+                           keys=["sink"], sum_cols={"n": "n"})
 
 
 SQL_ROUTE_MULTIMATCH = (
@@ -3352,11 +3441,13 @@ def q_red_metrics(sf_dir: str):
                   sum_latency=("sum_latency", "sum")))
         return pa_from_pandas(g)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["service", "bucket"])
-        .aggregate(Sum("n", alias_name="n"), Sum("n_err", alias_name="n_err"),
-                   Sum("sum_latency", alias_name="sum_latency"))
+    from ..stages.agg import compact_groupby
+
+    # services × (bounds+1) groups — partial+final, no shuffle-aggregate
+    return compact_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["service", "bucket"],
+        sum_cols={"n": "n", "n_err": "n_err", "sum_latency": "sum_latency"},
     )
 
 
@@ -6349,6 +6440,7 @@ QUERIES = {
     "emb_ann_ivf": q_emb_ann_ivf,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_dhash_pairs": q_multimodal_dhash_pairs,
     "events_sessions": q_events_sessions,
     "events_tumbling_6h": q_events_tumbling_6h,
     "log_dedup_windows": q_log_dedup_windows,
@@ -6496,6 +6588,7 @@ def run_resumable_sweep(sf_dir: str, names: list[str] | None = None,
 
 ORACLES = {
     "multimodal_decode": _mm_sql(),
+    "multimodal_dhash_pairs": _dhash_sql(),
     "parse_level_agg": SQL_PARSE_LEVEL,
     "severity_counts": SQL_SEVERITY_COUNTS,
     "route_sink_counts": SQL_ROUTE_SINK_COUNTS,

@@ -269,6 +269,158 @@ def synth_real_audio_table(n: int, seed: int = 43,
     )
 
 
+def synth_near_dup_media_table(n_base: int = 64, n_dups: int = 32,
+                               seed: int = 7) -> pa.Table:
+    """Synthetic media table with PLANTED NEAR-DUPLICATES for the
+    perceptual-dedup path: ``n_base`` random BMP/PPM images plus
+    ``n_dups`` copies of the first bases with ≤3 single-channel ±1
+    pixel perturbations — visually identical, byte-different. All
+    deterministic (fixed PCG64 seed)."""
+    from .codecs import encode_bmp, encode_ppm
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    imgs = []
+    for _ in range(n_base):
+        h = int(rng.integers(10, 17))
+        w = int(rng.integers(10, 17))
+        imgs.append(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    for i in range(n_dups):
+        src = imgs[i % n_base].copy()
+        for _ in range(int(rng.integers(1, 4))):
+            y = int(rng.integers(0, src.shape[0]))
+            x = int(rng.integers(0, src.shape[1]))
+            c = int(rng.integers(0, 3))
+            src[y, x, c] = np.uint8(min(254, src[y, x, c]) + 1)
+        imgs.append(src)
+    payloads, types, ws, hs = [], [], [], []
+    for i, img in enumerate(imgs):
+        if i % 2 == 0:
+            payloads.append(encode_bmp(img))
+            types.append("image/bmp")
+        else:
+            payloads.append(encode_ppm(img))
+            types.append("image/x-portable-pixmap")
+        hs.append(img.shape[0])
+        ws.append(img.shape[1])
+    n = len(imgs)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(types),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "meta.width": pa.array(np.array(ws, dtype=np.int32)),
+            "meta.height": pa.array(np.array(hs, dtype=np.int32)),
+            "meta.sample_rate": pa.array(np.zeros(n, dtype=np.int32)),
+            "meta.duration_ms": pa.array(np.zeros(n, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def dhash64(t: pa.Table, out: str = "dhash") -> pa.Table:
+    """Perceptual difference-hash over DECODED pixels: grid-sample a
+    9×8 luminance plane (integer 299/587/114 weights — exact), set bit
+    ``k = y*8 + x`` when ``lum(y, x) > lum(y, x+1)``. All-integer math
+    so a DuckDB twin can re-derive every hash from the payload bytes.
+    The per-image loop is inherent (each image has its own geometry,
+    like ImageResizer); the 72-sample gather per image is vectorized."""
+    col = t["pixels"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ws = t["meta.width"].to_pylist()
+    hs = t["meta.height"].to_pylist()
+    ky = np.arange(8)
+    kx = np.arange(9)
+    hashes = np.zeros(t.num_rows, dtype=np.uint64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+    for i, (px, w, h) in enumerate(zip(col.to_pylist(), ws, hs)):
+        a = np.asarray(px, dtype=np.int64)
+        if not (h and w) or a.size != h * w * 3:
+            continue
+        a = a.reshape(h, w, 3)
+        yi = (ky * h) // 8
+        xi = (kx * w) // 9
+        s = a[yi[:, None], xi[None, :], :]  # (8, 9, 3)
+        lum = 299 * s[:, :, 0] + 587 * s[:, :, 1] + 114 * s[:, :, 2]
+        bits = (lum[:, :8] > lum[:, 1:]).astype(np.uint64)
+        hashes[i] = np.sum(bits * weights, dtype=np.uint64)
+    return t.drop_columns(["pixels"]).append_column(
+        out, pa.array(hashes.view(np.int64)))
+
+
+def dhash_pairs(media_ds, max_hamming: int = 6, id_col: str = "media_id",
+                concurrency=2):
+    """Perceptual image near-dup pairs: decode → dhash64 → LSH banding
+    → exact hamming filter.
+
+    Scale shape: the 64-bit hash splits into ``max_hamming + 1``
+    disjoint bit bands — by pigeonhole, two hashes within
+    ``max_hamming`` agree on at least one whole band, so banding has
+    RECALL 1 while only (band, value, id) int rows shuffle (the
+    pixels/hashes stay behind; same design as the SimHash prefix
+    bucketing in stages/dedup.py). Candidates pair inside each band
+    bucket, verify with one vectorized xor-popcount, and dedup across
+    bands by keeping each pair's first discovering band."""
+    import pandas as pd
+
+    from .base import norm_concurrency, pa_from_pandas
+
+    n_bands = max_hamming + 1
+    bounds = [round(b * 64 / n_bands) for b in range(n_bands + 1)]
+
+    hashed = media_ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=norm_concurrency(concurrency),
+    ).map_batches(dhash64, batch_format="pyarrow")
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        hv = t["dhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for b in range(n_bands):
+            lo, hi = bounds[b], bounds[b + 1]
+            val = ((hv >> np.uint64(lo))
+                   & np.uint64((1 << (hi - lo)) - 1)).astype(np.int64)
+            parts.append(pa.table({
+                "band": pa.array(np.full(len(ids), b, np.int64)),
+                "val": pa.array(val),
+                id_col: pa.array(ids.astype(np.int64)),
+                "dhash": t["dhash"],
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        hv = g["dhash"].to_numpy().view(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ham = np.zeros(len(iu), dtype=np.int64)
+        x = hv[iu] ^ hv[ju]
+        # vectorized popcount via byte LUT
+        lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                            axis=1).sum(axis=1)
+        ham = lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pa_from_pandas(pd.DataFrame({
+            "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+            "hamming": ham[keep]}))
+
+    pairs = (
+        hashed.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def dedup_pairs(g: pd.DataFrame) -> pa.Table:
+        from .base import pa_from_pandas as _fp
+
+        return _fp(g.drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "hamming"]])
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        dedup_pairs, batch_format="pandas")
+
+
 MM_ORACLE_DIR = "/tmp/otelray/mm_oracle"
 
 
@@ -288,7 +440,8 @@ def ensure_mm_oracle_tables(dir_: str = MM_ORACLE_DIR, n_img: int = 256,
 
     os.makedirs(dir_, exist_ok=True)
     for name, tbl in (("media", synth_real_media_table(n_img)),
-                      ("audio", synth_real_audio_table(n_aud))):
+                      ("audio", synth_real_audio_table(n_aud)),
+                      ("media_dup", synth_near_dup_media_table())):
         path = f"{dir_}/{name}.parquet"
         tmp = f"{path}.tmp"
         pq.write_table(tbl, tmp)

@@ -604,3 +604,72 @@ def test_pixel_and_waveform_checksums_hand_computed():
     assert g["n_units"] == [4]
     assert g["sum_units"] == [int(i16.sum())]
     assert g["wsum_units"] == [int((i16 * np.arange(1, 5)).sum())]
+
+
+def test_dhash64_known_image_and_perturbation_tolerance():
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import dhash64
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (12, 14, 3), dtype=np.uint8)
+    near = img.copy()
+    near[3, 4, 1] = np.uint8(min(254, near[3, 4, 1]) + 1)
+    far = rng.integers(0, 256, (12, 14, 3), dtype=np.uint8)
+
+    def row(i, a):
+        return {"media_id": i, "meta.width": a.shape[1],
+                "meta.height": a.shape[0], "pixels": a.reshape(-1).tolist()}
+
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "meta.width": pa.array([img.shape[1]] * 2 + [far.shape[1]], pa.int32()),
+        "meta.height": pa.array([img.shape[0]] * 2 + [far.shape[0]], pa.int32()),
+        "pixels": pa.array([img.reshape(-1).tolist(), near.reshape(-1).tolist(),
+                            far.reshape(-1).tolist()], pa.list_(pa.uint8())),
+    })
+    h = dhash64(t)["dhash"].to_numpy().view(np.uint64)
+    ham = lambda a, b: bin(int(a ^ b)).count("1")
+    assert ham(h[0], h[1]) <= 2          # single-pixel ±1 barely moves it
+    assert ham(h[0], h[2]) > 16          # unrelated image is far
+    # deterministic: same input, same hash
+    h2 = dhash64(t)["dhash"].to_numpy().view(np.uint64)
+    assert (h == h2).all()
+
+
+def test_dhash_pairs_banding_recall(ray_session):
+    """LSH banding (max_hamming+1 disjoint bands) has recall 1 by
+    pigeonhole: the banded pipeline finds exactly the brute-force
+    pairs on the planted near-dup corpus."""
+    import numpy as np
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.codecs import decode_image
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        dhash64,
+        dhash_pairs,
+        synth_near_dup_media_table,
+    )
+    import pyarrow as pa
+
+    tbl = synth_near_dup_media_table(n_base=24, n_dups=12, seed=11)
+    got = dhash_pairs(rd.from_arrow(tbl), max_hamming=6).to_pandas()
+    got_pairs = set(map(tuple, got[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+
+    pix = [decode_image(p).reshape(-1) for p in tbl["payload"].to_pylist()]
+    t = pa.table({
+        "media_id": tbl["media_id"],
+        "meta.width": tbl["meta.width"],
+        "meta.height": tbl["meta.height"],
+        "pixels": pa.array([x.tolist() for x in pix], pa.list_(pa.uint8())),
+    })
+    h = dhash64(t)["dhash"].to_numpy().view(np.uint64)
+    ids = tbl["media_id"].to_pylist()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(int(h[i] ^ h[j])).count("1")
+            if d <= 6:
+                want.add((ids[i], ids[j], d))
+    assert got_pairs == want and len(want) >= 12
