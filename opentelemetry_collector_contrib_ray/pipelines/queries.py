@@ -1771,6 +1771,75 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
 """
 
 
+def q_multimodal_audio_fp_pairs(sf_dir: str):
+    """Audio near-dup pairs (stages/multimodal.audio_fp_pairs): WAV
+    decode → 64-bit time-domain energy fingerprint (65 equal frames of
+    exact int16 samples, bit k = energy(k+1) > energy(k) — a 1-D dHash,
+    FFT-free so the oracle stays exact) → pigeonhole LSH banding →
+    xor-popcount verify. The DuckDB twin re-derives every fingerprint
+    from the WAV payload bytes (int16 LE at offset 44, frame index
+    (65·i+64)//n, Σ v² per frame) and self-joins on hamming ≤ 6."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (MM_ORACLE_DIR, audio_fp_pairs,
+                                     ensure_mm_oracle_tables)
+
+    ensure_mm_oracle_tables()
+    ds = rd.read_parquet(f"{MM_ORACLE_DIR}/audio_dup.parquet")
+    out = audio_fp_pairs(ds, max_hamming=6)
+    return out.map_batches(
+        lambda t: pa.table({
+            "id_a": pc.cast(t["id_a"], pa.int64()),
+            "id_b": pc.cast(t["id_b"], pa.int64()),
+            "hamming": pc.cast(t["hamming"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _afp_sql() -> str:
+    """DuckDB re-derivation of the 64-bit audio fingerprint from WAV
+    payload bytes."""
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+    byte = (lambda pos: f"((strpos('{hexd}', substr(hx, 2 * ({pos}) + 1, 1)) - 1) * 16"
+                        f" + (strpos('{hexd}', substr(hx, 2 * ({pos}) + 2, 1)) - 1))")
+    u = f"({byte('44 + 2 * i')} + 256 * {byte('45 + 2 * i')})"
+    return f"""
+WITH audio AS (
+  SELECT media_id, hex(payload) AS hx,
+         (octet_length(payload) - 44) // 2 AS n
+  FROM read_parquet('{MM_ORACLE_DIR}/audio_dup.parquet')
+), smp AS (
+  SELECT media_id, n, hx, unnest(range(0, n)) AS i FROM audio
+), v AS (
+  SELECT media_id, n, (65 * i + 64) // n AS frame,
+         {u} - CASE WHEN {u} >= 32768 THEN 65536 ELSE 0 END AS s
+  FROM smp
+), energy AS (
+  SELECT media_id, frame, SUM(s * s) AS e FROM v GROUP BY media_id, frame
+), bits AS (
+  SELECT a.media_id, a.frame AS k,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM energy a JOIN energy b
+    ON a.media_id = b.media_id AND b.frame = a.frame + 1
+  WHERE a.frame < 64
+), hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN k = 63
+                       THEN CASE WHEN bit = 1
+                                 THEN -9223372036854775808 ELSE 0 END
+                       ELSE bit * (1::BIGINT << k) END) AS BIGINT) AS afp
+  FROM bits GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 6
+"""
+
+
 def _mm_sql() -> str:
     """DuckDB blob re-decode of the multimodal payloads (see
     q_multimodal_decode). Byte value extraction: hex(payload) →
@@ -6441,6 +6510,7 @@ QUERIES = {
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_dhash_pairs": q_multimodal_dhash_pairs,
+    "multimodal_audio_fp_pairs": q_multimodal_audio_fp_pairs,
     "events_sessions": q_events_sessions,
     "events_tumbling_6h": q_events_tumbling_6h,
     "log_dedup_windows": q_log_dedup_windows,
@@ -6589,6 +6659,7 @@ def run_resumable_sweep(sf_dir: str, names: list[str] | None = None,
 ORACLES = {
     "multimodal_decode": _mm_sql(),
     "multimodal_dhash_pairs": _dhash_sql(),
+    "multimodal_audio_fp_pairs": _afp_sql(),
     "parse_level_agg": SQL_PARSE_LEVEL,
     "severity_counts": SQL_SEVERITY_COUNTS,
     "route_sink_counts": SQL_ROUTE_SINK_COUNTS,

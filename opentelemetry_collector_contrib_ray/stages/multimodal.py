@@ -348,33 +348,27 @@ def dhash64(t: pa.Table, out: str = "dhash") -> pa.Table:
         out, pa.array(hashes.view(np.int64)))
 
 
-def dhash_pairs(media_ds, max_hamming: int = 6, id_col: str = "media_id",
-                concurrency=2):
-    """Perceptual image near-dup pairs: decode → dhash64 → LSH banding
+def hash_band_pairs(hashed_ds, hash_col: str, max_hamming: int,
+                    id_col: str = "media_id"):
+    """Near-dup pairs over a 64-bit perceptual-hash column: LSH banding
     → exact hamming filter.
 
-    Scale shape: the 64-bit hash splits into ``max_hamming + 1``
-    disjoint bit bands — by pigeonhole, two hashes within
-    ``max_hamming`` agree on at least one whole band, so banding has
-    RECALL 1 while only (band, value, id) int rows shuffle (the
-    pixels/hashes stay behind; same design as the SimHash prefix
-    bucketing in stages/dedup.py). Candidates pair inside each band
-    bucket, verify with one vectorized xor-popcount, and dedup across
-    bands by keeping each pair's first discovering band."""
+    Scale shape: the hash splits into ``max_hamming + 1`` disjoint bit
+    bands — by pigeonhole, two hashes within ``max_hamming`` agree on
+    at least one whole band, so banding has RECALL 1 while only
+    (band, value, id, hash) int rows shuffle (payloads stay behind;
+    same design as the SimHash prefix bucketing in stages/dedup.py).
+    Candidates pair inside each band bucket, verify with one vectorized
+    xor-popcount, and dedup across bands."""
     import pandas as pd
 
-    from .base import norm_concurrency, pa_from_pandas
+    from .base import pa_from_pandas
 
     n_bands = max_hamming + 1
     bounds = [round(b * 64 / n_bands) for b in range(n_bands + 1)]
 
-    hashed = media_ds.map_batches(
-        ImageDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=norm_concurrency(concurrency),
-    ).map_batches(dhash64, batch_format="pyarrow")
-
     def to_bands(t: pa.Table) -> pa.Table:
-        hv = t["dhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        hv = t[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         parts = []
         for b in range(n_bands):
@@ -385,16 +379,15 @@ def dhash_pairs(media_ds, max_hamming: int = 6, id_col: str = "media_id",
                 "band": pa.array(np.full(len(ids), b, np.int64)),
                 "val": pa.array(val),
                 id_col: pa.array(ids.astype(np.int64)),
-                "dhash": t["dhash"],
+                hash_col: t[hash_col],
             }))
         return pa.concat_tables(parts)
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(id_col, kind="mergesort")
         ids = g[id_col].to_numpy()
-        hv = g["dhash"].to_numpy().view(np.uint64)
+        hv = g[hash_col].to_numpy().view(np.uint64)
         iu, ju = np.triu_indices(len(ids), k=1)
-        ham = np.zeros(len(iu), dtype=np.int64)
         x = hv[iu] ^ hv[ju]
         # vectorized popcount via byte LUT
         lut = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
@@ -406,19 +399,112 @@ def dhash_pairs(media_ds, max_hamming: int = 6, id_col: str = "media_id",
             "hamming": ham[keep]}))
 
     pairs = (
-        hashed.map_batches(to_bands, batch_format="pyarrow")
+        hashed_ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band", "val"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
     def dedup_pairs(g: pd.DataFrame) -> pa.Table:
-        from .base import pa_from_pandas as _fp
-
-        return _fp(g.drop_duplicates(["id_a", "id_b"])[
+        return pa_from_pandas(g.drop_duplicates(["id_a", "id_b"])[
             ["id_a", "id_b", "hamming"]])
 
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         dedup_pairs, batch_format="pandas")
+
+
+def dhash_pairs(media_ds, max_hamming: int = 6, id_col: str = "media_id",
+                concurrency=2):
+    """Perceptual image near-dup pairs: decode → dhash64 →
+    hash_band_pairs (pigeonhole banding, recall 1)."""
+    from .base import norm_concurrency
+
+    hashed = media_ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=norm_concurrency(concurrency),
+    ).map_batches(dhash64, batch_format="pyarrow")
+    return hash_band_pairs(hashed, "dhash", max_hamming, id_col)
+
+
+def afp64(t: pa.Table, out: str = "afp") -> pa.Table:
+    """Time-domain audio fingerprint over the DECODED waveform: the
+    exact int16 samples split into 65 equal frames (boundaries
+    ``(j·n)//65``), frame energy = Σ sample² (int64-exact), bit
+    ``k`` set when ``energy(k+1) > energy(k)`` — a 1-D dHash. No FFT,
+    so a DuckDB twin can re-derive every fingerprint from the WAV
+    payload bytes. Tolerant to small amplitude perturbations, sensitive
+    to temporal structure."""
+    col = t["waveform"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    flat = np.round(np.asarray(col.flatten(), dtype=np.float64)
+                    * 32768.0).astype(np.int64)
+    sq = flat * flat
+    hashes = np.zeros(t.num_rows, dtype=np.uint64)
+    w = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for i in range(t.num_rows):
+        s, e = offs[i], offs[i + 1]
+        n = e - s
+        if n < 65:
+            continue
+        b = s + (np.arange(66, dtype=np.int64) * n) // 65
+        energy = np.add.reduceat(sq[s:e], b[:-1] - s)
+        bits = (energy[1:] > energy[:-1]).astype(np.uint64)
+        hashes[i] = np.sum(bits * w, dtype=np.uint64)
+    return t.drop_columns(["waveform"]).append_column(
+        out, pa.array(hashes.view(np.int64)))
+
+
+def audio_fp_pairs(media_ds, max_hamming: int = 6, id_col: str = "media_id",
+                   concurrency=2):
+    """Audio near-dup pairs: WAV decode → afp64 → hash_band_pairs."""
+    from .base import norm_concurrency
+
+    hashed = media_ds.map_batches(
+        AudioDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=norm_concurrency(concurrency),
+    ).map_batches(afp64, batch_format="pyarrow")
+    return hash_band_pairs(hashed, "afp", max_hamming, id_col)
+
+
+def synth_near_dup_audio_table(n_base: int = 40, n_dups: int = 24,
+                               seed: int = 17, sample_rate: int = 8000) -> pa.Table:
+    """WAV table with PLANTED NEAR-DUPLICATE clips: random sine bursts
+    plus copies with a tiny (±1/32768) perturbation on a few samples —
+    audibly identical, byte-different."""
+    from .codecs import encode_wav
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    waves = []
+    for _ in range(n_base):
+        dur_ms = int(rng.integers(80, 250))
+        freq = float(rng.uniform(100, 900))
+        tt = np.arange(int(sample_rate * dur_ms / 1000)) / sample_rate
+        waves.append(0.5 * np.sin(2 * np.pi * freq * tt)
+                     + 0.05 * np.sin(2 * np.pi * 3.7 * freq * tt))
+    for i in range(n_dups):
+        src = waves[i % n_base].copy()
+        for _ in range(int(rng.integers(1, 4))):
+            j = int(rng.integers(0, len(src)))
+            src[j] = min(1.0, src[j] + 1.0 / 32768.0)
+        waves.append(src)
+    payloads = [encode_wav(w, sample_rate) for w in waves]
+    n = len(waves)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["audio/wav"] * n),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "meta.width": pa.array(np.zeros(n, dtype=np.int32)),
+            "meta.height": pa.array(np.zeros(n, dtype=np.int32)),
+            "meta.sample_rate": pa.array(np.full(n, sample_rate, dtype=np.int32)),
+            "meta.duration_ms": pa.array(
+                np.array([len(w) * 1000 // sample_rate for w in waves],
+                         dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
 
 
 MM_ORACLE_DIR = "/tmp/otelray/mm_oracle"
@@ -441,7 +527,8 @@ def ensure_mm_oracle_tables(dir_: str = MM_ORACLE_DIR, n_img: int = 256,
     os.makedirs(dir_, exist_ok=True)
     for name, tbl in (("media", synth_real_media_table(n_img)),
                       ("audio", synth_real_audio_table(n_aud)),
-                      ("media_dup", synth_near_dup_media_table())):
+                      ("media_dup", synth_near_dup_media_table()),
+                      ("audio_dup", synth_near_dup_audio_table())):
         path = f"{dir_}/{name}.parquet"
         tmp = f"{path}.tmp"
         pq.write_table(tbl, tmp)

@@ -673,3 +673,37 @@ def test_dhash_pairs_banding_recall(ray_session):
             if d <= 6:
                 want.add((ids[i], ids[j], d))
     assert got_pairs == want and len(want) >= 12
+
+
+def test_audio_fp_pairs_banding_recall(ray_session):
+    """Audio fingerprint banded pipeline equals brute force on the
+    planted near-dup clips (pigeonhole recall 1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.codecs import decode_wav
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        afp64,
+        audio_fp_pairs,
+        synth_near_dup_audio_table,
+    )
+
+    tbl = synth_near_dup_audio_table(n_base=16, n_dups=8, seed=23)
+    got = audio_fp_pairs(rd.from_arrow(tbl), max_hamming=6).to_pandas()
+    got_pairs = set(map(tuple, got[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+
+    waves = [decode_wav(p)[0] for p in tbl["payload"].to_pylist()]
+    t = pa.table({
+        "media_id": tbl["media_id"],
+        "waveform": pa.array([w.tolist() for w in waves], pa.list_(pa.float32())),
+    })
+    h = afp64(t)["afp"].to_numpy().view(np.uint64)
+    ids = tbl["media_id"].to_pylist()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(int(h[i] ^ h[j])).count("1")
+            if d <= 6:
+                want.add((ids[i], ids[j], d))
+    assert got_pairs == want and len(want) >= 8
