@@ -91,10 +91,17 @@ def conv_is_match(t, v, pattern):
 
 def conv_concat(t, first, *rest):
     """Both reference argument orders: ``Concat([vals...], delim)``
-    (func_concat.go) and the legacy ``Concat(delim, v1, v2, ...)``."""
-    if isinstance(first, list) or (_is_arr(first) and pa.types.is_list(first.type)):
+    (func_concat.go) and the legacy ``Concat(delim, v1, v2, ...)``.
+    A list LITERAL of expressions compiles to a per-row arrow list
+    array — joined within each row via ``pc.binary_join``."""
+    if _is_arr(first) and pa.types.is_list(first.type):
         delim = rest[0] if rest else ""
-        parts = first if isinstance(first, list) else [first]
+        lst = first.combine_chunks() if isinstance(first, pa.ChunkedArray) else first
+        if not pa.types.is_string(lst.type.value_type):
+            lst = pc.cast(lst, pa.list_(pa.string()))
+        return pc.binary_join(lst, delim)
+    if isinstance(first, list):
+        delim, parts = (rest[0] if rest else ""), first
     else:
         delim, parts = first, list(rest)
     arrs = [_str_arr(t, p) for p in parts]

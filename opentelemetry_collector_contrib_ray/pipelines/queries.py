@@ -418,6 +418,71 @@ FROM spans GROUP BY 1, 2, 3
 """
 
 
+def q_ottl_converters_roundtrip(sf_dir: str):
+    """OTTL CONVERTER library end-to-end with an oracle (upgrades the
+    44-converter block from unit-only): a statement group chains
+    ConvertCase → Substring → Len → Concat → IsMatch → SHA256 over the
+    parsed level, then aggregates on every converter output — a
+    converter bug (case table, slice bounds, join order, regex
+    semantics, digest bytes) shifts the value hash vs the same chain
+    expressed in SQL (lower/substr/length/||/regexp_matches/sha256)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.ottl import TransformProcessor
+
+    ds = _parsed_transcripts(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["attributes.level"]))
+        return pa.table({
+            "attributes.level": t["attributes.level"],
+            "lat": pc.cast(t["attributes.latency_ms"], pa.int64()),
+        })
+
+    proc = TransformProcessor([
+        'set(attributes.lvl_lc, ConvertCase(attributes.level, "lower"))',
+        "set(attributes.l3, Substring(attributes.lvl_lc, 0, 3))",
+        "set(attributes.lvl_len, Len(attributes.level))",
+        'set(attributes.tagged, Concat(["lvl", attributes.lvl_lc], "-"))',
+        'set(attributes.is_err, IsMatch(attributes.level, "^ERR"))',
+        "set(attributes.sha, SHA256(attributes.lvl_lc))",
+    ])
+    out = ds.map_batches(proj, batch_format="pyarrow").map_batches(
+        proc, batch_format="pyarrow")
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tagged": t["attributes.tagged"],
+            "l3": t["attributes.l3"],
+            "lvl_len": pc.cast(t["attributes.lvl_len"], pa.int64()),
+            "is_err": pc.cast(t["attributes.is_err"], pa.bool_()),
+            "sha": t["attributes.sha"],
+            "lat": t["lat"],
+        })
+
+    return (
+        out.map_batches(final, batch_format="pyarrow")
+        .groupby(["tagged", "l3", "lvl_len", "is_err", "sha"])
+        .aggregate(Count(alias_name="n"), Sum("lat", alias_name="sum_lat"))
+    )
+
+
+SQL_OTTL_CONVERTERS = (
+    PARSED_SQL
+    + """
+SELECT 'lvl-' || lower(level) AS tagged,
+       substr(lower(level), 1, 3) AS l3,
+       CAST(length(level) AS BIGINT) AS lvl_len,
+       regexp_matches(level, '^ERR') AS is_err,
+       sha256(lower(level)) AS sha,
+       count(*) AS n,
+       CAST(SUM(latency_ms) AS BIGINT) AS sum_lat
+FROM parsed WHERE level IS NOT NULL
+GROUP BY 1, 2, 3, 4, 5
+"""
+)
+
+
 def q_enrich_service_counts(sf_dir: str):
     """Stateful lookup enrichment (k8sattributes analog, SURVEY §2.6)."""
     from ray.data.aggregate import Count
@@ -6475,6 +6540,7 @@ QUERIES = {
     "filter_drop_errors": q_filter_drop_errors,
     "transform_slow_by_level": q_transform_slow_by_level,
     "ottl_span_transform": q_ottl_span_transform,
+    "ottl_converters_roundtrip": q_ottl_converters_roundtrip,
     "enrich_service_counts": q_enrich_service_counts,
     "sample_events": q_sample_events,
     "events_json_props": q_events_json_props,
@@ -6669,6 +6735,7 @@ ORACLES = {
     "filter_drop_errors": SQL_FILTER_DROP_ERRORS,
     "transform_slow_by_level": SQL_TRANSFORM_SLOW,
     "ottl_span_transform": SQL_OTTL_SPAN_TRANSFORM,
+    "ottl_converters_roundtrip": SQL_OTTL_CONVERTERS,
     "enrich_service_counts": SQL_ENRICH_SERVICE,
     "sample_events": SQL_SAMPLE_EVENTS,
     "events_json_props": SQL_EVENTS_JSON,
