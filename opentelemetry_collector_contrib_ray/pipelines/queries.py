@@ -418,6 +418,57 @@ FROM spans GROUP BY 1, 2, 3
 """
 
 
+def q_failover_roundtrip(sf_dir: str):
+    """Failover sink end-to-end with an oracle (upgrades §2.2 failover
+    from unit-only): the primary level FAILS (raises mid-write), the
+    stream demotes to the parquet fallback, and the written data reads
+    back complete — a failover bug that loses or duplicates rows on
+    demotion breaks the hash vs the direct derivation."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sinks import failover_write
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    tmp = tempfile.mkdtemp(prefix="failover_", dir="/tmp")
+    try:
+        def bad_primary(d):
+            raise IOError("primary sink unavailable")
+
+        def fallback(d):
+            d.write_parquet(f"{tmp}/out")
+            return "ok"
+
+        level, _ = failover_write(ds, [bad_primary, fallback], max_retries=1)
+        assert level == 1
+        back = rd.read_parquet(f"{tmp}/out")
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": t["event_type"],
+                "eid": pc.cast(t["event_id"], pa.int64()),
+            })
+
+        return (
+            back.map_batches(proj, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("eid", alias_name="sum_ids"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_FAILOVER_ROUNDTRIP = """
+SELECT event_type, count(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events GROUP BY event_type
+"""
+
+
 def q_ottl_converters_roundtrip(sf_dir: str):
     """OTTL CONVERTER library end-to-end with an oracle (upgrades the
     44-converter block from unit-only): a statement group chains
@@ -6541,6 +6592,7 @@ QUERIES = {
     "transform_slow_by_level": q_transform_slow_by_level,
     "ottl_span_transform": q_ottl_span_transform,
     "ottl_converters_roundtrip": q_ottl_converters_roundtrip,
+    "failover_roundtrip": q_failover_roundtrip,
     "enrich_service_counts": q_enrich_service_counts,
     "sample_events": q_sample_events,
     "events_json_props": q_events_json_props,
@@ -6736,6 +6788,7 @@ ORACLES = {
     "transform_slow_by_level": SQL_TRANSFORM_SLOW,
     "ottl_span_transform": SQL_OTTL_SPAN_TRANSFORM,
     "ottl_converters_roundtrip": SQL_OTTL_CONVERTERS,
+    "failover_roundtrip": SQL_FAILOVER_ROUNDTRIP,
     "enrich_service_counts": SQL_ENRICH_SERVICE,
     "sample_events": SQL_SAMPLE_EVENTS,
     "events_json_props": SQL_EVENTS_JSON,
