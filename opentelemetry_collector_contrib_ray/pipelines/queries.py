@@ -127,8 +127,6 @@ def _enriched(sf_dir: str, with_turn_idx: bool = False):
 
 def q_parse_level_agg(sf_dir: str):
     """Regex "grok" parse → grouped aggregate (SURVEY §2.3 regex_parser)."""
-    from ray.data.aggregate import Count, Sum
-
     ds = _parsed_transcripts(sf_dir)
 
     def proj(t: pa.Table) -> pa.Table:
@@ -157,8 +155,6 @@ FROM parsed WHERE level IS NOT NULL GROUP BY level
 
 def q_severity_counts(sf_dir: str):
     """Severity mapping (SURVEY §2.3 severity_parser)."""
-    from ray.data.aggregate import Count
-
     ds = _parsed_transcripts(sf_dir)
 
     def proj(t: pa.Table) -> pa.Table:
@@ -663,8 +659,6 @@ ORDER BY n DESC, user_id LIMIT 10
 
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate with cents-deterministic sums."""
-    from ray.data.aggregate import Count, Sum
-
     ds = read_table(
         sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -3600,8 +3594,6 @@ def q_red_metrics(sf_dir: str):
     service, request count, error count (status ≥ 500 or severity ≥
     ERROR), and an OTel explicit-bucket latency histogram — one
     streaming pass; only (service, bucket) partials shuffle."""
-    from ray.data.aggregate import Sum
-
     bounds = [5.0, 25.0, 100.0, 400.0]
     ds = _enriched(sf_dir)
 
