@@ -604,7 +604,7 @@ FROM events GROUP BY event_type
 
 def q_events_window_daily(sf_dir: str):
     """Tumbling daily window aggregate (streaming-window rendering)."""
-    from ray.data.aggregate import Count, Sum
+    from ..stages.agg import compact_groupby
 
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
 
@@ -617,17 +617,14 @@ def q_events_window_daily(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(proj, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
-    )
-    # ray's sort-aggregate narrows day-aligned timestamps to [s]; restore [us]
-    return out.map_batches(
-        lambda t: t.set_column(
-            t.column_names.index("day"), "day", pc.cast(t["day"], pa.timestamp("us"))
-        ),
-        batch_format="pyarrow",
+    # ~type_count × days groups — partial+final rollup; arrow group_by
+    # also preserves the timestamp[us] key (the shuffle-aggregate
+    # narrowed day-aligned timestamps to [s] and needed a re-cast)
+    return compact_groupby(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        sum_cols={"value_cents": "sum_value_cents"},
+        count_alias="n",
     )
 
 
@@ -909,8 +906,6 @@ FROM documents GROUP BY lang
 def q_docs_gopher(sf_dir: str):
     """Gopher-style quality rules per source — integer-exact flag sums
     (stages/text.py gopher_rules), full SQL twin."""
-    from ray.data.aggregate import Count, Sum
-
     from ..stages.text import gopher_rules
 
     ds = read_table(sf_dir, "documents", columns=["source", "text"])
@@ -925,12 +920,14 @@ def q_docs_gopher(sf_dir: str):
             cols[f] = pc.cast(t[f], pa.int64())
         return pa.table(cols)
 
-    aggs = [Sum("n_words", alias_name="sum_words")]
-    aggs += [Sum(f, alias_name=f"n_{f}") for f in flags]
-    return (
-        ds.map_batches(proj, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Count(alias_name="n_docs"), *aggs)
+    from ..stages.agg import compact_groupby
+
+    # handful of sources — partial+final rollup, no shuffle-aggregate
+    sum_cols = {"n_words": "sum_words"}
+    sum_cols.update({f: f"n_{f}" for f in flags})
+    return compact_groupby(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        keys=["source"], sum_cols=sum_cols, count_alias="n_docs",
     )
 
 
@@ -2788,8 +2785,6 @@ def q_events_tail_sample(sf_dir: str):
     (a) it contains an error span, (b) it has ≥5 spans AND spans ≥20h
     (and.go composition), (c) it falls in a 10% deterministic hash
     sample — then roll the sampled spans up per event_type."""
-    from ray.data.aggregate import Count, Sum
-
     from ..stages.tailsampling import tail_sample
 
     ds = read_table(sf_dir, "events",
@@ -2810,10 +2805,17 @@ def q_events_tail_sample(sf_dir: str):
         {"type": "probabilistic", "percent": 10.0},
     ]
     sampled = tail_sample(ds, "trace_id", "ts", policies)
-    return (
-        sampled.select_columns(["event_type", "event_id"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("event_id", alias_name="sum_ids"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "eid": pc.cast(t["event_id"], pa.int64())})
+
+    from ..stages.agg import compact_groupby
+
+    # handful of event types — partial+final rollup
+    return compact_groupby(
+        sampled.map_batches(proj, batch_format="pyarrow"),
+        keys=["event_type"], sum_cols={"eid": "sum_ids"}, count_alias="n",
     )
 
 
