@@ -3709,6 +3709,87 @@ GROUP BY 1, 2
 """
 
 
+def q_service_graph_pagerank(sf_dir: str):
+    """Weighted PageRank over the service graph (stages/servicegraph.py
+    service_graph_pagerank): the distributed part is the span-pair join
+    + edge aggregation (identical shape to service_graph_edges); the
+    3-iteration integer-exact rank recurrence then runs on the
+    aggregated O(services²) edge table. The oracle unrolls the same
+    recurrence as CTE pairs (c_k, r_{k+1}) over the self-joined edge
+    build — floor-division order matches the Python bit for bit."""
+    from ..stages.servicegraph import service_graph_edges, service_graph_pagerank
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+
+    def clients(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        svc = pc.binary_join_element_wise(
+            "client-", pc.cast(_pc_mod(pc.cast(t["user_id"], pa.int64()), 3),
+                               pa.string()), "")
+        return pa.table({
+            "span_id": eid,
+            "client_service": svc,
+            "duration_client_ms": _pc_mod(eid, 250),
+            "client_failed": pc.equal(_pc_mod(eid, 23), 0),
+        })
+
+    def servers(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        return pa.table({
+            "parent_span_id": pc.subtract(eid, 1),
+            "server_service": pc.binary_join_element_wise(
+                "srv-", t["event_type"], ""),
+            "duration_server_ms": _pc_mod(eid, 180),
+            "server_failed": pc.equal(_pc_mod(eid, 31), 0),
+        })
+
+    edges = service_graph_edges(
+        ev.map_batches(clients, batch_format="pyarrow"),
+        ev.map_batches(servers, batch_format="pyarrow"),
+        num_partitions=8,
+    )
+    return service_graph_pagerank(edges, iterations=3)
+
+
+SQL_SERVICE_GRAPH_PAGERANK = """
+WITH edges AS (
+  SELECT 'client-' || CAST(c.user_id % 3 AS VARCHAR) AS src,
+         'srv-' || s.event_type AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM events c JOIN events s ON s.event_id - 1 = c.event_id
+  GROUP BY 1, 2
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+c0 AS (SELECT e.dst AS node, SUM(r.rank * e.w // o.ow) AS contrib
+       FROM edges e JOIN r0 r ON r.node = e.src
+                    JOIN outw o ON o.src = e.src GROUP BY 1),
+r1 AS (SELECT n.node,
+              CAST(150000000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT)
+                AS rank
+       FROM nodes n LEFT JOIN c0 c ON c.node = n.node),
+c1 AS (SELECT e.dst AS node, SUM(r.rank * e.w // o.ow) AS contrib
+       FROM edges e JOIN r1 r ON r.node = e.src
+                    JOIN outw o ON o.src = e.src GROUP BY 1),
+r2 AS (SELECT n.node,
+              CAST(150000000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT)
+                AS rank
+       FROM nodes n LEFT JOIN c1 c ON c.node = n.node),
+c2 AS (SELECT e.dst AS node, SUM(r.rank * e.w // o.ow) AS contrib
+       FROM edges e JOIN r2 r ON r.node = e.src
+                    JOIN outw o ON o.src = e.src GROUP BY 1),
+r3 AS (SELECT n.node,
+              CAST(150000000 + 85 * COALESCE(c.contrib, 0) // 100 AS BIGINT)
+                AS rank
+       FROM nodes n LEFT JOIN c2 c ON c.node = n.node)
+SELECT node AS service, rank AS pagerank FROM r3
+"""
+
+
 def q_exceptions_connector(sf_dir: str):
     """exceptionsconnector pattern (stages/servicegraph.py
     exceptions_rollup): span events named 'exception' roll up to one
@@ -6668,6 +6749,7 @@ QUERIES = {
     "events_histogram": q_events_histogram,
     "red_metrics": q_red_metrics,
     "service_graph_edges": q_service_graph_edges,
+    "service_graph_pagerank": q_service_graph_pagerank,
     "exceptions_connector": q_exceptions_connector,
     "rollup_service_team": q_rollup_service_team,
     "events_late_data": q_events_late_data,
@@ -6861,6 +6943,7 @@ ORACLES = {
     "events_histogram": _events_histogram_sql(),
     "red_metrics": SQL_RED_METRICS,
     "service_graph_edges": SQL_SERVICE_GRAPH_EDGES,
+    "service_graph_pagerank": SQL_SERVICE_GRAPH_PAGERANK,
     "exceptions_connector": SQL_EXCEPTIONS_CONNECTOR,
     "rollup_service_team": _rollup_sql(),
     "events_late_data": SQL_EVENTS_LATE_DATA,

@@ -183,3 +183,29 @@ def test_service_graph_edges_pairs_and_rollup():
     api = got.loc[("api", "db")]
     assert api["n_requests"] == 1 and api["n_failed"] == 1
     assert (api["le_50"], api["le_100"], api["le_150"]) == (0, 0, 0)
+
+
+def test_service_graph_pagerank_integer_recurrence():
+    """Hand-computed 1-iteration check incl. a dangling node (teleport
+    only) and weighted out-degree floor division."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.servicegraph import (
+        service_graph_pagerank,
+    )
+
+    edges = pa.table({
+        "client": ["A", "B", "A"],
+        "server": ["B", "A", "C"],
+        "n_requests": [2, 1, 2],
+    })
+    got = service_graph_pagerank(
+        edges, iterations=1, scale=100, damping_num=50, damping_den=100,
+    ).to_pydict()
+    # outw: A=4, B=1; contrib: A<-100, B<-(100*2)//4=50, C<-50
+    # teleport = 50; rank = teleport + (50*contrib)//100
+    assert got == {"service": ["A", "B", "C"], "pagerank": [100, 75, 75]}
+
+    # iterations=0 -> everyone at scale
+    got0 = service_graph_pagerank(edges, iterations=0, scale=7).to_pydict()
+    assert got0["pagerank"] == [7, 7, 7]
