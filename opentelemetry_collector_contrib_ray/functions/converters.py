@@ -180,9 +180,11 @@ def conv_fnv(t, v):
 # --- parse helpers ---------------------------------------------------------
 
 def conv_parse_json(t, v):
+    from ..stages.parsers import _loads
+
     def p(s):
         try:
-            return json.loads(s)
+            return _loads(s)
         except (ValueError, TypeError):
             return None
 

@@ -29,6 +29,24 @@ import pyarrow.compute as pc
 from ..schema import SEVERITY_ALIASES, SEVERITY_TEXT
 from .base import BatchOp, blend_columns, set_column
 
+try:  # pandas bundles ujson — ~2× faster than stdlib json on log-sized objects
+    from pandas._libs.json import ujson_loads as _ujson_loads
+except ImportError:  # pragma: no cover - pandas layout drift
+    _ujson_loads = None
+
+
+def _loads(s: str):
+    """Fast JSON object parse: ujson first, stdlib as the semantic
+    arbiter — any row ujson rejects gets retried with ``json.loads``,
+    so acceptance is a superset of (and in practice identical to) the
+    stdlib's; only rows BOTH reject are parse errors."""
+    if _ujson_loads is not None:
+        try:
+            return _ujson_loads(s)
+        except (ValueError, TypeError):
+            pass
+    return json.loads(s)
+
 
 def _col(t: pa.Table, name: str):
     if name not in t.column_names:
@@ -154,7 +172,7 @@ class JsonParser(BatchOp):
             if s is None:
                 continue
             try:
-                d = json.loads(s)
+                d = _loads(s)
                 if not isinstance(d, dict):
                     raise ValueError
                 out[j] = d
@@ -237,7 +255,7 @@ class JsonArrayParser(BatchOp):
                 out.append(None)
                 continue
             try:
-                v = json.loads(s)
+                v = _loads(s)
                 if not isinstance(v, list):
                     raise ValueError
                 if self.header is not None and len(v) != len(self.header):
