@@ -331,16 +331,34 @@ class KeyValueParser(BatchOp):
     def transform_gated(self, t: pa.Table, gate) -> pa.Table:
         src = _col(t, self.parse_from)
         if self.fields is not None:
+            n = t.num_rows
+            idx = None
+            if gate is not None:
+                # minority gate: run the per-field regex over ONLY the
+                # gated rows (one take), scatter matches back — k× fewer
+                # full-column RE2 scans when the kv lines are a minority
+                g = np.asarray(gate, dtype=bool)
+                if not g.all():
+                    idx = np.nonzero(g)[0]
+                    if len(idx) == 0:
+                        return t
+                    src = src.take(pa.array(idx))
             for f in self.fields:
                 ext = pc.extract_regex(src, self._field_pattern(f))
                 if isinstance(ext, pa.ChunkedArray):
                     ext = ext.combine_chunks()
                 arr = pc.struct_field(ext, "v")
+                ok = pc.is_valid(ext)  # per-field: keep old value if absent
+                if idx is not None:
+                    ok_np = ok.to_numpy(zero_copy_only=False)
+                    m = np.zeros(n, dtype=bool)
+                    m[idx[ok_np]] = True
+                    full = pc.replace_with_mask(
+                        pa.nulls(n, pa.string()), pa.array(m),
+                        arr.filter(ok))
+                    arr, ok = full, pa.array(m)
                 if f in self.types:
                     arr = _cast_typed(arr, self.types[f])
-                ok = pc.is_valid(ext)  # per-field: keep old value if absent
-                if gate is not None:
-                    ok = pc.and_(ok, gate)
                 t = blend_columns(t, {self.prefix + f: arr},
                                   None if pc.all(ok).as_py() else ok)
             return t
