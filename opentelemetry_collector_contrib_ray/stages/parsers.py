@@ -48,6 +48,25 @@ def _loads(s: str):
     return json.loads(s)
 
 
+# Strict flat-JSON detector: a SOUND SUBSET of the JSON grammar (no
+# escape sequences, no nesting beyond one flat array of scalars, strict
+# number forms — no leading zeros / bare dots). A full match guarantees
+# json.loads succeeds and that quoted values need no unescaping, so the
+# matching rows can be field-extracted with RE2 kernels instead of
+# per-row loads; everything else falls back to the per-row path.
+_JSON_STR = r'"[^"\\]*"'
+_JSON_NUM = r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_JSON_SCALAR = rf"(?:{_JSON_STR}|{_JSON_NUM}|true|false|null)"
+_JSON_ARRV = rf"\[\s*(?:{_JSON_SCALAR}(?:\s*,\s*{_JSON_SCALAR})*\s*)?\]"
+_JSON_PAIR = rf"{_JSON_STR}\s*:\s*(?:{_JSON_SCALAR}|{_JSON_ARRV})"
+_SIMPLE_JSON_RE = rf"^\{{\s*(?:{_JSON_PAIR}(?:\s*,\s*{_JSON_PAIR})*\s*)?\}}$"
+
+# fast-path field types whose token→value semantics are proven equal to
+# the slow path's (numbers truncate via float64, bools stringify,
+# string-encoded numerics cast, JSON null → null)
+_JSON_FAST_TYPES = ("string", "int64", "int32", "int8", "float64")
+
+
 def _col(t: pa.Table, name: str):
     if name not in t.column_names:
         return pa.nulls(t.num_rows, pa.string())
@@ -187,7 +206,124 @@ class JsonParser(BatchOp):
     def transform(self, t: pa.Table) -> pa.Table:
         return self.transform_gated(t, None)
 
+    def _transform_fast(self, t: pa.Table, gate) -> pa.Table:
+        """Typed-fields hot path. Rows that full-match the strict
+        flat-JSON detector (valid JSON by construction: no escapes, no
+        nesting, and — per configured key — no duplicate occurrences,
+        a scalar value, and no bool token under a numeric type) extract
+        each field with one RE2 kernel; only the irregular remainder
+        pays per-row ``_loads``, scattered back with replace_with_mask.
+        Same column/ok semantics as the slow path on every row."""
+        col = _col(t, self.parse_from)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = t.num_rows
+        idx = None
+        mv = col
+        if gate is not None:
+            g = np.asarray(gate, dtype=bool)
+            idx = np.nonzero(g)[0]
+            if len(idx) == 0:
+                return t
+            mv = col.take(pa.array(idx))
+        m = len(mv)
+        simple = pc.fill_null(pc.match_substring_regex(mv, _SIMPLE_JSON_RE), False)
+        fast = simple.to_numpy(zero_copy_only=False).copy()
+        toks: dict[str, tuple] = {}
+        for key, typ in self.fields.items():
+            cnt = pc.fill_null(
+                pc.count_substring(mv, f'"{key}"'), 0
+            ).to_numpy(zero_copy_only=False)
+            # two separate extracts: RE2 reports non-participating groups
+            # as "" (indistinguishable from a matched empty string), so a
+            # single two-alternate pattern can't be disambiguated
+            qext = pc.extract_regex(
+                mv, rf'"{re.escape(key)}"\s*:\s*"(?P<q>[^"\\]*)"')
+            bext = pc.extract_regex(
+                mv, rf'"{re.escape(key)}"\s*:\s*(?P<b>{_JSON_NUM}|true|false|null)')
+            if isinstance(qext, pa.ChunkedArray):
+                qext = qext.combine_chunks()
+            if isinstance(bext, pa.ChunkedArray):
+                bext = bext.combine_chunks()
+            q, b = pc.struct_field(qext, "q"), pc.struct_field(bext, "b")
+            hit = np.logical_or(
+                pc.is_valid(qext).to_numpy(zero_copy_only=False),
+                pc.is_valid(bext).to_numpy(zero_copy_only=False))
+            # demote: duplicate key, key present but non-scalar value
+            # (array), or bool token under a numeric target type
+            fast &= (cnt <= 1) & ((cnt == 0) | hit)
+            if typ != "string":
+                isbool = pc.fill_null(
+                    pc.is_in(b, value_set=pa.array(["true", "false"])), False
+                )
+                fast &= ~isbool.to_numpy(zero_copy_only=False)
+            toks[key] = (q, b)
+        slow_pos = np.nonzero(~fast)[0]
+        ok_np = fast.copy()
+        sdicts: list = []
+        if len(slow_pos):
+            svals = mv.take(pa.array(slow_pos)).to_pylist()
+            for s in svals:
+                d = None
+                if s is not None:
+                    try:
+                        v = _loads(s)
+                        if isinstance(v, dict):
+                            d = v
+                    except (ValueError, TypeError):
+                        pass
+                sdicts.append(d)
+            ok_np[slow_pos] = np.fromiter(
+                (d is not None for d in sdicts), dtype=bool, count=len(sdicts)
+            )
+        slow_mask = pa.array(~fast)
+        cols = {}
+        for key, typ in self.fields.items():
+            q, b = toks[key]
+            val = pc.if_else(
+                pc.is_valid(q), q,
+                pc.if_else(pc.fill_null(pc.equal(b, "null"), True),
+                           pa.nulls(m, pa.string()), b),
+            )
+            arr = _cast_typed(val, typ)
+            if len(slow_pos):
+                sv = [None if d is None else d.get(key) for d in sdicts]
+                try:
+                    scol = pa.array(sv)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    # mixed / nested python values that Arrow can't infer
+                    scol = pa.nulls(len(sv), _TYPE_CASTS[typ])
+                if pa.types.is_null(scol.type):
+                    scol = pa.nulls(len(sv), _TYPE_CASTS[typ])
+                else:
+                    try:
+                        scol = _cast_typed(
+                            pc.cast(scol, pa.string(), safe=False)
+                            if typ == "string" else scol, typ)
+                    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                        scol = pa.nulls(len(sv), _TYPE_CASTS[typ])
+                arr = pc.replace_with_mask(arr, slow_mask, scol)
+            if idx is not None:
+                full_mask = np.zeros(n, dtype=bool)
+                full_mask[idx[ok_np]] = True
+                arr = pc.replace_with_mask(
+                    pa.nulls(n, arr.type), pa.array(full_mask),
+                    arr.filter(pa.array(ok_np)))
+            cols[self.prefix + key] = arr
+        if idx is not None:
+            okm = np.zeros(n, dtype=bool)
+            okm[idx[ok_np]] = True
+        else:
+            okm = ok_np
+        return blend_columns(t, cols, None if okm.all() else pa.array(okm))
+
     def transform_gated(self, t: pa.Table, gate) -> pa.Table:
+        if (
+            self.fields is not None
+            and not self.keep_rest
+            and all(typ in _JSON_FAST_TYPES for typ in self.fields.values())
+        ):
+            return self._transform_fast(t, gate)
         rows, _ = self._parse_rows(t, gate)
         if self.fields is None:
             items = [
@@ -203,7 +339,10 @@ class JsonParser(BatchOp):
         all_ok = bool(pc.all(ok).as_py()) if len(rows) else True
         cols = {}
         for key, typ in self.fields.items():
-            col = pa.array([None if r is None else r.get(key) for r in rows])
+            try:
+                col = pa.array([None if r is None else r.get(key) for r in rows])
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                col = pa.nulls(len(rows), _TYPE_CASTS.get(typ, pa.string()))
             if pa.types.is_null(col.type):
                 col = pa.nulls(len(rows), _TYPE_CASTS.get(typ, pa.string()))
             elif typ in _TYPE_CASTS:
