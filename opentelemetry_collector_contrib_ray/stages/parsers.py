@@ -115,6 +115,13 @@ class RegexParser(BatchOp):
         self.groups = [g for g in rx.groupindex]
         if not self.groups:
             raise ValueError("regex pattern must define at least one named capture group")
+        # groups whose subpattern is digit-pure produce /^\d+$/ strings
+        # by construction — integer cast needs no validation regex or
+        # float64 round-trip (and stays exact above 2^53)
+        self._digit_groups = {
+            g for g in self.groups
+            if f"(?P<{g}>\\d+)" in pattern or f"(?P<{g}>[0-9]+)" in pattern
+        }
         self.parse_from = parse_from
         self.prefix = prefix
         self.types = types or {}
@@ -142,7 +149,17 @@ class RegexParser(BatchOp):
             arr = pc.struct_field(ext, g)
             typ = self.types.get(g)
             if typ:
-                arr = _cast_typed(arr, typ)
+                if (
+                    g in self._digit_groups
+                    and typ in _TYPE_CASTS
+                    and pa.types.is_integer(_TYPE_CASTS[typ])
+                ):
+                    try:  # guaranteed-digit strings: one exact cast
+                        arr = pc.cast(arr, _TYPE_CASTS[typ])
+                    except pa.ArrowInvalid:  # overflow → guarded path
+                        arr = _cast_typed(arr, typ)
+                else:
+                    arr = _cast_typed(arr, typ)
             cols[self.prefix + g] = arr
         return blend_columns(t, cols, None if pc.all(ok).as_py() else ok)
 
@@ -234,21 +251,23 @@ class JsonParser(BatchOp):
             cnt = pc.fill_null(
                 pc.count_substring(mv, f'"{key}"'), 0
             ).to_numpy(zero_copy_only=False)
-            # two separate extracts: RE2 reports non-participating groups
-            # as "" (indistinguishable from a matched empty string), so a
-            # single two-alternate pattern can't be disambiguated
-            qext = pc.extract_regex(
-                mv, rf'"{re.escape(key)}"\s*:\s*"(?P<q>[^"\\]*)"')
-            bext = pc.extract_regex(
-                mv, rf'"{re.escape(key)}"\s*:\s*(?P<b>{_JSON_NUM}|true|false|null)')
-            if isinstance(qext, pa.ChunkedArray):
-                qext = qext.combine_chunks()
-            if isinstance(bext, pa.ChunkedArray):
-                bext = bext.combine_chunks()
-            q, b = pc.struct_field(qext, "q"), pc.struct_field(bext, "b")
-            hit = np.logical_or(
-                pc.is_valid(qext).to_numpy(zero_copy_only=False),
-                pc.is_valid(bext).to_numpy(zero_copy_only=False))
+            # ONE extract per field capturing the raw token (quotes
+            # included) — every alternate is non-empty, so token
+            # presence is just struct validity (RE2 reports
+            # non-participating groups as "", which would be ambiguous
+            # with a matched empty string under separate groups)
+            ext = pc.extract_regex(
+                mv,
+                rf'"{re.escape(key)}"\s*:\s*'
+                rf'(?P<v>"[^"\\]*"|{_JSON_NUM}|true|false|null)')
+            if isinstance(ext, pa.ChunkedArray):
+                ext = ext.combine_chunks()
+            tok = pc.struct_field(ext, "v")
+            quoted = pc.fill_null(pc.starts_with(tok, '"'), False)
+            q = pc.if_else(quoted, pc.utf8_slice_codeunits(tok, 1, -1),
+                           pa.nulls(m, pa.string()))
+            b = pc.if_else(quoted, pa.nulls(m, pa.string()), tok)
+            hit = pc.is_valid(ext).to_numpy(zero_copy_only=False)
             # demote: duplicate key, key present but non-scalar value
             # (array), or bool token under a numeric target type
             fast &= (cnt <= 1) & ((cnt == 0) | hit)
