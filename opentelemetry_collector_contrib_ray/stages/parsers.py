@@ -507,16 +507,19 @@ class KeyValueParser(BatchOp):
                     ext = ext.combine_chunks()
                 arr = pc.struct_field(ext, "v")
                 ok = pc.is_valid(ext)  # per-field: keep old value if absent
+                if f in self.types:
+                    # cast at minority length BEFORE the scatter — the
+                    # validation regex + cast then run over the gated
+                    # rows only, not the full batch
+                    arr = _cast_typed(arr, self.types[f])
                 if idx is not None:
                     ok_np = ok.to_numpy(zero_copy_only=False)
                     m = np.zeros(n, dtype=bool)
                     m[idx[ok_np]] = True
                     full = pc.replace_with_mask(
-                        pa.nulls(n, pa.string()), pa.array(m),
+                        pa.nulls(n, arr.type), pa.array(m),
                         arr.filter(ok))
                     arr, ok = full, pa.array(m)
-                if f in self.types:
-                    arr = _cast_typed(arr, self.types[f])
                 t = blend_columns(t, {self.prefix + f: arr},
                                   None if pc.all(ok).as_py() else ok)
             return t
