@@ -761,7 +761,7 @@ class SeverityParser(BatchOp):
         self.parse_from = parse_from
         self.to_number = to_number
         self.to_text = to_text
-        self.text_lut = np.array([SEVERITY_TEXT[i] for i in range(25)])
+        self.text_lut = pa.array([SEVERITY_TEXT[i] for i in range(25)])
 
     def transform(self, t: pa.Table) -> pa.Table:
         tok = pc.utf8_lower(_col(t, self.parse_from))
@@ -776,7 +776,8 @@ class SeverityParser(BatchOp):
             for digit, sev in self.ranges:
                 nums = np.where(miss & (hundreds == digit), sev, nums)
         t = set_column(t, self.to_number, pa.array(nums.astype(np.int8)))
-        t = set_column(t, self.to_text, pa.array(self.text_lut[nums]))
+        # text via arrow take from the 25-entry LUT (no numpy-U column)
+        t = set_column(t, self.to_text, pc.take(self.text_lut, pa.array(nums)))
         return t
 
     def error_mask(self, t: pa.Table):
