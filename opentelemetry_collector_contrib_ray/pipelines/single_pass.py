@@ -76,18 +76,15 @@ def expand_by_sink(router: Router, counters=None, cc: CountConnector | None = No
         bits = t[ROUTE_BITS_COL].to_numpy(zero_copy_only=False).view(np.uint64)
         parts = []
         base = t.drop_columns([ROUTE_BITS_COL])
-        partials = []
+        # count partials for ALL sinks in one grouped pass per metric
+        # (sink-indicator sums) — the per-sink-subset version redid the
+        # masks/groupby/JSON-encode once per receiving sink
+        partials = cc.partial_by_sink(base, bits, sink_bits) if side else []
         for sink, b in sink_bits:
             mask = (bits & b) != 0
             if mask.any():
                 sel = base.filter(pa.array(mask))
                 parts.append(sel.append_column("sink", pa.array([sink] * sel.num_rows)))
-                if side:
-                    p = cc.partial(sel)
-                    partials.append(
-                        (sink, p["metric"].to_pylist(), p["attrs"].to_pylist(),
-                         p["count"].to_pylist())
-                    )
         if partials and partials_dir is not None:
             _write_partial_sidecar(partials_dir, t, bits, partials)
         elif partials and counters:

@@ -137,6 +137,83 @@ class CountConnector:
             }
         )
 
+    def partial_by_sink(self, t: pa.Table, bits, sink_bits):
+        """Per-batch partials for ALL sinks in ONE grouped pass per
+        metric: sink membership becomes int64 indicator columns summed
+        inside the same ``group_by``, so the metric masks, the attrs
+        projection, the hash aggregation and the canonical-JSON encode
+        each run once per batch instead of once per sink (the routing
+        fan-out means sinks overlap; per-sink subsets would redo the
+        same work k times). Returns ``[(sink, metrics, attrs, counts)]``
+        with exactly the totals of ``partial(per-sink subset)``."""
+        import numpy as np
+
+        ind = {s: (bits & b) != 0 for s, b in sink_bits}
+        res: dict[str, tuple[list, list, list]] = {
+            s: ([], [], []) for s, _ in sink_bits}
+        for m in self.metrics:
+            sel_mask = None
+            masks = self._masks[m.name]
+            if masks:
+                acc = masks[0](t)
+                for mk in masks[1:]:
+                    acc = pc.or_(acc, mk(t))
+                sel_mask = np.asarray(pc.fill_null(acc, False), dtype=bool)
+            if not m.attributes:
+                for s, iv in ind.items():
+                    c = int((iv & sel_mask).sum()) if sel_mask is not None \
+                        else int(iv.sum())
+                    if c:
+                        res[s][0].append(m.name)
+                        res[s][1].append("{}")
+                        res[s][2].append(c)
+                continue
+            sel = t.filter(pa.array(sel_mask)) if sel_mask is not None else t
+            if sel.num_rows == 0:
+                continue
+            cols, names = [], []
+            keep = None
+            for key, dflt in m.attributes:
+                c = (
+                    sel[key]
+                    if key in sel.column_names
+                    else pa.nulls(sel.num_rows, pa.string())
+                )
+                c = pc.cast(c, pa.string(), safe=False)
+                if dflt is None:
+                    v = pc.is_valid(c)
+                    keep = v if keep is None else pc.and_(keep, v)
+                else:
+                    c = pc.fill_null(c, str(dflt))
+                cols.append(c)
+                names.append(key)
+            data = dict(zip(names, cols))
+            sink_cols = []
+            for i, (s, _) in enumerate(sink_bits):
+                iv = ind[s]
+                if sel_mask is not None:
+                    iv = iv[sel_mask]
+                col = f"__s{i}"
+                data[col] = pa.array(iv.astype(np.int64))
+                sink_cols.append(col)
+            proj = pa.table(data)
+            if keep is not None:
+                proj = proj.filter(keep)
+            if proj.num_rows == 0:
+                continue
+            grouped = proj.group_by(names).aggregate(
+                [(c, "sum") for c in sink_cols])
+            attrs = _canonical_attrs_json(grouped, names).to_pylist()
+            for i, (s, _) in enumerate(sink_bits):
+                cnt = grouped[f"__s{i}_sum"].to_numpy(zero_copy_only=False)
+                nz = np.nonzero(cnt > 0)[0]
+                if len(nz) == 0:
+                    continue
+                res[s][0].extend([m.name] * len(nz))
+                res[s][1].extend(attrs[j] for j in nz)
+                res[s][2].extend(int(cnt[j]) for j in nz)
+        return [(s, mm, aa, cc) for s, (mm, aa, cc) in res.items() if mm]
+
     # ---- final (tiny shuffle) ------------------------------------------
 
     def aggregate(self, ds):

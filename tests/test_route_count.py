@@ -209,3 +209,45 @@ def test_service_graph_pagerank_integer_recurrence():
     # iterations=0 -> everyone at scale
     got0 = service_graph_pagerank(edges, iterations=0, scale=7).to_pydict()
     assert got0["pagerank"] == [7, 7, 7]
+
+
+def test_partial_by_sink_matches_per_sink_partials():
+    """The one-grouped-pass-per-metric all-sinks partial must produce
+    exactly the totals of CountConnector.partial applied to each
+    per-sink subset (the routing fan-out overlap case included)."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import (
+        METRICS, ROUTES, TOOL_SERVICE, TOOL_SERVICE_DEFAULTS,
+        build_parse_chain)
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        generate_transcripts)
+    from opentelemetry_collector_contrib_ray.stages.count import CountConnector
+    from opentelemetry_collector_contrib_ray.stages.enrich import LookupEnricher
+    from opentelemetry_collector_contrib_ray.stages.route import (
+        ROUTE_BITS_COL, Router)
+
+    t = generate_transcripts(8192)
+    router = Router(ROUTES)
+    cc = CountConnector(METRICS)
+    lab = router.label(
+        LookupEnricher("tool", TOOL_SERVICE, TOOL_SERVICE_DEFAULTS)(
+            build_parse_chain()(t)))
+    bits = lab[ROUTE_BITS_COL].to_numpy(zero_copy_only=False).view(np.uint64)
+    base = lab.drop_columns([ROUTE_BITS_COL])
+    sink_bits = [(s, np.uint64(b)) for s, b in router._sink_bits.items()]
+
+    old: dict = {}
+    for sink, b in sink_bits:
+        mask = (bits & b) != 0
+        if mask.any():
+            p = cc.partial(base.filter(pa.array(mask)))
+            for m, a, c in zip(p["metric"].to_pylist(),
+                               p["attrs"].to_pylist(),
+                               p["count"].to_pylist()):
+                old[(sink, m, a)] = old.get((sink, m, a), 0) + c
+    new: dict = {}
+    for sink, mm, aa, cnts in cc.partial_by_sink(base, bits, sink_bits):
+        for m, a, c in zip(mm, aa, cnts):
+            new[(sink, m, a)] = new.get((sink, m, a), 0) + c
+    assert old == new and len(old) > 0
