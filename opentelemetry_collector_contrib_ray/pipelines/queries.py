@@ -2176,6 +2176,77 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_orders_events_reconcile(sf_dir: str):
+    """FULL OUTER reconciliation (the one join type no other query
+    exercises): per-customer urgent-order activity vs event activity.
+    The urgent-priority filter drops some customers from the orders
+    side, so matched, left-only AND right-only rows all appear — a
+    real reconciliation report ("who ordered but never produced
+    events, and vice versa"). Ray's native full_outer hash join
+    COALESCES the key column for unmatched-right rows; zero-fill the
+    measure columns after the join (null = absent side).
+
+    Both join inputs are PRE-AGGREGATED per customer (compact
+    partial+final), so the exchange moves one row per customer per
+    side — at 100 TB the join is customer-cardinality, not
+    corpus-cardinality."""
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _derive_partitions, bucketed_hash_join
+
+    orders_raw = read_table(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"])
+    events_raw = read_table(sf_dir, "events", columns=["user_id", "value"])
+    # derive from the raw reads' metadata counts — an upper bound on
+    # the post-aggregate cardinality, same rule as the other joins
+    n_parts = _derive_partitions(orders_raw, events_raw)
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"custkey": t["o_custkey"],
+                         "order_cents": _cents(t["o_totalprice"])})
+
+    def e_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"custkey": t["user_id"],
+                         "event_cents": _cents(t["value"])})
+
+    o_agg = compact_groupby(
+        orders_raw.map_batches(o_proj, batch_format="pyarrow"),
+        keys=["custkey"], sum_cols={"order_cents": "order_cents"},
+        count_alias="n_orders")
+    e_agg = compact_groupby(
+        events_raw.map_batches(e_proj, batch_format="pyarrow"),
+        keys=["custkey"], sum_cols={"event_cents": "event_cents"},
+        count_alias="n_events")
+    joined = bucketed_hash_join(o_agg, e_agg, on="custkey", how="outer",
+                                num_partitions=n_parts)
+
+    def zero_fill(t: pa.Table) -> pa.Table:
+        out = {"custkey": pc.cast(t["custkey"], pa.int64())}
+        for c in ("n_orders", "order_cents", "n_events", "event_cents"):
+            out[c] = pc.cast(pc.fill_null(t[c], 0), pa.int64())
+        return pa.table(out)
+
+    return joined.map_batches(zero_fill, batch_format="pyarrow")
+
+
+SQL_ORDERS_EVENTS_RECONCILE = f"""
+SELECT CAST(COALESCE(o.custkey, e.custkey) AS BIGINT) AS custkey,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.order_cents, 0) AS BIGINT) AS order_cents,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(e.event_cents, 0) AS BIGINT) AS event_cents
+FROM (SELECT o_custkey AS custkey, count(*) AS n_orders,
+             SUM({_CENTS.format(x='o_totalprice')}) AS order_cents
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT user_id AS custkey, count(*) AS n_events,
+             SUM({_CENTS.format(x='value')}) AS event_cents
+      FROM events GROUP BY 1) e
+ON o.custkey = e.custkey
+"""
+
+
 
 
 def q_route_multimatch_counts(sf_dir: str):
@@ -6709,6 +6780,7 @@ QUERIES = {
     "log_dedup_windows": q_log_dedup_windows,
     "events_cap_per_user": q_events_cap_per_user,
     "orders_customer_join": q_orders_customer_join,
+    "orders_events_reconcile": q_orders_events_reconcile,
     "csv_quoted_roundtrip": q_csv_quoted_roundtrip,
     "time_tz_hour_counts": q_time_tz_hour_counts,
     "recombine_end_pattern": q_recombine_end_pattern,
@@ -6903,6 +6975,7 @@ ORACLES = {
     "log_dedup_windows": SQL_LOG_DEDUP,
     "events_cap_per_user": _cap_per_user_sql(),
     "orders_customer_join": SQL_ORDERS_CUSTOMER_JOIN,
+    "orders_events_reconcile": SQL_ORDERS_EVENTS_RECONCILE,
     "csv_quoted_roundtrip": SQL_CSV_QUOTED,
     "time_tz_hour_counts": SQL_TIME_TZ,
     "recombine_end_pattern": SQL_RECOMBINE_END,
