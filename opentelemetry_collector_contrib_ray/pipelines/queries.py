@@ -414,6 +414,84 @@ FROM spans GROUP BY 1, 2, 3
 """
 
 
+def q_ottl_metric_transform(sf_dir: str):
+    """OTTL METRIC context end-to-end (stages/contexts.py;
+    pkg/ottl/contexts/ottlmetric): a metric-shaped derivation of events
+    (name/unit/type/temporality/is_monotonic) runs a metric-context
+    statement group exercising METRIC_DATA_TYPE_* and
+    AGGREGATION_TEMPORALITY_* enums plus the read-only ``type.string``
+    name view — monotonic cumulative Sums flagged rate-eligible (the
+    cumulativetodelta precondition), unit normalized per name — then
+    aggregates per (type, type_name, temporality)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.ottl import TransformProcessor
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def to_metrics(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        return pa.table({
+            "name": t["event_type"],
+            "unit": pa.array(["1"] * t.num_rows),
+            "type": _pc_mod(eid, 6),
+            "aggregation_temporality": pc.add(_pc_mod(eid, 2), 1),
+            "is_monotonic": pc.equal(_pc_mod(eid, 3), 0),
+        })
+
+    proc = TransformProcessor([
+        "set(attributes.rate_eligible, true) where "
+        "type == METRIC_DATA_TYPE_SUM and is_monotonic == true and "
+        "aggregation_temporality == AGGREGATION_TEMPORALITY_CUMULATIVE",
+        'set(unit, "ms") where IsMatch(name, "^click")',
+        "set(attributes.type_name, type.string)",
+    ], context="metric")
+
+    out = ev.map_batches(to_metrics, batch_format="pyarrow").map_batches(
+        proc, batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        re_col = (t["attributes.rate_eligible"]
+                  if "attributes.rate_eligible" in t.column_names
+                  else pa.nulls(t.num_rows, pa.bool_()))
+        return pa.table({
+            "type": pc.cast(t["type"], pa.int64()),
+            "type_name": t["attributes.type_name"],
+            "temporality": pc.cast(t["aggregation_temporality"], pa.int64()),
+            "unit": t["unit"],
+            "rate_eligible": pc.cast(
+                pc.fill_null(pc.cast(re_col, pa.bool_()), False), pa.int64()),
+        })
+
+    return (
+        out.map_batches(proj, batch_format="pyarrow")
+        .groupby(["type", "type_name", "temporality", "unit"])
+        .aggregate(Count(alias_name="n"),
+                   Sum("rate_eligible", alias_name="n_rate_eligible"))
+    )
+
+
+SQL_OTTL_METRIC_TRANSFORM = """
+WITH metrics AS (
+  SELECT event_type AS name,
+         event_id % 6 AS typ,
+         1 + event_id % 2 AS temporality,
+         (event_id % 3 = 0) AS is_monotonic
+  FROM events
+)
+SELECT CAST(typ AS BIGINT) AS type,
+       CASE typ WHEN 1 THEN 'Gauge' WHEN 2 THEN 'Sum' WHEN 3 THEN 'Histogram'
+                WHEN 4 THEN 'ExponentialHistogram' WHEN 5 THEN 'Summary'
+                ELSE 'Empty' END AS type_name,
+       CAST(temporality AS BIGINT) AS temporality,
+       CASE WHEN name LIKE 'click%' THEN 'ms' ELSE '1' END AS unit,
+       count(*) AS n,
+       CAST(SUM(CASE WHEN typ = 2 AND is_monotonic AND temporality = 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rate_eligible
+FROM metrics GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_failover_roundtrip(sf_dir: str):
     """Failover sink end-to-end with an oracle (upgrades §2.2 failover
     from unit-only): the primary level FAILS (raises mid-write), the
@@ -6737,6 +6815,7 @@ QUERIES = {
     "filter_drop_errors": q_filter_drop_errors,
     "transform_slow_by_level": q_transform_slow_by_level,
     "ottl_span_transform": q_ottl_span_transform,
+    "ottl_metric_transform": q_ottl_metric_transform,
     "ottl_converters_roundtrip": q_ottl_converters_roundtrip,
     "failover_roundtrip": q_failover_roundtrip,
     "enrich_service_counts": q_enrich_service_counts,
@@ -6935,6 +7014,7 @@ ORACLES = {
     "filter_drop_errors": SQL_FILTER_DROP_ERRORS,
     "transform_slow_by_level": SQL_TRANSFORM_SLOW,
     "ottl_span_transform": SQL_OTTL_SPAN_TRANSFORM,
+    "ottl_metric_transform": SQL_OTTL_METRIC_TRANSFORM,
     "ottl_converters_roundtrip": SQL_OTTL_CONVERTERS,
     "failover_roundtrip": SQL_FAILOVER_ROUNDTRIP,
     "enrich_service_counts": SQL_ENRICH_SERVICE,

@@ -33,6 +33,12 @@ from .base import set_column
 SPAN_KIND_NAMES = ["Unspecified", "Internal", "Server", "Client",
                    "Producer", "Consumer"]
 
+# pmetric.MetricType.String() names, index = enum value
+# (pkg/ottl/contexts/ottlmetric metric.go exposes metric.type read-only;
+# the name view parallels span's kind.string)
+METRIC_TYPE_NAMES = ["Empty", "Gauge", "Sum", "Histogram",
+                     "ExponentialHistogram", "Summary"]
+
 # time-view aliases per context: alias column → nano source column
 _TIME_ALIASES = {
     "span": {"start_time": "start_time_unix_nano",
@@ -61,12 +67,21 @@ def attach_context_aliases(t: pa.Table, context: str) -> pa.Table:
             t = t.append_column(alias, _nanos_to_ts(t[src]))
     if context == "span" and "kind" in t.column_names \
             and "kind.string" not in t.column_names:
-        names = pa.array(SPAN_KIND_NAMES)
-        idx = pc.cast(pc.fill_null(t["kind"], 0), pa.int64())
-        oob = pc.or_(pc.less(idx, 0), pc.greater_equal(idx, len(SPAN_KIND_NAMES)))
-        idx = pc.if_else(oob, pa.scalar(0, pa.int64()), idx)
-        t = t.append_column("kind.string", pc.take(names, idx))
+        t = t.append_column(
+            "kind.string", _enum_name_view(t["kind"], SPAN_KIND_NAMES))
+    if context == "metric" and "type" in t.column_names \
+            and "type.string" not in t.column_names:
+        t = t.append_column(
+            "type.string", _enum_name_view(t["type"], METRIC_TYPE_NAMES))
     return t
+
+
+def _enum_name_view(col, names: list[str]) -> pa.Array:
+    lut = pa.array(names)
+    idx = pc.cast(pc.fill_null(col, 0), pa.int64())
+    oob = pc.or_(pc.less(idx, 0), pc.greater_equal(idx, len(names)))
+    idx = pc.if_else(oob, pa.scalar(0, pa.int64()), idx)
+    return pc.take(lut, idx)
 
 
 def sync_context_aliases(t: pa.Table, context: str) -> pa.Table:
@@ -81,6 +96,8 @@ def sync_context_aliases(t: pa.Table, context: str) -> pa.Table:
             drop.append(alias)
     if context == "span" and "kind.string" in t.column_names:
         drop.append("kind.string")
+    if context == "metric" and "type.string" in t.column_names:
+        drop.append("type.string")
     if drop:
         t = t.drop_columns(drop)
     return t

@@ -343,3 +343,30 @@ def test_unknown_context_rejected():
 
     with pytest.raises(ValueError):
         TransformProcessor(["set(a, 1)"], context="connector")
+
+
+def test_metric_context_type_string_and_enums():
+    """METRIC context (pkg/ottl/contexts/ottlmetric): type.string name
+    view (read-only, dropped after the group) and the
+    METRIC_DATA_TYPE_* / AGGREGATION_TEMPORALITY_* enum symbols."""
+    from opentelemetry_collector_contrib_ray.stages.ottl import TransformProcessor
+
+    t = pa.table({
+        "name": ["req_count", "heap", "lat_hist"],
+        "unit": ["1", "By", "ms"],
+        "type": [2, 1, 3],                      # Sum, Gauge, Histogram
+        "aggregation_temporality": [2, 0, 1],   # cumulative / unspec / delta
+        "is_monotonic": [True, False, False],
+    })
+    out = TransformProcessor([
+        "set(attributes.rate_eligible, true) where "
+        "type == METRIC_DATA_TYPE_SUM and is_monotonic == true and "
+        "aggregation_temporality == AGGREGATION_TEMPORALITY_CUMULATIVE",
+        "set(attributes.type_name, type.string)",
+    ], context="metric")(t)
+    assert out["attributes.type_name"].to_pylist() == [
+        "Sum", "Gauge", "Histogram"]
+    assert out["attributes.rate_eligible"].to_pylist() == [True, None, None]
+    assert "type.string" not in out.column_names
+    # type stays untouched (read-only path in the reference)
+    assert out["type"].to_pylist() == [2, 1, 3]
