@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "docs_index_search",
     "revenue_by_nation",
     "service_graph_edges",
+    "orders_events_reconcile",
+    "ottl_metric_transform",
 ]
 
 
