@@ -224,7 +224,11 @@ def train_ivf_centroids(ds, n_clusters: int = 64, n_iters: int = 15,
     """
     import ray
 
-    tables = ray.get(ds.limit(sample_size).select_columns([emb_col]).to_arrow_refs())
+    # materialize() before to_arrow_refs: the lazy path executes once
+    # for the refs and AGAIN (limit-1) for the schema probe
+    tables = ray.get(
+        ds.limit(sample_size).select_columns([emb_col])
+        .materialize().to_arrow_refs())
     col = pa.concat_tables(tables)[emb_col]
     sample = _normalize(_to_matrix(col))
     rng = np.random.Generator(np.random.PCG64(seed))
