@@ -4137,8 +4137,7 @@ def q_revenue_by_nation(sf_dir: str, broadcast_threshold: int | None = None):
     is wrong at SF 1000. The final per-nation rollup is compact_groupby
     (partial+final, 25 groups — no shuffle-aggregate)."""
     from ..stages.agg import compact_groupby
-    from ..stages.joins import (_derive_partitions, bucketed_hash_join,
-                                gated_broadcast_join)
+    from ..stages.joins import _derive_partitions, bucketed_hash_join
 
     li_raw = read_table(sf_dir, "lineitem",
                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -4165,25 +4164,39 @@ def q_revenue_by_nation(sf_dir: str, broadcast_threshold: int | None = None):
     li = li_raw.map_batches(li_combine, batch_format="pyarrow")
 
     # nation (25 rows, constant) always broadcasts onto customer;
-    # customer⋈nation onto orders goes through the size gate
+    # customer⋈nation onto orders goes through the size gate. Below
+    # the gate the dim is built DRIVER-SIDE (one pandas merge of the
+    # ≤threshold customer table with the 25-row nation — no Ray stage,
+    # no actor-pool startup) and broadcast onto orders as a TASK-mode
+    # join that fuses with the orders read; above the gate the dim
+    # stays distributed and hash-joins.
     import ray
 
-    from ..stages.joins import broadcast_join
+    from ..stages.joins import (BROADCAST_ROWS_THRESHOLD, _rows_estimate,
+                                broadcast_join)
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = read_table(sf_dir, "nation",
                         columns=["n_nationkey", "n_name"]).to_pandas()
     nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
-    cn = broadcast_join(cust, ray.put(nation), on="c_nationkey", how="inner",
-                        concurrency=(1, 4))
-    cn = cn.map_batches(
-        lambda t: pa.table({"o_custkey": t["c_custkey"], "n_name": t["n_name"]}),
-        batch_format="pyarrow")
-    orders = gated_broadcast_join(
-        orders_raw, cn, on="o_custkey", how="inner",
-        size_hint=cust,  # pre-derivation read bounds the joined dim
-        threshold=broadcast_threshold, concurrency=(1, 4),
-        num_partitions=n_parts)
+    thr = (BROADCAST_ROWS_THRESHOLD if broadcast_threshold is None
+           else broadcast_threshold)
+    n_cust = _rows_estimate(cust)
+    if n_cust is not None and n_cust <= thr:
+        cn_df = (cust.to_pandas().merge(nation, on="c_nationkey")
+                 [["c_custkey", "n_name"]]
+                 .rename(columns={"c_custkey": "o_custkey"}))
+        orders = broadcast_join(orders_raw, ray.put(cn_df), on="o_custkey",
+                                how="inner", mode="task")
+    else:
+        cn = broadcast_join(cust, ray.put(nation), on="c_nationkey",
+                            how="inner", mode="task")
+        cn = cn.map_batches(
+            lambda t: pa.table({"o_custkey": t["c_custkey"],
+                                "n_name": t["n_name"]}),
+            batch_format="pyarrow")
+        orders = bucketed_hash_join(orders_raw, cn, on="o_custkey",
+                                    num_partitions=n_parts)
     orders = orders.map_batches(
         lambda t: t.select(["o_orderkey", "n_name"]), batch_format="pyarrow")
 

@@ -47,13 +47,31 @@ DEFAULT_ROWS_PER_PARTITION = 1_000_000
 
 
 def broadcast_join(ds, small_ref, on: str, how: str = "left",
-                   concurrency: int = 4):
+                   concurrency: int = 4, mode: str = "actor"):
     """``small_ref``: pandas DataFrame or ``ray.put`` ref of one (must
     include ``on``). Resolved once per actor; vectorized pandas merge
     per batch — no shuffle. Emits metadata-free Arrow blocks (a pandas
     return would make Ray re-attach ``b'pandas'`` schema metadata on
-    the next conversion, defeating downstream schema dedup)."""
+    the next conversion, defeating downstream schema dedup).
+
+    ``mode="task"``: plain-function stage instead of an actor pool —
+    fuses with the upstream read into one task op and skips actor
+    startup (~1-2 s of fixed latency). ``ray.get`` of the broadcast
+    ref inside a task is a zero-copy local-object-store hit after the
+    first resolve, so per-task resolution costs nothing; prefer task
+    mode for small dims on short pipelines, actor mode when the stage
+    also carries real per-actor state."""
     from .base import norm_concurrency, pa_from_pandas
+
+    if mode == "task":
+        def join_fn(b: pd.DataFrame) -> pa.Table:
+            import ray
+
+            small = (ray.get(small_ref)
+                     if not isinstance(small_ref, pd.DataFrame) else small_ref)
+            return pa_from_pandas(b.merge(small, on=on, how=how))
+
+        return ds.map_batches(join_fn, batch_format="pandas")
 
     class Joiner:
         def __init__(self):
