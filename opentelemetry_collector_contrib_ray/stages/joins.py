@@ -207,8 +207,11 @@ def gated_broadcast_join(large, small, on: str, right_on: str | None = None,
         sm = small.to_pandas()
         if key != on:
             sm = sm.rename(columns={key: on})
+        # task mode: fuses with the large side's read into one task op
+        # (actor-pool startup is pure fixed latency for a stateless
+        # merge; the ref resolve is a local zero-copy hit per task)
         return broadcast_join(large, ray.put(sm), on=on, how=how,
-                              concurrency=concurrency)
+                              mode="task")
     return bucketed_hash_join(large, small, on=on, how=how, right_on=key,
                               num_partitions=num_partitions)
 
