@@ -110,14 +110,15 @@ def _parsed_transcripts(sf_dir: str, with_turn_idx: bool = False):
 
 
 def _enriched(sf_dir: str, with_turn_idx: bool = False):
+    # TOOL_SERVICE is tiny → the enricher INSTANCE ships in the task
+    # closure and the stage fuses with parse into one task op (the
+    # actor-pool form both paid pool startup per query AND capped the
+    # whole parse chain at the pool width; single_pass.py uses the
+    # same rule). A big table takes the actor-pool form.
     return _parsed_transcripts(sf_dir, with_turn_idx).map_batches(
-        LookupEnricher,
-        fn_constructor_kwargs={
-            "key_col": "tool", "table": TOOL_SERVICE, "defaults": TOOL_SERVICE_DEFAULTS,
-        },
+        LookupEnricher("tool", TOOL_SERVICE, TOOL_SERVICE_DEFAULTS),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 2),
     )
 
 
@@ -791,12 +792,10 @@ def q_customer_nation(sf_dir: str):
     }
     ds = read_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
 
+    # 25-row dim → instance ships in the task closure (no actor pool)
     enr = ds.map_batches(
-        LookupEnricher,
-        fn_constructor_kwargs={"key_col": "c_nationkey", "table": lookup,
-                               "defaults": {"n_name": "UNKNOWN"}},
+        LookupEnricher("c_nationkey", lookup, {"n_name": "UNKNOWN"}),
         batch_format="pyarrow",
-        concurrency=(1, 2),
     )
 
     def proj(t: pa.Table) -> pa.Table:
@@ -1083,7 +1082,7 @@ def q_docs_langid(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+        ds.map_batches(LangId(), batch_format="pyarrow")
         .map_batches(lambda t: pa.table({"lang_pred": t["lang_pred"]}), batch_format="pyarrow")
         .groupby("lang_pred")
         .aggregate(Count(alias_name="n"))
@@ -1712,7 +1711,8 @@ def q_emb_ann_top10(sf_dir: str):
 
     q = _query_vec(sf_dir, 0)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = brute_force_topk(ds, q, k=10, concurrency=(1, 2))
+    # one query vector → the searcher ships in the task closure
+    out = brute_force_topk(ds, q, k=10, mode="task")
     return pa.table({"vec_id": out["vec_id"]})
 
 
@@ -4456,7 +4456,7 @@ def q_docs_langid_confusion(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return (
-        ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+        ds.map_batches(LangId(), batch_format="pyarrow")
         .map_batches(lambda t: pa.table({"lang": t["lang"],
                                          "lang_pred": t["lang_pred"]}),
                      batch_format="pyarrow")

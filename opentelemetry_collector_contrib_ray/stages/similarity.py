@@ -107,20 +107,33 @@ class BruteForceTopK:
 
 
 def brute_force_topk(ds, queries, k: int = 10, emb_col: str = "embedding",
-                     id_col: str = "vec_id", query_ids=None, concurrency: int = 4):
-    """Exact top-k: block-local top-k (actor pool) → tiny vectorized
-    global merge over ≤ #blocks × k × nq partial rows — never a
-    full-dataset materialization, and no per-row Python on the driver.
-    """
-    partial = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={
-            "queries": queries, "k": k, "emb_col": emb_col,
-            "id_col": id_col, "query_ids": query_ids,
-        },
-        batch_format="pyarrow",
-        concurrency=norm_concurrency(concurrency),
-    )
+                     id_col: str = "vec_id", query_ids=None,
+                     concurrency: int = 4, mode: str = "actor"):
+    """Exact top-k: block-local top-k → tiny vectorized global merge
+    over ≤ #blocks × k × nq partial rows — never a full-dataset
+    materialization, and no per-row Python on the driver.
+
+    ``mode="task"``: the searcher instance (with its normalized query
+    matrix) ships in the task closure — fuses with the read, no pool
+    startup, unbounded width. Right when the query matrix is small;
+    keep actor mode for big broadcast matrices (constructed once per
+    actor from a ``ray.put`` ref instead of pickled per stage)."""
+    if mode == "task":
+        partial = ds.map_batches(
+            BruteForceTopK(queries, k=k, emb_col=emb_col, id_col=id_col,
+                           query_ids=query_ids),
+            batch_format="pyarrow",
+        )
+    else:
+        partial = ds.map_batches(
+            BruteForceTopK,
+            fn_constructor_kwargs={
+                "queries": queries, "k": k, "emb_col": emb_col,
+                "id_col": id_col, "query_ids": query_ids,
+            },
+            batch_format="pyarrow",
+            concurrency=norm_concurrency(concurrency),
+        )
     return _merge_topk_partials(partial, k, id_col)
 
 
