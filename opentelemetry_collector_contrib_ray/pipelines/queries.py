@@ -1795,7 +1795,7 @@ def q_emb_ann_lsh(sf_dir: str):
     q = _query_vec(sf_dir, 0)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = lsh_bucket_topk(ds, q, k=10, n_bits=4, n_tables=16, n_probes=4,
-                          concurrency=(1, 2))
+                          mode="task")
     return pa.table({"vec_id": out["vec_id"]})
 
 
@@ -1809,7 +1809,7 @@ def q_emb_ann_ivf(sf_dir: str):
     q = _query_vec(sf_dir, 0)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = ivf_topk(ds, q, k=10, n_clusters=8, n_probe=8,
-                   concurrency=(1, 2), sample_size=50_000)
+                   mode="task", sample_size=50_000)
     return pa.table({"vec_id": out["vec_id"]})
 
 

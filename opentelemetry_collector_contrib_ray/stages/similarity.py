@@ -69,6 +69,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _searcher_stage(ds, cls, kwargs, concurrency, mode):
+    """Attach a searcher stage either as an actor pool (big broadcast
+    state, built once per actor) or a task closure (cheap state, fuses
+    with the read, no pool startup, unbounded width)."""
+    if mode == "task":
+        return ds.map_batches(cls(**kwargs), batch_format="pyarrow")
+    return ds.map_batches(cls, fn_constructor_kwargs=kwargs,
+                          batch_format="pyarrow",
+                          concurrency=norm_concurrency(concurrency))
+
+
 class BruteForceTopK:
     """Actor-pool stage: per batch, cosine of every row against the
     broadcast query matrix; emits the batch-local top-k per query."""
@@ -198,7 +209,7 @@ class _LshCandidateFilter:
 def lsh_bucket_topk(ds, queries, k: int = 10, dim: int | None = None,
                     n_bits: int = 8, seed: int = 11, emb_col: str = "embedding",
                     id_col: str = "vec_id", query_ids=None, concurrency: int = 4,
-                    n_tables: int = 1, n_probes: int = 1):
+                    n_tables: int = 1, n_probes: int = 1, mode: str = "actor"):
     """Approximate top-k: score only corpus rows that land in an allowed
     LSH bucket. Recall levers (classic LSH):
     - ``n_tables``: independent hyperplane tables OR-ed together;
@@ -210,17 +221,14 @@ def lsh_bucket_topk(ds, queries, k: int = 10, dim: int | None = None,
     q = np.asarray(q, dtype=np.float64)
     dim = dim or q.shape[1]
 
-    cand = ds.map_batches(
-        _LshCandidateFilter,
-        fn_constructor_kwargs={
-            "dim": dim, "n_bits": n_bits, "seed": seed, "emb_col": emb_col,
-            "q_ref": q, "n_tables": n_tables, "n_probes": n_probes,
-        },
-        batch_format="pyarrow",
-        concurrency=norm_concurrency(concurrency),
-    )
+    cand = _searcher_stage(
+        ds, _LshCandidateFilter,
+        {"dim": dim, "n_bits": n_bits, "seed": seed, "emb_col": emb_col,
+         "q_ref": q, "n_tables": n_tables, "n_probes": n_probes},
+        concurrency, mode)
     return brute_force_topk(cand, q, k=k, emb_col=emb_col, id_col=id_col,
-                            query_ids=query_ids, concurrency=concurrency)
+                            query_ids=query_ids, concurrency=concurrency,
+                            mode=mode)
 
 
 def train_ivf_centroids(ds, n_clusters: int = 64, n_iters: int = 15,
@@ -317,7 +325,8 @@ class _IvfSearcher:
 def ivf_topk(ds, queries, k: int = 10, n_clusters: int = 64, n_probe: int = 4,
              n_iters: int = 15, seed: int = 17, emb_col: str = "embedding",
              id_col: str = "vec_id", query_ids=None, concurrency: int = 4,
-             centroids: np.ndarray | None = None, sample_size: int = 100_000):
+             centroids: np.ndarray | None = None, sample_size: int = 100_000,
+             mode: str = "actor"):
     """IVF approximate top-k — the classic scale path next to LSH:
     train a coarse quantizer on a bounded sample, then stream the corpus
     once; each row is scored only against the queries probing its cell
@@ -332,15 +341,11 @@ def ivf_topk(ds, queries, k: int = 10, n_clusters: int = 64, n_probe: int = 4,
         centroids = train_ivf_centroids(ds, n_clusters, n_iters, seed, emb_col, sample_size)
     cent_ref = ray.put(centroids)
 
-    partial = ds.map_batches(
-        _IvfSearcher,
-        fn_constructor_kwargs={
-            "cent_ref": cent_ref, "q_ref": q, "k": k, "n_probe": n_probe,
-            "emb_col": emb_col, "id_col": id_col, "query_ids": query_ids,
-        },
-        batch_format="pyarrow",
-        concurrency=norm_concurrency(concurrency),
-    )
+    partial = _searcher_stage(
+        ds, _IvfSearcher,
+        {"cent_ref": cent_ref, "q_ref": q, "k": k, "n_probe": n_probe,
+         "emb_col": emb_col, "id_col": id_col, "query_ids": query_ids},
+        concurrency, mode)
     return _merge_topk_partials(partial, k, id_col)
 
 
