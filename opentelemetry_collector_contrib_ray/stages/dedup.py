@@ -202,13 +202,11 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle: in
     """
     rows = num_perm // bands
 
+    # task closure: the hasher's permutation params derive from a seed
+    # (cheap, small) — no pool startup, width = read parallelism
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm, "shingle": shingle, "col": col, "id_col": id_col,
-        },
+        MinHasher(num_perm=num_perm, shingle=shingle, col=col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=norm_concurrency(concurrency),
     )
     bands_ds = sigs.map_batches(
         lambda t: minhash_bands(t, bands, rows, id_col), batch_format="pyarrow"

@@ -111,9 +111,19 @@ class _KeySetMasker:
         return t.filter(pc.fill_null(mask, not self.keep))
 
 
-def _key_set_stage(ds, keys_ref, on: str, keep: bool, concurrency):
+def _key_set_stage(ds, keys_ref, on: str, keep: bool, concurrency,
+                   mode: str = "task"):
+    """Default TASK mode: the masker (sorted key array built once,
+    driver-side) ships in the task closure — fuses with the upstream
+    op, no pool startup, no width cap. Large key sets ride the object
+    store either way (closure capture puts them once, same as
+    ``ray.put``). Actor mode remains for callers that want per-actor
+    construction from a ref."""
     from .base import norm_concurrency
 
+    if mode == "task":
+        return ds.map_batches(
+            _KeySetMasker(keys_ref, on, keep), batch_format="pyarrow")
     return ds.map_batches(
         _KeySetMasker, fn_constructor_args=(keys_ref, on, keep),
         batch_format="pyarrow", concurrency=norm_concurrency(concurrency),
