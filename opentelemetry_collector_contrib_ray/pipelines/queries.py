@@ -6762,8 +6762,6 @@ def q_events_range_join(sf_dir: str):
     hash exchange; intervals replicate to ≤2 buckets (width = max
     interval length); rollup = pair count + id sums per event_type
     (hash-pins the exact pair set without a distinct pass)."""
-    from ray.data.aggregate import Count, Sum
-
     from ..stages.joins import range_join
 
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
@@ -6792,12 +6790,14 @@ def q_events_range_join(sf_dir: str):
             "inc": pc.cast(t["inc_id"], pa.int64()),
         })
 
-    return (
-        pairs.map_batches(proj, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_pairs"),
-                   Sum("eid", alias_name="sum_eid"),
-                   Sum("inc", alias_name="sum_inc"))
+    from ..stages.agg import compact_groupby
+
+    # 5 event types — partial+final rollup, no shuffle-aggregate
+    return compact_groupby(
+        pairs.map_batches(proj, batch_format="pyarrow"),
+        keys=["event_type"],
+        sum_cols={"eid": "sum_eid", "inc": "sum_inc"},
+        count_alias="n_pairs",
     )
 
 
