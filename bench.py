@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "service_graph_edges",
     "orders_events_reconcile",
     "ottl_metric_transform",
+    "events_heavy_hitters",
 ]
 
 

@@ -6753,6 +6753,28 @@ SELECT
 """
 
 
+def q_events_heavy_hitters(sf_dir: str):
+    """Misra–Gries heavy hitters over event users (stages/agg.py
+    heavy_hitters): bounded-state mergeable top-k summary — O(k) per
+    task and O(k × blocks) on the exchange no matter the corpus size.
+    Run in its EXACT configuration (k ≥ distinct users), so the plain
+    GROUP BY twin is the oracle; the approximate regime (count error
+    ≤ n/(k+1), no heavy hitter dropped) is pinned by pytest."""
+    from ..stages.agg import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    out = heavy_hitters(ds, "user_id", k=65_536)
+    return out.map_batches(
+        lambda t: pa.table({"value": pc.cast(t["value"], pa.int64()),
+                            "est_count": pc.cast(t["est_count"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_HEAVY_HITTERS = """
+SELECT user_id AS value, count(*) AS est_count FROM events GROUP BY 1
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -6907,6 +6929,7 @@ QUERIES = {
     "emb_kmeans": q_emb_kmeans,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
+    "events_heavy_hitters": q_events_heavy_hitters,
     "events_range_join": q_events_range_join,
     "log_templates": q_log_templates,
     "events_rate_limited": q_events_rate_limited,
@@ -7103,6 +7126,7 @@ ORACLES = {
     "emb_kmeans": _kmeans_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
+    "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "log_templates": SQL_LOG_TEMPLATES,
     "events_rate_limited": _rate_limited_sql(),

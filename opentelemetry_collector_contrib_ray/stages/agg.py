@@ -528,3 +528,60 @@ def profile_columns(ds, int_cols: list[str], str_cols: list[str]):
         return out.astype({"n_rows": "int64", "n_nulls": "int64"})
 
     return merged.map_batches(render, batch_format="pandas")
+
+
+def heavy_hitters(ds, col: str, k: int = 256):
+    """Misra–Gries heavy hitters: bounded-state streaming top-k counts.
+
+    The mergeable-summary shape (Agarwal et al., "Mergeable summaries",
+    PODS'12): each batch reduces to an EXACT value_counts, compressed to
+    at most ``k`` counters with the MG decrement (subtract the (k+1)-th
+    largest count from all, drop ≤0); partials merge by summed counts
+    and compress again. State is O(k) per task and O(k × blocks) on the
+    exchange regardless of corpus size — the 100 TB path for "which
+    users/domains dominate" without a full-cardinality groupby.
+
+    Guarantees: every true count c is estimated in
+    [c − n/(k+1), c] (n = total rows); when ``k`` ≥ the number of
+    distinct values no decrement ever fires and the counts are EXACT —
+    the configuration the SQL oracle pins (the approximate regime is
+    covered by the error-bound pytest).
+
+    Returns one block of (value, est_count) sorted by est_count desc,
+    value asc.
+    """
+    import pandas as pd
+
+    def _compress(vals: np.ndarray, cnts: np.ndarray, k: int):
+        if len(vals) <= k:
+            return vals, cnts
+        order = np.argsort(-cnts, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        dec = cnts[k]  # the (k+1)-th largest
+        cnts = cnts - dec
+        keep = cnts > 0
+        return vals[keep][:k], cnts[keep][:k]
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[col].to_numpy(zero_copy_only=False))
+        vc = s.value_counts(dropna=True)
+        vals, cnts = _compress(vc.index.to_numpy(),
+                               vc.to_numpy().astype(np.int64), k)
+        return pa_from_pandas(pd.DataFrame({"value": vals,
+                                            "est_count": cnts}))
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("value", as_index=False)["est_count"].sum()
+        vals, cnts = _compress(g["value"].to_numpy(),
+                               g["est_count"].to_numpy().astype(np.int64), k)
+        out = (pd.DataFrame({"value": vals, "est_count": cnts})
+               .sort_values(["est_count", "value"],
+                            ascending=[False, True], kind="mergesort"))
+        return pa_from_pandas(out.reset_index(drop=True))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -297,3 +297,46 @@ def test_profile_columns_typed_minmax_and_nulls():
     got = {r.column: (r.n_rows, r.n_nulls, r.min_v, r.max_v)
            for r in out.itertuples()}
     assert got == {"i": (4, 1, "2", "10"), "s": (4, 1, "a", "c")}
+
+
+def test_heavy_hitters_exact_when_k_covers_distinct(ray_session):
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import heavy_hitters
+
+    vals = [1] * 50 + [2] * 30 + [3] * 15 + [4] * 5
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    out = heavy_hitters(ds, "v", k=16).to_pandas()
+    assert dict(zip(out["value"], out["est_count"])) == {1: 50, 2: 30, 3: 15, 4: 5}
+    # sorted by est_count desc
+    assert list(out["est_count"]) == sorted(out["est_count"], reverse=True)
+
+
+def test_heavy_hitters_error_bound_and_no_miss(ray_session):
+    """Approximate regime: every estimate is within [c - n/(k+1), c]
+    and every TRUE heavy hitter (count > n/(k+1)) survives."""
+    import numpy as np
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import heavy_hitters
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    # Zipf-ish: few dominant values + a long tail of singletons
+    head = np.repeat(np.arange(5), [4000, 2500, 1200, 700, 400])
+    tail = rng.integers(1000, 9000, size=3000)
+    vals = np.concatenate([head, tail])
+    rng.shuffle(vals)
+    n, k = len(vals), 32
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+    out = heavy_hitters(ds, "v", k=k).to_pandas()
+    true = {}
+    for v in vals:
+        true[int(v)] = true.get(int(v), 0) + 1
+    est = dict(zip(out["value"].astype(int), out["est_count"].astype(int)))
+    bound = n / (k + 1)
+    for v, e in est.items():
+        c = true[v]
+        assert c - bound <= e <= c, (v, e, c, bound)
+    for v, c in true.items():
+        if c > bound:
+            assert v in est, (v, c, bound)
