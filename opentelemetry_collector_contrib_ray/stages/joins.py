@@ -633,5 +633,7 @@ def bloom_prefilter(ds, col: str, bloom_ref, m_bits: int = 1 << 20, k: int = 4,
 
     from .base import norm_concurrency
 
+    if m_bits <= (1 << 24):  # ≤2 MiB bitmap → task closure, full width
+        return ds.map_batches(Probe(), batch_format="pyarrow")
     return ds.map_batches(Probe, batch_format="pyarrow",
                           concurrency=norm_concurrency(concurrency))

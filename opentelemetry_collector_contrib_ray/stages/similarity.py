@@ -458,8 +458,9 @@ def lsh_near_dup_pairs(ds, threshold: float = 0.9, n_bits: int = 4,
         return g.groupby(["id_a", "id_b"], as_index=False)["cosine"].first()
 
     return (
-        ds.map_batches(_ExplodeBuckets, batch_format="pyarrow",
-                       concurrency=norm_concurrency(concurrency))
+        # task closure: hashers derive lazily from (seed, table) on the
+        # first batch — no pool startup, width = read parallelism
+        ds.map_batches(_ExplodeBuckets(), batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
         .map_groups(bucket_pairs, batch_format="pandas")
