@@ -1861,16 +1861,18 @@ def q_multimodal_decode(sf_dir: str):
 
     d = ensure_mm_oracle_tables()
     # Ray and DuckDB read the SAME parquet payload bytes
+    # dependency-free codecs have trivial constructors → task closures
+    # (an actor pool is the shape for INJECTED heavy codecs — PIL/ffmpeg
+    # loads amortize per actor; the built-ins have nothing to amortize)
     img = (
         rd.read_parquet(f"{d}/media.parquet")
-        .map_batches(ImageDecoder, fn_constructor_kwargs={"fake": False},
-                     batch_format="pyarrow", batch_size=64, concurrency=(1, 2))
+        .map_batches(ImageDecoder(fake=False), batch_format="pyarrow",
+                     batch_size=64)
         .map_batches(pixel_checksums, batch_format="pyarrow")
     )
     aud = (
         rd.read_parquet(f"{d}/audio.parquet")
-        .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64,
-                     concurrency=(1, 2))
+        .map_batches(AudioDecoder(), batch_format="pyarrow", batch_size=64)
         .map_batches(waveform_checksums, batch_format="pyarrow")
     )
     return img.union(aud)
