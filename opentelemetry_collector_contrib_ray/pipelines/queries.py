@@ -3536,7 +3536,11 @@ def q_emb_kmeans(sf_dir: str):
     return kmeans_lloyd(ds, k=4, iters=2, num_partitions=4)
 
 
-def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+def _kmeans_assign_cte(k: int = 4, iters: int = 2) -> tuple[str, str]:
+    """The k-means CTE chain (seeds → iters × (assign, update) → final
+    assign) WITHOUT the leading WITH, plus the name of the final
+    per-vector assignment CTE ``(vec_id, cl)`` — shared by the kmeans
+    rollup oracle and the semdedup oracle."""
     dist = """
 , d{i} AS (
   SELECT ex.vec_id, c.cl,
@@ -3552,8 +3556,7 @@ def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
   SELECT a{i}.cl, ex.dim, avg(CAST(ex.v AS DOUBLE)) AS c
   FROM ex JOIN a{i} USING (vec_id) GROUP BY a{i}.cl, ex.dim
 )"""
-    sql = f"""
-WITH ex AS (
+    sql = f"""ex AS (
   SELECT vec_id, unnest(embedding) AS v,
          unnest(range(0, len(embedding))) AS dim
   FROM embeddings
@@ -3565,12 +3568,65 @@ WITH ex AS (
         sql += dist.format(i=i, j=i - 1) + upd.format(i=i)
     final = iters + 1
     sql += dist.format(i=final, j=iters)
-    sql += f"""
+    return sql, f"a{final}"
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2) -> str:
+    ctes, asg = _kmeans_assign_cte(k, iters)
+    return f"""
+WITH {ctes}
 SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(vec_id) AS BIGINT) AS sum_ids
-FROM a{final} GROUP BY cl
+FROM {asg} GROUP BY cl
 """
-    return sql
+
+
+def q_emb_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup via k-means-blocked
+    cosine near-dup (stages/similarity.py semdedup): the k-means fit
+    (k=4 smallest-id seeds, 2 exact Lloyd iterations), a matmul-argmin
+    assignment pass, within-cluster cosine pairs at 0.4, connected-
+    component completion, keep = smallest id per component. The SQL twin
+    unrolls the SAME k-means CTE chain (shared with emb_kmeans), blocks
+    the all-pairs join on the assigned cluster, and completes components
+    with the recursive-CTE reachability used by emb_dedup_clusters —
+    every stage of the composition is hash-verified end to end."""
+    from ..stages.similarity import semdedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, k=4, iters=2, threshold=0.4, num_partitions=8)
+
+
+def _semdedup_sql(k: int = 4, iters: int = 2, thr: float = 0.4) -> str:
+    ctes, asg = _kmeans_assign_cte(k, iters)
+    return f"""
+WITH RECURSIVE {ctes},
+asg_emb AS (
+  SELECT e.vec_id, e.embedding, a.cl
+  FROM embeddings e JOIN {asg} a USING (vec_id)
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM asg_emb x JOIN asg_emb y
+    ON x.cl = y.cl AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding, y.embedding) >= {thr}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+),
+lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT v.vec_id,
+       coalesce(l.cluster_id, v.vec_id) AS cluster_id,
+       v.vec_id = coalesce(l.cluster_id, v.vec_id) AS keep
+FROM embeddings v LEFT JOIN lab l ON l.node = v.vec_id
+"""
 
 
 def q_docs_normalized(sf_dir: str):
@@ -6929,6 +6985,7 @@ QUERIES = {
     "emb_nc_confusion": q_emb_nc_confusion,
     "docs_lang_quantiles": q_docs_lang_quantiles,
     "emb_kmeans": q_emb_kmeans,
+    "emb_semdedup": q_emb_semdedup,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7126,6 +7183,7 @@ ORACLES = {
     "emb_nc_confusion": SQL_EMB_NC_CONFUSION,
     "docs_lang_quantiles": SQL_DOCS_LANG_QUANTILES,
     "emb_kmeans": _kmeans_sql(),
+    "emb_semdedup": _semdedup_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -613,15 +613,13 @@ def nearest_centroid_confusion(ds, emb_col: str = "embedding",
     )
 
 
-def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
-                 emb_col: str = "embedding", id_col: str = "vec_id",
-                 num_partitions: int = 8):
-    """Distributed Lloyd's k-means over the embedding column, exact and
-    deterministic: seeds are the ``k`` vectors with the smallest ids
-    (cluster label = seed id), each iteration assigns every vector to
-    its nearest centroid (squared L2, smallest-label ties) and
-    recomputes centroids as exact means; after ``iters`` updates the
-    final assignment is rolled up per cluster.
+def kmeans_fit(ds, k: int = 4, iters: int = 2,
+               emb_col: str = "embedding", id_col: str = "vec_id"):
+    """The fit loop of distributed Lloyd's k-means (shared by
+    ``kmeans_lloyd`` and ``semdedup``): seeds are the ``k`` vectors with
+    the smallest ids (cluster label = seed id, label-ascending), each
+    iteration assigns every vector to its nearest centroid (squared L2,
+    smallest-label ties) and recomputes centroids as exact means.
 
     Distribution shape per iteration — the textbook scalable k-means:
     centroids broadcast (k×d floats), ONE matmul-argmin pass per batch
@@ -629,9 +627,9 @@ def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
     driver-merged update. Embeddings never shuffle; seeds come from a
     per-block min-k combiner, not a sort.
 
-    Output: ``(cluster, n, sum_ids)`` for the final assignment.
+    Returns ``(labels, C)``: the k cluster labels (seed ids, ascending)
+    and the final (k, d) centroid matrix.
     """
-    import pandas as pd
 
     def seed_partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -685,7 +683,38 @@ def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
         nonempty = ns > 0
         C = np.where(nonempty[:, None], sums / np.maximum(ns, 1)[:, None], C)
 
-    assign = make_assign(C)
+    return labels, C
+
+
+def _centroid_assigner(labels: np.ndarray, C: np.ndarray, emb_col: str):
+    """Per-batch nearest-centroid assignment closure over a fitted
+    (labels, C): argmin of ``|c|² − 2·X·Cᵀ`` with first-minimum ties →
+    smallest label (rows of C are label-ascending), matching the SQL
+    ``ROW_NUMBER() OVER (ORDER BY d2, cl)`` rule."""
+    c2 = (C * C).sum(axis=1)
+    d = C.shape[1]
+
+    def assign(t: pa.Table):
+        emb = t[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        X = np.asarray(emb.flatten(), dtype=np.float64).reshape(-1, d)
+        return np.argmin(c2[None, :] - 2.0 * (X @ C.T), axis=1), X
+
+    return assign
+
+
+def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 num_partitions: int = 8):
+    """Distributed Lloyd's k-means (see ``kmeans_fit`` for the loop
+    shape); after ``iters`` exact updates the final assignment is
+    rolled up per cluster.
+
+    Output: ``(cluster, n, sum_ids)`` for the final assignment.
+    """
+    labels, C = kmeans_fit(ds, k, iters, emb_col, id_col)
+    assign = _centroid_assigner(labels, C, emb_col)
 
     def final(t: pa.Table) -> pa.Table:
         a, _ = assign(t)
@@ -706,6 +735,49 @@ def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
         .groupby("cluster")
         .map_groups(rollup, batch_format="pandas")
     )
+
+
+def semdedup(ds, k: int = 4, iters: int = 2, threshold: float = 0.9,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             num_partitions: int = 64):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters the embedding space, cosine
+    near-duplicate pairs are found WITHIN each cluster only, and each
+    connected near-dup group keeps its smallest id. Returns every row
+    tagged ``(id, cluster_id, keep)`` — filter ``keep`` downstream for
+    the semantically deduplicated corpus.
+
+    Scale shape: the k-means fit broadcasts k×d centroids per iteration
+    and never shuffles embeddings (``kmeans_fit``); the assignment pass
+    is one matmul-argmin ``map_batches`` adding an int cluster column;
+    the pairwise stage shuffles embeddings ONCE on the cluster key and
+    is O(|cluster|²) per group — at corpus scale, size k so clusters
+    stay bounded (the paper uses k ≈ n/100; cost falls k-fold vs
+    all-pairs). Component completion reuses the distributed min-label
+    propagation of ``stages/cluster.py``.
+    """
+    from .cluster import dedup_by_clusters
+
+    labels, C = kmeans_fit(ds, k, iters, emb_col, id_col)
+    assign = _centroid_assigner(labels, C, emb_col)
+
+    def tag(t: pa.Table) -> pa.Table:
+        a, _ = assign(t)
+        return t.append_column("__cl", pa.array(labels[a], type=pa.int64()))
+
+    pairs = cosine_near_dup_pairs(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        threshold=threshold, emb_col=emb_col, id_col=id_col,
+        block_col="__cl")
+    pairs = pairs.map_batches(
+        lambda t: pa.table({"id_a": pa.array(
+            t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "id_b": pa.array(
+            t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64))}),
+        batch_format="pyarrow")
+    ids = ds.select_columns([id_col])
+    return dedup_by_clusters(ids, pairs, id_col=id_col,
+                             num_partitions=num_partitions)
 
 
 def gram_power_iteration(ds, col: str = "embedding", scale: int = 10_000):

@@ -605,3 +605,41 @@ def test_ngram_containment_mode():
     jac = ngram_jaccard_pairs(ds, threshold_num=9, threshold_den=10,
                               num_partitions=4).to_pandas()
     assert len(jac) == 0
+
+
+def test_semdedup_brute_force_and_cross_cluster_blindness():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import semdedup
+
+    # two well-separated centers; within each, a tight trio of near-dups
+    # plus isolated points. Pairs 0-1-2 and 10-11 are near-dups; 0 and 10
+    # are NOT (different clusters), so semdedup must keep both.
+    rng = np.random.default_rng(7)
+    base_a = np.array([10.0, 0.0, 0.0, 0.0])
+    base_b = np.array([-10.0, 0.0, 0.0, 0.0])
+    rows = [base_a, base_a * 1.001, base_a * 0.999,          # ids 0,1,2 dups
+            base_a + np.array([0, 9, 0, 0]),                  # id 3 far in-cluster
+            base_b, base_b * 1.002,                           # ids 4,5 dups
+            base_b + np.array([0, 0, 9, 0])]                  # id 6 isolated
+    rows += [rng.normal(0, 2.5, 4) + base_a for _ in range(3)]  # 7,8,9 noise
+    X = np.stack(rows).astype(np.float32)
+    ids = np.arange(len(X), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(X), pa.list_(pa.float32()))})
+    out = semdedup(rd.from_arrow(t).repartition(3), k=2, iters=2,
+                   threshold=0.999, num_partitions=4) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    assert len(out) == len(ids)
+    by = dict(zip(out["vec_id"], zip(out["cluster_id"], out["keep"])))
+    # dup trio keeps only the smallest id
+    assert by[0] == (0, True) and by[1] == (0, False) and by[2] == (0, False)
+    # second cluster's dup pair keeps 4, drops 5 — cross-cluster pair
+    # (0, 4) must NOT merge even though cos(base_a, base_a) == cos rule
+    assert by[4] == (4, True) and by[5] == (4, False)
+    # isolated rows are their own singleton clusters, kept
+    for i in (3, 6):
+        assert by[i] == (i, True)
+    # exactly the three dup followers are dropped
+    assert int((~out["keep"]).sum()) == 3
