@@ -6838,11 +6838,15 @@ def q_events_range_join(sf_dir: str):
     next to as-of (stages/joins.py range_join). Incidents are the
     events with ``event_id % 97 == 0``, each opening a 2-hour window on
     its event_type; every event of that type with ts in
-    [start, end) pairs with the covering incident. One (key, bucket)
-    hash exchange; intervals replicate to ≤2 buckets (width = max
-    interval length); rollup = pair count + id sums per event_type
-    (hash-pins the exact pair set without a distinct pass)."""
-    from ..stages.joins import range_join
+    [start, end) pairs with the covering incident. The interval side is
+    ~1/97 of events, so the size gate takes the BROADCAST path: sorted
+    interval arrays ship in the task closure and the join fuses with
+    the read (zero shuffle — the (key, bucket) exchange it replaces was
+    this query's entire cost at sf0.1); above the gate the hash
+    exchange of range_join runs unchanged. Rollup = pair count + id
+    sums per event_type (hash-pins the exact pair set without a
+    distinct pass)."""
+    from ..stages.joins import gated_range_join
 
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
 
@@ -6859,9 +6863,9 @@ def q_events_range_join(sf_dir: str):
         })
 
     intervals = ds.map_batches(mk_intervals, batch_format="pyarrow")
-    pairs = range_join(ds, intervals, key="event_type", ts="ts",
-                       start="start_ts", end="end_ts",
-                       bucket_width_s=7200, num_partitions=16)
+    pairs = gated_range_join(ds, intervals, key="event_type", ts="ts",
+                             start="start_ts", end="end_ts",
+                             bucket_width_s=7200, num_partitions=16)
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table({

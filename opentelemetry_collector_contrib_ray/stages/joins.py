@@ -564,6 +564,141 @@ def range_join(left, intervals, key: str, ts: str, start: str, end: str,
     return both.groupby("__p").map_groups(join_part, batch_format="pandas")
 
 
+class _BroadcastRangeJoiner:
+    """Per-batch resolver for the broadcast range join: the interval
+    table (provably small) is pre-sorted by (key, start) driver-side;
+    every left batch finds its covering intervals with two vectorized
+    ``searchsorted`` probes per key segment — candidates are bounded by
+    the segment's max interval length, then the end bound filters
+    exactly. Ships in the task closure (stateless after __init__), so
+    the stage fuses with the read: ZERO shuffle, no pair emitted twice
+    (each left row is processed exactly once)."""
+
+    def __init__(self, intervals: pa.Table, key: str, ts: str, start: str,
+                 end: str, suffix: str, left_names: list[str],
+                 closed_start: bool, closed_end: bool):
+        import pandas as pd
+
+        self.key, self.ts = key, ts
+        self.closed_start, self.closed_end = closed_start, closed_end
+        self.icols = [c for c in intervals.column_names if c != key]
+        self.out_names = {c: (c + suffix if c in left_names else c)
+                          for c in self.icols}
+        s = pc.cast(pc.cast(intervals[start], pa.timestamp("us")), pa.int64())
+        e = pc.cast(pc.cast(intervals[end], pa.timestamp("us")), pa.int64())
+        nonempty = pc.greater_equal(e, s) if closed_end else pc.greater(e, s)
+        valid = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(intervals[key]), nonempty),
+            pc.and_kleene(pc.is_valid(s), pc.is_valid(e)))
+        intervals = intervals.filter(pc.fill_null(valid, False))
+        order = pc.sort_indices(
+            pa.table({"k": intervals[key],
+                      "s": pc.cast(pc.cast(intervals[start],
+                                           pa.timestamp("us")), pa.int64())}),
+            sort_keys=[("k", "ascending"), ("s", "ascending")])
+        self.itable = intervals.take(order).combine_chunks()
+        self.starts = pc.cast(pc.cast(self.itable[start], pa.timestamp("us")),
+                              pa.int64()).to_numpy()
+        self.ends = pc.cast(pc.cast(self.itable[end], pa.timestamp("us")),
+                            pa.int64()).to_numpy()
+        kv = self.itable[key].to_pandas()
+        self.segments: dict = {}
+        if len(kv):
+            grp = pd.RangeIndex(len(kv)).to_series().groupby(kv.values)
+            for k, idx in grp.groups.items():
+                lo, hi = int(idx[0]), int(idx[-1]) + 1
+                mx = int((self.ends[lo:hi] - self.starts[lo:hi]).max())
+                self.segments[k] = (lo, hi, mx)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tsv = pc.cast(pc.cast(t[self.ts], pa.timestamp("us")),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        kv = t[self.key].to_pandas()
+        row_parts, cand_parts = [], []
+        if len(kv):
+            grp = pd.RangeIndex(len(kv)).to_series().groupby(kv.values)
+            for k, idx in grp.groups.items():
+                seg = self.segments.get(k)
+                if seg is None:
+                    continue
+                lo_s, hi_s, mx = seg
+                rows = np.asarray(idx, dtype=np.int64)
+                tk = tsv[rows]
+                seg_starts = self.starts[lo_s:hi_s]
+                # start bound: closed → start ≤ ts; open → start < ts
+                hi = np.searchsorted(
+                    seg_starts, tk, side="right" if self.closed_start else "left")
+                # any qualifying interval has start ≥ ts − max_len
+                lo = np.searchsorted(seg_starts, tk - mx, side="left")
+                cnt = (hi - lo).clip(min=0)
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                rep = np.repeat(np.arange(len(rows)), cnt)
+                intra = np.arange(total, dtype=np.int64) - \
+                    np.repeat(np.cumsum(cnt) - cnt, cnt)
+                cand = np.repeat(lo, cnt) + intra + lo_s
+                ends = self.ends[cand]
+                tt = tk[rep]
+                keep = (ends >= tt) if self.closed_end else (ends > tt)
+                row_parts.append(rows[rep[keep]])
+                cand_parts.append(cand[keep])
+        if row_parts:
+            row_idx = np.concatenate(row_parts)
+            cand_idx = np.concatenate(cand_parts)
+        else:
+            row_idx = np.empty(0, dtype=np.int64)
+            cand_idx = np.empty(0, dtype=np.int64)
+        cols, names = [], []
+        for c in t.column_names:
+            names.append(c)
+            cols.append(t[c].take(pa.array(row_idx)))
+        for c in self.icols:
+            names.append(self.out_names[c])
+            cols.append(self.itable[c].take(pa.array(cand_idx)))
+        return pa.table(dict(zip(names, cols)))
+
+
+def gated_range_join(left, intervals, key: str, ts: str, start: str,
+                     end: str, bucket_width_s: int, suffix: str = "_r",
+                     closed_start: bool = True, closed_end: bool = False,
+                     threshold: int | None = None,
+                     num_partitions: int | None = None):
+    """Range join that broadcasts the interval side when it is provably
+    small, else falls back to the (key, bucket) exchange of
+    ``range_join`` — the range-join sibling of ``gated_broadcast_join``.
+
+    The interval side is materialized ONCE to learn its row count (the
+    exchange path would execute that lineage anyway); at or under the
+    threshold the sorted interval arrays ship in the task closure and
+    the join fuses with the left read (zero shuffle — at sf0.1 this
+    cuts the all-to-all sort that dominated the exchange path). Above
+    it, nothing is driver-resident and the hash exchange runs."""
+    import ray
+
+    thr = BROADCAST_ROWS_THRESHOLD if threshold is None else threshold
+    mat = intervals if _rows_estimate(intervals) is not None \
+        else intervals.materialize()
+    n = _rows_estimate(mat)
+    if n is not None and n <= thr:
+        parts = [pa.table(b) for b in mat.iter_batches(batch_format="pyarrow")]
+        if parts:
+            tbl = pa.concat_tables(parts)
+        else:
+            s = mat.schema()
+            tbl = pa.schema([(nm, _pa_type(tp))
+                             for nm, tp in zip(s.names, s.types)]).empty_table()
+        joiner = _BroadcastRangeJoiner(
+            tbl, key, ts, start, end, suffix, list(left.schema().names),
+            closed_start, closed_end)
+        return left.map_batches(joiner, batch_format="pyarrow")
+    return range_join(left, mat, key, ts, start, end, bucket_width_s,
+                      suffix=suffix, closed_start=closed_start,
+                      closed_end=closed_end, num_partitions=num_partitions)
+
+
 # ------------------------------------------------------------------ bloom
 
 _B1 = np.uint64(0x9E3779B97F4A7C15)

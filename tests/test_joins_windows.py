@@ -567,3 +567,68 @@ def test_compact_groupby_empty_blocks_keep_schema():
     got = compact_groupby(ds, keys=["g"], sum_cols={"x": "sum_x"}).to_pandas()
     assert sorted(map(tuple, got[["g", "sum_x"]].itertuples(index=False))) == [
         ("a", 1), ("b", 2)]
+
+
+def test_gated_range_join_broadcast_matches_exchange():
+    from opentelemetry_collector_contrib_ray.stages.joins import (
+        gated_range_join, range_join)
+
+    rng = np.random.default_rng(17)
+    n, ni = 500, 70
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    le = pd.DataFrame({
+        "k": rng.integers(0, 6, n),
+        "ts": base + rng.integers(0, 3_600_000_000 * 24, n).astype("timedelta64[us]"),
+        "eid": np.arange(n),
+    })
+    starts = base + rng.integers(0, 3_600_000_000 * 24, ni).astype("timedelta64[us]")
+    lens = rng.integers(0, 3 * 3_600_000_000, ni).astype("timedelta64[us]")
+    iv = pd.DataFrame({"k": rng.integers(0, 6, ni), "start": starts,
+                       "end": starts + lens, "iid": np.arange(ni)})
+
+    for cs, ce in [(True, False), (True, True), (False, False)]:
+        want = range_join(
+            rd.from_pandas(le).repartition(5), rd.from_pandas(iv).repartition(3),
+            key="k", ts="ts", start="start", end="end", bucket_width_s=3600,
+            closed_start=cs, closed_end=ce, num_partitions=5).to_pandas()
+        # broadcast path (interval side well under the default threshold)
+        got_b = gated_range_join(
+            rd.from_pandas(le).repartition(5), rd.from_pandas(iv).repartition(3),
+            key="k", ts="ts", start="start", end="end", bucket_width_s=3600,
+            closed_start=cs, closed_end=ce).to_pandas()
+        # forced-low threshold → exchange path through the same gate
+        got_x = gated_range_join(
+            rd.from_pandas(le).repartition(5), rd.from_pandas(iv).repartition(3),
+            key="k", ts="ts", start="start", end="end", bucket_width_s=3600,
+            closed_start=cs, closed_end=ce, threshold=3,
+            num_partitions=5).to_pandas()
+        w = sorted(zip(want["eid"].astype(int), want["iid"].astype(int)))
+        assert sorted(zip(got_b["eid"].astype(int), got_b["iid"].astype(int))) == w
+        assert sorted(zip(got_x["eid"].astype(int), got_x["iid"].astype(int))) == w
+        assert sorted(got_b.columns) == sorted(want.columns)
+
+
+def test_gated_range_join_empty_and_missing_keys():
+    from opentelemetry_collector_contrib_ray.stages.joins import gated_range_join
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    le = pd.DataFrame({"k": [1, 2, None], "ts": [base, base, base],
+                       "eid": [0, 1, 2]})
+    # key 2 has NO intervals; key 1 has one covering interval; null key drops
+    iv = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                       "start": [base - np.timedelta64(1, "m"), base],
+                       "end": [base + np.timedelta64(1, "h"),
+                               base + np.timedelta64(1, "h")],
+                       "iid": [0, 1]})
+    out = gated_range_join(rd.from_pandas(le), rd.from_pandas(iv), key="k",
+                           ts="ts", start="start", end="end",
+                           bucket_width_s=3600).to_pandas()
+    assert sorted(zip(out["eid"].astype(int), out["iid"].astype(int))) == [(0, 0)]
+    # fully empty interval side → zero rows, schema intact
+    iv0 = iv.iloc[:0]
+    out0 = gated_range_join(rd.from_pandas(le), rd.from_pandas(iv0), key="k",
+                            ts="ts", start="start", end="end",
+                            bucket_width_s=3600).to_pandas()
+    # Ray drops all-empty output blocks at to_pandas (columns go with
+    # them — engine-wide for every empty result, exchange path included)
+    assert len(out0) == 0
