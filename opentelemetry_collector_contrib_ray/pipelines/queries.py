@@ -6902,6 +6902,75 @@ GROUP BY e.event_type
 """
 
 
+def q_docs_dsir(sf_dir: str):
+    """DSIR data selection (stages/dsir.py, Xie et al. 2023): score
+    every document by the hashed-char-gram log-likelihood ratio between
+    the TARGET corpus (lang = 'en') and the raw corpus. Two streaming
+    passes, O(n_buckets) driver/task state, zero shuffle; weights are
+    half-up-quantized integers so the per-doc score is an exact int64
+    sum — the SQL twin recomputes the same counts, the same
+    exact-integer-ratio ln, and the same quantization in DuckDB."""
+    from ..stages.dsir import dsir_scores
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("is_t", pc.equal(t["lang"], "en"))
+
+    return dsir_scores(ds.map_batches(tag, batch_format="pyarrow"),
+                       target_col="is_t", n_buckets=256, window=4,
+                       scale=1_000_000)
+
+
+def _dsir_sql(window: int = 4, n_buckets: int = 256,
+              scale: int = 1_000_000) -> str:
+    """SQL twin of ``dsir_scores`` — the Karp-Rabin window hash via the
+    hex-pair byte machinery of ``_char_simhash_sql``, bucket counts,
+    the quantized log-ratio weight table, and the per-doc weight sum,
+    all inside DuckDB."""
+    base = np.uint64(1099511628211)
+    pows = [int(base ** np.uint64(k)) for k in range(window)]
+
+    def hv(c: str) -> str:
+        return (f"(CASE WHEN {c}='' THEN 0 WHEN ascii({c})>=65 "
+                f"THEN ascii({c})-55 ELSE ascii({c})-48 END)")
+
+    def byte_at(p: str) -> str:
+        return (f"(16*{hv(f'substring(h, 2*({p})-1, 1)')}"
+                f" + {hv(f'substring(h, 2*({p}), 1)')})")
+
+    terms = " + ".join(f"{byte_at(f'j+{k}')} * {pows[k]}::HUGEINT"
+                       for k in range(window))
+    B = n_buckets
+    return f"""
+WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                  octet_length(encode(coalesce(text, ''))) AS n,
+                  (lang = 'en') AS is_t
+           FROM documents),
+pos AS (SELECT doc_id, is_t, h,
+        unnest(range(1, greatest(n - {window - 2}, 2))) AS j FROM d),
+bb AS (SELECT doc_id, is_t,
+       CAST((({terms}) % 18446744073709551616::HUGEINT) % {B} AS BIGINT)
+         AS bucket FROM pos),
+cnt AS (SELECT bucket,
+        SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
+        COUNT(*) AS rc
+        FROM bb GROUP BY bucket),
+tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS t_total,
+               CAST(SUM(rc) AS BIGINT) AS r_total FROM cnt),
+w AS (SELECT bucket,
+       CAST(floor({scale} * ln(
+           CAST((tc + 1) * (r_total + {B}) AS DOUBLE)
+         / CAST((rc + 1) * (t_total + {B}) AS DOUBLE)) + 0.5) AS BIGINT)
+         AS wgt
+      FROM cnt, tot)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(w.wgt) AS BIGINT) AS dsir_score
+FROM bb b JOIN w USING (bucket)
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -6990,6 +7059,7 @@ QUERIES = {
     "docs_lang_quantiles": q_docs_lang_quantiles,
     "emb_kmeans": q_emb_kmeans,
     "emb_semdedup": q_emb_semdedup,
+    "docs_dsir": q_docs_dsir,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7188,6 +7258,7 @@ ORACLES = {
     "docs_lang_quantiles": SQL_DOCS_LANG_QUANTILES,
     "emb_kmeans": _kmeans_sql(),
     "emb_semdedup": _semdedup_sql(),
+    "docs_dsir": _dsir_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

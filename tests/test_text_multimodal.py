@@ -707,3 +707,33 @@ def test_audio_fp_pairs_banding_recall(ray_session):
             if d <= 6:
                 want.add((ids[i], ids[j], d))
     assert got_pairs == want and len(want) >= 8
+
+
+def test_dsir_scores_rank_target_like_docs():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.dsir import dsir_scores
+
+    # target-like docs share character patterns; off-target docs differ
+    tgt = ["the quick brown fox jumps over the lazy dog",
+           "the quiet brown bear naps under the lazy sun",
+           "the quick brown cat leaps over the dozy dog"]
+    off = ["zzz qqq kkk www xxx yyy vvv", "0101 1100 0011 1010 0110"]
+    mixed = ["the quick brown fox sits", "qqq zzz www kkk"]
+    docs = tgt + off + mixed
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+        "is_t": pa.array([True] * 3 + [False] * 4),
+    })
+    out = dsir_scores(rd.from_arrow(t).repartition(3), target_col="is_t",
+                      n_buckets=64).to_pandas().set_index("doc_id")
+    # the target-like held-out doc (5) outranks the junk one (6)
+    assert out.loc[5, "dsir_score"] > out.loc[6, "dsir_score"]
+    # per-doc gram counts are exact: max(len_bytes - 3, 1)
+    for i, d in enumerate(docs):
+        assert out.loc[i, "n_grams"] == max(len(d.encode()) - 3, 1)
+    # deterministic across parallelism
+    out2 = dsir_scores(rd.from_arrow(t).repartition(7), target_col="is_t",
+                       n_buckets=64).to_pandas().set_index("doc_id")
+    assert (out2["dsir_score"] == out["dsir_score"]).all()
