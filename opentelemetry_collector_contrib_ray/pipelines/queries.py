@@ -6971,6 +6971,37 @@ GROUP BY b.doc_id
 """
 
 
+def q_events_kll_quantiles(sf_dir: str):
+    """KLL/MRL mergeable quantile sketch (stages/agg.py kll_quantiles)
+    over event value cents — the bounded-state quantile path for
+    unbounded value domains (int_quantiles' exchange is O(distinct);
+    this is O(k·log(n/k)) per block). Run in its EXACT configuration
+    (k ≥ n ⇒ zero compactions ⇒ certified err_budget = 0), so DuckDB
+    ``quantile_disc`` is the oracle; the approximate regime is covered
+    by the certificate-bound pytest (test_spec_attrs_agg)."""
+    from ..stages.agg import kll_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"value_cents": _cents(t["value"])})
+
+    return kll_quantiles(ds.map_batches(cents, batch_format="pyarrow"),
+                         "value_cents",
+                         {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+                         k=1 << 21)
+
+
+SQL_EVENTS_KLL = f"""
+SELECT quantile_disc({_CENTS.format(x='value')}, 0.25) AS p25,
+       quantile_disc({_CENTS.format(x='value')}, 0.5)  AS p50,
+       quantile_disc({_CENTS.format(x='value')}, 0.9)  AS p90,
+       quantile_disc({_CENTS.format(x='value')}, 0.99) AS p99,
+       CAST(0 AS BIGINT) AS err_budget
+FROM events
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -7060,6 +7091,7 @@ QUERIES = {
     "emb_kmeans": q_emb_kmeans,
     "emb_semdedup": q_emb_semdedup,
     "docs_dsir": q_docs_dsir,
+    "events_kll_quantiles": q_events_kll_quantiles,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7259,6 +7291,7 @@ ORACLES = {
     "emb_kmeans": _kmeans_sql(),
     "emb_semdedup": _semdedup_sql(),
     "docs_dsir": _dsir_sql(),
+    "events_kll_quantiles": SQL_EVENTS_KLL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -585,3 +585,135 @@ def heavy_hitters(ds, col: str, k: int = 256):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+class _KLLSketch:
+    """Deterministic MRL/KLL-style mergeable quantile summary over
+    int64 values: a stack of levels where an item at level h stands for
+    ``2^h`` original values. A level over its capacity ``k`` sorts and
+    keeps alternating elements (parity flips per compaction — the
+    deterministic compactor of Manku–Rajagopalan–Lindsay; KLL replaces
+    the parity with a coin, same structure), pushing survivors one
+    level up. The sketch carries its own CERTIFIED rank-error budget:
+    each compaction at level h perturbs any rank by at most ``2^h``, so
+    ``budget = Σ 2^h`` over all compactions bounds the final rank error
+    — tests assert against the sketch's own certificate, and when no
+    compaction ever fires (k ≥ n) the budget is 0 and every quantile is
+    exact (the oracle configuration)."""
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.int64)]
+        self.parity: list[int] = [0]
+        self.budget = 0
+
+    def _compact(self, h: int):
+        arr = np.sort(self.levels[h], kind="mergesort")
+        p = self.parity[h] & 1
+        self.parity[h] += 1
+        if h + 1 == len(self.levels):
+            self.levels.append(np.empty(0, np.int64))
+            self.parity.append(0)
+        self.levels[h] = np.empty(0, np.int64)
+        self.levels[h + 1] = np.concatenate([self.levels[h + 1], arr[p::2]])
+        self.budget += 1 << h
+
+    def _settle(self):
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self.k:
+                self._compact(h)
+            else:
+                h += 1
+
+    def insert(self, vals: np.ndarray):
+        self.levels[0] = np.concatenate([self.levels[0],
+                                         vals.astype(np.int64)])
+        self._settle()
+
+    def merge(self, other: "_KLLSketch"):
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.int64))
+            self.parity.append(0)
+        for h, arr in enumerate(other.levels):
+            self.levels[h] = np.concatenate([self.levels[h], arr])
+            self.parity[h] += other.parity[h]
+        self.budget += other.budget
+        self._settle()
+
+    def to_rows(self) -> pa.Table:
+        lvls = [np.full(len(a), h, np.int64)
+                for h, a in enumerate(self.levels)]
+        lvls.append(np.array([-1], np.int64))          # budget sentinel row
+        vals = list(self.levels) + [np.array([self.budget], np.int64)]
+        return pa.table({"level": pa.array(np.concatenate(lvls)),
+                         "value": pa.array(np.concatenate(vals))})
+
+    @classmethod
+    def from_rows(cls, level: np.ndarray, value: np.ndarray,
+                  k: int) -> "_KLLSketch":
+        s = cls(k)
+        s.budget = int(value[level == -1].sum())
+        hmax = int(level.max(initial=0))
+        s.levels = [value[level == h].astype(np.int64)
+                    for h in range(hmax + 1)]
+        s.parity = [0] * len(s.levels)
+        s._settle()
+        return s
+
+    def quantiles(self, phis: list[float]) -> list[int]:
+        """Weighted quantile_disc rule: with all weights 1 (budget 0)
+        this IS DuckDB's ``idx = max(ceil(q·n) − 1, 0)`` selection."""
+        import math
+
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([np.full(len(a), 1 << h, np.int64)
+                              for h, a in enumerate(self.levels)])
+        order = np.argsort(vals, kind="mergesort")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = int(cum[-1]) if len(cum) else 0
+        out = []
+        for q in phis:
+            if total == 0:
+                out.append(0)
+                continue
+            idx = max(math.ceil(q * total) - 1, 0)
+            out.append(int(vals[np.searchsorted(cum, idx, side="right")]))
+        return out
+
+
+def kll_quantiles(ds, col: str, qs: dict[str, float], k: int = 4096):
+    """Mergeable ε-approximate quantiles over an UNBOUNDED int64 domain
+    — the bounded-state sibling of ``int_quantiles`` (whose exchange is
+    O(distinct values); this one is O(k·log(n/k)) per block no matter
+    the value domain — the 100 TB path for continuous measures).
+
+    Per-block KLL partials serialize as (level, value) rows; one
+    O(k log n × blocks) collect merges them driver-free in a single
+    final task. Returns ONE row: a column per quantile name plus
+    ``err_budget``, the sketch's certified max rank error (0 ⇒ exact —
+    the configuration the SQL ``quantile_disc`` oracle pins; the
+    approximate regime is covered by the certificate-bound pytest)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = _KLLSketch(k)
+        v = pc.drop_null(t[col]).to_numpy(zero_copy_only=False)
+        s.insert(v.astype(np.int64))
+        return s.to_rows()
+
+    def final(t: pa.Table) -> pa.Table:
+        lv = t["level"].to_numpy(zero_copy_only=False)
+        vv = t["value"].to_numpy(zero_copy_only=False)
+        s = _KLLSketch.from_rows(lv, vv, k)
+        vals = s.quantiles(list(qs.values()))
+        cols = {name: pa.array([v], pa.int64())
+                for name, v in zip(qs.keys(), vals)}
+        cols["err_budget"] = pa.array([s.budget], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

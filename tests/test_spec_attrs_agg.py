@@ -340,3 +340,80 @@ def test_heavy_hitters_error_bound_and_no_miss(ray_session):
     for v, c in true.items():
         if c > bound:
             assert v in est, (v, c, bound)
+
+
+def test_kll_sketch_certificate_and_exact_regime():
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.agg import _KLLSketch
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(-10_000, 10_000, 50_000).astype(np.int64)
+
+    # approximate regime: tiny k forces many compactions; every
+    # reported quantile must honor the sketch's OWN error certificate
+    s = _KLLSketch(k=128)
+    for chunk in np.array_split(data, 37):
+        s.insert(chunk)
+    assert s.budget > 0
+    srt = np.sort(data)
+    phis = [0.01, 0.25, 0.5, 0.9, 0.99]
+    got = s.quantiles(phis)
+    import math
+    for q, v in zip(phis, got):
+        target = max(math.ceil(q * len(data)) - 1, 0)
+        lo = np.searchsorted(srt, v, side="left")
+        hi = np.searchsorted(srt, v, side="right") - 1
+        rank_err = 0 if lo <= target <= hi else min(abs(lo - target),
+                                                    abs(hi - target))
+        assert rank_err <= s.budget, (q, v, rank_err, s.budget)
+    # certificate is meaningfully small for this config (k=128, n=50k)
+    assert s.budget < 0.05 * len(data)
+
+    # merge path preserves the certificate
+    parts = [_KLLSketch(k=128) for _ in range(8)]
+    for i, chunk in enumerate(np.array_split(data, 8)):
+        parts[i].insert(chunk)
+    m = parts[0]
+    for p in parts[1:]:
+        m.merge(p)
+    for q, v in zip(phis, m.quantiles(phis)):
+        target = max(math.ceil(q * len(data)) - 1, 0)
+        lo = np.searchsorted(srt, v, side="left")
+        hi = np.searchsorted(srt, v, side="right") - 1
+        rank_err = 0 if lo <= target <= hi else min(abs(lo - target),
+                                                    abs(hi - target))
+        assert rank_err <= m.budget
+
+    # exact regime: k ≥ n ⇒ budget 0 ⇒ quantile_disc equality
+    e = _KLLSketch(k=1 << 17)
+    e.insert(data)
+    assert e.budget == 0
+    for q, v in zip(phis, e.quantiles(phis)):
+        assert v == srt[max(math.ceil(q * len(data)) - 1, 0)]
+
+
+def test_kll_quantiles_dataset_roundtrip():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import kll_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 1_000_000, 20_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(9)
+    out = kll_quantiles(ds, "v", {"p50": 0.5, "p95": 0.95},
+                        k=1 << 16).to_pandas()
+    srt = np.sort(vals)
+    import math
+    assert out.loc[0, "err_budget"] == 0
+    assert out.loc[0, "p50"] == srt[max(math.ceil(0.5 * len(vals)) - 1, 0)]
+    assert out.loc[0, "p95"] == srt[max(math.ceil(0.95 * len(vals)) - 1, 0)]
+    # approximate run still returns certified-bounded answers
+    out2 = kll_quantiles(ds, "v", {"p50": 0.5}, k=64).to_pandas()
+    b = int(out2.loc[0, "err_budget"])
+    assert b > 0
+    target = max(math.ceil(0.5 * len(vals)) - 1, 0)
+    r = np.searchsorted(srt, out2.loc[0, "p50"], side="left")
+    assert abs(r - target) <= b
