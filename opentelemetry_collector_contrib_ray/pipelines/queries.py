@@ -7002,6 +7002,69 @@ FROM events
 """
 
 
+def q_docs_edit_pairs(sf_dir: str):
+    """Edit-distance similarity join (stages/editjoin.py): all string
+    pairs within Levenshtein distance ≤ 1 via FastSS/SymSpell
+    deletion-neighborhood blocking + vectorized one-edit verification.
+    Input is a deterministic variant corpus derived from documents —
+    each doc contributes its 48-char prefix, and docs with
+    ``doc_id % 3 ∈ {0, 1}`` also contribute a one-substitution /
+    one-deletion mutation at position ``(doc_id % 37) % len`` — so the
+    join has guaranteed planted matches plus any organic prefix
+    collisions. The blocking is complete for k = 1, so the brute-force
+    ``levenshtein()`` self-join is an exact oracle."""
+    from ..stages.editjoin import edit_join_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.utf8_slice_codeunits(t["text"], 0, 48).to_pylist()
+        lens = np.fromiter((len(s) for s in base), np.int64, len(base))
+        pos = (did % 37) % np.maximum(lens, 1)
+        # variant synthesis is input derivation, not the operator hot
+        # path: the per-row surgery touches only the 2/3 mutated subset
+        mut_sid, mut_s = [], []
+        for d, s, p in zip(did.tolist(), base, pos.tolist()):
+            r = d % 3
+            if r == 0:
+                mut_sid.append(d * 2 + 1)
+                mut_s.append(s[:p] + "Z" + s[p + 1:])
+            elif r == 1:
+                mut_sid.append(d * 2 + 1)
+                mut_s.append(s[:p] + s[p + 1:])
+        return pa.table({
+            "sid": pa.array(np.concatenate(
+                [did * 2, np.asarray(mut_sid, np.int64)])),
+            "s": pa.array(base + mut_s, pa.string()),
+        })
+
+    return edit_join_pairs(ds.map_batches(variants, batch_format="pyarrow"),
+                           col="s", id_col="sid")
+
+
+_EDIT_POS = "((doc_id % 37) % greatest(length(s), 1))"
+
+SQL_DOCS_EDIT_PAIRS = f"""
+WITH d AS (SELECT doc_id, substring(text, 1, 48) AS s FROM documents),
+b AS (SELECT doc_id * 2 AS sid, s FROM d),
+m AS (SELECT doc_id * 2 + 1 AS sid,
+             CASE WHEN doc_id % 3 = 0
+                  THEN substring(s, 1, {_EDIT_POS}) || 'Z'
+                       || substring(s, {_EDIT_POS} + 2)
+                  ELSE substring(s, 1, {_EDIT_POS})
+                       || substring(s, {_EDIT_POS} + 2)
+             END AS s
+      FROM d WHERE doc_id % 3 IN (0, 1)),
+v AS (SELECT * FROM b UNION ALL SELECT * FROM m)
+SELECT a.sid AS sid_a, c.sid AS sid_b,
+       CAST(levenshtein(a.s, c.s) AS BIGINT) AS dist
+FROM v a JOIN v c ON a.sid < c.sid
+WHERE abs(length(a.s) - length(c.s)) <= 1
+  AND levenshtein(a.s, c.s) <= 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -7092,6 +7155,7 @@ QUERIES = {
     "emb_semdedup": q_emb_semdedup,
     "docs_dsir": q_docs_dsir,
     "events_kll_quantiles": q_events_kll_quantiles,
+    "docs_edit_pairs": q_docs_edit_pairs,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7292,6 +7356,7 @@ ORACLES = {
     "emb_semdedup": _semdedup_sql(),
     "docs_dsir": _dsir_sql(),
     "events_kll_quantiles": SQL_EVENTS_KLL,
+    "docs_edit_pairs": SQL_DOCS_EDIT_PAIRS,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
