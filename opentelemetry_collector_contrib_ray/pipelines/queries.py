@@ -7002,6 +7002,61 @@ FROM events
 """
 
 
+def q_events_cms_counts(sf_dir: str):
+    """Count-Min sketch frequency estimates (stages/agg.py
+    cms_frequency, Cormode & Muthukrishnan '05): mergeable d×w int64
+    cell matrix — frequency pricing whose state is independent of key
+    cardinality (the post-hoc companion to the Misra-Gries candidate
+    pass). Run in a DELIBERATELY small configuration (depth 3, width 8)
+    so hash collisions occur and the overestimate is visible next to
+    ``exact_cnt``; the construction is deterministic, so the DuckDB
+    twin reproduces the estimates exactly, collisions included (the
+    byte-polynomial hash is HUGEINT-reproducible mod 2^64)."""
+    from ..stages.agg import cms_frequency
+
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return cms_frequency(ds, "event_type", depth=3, width=8)
+
+
+def _cms_sql(depth: int = 3, width: int = 8, maxlen: int = 32) -> str:
+    from ..stages.agg import CMS_BASES
+
+    rows = []
+    for j, base in enumerate(CMS_BASES[:depth]):
+        p = 1
+        for i in range(maxlen):
+            rows.append(f"({i + 1}, {j}, {p}::HUGEINT)")
+            p = (p * base) % (1 << 64)
+    vals = ",\n        ".join(rows)
+
+    def hv(c: str) -> str:
+        return (f"(CASE WHEN {c}='' THEN 0 WHEN ascii({c})>=65 "
+                f"THEN ascii({c})-55 ELSE ascii({c})-48 END)")
+
+    byte_at = (f"(16*{hv('substring(h, 2*j-1, 1)')}"
+               f" + {hv('substring(h, 2*j, 1)')})")
+    return f"""
+WITH et AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_cnt
+            FROM events GROUP BY event_type),
+k AS (SELECT event_type, hex(encode(event_type)) AS h,
+             octet_length(encode(event_type)) AS n FROM et),
+pos AS (SELECT event_type, h, unnest(range(1, n + 1)) AS j FROM k),
+pw(j, d, p) AS (VALUES {vals}),
+terms AS (SELECT event_type, d, {byte_at} * p AS term
+          FROM pos JOIN pw USING (j)),
+hh AS (SELECT event_type, d,
+       CAST((SUM(term) % 18446744073709551616::HUGEINT) % {width} AS BIGINT)
+         AS b
+       FROM terms GROUP BY event_type, d),
+cells AS (SELECT d, b, SUM(exact_cnt) AS cnt
+          FROM hh JOIN et USING (event_type) GROUP BY d, b),
+est AS (SELECT event_type, MIN(cnt) AS cms_est
+        FROM hh JOIN cells USING (d, b) GROUP BY event_type)
+SELECT e.event_type, CAST(est.cms_est AS BIGINT) AS cms_est, e.exact_cnt
+FROM est JOIN et e USING (event_type)
+"""
+
+
 def q_docs_edit_pairs(sf_dir: str):
     """Edit-distance similarity join (stages/editjoin.py): all string
     pairs within Levenshtein distance ≤ 1 via FastSS/SymSpell
@@ -7156,6 +7211,7 @@ QUERIES = {
     "docs_dsir": q_docs_dsir,
     "events_kll_quantiles": q_events_kll_quantiles,
     "docs_edit_pairs": q_docs_edit_pairs,
+    "events_cms_counts": q_events_cms_counts,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7357,6 +7413,7 @@ ORACLES = {
     "docs_dsir": _dsir_sql(),
     "events_kll_quantiles": SQL_EVENTS_KLL,
     "docs_edit_pairs": SQL_DOCS_EDIT_PAIRS,
+    "events_cms_counts": _cms_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -717,3 +717,98 @@ def kll_quantiles(ds, col: str, qs: dict[str, float], k: int = 4096):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+#: per-depth polynomial bases (odd => well-mixed under mod-2^64 powers);
+#: the hash is SQL-reproducible: byte-polynomial mod 2^64 == DuckDB
+#: HUGEINT arithmetic (the homomorphic trick shared with minhash/dsir)
+CMS_BASES = (0x100000001B3, 0x9E3779B97F4A7C15,
+             0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def cms_hashes(strs: list[str], depth: int,
+               max_key_len: int = 32) -> np.ndarray:
+    """(n, depth) uint64 byte-polynomial hashes, one base per depth."""
+    n = len(strs)
+    if n == 0:
+        return np.zeros((0, depth), np.uint64)
+    bs = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in bs), np.int64, n)
+    if lens.max(initial=0) > max_key_len:
+        raise ValueError(f"cms key over max_key_len={max_key_len}")
+    L = max(1, int(lens.max(initial=1)))
+    flat = np.frombuffer(b"".join(bs), np.uint8).astype(np.uint64)
+    off = np.zeros(n, np.int64)
+    off[1:] = np.cumsum(lens[:-1])
+    codes = np.zeros((n, L), np.uint64)
+    col = np.arange(L)
+    mask = col < lens[:, None]
+    codes[mask] = flat[(off[:, None] + col)[mask]]
+    out = np.empty((n, depth), np.uint64)
+    for j in range(depth):
+        pw = np.full(L, np.uint64(CMS_BASES[j]))
+        pw[0] = 1
+        out[:, j] = (codes * np.cumprod(pw)).sum(axis=1)
+    return out
+
+
+def cms_frequency(ds, key_col: str, depth: int = 3, width: int = 8,
+                  query_keys: list[str] | None = None):
+    """Count-Min sketch (Cormode & Muthukrishnan '05) frequency
+    estimates: mergeable depth×width int64 cell matrix, O(d·w) state
+    per block partial and on the merge — frequency estimation whose
+    memory is INDEPENDENT of key cardinality (the 100 TB companion to
+    ``misra_gries_topk``: MG surfaces candidate heavy keys, CMS prices
+    any key post-hoc without a second full aggregation).
+
+    Per block: value-counts (vectorized) → hash only the block's
+    DISTINCT keys → scatter-add counts into d×w cells → emit
+    (depth, bucket, cnt) rows; a compact_groupby merges the partials
+    (sketch merge = cell-wise sum — exact mergeability is what the
+    parallelism-invariance test pins). Estimates — min over depths of
+    the key's cell — are then priced for ``query_keys`` (default: the
+    observed distinct keys, exact-counted in the same pass structure)
+    and returned with ``exact_cnt`` so the overestimate is visible.
+    The whole construction is deterministic, so the SQL twin reproduces
+    the ESTIMATES exactly, collisions included."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        vc = pc.drop_null(t[key_col]).value_counts()
+        keys = vc.field(0).to_pylist()
+        cnts = vc.field(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = cms_hashes(keys, depth) % np.uint64(width)
+        mat = np.zeros((depth, width), np.int64)
+        for j in range(depth):
+            np.add.at(mat[j], h[:, j].astype(np.int64), cnts)
+        d, b = np.divmod(np.arange(depth * width), width)
+        return pa.table({"depth": pa.array(d), "bucket": pa.array(b),
+                         "cnt": pa.array(mat.ravel())})
+
+    from .tailsampling import ray_get_tables
+
+    cells_t = pa.concat_tables(ray_get_tables(compact_groupby(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["depth", "bucket"], sum_cols={"cnt": "cnt"})))
+    cells = np.zeros((depth, width), np.int64)
+    cells[cells_t["depth"].to_numpy(), cells_t["bucket"].to_numpy()] = \
+        cells_t["cnt"].to_numpy()
+
+    if query_keys is None:
+        kt = pa.concat_tables(ray_get_tables(compact_groupby(
+            ds, [key_col], count_alias="exact_cnt")))
+        query_keys = kt[key_col].to_pylist()
+        exact = dict(zip(query_keys, kt["exact_cnt"].to_pylist()))
+    else:
+        exact = None
+    qh = (cms_hashes(query_keys, depth) % np.uint64(width)).astype(np.int64)
+    est = cells[np.arange(depth)[None, :], qh].min(axis=1)
+    out = {key_col: pa.array(query_keys, pa.string()),
+           "cms_est": pa.array(est, pa.int64())}
+    if exact is not None:
+        out["exact_cnt"] = pa.array([exact[k] for k in query_keys],
+                                    pa.int64())
+    return pa.table(out)
+
+

@@ -417,3 +417,48 @@ def test_kll_quantiles_dataset_roundtrip():
     target = max(math.ceil(0.5 * len(vals)) - 1, 0)
     r = np.searchsorted(srt, out2.loc[0, "p50"], side="left")
     assert abs(r - target) <= b
+
+
+# ------------------------------------------------------ count-min sketch
+
+
+def test_cms_overestimates_and_merge_invariance():
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import cms_frequency
+
+    keys = ["click", "view", "purchase", "login", "logout",
+            "search", "scroll", "hover", "drag", "drop"]
+    rng = np.random.default_rng(3)
+    vals = rng.choice(keys, 5000,
+                      p=np.array([20, 15, 5, 10, 10, 15, 10, 5, 5, 5]) / 100)
+    t = pa.table({"k": pa.array(vals.tolist())})
+
+    outs = []
+    for nblocks in (1, 6):
+        out = cms_frequency(rd.from_arrow(t).repartition(nblocks), "k",
+                            depth=3, width=8).to_pandas()
+        outs.append(out.sort_values("k").reset_index(drop=True))
+    # merge = cell-wise sum => estimates identical under any split
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    # CMS never underestimates; the small width forces visible collisions
+    assert (df.cms_est >= df.exact_cnt).all()
+    assert (df.cms_est > df.exact_cnt).any()
+    # exact regime: width large enough that no buckets collide
+    wide = cms_frequency(rd.from_arrow(t).repartition(4), "k",
+                         depth=4, width=4096).to_pandas()
+    assert (wide.cms_est == wide.exact_cnt).all()
+
+
+def test_cms_query_keys_and_unseen_key():
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import cms_frequency
+
+    t = pa.table({"k": pa.array(["a"] * 7 + ["b"] * 3)})
+    out = cms_frequency(rd.from_arrow(t), "k", depth=3, width=512,
+                        query_keys=["a", "zzz"]).to_pandas()
+    by = dict(zip(out["k"], out["cms_est"]))
+    assert by["a"] == 7
+    # unseen key prices to 0 unless it collides (width is big here)
+    assert by["zzz"] == 0
+    assert "exact_cnt" not in out.columns
