@@ -7002,6 +7002,50 @@ FROM events
 """
 
 
+def q_graph_triangles(sf_dir: str):
+    """Exact distributed triangle counting (stages/graph.py, Suri &
+    Vassilvitskii 2011 degree-ordered wedge join) over a hashed
+    projection graph of the event stream (node = event_id % 64 paired
+    with (event_id // 64) % 64 — deterministic, SQL-derivable, and
+    non-bipartite so triangles actually exist, unlike the
+    client→server service graph). Output is per-node degree, triangle
+    count and the C(degree,2) wedge denominator, all integers."""
+    from ..stages.graph import triangle_counts
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(eid % 64),
+                         "dst": pa.array((eid // 64) % 64)})
+
+    return triangle_counts(ds.map_batches(edges, batch_format="pyarrow"),
+                           num_partitions=16)
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH raw AS (
+  SELECT DISTINCT least(event_id % 64, (event_id // 64) % 64) AS a,
+                  greatest(event_id % 64, (event_id // 64) % 64) AS b
+  FROM events
+  WHERE (event_id % 64) <> ((event_id // 64) % 64)),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM raw e1 JOIN raw e2 ON e2.a = e1.b
+                    JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b),
+tn AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       FROM tn GROUP BY node),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM raw UNION ALL SELECT b FROM raw)
+        GROUP BY node)
+SELECT d.node, d.degree,
+       coalesce(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+       CAST(d.degree * (d.degree - 1) // 2 AS BIGINT) AS wedges
+FROM deg d LEFT JOIN tc t USING (node)
+"""
+
+
 def q_events_cms_counts(sf_dir: str):
     """Count-Min sketch frequency estimates (stages/agg.py
     cms_frequency, Cormode & Muthukrishnan '05): mergeable d×w int64
@@ -7212,6 +7256,7 @@ QUERIES = {
     "events_kll_quantiles": q_events_kll_quantiles,
     "docs_edit_pairs": q_docs_edit_pairs,
     "events_cms_counts": q_events_cms_counts,
+    "graph_triangles": q_graph_triangles,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7414,6 +7459,7 @@ ORACLES = {
     "events_kll_quantiles": SQL_EVENTS_KLL,
     "docs_edit_pairs": SQL_DOCS_EDIT_PAIRS,
     "events_cms_counts": _cms_sql(),
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -1,0 +1,166 @@
+"""Distributed graph analytics: exact triangle counting.
+
+``triangle_counts`` implements the degree-ordered wedge-join algorithm
+(Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
+Last Reducer"; the node-iterator++ of Schank & Wagner 2005): orient
+every edge from its lower-ranked endpoint to its higher-ranked one
+under the total order (degree, node); generate wedges only at each
+edge's LOWEST-ranked node — so a node of degree d contributes
+O(min(d, √E)²) wedges, the arboricity bound that kills the hub-node
+quadratic blowup a naive neighbor-pairing suffers — and hash-join the
+wedge pairs against the distinct edge set. Each triangle is found
+exactly once (at its unique lowest-ranked vertex).
+
+Companion to the servicegraph/pagerank connectors (stages/
+servicegraph.py): those aggregate EDGES from span pairs; this computes
+closed-triad structure (triangles, clustering numerators) on any edge
+table.
+
+Scale shape: two all-to-all exchanges (distinct-edges by pair hash,
+wedges+edges by pair hash) plus one compact rollup; the degree table
+(O(nodes)) is broadcast once via ``ray.put`` for the orientation pass —
+the documented assumption is node cardinality ≪ edge cardinality
+(millions of nodes ≈ tens of MB; for billions of nodes the orientation
+would become a hash join on each endpoint instead)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .agg import compact_groupby
+from .base import pa_from_pandas
+from .tailsampling import ray_get_tables
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_part(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    h = a.astype(np.uint64) * _MIX ^ b.astype(np.uint64)
+    return (h % np.uint64(n)).astype(np.int64)
+
+
+def _wedge_pairs(u: np.ndarray, v: np.ndarray):
+    """All (v_i, v_j) neighbor pairs per u-run — one combinations index
+    per distinct run length, no per-run Python loop."""
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    lens = np.diff(np.r_[starts, len(u)])
+    outs = []
+    for d in np.unique(lens):
+        if d < 2:
+            continue
+        runs = starts[lens == d]
+        idx = runs[:, None] + np.arange(d)[None, :]
+        block = v[idx]
+        ia, ib = np.triu_indices(int(d), k=1)
+        x, y = block[:, ia].ravel(), block[:, ib].ravel()
+        swap = x > y
+        outs.append((np.where(swap, y, x), np.where(swap, x, y),
+                     np.repeat(u[runs], len(ia))))
+    if not outs:
+        z = np.array([], np.int64)
+        return z, z.copy(), z.copy()
+    return tuple(np.concatenate([o[i] for o in outs]) for i in range(3))
+
+
+def triangle_counts(edges, src: str = "src", dst: str = "dst",
+                    num_partitions: int = 64) -> pa.Table:
+    """Per-node (node, degree, triangles, wedges) over the undirected
+    simple graph induced by the edge dataset (self-loops dropped,
+    parallel edges collapsed). ``wedges = C(degree, 2)`` is the exact
+    clustering-coefficient denominator, kept integer so the result is
+    hash-comparable (cc = triangles / wedges downstream)."""
+    import ray
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[src], pa.int64())
+        b = pc.cast(t[dst], pa.int64())
+        lo, hi = pc.min_element_wise(a, b), pc.max_element_wise(a, b)
+        tt = pa.table({"a": lo, "b": hi}).filter(pc.not_equal(lo, hi))
+        df = tt.to_pandas().drop_duplicates()        # local combiner
+        an, bn = df["a"].to_numpy(), df["b"].to_numpy()
+        return pa_from_pandas(df).append_column(
+            "__p", pa.array(_pair_part(an, bn, num_partitions)))
+
+    def distinct_part(g: pd.DataFrame) -> pa.Table:
+        return pa_from_pandas(g[["a", "b"]].drop_duplicates())
+
+    e = (edges.map_batches(canon, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(distinct_part, batch_format="pandas")
+              .materialize())     # reused by degrees, orientation, match
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])})
+
+    deg_t = pa.concat_tables(ray_get_tables(compact_groupby(
+        e.map_batches(node_rows, batch_format="pyarrow"),
+        ["node"], count_alias="degree")))
+    nodes = deg_t["node"].to_numpy(zero_copy_only=False)
+    degs = deg_t["degree"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes)
+    deg_ref = ray.put((nodes[order], degs[order]))
+
+    def orient(t: pa.Table) -> pa.Table:
+        ns, ds_ = ray.get(deg_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da, db = ds_[np.searchsorted(ns, a)], ds_[np.searchsorted(ns, b)]
+        a_first = (da < db) | ((da == db) & (a < b))
+        u, v = np.where(a_first, a, b), np.where(a_first, b, a)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "__w": pa.array((u.astype(np.uint64) * _MIX
+                                          % np.uint64(num_partitions))
+                                         .astype(np.int64))})
+
+    def wedges_part(g: pd.DataFrame) -> pa.Table:
+        x, y, w = _wedge_pairs(g["u"].to_numpy(), g["v"].to_numpy())
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y), "w": pa.array(w),
+            "kind": pa.array(np.ones(len(x), np.int8)),
+            "__q": pa.array(_pair_part(x, y, num_partitions))})
+
+    wedges = (e.map_batches(orient, batch_format="pyarrow")
+               .groupby("__w")
+               .map_groups(wedges_part, batch_format="pandas"))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": t["a"], "y": t["b"],
+            "w": pa.array(np.full(len(a), -1, np.int64)),
+            "kind": pa.array(np.zeros(len(a), np.int8)),
+            "__q": pa.array(_pair_part(a, b, num_partitions))})
+
+    def match(g: pd.DataFrame) -> pa.Table:
+        ed = g.loc[g["kind"] == 0, ["x", "y"]]
+        wd = g.loc[g["kind"] == 1, ["x", "y", "w"]]
+        m = wd.merge(ed, on=["x", "y"])
+        node = np.concatenate([m["w"].to_numpy(), m["x"].to_numpy(),
+                               m["y"].to_numpy()]).astype(np.int64)
+        return pa.table({"node": pa.array(node)})
+
+    tri_t = pa.concat_tables(ray_get_tables(compact_groupby(
+        wedges.union(e.map_batches(edge_rows, batch_format="pyarrow"))
+              .groupby("__q")
+              .map_groups(match, batch_format="pandas"),
+        ["node"], count_alias="triangles")))
+
+    # final assembly on the two per-node tables (both already tiny)
+    dd = pd.DataFrame({"node": nodes[order], "degree": degs[order]})
+    td = tri_t.to_pandas()
+    out = dd.merge(td, on="node", how="left")
+    tri = out["triangles"].fillna(0).to_numpy().astype(np.int64)
+    deg = out["degree"].to_numpy().astype(np.int64)
+    return pa.table({
+        "node": pa.array(out["node"].to_numpy().astype(np.int64)),
+        "degree": pa.array(deg),
+        "triangles": pa.array(tri),
+        "wedges": pa.array(deg * (deg - 1) // 2),
+    })

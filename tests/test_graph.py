@@ -1,0 +1,67 @@
+"""Distributed triangle counting (stages/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from opentelemetry_collector_contrib_ray.stages.graph import _wedge_pairs, triangle_counts
+
+
+def _random_graph(n, p, seed):
+    rng = np.random.default_rng(seed)
+    A = rng.random((n, n)) < p
+    A = np.triu(A, 1)
+    return A | A.T
+
+
+def test_wedge_pairs_canonical_and_complete():
+    u = np.array([1, 1, 1, 2, 2, 3], np.int64)
+    v = np.array([9, 5, 7, 4, 6, 8], np.int64)
+    x, y, w = _wedge_pairs(u, v)
+    got = sorted(zip(w, x, y))
+    assert got == [(1, 5, 7), (1, 5, 9), (1, 7, 9), (2, 4, 6)]
+    assert (x < y).all()
+
+
+def test_triangle_counts_vs_brute_force():
+    A = _random_graph(60, 0.15, 5)
+    src, dst = np.nonzero(np.triu(A, 1))
+    # duplicates, reversed edges and self-loops must all be cleaned
+    src2 = np.concatenate([src, dst, src[:10], np.arange(5)])
+    dst2 = np.concatenate([dst, src, dst[:10], np.arange(5)])
+    ds = rd.from_arrow(pa.table({"src": pa.array(src2),
+                                 "dst": pa.array(dst2)})).repartition(5)
+    out = triangle_counts(ds, num_partitions=16).to_pandas()
+    out = out.set_index("node").sort_index()
+    tri = np.diag(A.astype(np.int64) @ A @ A) // 2
+    deg = A.sum(1)
+    present = deg > 0
+    assert list(out.index) == list(np.nonzero(present)[0])
+    assert (out["degree"].to_numpy() == deg[present]).all()
+    assert (out["triangles"].to_numpy() == tri[present]).all()
+    assert (out["wedges"].to_numpy()
+            == deg[present] * (deg[present] - 1) // 2).all()
+
+
+def test_triangle_counts_parallelism_invariant():
+    A = _random_graph(40, 0.2, 9)
+    src, dst = np.nonzero(np.triu(A, 1))
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    outs = []
+    for nblocks, nparts in ((1, 4), (7, 32)):
+        out = triangle_counts(rd.from_arrow(t).repartition(nblocks),
+                              num_partitions=nparts).to_pandas()
+        outs.append(out.sort_values("node").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+
+
+def test_triangle_counts_hub_graph():
+    # star graph: no triangles no matter the hub degree; plus one triad
+    hub_edges = [(0, i) for i in range(1, 30)]
+    tri_edges = [(100, 101), (101, 102), (100, 102)]
+    e = hub_edges + tri_edges
+    t = pa.table({"src": pa.array([a for a, _ in e], pa.int64()),
+                  "dst": pa.array([b for _, b in e], pa.int64())})
+    out = triangle_counts(rd.from_arrow(t)).to_pandas().set_index("node")
+    assert out.loc[0, "triangles"] == 0 and out.loc[0, "degree"] == 29
+    assert (out.loc[[100, 101, 102], "triangles"] == 1).all()
