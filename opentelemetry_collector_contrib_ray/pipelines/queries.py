@@ -7002,6 +7002,29 @@ FROM events
 """
 
 
+def q_emb_knn_graph(sf_dir: str):
+    """Exact all-kNN self-join (stages/similarity.py knn_graph): every
+    vector's top-3 cosine neighbors via block-pair matmul fan-out +
+    the shared vectorized top-k merge; ties broken by neighbor id on
+    both engines. Output is the (query_id, vec_id) edge set of the
+    kNN graph."""
+    from ..stages.similarity import knn_graph
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_graph(ds, k=3)
+    return pa.table({"query_id": out["query_id"], "vec_id": out["vec_id"]})
+
+
+SQL_EMB_KNN_GRAPH = """
+SELECT a.vec_id AS query_id, b.vec_id
+FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+             b.vec_id) <= 3
+"""
+
+
 def q_graph_triangles(sf_dir: str):
     """Exact distributed triangle counting (stages/graph.py, Suri &
     Vassilvitskii 2011 degree-ordered wedge join) over a hashed
@@ -7257,6 +7280,7 @@ QUERIES = {
     "docs_edit_pairs": q_docs_edit_pairs,
     "events_cms_counts": q_events_cms_counts,
     "graph_triangles": q_graph_triangles,
+    "emb_knn_graph": q_emb_knn_graph,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7460,6 +7484,7 @@ ORACLES = {
     "docs_edit_pairs": SQL_DOCS_EDIT_PAIRS,
     "events_cms_counts": _cms_sql(),
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "emb_knn_graph": SQL_EMB_KNN_GRAPH,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -825,3 +825,66 @@ def gram_power_iteration(ds, col: str = "embedding", scale: int = 10_000):
     v2 = [sum(M[i][j] * v1[j] for j in range(d)) for i in range(d)]
     return pa.table({"dim": pa.array(range(d), pa.int64()),
                      "v2": pa.array([str(x) for x in v2], pa.string())})
+
+
+def knn_graph(ds, k: int = 3, emb_col: str = "embedding",
+              id_col: str = "vec_id", pairs_per_task: int = 1):
+    """Exact all-kNN self-join (the kNN-graph construction behind
+    SemDeDup-style curation, UMAP neighborhoods and graph-based dedup):
+    every vector's top-k cosine neighbors, self excluded.
+
+    Distributed shape: the corpus materializes once into object-store
+    blocks; a Dataset of (query-block, corpus-block) index pairs fans
+    the O(B²) block-pair matmuls out as tasks (each task zero-copy
+    reads two blocks via their refs — the corpus is never broadcast
+    whole and never re-shipped per task pair beyond the object store's
+    locality-aware fetch). Block-local top-k partials merge with the
+    same vectorized lexsort merge as ``brute_force_topk`` — bounded by
+    B × k rows per query.
+
+    Exact all-pairs is inherently O(n²·d) compute; this is the
+    oracle-verifiable baseline. The scale path is the same top-k merge
+    fed by IVF/LSH candidate blocking (``ivf_topk`` / ``lsh_bucket_topk``
+    with the corpus as queries, or ``cosine_near_dup_pairs`` /
+    ``semdedup`` for threshold graphs)."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs = [r for r in mat.to_arrow_refs()]
+    B = len(refs)
+
+    def score(t: pa.Table) -> pa.Table:
+        outs = []
+        for qi, cj in zip(t["qi"].to_pylist(), t["cj"].to_pylist()):
+            tq, tc = ray.get(refs[qi]), ray.get(refs[cj])
+            if tq.num_rows == 0 or tc.num_rows == 0:
+                continue
+            Xq = _normalize(_to_matrix(tq[emb_col]))
+            Xc = _normalize(_to_matrix(tc[emb_col]))
+            qids = tq[id_col].to_numpy(zero_copy_only=False)
+            cids = tc[id_col].to_numpy(zero_copy_only=False)
+            sims = Xq @ Xc.T
+            sims[qids[:, None] == cids[None, :]] = -np.inf  # no self edge
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qids)), kk)
+            cols = part.ravel()
+            keep = np.isfinite(sims[rows, cols])
+            outs.append(pa.table({
+                "query_id": pa.array(qids[rows[keep]]),
+                id_col: pa.array(cids[cols[keep]]),
+                "cosine": pa.array(sims[rows[keep], cols[keep]],
+                                   type=pa.float64()),
+            }))
+        if not outs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    pairs = rd.from_items([{"qi": i, "cj": j}
+                           for i in range(B) for j in range(B)])
+    partial = pairs.map_batches(score, batch_format="pyarrow",
+                                batch_size=pairs_per_task)
+    return _merge_topk_partials(partial, k, id_col)

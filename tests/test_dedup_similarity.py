@@ -643,3 +643,26 @@ def test_semdedup_brute_force_and_cross_cluster_blindness():
         assert by[i] == (i, True)
     # exactly the three dup followers are dropped
     assert int((~out["keep"]).sum()) == 3
+
+
+def test_knn_graph_exact_and_parallelism_invariant(embeddings):
+    from opentelemetry_collector_contrib_ray.stages.similarity import knn_graph, _to_matrix
+
+    m = _to_matrix(embeddings["embedding"])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    k = 3
+    want = set()
+    for q in range(len(m)):
+        order = np.lexsort((np.arange(len(m)), -sims[q]))[:k]
+        want |= {(q, int(j)) for j in order}
+
+    got_sets = []
+    for nblocks in (1, 6):
+        ds = rd.from_arrow(embeddings).repartition(nblocks)
+        out = knn_graph(ds, k=k).to_pandas()
+        assert (out["query_id"] != out["vec_id"]).all()  # no self edges
+        assert out.groupby("query_id").size().eq(k).all()
+        got_sets.append(set(zip(out["query_id"], out["vec_id"])))
+    assert got_sets[0] == got_sets[1] == want
