@@ -7002,6 +7002,50 @@ FROM events
 """
 
 
+def q_events_topn_per_type(sf_dir: str):
+    """Per-group top-N (stages/agg.py topn_per_group): top-3 users by
+    summed value cents within each event_type. Block-local top-N
+    combiner → one group-key hash exchange → final rank — per-group
+    state never exceeds N rows and group count is unbounded (no
+    repartition(1) anywhere). Fed by the salted two-phase sum."""
+    from ..stages.agg import salted_groupby_sum, topn_per_group
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "user_id": pc.cast(t["user_id"], pa.int64()),
+                         "cents": _cents(t["value"])})
+
+    agg = salted_groupby_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                             ["event_type", "user_id"], "cents",
+                             out_col="total_cents")
+    out = topn_per_group(agg, ["event_type"], "total_cents", 3,
+                         tie_cols=["user_id"])
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "user_id": pc.cast(t["user_id"], pa.int64()),
+                            "total_cents": pc.cast(t["total_cents"], pa.int64()),
+                            "rank": pc.cast(t["rank"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+
+
+SQL_EVENTS_TOPN_PER_TYPE = f"""
+WITH s AS (SELECT event_type, user_id,
+                  CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS total_cents
+           FROM events GROUP BY event_type, user_id)
+SELECT event_type, user_id, total_cents,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY total_cents DESC, user_id)
+            AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 3
+"""
+
+
 def q_emb_knn_graph(sf_dir: str):
     """Exact all-kNN self-join (stages/similarity.py knn_graph): every
     vector's top-3 cosine neighbors via block-pair matmul fan-out +
@@ -7281,6 +7325,7 @@ QUERIES = {
     "events_cms_counts": q_events_cms_counts,
     "graph_triangles": q_graph_triangles,
     "emb_knn_graph": q_emb_knn_graph,
+    "events_topn_per_type": q_events_topn_per_type,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7485,6 +7530,7 @@ ORACLES = {
     "events_cms_counts": _cms_sql(),
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "emb_knn_graph": SQL_EMB_KNN_GRAPH,
+    "events_topn_per_type": SQL_EVENTS_TOPN_PER_TYPE,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

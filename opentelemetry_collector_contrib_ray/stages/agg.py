@@ -812,3 +812,50 @@ def cms_frequency(ds, key_col: str, depth: int = 3, width: int = 8,
     return pa.table(out)
 
 
+
+
+# --------------------------------------------------- per-group top-N
+
+
+def topn_per_group(ds, group_cols: list[str], order_col: str, n: int,
+                   tie_cols: list[str] | None = None,
+                   descending: bool = True, num_partitions: int = 64):
+    """Distributed top-N rows per group by ``order_col`` (ties broken by
+    ``tie_cols`` ascending — pass enough columns to make the order
+    total, or the result is nondeterministic under re-partitioning).
+
+    Scale shape: a block-local top-N COMBINER first (one stable
+    multi-key sort + head(n) per block — at most n × groups-in-block
+    rows leave the map stage), then ONE hash exchange on the group key
+    and the same vectorized pass per partition, which also assigns the
+    1-based ``rank``. Group count is unbounded (nothing ever
+    repartitions to 1); per-group state never exceeds n rows."""
+    tie_cols = tie_cols or []
+    by = group_cols + [order_col] + tie_cols
+    asc = [True] * len(group_cols) + [not descending] + [True] * len(tie_cols)
+
+    def _local(df: "pd.DataFrame", with_rank: bool) -> "pd.DataFrame":
+        out = (df.sort_values(by, ascending=asc, kind="mergesort")
+                 .groupby(group_cols, sort=False))
+        head = out.head(n)
+        if with_rank:
+            head = head.assign(rank=(head.groupby(group_cols, sort=False)
+                                     .cumcount() + 1).astype(np.int64))
+        return head
+
+    import pandas as pd  # noqa: F811 (local alias for the closure)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        head = _local(df, with_rank=False)
+        h = pd.util.hash_pandas_object(head[group_cols], index=False).to_numpy()
+        return pa_from_pandas(head).append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def final(g: "pd.DataFrame") -> pa.Table:
+        return pa_from_pandas(
+            _local(g.drop(columns="__p"), with_rank=True))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(final, batch_format="pandas"))

@@ -462,3 +462,47 @@ def test_cms_query_keys_and_unseen_key():
     # unseen key prices to 0 unless it collides (width is big here)
     assert by["zzz"] == 0
     assert "exact_cnt" not in out.columns
+
+
+# ------------------------------------------------- per-group top-N
+
+
+def test_topn_per_group_exact_and_invariant():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import topn_per_group
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame({
+        "g": rng.choice(list("abcdefgh"), n),
+        "v": rng.integers(0, 40, n),     # plenty of ties
+        "id": np.arange(n, dtype=np.int64),
+    })
+    want = (df.sort_values(["g", "v", "id"],
+                           ascending=[True, False, True], kind="mergesort")
+              .groupby("g").head(4))
+    want = want.assign(rank=(want.groupby("g").cumcount() + 1))
+    want = set(map(tuple, want[["g", "v", "id", "rank"]].to_numpy()))
+
+    for nblocks in (1, 9):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = topn_per_group(ds, ["g"], "v", 4, tie_cols=["id"],
+                             num_partitions=8).to_pandas()
+        got = set(map(tuple, out[["g", "v", "id", "rank"]].to_numpy()))
+        assert got == want
+
+
+def test_topn_per_group_ascending_and_small_groups():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import topn_per_group
+
+    df = pd.DataFrame({"g": ["x", "x", "y"], "v": [5, 3, 9],
+                       "id": [0, 1, 2]})
+    out = topn_per_group(rd.from_pandas(df), ["g"], "v", 2,
+                         tie_cols=["id"], descending=False).to_pandas()
+    out = out.sort_values(["g", "rank"]).reset_index(drop=True)
+    # ascending order; group smaller than N keeps all rows
+    assert out[["g", "v", "rank"]].values.tolist() == [
+        ["x", 3, 1], ["x", 5, 2], ["y", 9, 1]]
