@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "orders_events_reconcile",
     "ottl_metric_transform",
     "events_heavy_hitters",
+    "docs_edit_pairs",
+    "emb_knn_graph",
+    "graph_triangles",
+    "events_topn_per_type",
+    "events_cms_counts",
 ]
 
 
