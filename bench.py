@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "graph_triangles",
     "events_topn_per_type",
     "events_cms_counts",
+    "events_value_hour_corr",
 ]
 
 

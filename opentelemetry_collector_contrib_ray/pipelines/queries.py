@@ -7002,13 +7002,50 @@ FROM events
 """
 
 
+def q_events_value_hour_corr(sf_dir: str):
+    """Grouped Pearson-correlation components (stages/agg.py
+    grouped_corr_components): per event_type, the exact-integer
+    cross-moment monoid (n, Σx, Σy, Σx², Σy², Σxy) between value cents
+    and hour-of-day — the mergeable state behind corr/cov/OLS, kept
+    integer so both engines hash identically; the float r is one
+    driver-side expression away."""
+    from ..stages.agg import grouped_corr_components
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = _pc_mod(pc.divide(us, 3_600_000_000), 24)
+        return pa.table({"event_type": t["event_type"],
+                         "x": _cents(t["value"]), "y": hour})
+
+    return grouped_corr_components(
+        ds.map_batches(prep, batch_format="pyarrow"), ["event_type"],
+        "x", "y")
+
+
+SQL_EVENTS_VALUE_HOUR_CORR = f"""
+WITH p AS (SELECT event_type, {_CENTS.format(x='value')} AS x,
+                  (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS y
+           FROM events)
+SELECT event_type,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY event_type
+"""
+
+
 def q_events_topn_per_type(sf_dir: str):
     """Per-group top-N (stages/agg.py topn_per_group): top-3 users by
     summed value cents within each event_type. Block-local top-N
     combiner → one group-key hash exchange → final rank — per-group
     state never exceeds N rows and group count is unbounded (no
     repartition(1) anywhere). Fed by the salted two-phase sum."""
-    from ..stages.agg import salted_groupby_sum, topn_per_group
+    from ..stages.agg import hash_groupby_sum, topn_per_group
 
     ds = read_table(sf_dir, "events",
                     columns=["event_type", "user_id", "value"])
@@ -7018,11 +7055,13 @@ def q_events_topn_per_type(sf_dir: str):
                          "user_id": pc.cast(t["user_id"], pa.int64()),
                          "cents": _cents(t["value"])})
 
-    agg = salted_groupby_sum(ds.map_batches(cents, batch_format="pyarrow"),
-                             ["event_type", "user_id"], "cents",
-                             out_col="total_cents")
+    agg = hash_groupby_sum(ds.map_batches(cents, batch_format="pyarrow"),
+                           ["event_type", "user_id"], "cents",
+                           out_col="total_cents")
+    # group count = event types (tiny) → compact final; the
+    # hash-exchange path is the unbounded-group shape (tested both)
     out = topn_per_group(agg, ["event_type"], "total_cents", 3,
-                         tie_cols=["user_id"])
+                         tie_cols=["user_id"], compact=True)
     return out.map_batches(
         lambda t: pa.table({"event_type": t["event_type"],
                             "user_id": pc.cast(t["user_id"], pa.int64()),
@@ -7326,6 +7365,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "emb_knn_graph": q_emb_knn_graph,
     "events_topn_per_type": q_events_topn_per_type,
+    "events_value_hour_corr": q_events_value_hour_corr,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7531,6 +7571,7 @@ ORACLES = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "emb_knn_graph": SQL_EMB_KNN_GRAPH,
     "events_topn_per_type": SQL_EVENTS_TOPN_PER_TYPE,
+    "events_value_hour_corr": SQL_EVENTS_VALUE_HOUR_CORR,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

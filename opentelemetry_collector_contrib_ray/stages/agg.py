@@ -819,7 +819,8 @@ def cms_frequency(ds, key_col: str, depth: int = 3, width: int = 8,
 
 def topn_per_group(ds, group_cols: list[str], order_col: str, n: int,
                    tie_cols: list[str] | None = None,
-                   descending: bool = True, num_partitions: int = 64):
+                   descending: bool = True, num_partitions: int = 64,
+                   compact: bool = False):
     """Distributed top-N rows per group by ``order_col`` (ties broken by
     ``tie_cols`` ascending — pass enough columns to make the order
     total, or the result is nondeterministic under re-partitioning).
@@ -829,7 +830,13 @@ def topn_per_group(ds, group_cols: list[str], order_col: str, n: int,
     rows leave the map stage), then ONE hash exchange on the group key
     and the same vectorized pass per partition, which also assigns the
     1-based ``rank``. Group count is unbounded (nothing ever
-    repartitions to 1); per-group state never exceeds n rows."""
+    repartitions to 1); per-group state never exceeds n rows.
+
+    ``compact=True`` replaces the group-key hash exchange with a
+    repartition(1) final — right when group count is SMALL (the
+    partials are at most n × groups × blocks tiny rows), wrong for
+    unbounded groups; same trade as ``compact_groupby`` vs the
+    hash-partitioned path, avoiding a sort-exchange's fixed latency."""
     tie_cols = tie_cols or []
     by = group_cols + [order_col] + tie_cols
     asc = [True] * len(group_cols) + [not descending] + [True] * len(tie_cols)
@@ -848,6 +855,8 @@ def topn_per_group(ds, group_cols: list[str], order_col: str, n: int,
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         head = _local(df, with_rank=False)
+        if compact:
+            return pa_from_pandas(head)
         h = pd.util.hash_pandas_object(head[group_cols], index=False).to_numpy()
         return pa_from_pandas(head).append_column(
             "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
@@ -856,6 +865,83 @@ def topn_per_group(ds, group_cols: list[str], order_col: str, n: int,
         return pa_from_pandas(
             _local(g.drop(columns="__p"), with_rank=True))
 
+    if compact:
+        def final_compact(t: pa.Table) -> pa.Table:
+            return pa_from_pandas(_local(t.to_pandas(), with_rank=True))
+
+        return (ds.map_batches(partial, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(final_compact, batch_format="pyarrow",
+                               batch_size=None))
+
     return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(final, batch_format="pandas"))
+
+
+# --------------------------------------------- grouped cross-moments
+
+
+def grouped_corr_components(ds, group_cols: list[str], x_col: str,
+                            y_col: str):
+    """Per-group Pearson-correlation components as EXACT integers:
+    (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) — the mergeable monoid
+    behind corr/cov/OLS-slope, kept integer (quantize inputs upstream)
+    so the result is hash-comparable and deterministic under any
+    parallelism; r = (n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²))
+    is one driver-side float away. One arrow group_by per block (the
+    combiner) + one compact merge — the same two-pass shape as every
+    rollup here. Caller owns the overflow budget: |x|,|y| ≤ 2^21 keeps
+    Σxy under int64 for 2^21 rows per group; quantize coarser or
+    pre-scale when the corpus is bigger."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.int64())
+        y = pc.cast(t[y_col], pa.int64())
+        proj = {k: t[k] for k in group_cols}
+        proj["sum_x"] = x
+        proj["sum_y"] = y
+        proj["sum_xx"] = pc.multiply_checked(x, x)
+        proj["sum_yy"] = pc.multiply_checked(y, y)
+        proj["sum_xy"] = pc.multiply_checked(x, y)
+        return pa.table(proj)
+
+    return compact_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), group_cols,
+        sum_cols={c: c for c in
+                  ("sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")},
+        count_alias="n")
+
+
+def hash_groupby_sum(ds, keys: list[str], value_col: str,
+                     out_col: str | None = None, num_partitions: int = 64):
+    """Unbounded-cardinality grouped sum in ONE exchange: arrow
+    group_by per block (the combiner) → hash-partition on the key
+    tuple → one vectorized pandas groupby-sum per partition. The
+    partial+final shape of ``compact_groupby`` without its
+    repartition(1) group-count bound, and half the exchanges of
+    ``salted_groupby_sum`` (which exists for HOT-key skew: salt splits
+    a single giant key across reducers; use that when one key
+    dominates, this when keys are many)."""
+    out_col = out_col or f"sum_{value_col}"
+    import pandas as pd
+
+    def pre(t: pa.Table) -> pa.Table:
+        proj = pa.table({**{k: t[k] for k in keys},
+                         value_col: pc.cast(t[value_col], pa.int64())
+                         if pa.types.is_integer(t[value_col].type)
+                         else t[value_col]})
+        g = proj.group_by(keys).aggregate([(value_col, "sum")])
+        g = g.rename_columns(keys + [out_col])
+        h = pd.util.hash_pandas_object(
+            g.select(keys).to_pandas(), index=False).to_numpy()
+        return g.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def final(g: "pd.DataFrame") -> pa.Table:
+        out = g.groupby(keys, as_index=False, sort=False)[out_col].sum()
+        return pa_from_pandas(out)
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
               .groupby("__p")
               .map_groups(final, batch_format="pandas"))

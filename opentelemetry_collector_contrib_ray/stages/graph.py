@@ -67,13 +67,50 @@ def _wedge_pairs(u: np.ndarray, v: np.ndarray):
     return tuple(np.concatenate([o[i] for o in outs]) for i in range(3))
 
 
+def _local_triangles(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Single-task triangle count on a collected distinct edge list —
+    the same wedge-join, all numpy (dense-remapped node ids so pair
+    keys fit int64). Identical output to the distributed path."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[:len(a)], inv[len(a):]
+    nn = len(nodes)
+    deg = np.bincount(ai, minlength=nn) + np.bincount(bi, minlength=nn)
+    # orientation under (degree, node): dense ids are already
+    # node-ordered, so (deg, dense_id) is the same total order
+    a_first = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+    u = np.where(a_first, ai, bi)
+    v = np.where(a_first, bi, ai)
+    x, y, w = _wedge_pairs(u, v)
+    ekey = np.sort(ai * nn + bi)
+    wkey = x * nn + y
+    if len(ekey):
+        pos = np.minimum(np.searchsorted(ekey, wkey), len(ekey) - 1)
+        match = ekey[pos] == wkey
+    else:
+        match = np.zeros(0, bool)
+    tri = np.bincount(np.concatenate([w[match], x[match], y[match]]),
+                      minlength=nn).astype(np.int64)
+    degi = deg.astype(np.int64)
+    return pa.table({"node": pa.array(nodes.astype(np.int64)),
+                     "degree": pa.array(degi),
+                     "triangles": pa.array(tri),
+                     "wedges": pa.array(degi * (degi - 1) // 2)})
+
+
 def triangle_counts(edges, src: str = "src", dst: str = "dst",
-                    num_partitions: int = 64) -> pa.Table:
+                    num_partitions: int = 64,
+                    local_edges: int = 4_000_000) -> pa.Table:
     """Per-node (node, degree, triangles, wedges) over the undirected
     simple graph induced by the edge dataset (self-loops dropped,
     parallel edges collapsed). ``wedges = C(degree, 2)`` is the exact
     clustering-coefficient denominator, kept integer so the result is
-    hash-comparable (cc = triangles / wedges downstream)."""
+    hash-comparable (cc = triangles / wedges downstream).
+
+    Size gate (same pattern as cluster completion): once the DISTINCT
+    edge list is known, a graph at or under ``local_edges`` edges runs
+    the identical wedge-join in one numpy task instead of paying two
+    more sort-exchanges of fixed latency; the distributed path is the
+    over-gate shape."""
     import ray
 
     def canon(t: pa.Table) -> pa.Table:
@@ -93,6 +130,18 @@ def triangle_counts(edges, src: str = "src", dst: str = "dst",
               .groupby("__p")
               .map_groups(distinct_part, batch_format="pandas")
               .materialize())     # reused by degrees, orientation, match
+
+    if e.count() <= local_edges:
+        # empty __p partitions emit schema-less zero-column blocks
+        # (the known Ray map_groups empty-partition quirk) — drop them
+        tabs = [t for t in ray_get_tables(e) if t.num_rows]
+        if not tabs:
+            z = pa.array([], pa.int64())
+            return pa.table({"node": z, "degree": z,
+                             "triangles": z, "wedges": z})
+        et = pa.concat_tables(tabs)
+        return _local_triangles(et["a"].to_numpy(zero_copy_only=False),
+                                et["b"].to_numpy(zero_copy_only=False))
 
     def node_rows(t: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays(

@@ -31,7 +31,7 @@ def test_triangle_counts_vs_brute_force():
     dst2 = np.concatenate([dst, src, dst[:10], np.arange(5)])
     ds = rd.from_arrow(pa.table({"src": pa.array(src2),
                                  "dst": pa.array(dst2)})).repartition(5)
-    out = triangle_counts(ds, num_partitions=16).to_pandas()
+    out = triangle_counts(ds, num_partitions=16, local_edges=0).to_pandas()
     out = out.set_index("node").sort_index()
     tri = np.diag(A.astype(np.int64) @ A @ A) // 2
     deg = A.sum(1)
@@ -50,7 +50,8 @@ def test_triangle_counts_parallelism_invariant():
     outs = []
     for nblocks, nparts in ((1, 4), (7, 32)):
         out = triangle_counts(rd.from_arrow(t).repartition(nblocks),
-                              num_partitions=nparts).to_pandas()
+                              num_partitions=nparts,
+                              local_edges=0).to_pandas()
         outs.append(out.sort_values("node").reset_index(drop=True))
     assert outs[0].equals(outs[1])
 
@@ -65,3 +66,14 @@ def test_triangle_counts_hub_graph():
     out = triangle_counts(rd.from_arrow(t)).to_pandas().set_index("node")
     assert out.loc[0, "triangles"] == 0 and out.loc[0, "degree"] == 29
     assert (out.loc[[100, 101, 102], "triangles"] == 1).all()
+
+
+def test_triangle_counts_local_gate_matches_distributed():
+    A = _random_graph(50, 0.18, 13)
+    src_, dst_ = np.nonzero(np.triu(A, 1))
+    t = pa.table({"src": pa.array(src_), "dst": pa.array(dst_)})
+    lo = triangle_counts(rd.from_arrow(t), local_edges=10**6).to_pandas()
+    hi = triangle_counts(rd.from_arrow(t), local_edges=0).to_pandas()
+    lo = lo.sort_values("node").reset_index(drop=True)
+    hi = hi.sort_values("node").reset_index(drop=True)
+    assert lo.equals(hi)

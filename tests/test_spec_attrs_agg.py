@@ -487,10 +487,12 @@ def test_topn_per_group_exact_and_invariant():
 
     for nblocks in (1, 9):
         ds = rd.from_pandas(df).repartition(nblocks)
-        out = topn_per_group(ds, ["g"], "v", 4, tie_cols=["id"],
-                             num_partitions=8).to_pandas()
-        got = set(map(tuple, out[["g", "v", "id", "rank"]].to_numpy()))
-        assert got == want
+        for compact in (False, True):
+            out = topn_per_group(ds, ["g"], "v", 4, tie_cols=["id"],
+                                 num_partitions=8,
+                                 compact=compact).to_pandas()
+            got = set(map(tuple, out[["g", "v", "id", "rank"]].to_numpy()))
+            assert got == want
 
 
 def test_topn_per_group_ascending_and_small_groups():
@@ -506,3 +508,22 @@ def test_topn_per_group_ascending_and_small_groups():
     # ascending order; group smaller than N keeps all rows
     assert out[["g", "v", "rank"]].values.tolist() == [
         ["x", 3, 1], ["x", 5, 2], ["y", 9, 1]]
+
+
+def test_hash_groupby_sum_matches_pandas():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import hash_groupby_sum
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k1": rng.choice(list("abc"), 500),
+                       "k2": rng.integers(0, 50, 500),
+                       "v": rng.integers(-5, 100, 500)})
+    want = df.groupby(["k1", "k2"], as_index=False)["v"].sum()
+    want = want.rename(columns={"v": "total"})
+    for nblocks in (1, 7):
+        out = hash_groupby_sum(rd.from_pandas(df).repartition(nblocks),
+                               ["k1", "k2"], "v", out_col="total",
+                               num_partitions=8).to_pandas()
+        got = out.sort_values(["k1", "k2"]).reset_index(drop=True)
+        assert got.equals(want.sort_values(["k1", "k2"]).reset_index(drop=True))
