@@ -7002,6 +7002,113 @@ FROM events
 """
 
 
+def q_metricsgen_ratios(sf_dir: str):
+    """metricsgenerationprocessor parity (stages/metricsgen.py,
+    reference processor/metricsgenerationprocessor/processor.go): derive
+    new metrics by arithmetic over existing ones — error ppm
+    (divide), error percent ×10⁶ (percent), latency-per-request
+    (divide), and a scale rule — over the per-service RED totals.
+    Ratios are floor-scaled int64 (NULL on zero denominators, matching
+    the reference's skip-on-zero-divisor), so both engines hash
+    identically."""
+    from ..stages.agg import compact_groupby
+    from ..stages.metricsgen import MetricsGenRule, metrics_generation
+
+    parsed = _enriched(sf_dir)
+
+    def per_service(t: pa.Table) -> pa.Table:
+        lat = pc.cast(t["attributes.latency_ms"], pa.float64())
+        ok = pc.is_valid(lat)
+        status = pc.fill_null(pc.cast(t["attributes.status"], pa.int64()), 0)
+        sev = pc.fill_null(pc.cast(t["severity_number"], pa.int64()), 0)
+        err = pc.and_(ok, pc.or_(pc.greater_equal(status, 500),
+                                 pc.greater_equal(sev, 17)))
+        return pa.table({
+            "service": t["service"],
+            "n": pc.cast(ok, pa.int64()),
+            "n_err": pc.cast(err, pa.int64()),
+            "sum_latency": pc.cast(pc.fill_null(lat, 0.0), pa.int64()),
+        })
+
+    totals = compact_groupby(
+        parsed.map_batches(per_service, batch_format="pyarrow"),
+        ["service"],
+        sum_cols={"n": "n", "n_err": "n_err", "sum_latency": "sum_latency"})
+    return metrics_generation(totals, [
+        MetricsGenRule("err_ppm", metric1="n_err", metric2="n",
+                       operation="divide"),
+        MetricsGenRule("err_pct_e6", metric1="n_err", metric2="n",
+                       operation="percent"),
+        MetricsGenRule("lat_per_req_e6", metric1="sum_latency",
+                       metric2="n", operation="divide"),
+        MetricsGenRule("lat_x10", type="scale", metric1="sum_latency",
+                       scale_by=10),
+    ])
+
+
+SQL_METRICSGEN_RATIOS = (
+    PARSED_SQL
+    + """
+, totals AS (
+  SELECT service,
+         CAST(SUM(CASE WHEN latency_ms IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN latency_ms IS NOT NULL
+                        AND (coalesce(status, 0) >= 500
+                             OR coalesce(severity_number, 0) >= 17)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+         CAST(SUM(coalesce(latency_ms, 0)) AS BIGINT) AS sum_latency
+  FROM parsed GROUP BY service)
+SELECT service, n, n_err, sum_latency,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST(n_err * 1000000 // n AS BIGINT) END AS err_ppm,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST(n_err * 100000000 // n AS BIGINT) END AS err_pct_e6,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST(sum_latency * 1000000 // n AS BIGINT)
+       END AS lat_per_req_e6,
+       CAST(sum_latency * 10 AS BIGINT) AS lat_x10
+FROM totals
+"""
+)
+
+
+def q_events_running_total(sf_dir: str):
+    """Per-key ordered cumulative sum (stages/windows.py running_total)
+    — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
+    one key-hash exchange, vectorized sort+cumsum per partition."""
+    from ..stages.windows import running_total
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "user_id": pc.cast(t["user_id"], pa.int64()),
+                         "ts_us": pc.cast(pc.cast(t["ts"], pa.int64()),
+                                          pa.int64()),
+                         "cents": _cents(t["value"])})
+
+    out = running_total(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["user_id"], ["ts_us", "event_id"], "cents",
+                        out_col="running_cents")
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "user_id": t["user_id"],
+                            "running_cents": pc.cast(t["running_cents"],
+                                                     pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_RUNNING_TOTAL = f"""
+SELECT event_id, user_id,
+       CAST(SUM({_CENTS.format(x='value')}) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS running_cents
+FROM events
+"""
+
+
 def q_events_value_hour_corr(sf_dir: str):
     """Grouped Pearson-correlation components (stages/agg.py
     grouped_corr_components): per event_type, the exact-integer
@@ -7366,6 +7473,8 @@ QUERIES = {
     "emb_knn_graph": q_emb_knn_graph,
     "events_topn_per_type": q_events_topn_per_type,
     "events_value_hour_corr": q_events_value_hour_corr,
+    "metricsgen_ratios": q_metricsgen_ratios,
+    "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -7572,6 +7681,8 @@ ORACLES = {
     "emb_knn_graph": SQL_EMB_KNN_GRAPH,
     "events_topn_per_type": SQL_EVENTS_TOPN_PER_TYPE,
     "events_value_hour_corr": SQL_EVENTS_VALUE_HOUR_CORR,
+    "metricsgen_ratios": SQL_METRICSGEN_RATIOS,
+    "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

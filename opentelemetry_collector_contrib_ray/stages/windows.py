@@ -534,3 +534,38 @@ def interval_union_coverage(ds, key: str, ts_col: str, length_s: int,
         .groupby("__p")
         .map_groups(cover, batch_format="pandas")
     )
+
+
+def running_total(ds, key_cols: list[str], order_cols: list[str],
+                  val_col: str, out_col: str = "running",
+                  num_partitions: int = 64):
+    """Per-key ordered cumulative sum (the SUM() OVER (PARTITION BY key
+    ORDER BY ...) window): hash-partition on the key tuple so every
+    key's rows co-locate, then ONE vectorized pandas pass per partition
+    (stable multi-key sort + groupby cumsum). ``order_cols`` must make
+    the order within a key total, or the prefix is nondeterministic.
+
+    Scale shape: one exchange; per-key state is the sorted run of that
+    key (bounded by the largest single key's rows — salt/split upstream
+    if one key dominates, or use the O(buckets) two-pass prefix scan in
+    stages/pack.py when even one key's rows exceed a worker)."""
+    import pandas as pd
+
+    from .base import pa_from_pandas
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select(key_cols).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(key_cols + order_cols, kind="mergesort")
+        vals = g[val_col].astype("int64")
+        g[out_col] = vals.groupby(
+            [g[k] for k in key_cols], sort=False).cumsum()
+        return pa_from_pandas(g.drop(columns="__p"))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(scan, batch_format="pandas"))

@@ -527,3 +527,59 @@ def test_hash_groupby_sum_matches_pandas():
                                num_partitions=8).to_pandas()
         got = out.sort_values(["k1", "k2"]).reset_index(drop=True)
         assert got.equals(want.sort_values(["k1", "k2"]).reset_index(drop=True))
+
+
+# --------------------------------------------- metrics generation
+
+
+def test_metrics_generation_rules():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metricsgen import (
+        MetricsGenRule,
+        metrics_generation,
+    )
+
+    t = pa.table({"a": pa.array([10, 0, 7], pa.int64()),
+                  "b": pa.array([4, 5, 0], pa.int64())})
+    out = metrics_generation(rd.from_arrow(t), [
+        MetricsGenRule("s", metric1="a", metric2="b", operation="add"),
+        MetricsGenRule("d", metric1="a", metric2="b", operation="subtract"),
+        MetricsGenRule("m", metric1="a", metric2="b", operation="multiply"),
+        MetricsGenRule("q", metric1="a", metric2="b", operation="divide",
+                       ratio_scale=100),
+        MetricsGenRule("p", metric1="a", metric2="b", operation="percent",
+                       ratio_scale=1),
+        MetricsGenRule("x", type="scale", metric1="a", scale_by=3),
+    ]).to_pandas()
+    assert out["s"].tolist() == [14, 5, 7]
+    assert out["d"].tolist() == [6, -5, 7]
+    assert out["m"].tolist() == [40, 0, 0]
+    # divide: (a*100)//b, NULL when b == 0 (reference skip-on-zero)
+    assert out["q"][0] == 250 and out["q"][1] == 0 and pd.isna(out["q"][2])
+    assert out["p"][0] == 250 and pd.isna(out["p"][2])
+    assert out["x"].tolist() == [30, 0, 21]
+
+
+def test_running_total_matches_pandas_window():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.windows import running_total
+
+    rng = np.random.default_rng(4)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(list("abcde"), n),
+        "t": rng.integers(0, 50, n),          # duplicate timestamps
+        "id": np.arange(n, dtype=np.int64),   # ...made total by id
+        "v": rng.integers(-10, 100, n),
+    })
+    want = df.sort_values(["k", "t", "id"], kind="mergesort")
+    want = want.assign(run=want.groupby("k")["v"].cumsum())
+    want = want.set_index("id")["run"]
+    for nblocks in (1, 6):
+        out = running_total(rd.from_pandas(df).repartition(nblocks),
+                            ["k"], ["t", "id"], "v", out_col="run",
+                            num_partitions=8).to_pandas()
+        got = out.set_index("id")["run"]
+        assert got.sort_index().equals(want.sort_index())
