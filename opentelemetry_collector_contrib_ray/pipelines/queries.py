@@ -7073,6 +7073,132 @@ FROM totals
 )
 
 
+def q_metrics_label_transform(sf_dir: str):
+    """metricstransformprocessor parity (stages/metricstransform.py,
+    reference processor/metricstransformprocessor/
+    metrics_transform_processor.go + README operation table): the full
+    operation chain over a long-form metrics table — strict + regexp
+    ($1-expansion) metric renames, label-key rename, label-value
+    renames, aggregate-across-label-values (TRACE+DEBUG→LOW, summed),
+    delete-datapoints, add-label, scale, aggregate-across-label-sets
+    (drop service), and a final ``combine`` into one metric keeping the
+    original name in a label. Two bounded compact_groupby exchanges
+    over the tiny rolled-up key space; everything else fuses row-local."""
+    from ..stages.agg import compact_groupby
+    from ..stages.metricstransform import MetricsTransform, metrics_transform
+
+    parsed = _enriched(sf_dir)
+
+    def per_service_level(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["attributes.level"]))
+        lat = pc.fill_null(pc.cast(t["attributes.latency_ms"], pa.int64()),
+                           0)
+        return pa.table({
+            "service": t["service"],
+            "level": t["attributes.level"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_slow": pc.cast(pc.greater_equal(lat, 150), pa.int64()),
+        })
+
+    base = compact_groupby(
+        parsed.map_batches(per_service_level, batch_format="pyarrow"),
+        ["service", "level"], sum_cols={"n": "n", "n_slow": "n_slow"})
+
+    def melt(t: pa.Table) -> pa.Table:
+        # wide → long: one row per (metric, label tuple)
+        k = t.num_rows
+        return pa.table({
+            "metric": pa.array(["events_total"] * k + ["slow_total"] * k),
+            "service": pa.concat_arrays(
+                [pc.cast(t["service"], pa.string()).combine_chunks()] * 2),
+            "level": pa.concat_arrays(
+                [pc.cast(t["level"], pa.string()).combine_chunks()] * 2),
+            "value": pa.concat_arrays(
+                [pc.cast(t["n"], pa.int64()).combine_chunks(),
+                 pc.cast(t["n_slow"], pa.int64()).combine_chunks()]),
+        })
+
+    longm = base.map_batches(melt, batch_format="pyarrow")
+    return metrics_transform(longm, [
+        MetricsTransform("rename_metric", include="events_total",
+                         new_name="log_events_total"),
+        MetricsTransform("rename_metric", include=r"^(slow)_total$",
+                         match_type="regexp",
+                         new_name="$1_requests_total"),
+        MetricsTransform("rename_label_key", include=".*",
+                         match_type="regexp", label="level",
+                         new_label="severity"),
+        MetricsTransform("rename_label_values", include=".*",
+                         match_type="regexp", label="severity",
+                         value_map={"WARN": "WARNING",
+                                    "FATAL": "CRITICAL"}),
+        MetricsTransform("aggregate_label_values", include=".*",
+                         match_type="regexp", label="severity",
+                         merge_values=["TRACE", "DEBUG"],
+                         merged_value="LOW",
+                         keep_labels=["service", "severity"]),
+        MetricsTransform("delete_datapoints", include="log_events_total",
+                         label="severity", label_value="INFO"),
+        MetricsTransform("add_label", include=".*", match_type="regexp",
+                         new_label="source", label_value="transcripts"),
+        MetricsTransform("scale_value", include="slow_requests_total",
+                         scale=10),
+        MetricsTransform("aggregate_labels", include=".*",
+                         match_type="regexp",
+                         keep_labels=["severity", "source"]),
+        MetricsTransform("combine",
+                         include=r"^(log_events|slow_requests)_total$",
+                         match_type="regexp", new_name="telemetry_total",
+                         new_label="orig"),
+    ])
+
+
+SQL_METRICS_LABEL_TRANSFORM = (
+    PARSED_SQL
+    + """
+, base AS (
+  SELECT service, level, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN coalesce(latency_ms, 0) >= 150
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_slow
+  FROM parsed WHERE level IS NOT NULL GROUP BY service, level)
+, longm AS (
+  SELECT 'events_total' AS metric, service, level, n AS value FROM base
+  UNION ALL
+  SELECT 'slow_total', service, level, n_slow FROM base)
+, renamed AS (
+  SELECT CASE metric WHEN 'events_total' THEN 'log_events_total'
+                     WHEN 'slow_total' THEN 'slow_requests_total'
+         END AS metric,
+         service,
+         CASE level WHEN 'WARN' THEN 'WARNING'
+                    WHEN 'FATAL' THEN 'CRITICAL' ELSE level
+         END AS severity,
+         value
+  FROM longm)
+, merged AS (
+  SELECT metric, service,
+         CASE WHEN severity IN ('TRACE', 'DEBUG') THEN 'LOW'
+              ELSE severity END AS severity,
+         CAST(SUM(value) AS BIGINT) AS value
+  FROM renamed GROUP BY 1, 2, 3)
+, survived AS (
+  SELECT * FROM merged
+  WHERE NOT (metric = 'log_events_total' AND severity = 'INFO'))
+, labeled AS (
+  SELECT metric, severity, 'transcripts' AS source,
+         CASE WHEN metric = 'slow_requests_total' THEN value * 10
+              ELSE value END AS value
+  FROM survived)
+, agg AS (
+  SELECT metric, severity, source, CAST(SUM(value) AS BIGINT) AS value
+  FROM labeled GROUP BY metric, severity, source)
+SELECT agg.metric AS orig, 'telemetry_total' AS metric, severity, source,
+       value
+FROM agg
+"""
+)
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -7474,6 +7600,7 @@ QUERIES = {
     "events_topn_per_type": q_events_topn_per_type,
     "events_value_hour_corr": q_events_value_hour_corr,
     "metricsgen_ratios": q_metricsgen_ratios,
+    "metrics_label_transform": q_metrics_label_transform,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -7682,6 +7809,7 @@ ORACLES = {
     "events_topn_per_type": SQL_EVENTS_TOPN_PER_TYPE,
     "events_value_hour_corr": SQL_EVENTS_VALUE_HOUR_CORR,
     "metricsgen_ratios": SQL_METRICSGEN_RATIOS,
+    "metrics_label_transform": SQL_METRICS_LABEL_TRANSFORM,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -583,3 +583,102 @@ def test_running_total_matches_pandas_window():
                             num_partitions=8).to_pandas()
         got = out.set_index("id")["run"]
         assert got.sort_index().equals(want.sort_index())
+
+
+# --------------------------------------------- metrics transform
+
+
+def _mt_table():
+    return pa.table({
+        "metric": pa.array(["req_total", "req_total", "err_total",
+                            "err_total"]),
+        "svc": pa.array(["a", "b", "a", "b"]),
+        "state": pa.array(["idle", "user", "idle", "system"]),
+        "value": pa.array([10, 20, 1, 2], pa.int64()),
+    })
+
+
+def test_metricstransform_row_local_ops():
+    from opentelemetry_collector_contrib_ray.stages.metricstransform import (
+        MetricsTransform,
+        apply_row_local,
+    )
+
+    t = _mt_table()
+    # strict + regexp ($1) metric renames
+    out = apply_row_local(t, [
+        MetricsTransform("rename_metric", include="req_total",
+                         new_name="requests_total"),
+        MetricsTransform("rename_metric", include=r"^(err)_total$",
+                         match_type="regexp", new_name="$1ors_total"),
+    ])
+    assert out["metric"].to_pylist() == [
+        "requests_total", "requests_total", "errors_total", "errors_total"]
+
+    # label-key rename (match-all drops the old column)
+    out = apply_row_local(t, [
+        MetricsTransform("rename_label_key", include=".*",
+                         match_type="regexp", label="state",
+                         new_label="cpu_state")])
+    assert "state" not in out.column_names
+    assert out["cpu_state"].to_pylist() == ["idle", "user", "idle", "system"]
+
+    # label-value rename scoped to one metric
+    out = apply_row_local(t, [
+        MetricsTransform("rename_label_values", include="req_total",
+                         label="state", value_map={"idle": "-"})])
+    assert out["state"].to_pylist() == ["-", "user", "idle", "system"]
+
+    # delete datapoints / add label / scale scoped by the include filter
+    out = apply_row_local(t, [
+        MetricsTransform("delete_datapoints", include="err_total",
+                         label="state", label_value="idle"),
+        MetricsTransform("add_label", include=".*", match_type="regexp",
+                         new_label="ident", label_value="1"),
+        MetricsTransform("scale_value", include="req_total", scale=1000),
+    ])
+    assert out.num_rows == 3
+    assert out["ident"].to_pylist() == ["1", "1", "1"]
+    assert out["value"].to_pylist() == [10000, 20000, 2]
+
+
+def test_metricstransform_aggregates_and_combine():
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metricstransform import (
+        MetricsTransform,
+        metrics_transform,
+    )
+
+    ds = rd.from_arrow(_mt_table()).repartition(3)
+    # aggregate_label_values: user+system → used (summed), then
+    # aggregate_labels drops svc, then combine keeps the old name
+    out = metrics_transform(ds, [
+        MetricsTransform("aggregate_label_values", include=".*",
+                         match_type="regexp", label="state",
+                         merge_values=["user", "system"],
+                         merged_value="used",
+                         keep_labels=["svc", "state"]),
+        MetricsTransform("aggregate_labels", include=".*",
+                         match_type="regexp", keep_labels=["state"]),
+        MetricsTransform("combine", include=r"^.*_total$",
+                         match_type="regexp", new_name="all_total",
+                         new_label="orig"),
+    ]).to_pandas().sort_values(["orig", "state"]).reset_index(drop=True)
+    assert out["metric"].unique().tolist() == ["all_total"]
+    rows = {(r.orig, r.state): r.value for r in out.itertuples()}
+    assert rows == {("err_total", "idle"): 1, ("err_total", "used"): 2,
+                    ("req_total", "idle"): 10, ("req_total", "used"): 20}
+
+
+def test_metricstransform_selective_aggregate_labels_rejected():
+    import pytest as _pytest
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metricstransform import (
+        MetricsTransform,
+        metrics_transform,
+    )
+
+    with _pytest.raises(ValueError):
+        metrics_transform(rd.from_arrow(_mt_table()), [
+            MetricsTransform("aggregate_labels", include="req_total",
+                             keep_labels=["svc"])])
