@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "events_topn_per_type",
     "events_cms_counts",
     "events_value_hour_corr",
+    "docs_bpe_merges",
 ]
 
 

@@ -7199,6 +7199,76 @@ FROM agg
 )
 
 
+def q_docs_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer-training rounds (stages/bpe.py; the
+    pair-counting core of Sennrich et al. 2016 subword units): 3 merge
+    rounds over the documents corpus plus the top-10 remaining pairs of
+    the final alphabet. One corpus-scale word-hash exchange builds the
+    frequency vocabulary; every round after that moves only tiny
+    (pair, count) partials and picks the argmax on the driver
+    (deterministic count-desc / pair-asc tie-break). Byte-exact SQL
+    twin: merged symbols are single private-use chars, so a merge is
+    ``replace()`` in both engines and the rounds unroll to CTEs."""
+    from ..stages.bpe import build_vocab, train_merges
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    vocab = build_vocab(docs).materialize()  # rounds reuse it; don't re-run
+    return train_merges(vocab, rounds=3, top_pairs=10)
+
+
+def _bpe_sql(rounds: int = 3, top_pairs: int = 10) -> str:
+    """Unrolled-CTE twin of q_docs_bpe_merges (see stages/bpe.py)."""
+    parts = ["""
+WITH vocab AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(
+           lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w),
+e0 AS (SELECT word AS e, cnt FROM vocab)"""]
+    for r in range(1, rounds + 1):
+        rep = 0xE000 + r - 1
+        parts.append(f""",
+c{r} AS (
+  SELECT substring(e, i, 1) AS a, substring(e, i + 1, 1) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT e, cnt, unnest(generate_series(1, length(e) - 1)) AS i
+        FROM e{r - 1})
+  GROUP BY 1, 2),
+b{r} AS (SELECT a, b, c FROM c{r} ORDER BY c DESC, a, b LIMIT 1),
+e{r} AS (SELECT replace(e{r - 1}.e, b{r}.a || b{r}.b, chr({rep})) AS e, cnt
+         FROM e{r - 1}, b{r})""")
+    fr = rounds + 1
+    parts.append(f""",
+c{fr} AS (
+  SELECT substring(e, i, 1) AS a, substring(e, i + 1, 1) AS b,
+         CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT e, cnt, unnest(generate_series(1, length(e) - 1)) AS i
+        FROM e{rounds})
+  GROUP BY 1, 2)""")
+
+    def expand(expr: str, upto: int) -> str:
+        # undo codes upto..1, later codes first (nested merges unwrap)
+        for k in range(upto, 0, -1):
+            expr = f"replace({expr}, chr({0xE000 + k - 1}), b{k}.a || b{k}.b)"
+        return expr
+
+    selects = []
+    for r in range(1, rounds + 1):
+        froms = ", ".join(f"b{k}" for k in range(1, r + 1))
+        selects.append(
+            f"SELECT 'merge' AS kind, CAST({r} AS BIGINT) AS round, "
+            f"{expand(f'b{r}.a || b{r}.b', r - 1)} AS token, "
+            f"b{r}.c AS freq, CAST(0 AS BIGINT) AS rnk FROM {froms}")
+    froms = ", ".join(f"b{k}" for k in range(1, rounds + 1))
+    selects.append(
+        f"SELECT 'pair', CAST({fr} AS BIGINT), "
+        f"{expand('t.a || t.b', rounds)}, t.c, t.rnk "
+        f"FROM (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) "
+        f"AS rnk FROM c{fr} QUALIFY rnk <= {top_pairs}) t, {froms}")
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -7601,6 +7671,7 @@ QUERIES = {
     "events_value_hour_corr": q_events_value_hour_corr,
     "metricsgen_ratios": q_metricsgen_ratios,
     "metrics_label_transform": q_metrics_label_transform,
+    "docs_bpe_merges": q_docs_bpe_merges,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -7810,6 +7881,7 @@ ORACLES = {
     "events_value_hour_corr": SQL_EVENTS_VALUE_HOUR_CORR,
     "metricsgen_ratios": SQL_METRICSGEN_RATIOS,
     "metrics_label_transform": SQL_METRICS_LABEL_TRANSFORM,
+    "docs_bpe_merges": _bpe_sql(),
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -737,3 +737,79 @@ def test_dsir_scores_rank_target_like_docs():
     out2 = dsir_scores(rd.from_arrow(t).repartition(7), target_col="is_t",
                        n_buckets=64).to_pandas().set_index("doc_id")
     assert (out2["dsir_score"] == out["dsir_score"]).all()
+
+
+# --------------------------------------------- BPE merge training
+
+
+def _ref_bpe(word_counts, rounds):
+    """Slow reference: str.replace-based BPE with (count desc, pair asc)
+    tie-break, private-use merge codes — independent of stages/bpe.py
+    internals."""
+    from collections import Counter
+
+    merges = []
+    learned = []
+    for k in range(rounds):
+        enc = {w: w for w in word_counts}
+        for i, (a, b) in enumerate(merges):
+            enc = {w: e.replace(chr(a) + chr(b), chr(0xE000 + i))
+                   for w, e in enc.items()}
+        pc_ = Counter()
+        for w, c in word_counts.items():
+            e = enc[w]
+            for i in range(len(e) - 1):
+                pc_[(ord(e[i]), ord(e[i + 1]))] += c
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best[0])
+        learned.append((best[0], best[1]))
+    return merges, learned
+
+
+def test_bpe_matches_reference_and_handles_overlap_runs():
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.bpe import (
+        expand_token,
+        train_merges,
+    )
+
+    # "aaaa" exercises greedy left-to-right non-overlap: (a,a) merges
+    # twice, not three times
+    wc = {"aaaa": 5, "banana": 4, "bandana": 3, "ananas": 2, "aa": 7}
+    vocab = rd.from_items([{"word": w, "cnt": c} for w, c in wc.items()]
+                          ).repartition(3)
+    out = train_merges(vocab, rounds=3, top_pairs=5).to_pandas()
+    merges, learned = _ref_bpe(wc, 3)
+    got_merges = out[out.kind == "merge"].sort_values("round")
+    want_tokens = [expand_token(chr(a) + chr(b), merges[:i])
+                   for i, (a, b) in enumerate(merges)]
+    assert got_merges.token.tolist() == want_tokens
+    assert got_merges.freq.tolist() == [c for _, c in learned]
+    top = out[out.kind == "pair"]
+    assert top.rnk.tolist() == list(range(1, len(top) + 1))
+    assert (top.freq.to_numpy()[:-1] >= top.freq.to_numpy()[1:]).all()
+
+
+def test_bpe_random_vocab_matches_reference():
+    import numpy as np
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.bpe import (
+        expand_token,
+        train_merges,
+    )
+
+    rng = np.random.default_rng(11)
+    words = ["".join(rng.choice(list("abcd"), rng.integers(1, 9)))
+             for _ in range(60)]
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + int(rng.integers(1, 20))
+    vocab = rd.from_items([{"word": w, "cnt": c} for w, c in wc.items()]
+                          ).repartition(4)
+    out = train_merges(vocab, rounds=4, top_pairs=3).to_pandas()
+    merges, learned = _ref_bpe(wc, 4)
+    got = out[out.kind == "merge"].sort_values("round")
+    assert got.freq.tolist() == [c for _, c in learned]
+    assert got.token.tolist() == [
+        expand_token(chr(a) + chr(b), merges[:i])
+        for i, (a, b) in enumerate(merges)]
