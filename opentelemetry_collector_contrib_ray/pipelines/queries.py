@@ -7269,6 +7269,92 @@ c{fr} AS (
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_events_zonemap_prune(sf_dir: str):
+    """Zone-map pruned read (stages/zonemap.py): write events Hive-
+    partitioned by day, build the O(partitions) min/max/count stats
+    table in one partial+final pass, prune partitions whose envelopes
+    miss the predicate (day ∈ [d₀+3, d₀+10), cents ≥ 5000), and scan
+    ONLY the surviving files for the exact aggregate. The output row
+    carries the pruning accounting (files total/scanned, rows scanned)
+    plus the exact match count/sum — all derivable in SQL because the
+    layout key is a deterministic function of the data."""
+    import tempfile
+
+    from ..stages.zonemap import collect_stats, prune_keys, pruned_paths
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"day": pc.divide(us, 86_400_000_000),
+                         "ts_us": us, "cents": _cents(t["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    root = tempfile.mkdtemp(prefix="zonemap_", dir="/tmp")
+    prepped.write_parquet(root, partition_cols=["day"])
+
+    stats = collect_stats(prepped, "day", ["cents"])
+    d0 = pc.min(stats["day"]).as_py()
+    lo_day, hi_day, min_cents = d0 + 3, d0 + 10, 5000
+    keys = prune_keys(stats, "day", {"day": (lo_day, hi_day),
+                                     "cents": (min_cents, None)})
+    files = pruned_paths(root, "day", keys)
+
+    match_n = match_sum = 0
+    if files:
+        import ray.data as rd
+        pruned = rd.read_parquet(files, columns=["ts_us", "cents"])
+
+        def agg(t: pa.Table) -> pa.Table:
+            day = pc.divide(t["ts_us"], 86_400_000_000)
+            keep = pc.and_(
+                pc.and_(pc.greater_equal(day, lo_day), pc.less(day, hi_day)),
+                pc.greater_equal(t["cents"], min_cents))
+            kept = t.filter(keep)
+            return pa.table({"n": pa.array([kept.num_rows], pa.int64()),
+                             "s": pa.array(
+                                 [pc.sum(kept["cents"]).as_py() or 0],
+                                 pa.int64())})
+
+        for b in pruned.map_batches(agg, batch_format="pyarrow") \
+                       .iter_batches(batch_format="pyarrow"):
+            match_n += pc.sum(b["n"]).as_py() or 0
+            match_sum += pc.sum(b["s"]).as_py() or 0
+
+    sel = stats.filter(pc.is_in(stats["day"], value_set=pa.array(
+        keys, pa.int64())))
+    return pa.table({
+        "files_total": pa.array([stats.num_rows], pa.int64()),
+        "files_scanned": pa.array([len(keys)], pa.int64()),
+        "rows_scanned": pa.array([pc.sum(sel["n_rows"]).as_py() or 0],
+                                 pa.int64()),
+        "match_n": pa.array([match_n], pa.int64()),
+        "match_sum_cents": pa.array([match_sum], pa.int64()),
+    })
+
+
+SQL_EVENTS_ZONEMAP_PRUNE = f"""
+WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  {_CENTS.format(x='value')} AS cents FROM events),
+zs AS (SELECT day, min(cents) AS cmin, max(cents) AS cmax,
+              CAST(count(*) AS BIGINT) AS n FROM p GROUP BY day),
+b AS (SELECT min(day) AS d0 FROM p),
+sel AS (SELECT zs.* FROM zs, b
+        WHERE zs.day >= b.d0 + 3 AND zs.day < b.d0 + 10
+          AND zs.cmax >= 5000),
+m AS (SELECT CAST(count(*) AS BIGINT) AS match_n,
+             CAST(coalesce(SUM(cents), 0) AS BIGINT) AS match_sum_cents
+      FROM p, b
+      WHERE p.day >= b.d0 + 3 AND p.day < b.d0 + 10 AND p.cents >= 5000)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM zs) AS files_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM sel) AS files_scanned,
+       (SELECT CAST(coalesce(SUM(n), 0) AS BIGINT) FROM sel)
+         AS rows_scanned,
+       match_n, match_sum_cents
+FROM m
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -7672,6 +7758,7 @@ QUERIES = {
     "metricsgen_ratios": q_metricsgen_ratios,
     "metrics_label_transform": q_metrics_label_transform,
     "docs_bpe_merges": q_docs_bpe_merges,
+    "events_zonemap_prune": q_events_zonemap_prune,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -7882,6 +7969,7 @@ ORACLES = {
     "metricsgen_ratios": SQL_METRICSGEN_RATIOS,
     "metrics_label_transform": SQL_METRICS_LABEL_TRANSFORM,
     "docs_bpe_merges": _bpe_sql(),
+    "events_zonemap_prune": SQL_EVENTS_ZONEMAP_PRUNE,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

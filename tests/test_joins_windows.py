@@ -632,3 +632,53 @@ def test_gated_range_join_empty_and_missing_keys():
     # Ray drops all-empty output blocks at to_pandas (columns go with
     # them — engine-wide for every empty result, exchange path included)
     assert len(out0) == 0
+
+
+# --------------------------------------------- zone-map pruned read
+
+
+def test_zonemap_prunes_by_value_envelope(tmp_path):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.zonemap import (
+        collect_stats,
+        prune_keys,
+        pruned_paths,
+    )
+
+    # bucket 0: values < 100 (prunable for v >= 100); buckets 1-3: mixed
+    rows = []
+    for b in range(4):
+        for i in range(50):
+            v = i if b == 0 else b * 100 + i
+            rows.append({"bucket": b, "v": v, "id": b * 1000 + i})
+    ds = rd.from_items(rows).repartition(5)
+    root = str(tmp_path / "zm")
+    ds.write_parquet(root, partition_cols=["bucket"])
+
+    stats = collect_stats(ds, "bucket", ["v"])
+    assert stats.num_rows == 4
+    got = dict(zip(stats["bucket"].to_pylist(),
+                   zip(stats["v_min"].to_pylist(),
+                       stats["v_max"].to_pylist(),
+                       stats["n_rows"].to_pylist())))
+    assert got[0] == (0, 49, 50) and got[3] == (300, 349, 50)
+
+    # value envelope prunes bucket 0 even though the key range keeps it
+    keys = prune_keys(stats, "bucket", {"bucket": (0, 3), "v": (100, None)})
+    assert sorted(keys) == [1, 2]
+    files = pruned_paths(root, "bucket", keys)
+    assert files and all("bucket=0" not in f and "bucket=3" not in f
+                         for f in files)
+
+    # pruned scan + exact residual filter == full scan
+    back = pa.concat_tables(list(
+        rd.read_parquet(files).iter_batches(batch_format="pyarrow")))
+    kept = back.filter(pc.greater_equal(back["v"], 100))
+    want = [r["id"] for r in rows if r["bucket"] in (0, 1, 2) and r["v"] >= 100]
+    assert sorted(kept["id"].to_pylist()) == sorted(want)
+
+    # unbounded side + no constraints keeps everything
+    assert sorted(prune_keys(stats, "bucket", {"v": (None, None)})) == \
+        [0, 1, 2, 3]
