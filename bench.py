@@ -149,7 +149,9 @@ def run_bench() -> dict:
     # min-of-2 per query: the shared VM drifts 2-4x on minute
     # timescales; the faster draw is the closer estimate of the
     # engine's own cost
-    for name in BENCH_QUERIES:
+    only = [q for q in os.environ.get("GRAFT_ONLY_QUERIES", "").split(",")
+            if q]
+    for name in (only or BENCH_QUERIES):
         best = None
         qsent[name] = sentinel_sec()
         for _ in range(2):
