@@ -7355,6 +7355,68 @@ FROM m
 """
 
 
+def q_events_user_set_algebra(sf_dir: str):
+    """KMV/theta distinct-set algebra (stages/kmv.py): per-event-type
+    sketches of distinct (user, day) activity pairs, then union /
+    intersection / difference cardinalities between type pairs — the
+    set operations HyperLogLog cannot do. One streaming pass; blocks
+    emit ≤k·8-byte blobs, blobs merge per group, driver holds O(k).
+    Oracle configuration is unsaturated (k far above the true distinct
+    count) so every measure is exact and equals COUNT(DISTINCT) set
+    algebra in SQL; the saturated estimator regime is pytest-covered
+    (error bounds)."""
+    from ..stages.kmv import kmv_set_ops, kmv_sketches
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            # composite stays < 2^32 ⇒ the Knuth ring hash is
+            # collision-free and the exact regime matches SQL DISTINCT
+            "id": pc.add(pc.multiply(uid, 1_048_576), day)})
+
+    k = 1 << 20
+    sk = kmv_sketches(ds.map_batches(prep, batch_format="pyarrow"),
+                      "event_type", "id", k)
+    rows = []
+    for a, b in (("view", "purchase"), ("click", "error")):
+        ops = kmv_set_ops(sk.get(a, np.empty(0, np.uint64)),
+                          sk.get(b, np.empty(0, np.uint64)), k)
+        rows.append((f"{a}|{b}", ops))
+    return pa.table({
+        "pair": pa.array([r[0] for r in rows], pa.string()),
+        **{m: pa.array([r[1][m] for r in rows], pa.int64())
+           for m in ("n_a", "n_b", "n_union", "n_intersect", "n_a_only")},
+    })
+
+
+SQL_EVENTS_USER_SET_ALGEBRA = """
+WITH ud AS (
+  SELECT event_type,
+         (CAST(user_id * 1048576 + epoch_us(ts) // 86400000000
+               AS HUGEINT) * 2654435761) % 4294967296 AS hv
+  FROM events),
+m AS (
+  SELECT p.a || '|' || p.b AS pair,
+         (SELECT count(DISTINCT hv) FROM ud WHERE event_type = p.a)
+           AS n_a,
+         (SELECT count(DISTINCT hv) FROM ud WHERE event_type = p.b)
+           AS n_b,
+         (SELECT count(DISTINCT hv) FROM ud
+          WHERE event_type IN (p.a, p.b)) AS n_union
+  FROM (VALUES ('view', 'purchase'), ('click', 'error')) p(a, b))
+SELECT pair, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(n_a + n_b - n_union AS BIGINT) AS n_intersect,
+       CAST(n_union - n_b AS BIGINT) AS n_a_only
+FROM m
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -7759,6 +7821,7 @@ QUERIES = {
     "metrics_label_transform": q_metrics_label_transform,
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_zonemap_prune": q_events_zonemap_prune,
+    "events_user_set_algebra": q_events_user_set_algebra,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -7970,6 +8033,7 @@ ORACLES = {
     "metrics_label_transform": SQL_METRICS_LABEL_TRANSFORM,
     "docs_bpe_merges": _bpe_sql(),
     "events_zonemap_prune": SQL_EVENTS_ZONEMAP_PRUNE,
+    "events_user_set_algebra": SQL_EVENTS_USER_SET_ALGEBRA,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

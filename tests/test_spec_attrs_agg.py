@@ -682,3 +682,49 @@ def test_metricstransform_selective_aggregate_labels_rejected():
         metrics_transform(rd.from_arrow(_mt_table()), [
             MetricsTransform("aggregate_labels", include="req_total",
                              keep_labels=["svc"])])
+
+
+# --------------------------------------------- KMV / theta sketches
+
+
+def test_kmv_exact_regime_equals_set_algebra():
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.kmv import (
+        kmv_set_ops,
+        kmv_sketches,
+    )
+
+    rows = [{"g": "a", "id": i} for i in range(500)] + \
+           [{"g": "b", "id": i} for i in range(300, 900)]
+    k = 1 << 14
+    for nblocks in (1, 7):
+        sk = kmv_sketches(rd.from_items(rows).repartition(nblocks),
+                          "g", "id", k)
+        ops = kmv_set_ops(sk["a"], sk["b"], k)
+        assert ops == {"n_a": 500, "n_b": 600, "n_union": 900,
+                       "n_intersect": 200, "n_a_only": 300}
+        # merge is partitioning-invariant
+        assert sk["a"].tolist() == kmv_sketches(
+            rd.from_items(rows).repartition(3), "g", "id", k)["a"].tolist()
+
+
+def test_kmv_saturated_estimates_within_bounds():
+    import numpy as np
+    from opentelemetry_collector_contrib_ray.stages.kmv import (
+        _hash_ids,
+        _k_smallest,
+        kmv_estimate,
+        kmv_set_ops,
+    )
+
+    k = 512
+    n_a, n_b, overlap = 20_000, 15_000, 8_000
+    a_ids = np.arange(n_a, dtype=np.int64)
+    b_ids = np.arange(n_a - overlap, n_a - overlap + n_b, dtype=np.int64)
+    a = _k_smallest(_hash_ids(a_ids), k)
+    b = _k_smallest(_hash_ids(b_ids), k)
+    assert abs(kmv_estimate(a, k) - n_a) / n_a < 0.15
+    ops = kmv_set_ops(a, b, k)
+    assert abs(ops["n_union"] - (n_a + n_b - overlap)) / (n_a + n_b - overlap) < 0.15
+    assert abs(ops["n_intersect"] - overlap) / overlap < 0.30
+    assert ops["n_a"] + ops["n_b"] >= ops["n_union"]
