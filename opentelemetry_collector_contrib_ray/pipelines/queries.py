@@ -7417,6 +7417,51 @@ FROM m
 """
 
 
+def q_events_zorder_layout(sf_dir: str):
+    """Z-order (Morton) clustering layout (stages/zonemap.py
+    zorder_key): interleave user-bucket × day-bucket bits into the
+    layout key, bucket by the top interleaved bits, and emit each
+    bucket's zone envelope over BOTH dimensions — every bucket is a
+    16×16 tile, so range predicates on EITHER column prune (the
+    multidimensional companion of events_zonemap_prune). Stats via the
+    same partial+final grouped min/max pass; bit-identical SQL twin."""
+    from ..stages.zonemap import zone_stats, zorder_key
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 255)
+        y = pc.bit_wise_and(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000), 255)
+        z = zorder_key(x, y, bits=8)
+        return pa.table({"zbucket": pa.array(z >> 8, type=pa.int64()),
+                         "x": x, "y": y})
+
+    stats = zone_stats(ds.map_batches(prep, batch_format="pyarrow"),
+                       "zbucket", ["x", "y"])
+    return stats.map_batches(
+        lambda t: t.select(["zbucket", "n_rows", "x_min", "x_max",
+                            "y_min", "y_max"]),
+        batch_format="pyarrow")
+
+
+def _zorder_sql() -> str:
+    from ..stages.zonemap import zorder_sql
+
+    z = zorder_sql("x", "y", bits=8)
+    return f"""
+WITH p AS (
+  SELECT user_id & 255 AS x,
+         (epoch_us(ts) // 86400000000) & 255 AS y
+  FROM events),
+z AS (SELECT x, y, {z} // 256 AS zbucket FROM p)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM z GROUP BY zbucket
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -7822,6 +7867,7 @@ QUERIES = {
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_zonemap_prune": q_events_zonemap_prune,
     "events_user_set_algebra": q_events_user_set_algebra,
+    "events_zorder_layout": q_events_zorder_layout,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8034,6 +8080,7 @@ ORACLES = {
     "docs_bpe_merges": _bpe_sql(),
     "events_zonemap_prune": SQL_EVENTS_ZONEMAP_PRUNE,
     "events_user_set_algebra": SQL_EVENTS_USER_SET_ALGEBRA,
+    "events_zorder_layout": _zorder_sql(),
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -19,6 +19,7 @@ predicate, not the corpus size.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -73,6 +74,33 @@ def prune_keys(stats: pa.Table, key: str,
         if hi is not None:
             mask = pc.and_(mask, pc.less(mn, hi))
     return pc.filter(stats[key], mask).to_pylist()
+
+
+def zorder_key(x, y, bits: int = 8):
+    """Morton/Z-order interleave of two ``bits``-bit dimensions
+    (numpy int64 arrays or arrow columns) — the multidimensional
+    clustering key: sorting/bucketing by z keeps BOTH dimensions
+    range-bounded inside every bucket, so zone maps prune on either
+    predicate column.  Pure bit arithmetic, so the identical 2·bits-term
+    expression runs in SQL."""
+    xv = x.to_numpy(zero_copy_only=False) if hasattr(x, "to_numpy") else x
+    yv = y.to_numpy(zero_copy_only=False) if hasattr(y, "to_numpy") else y
+    xv = xv.astype(np.int64) & ((1 << bits) - 1)
+    yv = yv.astype(np.int64) & ((1 << bits) - 1)
+    z = np.zeros(len(xv), dtype=np.int64)
+    for b in range(bits):
+        z |= ((xv >> b) & 1) << (2 * b + 1)
+        z |= ((yv >> b) & 1) << (2 * b)
+    return z
+
+
+def zorder_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """The SQL twin of :func:`zorder_key` (one flat bit-term sum)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x_expr}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+        terms.append(f"((({y_expr}) >> {b}) & 1) * {1 << (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
 
 
 def pruned_paths(root: str, key: str, keys: list) -> list[str]:

@@ -682,3 +682,25 @@ def test_zonemap_prunes_by_value_envelope(tmp_path):
     # unbounded side + no constraints keeps everything
     assert sorted(prune_keys(stats, "bucket", {"v": (None, None)})) == \
         [0, 1, 2, 3]
+
+
+def test_zorder_buckets_are_tiles():
+    import numpy as np
+    from opentelemetry_collector_contrib_ray.stages.zonemap import zorder_key
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, 5000)
+    y = rng.integers(0, 256, 5000)
+    z = zorder_key(x, y, bits=8)
+    # round-trip: de-interleave recovers both dims exactly
+    xd = np.zeros_like(x)
+    yd = np.zeros_like(y)
+    for b in range(8):
+        xd |= ((z >> (2 * b + 1)) & 1) << b
+        yd |= ((z >> (2 * b)) & 1) << b
+    assert (xd == x).all() and (yd == y).all()
+    # top-8-bit buckets are 16x16 tiles: both dims span < 16 per bucket
+    for bucket in np.unique(z >> 8):
+        m = (z >> 8) == bucket
+        assert x[m].max() - x[m].min() < 16
+        assert y[m].max() - y[m].min() < 16
