@@ -7462,6 +7462,79 @@ FROM z GROUP BY zbucket
 """
 
 
+def q_docs_bpe_tokenize(sf_dir: str):
+    """Corpus-scale BPE tokenization with the merges learned by
+    q_docs_bpe_merges (stages/bpe.py): train 3 rounds on the
+    vocabulary, then encode EVERY document and roll up per-language
+    token accounting (pre-BPE symbol count vs post-BPE token count —
+    the compression the tokenizer buys). Key trick: merge patterns
+    contain no separators, so the replace chain runs on the whole
+    cleaned document text (one vectorized pandas str.replace per
+    merge, never per word) — token count is just the non-space length
+    of the encoded text. SQL twin reuses the training CTEs and the
+    same whole-text replace chain."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.bpe import MERGE_BASE, build_vocab, pair_counts, best_pair
+
+    docs = read_table(sf_dir, "documents", columns=["text", "lang"])
+    vocab = build_vocab(docs).materialize()
+    merges: list[tuple[int, int]] = []
+    for _ in range(3):
+        counts = pair_counts(vocab, merges).materialize()
+        tbl = pa.concat_tables(
+            list(counts.iter_batches(batch_format="pyarrow")))
+        a, b, _c = best_pair(tbl)
+        merges.append((a, b))
+
+    ms = tuple(merges)
+
+    def encode(t: pa.Table) -> pa.Table:
+        cleaned = pc.utf8_lower(pc.replace_substring_regex(
+            pc.cast(t["text"], pa.string()), "[^A-Za-z]+", " "))
+        n_sym = pc.subtract(pc.utf8_length(cleaned),
+                            pc.count_substring(cleaned, " "))
+        s = pd.Series(cleaned.to_pylist(), dtype=object)
+        for k, (a, b) in enumerate(ms):
+            s = s.str.replace(chr(a) + chr(b), chr(MERGE_BASE + k),
+                              regex=False)
+        enc = pa.array(s, pa.string())
+        n_tok = pc.subtract(pc.utf8_length(enc),
+                            pc.count_substring(enc, " "))
+        return pa.table({"lang": t["lang"],
+                         "n_sym": pc.cast(n_sym, pa.int64()),
+                         "n_tok": pc.cast(n_tok, pa.int64())})
+
+    return compact_groupby(docs.map_batches(encode, batch_format="pyarrow"),
+                           ["lang"],
+                           sum_cols={"n_sym": "n_sym", "n_tok": "n_tok"},
+                           count_alias="n_docs")
+
+
+def _bpe_tokenize_sql(rounds: int = 3) -> str:
+    # reuse the training CTE prefix (vocab, c1..b3, e1..e3) then apply
+    # the same replace chain to whole cleaned documents
+    train = _bpe_sql(rounds=rounds)
+    prefix = train.split("\nSELECT 'merge'")[0]  # CTEs only
+    chain = "lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g'))"
+    enc = chain
+    for r in range(1, rounds + 1):
+        enc = f"replace({enc}, b{r}.a || b{r}.b, chr({0xE000 + r - 1}))"
+    froms = ", ".join(f"b{k}" for k in range(1, rounds + 1))
+    return f"""{prefix},
+encd AS (
+  SELECT lang,
+         length(replace({chain}, ' ', '')) AS n_sym,
+         length(replace({enc}, ' ', '')) AS n_tok
+  FROM documents, {froms})
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sym) AS BIGINT) AS n_sym,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tok
+FROM encd GROUP BY lang
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -7868,6 +7941,7 @@ QUERIES = {
     "events_zonemap_prune": q_events_zonemap_prune,
     "events_user_set_algebra": q_events_user_set_algebra,
     "events_zorder_layout": q_events_zorder_layout,
+    "docs_bpe_tokenize": q_docs_bpe_tokenize,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8081,6 +8155,7 @@ ORACLES = {
     "events_zonemap_prune": SQL_EVENTS_ZONEMAP_PRUNE,
     "events_user_set_algebra": SQL_EVENTS_USER_SET_ALGEBRA,
     "events_zorder_layout": _zorder_sql(),
+    "docs_bpe_tokenize": _bpe_tokenize_sql(),
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -813,3 +813,29 @@ def test_bpe_random_vocab_matches_reference():
     assert got.token.tolist() == [
         expand_token(chr(a) + chr(b), merges[:i])
         for i, (a, b) in enumerate(merges)]
+
+
+def test_bpe_whole_text_encode_equals_per_word():
+    # merge patterns contain no separator, so the whole-text replace
+    # chain must count exactly what per-word encoding counts
+    import numpy as np
+    from opentelemetry_collector_contrib_ray.stages.bpe import (
+        MERGE_BASE,
+        _encode,
+    )
+
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abc"), rng.integers(1, 7)))
+             for _ in range(200)]
+    merges = [(ord("a"), ord("b")), (ord("b"), ord("c")),
+              (MERGE_BASE, ord("a"))]
+    text = ""
+    for w in words:
+        text += w + rng.choice([" ", ", ", "! ", "  ", "\n"])
+    cleaned = " ".join(text.replace(",", " ").replace("!", " ").split())
+    whole = cleaned
+    for k, (a, b) in enumerate(merges):
+        whole = whole.replace(chr(a) + chr(b), chr(MERGE_BASE + k))
+    n_tok_whole = len(whole.replace(" ", ""))
+    per_word = _encode(words, merges)
+    assert n_tok_whole == int(per_word.str.len().sum())
