@@ -7535,6 +7535,155 @@ FROM encd GROUP BY lang
 """
 
 
+def q_events_schema_migrate(sf_dir: str):
+    """schemaprocessor parity (stages/schemamigrate.py, reference
+    processor/schemaprocessor): rows carry mixed schema-family versions
+    (value column named per its version's convention); one fused masked
+    columnar pass migrates every row to the target version — upgrades
+    compose renames in version order, downgrades apply the inverted
+    renames in reverse. Both directions aggregated; the stray counters
+    prove no value was left under a pre-migration name (the SQL twin
+    states the ground truth: sum preserved, zero strays)."""
+    from ..stages.agg import compact_groupby
+    from ..stages.schemamigrate import SchemaFamily, migrate_schema
+
+    FAM = "https://example.com/schemas"
+    versions = ["1.7.0", "1.8.0", "1.9.0"]
+    renames = {"1.8.0": {"lat_ms": "dur_ms"},
+               "1.9.0": {"dur_ms": "dur_millis"}}
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = pc.cast(t["event_type"], pa.string())
+        cents = _cents(t["value"])
+        v17 = pc.is_in(et, value_set=pa.array(["view", "click"]))
+        v18 = pc.is_in(et, value_set=pa.array(["purchase", "signup"]))
+        url = pc.if_else(v17, f"{FAM}/1.7.0",
+                         pc.if_else(v18, f"{FAM}/1.8.0", f"{FAM}/1.9.0"))
+        none = pa.scalar(None, pa.int64())
+        return pa.table({
+            "event_type": et, "schema_url": url,
+            "lat_ms": pc.if_else(v17, cents, none),
+            "dur_ms": pc.if_else(v18, cents, none),
+            "dur_millis": pc.if_else(pc.or_(v17, v18), none, cents),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def side(target: str, val_col: str, stray_cols: list[str],
+             direction: str):
+        fam = SchemaFamily(FAM, versions, renames, target=target)
+        out = migrate_schema(prepped, fam)
+
+        def agg(t: pa.Table) -> pa.Table:
+            strays = pc.cast(pc.is_valid(t[stray_cols[0]]), pa.int64())
+            for c in stray_cols[1:]:
+                strays = pc.add(strays,
+                                pc.cast(pc.is_valid(t[c]), pa.int64()))
+            return pa.table({"event_type": t["event_type"],
+                             "sum_v": pc.fill_null(t[val_col], 0),
+                             "strays": strays})
+
+        g = compact_groupby(out.map_batches(agg, batch_format="pyarrow"),
+                            ["event_type"],
+                            sum_cols={"sum_v": "sum_v",
+                                      "strays": "strays"},
+                            count_alias="n").materialize()
+        tbl = pa.concat_tables(list(g.iter_batches(batch_format="pyarrow")))
+        return tbl.append_column(
+            "direction", pa.array([direction] * tbl.num_rows, pa.string()))
+
+    up = side("1.9.0", "dur_millis", ["lat_ms", "dur_ms"], "up")
+    dn = side("1.7.0", "lat_ms", ["dur_ms", "dur_millis"], "down")
+    return pa.concat_tables([up, dn])
+
+
+SQL_EVENTS_SCHEMA_MIGRATE = f"""
+SELECT event_type,
+       CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_v,
+       CAST(0 AS BIGINT) AS strays,
+       CAST(count(*) AS BIGINT) AS n,
+       d.dir AS direction
+FROM events, (VALUES ('up'), ('down')) d(dir)
+GROUP BY event_type, d.dir
+"""
+
+
+def q_events_incremental_rollup(sf_dir: str):
+    """Watermark-incremental aggregation (the delta-processing shape a
+    100 TB pipeline runs daily): run 1 processes days ≤ W and persists
+    MERGEABLE per-(day, type) partials (atomic temp+rename, the
+    state/checkpoint.py discipline); run 2 reads only days > W, merges
+    its partials with the persisted state, and emits the final rollup —
+    provably identical to a full recompute (the SQL twin), with the
+    state accounting (days persisted vs processed incrementally)
+    hash-verified. New data never re-aggregates old rows; state volume
+    is O(days × types), not corpus."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+            "event_type": t["event_type"], "cents": _cents(t["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    d0 = prepped.min("day")
+    wm = d0 + 7
+
+    def partials(filter_fn) -> pa.Table:
+        g = compact_groupby(
+            prepped.map_batches(filter_fn, batch_format="pyarrow"),
+            ["day", "event_type"], sum_cols={"cents": "sum_cents"},
+            count_alias="n").materialize()
+        return pa.concat_tables(list(g.iter_batches(batch_format="pyarrow")))
+
+    # run 1: historical days ≤ watermark → persisted state
+    state = partials(lambda t: t.filter(pc.less_equal(t["day"], wm)))
+    root = tempfile.mkdtemp(prefix="incr_", dir="/tmp")
+    tmp = os.path.join(root, "state.parquet.tmp")
+    pq.write_table(state, tmp)
+    os.replace(tmp, os.path.join(root, "state.parquet"))  # atomic commit
+
+    # run 2: ONLY the new days, merged with read-back state
+    fresh = partials(lambda t: t.filter(pc.greater(t["day"], wm)))
+    merged = pa.concat_tables(
+        [pq.read_table(os.path.join(root, "state.parquet")), fresh])
+    final = merged.group_by(["event_type"]).aggregate(
+        [("n", "sum"), ("sum_cents", "sum")])
+    days_state = pc.count_distinct(state["day"]).as_py()
+    days_incr = pc.count_distinct(fresh["day"]).as_py()
+    k = final.num_rows
+    return pa.table({
+        "event_type": final["event_type"],
+        "n": pc.cast(final["n_sum"], pa.int64()),
+        "sum_cents": pc.cast(final["sum_cents_sum"], pa.int64()),
+        "days_state": pa.array([days_state] * k, pa.int64()),
+        "days_incr": pa.array([days_incr] * k, pa.int64()),
+    })
+
+
+SQL_EVENTS_INCREMENTAL_ROLLUP = f"""
+WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                  {_CENTS.format(x='value')} AS cents FROM events),
+b AS (SELECT min(day) + 7 AS wm FROM p)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM p, b
+        WHERE day <= b.wm) AS days_state,
+       (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM p, b
+        WHERE day > b.wm) AS days_incr
+FROM p GROUP BY event_type
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -7942,6 +8091,8 @@ QUERIES = {
     "events_user_set_algebra": q_events_user_set_algebra,
     "events_zorder_layout": q_events_zorder_layout,
     "docs_bpe_tokenize": q_docs_bpe_tokenize,
+    "events_schema_migrate": q_events_schema_migrate,
+    "events_incremental_rollup": q_events_incremental_rollup,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8156,6 +8307,8 @@ ORACLES = {
     "events_user_set_algebra": SQL_EVENTS_USER_SET_ALGEBRA,
     "events_zorder_layout": _zorder_sql(),
     "docs_bpe_tokenize": _bpe_tokenize_sql(),
+    "events_schema_migrate": SQL_EVENTS_SCHEMA_MIGRATE,
+    "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

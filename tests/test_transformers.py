@@ -379,3 +379,67 @@ def test_rate_limit_window_rule_and_parallelism():
         got = rate_limit(rd.from_pandas(df).repartition(reparts), "user_id", "ts",
                          2, 3600, "event_id", num_partitions=nparts).to_pandas()
         assert sorted(got["event_id"]) == sorted(want_keep)
+
+
+# --------------------------------------------- schema migration
+
+
+def test_schema_migrator_upgrade_composes_and_downgrade_inverts():
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.stages.schemamigrate import (
+        SchemaFamily,
+        SchemaMigrator,
+    )
+
+    FAM = "https://example.com/schemas"
+    fam = SchemaFamily(
+        FAM, ["1.7.0", "1.8.0", "1.9.0"],
+        {"1.8.0": {"lat": "dur"}, "1.9.0": {"dur": "dur_ms",
+                                            "code": "http.code"}},
+        target="1.9.0")
+    t = pa.table({
+        "schema_url": [f"{FAM}/1.7.0", f"{FAM}/1.8.0", f"{FAM}/1.9.0",
+                       "https://other/1.0.0"],
+        "lat": pa.array([10, None, None, 99], pa.int64()),
+        "dur": pa.array([None, 20, None, None], pa.int64()),
+        "dur_ms": pa.array([None, None, 30, None], pa.int64()),
+        "code": pa.array([401, 402, None, 403], pa.int64()),
+        "http.code": pa.array([None, None, 503, None], pa.int64()),
+    })
+    out = SchemaMigrator(fam)(t)
+    # every family row lands in 1.9.0 columns; other family untouched
+    assert out["schema_url"].to_pylist() == [
+        f"{FAM}/1.9.0"] * 3 + ["https://other/1.0.0"]
+    assert out["dur_ms"].to_pylist() == [10, 20, 30, None]
+    assert out["lat"].to_pylist() == [None, None, None, 99]
+    assert out["dur"].to_pylist() == [None] * 4
+    assert out["http.code"].to_pylist() == [401, 402, 503, None]
+    assert out["code"].to_pylist() == [None, None, None, 403]
+
+    # downgrade to 1.7.0 inverts both steps in reverse order
+    dn = SchemaMigrator(SchemaFamily(
+        FAM, ["1.7.0", "1.8.0", "1.9.0"],
+        {"1.8.0": {"lat": "dur"}, "1.9.0": {"dur": "dur_ms",
+                                            "code": "http.code"}},
+        target="1.7.0"))(t)
+    assert dn["lat"].to_pylist() == [10, 20, 30, 99]
+    assert dn["code"].to_pylist() == [401, 402, 503, 403]
+    assert dn["dur_ms"].to_pylist() == [None] * 4
+    assert dn["schema_url"].to_pylist() == [
+        f"{FAM}/1.7.0"] * 3 + ["https://other/1.0.0"]
+
+
+def test_schema_migrator_creates_missing_target_column():
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.stages.schemamigrate import (
+        SchemaFamily,
+        SchemaMigrator,
+    )
+
+    FAM = "https://f.example/s"
+    fam = SchemaFamily(FAM, ["1.0.0", "2.0.0"],
+                       {"2.0.0": {"a": "b"}}, target="2.0.0")
+    t = pa.table({"schema_url": [f"{FAM}/1.0.0"],
+                  "a": pa.array([7], pa.int64())})
+    out = SchemaMigrator(fam)(t)
+    assert out["b"].to_pylist() == [7] and out["a"].to_pylist() == [None]
