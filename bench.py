@@ -53,6 +53,14 @@ BENCH_QUERIES = [
     "events_cms_counts",
     "events_value_hour_corr",
     "docs_bpe_merges",
+    "docs_bpe_tokenize",
+    "events_zonemap_prune",
+    "events_zorder_layout",
+    "events_user_set_algebra",
+    "metrics_label_transform",
+    "events_schema_migrate",
+    "events_incremental_rollup",
+    "events_prefix_route",
 ]
 
 

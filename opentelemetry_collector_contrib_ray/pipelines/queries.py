@@ -7684,6 +7684,57 @@ FROM p GROUP BY event_type
 """
 
 
+_PREFIX_TABLE = {
+    "/": "root", "/view": "views", "/view/u3": "view-u3",
+    "/click": "clicks", "/purchase": "buys", "/purchase/u7": "buys-u7",
+    "/sign": "sign-any", "/error/u": "err-users",
+}
+
+
+def q_events_prefix_route(sf_dir: str):
+    """Longest-prefix-match routing enrichment (stages/enrich.py
+    LongestPrefixRouter — IP-prefix/URL-path routing-table shape, the
+    hierarchical cousin of the k8sattributes dictionary join): each
+    row's path picks the LONGEST matching table prefix, vectorized as
+    one dictionary join per distinct prefix length (descending), table
+    in the task closure, zero shuffle; per-route rollup."""
+    from ..stages.agg import compact_groupby
+    from ..stages.enrich import LongestPrefixRouter
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        path = pc.binary_join_element_wise(
+            "/", pc.cast(t["event_type"], pa.string()), "/u",
+            pc.cast(_pc_mod(uid, 10), pa.string()), "")
+        return pa.table({"path": path, "user_id": uid})
+
+    routed = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        LongestPrefixRouter("path", _PREFIX_TABLE), batch_format="pyarrow")
+    return compact_groupby(routed, ["route"],
+                           sum_cols={"user_id": "sum_uid"},
+                           count_alias="n")
+
+
+def _prefix_route_sql() -> str:
+    vals = ", ".join(f"('{p}', '{l}')" for p, l in _PREFIX_TABLE.items())
+    return f"""
+WITH p AS (SELECT '/' || event_type || '/u'
+                  || CAST(user_id % 10 AS VARCHAR) AS path, user_id
+           FROM events),
+r AS (SELECT user_id,
+             coalesce((SELECT label FROM (VALUES {vals}) pre(prefix, label)
+                       WHERE starts_with(p.path, pre.prefix)
+                       ORDER BY length(pre.prefix) DESC, pre.prefix
+                       LIMIT 1), 'unmatched') AS route
+      FROM p)
+SELECT route, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS sum_uid
+FROM r GROUP BY route
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8093,6 +8144,7 @@ QUERIES = {
     "docs_bpe_tokenize": q_docs_bpe_tokenize,
     "events_schema_migrate": q_events_schema_migrate,
     "events_incremental_rollup": q_events_incremental_rollup,
+    "events_prefix_route": q_events_prefix_route,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8309,6 +8361,7 @@ ORACLES = {
     "docs_bpe_tokenize": _bpe_tokenize_sql(),
     "events_schema_migrate": SQL_EVENTS_SCHEMA_MIGRATE,
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
+    "events_prefix_route": _prefix_route_sql(),
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -88,3 +88,46 @@ def enrich(ds, key_col: str, table, defaults=None, concurrency: int = 4,
         concurrency=norm_concurrency(concurrency),
         num_cpus=num_cpus,
     )
+
+
+class LongestPrefixRouter:
+    """Longest-prefix-match enrichment — the hierarchical cousin of the
+    flat dictionary join above (IP-prefix / URL-path routing-table
+    shape; same broadcast-small-side discipline as LookupEnricher).
+
+    ``table``: {prefix: label}.  Each row's key column is matched
+    against the LONGEST prefix that is a string prefix of it
+    (``starts_with`` semantics).  Vectorized as one pass PER DISTINCT
+    PREFIX LENGTH, descending: slice every still-unmatched key to that
+    length and dictionary-join the slice against that length's prefix
+    set — O(#distinct lengths) arrow kernels per batch, never per-row
+    Python.  The table ships in the task closure (tiny) or via
+    ``ray.put`` when large.
+    """
+
+    def __init__(self, key_col: str, table: Mapping[str, str],
+                 out_col: str = "route", default: str = "unmatched"):
+        self.key_col, self.out_col, self.default = key_col, out_col, default
+        by_len: dict[int, dict[str, str]] = {}
+        for p, label in table.items():
+            by_len.setdefault(len(p), {})[p] = label
+        # longest first: first match wins ⇒ longest-prefix semantics
+        self.levels = sorted(by_len.items(), key=lambda kv: -kv[0])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        keys = pc.cast(t[self.key_col], pa.string())
+        out = np.full(t.num_rows, self.default, dtype=object)
+        unmatched = np.ones(t.num_rows, dtype=bool)
+        for length, entries in self.levels:
+            if not unmatched.any():
+                break
+            sliced = pc.utf8_slice_codeunits(keys, 0, length)
+            mapped = pd.Series(
+                sliced.to_pandas().astype(object)).map(entries)
+            hit = mapped.notna().to_numpy() & unmatched
+            out[hit] = mapped.to_numpy(dtype=object)[hit]
+            unmatched &= ~hit
+        return t.append_column(self.out_col, pa.array(out, pa.string()))

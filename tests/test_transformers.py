@@ -443,3 +443,24 @@ def test_schema_migrator_creates_missing_target_column():
                   "a": pa.array([7], pa.int64())})
     out = SchemaMigrator(fam)(t)
     assert out["b"].to_pylist() == [7] and out["a"].to_pylist() == [None]
+
+
+def test_longest_prefix_router_semantics():
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.stages.enrich import (
+        LongestPrefixRouter,
+    )
+
+    r = LongestPrefixRouter("p", {"/": "root", "/a": "A", "/a/b": "AB",
+                                  "/ab": "ABX"})
+    t = pa.table({"p": ["/a/b/c", "/a/b", "/a/x", "/abc", "/ab", "/z",
+                        "x", ""]})
+    assert r(t)["route"].to_pylist() == [
+        "AB", "AB", "A", "ABX", "ABX", "root", "unmatched", "unmatched"]
+
+    # exact tie on length impossible (dict keys unique); longer always
+    # wins over shorter even when both match
+    r2 = LongestPrefixRouter("p", {"ab": "short", "abcd": "long"},
+                             default="none")
+    t2 = pa.table({"p": ["abcde", "abc", "a"]})
+    assert r2(t2)["route"].to_pylist() == ["long", "short", "none"]
