@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "events_schema_migrate",
     "events_incremental_rollup",
     "events_prefix_route",
+    "events_pivot_daily",
 ]
 
 

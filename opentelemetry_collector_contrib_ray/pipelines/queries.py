@@ -7735,6 +7735,43 @@ FROM r GROUP BY route
 """
 
 
+def q_events_pivot_daily(sf_dir: str):
+    """Long → wide pivot (stages/agg.py pivot_counts): per-day wide
+    event-type count columns + total, the fixed-column-set pivot shape
+    that scales (schema declared up front ⇒ one conditional-aggregation
+    pass + one bounded exchange; no column-discovery pass). Value sums
+    variant exercised in pytest."""
+    from ..stages.agg import pivot_counts
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+            "event_type": t["event_type"]})
+
+    return pivot_counts(ds.map_batches(prep, batch_format="pyarrow"),
+                        "day", "event_type",
+                        ["view", "click", "purchase", "signup", "error"])
+
+
+SQL_EVENTS_PIVOT_DAILY = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(count(*) AS BIGINT) AS total
+FROM events GROUP BY day
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8145,6 +8182,7 @@ QUERIES = {
     "events_schema_migrate": q_events_schema_migrate,
     "events_incremental_rollup": q_events_incremental_rollup,
     "events_prefix_route": q_events_prefix_route,
+    "events_pivot_daily": q_events_pivot_daily,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8362,6 +8400,7 @@ ORACLES = {
     "events_schema_migrate": SQL_EVENTS_SCHEMA_MIGRATE,
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
     "events_prefix_route": _prefix_route_sql(),
+    "events_pivot_daily": SQL_EVENTS_PIVOT_DAILY,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -945,3 +945,29 @@ def hash_groupby_sum(ds, keys: list[str], value_col: str,
     return (ds.map_batches(pre, batch_format="pyarrow")
               .groupby("__p")
               .map_groups(final, batch_format="pandas"))
+
+
+def pivot_counts(ds, key: str, col: str, values: list[str],
+                 value_col: str | None = None,
+                 total_alias: str = "total"):
+    """Pivot (long → wide) with a FIXED column set — the only pivot
+    shape that scales: the output schema is declared up front (one
+    int64 column per pivot value + a total), so the whole operation is
+    per-block conditional aggregation feeding one compact_groupby — no
+    second pass to discover columns, no driver-side schema negotiation.
+    ``value_col=None`` counts rows; otherwise sums that column."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cv = pc.cast(t[col], pa.string())
+        base = pc.cast(t[value_col], pa.int64()) if value_col else \
+            pa.array(np.ones(t.num_rows, np.int64))
+        proj = {key: t[key], total_alias: base}
+        for v in values:
+            proj[f"n_{v}"] = pc.if_else(pc.equal(cv, v), base,
+                                        pa.scalar(0, pa.int64()))
+        return pa.table(proj)
+
+    cols = {f"n_{v}": f"n_{v}" for v in values}
+    cols[total_alias] = total_alias
+    return compact_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           [key], sum_cols=cols)

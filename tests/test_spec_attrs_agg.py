@@ -728,3 +728,26 @@ def test_kmv_saturated_estimates_within_bounds():
     assert abs(ops["n_union"] - (n_a + n_b - overlap)) / (n_a + n_b - overlap) < 0.15
     assert abs(ops["n_intersect"] - overlap) / overlap < 0.30
     assert ops["n_a"] + ops["n_b"] >= ops["n_union"]
+
+
+def test_pivot_counts_and_sums():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import pivot_counts
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "b", "a"],
+        "t": ["x", "y", "x", "x", "z", "zz"],  # 'zz' not in the set
+        "v": [1, 2, 3, 4, 5, 6],
+    })
+    for nblocks in (1, 4):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = pivot_counts(ds, "k", "t", ["x", "y"]).to_pandas() \
+            .set_index("k").sort_index()
+        assert out.loc["a"].tolist() == [1, 1, 3]    # n_x, n_y, total
+        assert out.loc["b"].tolist() == [2, 0, 3]
+        sums = pivot_counts(ds, "k", "t", ["x", "y"], value_col="v",
+                            total_alias="sum_v").to_pandas() \
+            .set_index("k").sort_index()
+        assert sums.loc["a"].tolist() == [1, 2, 9]
+        assert sums.loc["b"].tolist() == [7, 0, 12]
