@@ -7772,6 +7772,48 @@ FROM events GROUP BY day
 """
 
 
+def q_docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (the
+    integer-exact rendering of the Efraimidis–Spirakis key scheme):
+    priority = scaled_hash(id) // weight, k smallest win — heavier docs
+    draw proportionally smaller priorities, the draw is reproducible
+    (pure function of ids), one streaming pass via the block-local
+    top-k combiner (stages/agg.py topn_per_group), and the whole rule
+    is exact HUGEINT SQL. Length-weighted here (long docs over-sampled
+    — the curation counterweight to per-doc uniform sampling)."""
+    from ..stages.agg import topn_per_group
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        w = pc.max_element_wise(pc.cast(t["n_chars"], pa.int64()), 1)
+        h = _pc_mod(pc.multiply(did, 2654435761), 4294967296)
+        prio = pc.divide(pc.multiply(h, 1_000_000), w)
+        return pa.table({"g": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "doc_id": did, "n_chars": t["n_chars"],
+                         "prio": prio})
+
+    out = topn_per_group(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["g"], "prio", 20, tie_cols=["doc_id"],
+                         descending=False, compact=True)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_chars", "prio", "rank"]),
+        batch_format="pyarrow")
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = """
+WITH p AS (
+  SELECT doc_id, n_chars,
+         CAST(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296)
+              * 1000000 // greatest(n_chars, 1) AS BIGINT) AS prio
+  FROM documents)
+SELECT doc_id, n_chars, prio,
+       row_number() OVER (ORDER BY prio, doc_id) AS rank
+FROM p QUALIFY rank <= 20
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8183,6 +8225,7 @@ QUERIES = {
     "events_incremental_rollup": q_events_incremental_rollup,
     "events_prefix_route": q_events_prefix_route,
     "events_pivot_daily": q_events_pivot_daily,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8401,6 +8444,7 @@ ORACLES = {
     "events_incremental_rollup": SQL_EVENTS_INCREMENTAL_ROLLUP,
     "events_prefix_route": _prefix_route_sql(),
     "events_pivot_daily": SQL_EVENTS_PIVOT_DAILY,
+    "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

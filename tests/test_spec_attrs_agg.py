@@ -751,3 +751,29 @@ def test_pivot_counts_and_sums():
             .set_index("k").sort_index()
         assert sums.loc["a"].tolist() == [1, 2, 9]
         assert sums.loc["b"].tolist() == [7, 0, 12]
+
+
+def test_weighted_sample_matches_bruteforce_and_prefers_heavy():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import topn_per_group
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": rng.integers(1, 1000, n).astype(np.int64)})
+    h = (df.id.to_numpy().astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(2**32)
+    prio = (h.astype(np.int64) * 1_000_000) // df.w.to_numpy()
+    df["prio"] = prio
+    df["g"] = 0
+    k = 50
+    want = df.nsmallest(k, ["prio", "id"]).id.tolist()
+    for nblocks in (1, 6):
+        out = topn_per_group(rd.from_pandas(df).repartition(nblocks),
+                             ["g"], "prio", k, tie_cols=["id"],
+                             descending=False, compact=True).to_pandas()
+        assert sorted(out.id.tolist()) == sorted(want)
+    # heavier rows are overrepresented: mean weight of winners > pop mean
+    assert df[df.id.isin(want)].w.mean() > 1.25 * df.w.mean()
