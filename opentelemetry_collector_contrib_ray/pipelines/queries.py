@@ -7814,6 +7814,77 @@ FROM p QUALIFY rank <= 20
 """
 
 
+def q_events_compaction(sf_dir: str):
+    """Small-file compaction roundtrip (stages/zonemap.py
+    compact_by_range): scatter events into many small files (the
+    streaming-ingest layout), compact into EXACTLY ONE day-sorted file
+    per fixed week bucket (atomic per-bucket rename — idempotent), then
+    prove content preservation by re-reading ONLY the compacted files
+    and aggregating: per bucket n, sum, day envelope, plus a
+    sorted-within-file flag computed from the file bytes. SQL twin
+    derives the same rule straight from events."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.zonemap import compact_by_range
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"day": day, "cents": _cents(t["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    d0 = prepped.min("day")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.subtract(t["day"], d0), 7)
+        return t.append_column("bucket", pc.cast(wk, pa.int64()))
+
+    small_root = tempfile.mkdtemp(prefix="compact_in_", dir="/tmp")
+    bucketed = prepped.map_batches(bucketize, batch_format="pyarrow")
+    bucketed.repartition(64).write_parquet(small_root)  # the small files
+
+    root = tempfile.mkdtemp(prefix="compact_out_", dir="/tmp")
+    compact_by_range(rd.read_parquet(small_root), root, "bucket", ["day"])
+
+    rows = []
+    for d in sorted(glob.glob(f"{root}/bucket=*")):
+        t = pq.read_table(f"{d}/part.parquet")
+        day = t["day"]
+        srt = pc.all(pc.greater_equal(
+            day.slice(1), day.slice(0, len(day) - 1))).as_py() \
+            if len(day) > 1 else True
+        rows.append((int(d.rsplit("=", 1)[1]), t.num_rows,
+                     pc.sum(t["cents"]).as_py(),
+                     pc.min(day).as_py(), pc.max(day).as_py(),
+                     1 if srt else 0))
+    rows.sort()
+    return pa.table({
+        "bucket": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "day_min": pa.array([r[3] for r in rows], pa.int64()),
+        "day_max": pa.array([r[4] for r in rows], pa.int64()),
+        "sorted_ok": pa.array([r[5] for r in rows], pa.int64()),
+    })
+
+
+SQL_EVENTS_COMPACTION = f"""
+WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  {_CENTS.format(x='value')} AS cents FROM events),
+b AS (SELECT min(day) AS d0 FROM p)
+SELECT (p.day - b.d0) // 7 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       min(p.day) AS day_min, max(p.day) AS day_max,
+       CAST(1 AS BIGINT) AS sorted_ok
+FROM p, b GROUP BY 1
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8226,6 +8297,7 @@ QUERIES = {
     "events_prefix_route": q_events_prefix_route,
     "events_pivot_daily": q_events_pivot_daily,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "events_compaction": q_events_compaction,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8445,6 +8517,7 @@ ORACLES = {
     "events_prefix_route": _prefix_route_sql(),
     "events_pivot_daily": SQL_EVENTS_PIVOT_DAILY,
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
+    "events_compaction": SQL_EVENTS_COMPACTION,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

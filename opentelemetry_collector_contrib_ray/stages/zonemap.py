@@ -103,6 +103,47 @@ def zorder_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def compact_by_range(ds, root: str, bucket_col: str, sort_cols: list[str],
+                     drop_bucket: bool = False):
+    """Small-file compaction: coalesce a many-small-files dataset into
+    EXACTLY ONE sorted parquet file per range bucket — the maintenance
+    op every long-lived 100 TB table needs (streaming ingest produces
+    file counts proportional to task counts; reads want few large
+    sorted files so row-group stats and zone maps prune).
+
+    One group exchange on ``bucket_col``; each group task sorts its
+    bucket and writes ``<root>/<bucket_col>=<v>/part.parquet`` via
+    temp + atomic rename (idempotent — re-running a failed compaction
+    overwrites cleanly).  Returns the list of written bucket values.
+    Buckets must each fit a worker (pick range boundaries accordingly);
+    a giant bucket would shard into part-N files instead.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    def write_one(t: pa.Table) -> pa.Table:
+        b = t[bucket_col][0].as_py()
+        idx = pc.sort_indices(
+            t, sort_keys=[(c, "ascending") for c in sort_cols])
+        out = t.take(idx)
+        if drop_bucket:
+            out = out.drop_columns([bucket_col])
+        d = os.path.join(root, f"{bucket_col}={b}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "part.parquet.tmp")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(d, "part.parquet"))
+        return pa.table({bucket_col: pa.array([b], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    written = ds.groupby(bucket_col).map_groups(
+        write_one, batch_format="pyarrow").materialize()
+    out = pa.concat_tables(list(written.iter_batches(
+        batch_format="pyarrow")))
+    return sorted(out[bucket_col].to_pylist())
+
+
 def pruned_paths(root: str, key: str, keys: list) -> list[str]:
     """Hive directory layout → the parquet files of surviving keys
     (explicit file globs: Ray's multi-path read_parquet wants files,

@@ -704,3 +704,39 @@ def test_zorder_buckets_are_tiles():
         m = (z >> 8) == bucket
         assert x[m].max() - x[m].min() < 16
         assert y[m].max() - y[m].min() < 16
+
+
+def test_compact_by_range_one_sorted_file_per_bucket_idempotent(tmp_path):
+    import glob
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.zonemap import (
+        compact_by_range,
+    )
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "bucket": rng.integers(0, 3, 500).astype(np.int64),
+        "day": rng.integers(0, 30, 500).astype(np.int64),
+        "v": np.arange(500, dtype=np.int64),
+    })
+    root = str(tmp_path / "out")
+    ds = rd.from_pandas(df).repartition(8)
+    written = compact_by_range(ds, root, "bucket", ["day"])
+    assert written == [0, 1, 2]
+    for _ in range(2):  # idempotent: rerun overwrites cleanly
+        back = []
+        for b in (0, 1, 2):
+            files = glob.glob(f"{root}/bucket={b}/*.parquet")
+            assert len(files) == 1          # exactly one file per bucket
+            t = pq.read_table(files[0])
+            d = t["day"].to_numpy()
+            assert (d[1:] >= d[:-1]).all()  # sorted within the file
+            back.append(t.to_pandas())
+        got = pd.concat(back).sort_values("v").reset_index(drop=True)
+        assert got.v.tolist() == df.sort_values("v").v.tolist()
+        assert got.day.sum() == df.day.sum()
+        compact_by_range(rd.from_pandas(df).repartition(3), root,
+                         "bucket", ["day"])
