@@ -7885,6 +7885,93 @@ FROM p, b GROUP BY 1
 """
 
 
+def q_events_time_travel(sf_dir: str):
+    """Snapshot-isolation time travel (state/snapshots.py): commit v1 =
+    the first two week-buckets as immutable per-bucket files (compacted,
+    one atomic manifest rename), commit v2 = v1's files + the remaining
+    buckets; then read BOTH versions by resolving their manifests to
+    exact file lists and aggregating. Historical reads never see later
+    appends; manifests stay O(files) while data is immutable Parquet.
+    SQL twin derives each version's content from the same day rule."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..stages.zonemap import compact_by_range
+    from ..state.snapshots import commit_snapshot, read_snapshot_files
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"day": day, "cents": _cents(t["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    d0 = prepped.min("day")
+    wm = d0 + 13  # v1 = buckets 0-1 (two full weeks)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.subtract(t["day"], d0), 7)
+        return t.append_column("bucket", pc.cast(wk, pa.int64()))
+
+    bucketed = prepped.map_batches(bucketize, batch_format="pyarrow")
+    root = tempfile.mkdtemp(prefix="snap_", dir="/tmp")
+    old = bucketed.map_batches(
+        lambda t: t.filter(pc.less_equal(t["day"], wm)),
+        batch_format="pyarrow")
+    new = bucketed.map_batches(
+        lambda t: t.filter(pc.greater(t["day"], wm)),
+        batch_format="pyarrow")
+    v1_buckets = compact_by_range(old, root, "bucket", ["day"])
+    v1_files = [f"{root}/bucket={b}/part.parquet" for b in v1_buckets]
+    commit_snapshot(root, 1, v1_files)
+    v2_buckets = compact_by_range(new, root, "bucket", ["day"])
+    v2_new = [f"{root}/bucket={b}/part.parquet" for b in v2_buckets]
+    commit_snapshot(root, 2, v2_new, parent=1)
+
+    rows = []
+    for v in (1, 2):
+        files = read_snapshot_files(root, v)
+        t = rd.read_parquet(files, columns=["day", "cents"]) \
+            .map_batches(lambda t: pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([pc.sum(t["cents"]).as_py() or 0],
+                              pa.int64()),
+                "dmax": pa.array([pc.max(t["day"]).as_py() or 0],
+                                 pa.int64())}),
+                batch_format="pyarrow").materialize()
+        agg = pa.concat_tables(list(t.iter_batches(batch_format="pyarrow")))
+        rows.append((v, len(files),
+                     pc.sum(agg["n"]).as_py() or 0,
+                     pc.sum(agg["s"]).as_py() or 0,
+                     pc.max(agg["dmax"]).as_py() or 0))
+    return pa.table({
+        "version": pa.array([r[0] for r in rows], pa.int64()),
+        "n_files": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[3] for r in rows], pa.int64()),
+        "day_max": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_EVENTS_TIME_TRAVEL = f"""
+WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  {_CENTS.format(x='value')} AS cents FROM events),
+b AS (SELECT min(day) AS d0 FROM p),
+v AS (SELECT 1 AS version, b.d0 + 13 AS cutoff FROM b
+      UNION ALL SELECT 2, (SELECT max(day) FROM p) FROM b)
+SELECT CAST(v.version AS BIGINT) AS version,
+       (SELECT CAST(count(DISTINCT (day - b.d0) // 7) AS BIGINT)
+        FROM p, b WHERE day <= v.cutoff) AS n_files,
+       (SELECT CAST(count(*) AS BIGINT) FROM p WHERE day <= v.cutoff)
+         AS n,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM p WHERE day <= v.cutoff)
+         AS sum_cents,
+       (SELECT max(day) FROM p WHERE day <= v.cutoff) AS day_max
+FROM v
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8298,6 +8385,7 @@ QUERIES = {
     "events_pivot_daily": q_events_pivot_daily,
     "docs_weighted_sample": q_docs_weighted_sample,
     "events_compaction": q_events_compaction,
+    "events_time_travel": q_events_time_travel,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8518,6 +8606,7 @@ ORACLES = {
     "events_pivot_daily": SQL_EVENTS_PIVOT_DAILY,
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "events_compaction": SQL_EVENTS_COMPACTION,
+    "events_time_travel": SQL_EVENTS_TIME_TRAVEL,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -144,3 +144,34 @@ def test_resumable_sweep_kill_resume_revenue_by_nation(ray_session, tmp_path,
     # third sweep: everything streams from the store, zero executions
     Q.run_resumable_sweep(sf, names=names, root=root)
     assert len(calls) == 3
+
+
+# --------------------------------------------- snapshot time travel
+
+
+def test_snapshot_manifests_isolate_versions(tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.state.snapshots import (
+        commit_snapshot,
+        latest_version,
+        read_snapshot_files,
+    )
+
+    root = str(tmp_path)
+    f1 = os.path.join(root, "a.parquet")
+    f2 = os.path.join(root, "b.parquet")
+    pq.write_table(pa.table({"x": [1, 2]}), f1)
+    pq.write_table(pa.table({"x": [3]}), f2)
+    commit_snapshot(root, 1, [f1])
+    commit_snapshot(root, 2, [f2], parent=1)
+    assert read_snapshot_files(root, 1) == [f1]
+    assert read_snapshot_files(root, 2) == [f1, f2]
+    assert latest_version(root) == 2
+    # committing v3 doesn't disturb v1/v2 readers
+    f3 = os.path.join(root, "c.parquet")
+    pq.write_table(pa.table({"x": [9]}), f3)
+    commit_snapshot(root, 3, [f3], parent=2)
+    assert read_snapshot_files(root, 1) == [f1]
+    assert read_snapshot_files(root, 3) == [f1, f2, f3]
