@@ -7972,6 +7972,98 @@ FROM v
 """
 
 
+def q_events_snapshot_delete(sf_dir: str):
+    """Merge-on-read deletes (state/snapshots.py tombstones): the data
+    files stay immutable; a delete commit is one tiny key file + an
+    atomic manifest rename; readers apply the tombstone key set at scan
+    time (broadcast anti-mask inside map_batches — the small-delete
+    shape; a huge tombstone set would take the bucketed anti-join).
+    v1 = full table, v2 = v1 + tombstones for high-value events; both
+    versions' aggregates hash-verify (v1 readers never see the delete)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.zonemap import compact_by_range
+    from ..state.snapshots import (
+        commit_snapshot,
+        read_snapshot_delete_keys,
+        read_snapshot_files,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "day": day, "cents": _cents(t["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    d0 = prepped.min("day")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.subtract(t["day"], d0), 7)
+        return t.append_column("bucket", pc.cast(wk, pa.int64()))
+
+    root = tempfile.mkdtemp(prefix="snapdel_", dir="/tmp")
+    buckets = compact_by_range(
+        prepped.map_batches(bucketize, batch_format="pyarrow"),
+        root, "bucket", ["day"])
+    files = [f"{root}/bucket={b}/part.parquet" for b in buckets]
+    commit_snapshot(root, 1, files)
+
+    # tombstones: event_ids with cents >= 5000 (computed distributed,
+    # collected as the tiny key file)
+    tomb = prepped.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cents"], 5000))
+                   .select(["event_id"]),
+        batch_format="pyarrow").materialize()
+    keys = pa.concat_tables(list(tomb.iter_batches(batch_format="pyarrow")))
+    dpath = os.path.join(root, "delete-0001.parquet")
+    pq.write_table(keys, dpath + ".tmp")
+    os.replace(dpath + ".tmp", dpath)
+    commit_snapshot(root, 2, [], parent=1, delete_files=[dpath])
+
+    rows = []
+    for v in (1, 2):
+        vfiles = read_snapshot_files(root, v)
+        dead = read_snapshot_delete_keys(root, v, "event_id")
+
+        def scan(t: pa.Table, _dead=dead) -> pa.Table:
+            if len(_dead):
+                t = t.filter(pc.invert(pc.is_in(t["event_id"],
+                                                value_set=_dead)))
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([pc.sum(t["cents"]).as_py() or 0],
+                              pa.int64())})
+
+        agg = rd.read_parquet(vfiles, columns=["event_id", "cents"]) \
+            .map_batches(scan, batch_format="pyarrow").materialize()
+        tbl = pa.concat_tables(list(agg.iter_batches(
+            batch_format="pyarrow")))
+        rows.append((v, pc.sum(tbl["n"]).as_py() or 0,
+                     pc.sum(tbl["s"]).as_py() or 0))
+    return pa.table({
+        "version": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_EVENTS_SNAPSHOT_DELETE = f"""
+WITH p AS (SELECT {_CENTS.format(x='value')} AS cents FROM events)
+SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents FROM p
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT),
+       CAST(coalesce(SUM(cents), 0) AS BIGINT)
+FROM p WHERE cents < 5000
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8386,6 +8478,7 @@ QUERIES = {
     "docs_weighted_sample": q_docs_weighted_sample,
     "events_compaction": q_events_compaction,
     "events_time_travel": q_events_time_travel,
+    "events_snapshot_delete": q_events_snapshot_delete,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8607,6 +8700,7 @@ ORACLES = {
     "docs_weighted_sample": SQL_DOCS_WEIGHTED_SAMPLE,
     "events_compaction": SQL_EVENTS_COMPACTION,
     "events_time_travel": SQL_EVENTS_TIME_TRAVEL,
+    "events_snapshot_delete": SQL_EVENTS_SNAPSHOT_DELETE,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

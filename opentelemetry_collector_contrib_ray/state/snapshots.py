@@ -24,29 +24,57 @@ def _manifest_path(root: str, version: int) -> str:
 
 
 def commit_snapshot(root: str, version: int, files: list[str],
-                    parent: int | None = None) -> list[str]:
+                    parent: int | None = None,
+                    delete_files: list[str] | None = None) -> list[str]:
     """Atomically commit manifest ``version`` = parent's files + new
-    ``files`` (paths stored relative to ``root``). Returns the full
-    file list of the new version."""
+    ``files`` (paths stored relative to ``root``). ``delete_files`` are
+    tombstone parquet files (key lists) applied at read time —
+    merge-on-read deletes: data files stay immutable, a delete is one
+    tiny key file + a manifest rename, readers of older versions never
+    see it. Returns the full file list of the new version."""
     os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
     rel = [os.path.relpath(f, root) for f in files]
     full = (read_snapshot_files(root, parent, relative=True)
             if parent is not None else []) + rel
+    dels = ((read_snapshot(root, parent)["deletes"]
+             if parent is not None else [])
+            + [os.path.relpath(f, root) for f in (delete_files or [])])
     tmp = _manifest_path(root, version) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "parent": parent, "files": full},
-                  f, indent=1, sort_keys=True)
+        json.dump({"version": version, "parent": parent, "files": full,
+                   "deletes": dels}, f, indent=1, sort_keys=True)
     os.replace(tmp, _manifest_path(root, version))
     return [os.path.join(root, p) for p in full]
+
+
+def read_snapshot(root: str, version: int) -> dict:
+    """Full manifest (relative paths) — files + delete files."""
+    with open(_manifest_path(root, version)) as f:
+        m = json.load(f)
+    m.setdefault("deletes", [])
+    return m
 
 
 def read_snapshot_files(root: str, version: int,
                         relative: bool = False) -> list[str]:
     """Resolve a version to its exact file list (time-travel read)."""
-    with open(_manifest_path(root, version)) as f:
-        m = json.load(f)
+    m = read_snapshot(root, version)
     return m["files"] if relative else \
         [os.path.join(root, p) for p in m["files"]]
+
+
+def read_snapshot_delete_keys(root: str, version: int, key_col: str):
+    """Union of a version's tombstone key lists (arrow array; empty if
+    the version carries no deletes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = read_snapshot(root, version)
+    if not m["deletes"]:
+        return pa.array([], pa.int64())
+    tbls = [pq.read_table(os.path.join(root, p), columns=[key_col])
+            for p in m["deletes"]]
+    return pa.concat_tables(tbls)[key_col].combine_chunks()
 
 
 def latest_version(root: str) -> int:

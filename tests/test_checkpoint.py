@@ -175,3 +175,32 @@ def test_snapshot_manifests_isolate_versions(tmp_path):
     commit_snapshot(root, 3, [f3], parent=2)
     assert read_snapshot_files(root, 1) == [f1]
     assert read_snapshot_files(root, 3) == [f1, f2, f3]
+
+
+def test_snapshot_tombstones_merge_on_read(tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.state.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        read_snapshot_delete_keys,
+    )
+
+    root = str(tmp_path)
+    f1 = os.path.join(root, "d.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3, 4]}), f1)
+    commit_snapshot(root, 1, [f1])
+    t1 = os.path.join(root, "del1.parquet")
+    pq.write_table(pa.table({"id": [2]}), t1)
+    commit_snapshot(root, 2, [], parent=1, delete_files=[t1])
+    t2 = os.path.join(root, "del2.parquet")
+    pq.write_table(pa.table({"id": [4]}), t2)
+    commit_snapshot(root, 3, [], parent=2, delete_files=[t2])
+
+    assert read_snapshot_delete_keys(root, 1, "id").to_pylist() == []
+    assert read_snapshot_delete_keys(root, 2, "id").to_pylist() == [2]
+    # deletes accumulate through parents
+    assert sorted(read_snapshot_delete_keys(root, 3, "id").to_pylist()) \
+        == [2, 4]
+    assert read_snapshot(root, 3)["files"] == ["d.parquet"]
