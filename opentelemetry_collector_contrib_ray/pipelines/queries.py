@@ -8064,6 +8064,102 @@ FROM p WHERE cents < 5000
 """
 
 
+def q_events_bloom_prune(sf_dir: str):
+    """Bloom-index point-lookup file skipping (stages/zonemap.py
+    bloom_index/bloom_probe): per week-bucket bloom sets over user_id —
+    O(buckets × k × min(users, m)) index rows independent of corpus
+    size; a point lookup scans only buckets whose blooms pass all k
+    bits. The pruning accounting INCLUDING FALSE POSITIVES is
+    hash-verified: the hashes are pure ring arithmetic, so the SQL twin
+    reproduces the exact same bloom bits and the exact same
+    matched-file set (probe 1000003 is absent — its matches, if any,
+    are pure FPs and still agree)."""
+    from ..stages.agg import compact_groupby
+    from ..stages.zonemap import bloom_index, bloom_probe
+
+    PROBES = [3, 7, 1_000_003]
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "day": day})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    d0 = prepped.min("day")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.subtract(t["day"], d0), 7)
+        return pa.table({"user_id": t["user_id"],
+                         "bucket": pc.cast(wk, pa.int64())})
+
+    bucketed = prepped.map_batches(bucketize, batch_format="pyarrow")
+    idx_ds = bloom_index(bucketed, "bucket", "user_id").materialize()
+    idx = pa.concat_tables(list(idx_ds.iter_batches(
+        batch_format="pyarrow")))
+    matched = bloom_probe(idx, PROBES)
+    files_total = len(set(idx["bucket"].to_pylist()))
+
+    # one distributed pass for the probes' true per-bucket counts
+    cnt_ds = compact_groupby(
+        bucketed.map_batches(
+            lambda t: t.filter(pc.is_in(
+                t["user_id"], value_set=pa.array(PROBES, pa.int64()))),
+            batch_format="pyarrow"),
+        ["user_id", "bucket"], count_alias="n").materialize()
+    cnt = pa.concat_tables(list(cnt_ds.iter_batches(
+        batch_format="pyarrow"))).to_pandas()
+
+    rows = []
+    for u in PROBES:
+        mine = cnt[cnt.user_id == u]
+        true_buckets = set(mine.bucket.tolist())
+        scan = mine[mine.bucket.isin(matched[u])]
+        rows.append((u, files_total, len(matched[u]), len(true_buckets),
+                     int(scan.n.sum())))
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "files_total": pa.array([r[1] for r in rows], pa.int64()),
+        "files_matched": pa.array([r[2] for r in rows], pa.int64()),
+        "files_true": pa.array([r[3] for r in rows], pa.int64()),
+        "n_rows": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+SQL_EVENTS_BLOOM_PRUNE = """
+WITH p AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000
+          - (SELECT min(epoch_us(ts) // 86400000000) FROM events)) // 7
+           AS bucket
+  FROM events),
+probes(u) AS (VALUES (3), (7), (1000003)),
+bits AS (
+  SELECT DISTINCT bucket, j,
+         ((CAST(user_id + j * 1000003 AS HUGEINT) * 2654435761)
+          % 4294967296) % 4096 AS bit
+  FROM p, (VALUES (0), (1), (2)) jj(j)),
+m AS (
+  SELECT pr.u, b.bucket
+  FROM probes pr, bits b
+  WHERE b.bit = ((CAST(pr.u + b.j * 1000003 AS HUGEINT) * 2654435761)
+                 % 4294967296) % 4096
+  GROUP BY pr.u, b.bucket HAVING count(DISTINCT b.j) = 3)
+SELECT CAST(pr.u AS BIGINT) AS user_id,
+       (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM p)
+         AS files_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM m WHERE m.u = pr.u)
+         AS files_matched,
+       (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM p
+        WHERE p.user_id = pr.u) AS files_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM p
+        WHERE p.user_id = pr.u
+          AND p.bucket IN (SELECT bucket FROM m WHERE m.u = pr.u))
+         AS n_rows
+FROM probes pr
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8479,6 +8575,7 @@ QUERIES = {
     "events_compaction": q_events_compaction,
     "events_time_travel": q_events_time_travel,
     "events_snapshot_delete": q_events_snapshot_delete,
+    "events_bloom_prune": q_events_bloom_prune,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8701,6 +8798,7 @@ ORACLES = {
     "events_compaction": SQL_EVENTS_COMPACTION,
     "events_time_travel": SQL_EVENTS_TIME_TRAVEL,
     "events_snapshot_delete": SQL_EVENTS_SNAPSHOT_DELETE,
+    "events_bloom_prune": SQL_EVENTS_BLOOM_PRUNE,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

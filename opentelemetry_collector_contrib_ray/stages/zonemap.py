@@ -144,6 +144,73 @@ def compact_by_range(ds, root: str, bucket_col: str, sort_cols: list[str],
     return sorted(out[bucket_col].to_pylist())
 
 
+KNUTH = np.uint64(2654435761)
+_RING = np.uint64(1) << np.uint64(32)
+
+
+def _bloom_hash(ids: np.ndarray, j: int, m: int, salt: int) -> np.ndarray:
+    """j-th bloom hash: Knuth multiplicative over a salted shift —
+    pure integer ring arithmetic, so the identical expression runs in
+    SQL (HUGEINT % 2^32 % m) and even the index's FALSE POSITIVES are
+    reproducible across engines."""
+    return (((ids.astype(np.uint64) + np.uint64(j * salt)) * KNUTH)
+            % _RING % np.uint64(m)).astype(np.int64)
+
+
+def bloom_index(ds, bucket_col: str, key_col: str, m: int = 4096,
+                k: int = 3, salt: int = 1_000_003):
+    """Per-bucket bloom index over ``key_col`` for point-lookup file
+    skipping: the index is the DISTINCT (bucket, j, bit) row set —
+    O(buckets × k × min(keys, m)) rows total regardless of corpus
+    size. Per-block distinct partials → one compact exchange."""
+    from .agg import compact_groupby
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[key_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bks = pc.cast(t[bucket_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        outs = []
+        for j in range(k):
+            bit = _bloom_hash(ids, j, m, salt)
+            packed = bks * (m * k) + j * m + bit
+            outs.append(np.unique(packed))
+        u = np.unique(np.concatenate(outs)) if outs else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "bucket": pa.array(u // (m * k), pa.int64()),
+            "j": pa.array((u % (m * k)) // m, pa.int64()),
+            "bit": pa.array(u % m, pa.int64())})
+
+    # count_alias collapses duplicates across blocks; the count itself
+    # is discarded — the index is the key set
+    idx = compact_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["bucket", "j", "bit"], count_alias="__c")
+    return idx.map_batches(
+        lambda t: t.select(["bucket", "j", "bit"]),
+        batch_format="pyarrow")
+
+
+def bloom_probe(index: pa.Table, probes: list[int], m: int = 4096,
+                k: int = 3, salt: int = 1_000_003) -> dict[int, list]:
+    """probe id → buckets whose bloom has ALL k bits set (may include
+    false positives — deterministically, matching the SQL twin)."""
+    import collections
+
+    have = collections.defaultdict(set)
+    for b, j, bit in zip(index["bucket"].to_pylist(),
+                         index["j"].to_pylist(),
+                         index["bit"].to_pylist()):
+        have[b].add((j, bit))
+    out = {}
+    for u in probes:
+        bits = [(j, int(_bloom_hash(np.array([u]), j, m, salt)[0]))
+                for j in range(k)]
+        out[u] = sorted(b for b, s in have.items()
+                        if all(x in s for x in bits))
+    return out
+
+
 def pruned_paths(root: str, key: str, keys: list) -> list[str]:
     """Hive directory layout → the parquet files of surviving keys
     (explicit file globs: Ray's multi-path read_parquet wants files,

@@ -740,3 +740,45 @@ def test_compact_by_range_one_sorted_file_per_bucket_idempotent(tmp_path):
         assert got.day.sum() == df.day.sum()
         compact_by_range(rd.from_pandas(df).repartition(3), root,
                          "bucket", ["day"])
+
+
+def test_bloom_index_no_false_negatives_and_deterministic_fps():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.zonemap import (
+        _bloom_hash,
+        bloom_index,
+        bloom_probe,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "bucket": rng.integers(0, 8, 4000).astype(np.int64),
+        "user_id": rng.integers(0, 500, 4000).astype(np.int64),
+    })
+    m, k = 64, 2  # tiny filter → false positives guaranteed
+    idx_ds = bloom_index(rd.from_pandas(df).repartition(5),
+                         "bucket", "user_id", m=m, k=k).materialize()
+    idx = pa.concat_tables(list(idx_ds.iter_batches(
+        batch_format="pyarrow")))
+    probes = [0, 250, 499, 10_000_001]
+    matched = bloom_probe(idx, probes, m=m, k=k)
+
+    # brute-force reference bloom per bucket
+    ref = {}
+    for b, g in df.groupby("bucket"):
+        ids = g.user_id.to_numpy()
+        ref[b] = {(j, int(x)) for j in range(k)
+                  for x in np.unique(_bloom_hash(ids, j, m, 1_000_003))}
+    for u in probes:
+        bits = [(j, int(_bloom_hash(np.array([u]), j, m, 1_000_003)[0]))
+                for j in range(k)]
+        want = sorted(b for b, s in ref.items()
+                      if all(x in s for x in bits))
+        assert matched[u] == want          # identical incl. FPs
+        true_b = set(df[df.user_id == u].bucket.tolist())
+        assert true_b.issubset(set(matched[u]))  # never a false negative
+    # index row bound: buckets × k × min(distinct users, m)
+    assert idx.num_rows <= 8 * k * m
