@@ -8160,6 +8160,119 @@ FROM probes pr
 """
 
 
+def q_events_snapshot_upsert(sf_dir: str):
+    """Merge-on-read UPSERT (state/snapshots.py read_snapshot_upserts):
+    two upsert commits over an immutable base — commit 2 rewrites
+    high-value events' cents to cents % 1000, commit 3 rewrites a
+    subset of THOSE again to 0 — resolved last-writer-wins at read
+    (base rows masked by upserted keys ∪ replacement rows). All three
+    versions' aggregates hash-verify against the CASE-rule SQL; the
+    base Parquet is never rewritten."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.zonemap import compact_by_range
+    from ..state.snapshots import (
+        commit_snapshot,
+        read_snapshot_files,
+        read_snapshot_upserts,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "day": day, "cents": _cents(t["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    d0 = prepped.min("day")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        wk = pc.divide(pc.subtract(t["day"], d0), 7)
+        return t.append_column("bucket", pc.cast(wk, pa.int64()))
+
+    root = tempfile.mkdtemp(prefix="snapup_", dir="/tmp")
+    buckets = compact_by_range(
+        prepped.map_batches(bucketize, batch_format="pyarrow"),
+        root, "bucket", ["day"])
+    commit_snapshot(root, 1,
+                    [f"{root}/bucket={b}/part.parquet" for b in buckets])
+
+    def write_upsert(name: str, tbl: pa.Table) -> str:
+        p = os.path.join(root, name)
+        pq.write_table(tbl, p + ".tmp")
+        os.replace(p + ".tmp", p)
+        return p
+
+    def collect(d):
+        d = d.materialize()
+        return pa.concat_tables(list(d.iter_batches(
+            batch_format="pyarrow")))
+
+    up1 = collect(prepped.map_batches(
+        lambda t: (lambda f: pa.table({
+            "event_id": f["event_id"], "day": f["day"],
+            "cents": _pc_mod(f["cents"], 1000)}))(
+                t.filter(pc.greater_equal(t["cents"], 5000))),
+        batch_format="pyarrow"))
+    commit_snapshot(root, 2, [], parent=1,
+                    upsert_files=[write_upsert("up-0001.parquet", up1)])
+    up2 = up1.filter(pc.equal(_pc_mod(up1["event_id"], 2), 0))
+    up2 = pa.table({"event_id": up2["event_id"], "day": up2["day"],
+                    "cents": pa.array([0] * up2.num_rows, pa.int64())})
+    commit_snapshot(root, 3, [], parent=2,
+                    upsert_files=[write_upsert("up-0002.parquet", up2)])
+
+    rows = []
+    for v in (1, 2, 3):
+        files = read_snapshot_files(root, v)
+        mask_keys, repl = read_snapshot_upserts(root, v, "event_id")
+
+        def scan(t: pa.Table, _mk=mask_keys) -> pa.Table:
+            if len(_mk):
+                t = t.filter(pc.invert(pc.is_in(t["event_id"],
+                                                value_set=_mk)))
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([pc.sum(t["cents"]).as_py() or 0],
+                              pa.int64())})
+
+        agg = collect(rd.read_parquet(files, columns=["event_id", "cents"])
+                      .map_batches(scan, batch_format="pyarrow"))
+        n = (pc.sum(agg["n"]).as_py() or 0) + (repl.num_rows if repl
+                                               is not None else 0)
+        s = (pc.sum(agg["s"]).as_py() or 0) + (
+            (pc.sum(repl["cents"]).as_py() or 0) if repl is not None
+            else 0)
+        rows.append((v, n, s))
+    return pa.table({
+        "version": pa.array([r[0] for r in rows], pa.int64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SQL_EVENTS_SNAPSHOT_UPSERT = f"""
+WITH p AS (SELECT event_id, {_CENTS.format(x='value')} AS cents
+           FROM events)
+SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents FROM p
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN cents >= 5000 THEN cents % 1000
+                     ELSE cents END) AS BIGINT) FROM p
+UNION ALL
+SELECT 3, CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN cents >= 5000 AND event_id % 2 = 0 THEN 0
+                     WHEN cents >= 5000 THEN cents % 1000
+                     ELSE cents END) AS BIGINT) FROM p
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8576,6 +8689,7 @@ QUERIES = {
     "events_time_travel": q_events_time_travel,
     "events_snapshot_delete": q_events_snapshot_delete,
     "events_bloom_prune": q_events_bloom_prune,
+    "events_snapshot_upsert": q_events_snapshot_upsert,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8799,6 +8913,7 @@ ORACLES = {
     "events_time_travel": SQL_EVENTS_TIME_TRAVEL,
     "events_snapshot_delete": SQL_EVENTS_SNAPSHOT_DELETE,
     "events_bloom_prune": SQL_EVENTS_BLOOM_PRUNE,
+    "events_snapshot_upsert": SQL_EVENTS_SNAPSHOT_UPSERT,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

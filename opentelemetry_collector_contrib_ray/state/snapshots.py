@@ -25,7 +25,8 @@ def _manifest_path(root: str, version: int) -> str:
 
 def commit_snapshot(root: str, version: int, files: list[str],
                     parent: int | None = None,
-                    delete_files: list[str] | None = None) -> list[str]:
+                    delete_files: list[str] | None = None,
+                    upsert_files: list[str] | None = None) -> list[str]:
     """Atomically commit manifest ``version`` = parent's files + new
     ``files`` (paths stored relative to ``root``). ``delete_files`` are
     tombstone parquet files (key lists) applied at read time —
@@ -39,10 +40,14 @@ def commit_snapshot(root: str, version: int, files: list[str],
     dels = ((read_snapshot(root, parent)["deletes"]
              if parent is not None else [])
             + [os.path.relpath(f, root) for f in (delete_files or [])])
+    ups = ((read_snapshot(root, parent)["upserts"]
+            if parent is not None else [])
+           + [os.path.relpath(f, root) for f in (upsert_files or [])])
     tmp = _manifest_path(root, version) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"version": version, "parent": parent, "files": full,
-                   "deletes": dels}, f, indent=1, sort_keys=True)
+                   "deletes": dels, "upserts": ups},
+                  f, indent=1, sort_keys=True)
     os.replace(tmp, _manifest_path(root, version))
     return [os.path.join(root, p) for p in full]
 
@@ -52,6 +57,7 @@ def read_snapshot(root: str, version: int) -> dict:
     with open(_manifest_path(root, version)) as f:
         m = json.load(f)
     m.setdefault("deletes", [])
+    m.setdefault("upserts", [])
     return m
 
 
@@ -75,6 +81,31 @@ def read_snapshot_delete_keys(root: str, version: int, key_col: str):
     tbls = [pq.read_table(os.path.join(root, p), columns=[key_col])
             for p in m["deletes"]]
     return pa.concat_tables(tbls)[key_col].combine_chunks()
+
+
+def read_snapshot_upserts(root: str, version: int, key_col: str):
+    """Resolve a version's upserts with LAST-WRITER-WINS: returns
+    (mask_keys, replacement_table) — readers drop base rows whose key is
+    in mask_keys, then union the replacement rows. Walks upsert files
+    newest→oldest keeping each key's first (newest) row; O(upserted
+    keys) state, the merge-on-read upsert shape (a compaction folds
+    upserts back into data files when they grow)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m = read_snapshot(root, version)
+    if not m["upserts"]:
+        return pa.array([], pa.int64()), None
+    seen: set = set()
+    keep = []
+    for p in reversed(m["upserts"]):
+        t = pq.read_table(os.path.join(root, p))
+        keys = t[key_col].to_pylist()
+        mask = [k not in seen for k in keys]
+        seen.update(keys)
+        keep.append(t.filter(pa.array(mask, pa.bool_())))
+    repl = pa.concat_tables(keep)
+    return repl[key_col].combine_chunks(), repl
 
 
 def latest_version(root: str) -> int:

@@ -204,3 +204,34 @@ def test_snapshot_tombstones_merge_on_read(tmp_path):
     assert sorted(read_snapshot_delete_keys(root, 3, "id").to_pylist()) \
         == [2, 4]
     assert read_snapshot(root, 3)["files"] == ["d.parquet"]
+
+
+def test_snapshot_upserts_last_writer_wins(tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.state.snapshots import (
+        commit_snapshot,
+        read_snapshot_upserts,
+    )
+
+    root = str(tmp_path)
+    base = os.path.join(root, "base.parquet")
+    pq.write_table(pa.table({"id": [1, 2, 3], "v": [10, 20, 30]}), base)
+    commit_snapshot(root, 1, [base])
+    u1 = os.path.join(root, "u1.parquet")
+    pq.write_table(pa.table({"id": [2, 3], "v": [21, 31]}), u1)
+    commit_snapshot(root, 2, [], parent=1, upsert_files=[u1])
+    u2 = os.path.join(root, "u2.parquet")
+    pq.write_table(pa.table({"id": [3], "v": [32]}), u2)
+    commit_snapshot(root, 3, [], parent=2, upsert_files=[u2])
+
+    mk, repl = read_snapshot_upserts(root, 1, "id")
+    assert len(mk) == 0 and repl is None
+    mk, repl = read_snapshot_upserts(root, 3, "id")
+    got = dict(zip(repl["id"].to_pylist(), repl["v"].to_pylist()))
+    assert got == {2: 21, 3: 32}          # newest writer wins for id 3
+    assert sorted(mk.to_pylist()) == [2, 3]
+    mk2, repl2 = read_snapshot_upserts(root, 2, "id")
+    assert dict(zip(repl2["id"].to_pylist(),
+                    repl2["v"].to_pylist())) == {2: 21, 3: 31}
