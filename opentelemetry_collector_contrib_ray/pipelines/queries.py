@@ -8273,6 +8273,82 @@ SELECT 3, CAST(count(*) AS BIGINT),
 """
 
 
+def q_docs_bm25_topk(sf_dir: str):
+    """BM25 scored retrieval (stages/bm25.py): query = the corpus's
+    top-3 document-frequency terms of length ≥ 4 (self-contained and
+    deterministic), scored with integer-exact tf normalization
+    (k1=6/5, b=3/4 cross-multiplied to one HUGEINT ratio) and
+    DSIR-style quantized ln IDF; global top-10 via the block-local
+    top-k combiner. One word-hash exchange (df build) + one
+    exchange-free scoring pass."""
+    from ..stages.agg import topn_per_group
+    from ..stages.bm25 import bm25_topk, doc_freq, idf_int
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df_ds = doc_freq(docs)
+
+    def long_terms(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(pc.utf8_length(t["w"]), 4))
+        return t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    qt_ds = topn_per_group(
+        df_ds.map_batches(long_terms, batch_format="pyarrow"),
+        ["g"], "df", 3, tie_cols=["w"], descending=True,
+        compact=True).materialize()
+    qt = pa.concat_tables(list(qt_ds.iter_batches(batch_format="pyarrow")))
+
+    n_docs = docs.count()
+
+    def dl_partial(t: pa.Table) -> pa.Table:
+        from ..stages.bm25 import _block_words
+        return pa.table({"dl": pa.array(
+            [len(_block_words(t, "text", "doc_id"))], pa.int64())})
+
+    dl_tbl = pa.concat_tables(list(
+        docs.map_batches(dl_partial, batch_format="pyarrow")
+            .materialize().iter_batches(batch_format="pyarrow")))
+    total_dl = pc.sum(dl_tbl["dl"]).as_py() or 0
+
+    terms = {w: idf_int(n_docs, d)
+             for w, d in zip(qt["w"].to_pylist(), qt["df"].to_pylist())}
+    return bm25_topk(docs, terms, n_docs, total_dl, k=10)
+
+
+SQL_DOCS_BM25_TOPK = """
+WITH dwords AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(
+        lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' ')) AS w
+    FROM documents)
+  WHERE w <> ''),
+dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM dwords GROUP BY doc_id, w),
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM dwords GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                 (SELECT CAST(count(*) AS BIGINT) FROM dwords) AS d),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY w),
+qt AS (SELECT w, df FROM dfreq WHERE length(w) >= 4
+       ORDER BY df DESC, w LIMIT 3),
+idf AS (SELECT qt.w, CAST(floor(1000000 * ln(
+            CAST(2 * s.n - 2 * qt.df + 1 AS DOUBLE) / (2 * qt.df + 1))
+            + 0.5) AS BIGINT) AS idf
+        FROM qt, stats s),
+sc AS (SELECT dw.doc_id,
+              CAST(SUM(idf.idf *
+                   ((10000 * 44 * s.d * dw.tf)
+                    // (20 * s.d * dw.tf + 6 * s.d + 18 * dlen.dl * s.n)))
+                   AS BIGINT) AS score
+       FROM dw JOIN idf ON dw.w = idf.w
+               JOIN dlen ON dw.doc_id = dlen.doc_id, stats s
+       GROUP BY dw.doc_id)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+FROM sc QUALIFY rank <= 10
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8690,6 +8766,7 @@ QUERIES = {
     "events_snapshot_delete": q_events_snapshot_delete,
     "events_bloom_prune": q_events_bloom_prune,
     "events_snapshot_upsert": q_events_snapshot_upsert,
+    "docs_bm25_topk": q_docs_bm25_topk,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8914,6 +8991,7 @@ ORACLES = {
     "events_snapshot_delete": SQL_EVENTS_SNAPSHOT_DELETE,
     "events_bloom_prune": SQL_EVENTS_BLOOM_PRUNE,
     "events_snapshot_upsert": SQL_EVENTS_SNAPSHOT_UPSERT,
+    "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -839,3 +839,53 @@ def test_bpe_whole_text_encode_equals_per_word():
     n_tok_whole = len(whole.replace(" ", ""))
     per_word = _encode(words, merges)
     assert n_tok_whole == int(per_word.str.len().sum())
+
+
+# --------------------------------------------- BM25
+
+
+def test_bm25_matches_bruteforce_integer_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.bm25 import (
+        S2,
+        bm25_topk,
+        idf_int,
+    )
+
+    rng = np.random.default_rng(21)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = []
+    for i in range(80):
+        n = int(rng.integers(3, 40))
+        docs.append({"doc_id": i,
+                     "text": " ".join(rng.choice(vocab, n))})
+    df = pd.DataFrame(docs)
+    words = df.text.str.split()
+    N = len(df)
+    D = int(words.str.len().sum())
+    dfreq = {t: int(words.apply(lambda ws: t in ws).sum())
+             for t in ("alpha", "beta")}
+    terms = {t: idf_int(N, dfreq[t]) for t in dfreq}
+
+    # brute-force integer reference
+    scores = {}
+    for i, ws in enumerate(words):
+        dl = len(ws)
+        s = 0
+        for t, idf in terms.items():
+            tf = ws.count(t)
+            if tf:
+                s += idf * ((S2 * 44 * D * tf)
+                            // (20 * D * tf + 6 * D + 18 * dl * N))
+        if s:
+            scores[i] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    for nblocks in (1, 5):
+        out = bm25_topk(rd.from_pandas(df).repartition(nblocks), terms,
+                        N, D, k=10).to_pandas()
+        got = list(zip(out.doc_id.tolist(), out.score.tolist()))
+        assert got == want
+        assert out["rank"].tolist() == list(range(1, len(want) + 1))
