@@ -8349,6 +8349,98 @@ FROM sc QUALIFY rank <= 10
 """
 
 
+def q_docs_hybrid_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009 — fusing multiple
+    query formulations): two BM25 rankings (corpus top-3 df terms vs
+    terms ranked 4–6) each produce a top-20, fused by quantized RRF
+    ``Σ 1_000_000 // (60 + rank)`` (integer, hash-exact) into the
+    global top-10. The df table builds once; each ranking is one
+    exchange-free scoring pass; fusion is O(k) driver work over the
+    two tiny lists."""
+    from ..stages.agg import topn_per_group
+    from ..stages.bm25 import bm25_topk, doc_freq, idf_int
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    df_ds = doc_freq(docs)
+
+    def long_terms(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(pc.utf8_length(t["w"]), 4))
+        return t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    qt_ds = topn_per_group(
+        df_ds.map_batches(long_terms, batch_format="pyarrow"),
+        ["g"], "df", 6, tie_cols=["w"], descending=True,
+        compact=True).materialize()
+    qt = pa.concat_tables(list(qt_ds.iter_batches(batch_format="pyarrow")))
+    n_docs = docs.count()
+
+    def dl_partial(t: pa.Table) -> pa.Table:
+        from ..stages.bm25 import _block_words
+        return pa.table({"dl": pa.array(
+            [len(_block_words(t, "text", "doc_id"))], pa.int64())})
+
+    dl_tbl = pa.concat_tables(list(
+        docs.map_batches(dl_partial, batch_format="pyarrow")
+            .materialize().iter_batches(batch_format="pyarrow")))
+    total_dl = pc.sum(dl_tbl["dl"]).as_py() or 0
+
+    ws, dfs = qt["w"].to_pylist(), qt["df"].to_pylist()
+    ranked = {}
+    for qi, sl in (("a", slice(0, 3)), ("b", slice(3, 6))):
+        terms = {w: idf_int(n_docs, d)
+                 for w, d in zip(ws[sl], dfs[sl])}
+        top = bm25_topk(docs, terms, n_docs, total_dl, k=20).materialize()
+        tbl = pa.concat_tables(list(top.iter_batches(
+            batch_format="pyarrow")))
+        ranked[qi] = dict(zip(tbl["doc_id"].to_pylist(),
+                              tbl["rank"].to_pylist()))
+
+    fused: dict[int, int] = {}
+    for r in ranked.values():
+        for d, rank in r.items():
+            fused[d] = fused.get(d, 0) + 1_000_000 // (60 + rank)
+    top10 = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in top10], pa.int64()),
+        "rrf": pa.array([s for _, s in top10], pa.int64()),
+        "rank": pa.array(list(range(1, len(top10) + 1)), pa.int64()),
+    })
+
+
+def _hybrid_rrf_sql() -> str:
+    # shared prefix with the BM25 twin, but qt takes 6 terms and two
+    # rankings fuse
+    base = SQL_DOCS_BM25_TOPK.split("qt AS")[0]
+    return base + """qt AS (
+  SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS qr
+  FROM dfreq WHERE length(w) >= 4 QUALIFY qr <= 6),
+idf AS (SELECT qt.w, qt.qr, CAST(floor(1000000 * ln(
+            CAST(2 * s.n - 2 * qt.df + 1 AS DOUBLE) / (2 * qt.df + 1))
+            + 0.5) AS BIGINT) AS idf
+        FROM qt, stats s),
+sc AS (SELECT CASE WHEN idf.qr <= 3 THEN 'a' ELSE 'b' END AS q,
+              dw.doc_id,
+              CAST(SUM(idf.idf *
+                   ((10000 * 44 * s.d * dw.tf)
+                    // (20 * s.d * dw.tf + 6 * s.d + 18 * dlen.dl * s.n)))
+                   AS BIGINT) AS score
+       FROM dw JOIN idf ON dw.w = idf.w
+               JOIN dlen ON dw.doc_id = dlen.doc_id, stats s
+       GROUP BY 1, 2),
+rk AS (SELECT q, doc_id,
+              row_number() OVER (PARTITION BY q
+                                 ORDER BY score DESC, doc_id) AS rank
+       FROM sc QUALIFY rank <= 20),
+fused AS (SELECT doc_id,
+                 CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf
+          FROM rk GROUP BY doc_id)
+SELECT doc_id, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+FROM fused QUALIFY rank <= 10
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8767,6 +8859,7 @@ QUERIES = {
     "events_bloom_prune": q_events_bloom_prune,
     "events_snapshot_upsert": q_events_snapshot_upsert,
     "docs_bm25_topk": q_docs_bm25_topk,
+    "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -8992,6 +9085,7 @@ ORACLES = {
     "events_bloom_prune": SQL_EVENTS_BLOOM_PRUNE,
     "events_snapshot_upsert": SQL_EVENTS_SNAPSHOT_UPSERT,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
+    "docs_hybrid_rrf": _hybrid_rrf_sql(),
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
