@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "events_incremental_rollup",
     "events_prefix_route",
     "events_pivot_daily",
+    "docs_bm25_topk",
+    "events_bloom_prune",
 ]
 
 

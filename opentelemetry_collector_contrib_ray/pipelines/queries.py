@@ -8441,6 +8441,34 @@ FROM fused QUALIFY rank <= 10
 """
 
 
+def q_emb_hard_negatives(sf_dir: str):
+    """Hard-negative mining (stages/similarity.py hard_negatives): for
+    each probe vector (vec_id < 8), the 3 most cosine-similar vectors
+    with a DIFFERENT label — the confusables a contrastive/metric-
+    learning objective trains against. Probes broadcast in the task
+    closure; the corpus streams once through the label-masked scorer;
+    bounded lexsort merge. Window-function SQL twin."""
+    from ..stages.similarity import hard_negatives
+
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding", "label"])
+    out = hard_negatives(
+        ds, lambda t: pc.less(pc.cast(t["vec_id"], pa.int64()), 8), k=3)
+    return pa.table({"query_id": out["query_id"],
+                     "vec_id": out["vec_id"]})
+
+
+SQL_EMB_HARD_NEGATIVES = """
+SELECT a.vec_id AS query_id, b.vec_id
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < 8 AND b.label <> a.label
+QUALIFY row_number() OVER (
+    PARTITION BY a.vec_id
+    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+             b.vec_id) <= 3
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8860,6 +8888,7 @@ QUERIES = {
     "events_snapshot_upsert": q_events_snapshot_upsert,
     "docs_bm25_topk": q_docs_bm25_topk,
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
+    "emb_hard_negatives": q_emb_hard_negatives,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -9086,6 +9115,7 @@ ORACLES = {
     "events_snapshot_upsert": SQL_EVENTS_SNAPSHOT_UPSERT,
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "docs_hybrid_rrf": _hybrid_rrf_sql(),
+    "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -888,3 +888,64 @@ def knn_graph(ds, k: int = 3, emb_col: str = "embedding",
     partial = pairs.map_batches(score, batch_format="pyarrow",
                                 batch_size=pairs_per_task)
     return _merge_topk_partials(partial, k, id_col)
+
+
+class HardNegativeTopK(BruteForceTopK):
+    """Hard-negative mining for metric learning: per probe, the top-k
+    most-similar vectors whose LABEL DIFFERS from the probe's (the
+    embedding-space confusables a contrastive objective needs). Same
+    block-local top-k partial shape as BruteForceTopK with a vectorized
+    (same-label ∪ self-id) mask; invalid candidates score -inf and are
+    dropped at emit, so under-filled blocks never leak sentinel rows."""
+
+    def __init__(self, queries, query_labels, k: int = 10,
+                 emb_col: str = "embedding", id_col: str = "vec_id",
+                 label_col: str = "label", query_ids=None):
+        super().__init__(queries, k, emb_col, id_col, query_ids)
+        self.qlabels = np.asarray(query_labels)
+        self.label_col = label_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t[self.emb_col]))
+        sims = self.q @ m.T
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = t[self.label_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mask = (labels[None, :] == self.qlabels[:, None]) | \
+               (ids[None, :] == self.qids[:, None])
+        sims = np.where(mask, -np.inf, sims)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = part[qi]
+            ok = np.isfinite(sims[qi, sel])
+            out_q.append(np.full(int(ok.sum()), self.qids[qi]))
+            out_id.append(ids[sel][ok])
+            out_sim.append(sims[qi, sel][ok])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+            self.id_col: pa.array(np.concatenate(out_id)),
+            "cosine": pa.array(np.concatenate(out_sim), pa.float64()),
+        })
+
+
+def hard_negatives(ds, probe_filter, k: int = 3,
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label"):
+    """Mine top-k hard negatives for every probe row (``probe_filter``:
+    arrow-compute predicate over the table). Probes collect driver-side
+    (they are FEW by construction); the corpus streams once through the
+    masked scorer in task closures; the global merge is the shared
+    bounded lexsort."""
+    probes = ds.map_batches(
+        lambda t: t.filter(probe_filter(t)), batch_format="pyarrow"
+    ).materialize()
+    pt = pa.concat_tables(list(probes.iter_batches(batch_format="pyarrow")))
+    q = _to_matrix(pt[emb_col])
+    scorer = HardNegativeTopK(
+        q, pt[label_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        k=k, emb_col=emb_col, id_col=id_col, label_col=label_col,
+        query_ids=pt[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+    partial = ds.map_batches(scorer, batch_format="pyarrow")
+    return _merge_topk_partials(partial, k, id_col)

@@ -666,3 +666,42 @@ def test_knn_graph_exact_and_parallelism_invariant(embeddings):
         assert out.groupby("query_id").size().eq(k).all()
         got_sets.append(set(zip(out["query_id"], out["vec_id"])))
     assert got_sets[0] == got_sets[1] == want
+
+
+def test_hard_negatives_masks_same_label_and_self():
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 120, 8
+    vecs = rng.normal(size=(n, d))
+    labels = (np.arange(n) % 3).astype(np.int64)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.astype(np.float32).tolist()
+                               for v in vecs]),
+        "label": pa.array(labels),
+    })
+    for nblocks in (1, 4):
+        out = hard_negatives(
+            rd.from_arrow(t).repartition(nblocks),
+            lambda b: pc.less(pc.cast(b["vec_id"], pa.int64()), 5), k=4)
+        assert out.num_rows == 5 * 4
+        q = out["query_id"].to_numpy(zero_copy_only=False)
+        v = out["vec_id"].to_numpy(zero_copy_only=False)
+        assert (q != v).all()                       # never self
+        assert (labels[v] != labels[q]).all()       # never same label
+        # brute-force reference
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vn[:5] @ vn.T
+        for qi in range(5):
+            s = sims[qi].copy()
+            s[labels == labels[qi]] = -np.inf
+            s[qi] = -np.inf
+            order = np.lexsort((np.arange(n), -s))[:4]
+            assert sorted(v[q == qi].tolist()) == sorted(order.tolist())
