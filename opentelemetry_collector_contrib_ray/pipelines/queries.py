@@ -8469,6 +8469,69 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_events_value_deciles(sf_dir: str):
+    """Per-group equi-depth decile binning via distributed rank
+    (stages/windows.py running_total with a unit value = the ordered
+    cumcount): every event gets its within-type value decile
+    ``(10·(rank−1)) // n_type`` — rank-based, so both engines agree
+    exactly even with duplicate values (ties broken by event_id) —
+    then a compact rollup per (type, decile). One key-hash exchange
+    total; group sizes broadcast as a tiny closure dict."""
+    from ..stages.agg import compact_groupby
+    from ..stages.windows import running_total
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "cents": _cents(t["value"]),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    sizes_ds = compact_groupby(prepped, ["event_type"],
+                               count_alias="n").materialize()
+    sizes = pa.concat_tables(list(sizes_ds.iter_batches(
+        batch_format="pyarrow")))
+    n_by_type = dict(zip(sizes["event_type"].to_pylist(),
+                         sizes["n"].to_pylist()))
+
+    ranked = running_total(prepped, ["event_type"],
+                           ["cents", "event_id"], "one", out_col="rnk")
+
+    def binned(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = pd.Series(t["event_type"].to_pylist()).map(n_by_type) \
+            .to_numpy(np.int64)
+        rnk = t["rnk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dec = (10 * (rnk - 1)) // n
+        return pa.table({"event_type": t["event_type"],
+                         "decile": pa.array(dec, pa.int64()),
+                         "cents": t["cents"]})
+
+    return compact_groupby(
+        ranked.map_batches(binned, batch_format="pyarrow"),
+        ["event_type", "decile"], sum_cols={"cents": "sum_cents"},
+        count_alias="n")
+
+
+SQL_EVENTS_VALUE_DECILES = f"""
+WITH p AS (SELECT event_id, event_type,
+                  {_CENTS.format(x='value')} AS cents FROM events),
+r AS (SELECT event_type, cents,
+             (10 * (row_number() OVER (PARTITION BY event_type
+                                       ORDER BY cents, event_id) - 1))
+             // count(*) OVER (PARTITION BY event_type) AS decile
+      FROM p)
+SELECT event_type, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM r GROUP BY event_type, decile
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8889,6 +8952,7 @@ QUERIES = {
     "docs_bm25_topk": q_docs_bm25_topk,
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "emb_hard_negatives": q_emb_hard_negatives,
+    "events_value_deciles": q_events_value_deciles,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -9116,6 +9180,7 @@ ORACLES = {
     "docs_bm25_topk": SQL_DOCS_BM25_TOPK,
     "docs_hybrid_rrf": _hybrid_rrf_sql(),
     "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
+    "events_value_deciles": SQL_EVENTS_VALUE_DECILES,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

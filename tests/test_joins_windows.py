@@ -782,3 +782,38 @@ def test_bloom_index_no_false_negatives_and_deterministic_fps():
         assert true_b.issubset(set(matched[u]))  # never a false negative
     # index row bound: buckets × k × min(distinct users, m)
     assert idx.num_rows <= 8 * k * m
+
+
+def test_rank_decile_binning_matches_pandas_window():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.windows import (
+        running_total,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 900
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.choice(list("xyz"), n),
+        "v": rng.integers(0, 40, n).astype(np.int64),  # heavy ties
+        "one": np.ones(n, dtype=np.int64),
+    })
+    ranked = running_total(rd.from_pandas(df).repartition(5), ["t"],
+                           ["v", "event_id"], "one",
+                           out_col="rnk").to_pandas()
+    sizes = df.groupby("t").size()
+    got = ranked.assign(
+        dec=(10 * (ranked.rnk - 1)) // ranked.t.map(sizes))
+    want = df.sort_values(["t", "v", "event_id"], kind="mergesort")
+    want = want.assign(rnk=want.groupby("t").cumcount() + 1)
+    want = want.assign(dec=(10 * (want.rnk - 1)) // want.t.map(sizes))
+    merged = got.set_index("event_id").dec.sort_index()
+    assert merged.equals(want.set_index("event_id").dec.sort_index())
+    # equi-depth: per (t, dec) counts differ by at most 1 within a type
+    cnt = got.groupby(["t", "dec"]).size()
+    for t in "xyz":
+        c = cnt[t]
+        assert c.max() - c.min() <= 1
