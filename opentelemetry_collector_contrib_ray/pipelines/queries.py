@@ -8532,6 +8532,125 @@ FROM r GROUP BY event_type, decile
 """
 
 
+def q_emb_mmr_select(sf_dir: str):
+    """MMR diversified retrieval (Carbonell & Goldstein 1998 maximal
+    marginal relevance, λ=1/2): from the probe's top-12 inner-product
+    candidates, greedily select 4 maximizing ``rel − max sim to the
+    already-selected`` — the anti-redundancy layer over plain top-k.
+    EVERYTHING is exact int64 (vectors quantized floor(x·10⁴+0.5), raw
+    integer dots), so the inherently sequential greedy unrolls to four
+    argmax CTEs that hash-match. Distributed part: the candidate
+    top-12 (block-local partials, bounded merge); the greedy itself is
+    O(k²) driver ints."""
+    from ..stages.agg import topn_per_group
+    from ..stages.similarity import _to_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    probe_ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.cast(t["vec_id"], pa.int64()), 0)),
+        batch_format="pyarrow").materialize()
+    pt = pa.concat_tables(list(probe_ds.iter_batches(
+        batch_format="pyarrow")))
+    qv = np.floor(_to_matrix(pt["embedding"])[0].astype(np.float64)
+                  * 10_000 + 0.5).astype(np.int64)
+
+    def rel_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(pc.cast(t["vec_id"], pa.int64()), 0))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "rel": pa.array([], pa.int64())})
+        m = np.floor(_to_matrix(t["embedding"]).astype(np.float64)
+                     * 10_000 + 0.5).astype(np.int64)
+        rel = m @ qv
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, np.int64)),
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "rel": pa.array(rel, pa.int64())})
+
+    cand_ds = topn_per_group(
+        ds.map_batches(rel_partial, batch_format="pyarrow"),
+        ["g"], "rel", 12, tie_cols=["vec_id"], descending=True,
+        compact=True).materialize()
+    cand = pa.concat_tables(list(cand_ds.iter_batches(
+        batch_format="pyarrow")))
+    cids = cand["vec_id"].to_pylist()
+    rels = dict(zip(cids, cand["rel"].to_pylist()))
+
+    cvec_ds = ds.map_batches(
+        lambda t, _ids=set(cids): t.filter(pc.is_in(
+            pc.cast(t["vec_id"], pa.int64()),
+            value_set=pa.array(sorted(_ids), pa.int64()))),
+        batch_format="pyarrow").materialize()
+    cv = pa.concat_tables(list(cvec_ds.iter_batches(
+        batch_format="pyarrow")))
+    mats = {i: np.floor(v.astype(np.float64) * 10_000 + 0.5)
+            .astype(np.int64)
+            for i, v in zip(cv["vec_id"].to_pylist(),
+                            _to_matrix(cv["embedding"]))}
+    sim = {(a, b): int(mats[a] @ mats[b])
+           for a in cids for b in cids if a != b}
+
+    selected: list[tuple[int, int, int]] = []
+    remaining = sorted(cids)
+    for step in range(1, 5):
+        best = None
+        for c in remaining:
+            val = rels[c] if not selected else \
+                rels[c] - max(sim[(c, s)] for s, _, _ in selected)
+            if best is None or (val, -c) > (best[1], -best[0]):
+                best = (c, val)
+        selected.append((best[0], best[1], step))
+        remaining.remove(best[0])
+    return pa.table({
+        "step": pa.array([s for _, _, s in selected], pa.int64()),
+        "vec_id": pa.array([c for c, _, _ in selected], pa.int64()),
+        "rel": pa.array([rels[c] for c, _, _ in selected], pa.int64()),
+        "val": pa.array([v for _, v, _ in selected], pa.int64()),
+    })
+
+
+def _mmr_sql(n_cand: int = 12, n_sel: int = 4) -> str:
+    parts = ["""
+WITH qd AS (
+  SELECT unnest(range(0, len(embedding))) AS dim,
+         CAST(floor(unnest(embedding) * 10000 + 0.5) AS BIGINT) AS v
+  FROM embeddings WHERE vec_id = 0),
+ed AS (
+  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+         CAST(floor(unnest(embedding) * 10000 + 0.5) AS BIGINT) AS v
+  FROM embeddings WHERE vec_id <> 0),
+rel AS (SELECT e.vec_id, CAST(SUM(e.v * qd.v) AS BIGINT) AS rel
+        FROM ed e JOIN qd USING (dim) GROUP BY e.vec_id),"""]
+    parts.append(f"""
+cand AS (SELECT vec_id, rel,
+                row_number() OVER (ORDER BY rel DESC, vec_id) AS rr
+         FROM rel QUALIFY rr <= {n_cand}),
+cd AS (SELECT vec_id, dim, v FROM ed
+       WHERE vec_id IN (SELECT vec_id FROM cand)),
+sims AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                CAST(SUM(a.v * b.v) AS BIGINT) AS s
+         FROM cd a JOIN cd b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+s1 AS (SELECT vec_id, rel, rel AS val FROM cand
+       ORDER BY rel DESC, vec_id LIMIT 1)""")
+    sel_union = "SELECT vec_id FROM s1"
+    for t in range(2, n_sel + 1):
+        parts.append(f""",
+s{t} AS (SELECT c.vec_id, c.rel, c.rel - max(s.s) AS val
+         FROM cand c JOIN sims s ON s.ai = c.vec_id
+              AND s.bi IN ({sel_union})
+         WHERE c.vec_id NOT IN ({sel_union})
+         GROUP BY c.vec_id, c.rel
+         ORDER BY val DESC, c.vec_id LIMIT 1)""")
+        sel_union += f" UNION ALL SELECT vec_id FROM s{t}"
+    selects = [f"SELECT CAST({t} AS BIGINT) AS step, vec_id, rel, "
+               f"CAST(val AS BIGINT) AS val FROM s{t}"
+               for t in range(1, n_sel + 1)]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -8953,6 +9072,7 @@ QUERIES = {
     "docs_hybrid_rrf": q_docs_hybrid_rrf,
     "emb_hard_negatives": q_emb_hard_negatives,
     "events_value_deciles": q_events_value_deciles,
+    "emb_mmr_select": q_emb_mmr_select,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -9181,6 +9301,7 @@ ORACLES = {
     "docs_hybrid_rrf": _hybrid_rrf_sql(),
     "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
     "events_value_deciles": SQL_EVENTS_VALUE_DECILES,
+    "emb_mmr_select": _mmr_sql(),
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

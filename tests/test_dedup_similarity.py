@@ -705,3 +705,39 @@ def test_hard_negatives_masks_same_label_and_self():
             s[qi] = -np.inf
             order = np.lexsort((np.arange(n), -s))[:4]
             assert sorted(v[q == qi].tolist()) == sorted(order.tolist())
+
+
+def test_mmr_prefers_diversity_over_pure_relevance():
+    # hand-built: probe at e0; two near-duplicates along e0 (highest
+    # rel) and one orthogonal-ish vector; MMR must pick the orthogonal
+    # one at step 2 even though the second duplicate has higher rel
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_emb_mmr_select,
+    )
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = 4
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],          # probe
+        1: [0.99, 0.1, 0.0, 0.0],         # dup A (top rel)
+        2: [0.98, 0.12, 0.0, 0.0],        # dup B (2nd rel)
+        3: [0.5, 0.0, 0.86, 0.0],         # diverse, lower rel
+        4: [0.4, 0.0, 0.0, 0.9],          # diverse, lowest rel
+    }
+    t = pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([np.asarray(vecs[i], np.float32).tolist()
+                               for i in sorted(vecs)]),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    tmp = tempfile.mkdtemp(prefix="mmr_", dir="/tmp")
+    pq.write_table(t, os.path.join(tmp, "embeddings.parquet"))
+    out = q_emb_mmr_select(tmp).to_pandas().sort_values("step")
+    picks = out.vec_id.tolist()
+    assert picks[0] == 1                  # pure relevance first
+    assert picks[1] in (3, 4)             # diversity beats dup B
+    assert 2 in picks[2:] or 2 not in picks  # dup B only after diverse
