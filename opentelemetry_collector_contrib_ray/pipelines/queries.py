@@ -9158,6 +9158,12 @@ RESUMABLE_QUERIES = [
     "events_range_join",
     "route_sink_counts",
     "events_tail_sample",
+    # round-4 heavy additions (BENCH_local_r4f top group)
+    "docs_bm25_topk",
+    "docs_bpe_tokenize",
+    "docs_bpe_merges",
+    "service_graph_edges",
+    "docs_dedup_clusters",
 ]
 
 

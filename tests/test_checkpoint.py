@@ -235,3 +235,26 @@ def test_snapshot_upserts_last_writer_wins(tmp_path):
     mk2, repl2 = read_snapshot_upserts(root, 2, "id")
     assert dict(zip(repl2["id"].to_pylist(),
                     repl2["v"].to_pylist())) == {2: 21, 3: 31}
+
+
+def test_round4_heavy_queries_resume_from_store(ray_session, tmp_path):
+    """The round-4 RESUMABLE_QUERIES additions roundtrip through the
+    result store: first run computes + commits, second run streams the
+    committed result (pipeline NOT re-executed) with identical values."""
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ckpt")
+    for name in ["docs_bpe_merges", "docs_bm25_topk"]:
+        first = Q.resumable_query(name, sf, root=root).to_pandas()
+        real = Q.QUERIES[name]
+        try:
+            Q.QUERIES[name] = lambda sf_dir: (_ for _ in ()).throw(
+                AssertionError("must not re-execute"))
+            second = Q.resumable_query(name, sf, root=root).to_pandas()
+        finally:
+            Q.QUERIES[name] = real
+        cols = sorted(first.columns)
+        a = first[cols].sort_values(cols).reset_index(drop=True)
+        b = second[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
