@@ -8651,6 +8651,74 @@ s{t} AS (SELECT c.vec_id, c.rel, c.rel - max(s.s) AS val
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _trunc_div(num: int, den: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//``
+    semantics (Python's ``//`` floors, which differs on negatives)."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+def q_events_ols_by_type(sf_dir: str):
+    """Grouped OLS regression (y = cents on x = hour-of-day per event
+    type) from the exact-integer cross-moment monoid
+    (stages/agg.py grouped_corr_components): slope and intercept as
+    trunc-divided fixed-point ints — slope_e6 = 10⁶(nΣxy−ΣxΣy) ÷
+    (nΣxx−Σx²), intercept from it — so the regression itself is
+    hash-exact (DuckDB ``//`` truncates toward zero; matched
+    explicitly). Distributed work = the one compact monoid rollup;
+    the final arithmetic is O(groups) driver ints."""
+    from ..stages.agg import grouped_corr_components
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        hour = _pc_mod(pc.divide(us, 3_600_000_000), 24)
+        return pa.table({"event_type": t["event_type"],
+                         "x": hour, "y": _cents(t["value"])})
+
+    comp = grouped_corr_components(
+        ds.map_batches(prep, batch_format="pyarrow"), ["event_type"],
+        "x", "y").materialize()
+    c = pa.concat_tables(list(comp.iter_batches(batch_format="pyarrow")))
+    rows = []
+    for i in range(c.num_rows):
+        n = c["n"][i].as_py()
+        sx, sy = c["sum_x"][i].as_py(), c["sum_y"][i].as_py()
+        sxx, sxy = c["sum_xx"][i].as_py(), c["sum_xy"][i].as_py()
+        var = n * sxx - sx * sx
+        slope = _trunc_div(1_000_000 * (n * sxy - sx * sy), var)
+        intercept = _trunc_div(1_000_000 * sy - slope * sx, n)
+        rows.append((c["event_type"][i].as_py(), n, slope, intercept))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "slope_e6": pa.array([r[2] for r in rows], pa.int64()),
+        "intercept_e6": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+SQL_EVENTS_OLS_BY_TYPE = f"""
+WITH p AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 % 24 AS x,
+                  {_CENTS.format(x='value')} AS y FROM events),
+c AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM p GROUP BY event_type),
+s AS (SELECT event_type, n, sx, sy,
+             (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+               AS slope
+      FROM c)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(slope AS BIGINT) AS slope_e6,
+       CAST((1000000 * sy - slope * sx) // n AS BIGINT) AS intercept_e6
+FROM s
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -9073,6 +9141,7 @@ QUERIES = {
     "emb_hard_negatives": q_emb_hard_negatives,
     "events_value_deciles": q_events_value_deciles,
     "emb_mmr_select": q_emb_mmr_select,
+    "events_ols_by_type": q_events_ols_by_type,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -9308,6 +9377,7 @@ ORACLES = {
     "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
     "events_value_deciles": SQL_EVENTS_VALUE_DECILES,
     "emb_mmr_select": _mmr_sql(),
+    "events_ols_by_type": SQL_EVENTS_OLS_BY_TYPE,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

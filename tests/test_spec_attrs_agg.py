@@ -777,3 +777,38 @@ def test_weighted_sample_matches_bruteforce_and_prefers_heavy():
         assert sorted(out.id.tolist()) == sorted(want)
     # heavier rows are overrepresented: mean weight of winners > pop mean
     assert df[df.id.isin(want)].w.mean() > 1.25 * df.w.mean()
+
+
+def test_grouped_ols_matches_numpy_polyfit():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import (
+        grouped_corr_components,
+    )
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        _trunc_div,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    g = rng.choice(["a", "b"], n)
+    x = rng.integers(0, 24, n).astype(np.int64)
+    noise = rng.integers(-50, 50, n)
+    y = np.where(g == "a", 300 + 17 * x, 900 - 23 * x) + noise
+    t = pa.table({"g": g.tolist(), "x": x, "y": y.astype(np.int64)})
+    comp = grouped_corr_components(
+        rd.from_arrow(t).repartition(4), ["g"], "x", "y").to_pandas() \
+        .set_index("g")
+    for grp, true_slope in (("a", 17), ("b", -23)):
+        c = comp.loc[grp]
+        num = int(c.n) * int(c.sum_xy) - int(c.sum_x) * int(c.sum_y)
+        den = int(c.n) * int(c.sum_xx) - int(c.sum_x) ** 2
+        slope = _trunc_div(1_000_000 * num, den)
+        m = g == grp
+        ref = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
+        assert abs(slope / 1e6 - ref) < 1e-6
+        assert abs(slope / 1e6 - true_slope) < 1.0  # recovers the signal
+    # trunc-div parity with DuckDB's // on negatives
+    assert _trunc_div(-7, 2) == -3 and _trunc_div(7, -2) == -3
+    assert _trunc_div(7, 2) == 3 and _trunc_div(-7, -2) == 3
