@@ -8719,6 +8719,57 @@ FROM s
 """
 
 
+def q_events_scd2_intervals(sf_dir: str):
+    """SCD-2 dimension build / run-length compression of a keyed stream
+    (stages/windows.py run_compress): per user, consecutive same-type
+    event runs collapse into validity intervals (valid_from, valid_to =
+    next run's start, NULL for the open current run). One key-hash
+    exchange; per-partition change-point scan fully vectorized.
+    LAG/LEAD window oracle."""
+    from ..stages.windows import run_compress
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_id": pc.cast(t["event_id"], pa.int64())})
+
+    out = run_compress(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["user_id"], ["ts_us", "event_id"], "event_type")
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "valid_from": pc.cast(t["valid_from"], pa.int64()),
+            "valid_to": t["valid_to"],
+            "run_len": pc.cast(t["run_len"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_SCD2_INTERVALS = """
+WITH p AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events),
+o AS (SELECT *, CASE WHEN lag(event_type) OVER w
+                          IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS rid
+      FROM o),
+runs AS (SELECT user_id, event_type, min(ts_us) AS valid_from,
+                CAST(count(*) AS BIGINT) AS run_len
+         FROM r GROUP BY user_id, rid, event_type)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to,
+       run_len
+FROM runs
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -9142,6 +9193,7 @@ QUERIES = {
     "events_value_deciles": q_events_value_deciles,
     "emb_mmr_select": q_emb_mmr_select,
     "events_ols_by_type": q_events_ols_by_type,
+    "events_scd2_intervals": q_events_scd2_intervals,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -9378,6 +9430,7 @@ ORACLES = {
     "events_value_deciles": SQL_EVENTS_VALUE_DECILES,
     "emb_mmr_select": _mmr_sql(),
     "events_ols_by_type": SQL_EVENTS_OLS_BY_TYPE,
+    "events_scd2_intervals": SQL_EVENTS_SCD2_INTERVALS,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -569,3 +569,61 @@ def running_total(ds, key_cols: list[str], order_cols: list[str],
     return (ds.map_batches(add_part, batch_format="pyarrow")
               .groupby("__p")
               .map_groups(scan, batch_format="pandas"))
+
+
+def run_compress(ds, key_cols: list[str], order_cols: list[str],
+                 val_col: str, num_partitions: int = 64):
+    """Run-length compression of a keyed ordered stream — the SCD-2
+    dimension-build shape: collapse consecutive rows with the same
+    ``val_col`` per key into one interval row ``(key, val, valid_from,
+    valid_to, run_len)`` where ``valid_from`` is the run's first order
+    value and ``valid_to`` the NEXT run's first order value (NULL for
+    the key's open last run — the "current" SCD row).
+
+    One key-hash exchange (whole keys co-locate, same caveat/fallbacks
+    as running_total); per partition the scan is one vectorized pandas
+    pass (sort + change-point diff + groupby first/size), never a
+    Python loop over rows.
+    """
+    import pandas as pd
+
+    from .base import pa_from_pandas
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select(key_cols).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    first_order = order_cols[0]
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(key_cols + order_cols, kind="mergesort")
+        key_change = pd.Series(False, index=g.index)
+        for k in key_cols:
+            key_change |= g[k].ne(g[k].shift())
+        new_run = (key_change | g[val_col].ne(g[val_col].shift()))
+        rid = new_run.cumsum()
+        runs = g.assign(__rid=rid).groupby("__rid", sort=False).agg(
+            **{k: (k, "first") for k in key_cols},
+            **{val_col: (val_col, "first"),
+               "valid_from": (first_order, "first"),
+               "run_len": (val_col, "size")})
+        # valid_to = next run's start within the same key, else NULL
+        nxt = runs["valid_from"].shift(-1)
+        same_key = pd.Series(True, index=runs.index)
+        for k in key_cols:
+            same_key &= runs[k].eq(runs[k].shift(-1))
+        runs["valid_to"] = nxt.where(same_key)
+        out = runs.reset_index(drop=True)
+        t = pa_from_pandas(out)
+        # nullable int64 valid_to (pandas float64 after where) — emit
+        # proper int64-with-null so both engines compare as float64
+        vt = pa.array(out["valid_to"].to_numpy(na_value=np.nan),
+                      pa.int64(), from_pandas=True)
+        return t.set_column(t.schema.get_field_index("valid_to"),
+                            "valid_to", vt)
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(scan, batch_format="pandas"))

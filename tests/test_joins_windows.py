@@ -817,3 +817,43 @@ def test_rank_decile_binning_matches_pandas_window():
     for t in "xyz":
         c = cnt[t]
         assert c.max() - c.min() <= 1
+
+
+def test_run_compress_matches_pandas_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.windows import (
+        run_compress,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.choice(list("abc"), n),
+        "t": np.arange(n, dtype=np.int64),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.choice(["x", "y"], n),
+    })
+    # reference: per-key ordered change-point runs
+    want_rows = []
+    for k, g in df.sort_values(["k", "t", "id"]).groupby("k"):
+        rid = (g.v != g.v.shift()).cumsum()
+        runs = g.groupby(rid).agg(v=("v", "first"), valid_from=("t", "first"),
+                                  run_len=("v", "size"))
+        runs["valid_to"] = runs.valid_from.shift(-1)
+        for _, r in runs.iterrows():
+            want_rows.append((k, r.v, int(r.valid_from),
+                              None if pd.isna(r.valid_to)
+                              else int(r.valid_to), int(r.run_len)))
+    for nblocks in (1, 6):
+        out = run_compress(rd.from_pandas(df).repartition(nblocks),
+                           ["k"], ["t", "id"], "v").to_pandas()
+        got = sorted((r.k, r.v, int(r.valid_from),
+                      None if pd.isna(r.valid_to) else int(r.valid_to),
+                      int(r.run_len)) for r in out.itertuples())
+        assert got == sorted(want_rows)
+        # open runs: exactly one NULL valid_to per key
+        assert out.valid_to.isna().sum() == 3
+        # intervals tile: run_len totals = row count
+        assert out.run_len.sum() == n
