@@ -8770,6 +8770,101 @@ FROM runs
 """
 
 
+def q_events_basket_lift(sf_dir: str):
+    """Association-rule mining over (user, day) baskets: support per
+    event type, support per type PAIR co-occurring in a basket, and
+    integer lift ``10⁶·N·supp(ab) ÷ (supp(a)·supp(b))`` (trunc-div,
+    positive so both engines agree). One basket-hash exchange; the
+    per-basket pair fan-out is C(|types|,2) ≤ 10 — bounded by the type
+    alphabet, never by corpus size. Self-join SQL oracle."""
+    import pandas as pd
+
+    from ..stages.base import pa_from_pandas
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    P = 64
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        df = pd.DataFrame({
+            "user_id": pc.cast(t["user_id"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "day": day.to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        h = pd.util.hash_pandas_object(df[["user_id", "day"]],
+                                       index=False).to_numpy()
+        df["__p"] = (h % np.uint64(P)).astype(np.int64)
+        return pa_from_pandas(df)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day", "event_type"])
+        n_baskets = len(g[["user_id", "day"]].drop_duplicates())
+        singles = g.groupby("event_type", as_index=False).size() \
+            .rename(columns={"event_type": "ta", "size": "n"})
+        singles["tb"] = ""
+        pairs = g.merge(g, on=["user_id", "day"])
+        pairs = pairs[pairs.event_type_x < pairs.event_type_y]
+        pc_ = pairs.groupby(["event_type_x", "event_type_y"],
+                            as_index=False).size() \
+            .rename(columns={"event_type_x": "ta", "event_type_y": "tb",
+                             "size": "n"})
+        nb = pd.DataFrame({"ta": ["__baskets__"], "tb": [""],
+                           "n": [n_baskets]})
+        return pd.concat([singles[["ta", "tb", "n"]],
+                          pc_[["ta", "tb", "n"]], nb], ignore_index=True)
+
+    from ..stages.agg import compact_groupby
+
+    partials = (ds.map_batches(prep, batch_format="pyarrow")
+                  .groupby("__p")
+                  .map_groups(per_part, batch_format="pandas"))
+    tot = compact_groupby(partials, ["ta", "tb"],
+                          sum_cols={"n": "n"}).materialize()
+    t = pa.concat_tables(list(tot.iter_batches(batch_format="pyarrow")))
+    rows = {(a, b): n for a, b, n in zip(t["ta"].to_pylist(),
+                                         t["tb"].to_pylist(),
+                                         t["n"].to_pylist())}
+    n_baskets = rows.pop(("__baskets__", ""))
+    supp = {a: n for (a, b), n in rows.items() if b == ""}
+    out = []
+    for (a, b), n in sorted(rows.items()):
+        if b == "":
+            continue
+        lift = _trunc_div(1_000_000 * n_baskets * n, supp[a] * supp[b])
+        out.append((a, b, n, lift))
+    return pa.table({
+        "ta": pa.array([r[0] for r in out], pa.string()),
+        "tb": pa.array([r[1] for r in out], pa.string()),
+        "supp_ab": pa.array([r[2] for r in out], pa.int64()),
+        "lift_e6": pa.array([r[3] for r in out], pa.int64()),
+    })
+
+
+SQL_EVENTS_BASKET_LIFT = """
+WITH p AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day, event_type
+           FROM events),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT DISTINCT user_id, day FROM p)),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS supp
+      FROM p GROUP BY event_type),
+pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+              CAST(count(*) AS BIGINT) AS supp_ab
+       FROM p a JOIN p b ON a.user_id = b.user_id AND a.day = b.day
+                        AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT pr.ta, pr.tb, pr.supp_ab,
+       CAST((1000000 * nb.n * pr.supp_ab) // (sa.supp * sb.supp)
+            AS BIGINT) AS lift_e6
+FROM pr, nb
+JOIN s sa ON sa.event_type = pr.ta
+JOIN s sb ON sb.event_type = pr.tb
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -9194,6 +9289,7 @@ QUERIES = {
     "emb_mmr_select": q_emb_mmr_select,
     "events_ols_by_type": q_events_ols_by_type,
     "events_scd2_intervals": q_events_scd2_intervals,
+    "events_basket_lift": q_events_basket_lift,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -9431,6 +9527,7 @@ ORACLES = {
     "emb_mmr_select": _mmr_sql(),
     "events_ols_by_type": SQL_EVENTS_OLS_BY_TYPE,
     "events_scd2_intervals": SQL_EVENTS_SCD2_INTERVALS,
+    "events_basket_lift": SQL_EVENTS_BASKET_LIFT,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -812,3 +812,41 @@ def test_grouped_ols_matches_numpy_polyfit():
     # trunc-div parity with DuckDB's // on negatives
     assert _trunc_div(-7, 2) == -3 and _trunc_div(7, -2) == -3
     assert _trunc_div(7, 2) == 3 and _trunc_div(-7, -2) == 3
+
+
+def test_basket_lift_matches_handcount(tmp_path):
+    import os
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_basket_lift,
+        _trunc_div,
+    )
+
+    # 4 baskets: {x,y}, {x}, {y,z}, {x,y,z}
+    baskets = [(1, ["x", "y"]), (2, ["x"]), (3, ["y", "z"]),
+               (4, ["x", "y", "z"])]
+    rows = []
+    eid = 0
+    for u, types in baskets:
+        for t in types:
+            for _ in range(2):  # duplicates must not inflate support
+                rows.append({"event_id": eid, "user_id": u,
+                             "ts": pd.Timestamp("2026-01-01") +
+                             pd.Timedelta(seconds=eid),
+                             "event_type": t, "value": 1.0})
+                eid += 1
+    df = pd.DataFrame(rows)
+    tmp = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp, "events.parquet"))
+    out = q_events_basket_lift(tmp).to_pandas()
+    got = {(r.ta, r.tb): (r.supp_ab, r.lift_e6) for r in out.itertuples()}
+    supp = {"x": 3, "y": 3, "z": 2}
+    want_pairs = {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 2}
+    assert {k: v[0] for k, v in got.items()} == want_pairs
+    for (a, b), s_ab in want_pairs.items():
+        assert got[(a, b)][1] == _trunc_div(1_000_000 * 4 * s_ab,
+                                            supp[a] * supp[b])
