@@ -850,3 +850,95 @@ def test_basket_lift_matches_handcount(tmp_path):
     for (a, b), s_ab in want_pairs.items():
         assert got[(a, b)][1] == _trunc_div(1_000_000 * 4 * s_ab,
                                             supp[a] * supp[b])
+
+
+def _mt_pandas_reference(df, transforms):
+    """Independent pandas interpreter of the metricstransform ops."""
+    import pandas as pd
+
+    df = df.copy()
+    for tr in transforms:
+        m = df.metric == tr.include if tr.match_type == "strict" else \
+            df.metric.str.fullmatch(tr.include)
+        if tr.action == "rename_metric":
+            if tr.match_type == "strict":
+                df.loc[m, "metric"] = tr.new_name
+            else:
+                import re as _re
+                df.loc[m, "metric"] = df.loc[m, "metric"].map(
+                    lambda s: _re.sub(
+                        r"\$(\d+)",
+                        lambda g: _re.fullmatch(tr.include, s).group(
+                            int(g.group(1))) or "",
+                        tr.new_name))
+        elif tr.action == "add_label":
+            df.loc[m, tr.new_label] = tr.label_value
+        elif tr.action == "rename_label_values":
+            for old, new in tr.value_map.items():
+                df.loc[m & (df[tr.label] == old), tr.label] = new
+        elif tr.action == "delete_datapoints":
+            df = df[~(m & (df[tr.label] == tr.label_value))]
+        elif tr.action == "scale_value":
+            df.loc[m, "value"] = df.loc[m, "value"] * tr.scale
+        elif tr.action == "aggregate_label_values":
+            df.loc[m & df[tr.label].isin(tr.merge_values),
+                   tr.label] = tr.merged_value
+            keys = ["metric"] + tr.keep_labels
+            df = df.groupby(keys, as_index=False, dropna=False)["value"] \
+                .sum()
+        elif tr.action == "aggregate_labels":
+            keys = ["metric"] + tr.keep_labels
+            df = df.groupby(keys, as_index=False, dropna=False)["value"] \
+                .sum()
+    return df
+
+
+def test_metricstransform_random_chains_match_pandas_reference():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.metricstransform import (
+        MetricsTransform,
+        metrics_transform,
+    )
+
+    rng = np.random.default_rng(41)
+    for trial in range(6):
+        n = 400
+        df = pd.DataFrame({
+            "metric": rng.choice(["m_a", "m_b", "m_c"], n),
+            "svc": rng.choice(["s1", "s2", "s3"], n),
+            "env": rng.choice(["dev", "prod"], n),
+            "value": rng.integers(1, 100, n).astype(np.int64),
+        })
+        chain = [
+            MetricsTransform("rename_metric", include="m_a",
+                             new_name="metric_a"),
+            MetricsTransform("rename_label_values", include=".*",
+                             match_type="regexp", label="env",
+                             value_map={"dev": "development"}),
+            MetricsTransform("delete_datapoints", include="m_b",
+                             label="svc", label_value="s3"),
+            MetricsTransform("scale_value", include="m_c",
+                             scale=int(rng.integers(2, 9))),
+            MetricsTransform("aggregate_label_values", include=".*",
+                             match_type="regexp", label="svc",
+                             merge_values=["s1", "s2"], merged_value="s12",
+                             keep_labels=["svc", "env"]),
+            MetricsTransform("add_label", include=".*",
+                             match_type="regexp", new_label="region",
+                             label_value="r1"),
+            MetricsTransform("aggregate_labels", include=".*",
+                             match_type="regexp",
+                             keep_labels=["svc", "region"]),
+        ]
+        got = metrics_transform(
+            rd.from_pandas(df).repartition(int(rng.integers(1, 7))),
+            chain).to_pandas()
+        want = _mt_pandas_reference(df, chain)
+        cols = ["metric", "svc", "region", "value"]
+        g = got[cols].sort_values(cols[:-1]).reset_index(drop=True)
+        w = want[cols].sort_values(cols[:-1]).reset_index(drop=True)
+        g["value"] = g["value"].astype("int64")
+        w["value"] = w["value"].astype("int64")
+        assert g.equals(w), trial
