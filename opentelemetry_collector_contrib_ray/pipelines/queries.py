@@ -8865,6 +8865,116 @@ JOIN s sb ON sb.event_type = pr.tb
 """
 
 
+def q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    semi-join orders (gated: broadcast key set vs native left_semi by
+    the right side's size), lineitem revenue pre-aggregated per order
+    BELOW the join (one row per order moves, not per lineitem), one
+    native hash join, then the global top-10 through the block-local
+    top-k combiner. Revenue integer-exact (cents × (100 − discount
+    pct)). Exercises semi-join gate + combiner-below-join + bucketed
+    join + top-k in one pipeline."""
+    from ..stages.agg import hash_groupby_sum, topn_per_group
+    from ..stages.joins import bucketed_hash_join, gated_semi_join
+
+    D_US = 883_612_800_000_000  # 1998-01-01 in epoch µs
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(pc.cast(t["l_shipdate"], pa.int64()),
+                                D_US))
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"],
+                                               pa.int64()),
+                         "rev": rev})
+
+    l_rev = hash_groupby_sum(li.map_batches(li_prep,
+                                            batch_format="pyarrow"),
+                             ["l_orderkey"], "rev", out_col="rev")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.less(us, D_US))
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_date_us": pc.cast(pc.cast(t["o_orderdate"], pa.int64()),
+                                 pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    # materialize the filtered segment (tiny) so the semi-join gate
+    # sees an EXACT row count and takes the broadcast key-set path —
+    # two UNmaterialized native joins in one lineage would each reserve
+    # a 4×CPU aggregator pool and starve the map tasks (the
+    # Dataset.join scheduling interlock; see SCALE.md). Above the gate
+    # threshold the fallback native left_semi still works because the
+    # materialize() boundary stages the joins instead of co-scheduling
+    # them.
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(pc.cast(t["c_mktsegment"],
+                                            pa.string()), "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow").materialize()
+    o_sel = gated_semi_join(orders.map_batches(o_prep,
+                                               batch_format="pyarrow"),
+                            cust, on="o_custkey", right_on="c_custkey")
+    # stage join 1 before join 2: two UNexecuted native joins in one
+    # lineage co-schedule their aggregator pools (4×CPUs partitions ×
+    # 0.125 CPU each per join) and can starve the map tasks outright on
+    # small clusters. materialize() runs the semi join to completion —
+    # releasing its aggregators — before the hash join schedules. On
+    # the broadcast path this is a cheap no-op-sized materialization.
+    o_sel = o_sel.materialize()
+
+    j = bucketed_hash_join(l_rev, o_sel, on="l_orderkey",
+                           right_on="o_orderkey", how="inner")
+    withg = j.map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    top = topn_per_group(withg, ["g"], "rev", 10,
+                         tie_cols=["o_date_us", "l_orderkey"],
+                         descending=True, compact=True)
+    return top.map_batches(
+        lambda t: t.select(["l_orderkey", "rev", "o_date_us",
+                            "o_orderpriority", "rank"]),
+        batch_format="pyarrow")
+
+
+SQL_Q3_SHIPPING_PRIORITY = f"""
+WITH lf AS (
+  SELECT l_orderkey,
+         CAST(SUM({_CENTS.format(x='l_extendedprice')}
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS rev
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey),
+sel AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    AND o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING'))
+SELECT lf.l_orderkey, lf.rev, sel.o_date_us, sel.o_orderpriority,
+       row_number() OVER (ORDER BY lf.rev DESC, sel.o_date_us,
+                          lf.l_orderkey) AS rank
+FROM lf JOIN sel ON lf.l_orderkey = sel.o_orderkey
+QUALIFY rank <= 10
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-key ordered cumulative sum (stages/windows.py running_total)
     — the SUM() OVER (PARTITION BY user ORDER BY ts, event_id) window:
@@ -9290,6 +9400,7 @@ QUERIES = {
     "events_ols_by_type": q_events_ols_by_type,
     "events_scd2_intervals": q_events_scd2_intervals,
     "events_basket_lift": q_events_basket_lift,
+    "q3_shipping_priority": q_q3_shipping_priority,
     "events_running_total": q_events_running_total,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
@@ -9528,6 +9639,7 @@ ORACLES = {
     "events_ols_by_type": SQL_EVENTS_OLS_BY_TYPE,
     "events_scd2_intervals": SQL_EVENTS_SCD2_INTERVALS,
     "events_basket_lift": SQL_EVENTS_BASKET_LIFT,
+    "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),

@@ -857,3 +857,30 @@ def test_run_compress_matches_pandas_reference():
         assert out.valid_to.isna().sum() == 3
         # intervals tile: run_len totals = row count
         assert out.run_len.sum() == n
+
+
+def test_q3_native_semi_path_no_deadlock(sf_dir):
+    # force the semi-join gate down the native left_semi path: the
+    # materialize() boundary between the two native joins must stage
+    # them instead of co-scheduling their aggregator pools
+    import opentelemetry_collector_contrib_ray.stages.joins as J
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        QUERIES,
+        ORACLES,
+    )
+    import duckdb
+
+    old = J.BROADCAST_ROWS_THRESHOLD
+    try:
+        J.BROADCAST_ROWS_THRESHOLD = 0
+        got = QUERIES["q3_shipping_priority"](sf_dir).to_pandas()
+    finally:
+        J.BROADCAST_ROWS_THRESHOLD = old
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    want = con.execute(ORACLES["q3_shipping_priority"]).df()
+    cols = sorted(got.columns)
+    assert got[cols].sort_values(cols).reset_index(drop=True).astype(str) \
+        .equals(want[cols].sort_values(cols).reset_index(drop=True)
+                .astype(str))
