@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "events_pivot_daily",
     "docs_bm25_topk",
     "events_bloom_prune",
+    "q3_shipping_priority",
 ]
 
 
