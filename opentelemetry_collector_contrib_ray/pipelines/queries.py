@@ -9279,6 +9279,47 @@ WHERE abs(length(a.s) - length(c.s)) <= 1
 """
 
 
+def q_events_counter_increase(sf_dir: str):
+    """Counter-reset-aware increase/resets per stream
+    (stages/deltas.py monotonic_increase — PromQL increase()/resets()
+    semantics; recovery-path variant of the reference's
+    cumulativetodelta tracker.go monotonicity check). One stream-hash
+    exchange, per-partition vectorized diff, per-stream totals reduce
+    inside the partition."""
+    from ..stages.deltas import monotonic_increase
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "event_id": pc.cast(t["event_id"], pa.int64()),
+                         "ts": t["ts"],
+                         "cents": _cents(t["value"])})
+
+    return monotonic_increase(ds.map_batches(prep, batch_format="pyarrow"),
+                              ["user_id"], "ts", "cents", "event_id")
+
+
+SQL_EVENTS_COUNTER_INCREASE = f"""
+WITH s AS (
+  SELECT user_id, {_CENTS.format(x='value')} AS cents,
+         LAG({_CENTS.format(x='value')}) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         epoch_us(ts) AS us
+  FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                     WHEN cents >= prev THEN cents - prev
+                     ELSE cents END) AS BIGINT) AS total_increase,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND cents < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_obs,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS elapsed_us
+FROM s GROUP BY user_id HAVING COUNT(*) > 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9402,6 +9443,7 @@ QUERIES = {
     "events_basket_lift": q_events_basket_lift,
     "q3_shipping_priority": q_q3_shipping_priority,
     "events_running_total": q_events_running_total,
+    "events_counter_increase": q_events_counter_increase,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9641,6 +9683,7 @@ ORACLES = {
     "events_basket_lift": SQL_EVENTS_BASKET_LIFT,
     "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
+    "events_counter_increase": SQL_EVENTS_COUNTER_INCREASE,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -127,6 +127,59 @@ def delta_to_cumulative(ds, keys: list[str], ts: str, value: str, tie: str,
         per_part, batch_format="pandas")
 
 
+def monotonic_increase(ds, keys: list[str], ts: str, value: str, tie: str,
+                       num_partitions: int = 64):
+    """Counter-RESET-aware increase over cumulative streams — the batch
+    rendering of PromQL ``increase()``/``resets()`` semantics (public
+    Prometheus counter rules): when a reading drops below its
+    predecessor the counter restarted (process crash), so the step
+    contributes ``v`` (the climb since the restart), not ``v - prev``;
+    otherwise ``v - prev``.  The reference's cumulativetodelta tracker
+    (internal/tracking/tracker.go) instead invalidates the stream on a
+    non-monotonic point — this operator is the recovery-path variant a
+    rate pipeline actually wants.
+
+    Emits ONE compact row per stream (≥2 points): ``total_increase``,
+    ``n_resets``, ``n_obs`` (= points - 1) and ``elapsed_us`` (last ts
+    − first ts, for rate = increase/elapsed downstream).
+
+    Scale shape: ONE stream-identity hash exchange, then a fully
+    vectorized per-partition pass (sort + shifted diff across all
+    streams at once); the per-stream totals reduce INSIDE the partition
+    (the partition owns every point of its streams), so only O(streams)
+    rows leave — no second exchange. Values must be integer (the repo's
+    cents discipline) for exact SQL-twin parity.
+    """
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [*keys, "total_increase", "n_resets", "n_obs", "elapsed_us"]
+        if g.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        g, first = _sorted_streams(g, keys, ts, tie)
+        v = g[value].to_numpy().astype(np.int64)
+        prev = np.empty_like(v)
+        prev[0] = 0
+        prev[1:] = v[:-1]
+        reset = (~first) & (v < prev)
+        inc = np.where(first, 0, np.where(reset, v, v - prev))
+        us = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({k: g[k].to_numpy() for k in keys})
+        df["__inc"] = inc
+        df["__rst"] = reset.astype(np.int64)
+        df["__us"] = us
+        agg = df.groupby(keys, sort=False).agg(
+            total_increase=("__inc", "sum"), n_resets=("__rst", "sum"),
+            n_obs=("__inc", "size"), us_min=("__us", "min"),
+            us_max=("__us", "max")).reset_index()
+        agg = agg[agg["n_obs"] > 1]
+        agg["n_obs"] = agg["n_obs"] - 1
+        agg["elapsed_us"] = agg["us_max"] - agg["us_min"]
+        return agg[cols]
+
+    return _stream_partitioned(ds, keys, num_partitions).map_groups(
+        per_part, batch_format="pandas")
+
+
 def delta_to_rate(ds, keys: list[str], ts: str, value: str, tie: str,
                   num_partitions: int = 64):
     """deltatorateprocessor analog: per-point rate over the gap to the

@@ -144,3 +144,68 @@ def test_latest_state_upsert_and_tombstone():
     got = dict(zip(out["k"], out["v"]))
     # key 1: seq 30 wins; key 2: latest is a delete -> absent; key 3 kept
     assert got == {1: "final", 3: "solo"}
+
+
+def test_monotonic_increase_reset_semantics():
+    from opentelemetry_collector_contrib_ray.stages.deltas import monotonic_increase
+
+    # stream a: 3 -> 10 -> 4 (reset, climb 4) -> 9 : increase 7+4+5=16, 1 reset
+    # stream b: 40 -> 100 : increase 60, 0 resets
+    # stream c: single point -> no output row
+    t = pa.table({
+        "k": ["a", "a", "a", "a", "b", "b", "c"],
+        "id": [1, 2, 3, 4, 5, 6, 7],
+        "ts": ts_arr(["2024-01-01T00:00:00", "2024-01-01T00:00:10",
+                      "2024-01-01T00:00:20", "2024-01-01T00:00:30",
+                      "2024-01-01T00:01:00", "2024-01-01T00:01:30",
+                      "2024-01-01T00:02:00"]),
+        "v": [3, 10, 4, 9, 40, 100, 7],
+    })
+    out = (monotonic_increase(rd.from_arrow(t), ["k"], "ts", "v", tie="id",
+                              num_partitions=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == ["a", "b"]
+    assert out["total_increase"].tolist() == [16, 60]
+    assert out["n_resets"].tolist() == [1, 0]
+    assert out["n_obs"].tolist() == [3, 1]
+    assert out["elapsed_us"].tolist() == [30_000_000, 30_000_000]
+
+
+def test_monotonic_increase_matches_pandas_reference():
+    from opentelemetry_collector_contrib_ray.stages.deltas import monotonic_increase
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n).astype(str),
+        "id": np.arange(n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "v": rng.integers(0, 1000, n),
+    })
+
+    def ref(df):
+        rows = []
+        for k, g in df.sort_values(["ts", "id"]).groupby("k"):
+            v = g["v"].to_numpy()
+            if len(v) < 2:
+                continue
+            inc = sum(int(b) if b < a else int(b - a)
+                      for a, b in zip(v[:-1], v[1:]))
+            rst = int(sum(b < a for a, b in zip(v[:-1], v[1:])))
+            us = g["ts"].astype("int64") // 1000  # ns -> us
+            rows.append((k, inc, rst, len(v) - 1,
+                         int(us.max() - us.min())))
+        return pd.DataFrame(rows, columns=["k", "total_increase", "n_resets",
+                                           "n_obs", "elapsed_us"])
+
+    expect = ref(df).sort_values("k").reset_index(drop=True)
+    for npart in (1, 8):
+        got = (monotonic_increase(
+                   rd.from_pandas(df).repartition(6), ["k"], "ts", "v",
+                   tie="id", num_partitions=npart)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype({"total_increase": "int64", "n_resets": "int64",
+                        "n_obs": "int64", "elapsed_us": "int64"}),
+            expect.astype({"total_increase": "int64", "n_resets": "int64",
+                           "n_obs": "int64", "elapsed_us": "int64"}))
