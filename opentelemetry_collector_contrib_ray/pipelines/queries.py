@@ -9320,6 +9320,47 @@ FROM s GROUP BY user_id HAVING COUNT(*) > 1
 """
 
 
+def q_events_ewma(sf_dir: str):
+    """Exponentially-weighted rolling value per user (stages/windows.py
+    exp_weighted_lag — exact-integer α=1/2 EWMA numerator truncated to
+    8 lags): one key-hash exchange, 8 masked shifted adds per
+    partition."""
+    from ..stages.windows import exp_weighted_lag
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "user_id": pc.cast(t["user_id"], pa.int64()),
+                         "ts_us": pc.cast(pc.cast(t["ts"], pa.int64()),
+                                          pa.int64()),
+                         "cents": _cents(t["value"])})
+
+    out = exp_weighted_lag(ds.map_batches(prep, batch_format="pyarrow"),
+                           ["user_id"], ["ts_us", "event_id"], "cents",
+                           depth=8, out_col="ew_num")
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "user_id": t["user_id"],
+                            "ew_num": pc.cast(t["ew_num"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+_EW_TERMS = " + ".join(
+    f"COALESCE(LAG(cents, {j}) OVER w, 0) * {1 << (7 - j)}"
+    for j in range(8))
+
+SQL_EVENTS_EWMA = f"""
+WITH s AS (SELECT event_id, user_id, ts,
+                  {_CENTS.format(x='value')} AS cents FROM events)
+SELECT event_id, user_id,
+       CAST({_EW_TERMS} AS BIGINT) AS ew_num
+FROM s
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9444,6 +9485,7 @@ QUERIES = {
     "q3_shipping_priority": q_q3_shipping_priority,
     "events_running_total": q_events_running_total,
     "events_counter_increase": q_events_counter_increase,
+    "events_ewma": q_events_ewma,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9684,6 +9726,7 @@ ORACLES = {
     "q3_shipping_priority": SQL_Q3_SHIPPING_PRIORITY,
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "events_counter_increase": SQL_EVENTS_COUNTER_INCREASE,
+    "events_ewma": SQL_EVENTS_EWMA,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -571,6 +571,70 @@ def running_total(ds, key_cols: list[str], order_cols: list[str],
               .map_groups(scan, batch_format="pandas"))
 
 
+def exp_weighted_lag(ds, key_cols: list[str], order_cols: list[str],
+                     val_col: str, depth: int = 8,
+                     out_col: str = "ew_num", num_partitions: int = 64):
+    """Exponentially-weighted rolling value per key — the exact-integer
+    rendering of an EWMA smoother: for each row, ``out = Σ_{j<depth}
+    v[i-j] · 2^(depth-1-j)`` over that key's ordered stream (current
+    point gets weight 2^(depth-1), each older lag half that; lags
+    before the stream start contribute 0). ``out // 2^depth`` is the
+    classic α=1/2 EWMA truncated to the last ``depth`` terms; keeping
+    the un-divided numerator keeps it integer-exact and SQL-twinnable
+    (a sum of COALESCE(LAG(v, j), 0) · 2^(depth-1-j) terms).
+
+    Unbounded-history EWMA needs per-step truncating division (state
+    that only a sequential scan reproduces); the fixed-depth window is
+    the mergeable/vectorizable form — the tail weight below 2^-depth is
+    under 0.4% of the smoother mass at depth 8.
+
+    Scale shape: ONE key-hash exchange, then per partition a stable
+    sort + ``depth`` shifted adds across all streams at once (the shift
+    is masked by position-in-stream, so streams never bleed into each
+    other). Emits every input row plus ``out_col``."""
+    import pandas as pd
+
+    from .base import pa_from_pandas
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select(key_cols).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(key_cols + order_cols, kind="mergesort",
+                          ignore_index=True)
+        v = g[val_col].to_numpy().astype(np.int64)
+        n = len(g)
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            neq = np.zeros(n - 1, dtype=bool)
+            for k in key_cols:
+                kv = g[k].to_numpy()
+                neq |= kv[1:] != kv[:-1]
+            first[1:] = neq
+        # position of each row inside its stream: arange minus the
+        # stream-start index broadcast over the run
+        start = np.where(first, np.arange(n), 0)
+        np.maximum.accumulate(start, out=start)
+        pos = np.arange(n) - start
+        out = np.zeros(n, dtype=np.int64)
+        for j in range(depth):
+            w = np.int64(1) << np.int64(depth - 1 - j)
+            shifted = np.zeros(n, dtype=np.int64)
+            if n > j:
+                shifted[j:] = v[:n - j]
+            out += np.where(pos >= j, shifted, 0) * w
+        g[out_col] = out
+        return pa_from_pandas(g.drop(columns="__p"))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(scan, batch_format="pandas"))
+
+
 def run_compress(ds, key_cols: list[str], order_cols: list[str],
                  val_col: str, num_partitions: int = 64):
     """Run-length compression of a keyed ordered stream — the SCD-2

@@ -942,3 +942,43 @@ def test_metricstransform_random_chains_match_pandas_reference():
         g["value"] = g["value"].astype("int64")
         w["value"] = w["value"].astype("int64")
         assert g.equals(w), trial
+
+
+def test_exp_weighted_lag_hand_and_pandas():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.windows import exp_weighted_lag
+
+    # hand case, depth 2: weights current=2, prev=1
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"],
+                       "t": [1, 2, 3, 1],
+                       "id": [0, 1, 2, 3],
+                       "v": [5, 7, 1, 9]})
+    out = (exp_weighted_lag(rd.from_pandas(df), ["k"], ["t", "id"], "v",
+                            depth=2, num_partitions=4)
+           .to_pandas().set_index("id")["ew_num"].sort_index())
+    # a: 2*5, 2*7+5, 2*1+7 ; b: 2*9 (no bleed from stream a)
+    assert out.tolist() == [10, 19, 9, 18]
+
+    # randomized vs a pandas lag-window reference, parallelism-invariant
+    rng = np.random.default_rng(11)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(list("abcdefg"), n),
+        "t": rng.integers(0, 40, n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 1000, n),
+    })
+    depth = 8
+    s = df.sort_values(["k", "t", "id"], kind="mergesort")
+    acc = pd.Series(np.zeros(len(s), dtype=np.int64), index=s.index)
+    for j in range(depth):
+        lag = s.groupby("k")["v"].shift(j).fillna(0).astype(np.int64)
+        acc += lag * (1 << (depth - 1 - j))
+    want = acc.sort_index()  # df.index == id, so this is by-id order
+    for nblocks in (1, 5):
+        out = (exp_weighted_lag(rd.from_pandas(df).repartition(nblocks),
+                                ["k"], ["t", "id"], "v", depth=depth,
+                                num_partitions=8)
+               .to_pandas().set_index("id")["ew_num"].sort_index())
+        assert out.tolist() == want.tolist()
