@@ -9361,6 +9361,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_events_skyline(sf_dir: str):
+    """2-D Pareto frontier over raw events (stages/skyline.py
+    pareto_front): maximize (cents, time-of-day) — local per-block
+    skylines, one small candidate-union merge task, raw table never
+    shuffles. Weak-dominance semantics: duplicate frontier points all
+    survive."""
+    from ..stages.skyline import pareto_front
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "value"])
+    day_us = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "cents": _cents(t["value"]),
+                         "tod_us": pa.array(us % day_us, pa.int64())})
+
+    return pareto_front(ds.map_batches(prep, batch_format="pyarrow"),
+                        "cents", "tod_us")
+
+
+SQL_EVENTS_SKYLINE = f"""
+WITH p AS (
+  SELECT event_id, {_CENTS.format(x='value')} AS cents,
+         epoch_us(ts) % 86400000000 AS tod_us
+  FROM events),
+g AS (SELECT cents, MAX(tod_us) AS gy FROM p GROUP BY cents),
+r AS (SELECT cents, gy,
+             MAX(gy) OVER (ORDER BY cents DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev
+      FROM g)
+SELECT p.event_id, p.cents, CAST(p.tod_us AS BIGINT) AS tod_us
+FROM p JOIN r USING (cents)
+WHERE p.tod_us = r.gy AND (r.prev IS NULL OR r.gy > r.prev)
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9486,6 +9525,7 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "events_counter_increase": q_events_counter_increase,
     "events_ewma": q_events_ewma,
+    "events_skyline": q_events_skyline,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9727,6 +9767,7 @@ ORACLES = {
     "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
     "events_counter_increase": SQL_EVENTS_COUNTER_INCREASE,
     "events_ewma": SQL_EVENTS_EWMA,
+    "events_skyline": SQL_EVENTS_SKYLINE,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -884,3 +884,51 @@ def test_q3_native_semi_path_no_deadlock(sf_dir):
     assert got[cols].sort_values(cols).reset_index(drop=True).astype(str) \
         .equals(want[cols].sort_values(cols).reset_index(drop=True)
                 .astype(str))
+
+
+# --------------------------------------------- skyline / Pareto front
+
+
+def test_pareto_front_matches_bruteforce():
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.skyline import pareto_front
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    x = rng.integers(0, 200, n)          # heavy ties
+    y = rng.integers(0, 200, n)
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "x": pa.array(x, pa.int64()),
+                  "y": pa.array(y, pa.int64())})
+
+    dominated = np.zeros(n, dtype=bool)
+    for i in range(n):
+        dominated[i] = np.any((x >= x[i]) & (y >= y[i])
+                              & ((x > x[i]) | (y > y[i])))
+    want = set(np.arange(n)[~dominated].tolist())
+
+    for nblocks in (1, 7):
+        got = set(pareto_front(rd.from_arrow(t).repartition(nblocks),
+                               "x", "y").to_pandas()["id"].tolist())
+        assert got == want
+
+
+def test_pareto_front_duplicates_and_anticorrelated():
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.skyline import pareto_front
+
+    # duplicate frontier points all survive (weak dominance)
+    t = pa.table({"id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "x": pa.array([5, 5, 3, 1], pa.int64()),
+                  "y": pa.array([7, 7, 2, 9], pa.int64())})
+    got = pareto_front(rd.from_arrow(t).repartition(2), "x", "y") \
+        .to_pandas().sort_values("id")
+    assert got["id"].tolist() == [0, 1, 3]   # (3,2) dominated by (5,7)
+
+    # pathological: perfectly anti-correlated -> everything is frontier
+    n = 500
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "x": pa.array(np.arange(n), pa.int64()),
+                  "y": pa.array(n - np.arange(n), pa.int64())})
+    got = pareto_front(rd.from_arrow(t).repartition(5), "x", "y").count()
+    assert got == n
