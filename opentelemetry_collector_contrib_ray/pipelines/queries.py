@@ -9400,6 +9400,36 @@ WHERE p.tod_us = r.gy AND (r.prev IS NULL OR r.gy > r.prev)
 """
 
 
+def q_events_cube(sf_dir: str):
+    """Full CUBE over (event_type, day) with count + cents sum
+    (stages/agg.py cube_agg): finest-grain per-block partials fan out
+    ×4 grouping sets as compact rows — one pass over the raw table,
+    never 2^k passes."""
+    from ..stages.agg import cube_agg
+
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "cents": _cents(t["value"])})
+
+    return cube_agg(ds.map_batches(prep, batch_format="pyarrow"),
+                    ["event_type", "day"], sum_col="cents",
+                    sum_alias="total_cents")
+
+
+def _cube_sql() -> str:
+    from ..stages.agg import cube_agg_sql
+
+    return cube_agg_sql(
+        ["event_type", "day"],
+        f"(SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+        f"{_CENTS.format(x='value')} AS cents FROM events)",
+        sum_sql="cents", sum_alias="total_cents")
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9526,6 +9556,7 @@ QUERIES = {
     "events_counter_increase": q_events_counter_increase,
     "events_ewma": q_events_ewma,
     "events_skyline": q_events_skyline,
+    "events_cube": q_events_cube,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9768,6 +9799,7 @@ ORACLES = {
     "events_counter_increase": SQL_EVENTS_COUNTER_INCREASE,
     "events_ewma": SQL_EVENTS_EWMA,
     "events_skyline": SQL_EVENTS_SKYLINE,
+    "events_cube": _cube_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

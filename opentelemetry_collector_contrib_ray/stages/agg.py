@@ -468,6 +468,65 @@ def rollup_counts_sql(keys: list[str], src: str,
             f"GROUP BY ROLLUP ({', '.join(keys)})")
 
 
+def cube_agg(ds, keys: list[str], sum_col: str | None = None,
+             sum_alias: str = "total", count_alias: str = "n",
+             total_marker: str = "*"):
+    """Full CUBE in ONE pass — counts (and an optional integer sum) at
+    ALL 2^len(keys) grouping sets (SQL ``GROUP BY CUBE``), the superset
+    of rollup_counts' prefix hierarchy.  A naive rendering re-reads the
+    input once per grouping set; here each block aggregates at the
+    FINEST grain first (one arrow group_by), and only those compact
+    partial rows fan out ×2^k with rolled-up positions replaced by
+    ``total_marker`` — so the exchange moves O(2^k · finest-groups ×
+    blocks) tiny rows, never the raw table, and the final merge is the
+    compact_groupby shape (repartition(1) + one arrow group_by; same
+    bounded-cardinality discipline and the same schema-carrying
+    empty-partial behavior)."""
+    nsets = 1 << len(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        proj = {k: pc.cast(t[k], pa.string()) for k in keys}
+        proj["__cnt"] = pa.array(np.ones(t.num_rows, np.int64))
+        if sum_col is not None:
+            proj["__sum"] = pc.cast(t[sum_col], pa.int64())
+        aggs = [("__cnt", "sum")] + ([("__sum", "sum")] if sum_col else [])
+        g = pa.table(proj).group_by(keys).aggregate(aggs)
+        g = g.rename_columns(keys + ["__cnt"] + (["__sum"] if sum_col else []))
+        marker = pa.array([total_marker] * g.num_rows, pa.string())
+        parts = []
+        for mask in range(nsets):
+            cols = {k: (g[k] if (mask >> i) & 1 else marker)
+                    for i, k in enumerate(keys)}
+            cols["__cnt"] = g["__cnt"]
+            if sum_col is not None:
+                cols["__sum"] = g["__sum"]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    def final(t: pa.Table) -> pa.Table:
+        aggs = [("__cnt", "sum")] + ([("__sum", "sum")] if sum_col else [])
+        g = t.group_by(keys).aggregate(aggs)
+        return g.rename_columns(
+            keys + [count_alias] + ([sum_alias] if sum_col else []))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(1)
+              .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def cube_agg_sql(keys: list[str], src: str, sum_sql: str | None = None,
+                 sum_alias: str = "total", count_alias: str = "n",
+                 total_marker: str = "*") -> str:
+    """SQL twin: GROUP BY CUBE with GROUPING() mapped to the marker."""
+    sel = ", ".join(
+        f"CASE WHEN GROUPING({k}) = 1 THEN '{total_marker}' "
+        f"ELSE CAST({k} AS VARCHAR) END AS {k}" for k in keys)
+    sums = f", CAST(SUM({sum_sql}) AS BIGINT) AS {sum_alias}" if sum_sql else ""
+    return (f"SELECT {sel}, CAST(count(*) AS BIGINT) AS {count_alias}{sums} "
+            f"FROM {src} GROUP BY CUBE ({', '.join(keys)})")
+
+
 def profile_columns(ds, int_cols: list[str], str_cols: list[str]):
     """One-pass column profiler (the ANALYZE staple): per column, row
     count, null count, and min/max — integer columns compare as int64,

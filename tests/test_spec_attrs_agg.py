@@ -982,3 +982,42 @@ def test_exp_weighted_lag_hand_and_pandas():
                                 num_partitions=8)
                .to_pandas().set_index("id")["ew_num"].sort_index())
         assert out.tolist() == want.tolist()
+
+
+def test_cube_agg_matches_pandas_all_sets():
+    import itertools
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import cube_agg
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({"a": rng.choice(list("xyz"), n),
+                       "b": rng.choice(list("pq"), n),
+                       "c": rng.choice(list("mn"), n),
+                       "v": rng.integers(0, 100, n)})
+    keys = ["a", "b", "c"]
+
+    def ref():
+        outs = []
+        for r in range(len(keys) + 1):
+            for sub in itertools.combinations(keys, r):
+                g = (df.groupby(list(sub))["v"].agg(["size", "sum"])
+                     .reset_index() if sub else
+                     pd.DataFrame({"size": [n], "sum": [df["v"].sum()]}))
+                for k in keys:
+                    if k not in sub:
+                        g[k] = "*"
+                outs.append(g[keys + ["size", "sum"]])
+        out = pd.concat(outs, ignore_index=True)
+        return out.rename(columns={"size": "n", "sum": "total"}) \
+                  .astype({"n": "int64", "total": "int64"})
+
+    want = ref().sort_values(keys).reset_index(drop=True)
+    for nblocks in (1, 6):
+        got = (cube_agg(rd.from_pandas(df).repartition(nblocks), keys,
+                        sum_col="v")
+               .to_pandas().sort_values(keys).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[keys + ["n", "total"]].astype({"n": "int64", "total": "int64"}),
+            want)
