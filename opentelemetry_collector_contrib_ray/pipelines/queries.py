@@ -9430,6 +9430,41 @@ def _cube_sql() -> str:
         sum_sql="cents", sum_alias="total_cents")
 
 
+_KANON_K = 20
+_KANON_LADDER = [["event_type", "day", "user_bucket"],
+                 ["event_type", "day"], ["event_type"]]
+
+
+def q_events_k_anonymity(sf_dir: str):
+    """k-anonymity audit over a quasi-identifier generalization ladder
+    (stages/privacy.py k_anonymity_ladder — governance companion to
+    redaction/PII): finest classes built distributedly once, every
+    coarser level re-aggregates the compact class rows."""
+    from ..stages.privacy import k_anonymity_ladder
+
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "user_bucket": pa.array(uid % 10, pa.int64())})
+
+    return k_anonymity_ladder(ds.map_batches(prep, batch_format="pyarrow"),
+                              _KANON_LADDER, _KANON_K)
+
+
+def _kanon_sql() -> str:
+    from ..stages.privacy import k_anonymity_sql
+
+    return k_anonymity_sql(
+        "(SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+        "user_id % 10 AS user_bucket FROM events)",
+        _KANON_LADDER, _KANON_K)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9557,6 +9592,7 @@ QUERIES = {
     "events_ewma": q_events_ewma,
     "events_skyline": q_events_skyline,
     "events_cube": q_events_cube,
+    "events_k_anonymity": q_events_k_anonymity,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9800,6 +9836,7 @@ ORACLES = {
     "events_ewma": SQL_EVENTS_EWMA,
     "events_skyline": SQL_EVENTS_SKYLINE,
     "events_cube": _cube_sql(),
+    "events_k_anonymity": _kanon_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

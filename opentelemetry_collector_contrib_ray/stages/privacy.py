@@ -1,0 +1,95 @@
+"""k-anonymity auditing over quasi-identifier generalization ladders.
+
+Governance companion to the redaction/PII stages (stages/redact.py,
+stages/text.py PII scan): redaction removes DIRECT identifiers; this
+measures re-identification risk from QUASI-identifiers — rows whose
+quasi-id equivalence class has fewer than ``k`` members are
+k-anonymity violations (Sweeney 2002, public).  The operator evaluates
+a GENERALIZATION LADDER (most→least specific quasi-id projections,
+e.g. (type, day, user-bucket) → (type, day) → (type,)) and reports,
+per level, the class count, the smallest class, and the rows at risk —
+plus which level is the minimal generalization that achieves
+k-anonymity (global-recoding model: one level for the whole table).
+
+Scale shape: ONE pass.  Every ladder level is a projection of the
+FINEST level, so only the finest equivalence classes are built
+distributedly (compact_groupby: per-block arrow partials, one compact
+merge — O(classes × blocks) tiny rows move, never the raw table); all
+coarser levels re-aggregate those O(classes) rows in the single final
+task.  Driver holds nothing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from .agg import compact_groupby
+from .base import pa_from_pandas
+
+
+def k_anonymity_ladder(ds, ladder: list[list[str]], k: int):
+    """Per-level k-anonymity stats over ``ladder`` (level 0 = finest;
+    every later level must use a subset of level 0's columns).  Emits
+    one row per level: ``level, n_classes, min_class_size,
+    rows_at_risk, chosen`` (chosen=1 on the first level whose smallest
+    class reaches ``k``; all 0 if none does)."""
+    finest = ladder[0]
+    for cols in ladder[1:]:
+        if not set(cols) <= set(finest):
+            raise ValueError(f"ladder level {cols} is not a projection "
+                             f"of the finest level {finest}")
+
+    classes = compact_groupby(ds, finest, count_alias="n")
+
+    def stats(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for lvl, cols in enumerate(ladder):
+            g = (df.groupby(list(cols))["n"].sum() if cols
+                 else pd.Series([df["n"].sum()]))
+            at_risk = int(g[g < k].sum()) if len(g) else 0
+            rows.append((lvl, len(g), int(g.min()) if len(g) else 0,
+                         at_risk))
+        st = pd.DataFrame(rows, columns=["level", "n_classes",
+                                         "min_class_size", "rows_at_risk"])
+        ok = st[st["min_class_size"] >= k]
+        chosen = int(ok["level"].min()) if len(ok) else -1
+        st["chosen"] = (st["level"] == chosen).astype("int64")
+        for c in st.columns:
+            st[c] = st[c].astype("int64")
+        return pa_from_pandas(st)
+
+    return classes.map_batches(stats, batch_format="pyarrow",
+                               batch_size=None)
+
+
+def k_anonymity_sql(src: str, ladder: list[list[str]], k: int) -> str:
+    """SQL twin: finest GROUP BY, per-level re-aggregation CTEs, and
+    the minimal-satisfying-level rule."""
+    finest = ", ".join(ladder[0])
+    parts = [f"WITH f0 AS (SELECT {finest}, COUNT(*) AS n FROM {src} "
+             f"GROUP BY {finest})"]
+    levels = []
+    for lvl, cols in enumerate(ladder):
+        tbl = "f0" if lvl == 0 else f"f{lvl}"
+        if lvl > 0:
+            sel = ", ".join(cols) if cols else ""
+            grp = f"GROUP BY {sel}" if cols else ""
+            parts.append(f"f{lvl} AS (SELECT {sel + ', ' if sel else ''}"
+                         f"CAST(SUM(n) AS BIGINT) AS n FROM f0 {grp})")
+        parts.append(
+            f"l{lvl} AS (SELECT {lvl} AS level, COUNT(*) AS n_classes, "
+            f"MIN(n) AS min_class_size, "
+            f"COALESCE(SUM(CASE WHEN n < {k} THEN n END), 0) AS rows_at_risk "
+            f"FROM {tbl})")
+        levels.append(f"SELECT * FROM l{lvl}")
+    parts.append(f"s AS ({' UNION ALL '.join(levels)})")
+    return (", ".join(parts)
+            + " SELECT CAST(level AS BIGINT) AS level,"
+              " CAST(n_classes AS BIGINT) AS n_classes,"
+              " CAST(min_class_size AS BIGINT) AS min_class_size,"
+              " CAST(rows_at_risk AS BIGINT) AS rows_at_risk,"
+              " CAST(CASE WHEN level = (SELECT MIN(level) FROM s"
+              f" WHERE min_class_size >= {k}) THEN 1 ELSE 0 END AS BIGINT)"
+              " AS chosen FROM s")

@@ -464,3 +464,34 @@ def test_longest_prefix_router_semantics():
                              default="none")
     t2 = pa.table({"p": ["abcde", "abc", "a"]})
     assert r2(t2)["route"].to_pylist() == ["long", "short", "none"]
+
+
+def test_k_anonymity_ladder_hand_case():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.privacy import k_anonymity_ladder
+
+    # finest (a,b): classes (x,1):2 (x,2):3 (y,1):4 -> min 2 < 3
+    # level (a,):   x:5 y:4                          -> min 4 >= 3 -> chosen
+    # level ():     9                                 -> satisfied but later
+    df = pd.DataFrame({"a": ["x"] * 5 + ["y"] * 4,
+                       "b": [1, 1, 2, 2, 2, 1, 1, 1, 1]})
+    out = (k_anonymity_ladder(rd.from_pandas(df).repartition(3),
+                              [["a", "b"], ["a"], []], k=3)
+           .to_pandas().sort_values("level").reset_index(drop=True))
+    assert out["n_classes"].tolist() == [3, 2, 1]
+    assert out["min_class_size"].tolist() == [2, 4, 9]
+    assert out["rows_at_risk"].tolist() == [2, 0, 0]
+    assert out["chosen"].tolist() == [0, 1, 0]
+
+    # no level satisfies -> all chosen 0
+    out = (k_anonymity_ladder(rd.from_pandas(df), [["a", "b"], ["a"]], k=100)
+           .to_pandas())
+    assert out["chosen"].tolist() == [0, 0]
+
+    # non-projection ladder rejected
+    try:
+        k_anonymity_ladder(rd.from_pandas(df), [["a"], ["b"]], k=2)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
