@@ -9465,6 +9465,38 @@ def _kanon_sql() -> str:
         _KANON_LADDER, _KANON_K)
 
 
+def q_events_l_diversity(sf_dir: str):
+    """Distinct l-diversity audit per quasi-id class (stages/privacy.py
+    l_diversity_audit): quasi = (day, user_bucket), sensitive =
+    event_type; per-block dedup before the compact exchange."""
+    from ..stages.privacy import l_diversity_audit
+
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "user_bucket": pa.array(uid % 10, pa.int64()),
+                         "event_type": t["event_type"]})
+
+    return l_diversity_audit(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["day", "user_bucket"], "event_type", l=3)
+
+
+SQL_EVENTS_L_DIVERSITY = """
+SELECT day, user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN COUNT(DISTINCT event_type) < 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS at_risk
+FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id % 10 AS user_bucket,
+             event_type FROM events)
+GROUP BY day, user_bucket
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9593,6 +9625,7 @@ QUERIES = {
     "events_skyline": q_events_skyline,
     "events_cube": q_events_cube,
     "events_k_anonymity": q_events_k_anonymity,
+    "events_l_diversity": q_events_l_diversity,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9837,6 +9870,7 @@ ORACLES = {
     "events_skyline": SQL_EVENTS_SKYLINE,
     "events_cube": _cube_sql(),
     "events_k_anonymity": _kanon_sql(),
+    "events_l_diversity": SQL_EVENTS_L_DIVERSITY,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

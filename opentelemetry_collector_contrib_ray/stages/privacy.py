@@ -64,6 +64,39 @@ def k_anonymity_ladder(ds, ladder: list[list[str]], k: int):
                                batch_size=None)
 
 
+def l_diversity_audit(ds, quasi_cols: list[str], sensitive_col: str,
+                      l: int):
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007,
+    public): a quasi-id equivalence class leaks its members' sensitive
+    attribute when it holds fewer than ``l`` DISTINCT sensitive values
+    — k-anonymity alone cannot see this (a class of 50 rows that all
+    share one diagnosis is 50-anonymous and fully disclosed).  Emits
+    one row per equivalence class: ``quasi…, class_size, n_sensitive,
+    at_risk``.
+
+    Scale shape: one compact partial+final exchange over (quasi tuple,
+    sensitive value) — per-block arrow group_by dedups duplicates
+    before anything moves, so at most ``classes × |sensitive domain| ×
+    blocks`` tiny rows shuffle; the final task folds value rows into
+    per-class stats."""
+
+    pairs = compact_groupby(ds, [*quasi_cols, sensitive_col],
+                            count_alias="n")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(quasi_cols).agg(
+            class_size=("n", "sum"), n_sensitive=("n", "size")
+        ).reset_index()
+        g["class_size"] = g["class_size"].astype("int64")
+        g["n_sensitive"] = g["n_sensitive"].astype("int64")
+        g["at_risk"] = (g["n_sensitive"] < l).astype("int64")
+        return pa_from_pandas(g)
+
+    return pairs.map_batches(fold, batch_format="pyarrow",
+                             batch_size=None)
+
+
 def k_anonymity_sql(src: str, ladder: list[list[str]], k: int) -> str:
     """SQL twin: finest GROUP BY, per-level re-aggregation CTEs, and
     the minimal-satisfying-level rule."""

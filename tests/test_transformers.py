@@ -495,3 +495,20 @@ def test_k_anonymity_ladder_hand_case():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_l_diversity_audit_hand_case():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.privacy import l_diversity_audit
+
+    # class q=1: 4 rows but only 1 distinct sensitive value -> at risk
+    # class q=2: 3 rows, 3 distinct values -> diverse
+    df = pd.DataFrame({"q": [1, 1, 1, 1, 2, 2, 2],
+                       "s": ["a", "a", "a", "a", "a", "b", "c"]})
+    out = (l_diversity_audit(rd.from_pandas(df).repartition(3),
+                             ["q"], "s", l=2)
+           .to_pandas().sort_values("q").reset_index(drop=True))
+    assert out["class_size"].tolist() == [4, 3]
+    assert out["n_sensitive"].tolist() == [1, 3]
+    assert out["at_risk"].tolist() == [1, 0]
