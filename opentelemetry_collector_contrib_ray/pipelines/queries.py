@@ -9497,6 +9497,57 @@ GROUP BY day, user_bucket
 """
 
 
+def q_users_golden_record(sf_dir: str):
+    """Golden-record survivorship fusion per user (stages/fusion.py
+    golden_records): latest / max / longest-tie-latest / earliest
+    rules, one cluster-hash exchange, vectorized per-partition fuse."""
+    from ..stages.fusion import golden_records
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "event_id": pc.cast(t["event_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "cents": _cents(t["value"]),
+                         "props": t["props"],
+                         "ts_us": pc.cast(pc.cast(t["ts"], pa.int64()),
+                                          pa.int64())})
+
+    out = golden_records(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        cluster_col="user_id", order_col="event_id",
+        rules={"last_type": ("event_type", "latest"),
+               "max_cents": ("cents", "max"),
+               "longest_props": ("props", "longest"),
+               "first_ts_us": ("ts_us", "min")})
+    return out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_records": pc.cast(t["n_records"], pa.int64()),
+            "last_type": t["last_type"],
+            "max_cents": pc.cast(t["max_cents"], pa.int64()),
+            "longest_props": t["longest_props"],
+            "first_ts_us": pc.cast(t["first_ts_us"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_USERS_GOLDEN_RECORD = f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       arg_max(event_type, CASE WHEN event_type IS NOT NULL
+                                THEN event_id END) AS last_type,
+       CAST(MAX({_CENTS.format(x='value')}) AS BIGINT) AS max_cents,
+       arg_max(props, CASE WHEN props IS NOT NULL
+                           THEN length(props) * 1099511627776 + event_id
+                      END) AS longest_props,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9626,6 +9677,7 @@ QUERIES = {
     "events_cube": q_events_cube,
     "events_k_anonymity": q_events_k_anonymity,
     "events_l_diversity": q_events_l_diversity,
+    "users_golden_record": q_users_golden_record,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9871,6 +9923,7 @@ ORACLES = {
     "events_cube": _cube_sql(),
     "events_k_anonymity": _kanon_sql(),
     "events_l_diversity": SQL_EVENTS_L_DIVERSITY,
+    "users_golden_record": SQL_USERS_GOLDEN_RECORD,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -105,3 +105,46 @@ def test_dedup_by_clusters_tags_corpus():
     )
     assert list(out["cluster_id"]) == [1, 1, 5, 1]
     assert list(out["keep"]) == [True, False, True, False]
+
+
+def test_golden_records_survivorship_rules():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.fusion import golden_records
+
+    df = pd.DataFrame({
+        "c": [1, 1, 1, 2, 2],
+        "o": [10, 20, 30, 10, 20],
+        "s": ["aa", None, "b", None, None],     # latest non-null / longest
+        "v": [5, 9, 7, 3, 1],
+    })
+    out = (golden_records(rd.from_pandas(df).repartition(3), "c", "o",
+                          rules={"last_s": ("s", "latest"),
+                                 "long_s": ("s", "longest"),
+                                 "first_s": ("s", "earliest"),
+                                 "vmax": ("v", "max"),
+                                 "vmin": ("v", "min")},
+                          num_partitions=4)
+           .to_pandas().sort_values("c").reset_index(drop=True))
+    assert out["n_records"].tolist() == [3, 2]
+    # latest NON-NULL: o=30 row wins for c=1; c=2 has no value -> null
+    assert out["last_s"].tolist()[0] == "b" and pd.isna(out["last_s"][1])
+    # longest: 'aa' (len 2) beats 'b' even though 'b' is later
+    assert out["long_s"][0] == "aa" and pd.isna(out["long_s"][1])
+    assert out["first_s"][0] == "aa"
+    assert out["vmax"].tolist() == [9, 3]
+    assert out["vmin"].tolist() == [5, 1]
+
+    # longest tie -> latest
+    df2 = pd.DataFrame({"c": [1, 1], "o": [1, 2], "s": ["xy", "ab"],
+                        "v": [0, 0]})
+    out2 = golden_records(rd.from_pandas(df2), "c", "o",
+                          rules={"long_s": ("s", "longest")}).to_pandas()
+    assert out2["long_s"][0] == "ab"
+
+    try:
+        golden_records(rd.from_pandas(df2), "c", "o",
+                       rules={"x": ("s", "modal")})
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
