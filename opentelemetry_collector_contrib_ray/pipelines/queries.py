@@ -9548,6 +9548,36 @@ FROM events GROUP BY user_id
 """
 
 
+def q_events_value_drift(sf_dir: str):
+    """Day-over-day value-distribution drift per event type
+    (stages/drift.py histogram_drift — integer-exact TVD numerator
+    over a fixed 10-bin domain): one compact count exchange, pairing
+    and |cross-product| fold over O(types×days×10) rows."""
+    from ..stages.drift import histogram_drift
+
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "bin": pa.array(np.minimum(cents // 2000, 9),
+                                         pa.int64())})
+
+    return histogram_drift(ds.map_batches(prep, batch_format="pyarrow"),
+                           "event_type", "day", "bin", n_bins=10)
+
+
+def _drift_sql() -> str:
+    from ..stages.drift import histogram_drift_sql
+
+    return histogram_drift_sql(
+        f"(SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+        f"least({_CENTS.format(x='value')} // 2000, 9) AS bin FROM events)",
+        "event_type", "day", "bin", n_bins=10)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9678,6 +9708,7 @@ QUERIES = {
     "events_k_anonymity": q_events_k_anonymity,
     "events_l_diversity": q_events_l_diversity,
     "users_golden_record": q_users_golden_record,
+    "events_value_drift": q_events_value_drift,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9924,6 +9955,7 @@ ORACLES = {
     "events_k_anonymity": _kanon_sql(),
     "events_l_diversity": SQL_EVENTS_L_DIVERSITY,
     "users_golden_record": SQL_USERS_GOLDEN_RECORD,
+    "events_value_drift": _drift_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

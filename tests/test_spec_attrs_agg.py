@@ -1021,3 +1021,38 @@ def test_cube_agg_matches_pandas_all_sets():
         pd.testing.assert_frame_equal(
             got[keys + ["n", "total"]].astype({"n": "int64", "total": "int64"}),
             want)
+
+
+def test_histogram_drift_hand_and_identical_zero():
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.drift import histogram_drift
+
+    # g: d1 bins [2,0], d2 bins [1,1] -> na=2 nb=2, tvd=|2*2-1*2|+|0*2-1*2|=4
+    # exact TVD = 4 / (2*2*2) = 0.5, correct for (1,0) vs (.5,.5)
+    df = pd.DataFrame({"g": ["g"] * 4,
+                       "p": ["d1", "d1", "d2", "d2"],
+                       "bin": [0, 0, 0, 1]})
+    out = histogram_drift(rd.from_pandas(df).repartition(2),
+                          "g", "p", "bin", n_bins=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["prev_period"], r["p"], r["na"], r["nb"], r["tvd_num"]) == \
+        ("d1", "d2", 2, 2, 4)
+
+    # identical distributions at different totals -> zero drift
+    df2 = pd.DataFrame({"g": ["g"] * 9,
+                        "p": ["d1"] * 3 + ["d2"] * 6,
+                        "bin": [0, 0, 1] + [0, 0, 0, 0, 1, 1]})
+    out2 = histogram_drift(rd.from_pandas(df2), "g", "p", "bin",
+                           n_bins=2).to_pandas()
+    assert out2["tvd_num"].tolist() == [0]
+
+    # three periods -> two adjacent pairs, single-period group ignored
+    df3 = pd.DataFrame({"g": ["a"] * 3 + ["b"],
+                        "p": ["d1", "d2", "d3", "d1"],
+                        "bin": [0, 1, 0, 0]})
+    out3 = (histogram_drift(rd.from_pandas(df3), "g", "p", "bin", n_bins=2)
+            .to_pandas().sort_values("p"))
+    assert out3["g"].tolist() == ["a", "a"]
+    assert out3["tvd_num"].tolist() == [2, 2]
