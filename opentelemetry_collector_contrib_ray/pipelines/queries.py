@@ -9578,6 +9578,72 @@ def _drift_sql() -> str:
         "event_type", "day", "bin", n_bins=10)
 
 
+def q_docs_incremental_dedup(sf_dir: str):
+    """Incremental (streaming-ingest) exact dedup: run 1 dedups the
+    first ingest batch and persists its KEY SET as state (atomic
+    temp+rename, O(distinct keys) not corpus); run 2 dedups only the
+    new batch within itself, then anti-joins the state via the
+    hash-partitioned large_anti_join (never broadcast — state keys
+    scale with the corpus) — new data never re-reads old documents.
+    Result provably equals the full-recompute keep-first rule ordered
+    by (ingest batch, doc_id), which is the SQL twin. Key = 12-char
+    content prefix (the cheap fingerprint; swap for the full
+    normalized-hash key in stages/dedup.py at production scale)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.joins import large_anti_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        srcnum = pc.cast(pc.utf8_slice_codeunits(t["source"], 3, 99),
+                         pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "k": pc.utf8_slice_codeunits(t["text"], 0, 12),
+                         "batch": pa.array(srcnum % 2, pa.int64())})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def batch_dedup(b: int):
+        part = prepped.map_batches(
+            lambda t, b=b: t.filter(pc.equal(t["batch"], b)),
+            batch_format="pyarrow")
+        return exact_dedup(part, col="k", id_col="doc_id")
+
+    # run 1: first ingest batch → kept rows + persisted key state
+    kept0 = batch_dedup(0).materialize()
+    state = pa.concat_tables(
+        [pa.table({"k": t["k"]})
+         for t in kept0.iter_batches(batch_format="pyarrow")] or
+        [pa.table({"k": pa.array([], pa.string())})])
+    root = tempfile.mkdtemp(prefix="incrdedup_", dir="/tmp")
+    tmp = os.path.join(root, "keys.parquet.tmp")
+    pq.write_table(state, tmp)
+    os.replace(tmp, os.path.join(root, "keys.parquet"))  # atomic commit
+
+    # run 2: new batch only — self-dedup, then state anti-join
+    import ray.data as rd
+
+    state_ds = rd.read_parquet(os.path.join(root, "keys.parquet"))
+    kept1 = large_anti_join(batch_dedup(1), state_ds, on="k")
+    return kept0.union(kept1).map_batches(
+        lambda t: t.select(["doc_id", "k", "batch"]),
+        batch_format="pyarrow")
+
+
+SQL_DOCS_INCREMENTAL_DEDUP = """
+WITH d AS (SELECT doc_id, substring(text, 1, 12) AS k,
+                  CAST(substring(source, 4) AS BIGINT) % 2 AS batch
+           FROM documents)
+SELECT doc_id, k, CAST(batch AS BIGINT) AS batch FROM d
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY batch, doc_id) = 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9709,6 +9775,7 @@ QUERIES = {
     "events_l_diversity": q_events_l_diversity,
     "users_golden_record": q_users_golden_record,
     "events_value_drift": q_events_value_drift,
+    "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -9956,6 +10023,7 @@ ORACLES = {
     "events_l_diversity": SQL_EVENTS_L_DIVERSITY,
     "users_golden_record": SQL_USERS_GOLDEN_RECORD,
     "events_value_drift": _drift_sql(),
+    "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

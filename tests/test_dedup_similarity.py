@@ -741,3 +741,31 @@ def test_mmr_prefers_diversity_over_pure_relevance():
     assert picks[0] == 1                  # pure relevance first
     assert picks[1] in (3, 4)             # diversity beats dup B
     assert 2 in picks[2:] or 2 not in picks  # dup B only after diverse
+
+
+def test_incremental_dedup_matches_full_recompute():
+    """Two-run incremental dedup (run 1 persists key state, run 2
+    self-dedups then anti-joins the state) must equal one-shot
+    keep-first over the concatenation ordered by (batch, id)."""
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.joins import large_anti_join
+
+    b0 = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                   "k": ["a", "b", "a", "c"]})       # dup 'a' within batch 0
+    b1 = pa.table({"doc_id": pa.array([5, 6, 7, 8], pa.int64()),
+                   "k": ["b", "d", "d", "e"]})       # 'b' dups state, 'd' dups itself
+
+    kept0 = exact_dedup(rd.from_arrow(b0), col="k", id_col="doc_id",
+                        num_partitions=4).materialize()
+    state = rd.from_arrow(pa.table({"k": pa.concat_tables(
+        [t.select(["k"]) for t in kept0.iter_batches(batch_format="pyarrow")]
+    )["k"]}))
+    kept1 = large_anti_join(
+        exact_dedup(rd.from_arrow(b1), col="k", id_col="doc_id",
+                    num_partitions=4),
+        state, on="k", num_partitions=4)
+    got = kept0.union(kept1).to_pandas().sort_values("doc_id")
+
+    full = pd.concat([b0.to_pandas(), b1.to_pandas()])
+    want = full.drop_duplicates("k", keep="first").sort_values("doc_id")
+    assert got.doc_id.tolist() == want.doc_id.tolist() == [1, 2, 4, 6, 8]
