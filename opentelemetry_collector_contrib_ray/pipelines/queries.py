@@ -9644,6 +9644,39 @@ QUALIFY row_number() OVER (PARTITION BY k ORDER BY batch, doc_id) = 1
 """
 
 
+def q_events_peak_concurrency(sf_dir: str):
+    """Peak concurrency per event_type (capacity planning): each event
+    opens a 30-minute half-open activity interval; report the maximum
+    number of simultaneously-open intervals and the earliest micros at
+    which that peak is first reached. Sweep-line over compact
+    (key, t, ±1) points — 2 small rows per event move, one key-hash
+    exchange, vectorized grouped-cumsum sweep per partition."""
+    from ..stages.windows import peak_concurrency
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    return peak_concurrency(ds, key="event_type", ts_col="ts",
+                            length_s=1800)
+
+
+SQL_EVENTS_PEAK_CONCURRENCY = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 1800000000 AS t, -1 AS d FROM events
+), sw AS (
+  SELECT event_type, t,
+         CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM pts
+), pk AS (
+  SELECT event_type, MAX(c) AS peak FROM sw GROUP BY event_type
+)
+SELECT sw.event_type, pk.peak, MIN(sw.t) AS peak_at_us
+FROM sw JOIN pk ON sw.event_type = pk.event_type AND sw.c = pk.peak
+GROUP BY sw.event_type, pk.peak
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9776,6 +9809,7 @@ QUERIES = {
     "users_golden_record": q_users_golden_record,
     "events_value_drift": q_events_value_drift,
     "docs_incremental_dedup": q_docs_incremental_dedup,
+    "events_peak_concurrency": q_events_peak_concurrency,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10024,6 +10058,7 @@ ORACLES = {
     "users_golden_record": SQL_USERS_GOLDEN_RECORD,
     "events_value_drift": _drift_sql(),
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
+    "events_peak_concurrency": SQL_EVENTS_PEAK_CONCURRENCY,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

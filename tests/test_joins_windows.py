@@ -932,3 +932,30 @@ def test_pareto_front_duplicates_and_anticorrelated():
                   "y": pa.array(n - np.arange(n), pa.int64())})
     got = pareto_front(rd.from_arrow(t).repartition(5), "x", "y").count()
     assert got == n
+
+
+def test_peak_concurrency_sweep():
+    """Hand case incl. the half-open boundary: an interval ending at t
+    does NOT overlap one starting at t."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.windows import peak_concurrency
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # key 'a', 10-second intervals: starts 0,5,8 -> peak 3 at t=8
+        ("a", 0), ("a", 5), ("a", 8),
+        # key 'b': starts 0 and 10 with length 10 -> [0,10) and [10,20)
+        # touch but never overlap -> peak 1, first at t=0
+        ("b", 0), ("b", 10),
+    ]
+    df = pd.DataFrame({"k": [r[0] for r in rows],
+                       "ts": [base + pd.Timedelta(seconds=r[1]) for r in rows]})
+    out = (peak_concurrency(rd.from_pandas(df).repartition(3), key="k",
+                            ts_col="ts", length_s=10, num_partitions=4)
+           .to_pandas().set_index("k"))
+    b0 = base.value // 1000  # micros
+    assert out.loc["a", "peak"] == 3
+    assert out.loc["a", "peak_at_us"] == b0 + 8_000_000
+    assert out.loc["b", "peak"] == 1
+    assert out.loc["b", "peak_at_us"] == b0
