@@ -9677,6 +9677,54 @@ GROUP BY sw.event_type, pk.peak
 """
 
 
+def q_docs_classifier_scores(sf_dir: str):
+    """Hashed bag-of-words linear-classifier inference (fasttext-style
+    batched model scoring): per-doc argmax over a broadcast
+    4096×3 weight matrix, rolled up to (lang, predicted class) counts.
+    Weights are a fixed deterministic function of the bucket index so
+    the exact SQL twin below reproduces every score integer-for-integer."""
+    from ..stages.text import hashed_linear_classifier
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return hashed_linear_classifier(ds, col="text", group_col="lang")
+
+
+def _classifier_sql(n_buckets: int = 4096) -> str:
+    """SQL twin of hashed_linear_classifier: same [A-Za-z]+ tokens,
+    same first-8-byte base-31 hash (tokens are pure ASCII so
+    characters == bytes), same bucket→weight formula, same
+    first-max-wins argmax; zero-token docs kept via LEFT JOIN with
+    COALESCE(0) scores (all-zero scores → class 0, as np.argmax)."""
+    terms = " + ".join(
+        f"(CASE WHEN length(tok) >= {k + 1} "
+        f"THEN ascii(substring(tok, {k + 1}, 1)) ELSE 0 END) * {31 ** k}::BIGINT"
+        for k in range(8))
+    ws = {c: f"(((h.bucket * {2 * c + 3} * 2654435761) % 2001) - 1000)"
+          for c in range(3)}
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(coalesce(text, ''), '[^A-Za-z]+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ({terms}) % {n_buckets} AS bucket
+  FROM toks WHERE tok <> ''
+), sc AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(SUM({ws[0]}), 0) AS s0,
+         COALESCE(SUM({ws[1]}), 0) AS s1,
+         COALESCE(SUM({ws[2]}), 0) AS s2
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+  GROUP BY d.doc_id, d.lang
+)
+SELECT lang,
+       CAST(CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+                 WHEN s1 >= s2 THEN 1 ELSE 2 END AS BIGINT) AS pred_class,
+       COUNT(*) AS n_docs
+FROM sc GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9810,6 +9858,7 @@ QUERIES = {
     "events_value_drift": q_events_value_drift,
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "events_peak_concurrency": q_events_peak_concurrency,
+    "docs_classifier_scores": q_docs_classifier_scores,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10059,6 +10108,7 @@ ORACLES = {
     "events_value_drift": _drift_sql(),
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "events_peak_concurrency": SQL_EVENTS_PEAK_CONCURRENCY,
+    "docs_classifier_scores": _classifier_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

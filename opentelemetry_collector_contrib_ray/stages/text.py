@@ -995,3 +995,71 @@ def char_entropy(t: pa.Table, col: str = "text",
     from .base import set_column
 
     return set_column(t, out, pa.array(H, pa.float64(), from_pandas=True))
+
+
+def hashed_linear_classifier(ds, col: str = "text", group_col: str = "lang",
+                             n_buckets: int = 4096, n_classes: int = 3):
+    """FastText-style hashed bag-of-words linear classifier INFERENCE
+    (the batched-model-scoring representative): tokens → feature
+    buckets ``H(token) % n_buckets`` → doc score vector = bucket-count
+    row times a broadcast weight matrix W[n_buckets × n_classes] →
+    argmax class (ties to the smallest id). Weights are a fixed
+    deterministic function of the bucket index so an exact SQL twin
+    exists; swap the formula for trained weights in production — the
+    Ray plumbing (W built once per task closure, per-batch vectorized
+    matmul-by-bincount, compact (group, class, n) partials, one tiny
+    exchange) is the real thing.
+
+    Per-token hash = Σ_{k<8} byte_k·31^k over the token's first 8
+    bytes, computed with 8 vectorized gathers on the flattened Arrow
+    string buffer — no per-token Python. Tokens are [A-Za-z]+ runs, so
+    bytes == characters and the twin's ascii(substring(tok,k,1)) is
+    byte-exact."""
+    from ray.data.aggregate import Sum
+
+    cls = np.arange(n_classes, dtype=np.int64)
+    W = ((np.arange(n_buckets, dtype=np.int64)[:, None]
+          * (2 * cls + 3)[None, :] * 2654435761) % 2001) - 1000
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[col], "")
+        toks = pc.split_pattern_regex(txt, "[^A-Za-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64),
+                            offsets[1:] - offsets[:-1])
+        fb = pc.cast(flat, pa.large_binary())
+        offs = np.frombuffer(fb.buffers()[1], dtype=np.int64)[
+            fb.offset : fb.offset + len(fb) + 1]
+        data = (np.frombuffer(fb.buffers()[2], dtype=np.uint8)
+                if fb.buffers()[2] is not None else np.empty(0, np.uint8))
+        lens = np.diff(offs)
+        keep = lens > 0                      # split() emits '' at edges
+        h = np.zeros(len(fb), dtype=np.int64)
+        p = 1
+        for k in range(8):
+            has = lens > k
+            b = np.zeros(len(fb), dtype=np.int64)
+            b[has] = data[offs[:-1][has] + k]
+            h += b * p
+            p *= 31
+        bucket = (h[keep] % n_buckets).astype(np.int64)
+        scores = np.zeros((len(t), W.shape[1]), dtype=np.int64)
+        di = doc_idx[keep]
+        for c in range(W.shape[1]):
+            scores[:, c] = np.bincount(
+                di, weights=W[bucket, c].astype(np.float64),
+                minlength=len(t)).astype(np.int64)
+        pred = np.argmax(scores, axis=1).astype(np.int64)  # first max wins
+        d = pd.DataFrame({group_col: t[group_col].to_numpy(zero_copy_only=False),
+                          "pred_class": pred})
+        out = (d.groupby([group_col, "pred_class"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return pa_from_pandas(out)
+
+    return (ds.map_batches(score, batch_format="pyarrow")
+              .groupby([group_col, "pred_class"])
+              .aggregate(Sum("n", alias_name="n_docs")))

@@ -889,3 +889,46 @@ def test_bm25_matches_bruteforce_integer_reference():
         got = list(zip(out.doc_id.tolist(), out.score.tolist()))
         assert got == want
         assert out["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_hashed_linear_classifier_differential():
+    """Differential vs a per-token pure-Python reimplementation,
+    covering zero-token docs (class 0), >8-char hash truncation, and
+    multi-batch partial-count folding."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import (
+        hashed_linear_classifier,
+    )
+
+    texts = ["the quick brown fox", "internationalization tokens here",
+             "", "123 456 !!!", "zzz zzz zzz aaa",
+             "extraordinarily long tokens extraordinarily repeated"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                       "lang": ["en", "en", "xx", "xx", "en", "en"]})
+
+    def ref_pred(text: str) -> int:
+        scores = [0, 0, 0]
+        for tok in re.split(r"[^A-Za-z]+", text):
+            if not tok:
+                continue
+            h = sum(ord(ch) * 31 ** k for k, ch in enumerate(tok[:8]))
+            b = h % 4096
+            for c in range(3):
+                scores[c] += ((b * (2 * c + 3) * 2654435761) % 2001) - 1000
+        best = max(scores)
+        return scores.index(best)
+
+    want = (df.assign(pred_class=[ref_pred(s) for s in texts])
+            .groupby(["lang", "pred_class"], as_index=False).size()
+            .rename(columns={"size": "n_docs"}))
+    got = (hashed_linear_classifier(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values(["lang", "pred_class"])
+           .reset_index(drop=True))
+    want = want.sort_values(["lang", "pred_class"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_docs": "int64"}), want.astype({"n_docs": "int64"}),
+        check_like=True)
