@@ -9725,6 +9725,59 @@ FROM sc GROUP BY 1, 2
 """
 
 
+def q_graph_kcore(sf_dir: str):
+    """3-core decomposition of the hashed event projection graph
+    (stages/graph.py kcore_degrees, Seidman 1983 peeling bounded to 8
+    rounds — enough to converge here, and the SQL twin unrolls the
+    SAME 8 rounds so the comparison is exact even if it weren't):
+    survivors of iterative degree-<3 removal with their in-core
+    degrees. Node projection uses MULTIPLICATIVE mixing
+    (((event_id·c) % prime) % 256 per endpoint — the prime breaks the
+    mod-256 periodicity that would collapse sequential ids to a
+    256-edge cycle graph; the triangle query's // trick likewise
+    degenerates to a star at small SF)."""
+    from ..stages.graph import kcore_degrees
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(((eid * 2654435761) % 1000003) % 256),
+                         "dst": pa.array(((eid * 40503 + 17) % 999983) % 256)})
+
+    return kcore_degrees(ds.map_batches(edges, batch_format="pyarrow"),
+                         k=3, rounds=8)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peeling twin of q_graph_kcore: s0 is the symmetric
+    distinct simple edge set; each round keeps edges whose BOTH
+    endpoints have symmetric degree >= k. Every round CTE is
+    MATERIALIZED — each s_r is referenced twice, and default CTE
+    inlining would re-expand the whole chain 2^rounds times."""
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(((event_id * 2654435761) % 1000003) % 256,
+                        ((event_id * 40503 + 17) % 999983) % 256) AS a,
+                  greatest(((event_id * 2654435761) % 1000003) % 256,
+                           ((event_id * 40503 + 17) % 999983) % 256) AS b
+  FROM events
+  WHERE (((event_id * 2654435761) % 1000003) % 256)
+        <> (((event_id * 40503 + 17) % 999983) % 256)
+), s0 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+, a{r} AS MATERIALIZED (
+    SELECT u FROM s{r - 1} GROUP BY u HAVING count(*) >= {k})
+, s{r} AS MATERIALIZED (
+    SELECT s.u, s.v FROM s{r - 1} s
+    JOIN a{r} x ON s.u = x.u JOIN a{r} y ON s.v = y.u)""")
+    parts.append(f"""
+SELECT u AS node, count(*) AS degree FROM s{rounds} GROUP BY u""")
+    return "".join(parts)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9859,6 +9912,7 @@ QUERIES = {
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "events_peak_concurrency": q_events_peak_concurrency,
     "docs_classifier_scores": q_docs_classifier_scores,
+    "graph_kcore": q_graph_kcore,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10109,6 +10163,7 @@ ORACLES = {
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "events_peak_concurrency": SQL_EVENTS_PEAK_CONCURRENCY,
     "docs_classifier_scores": _classifier_sql(),
+    "graph_kcore": _kcore_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

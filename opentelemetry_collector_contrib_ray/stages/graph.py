@@ -213,3 +213,52 @@ def triangle_counts(edges, src: str = "src", dst: str = "dst",
         "triangles": pa.array(tri),
         "wedges": pa.array(deg * (deg - 1) // 2),
     })
+
+
+def kcore_degrees(edges, src: str = "src", dst: str = "dst", k: int = 3,
+                  rounds: int = 8):
+    """k-core peeling (Seidman 1983; Batagelj–Zaveršnik is the serial
+    classic) bounded to ``rounds`` rounds: repeatedly drop nodes whose
+    surviving degree is < k, then report each survivor's degree inside
+    the core subgraph. ``rounds`` makes the operator deterministic and
+    SQL-unrollable; when peeling converges earlier the extra rounds
+    are no-ops, so the result IS the exact k-core.
+
+    Scale shape: self-loops drop and endpoints canonicalize per block,
+    per-block arrow distinct shrinks the stream BEFORE anything moves,
+    then one compact exchange lands the O(distinct edges) rows in a
+    single task that peels vectorized (value_counts + isin per round —
+    never per-node Python). Right when the node domain is a fixed
+    projection (as in the query twin); for billion-node graphs swap
+    the final fold for ``rounds`` × (degree aggregate + two
+    large_semi_joins on u and v) — same semantics, per-round
+    exchanges instead of one."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t[src], t[dst])
+        b = pc.max_element_wise(t[src], t[dst])
+        keep = pc.not_equal(a, b)
+        return pa.table({"a": pc.cast(a, pa.int64()),
+                         "b": pc.cast(b, pa.int64())}).filter(keep)
+
+    distinct = compact_groupby(edges.map_batches(canon, batch_format="pyarrow"),
+                               ["a", "b"], count_alias="n")
+
+    def peel(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["a", "b"]]
+        for _ in range(rounds):
+            if df.empty:
+                break
+            deg = pd.concat([df["a"], df["b"]]).value_counts()
+            alive = deg[deg >= k].index
+            keep = df["a"].isin(alive) & df["b"].isin(alive)
+            if keep.all():
+                break
+            df = df[keep]
+        deg = (pd.concat([df["a"], df["b"]]).value_counts()
+               .rename_axis("node").reset_index(name="degree"))
+        deg["node"] = deg["node"].astype("int64")
+        deg["degree"] = deg["degree"].astype("int64")
+        return pa.Table.from_pandas(deg, preserve_index=False)
+
+    return distinct.map_batches(peel, batch_format="pyarrow", batch_size=None)

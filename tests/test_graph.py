@@ -77,3 +77,25 @@ def test_triangle_counts_local_gate_matches_distributed():
     lo = lo.sort_values("node").reset_index(drop=True)
     hi = hi.sort_values("node").reset_index(drop=True)
     assert lo.equals(hi)
+
+
+def test_kcore_peeling_clique_plus_chain():
+    """3-core of a 5-clique with a pendant chain = exactly the clique
+    (degrees 4); the chain needs multiple peel rounds to vanish."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.graph import kcore_degrees
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    df = pd.DataFrame(clique + chain, columns=["src", "dst"])
+    out = (kcore_degrees(rd.from_pandas(df).repartition(3), k=3, rounds=8)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out.node.tolist() == [0, 1, 2, 3, 4]
+    assert out.degree.tolist() == [4] * 5
+
+    # k above the max degree -> empty core, schema preserved
+    empty = kcore_degrees(rd.from_pandas(df), k=10, rounds=8).to_pandas()
+    assert len(empty) == 0
+    assert set(empty.columns) == {"node", "degree"} or empty.empty
