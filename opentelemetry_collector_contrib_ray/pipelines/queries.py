@@ -9778,6 +9778,44 @@ SELECT u AS node, count(*) AS degree FROM s{rounds} GROUP BY u""")
     return "".join(parts)
 
 
+def q_events_gapfill(sf_dir: str):
+    """Hourly gap-filling resample with forward fill per event_type
+    (stages/windows.py resample_ffill): one row per hour across each
+    type's observed span, carrying the last observation's value
+    (deterministic last = max (ts, event_id)) and an observed flag.
+    Values are copied, never recomputed, so the float column is
+    bit-identical to the SQL twin."""
+    from ..stages.windows import resample_ffill
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value", "event_id"])
+    return resample_ffill(ds, key="event_type", ts_col="ts",
+                          val_col="value", order_col="event_id",
+                          freq_s=3600)
+
+
+SQL_EVENTS_GAPFILL = """
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), last_obs AS (SELECT event_type, hour, value FROM obs WHERE rn = 1),
+span AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+         FROM last_obs GROUP BY event_type),
+grid AS (SELECT event_type,
+                unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         FROM span)
+SELECT g.event_type, g.hour,
+       last_value(l.value IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.hour
+               ROWS UNBOUNDED PRECEDING) AS filled_value,
+       CAST(CASE WHEN l.hour IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
+FROM grid g LEFT JOIN last_obs l
+  ON g.event_type = l.event_type AND g.hour = l.hour
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9913,6 +9951,7 @@ QUERIES = {
     "events_peak_concurrency": q_events_peak_concurrency,
     "docs_classifier_scores": q_docs_classifier_scores,
     "graph_kcore": q_graph_kcore,
+    "events_gapfill": q_events_gapfill,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10164,6 +10203,7 @@ ORACLES = {
     "events_peak_concurrency": SQL_EVENTS_PEAK_CONCURRENCY,
     "docs_classifier_scores": _classifier_sql(),
     "graph_kcore": _kcore_sql(),
+    "events_gapfill": SQL_EVENTS_GAPFILL,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

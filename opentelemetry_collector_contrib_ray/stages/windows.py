@@ -748,3 +748,65 @@ def peak_concurrency(ds, key: str, ts_col: str, length_s: int,
               .map_batches(add_part, batch_format="pyarrow")
               .groupby("__p")
               .map_groups(sweep, batch_format="pandas"))
+
+
+def resample_ffill(ds, key: str, ts_col: str, val_col: str,
+                   order_col: str, freq_s: int = 3600):
+    """Gap-filling resample with forward fill (the time-series
+    regularization every metrics store needs): per key, one row per
+    ``freq_s`` bucket across [first observed bucket, last observed
+    bucket], carrying the last-at-or-before observation's value
+    (deterministic last = max (ts, order_col)) and an ``observed``
+    flag for buckets that had data.
+
+    Scale shape: per-block pandas partial keeps ONE candidate row per
+    (key, bucket) — O(keys × buckets × blocks) compact rows move, the
+    raw stream does not — then a single final task re-argmaxes across
+    blocks, materializes each key's bucket range (np.repeat, no Python
+    loop) and grouped-ffills. Output size O(keys × buckets), driver
+    never holds raw events."""
+    freq_us = int(freq_s) * 1_000_000
+
+    def last_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df[ts_col].astype("datetime64[us]").astype("int64")
+        d = pd.DataFrame({key: df[key], "bucket": (ts_us // freq_us) * freq_us,
+                          "ts_us": ts_us, "o": df[order_col],
+                          "v": df[val_col]})
+        d = d.sort_values(["ts_us", "o"], kind="mergesort")
+        return d.groupby([key, "bucket"], as_index=False, dropna=False).tail(1)
+
+    def fold_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # partial rows already carry (key, bucket, ts_us, o, v)
+        d = df.sort_values(["ts_us", "o"], kind="mergesort")
+        return d.groupby([key, "bucket"], as_index=False, dropna=False).tail(1)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if df.empty:
+            return pa.table({key: pa.array([], pa.string()),
+                             "hour": pa.array([], pa.timestamp("us")),
+                             "filled_value": pa.array([], pa.float64()),
+                             "observed": pa.array([], pa.int64())})
+        obs = fold_partial(df)
+        span = obs.groupby(key, as_index=False).agg(h0=("bucket", "min"),
+                                                    h1=("bucket", "max"))
+        counts = ((span["h1"] - span["h0"]) // freq_us + 1).to_numpy()
+        keys_rep = np.repeat(span[key].to_numpy(), counts)
+        intra = (np.concatenate([np.arange(c) for c in counts])
+                 if len(counts) else np.array([], np.int64))
+        buckets = np.repeat(span["h0"].to_numpy(), counts) + intra * freq_us
+        grid = pd.DataFrame({key: keys_rep, "bucket": buckets})
+        m = grid.merge(obs[[key, "bucket", "v"]], on=[key, "bucket"],
+                       how="left")
+        m["observed"] = m["v"].notna().astype("int64")
+        m["filled_value"] = m.groupby(key, sort=False)["v"].ffill()
+        return pa.table({
+            key: pa.array(m[key]),
+            "hour": pa.array(m["bucket"].to_numpy(), pa.timestamp("us")),
+            "filled_value": pa.array(m["filled_value"].to_numpy()),
+            "observed": pa.array(m["observed"].to_numpy()),
+        })
+
+    return (ds.map_batches(last_per_bucket, batch_format="pandas")
+              .repartition(1)
+              .map_batches(final, batch_format="pyarrow", batch_size=None))

@@ -959,3 +959,35 @@ def test_peak_concurrency_sweep():
     assert out.loc["a", "peak_at_us"] == b0 + 8_000_000
     assert out.loc["b", "peak"] == 1
     assert out.loc["b", "peak_at_us"] == b0
+
+
+def test_resample_ffill_hand():
+    """Gap hours take the prior value; observed flags mark real data;
+    last-in-bucket tie resolves by (ts, order)."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.windows import resample_ffill
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # key a: hour0 two obs (later one wins), hours 1-2 empty, hour3 obs
+        ("a", 0, 10, 1.0), ("a", 30, 11, 2.0), ("a", 185, 12, 9.0),
+        # key b: single hour
+        ("b", 70, 13, 5.0),
+        # same-ts tie in hour0 of c: higher order id wins
+        ("c", 0, 20, 3.0), ("c", 0, 21, 4.0),
+    ]
+    df = pd.DataFrame({"k": [r[0] for r in rows],
+                       "ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+                       "eid": [r[2] for r in rows],
+                       "v": [r[3] for r in rows]})
+    out = (resample_ffill(rd.from_pandas(df).repartition(3), key="k",
+                          ts_col="ts", val_col="v", order_col="eid")
+           .to_pandas().sort_values(["k", "hour"]).reset_index(drop=True))
+    a = out[out.k == "a"]
+    assert a.filled_value.tolist() == [2.0, 2.0, 2.0, 9.0]
+    assert a.observed.tolist() == [1, 0, 0, 1]
+    b = out[out.k == "b"]
+    assert len(b) == 1 and b.filled_value.iloc[0] == 5.0
+    c = out[out.k == "c"]
+    assert len(c) == 1 and c.filled_value.iloc[0] == 4.0
