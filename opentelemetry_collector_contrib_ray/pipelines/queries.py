@@ -9816,6 +9816,67 @@ FROM grid g LEFT JOIN last_obs l
 """
 
 
+def q_emb_pq_codes(sf_dir: str):
+    """Product quantization (stages/similarity.py pq_codes, Jégou et
+    al. 2011): two 32-dim subspace codebooks (k=4 smallest-id seeds,
+    2 exact Lloyd iterations each), per-vector code-pair assignment,
+    code-tuple histogram. The SQL twin unrolls the SAME kmeans CTE
+    chain per subspace with a dim-range filter."""
+    from ..stages.similarity import pq_codes
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_codes(ds, splits=[(0, 32), (32, 64)], k=4, iters=2)
+
+
+def _pq_sub_cte(pfx: str, lo: int, hi: int, k: int = 4,
+                iters: int = 2) -> tuple[str, str]:
+    """Per-subspace kmeans assign chain (same construction as
+    _kmeans_assign_cte, CTEs prefixed and ex filtered to [lo, hi))."""
+    dist = """
+, d{p}{i} AS (
+  SELECT e.vec_id, c.cl,
+         SUM(c.c * c.c - 2 * CAST(e.v AS DOUBLE) * c.c) AS d2
+  FROM ex{p} e JOIN c{p}{j} c USING (dim) GROUP BY e.vec_id, c.cl
+), a{p}{i} AS (
+  SELECT vec_id, cl FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+    FROM d{p}{i}) WHERE rn = 1
+)"""
+    upd = """
+, c{p}{i} AS (
+  SELECT a.cl, e.dim, avg(CAST(e.v AS DOUBLE)) AS c
+  FROM ex{p} e JOIN a{p}{i} a USING (vec_id) GROUP BY a.cl, e.dim
+)"""
+    sql = f"""ex{pfx} AS (
+  SELECT vec_id, v, dim FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           unnest(range(0, len(embedding))) AS dim
+    FROM embeddings)
+  WHERE dim >= {lo} AND dim < {hi}
+), c{pfx}0 AS (
+  SELECT vec_id AS cl, dim, CAST(v AS DOUBLE) AS c FROM ex{pfx}
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+)"""
+    for i in range(1, iters + 1):
+        sql += dist.format(p=pfx, i=i, j=i - 1) + upd.format(p=pfx, i=i)
+    final = iters + 1
+    sql += dist.format(p=pfx, i=final, j=iters)
+    return sql, f"a{pfx}{final}"
+
+
+def _pq_sql(k: int = 4, iters: int = 2) -> str:
+    ca, aa = _pq_sub_cte("a", 0, 32, k, iters)
+    cb, ab = _pq_sub_cte("b", 32, 64, k, iters)
+    return f"""
+WITH {ca},
+{cb}
+SELECT CAST(x.cl AS BIGINT) AS code_a, CAST(y.cl AS BIGINT) AS code_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM {aa} x JOIN {ab} y USING (vec_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -9952,6 +10013,7 @@ QUERIES = {
     "docs_classifier_scores": q_docs_classifier_scores,
     "graph_kcore": q_graph_kcore,
     "events_gapfill": q_events_gapfill,
+    "emb_pq_codes": q_emb_pq_codes,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10204,6 +10266,7 @@ ORACLES = {
     "docs_classifier_scores": _classifier_sql(),
     "graph_kcore": _kcore_sql(),
     "events_gapfill": SQL_EVENTS_GAPFILL,
+    "emb_pq_codes": _pq_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -949,3 +949,72 @@ def hard_negatives(ds, probe_filter, k: int = 3,
         query_ids=pt[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
     partial = ds.map_batches(scorer, batch_format="pyarrow")
     return _merge_topk_partials(partial, k, id_col)
+
+
+def pq_codes(ds, splits: list[tuple[int, int]], k: int = 4, iters: int = 2,
+             emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Product quantization (Jégou, Douze & Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): train an independent
+    k-codeword Lloyd codebook per dimension SLICE, assign every vector
+    its tuple of per-subspace codes, and roll up the code-tuple
+    histogram — the codebook/assignment layer an IVF-PQ index builds
+    on. Codes are the per-subspace cluster labels (seed ids,
+    ascending), so the SQL twin is the SAME unrolled kmeans CTE chain
+    per subspace with a dim-range filter.
+
+    Scale shape: each subspace fit is ``kmeans_fit`` on a PROJECTED
+    view (slice reshape per batch — embeddings never shuffle, k×d_sub
+    centroid partials only); the final pass assigns all m codes in one
+    read and emits per-block (code tuple, n) partials into a compact
+    exchange. Train-on-sample is the production escape hatch; here
+    every vector trains so the oracle is exact."""
+    from .agg import compact_groupby
+
+    fitted = []
+    for lo, hi in splits:
+        def project(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            emb = t[emb_col]
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            n = len(t)
+            if n == 0:
+                return pa.table({id_col: t[id_col], emb_col: emb})
+            flat = np.asarray(emb.flatten(), dtype=np.float32)
+            sub = np.ascontiguousarray(
+                flat.reshape(n, flat.size // n)[:, lo:hi])
+            return pa.table({
+                id_col: t[id_col],
+                emb_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(sub.ravel()), hi - lo)})
+
+        labels, C = kmeans_fit(ds.map_batches(project, batch_format="pyarrow"),
+                               k=k, iters=iters, emb_col=emb_col,
+                               id_col=id_col)
+        fitted.append((labels, C, lo, hi))
+
+    names = [f"code_{chr(ord('a') + i)}" for i in range(len(splits))]
+
+    def assign_codes(t: pa.Table) -> pa.Table:
+        emb = t[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(t)
+        cols = {}
+        if n == 0:
+            return pa.table({nm: pa.array([], pa.int64()) for nm in names}
+                            | {"n": pa.array([], pa.int64())})
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        X = flat.reshape(n, flat.size // n)
+        for nm, (labels, C, lo, hi) in zip(names, fitted):
+            c2 = (C * C).sum(axis=1)
+            a = np.argmin(c2[None, :] - 2.0 * (X[:, lo:hi] @ C.T), axis=1)
+            cols[nm] = labels[a]
+        df = pd.DataFrame(cols)
+        out = df.groupby(names, as_index=False).size().rename(
+            columns={"size": "n"})
+        return pa_from_pandas(out.astype({nm: "int64" for nm in names}
+                                         | {"n": "int64"}))
+
+    return compact_groupby(ds.map_batches(assign_codes,
+                                          batch_format="pyarrow"),
+                           names, sum_cols={"n": "n"})

@@ -769,3 +769,29 @@ def test_incremental_dedup_matches_full_recompute():
     full = pd.concat([b0.to_pandas(), b1.to_pandas()])
     want = full.drop_duplicates("k", keep="first").sort_values("doc_id")
     assert got.doc_id.tolist() == want.doc_id.tolist() == [1, 2, 4, 6, 8]
+
+
+def test_pq_codes_separable_subspaces():
+    """4 tight well-separated groups per subspace with seeds (ids 0-3)
+    one in each group -> codes == group membership, and the two
+    subspaces code INDEPENDENTLY (vector 4 pairs group 0 in subspace a
+    with group 1 in subspace b)."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.similarity import pq_codes
+
+    def vec(ga, gb, eps):
+        return [10.0 * ga + eps, 10.0 * ga - eps,
+                10.0 * gb + eps, 10.0 * gb - eps]
+
+    rows = [vec(0, 0, 0.1), vec(1, 1, 0.1), vec(2, 2, 0.1), vec(3, 3, 0.1),
+            vec(0, 1, 0.2), vec(0, 1, 0.3), vec(2, 3, 0.2)]
+    df = pd.DataFrame({"vec_id": range(len(rows)), "embedding": rows})
+    out = (pq_codes(rd.from_pandas(df).repartition(3),
+                    splits=[(0, 2), (2, 4)], k=4, iters=2)
+           .to_pandas().sort_values(["code_a", "code_b"])
+           .reset_index(drop=True))
+    got = {(r.code_a, r.code_b): r.n for r in out.itertuples()}
+    # seeds 0-3 self-code; ids 4,5 -> (0,1); id 6 -> (2,3)
+    assert got == {(0, 0): 1, (1, 1): 1, (2, 2): 1, (3, 3): 1,
+                   (0, 1): 2, (2, 3): 1}
