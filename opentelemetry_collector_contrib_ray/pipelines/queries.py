@@ -9877,6 +9877,46 @@ GROUP BY 1, 2
 """
 
 
+def q_events_cusum(sf_dir: str):
+    """Integer-exact CUSUM change-point detection on daily event-type
+    volumes (stages/windows.py cusum_changepoints): reset-at-zero
+    positive CUSUM of drift-corrected counts via the prefix-sum −
+    running-min identity; alarm when S_t > 2·T."""
+    from ..stages.windows import cusum_changepoints
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    return cusum_changepoints(ds, key="event_type", ts_col="ts", h_mult=2)
+
+
+SQL_EVENTS_CUSUM = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), stat AS (
+  SELECT event_type, day, c,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS T
+  FROM daily
+), pfx0 AS (
+  SELECT event_type, day, T,
+         CAST(SUM(c * n - T) OVER (PARTITION BY event_type ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS P
+  FROM stat
+), pfx AS (
+  SELECT event_type, day, T, P,
+         CAST(MIN(P) OVER (PARTITION BY event_type ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmin
+  FROM pfx0
+)
+SELECT event_type, day,
+       P - LEAST(runmin, 0) AS cusum,
+       CAST(CASE WHEN P - LEAST(runmin, 0) > 2 * T THEN 1 ELSE 0 END
+            AS BIGINT) AS alarm
+FROM pfx
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10014,6 +10054,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "events_gapfill": q_events_gapfill,
     "emb_pq_codes": q_emb_pq_codes,
+    "events_cusum": q_events_cusum,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10267,6 +10308,7 @@ ORACLES = {
     "graph_kcore": _kcore_sql(),
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "emb_pq_codes": _pq_sql(),
+    "events_cusum": SQL_EVENTS_CUSUM,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

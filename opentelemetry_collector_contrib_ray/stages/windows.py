@@ -810,3 +810,42 @@ def resample_ffill(ds, key: str, ts_col: str, val_col: str,
     return (ds.map_batches(last_per_bucket, batch_format="pandas")
               .repartition(1)
               .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def cusum_changepoints(ds, key: str, ts_col: str, h_mult: int = 2):
+    """One-sided positive CUSUM change-point detection (Page 1954) over
+    per-(key, day) counts, integer-exact: with daily counts c_t, n days
+    and total T per key, the drift-corrected increments
+    D_t = c_t·n − T sum to zero, and the reset-at-zero CUSUM
+    S_t = max(0, S_{t−1} + D_t) equals the PREFIX-SUM IDENTITY
+    P_t − min(0, min_{j≤t} P_j) — so both engines compute it as
+    cumsum + running-min window math, no recursion. A day alarms when
+    S_t > h_mult·T.
+
+    Scale shape: raw events collapse to per-block (key, day) count
+    partials (compact_groupby), the fold runs over O(keys × days)
+    rows in one task; nothing float, nothing per-row."""
+    from .agg import compact_groupby
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key],
+                         "day": pc.strftime(t[ts_col], format="%Y-%m-%d")})
+
+    daily = compact_groupby(ds.map_batches(day_rows, batch_format="pyarrow"),
+                            [key, "day"], count_alias="c")
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([key, "day"], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        n = g["c"].transform("size").to_numpy().astype(np.int64)
+        T = g["c"].transform("sum").to_numpy().astype(np.int64)
+        D = df["c"].to_numpy().astype(np.int64) * n - T
+        P = pd.Series(D, index=df.index).groupby(df[key], sort=False).cumsum()
+        runmin = P.groupby(df[key], sort=False).cummin().to_numpy()
+        S = P.to_numpy() - np.minimum(runmin, 0)
+        out = pd.DataFrame({key: df[key].to_numpy(), "day": df["day"].to_numpy(),
+                            "cusum": S.astype(np.int64),
+                            "alarm": (S > h_mult * T).astype(np.int64)})
+        return pa_from_pandas(out)
+
+    return daily.map_batches(fold, batch_format="pyarrow", batch_size=None)

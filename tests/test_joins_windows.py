@@ -991,3 +991,34 @@ def test_resample_ffill_hand():
     assert len(b) == 1 and b.filled_value.iloc[0] == 5.0
     c = out[out.k == "c"]
     assert len(c) == 1 and c.filled_value.iloc[0] == 4.0
+
+
+def test_cusum_changepoints_hand():
+    """Step change in daily volume alarms after the shift; identity
+    S_t = P_t - min(0, runmin) checked against the direct recurrence."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.windows import (
+        cusum_changepoints,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    counts = [2, 2, 2, 2, 10, 10, 10, 10]   # level shift on day 4
+    rows = []
+    for d, c in enumerate(counts):
+        rows += [("a", base + pd.Timedelta(days=d, minutes=i))
+                 for i in range(c)]
+    df = pd.DataFrame(rows, columns=["k", "ts"])
+    out = (cusum_changepoints(rd.from_pandas(df).repartition(3), key="k",
+                              ts_col="ts", h_mult=1)
+           .to_pandas().sort_values("day").reset_index(drop=True))
+
+    # direct recurrence
+    n, T = len(counts), sum(counts)
+    s, want = 0, []
+    for c in counts:
+        s = max(0, s + c * n - T)
+        want.append(s)
+    assert out.cusum.tolist() == want
+    assert out.alarm.tolist() == [1 if s > T else 0 for s in want]
+    assert out.alarm.iloc[-1] == 1 and out.alarm.iloc[0] == 0
