@@ -9917,6 +9917,72 @@ FROM pfx
 """
 
 
+def q_events_expectations(sf_dir: str):
+    """Declarative data-quality expectation suite in one pass
+    (stages/expectations.py): row-local rules ship only (rule,
+    n_checked, n_failed) partials; the two uniqueness rules each pay
+    one exact distinct-count exchange. NULLs FAIL value rules, matching
+    the twin's IS NOT TRUE."""
+    from ..stages.expectations import expectations_report
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value", "props"])
+    rules = [
+        {"name": "props_not_null", "kind": "not_null", "col": "props"},
+        {"name": "value_in_range", "kind": "in_range", "col": "value",
+         "lo": 0.0, "hi": 250.0},
+        {"name": "type_in_enum", "kind": "in_set", "col": "event_type",
+         "values": ["click", "view", "purchase"]},
+        {"name": "props_has_k1", "kind": "matches", "col": "props",
+         "pattern": '"k1"'},
+        {"name": "ts_fresh", "kind": "in_range", "col": "ts",
+         "lo": pa.scalar(np.datetime64("2024-01-01", "us"), pa.timestamp("us")),
+         "hi": pa.scalar(np.datetime64("2024-02-01", "us"), pa.timestamp("us"))},
+        {"name": "event_id_unique", "kind": "unique", "col": "event_id"},
+        {"name": "user_id_unique", "kind": "unique", "col": "user_id"},
+    ]
+    return expectations_report(ds, rules)
+
+
+SQL_EVENTS_EXPECTATIONS = """
+SELECT 'props_not_null' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) AS n_failed
+FROM events
+UNION ALL
+SELECT 'value_in_range', count(*),
+       count(*) FILTER (WHERE (value >= 0.0 AND value < 250.0) IS NOT TRUE)
+FROM events
+UNION ALL
+SELECT 'type_in_enum', count(*),
+       count(*) FILTER (
+         WHERE (event_type IN ('click', 'view', 'purchase')) IS NOT TRUE)
+FROM events
+UNION ALL
+SELECT 'props_has_k1', count(*),
+       count(*) FILTER (WHERE regexp_matches(props, '"k1"') IS NOT TRUE)
+FROM events
+UNION ALL
+SELECT 'ts_fresh', count(*),
+       count(*) FILTER (WHERE (ts >= TIMESTAMP '2024-01-01' AND
+                               ts < TIMESTAMP '2024-02-01') IS NOT TRUE)
+FROM events
+UNION ALL
+SELECT 'event_id_unique', count(*), count(*) - count(DISTINCT event_id)
+FROM events
+UNION ALL
+SELECT 'user_id_unique', count(*), count(*) - count(DISTINCT user_id)
+FROM events
+"""
+
+SQL_EVENTS_EXPECTATIONS = f"""
+WITH base AS ({SQL_EVENTS_EXPECTATIONS})
+SELECT rule, n_checked, CAST(n_failed AS BIGINT) AS n_failed,
+       CAST(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM base
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10055,6 +10121,7 @@ QUERIES = {
     "events_gapfill": q_events_gapfill,
     "emb_pq_codes": q_emb_pq_codes,
     "events_cusum": q_events_cusum,
+    "events_expectations": q_events_expectations,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10309,6 +10376,7 @@ ORACLES = {
     "events_gapfill": SQL_EVENTS_GAPFILL,
     "emb_pq_codes": _pq_sql(),
     "events_cusum": SQL_EVENTS_CUSUM,
+    "events_expectations": SQL_EVENTS_EXPECTATIONS,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

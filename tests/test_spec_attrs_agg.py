@@ -1056,3 +1056,36 @@ def test_histogram_drift_hand_and_identical_zero():
             .to_pandas().sort_values("p"))
     assert out3["g"].tolist() == ["a", "a"]
     assert out3["tvd_num"].tolist() == [2, 2]
+
+
+def test_expectations_report_rules_and_null_semantics():
+    """NULLs fail in_range/in_set/matches; uniqueness counts exact
+    duplicates across blocks; passed flag only when zero failures."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.expectations import (
+        expectations_report,
+    )
+
+    df = pd.DataFrame({
+        "id": [1, 2, 2, 3, 4, 4],             # dups: 2 and 4 -> 2 failed
+        "v": [1.0, 5.0, None, -1.0, 2.0, 3.0],  # null + (-1) fail [0,4)->... 5.0 also fails
+        "s": ["a", "b", None, "a", "z", "a"],  # in_set {a,b}: None+z fail
+    })
+    rules = [
+        {"name": "v_range", "kind": "in_range", "col": "v",
+         "lo": 0.0, "hi": 4.0},
+        {"name": "s_enum", "kind": "in_set", "col": "s", "values": ["a", "b"]},
+        {"name": "s_not_null", "kind": "not_null", "col": "s"},
+        {"name": "id_unique", "kind": "unique", "col": "id"},
+    ]
+    out = (expectations_report(rd.from_pandas(df).repartition(3), rules,
+                               num_partitions=4)
+           .to_pandas().set_index("rule"))
+    assert out.loc["v_range", "n_failed"] == 3      # 5.0, None, -1.0
+    assert out.loc["s_enum", "n_failed"] == 2       # None, z
+    assert out.loc["s_not_null", "n_failed"] == 1
+    assert out.loc["id_unique", "n_failed"] == 2
+    assert (out["n_checked"] == 6).all()
+    assert out["passed"].tolist() == [0, 0, 0, 0]
