@@ -9983,6 +9983,45 @@ FROM base
 """
 
 
+def q_emb_pq_adc_topk(sf_dir: str):
+    """PQ asymmetric-distance top-10 for query vec_id=0
+    (stages/similarity.py pq_adc_topk): two 32-dim codebooks, k-entry
+    distance tables built once, search = 2 lookups + a sum per vector,
+    block-local top-k partials merged in one lexsort pass."""
+    from ..stages.similarity import pq_adc_topk
+
+    q = _query_vec(sf_dir, 0)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_adc_topk(ds, q, splits=[(0, 32), (32, 64)], k_codes=4,
+                       iters=2, topk=10)
+
+
+def _pq_adc_sql(k: int = 4, iters: int = 2, topk: int = 10) -> str:
+    ca, aa = _pq_sub_cte("a", 0, 32, k, iters)
+    cb, ab = _pq_sub_cte("b", 32, 64, k, iters)
+    return f"""
+WITH {ca},
+{cb},
+q AS (
+  SELECT unnest(embedding) AS v, unnest(range(0, len(embedding))) AS dim
+  FROM embeddings WHERE vec_id = 0
+), da AS (
+  SELECT a.vec_id,
+         SUM((CAST(q.v AS DOUBLE) - c.c) * (CAST(q.v AS DOUBLE) - c.c)) AS d
+  FROM {aa} a JOIN ca{iters} c ON c.cl = a.cl JOIN q ON q.dim = c.dim
+  GROUP BY a.vec_id
+), db AS (
+  SELECT a.vec_id,
+         SUM((CAST(q.v AS DOUBLE) - c.c) * (CAST(q.v AS DOUBLE) - c.c)) AS d
+  FROM {ab} a JOIN cb{iters} c ON c.cl = a.cl JOIN q ON q.dim = c.dim
+  GROUP BY a.vec_id
+)
+SELECT da.vec_id, da.d + db.d AS adc_dist
+FROM da JOIN db USING (vec_id)
+ORDER BY adc_dist, vec_id LIMIT {topk}
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10122,6 +10161,7 @@ QUERIES = {
     "emb_pq_codes": q_emb_pq_codes,
     "events_cusum": q_events_cusum,
     "events_expectations": q_events_expectations,
+    "emb_pq_adc_topk": q_emb_pq_adc_topk,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10377,6 +10417,7 @@ ORACLES = {
     "emb_pq_codes": _pq_sql(),
     "events_cusum": SQL_EVENTS_CUSUM,
     "events_expectations": SQL_EVENTS_EXPECTATIONS,
+    "emb_pq_adc_topk": _pq_adc_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

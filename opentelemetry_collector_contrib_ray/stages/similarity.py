@@ -951,25 +951,11 @@ def hard_negatives(ds, probe_filter, k: int = 3,
     return _merge_topk_partials(partial, k, id_col)
 
 
-def pq_codes(ds, splits: list[tuple[int, int]], k: int = 4, iters: int = 2,
-             emb_col: str = "embedding", id_col: str = "vec_id"):
-    """Product quantization (Jégou, Douze & Schmid 2011, "Product
-    Quantization for Nearest Neighbor Search"): train an independent
-    k-codeword Lloyd codebook per dimension SLICE, assign every vector
-    its tuple of per-subspace codes, and roll up the code-tuple
-    histogram — the codebook/assignment layer an IVF-PQ index builds
-    on. Codes are the per-subspace cluster labels (seed ids,
-    ascending), so the SQL twin is the SAME unrolled kmeans CTE chain
-    per subspace with a dim-range filter.
-
-    Scale shape: each subspace fit is ``kmeans_fit`` on a PROJECTED
-    view (slice reshape per batch — embeddings never shuffle, k×d_sub
-    centroid partials only); the final pass assigns all m codes in one
-    read and emits per-block (code tuple, n) partials into a compact
-    exchange. Train-on-sample is the production escape hatch; here
-    every vector trains so the oracle is exact."""
-    from .agg import compact_groupby
-
+def _pq_fit(ds, splits: list[tuple[int, int]], k: int, iters: int,
+            emb_col: str, id_col: str):
+    """Train one Lloyd codebook per dimension slice on PROJECTED views
+    (slice-reshape per batch — embeddings never shuffle). Returns
+    [(labels, C, lo, hi), …] in split order."""
     fitted = []
     for lo, hi in splits:
         def project(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
@@ -991,7 +977,29 @@ def pq_codes(ds, splits: list[tuple[int, int]], k: int = 4, iters: int = 2,
                                k=k, iters=iters, emb_col=emb_col,
                                id_col=id_col)
         fitted.append((labels, C, lo, hi))
+    return fitted
 
+
+def pq_codes(ds, splits: list[tuple[int, int]], k: int = 4, iters: int = 2,
+             emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Product quantization (Jégou, Douze & Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): train an independent
+    k-codeword Lloyd codebook per dimension SLICE, assign every vector
+    its tuple of per-subspace codes, and roll up the code-tuple
+    histogram — the codebook/assignment layer an IVF-PQ index builds
+    on. Codes are the per-subspace cluster labels (seed ids,
+    ascending), so the SQL twin is the SAME unrolled kmeans CTE chain
+    per subspace with a dim-range filter.
+
+    Scale shape: each subspace fit is ``kmeans_fit`` on a PROJECTED
+    view (slice reshape per batch — embeddings never shuffle, k×d_sub
+    centroid partials only); the final pass assigns all m codes in one
+    read and emits per-block (code tuple, n) partials into a compact
+    exchange. Train-on-sample is the production escape hatch; here
+    every vector trains so the oracle is exact."""
+    from .agg import compact_groupby
+
+    fitted = _pq_fit(ds, splits, k, iters, emb_col, id_col)
     names = [f"code_{chr(ord('a') + i)}" for i in range(len(splits))]
 
     def assign_codes(t: pa.Table) -> pa.Table:
@@ -1018,3 +1026,49 @@ def pq_codes(ds, splits: list[tuple[int, int]], k: int = 4, iters: int = 2,
     return compact_groupby(ds.map_batches(assign_codes,
                                           batch_format="pyarrow"),
                            names, sum_cols={"n": "n"})
+
+
+def pq_adc_topk(ds, query: np.ndarray, splits: list[tuple[int, int]],
+                k_codes: int = 4, iters: int = 2, topk: int = 10,
+                emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al.
+    2011 §IV): per subspace, precompute the k-entry table
+    ``dist_s[j] = ‖q_s − C_s[j]‖²`` ONCE, then every vector's
+    approximate distance is m table lookups + a sum — the search never
+    touches raw floats again. Per-block local top-k partials merge in
+    one vectorized lexsort pass (no full-dataset sort, no driver heap).
+    Ties break by id ascending; output is the topk id list with the
+    approximate distance."""
+    fitted = _pq_fit(ds, splits, k_codes, iters, emb_col, id_col)
+    q = np.asarray(query, dtype=np.float64).ravel()
+    tables = [((C - q[lo:hi][None, :]) ** 2).sum(axis=1)
+              for (_, C, lo, hi) in fitted]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        emb = t[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(t)
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        X = flat.reshape(n, flat.size // n)
+        dist = np.zeros(n, dtype=np.float64)
+        for (labels, C, lo, hi), tab in zip(fitted, tables):
+            c2 = (C * C).sum(axis=1)
+            a = np.argmin(c2[None, :] - 2.0 * (X[:, lo:hi] @ C.T), axis=1)
+            dist += tab[a]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, dist))[:topk]
+        # negative distance rides the shared "cosine desc" merge rail
+        return pa.table({"query_id": pa.array(np.zeros(len(order), np.int64)),
+                         id_col: pa.array(ids[order]),
+                         "cosine": pa.array(-dist[order])})
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    merged = _merge_topk_partials(partial, topk, id_col)
+    return pa.table({id_col: merged[id_col],
+                     "adc_dist": pa.array(
+                         -merged["cosine"].to_numpy(zero_copy_only=False))})

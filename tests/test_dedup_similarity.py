@@ -795,3 +795,27 @@ def test_pq_codes_separable_subspaces():
     # seeds 0-3 self-code; ids 4,5 -> (0,1); id 6 -> (2,3)
     assert got == {(0, 0): 1, (1, 1): 1, (2, 2): 1, (3, 3): 1,
                    (0, 1): 2, (2, 3): 1}
+
+
+def test_pq_adc_topk_prefers_query_cluster():
+    """ADC distance of vectors sharing the query's subspace clusters is
+    ~0; far clusters rank last; self (seed of its own code) is top-1."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.similarity import pq_adc_topk
+
+    def vec(ga, gb, eps):
+        return [10.0 * ga + eps, 10.0 * ga - eps,
+                10.0 * gb + eps, 10.0 * gb - eps]
+
+    rows = [vec(0, 0, 0.1), vec(1, 1, 0.1), vec(2, 2, 0.1), vec(3, 3, 0.1),
+            vec(0, 0, 0.2), vec(3, 3, 0.2), vec(0, 3, 0.1)]
+    df = pd.DataFrame({"vec_id": range(len(rows)), "embedding": rows})
+    q = [10.0, 10.0, 10.0, 10.0]            # dead-center of group (1,1)
+    out = pq_adc_topk(rd.from_pandas(df).repartition(3), q,
+                      splits=[(0, 2), (2, 4)], k_codes=4, iters=2, topk=3)
+    got = out.to_pandas()
+    assert got.vec_id.iloc[0] == 1           # code (1,1) — distance ≈ 0
+    assert got.adc_dist.iloc[0] < got.adc_dist.iloc[1] or (
+        got.adc_dist.iloc[0] == got.adc_dist.iloc[1])
+    assert len(got) == 3
