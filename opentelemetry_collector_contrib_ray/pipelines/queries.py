@@ -10022,6 +10022,85 @@ ORDER BY adc_dist, vec_id LIMIT {topk}
 """
 
 
+def q_conv_response_latency(sf_dir: str):
+    """Assistant response-latency profile over the transcripts stream:
+    every (user turn → immediately-following assistant turn) pair's
+    ts delta, rolled up per hour of the user turn — the
+    time-of-day latency panel an agent platform watches. One conv-hash
+    exchange of (conv_id, turn_idx, role, ts) — text never moves —
+    per-partition grouped shift(-1) pairing, compact per-hour integer
+    partials."""
+    import pandas as pd
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+    ds = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "ts"]),
+        batch_format="pyarrow")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        cv = t["conv_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(cv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(16)).astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
+        grp = g.groupby("conv_id", sort=False)
+        nxt_role = grp["role"].shift(-1)
+        nxt_ts = pd.Series(ts_us.to_numpy(), index=g.index).groupby(
+            g["conv_id"], sort=False).shift(-1)
+        keep = (g["role"] == "user") & (nxt_role == "assistant")
+        lat = (nxt_ts[keep] - ts_us[keep]).astype("int64")
+        hour = (ts_us[keep] // 3_600_000_000) * 3_600_000_000
+        d = pd.DataFrame({"hour": hour.to_numpy(), "lat": lat.to_numpy()})
+        out = d.groupby("hour", as_index=False).agg(
+            n_pairs=("lat", "size"), sum_latency_us=("lat", "sum"),
+            max_latency_us=("lat", "max"))
+        return out.astype({"hour": "int64", "n_pairs": "int64",
+                           "sum_latency_us": "int64",
+                           "max_latency_us": "int64"})
+
+    per_part = (ds.map_batches(add_part, batch_format="pyarrow")
+                  .groupby("__p").map_groups(pairs, batch_format="pandas"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("hour", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"),
+            sum_latency_us=("sum_latency_us", "sum"),
+            max_latency_us=("max_latency_us", "max"))
+        return pa.table({
+            "hour": pa.array(out["hour"].to_numpy(), pa.timestamp("us")),
+            "n_pairs": pa.array(out["n_pairs"].to_numpy(np.int64)),
+            "sum_latency_us": pa.array(
+                out["sum_latency_us"].to_numpy(np.int64)),
+            "max_latency_us": pa.array(
+                out["max_latency_us"].to_numpy(np.int64))})
+
+    return (per_part.repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None))
+
+
+SQL_CONV_RESPONSE_LATENCY = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, w AS (
+  SELECT conv_id, role, ts,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+         LEAD(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nts
+  FROM transcripts
+)
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(epoch_us(nts) - epoch_us(ts)) AS BIGINT) AS sum_latency_us,
+       CAST(MAX(epoch_us(nts) - epoch_us(ts)) AS BIGINT) AS max_latency_us
+FROM w WHERE role = 'user' AND nrole = 'assistant'
+GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10162,6 +10241,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "events_expectations": q_events_expectations,
     "emb_pq_adc_topk": q_emb_pq_adc_topk,
+    "conv_response_latency": q_conv_response_latency,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10418,6 +10498,7 @@ ORACLES = {
     "events_cusum": SQL_EVENTS_CUSUM,
     "events_expectations": SQL_EVENTS_EXPECTATIONS,
     "emb_pq_adc_topk": _pq_adc_sql(),
+    "conv_response_latency": SQL_CONV_RESPONSE_LATENCY,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

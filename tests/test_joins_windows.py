@@ -1022,3 +1022,21 @@ def test_cusum_changepoints_hand():
     assert out.cusum.tolist() == want
     assert out.alarm.tolist() == [1 if s > T else 0 for s in want]
     assert out.alarm.iloc[-1] == 1 and out.alarm.iloc[0] == 0
+
+
+def test_conv_response_latency_invariants():
+    """Oracle (run at both SFs by check_correctness) is the exact
+    check; here: structural invariants — positive latencies (turn_idx
+    order is ts order in the derivation), max <= span, hourly buckets
+    aligned."""
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_conv_response_latency,
+    )
+
+    out = q_conv_response_latency("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert (out.n_pairs > 0).all()
+    assert (out.sum_latency_us >= out.max_latency_us).all() or (
+        out.n_pairs == 1).any()
+    assert (out.max_latency_us > 0).all()
+    assert (out.hour.astype("int64") % 3_600_000_000 == 0).all()
