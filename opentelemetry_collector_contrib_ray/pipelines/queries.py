@@ -10101,6 +10101,67 @@ GROUP BY 1
 )
 
 
+def q_events_conversion_labels(sf_dir: str):
+    """Time-to-event / conversion labeling (the label-generation join
+    behind churn and uplift models): for each error event, did the
+    SAME user purchase within 24 h, and after how many microseconds —
+    a FORWARD as-of join with tolerance (stages/joins.py asof_join
+    direction='forward' + tolerance_s, one vectorized merge_asof per
+    key-hash partition). Nearest-next semantics, strict inequality."""
+    from ..stages.joins import asof_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+    left = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    right = ev.map_batches(
+        lambda t: (lambda f: pa.table({"user_id": f["user_id"],
+                                       "ts": f["ts"],
+                                       "p_ts": f["ts"]}))(
+            t.filter(pc.equal(t["event_type"], "purchase"))),
+        batch_format="pyarrow")
+    joined = asof_join(left, right, key="user_id", ts="ts",
+                       direction="forward", allow_exact_matches=False,
+                       tolerance_s=24 * 3600)
+
+    def proj(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        if "p_ts" in t.column_names:
+            p_us = pc.cast(pc.cast(t["p_ts"], pa.timestamp("us")), pa.int64())
+            delta = pc.subtract(p_us, ts_us)
+        else:
+            delta = pa.nulls(t.num_rows, pa.int64())
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "converted": pc.cast(pc.is_valid(delta), pa.int64()),
+            "us_to_purchase": delta})
+
+    return joined.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_EVENTS_CONVERSION_LABELS = """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), nxt AS (
+  SELECT e.event_id, e.ts, min(p.ts) AS pts
+  FROM err e LEFT JOIN pur p
+    ON p.user_id = e.user_id AND p.ts > e.ts
+   AND p.ts <= e.ts + INTERVAL 24 HOUR
+  GROUP BY e.event_id, e.ts
+)
+SELECT event_id,
+       CAST(CASE WHEN pts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS converted,
+       CAST(epoch_us(pts) - epoch_us(ts) AS BIGINT) AS us_to_purchase
+FROM nxt
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10242,6 +10303,7 @@ QUERIES = {
     "events_expectations": q_events_expectations,
     "emb_pq_adc_topk": q_emb_pq_adc_topk,
     "conv_response_latency": q_conv_response_latency,
+    "events_conversion_labels": q_events_conversion_labels,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10499,6 +10561,7 @@ ORACLES = {
     "events_expectations": SQL_EVENTS_EXPECTATIONS,
     "emb_pq_adc_topk": _pq_adc_sql(),
     "conv_response_latency": SQL_CONV_RESPONSE_LATENCY,
+    "events_conversion_labels": SQL_EVENTS_CONVERSION_LABELS,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

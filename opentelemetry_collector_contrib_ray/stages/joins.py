@@ -354,7 +354,8 @@ def _add_part(keys: list, n_parts: int):
 def asof_join(left, right, key: str, ts: str, direction: str = "backward",
               suffix: str = "_r", allow_exact_matches: bool = True,
               bucket_width_s: int | None = None,
-              num_partitions: int | None = None):
+              num_partitions: int | None = None,
+              tolerance_s: float | None = None):
     """As-of join (see module docstring for the partitioning design).
 
     Execution shape: both paths shuffle on a HASH PARTITION column
@@ -387,6 +388,8 @@ def asof_join(left, right, key: str, ts: str, direction: str = "backward",
             m = pd.merge_asof(
                 l, r, on=ts, by=by_cols, direction=direction, suffixes=("", suffix),
                 allow_exact_matches=allow_exact_matches,
+                tolerance=(pd.Timedelta(seconds=tolerance_s)
+                           if tolerance_s is not None else None),
             )
             m = m.rename(columns={c + suffix: out_names[c] for c in rvals if c + suffix in m.columns})
             return m[lcols + [out_names[c] for c in rvals]]

@@ -1040,3 +1040,34 @@ def test_conv_response_latency_invariants():
         out.n_pairs == 1).any()
     assert (out.max_latency_us > 0).all()
     assert (out.hour.astype("int64") % 3_600_000_000 == 0).all()
+
+
+def test_forward_asof_with_tolerance():
+    """Forward asof: nearest strictly-later match within tolerance;
+    outside-tolerance and no-match rows stay null."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "ts": [base, base + pd.Timedelta(minutes=50),
+               base, base],
+        "lid": [10, 11, 12, 13]})
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": [base + pd.Timedelta(minutes=30),       # within 1h of lid 10
+               base + pd.Timedelta(minutes=90),       # within 1h of lid 11
+               base + pd.Timedelta(minutes=200)],     # beyond 1h for lid 12
+        "rv": [1.0, 2.0, 3.0]})
+    out = (asof_join(rd.from_pandas(left).repartition(2),
+                     rd.from_pandas(right), key="k", ts="ts",
+                     direction="forward", allow_exact_matches=False,
+                     tolerance_s=3600, num_partitions=4)
+           .to_pandas().sort_values("lid"))
+    got = dict(zip(out.lid, out.rv))
+    assert got[10] == 1.0      # nearest-next, not the later one
+    assert got[11] == 2.0
+    assert pd.isna(got[12])    # match exists but outside tolerance
+    assert pd.isna(got[13])    # no right rows for key 3
