@@ -10217,6 +10217,46 @@ FROM pxb GROUP BY media_id
 """
 
 
+def q_events_exp_histogram(sf_dir: str):
+    """OTel exponential histogram at scale 0 (stages/agg.py
+    exponential_histogram): per event_type, counts + cents sums per
+    power-of-2 bucket of the cents-quantized value, zero bucket at -1;
+    the MSB index carries an exact integer-shift correction so no
+    libm rounding can flip a boundary."""
+    from ..stages.agg import exponential_histogram
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return exponential_histogram(ds, "event_type", "value")
+
+
+SQL_EVENTS_EXP_HISTOGRAM = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), b0 AS (
+  SELECT event_type, cents,
+         CAST(floor(log2(greatest(cents, 1))) AS BIGINT) AS r
+  FROM c
+), b1 AS (
+  SELECT event_type, cents,
+         r - CASE WHEN (1::BIGINT << CAST(greatest(r, 0) AS INTEGER))
+                       > cents THEN 1 ELSE 0 END AS r2
+  FROM b0
+), b2 AS (
+  SELECT event_type, cents,
+         r2 + CASE WHEN (1::BIGINT << CAST(greatest(r2 + 1, 0) AS INTEGER))
+                        <= cents THEN 1 ELSE 0 END AS r3
+  FROM b1
+)
+SELECT event_type,
+       CAST(CASE WHEN cents <= 0 THEN -1 ELSE r3 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b2 GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10360,6 +10400,7 @@ QUERIES = {
     "conv_response_latency": q_conv_response_latency,
     "events_conversion_labels": q_events_conversion_labels,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "events_exp_histogram": q_events_exp_histogram,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10619,6 +10660,7 @@ ORACLES = {
     "conv_response_latency": SQL_CONV_RESPONSE_LATENCY,
     "events_conversion_labels": SQL_EVENTS_CONVERSION_LABELS,
     "multimodal_video_frames": _video_sql(),
+    "events_exp_histogram": SQL_EVENTS_EXP_HISTOGRAM,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

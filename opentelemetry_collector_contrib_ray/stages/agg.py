@@ -1030,3 +1030,40 @@ def pivot_counts(ds, key: str, col: str, values: list[str],
     cols[total_alias] = total_alias
     return compact_groupby(ds.map_batches(partial, batch_format="pyarrow"),
                            [key], sum_cols=cols)
+
+
+def exponential_histogram(ds, key: str, val_col: str, scale_note: str = ""):
+    """OTel exponential-histogram bucketing at scale 0 (power-of-2
+    boundaries; opentelemetry-proto ExponentialHistogramDataPoint
+    base-2 index family — here lower-inclusive on the quantized grid:
+    bucket b holds cents ∈ [2^b, 2^(b+1)), plus a dedicated
+    zero/negative bucket at -1). Values quantize to
+    cents first, then the bucket is the INTEGER MSB index — computed
+    as floor(log2) with an exact integer-shift correction, so the
+    result never depends on libm rounding and matches the SQL twin
+    bit-for-bit.
+
+    Compact shape: per-block (key, bucket) count/sum partials, one
+    tiny exchange (keys × ~40 buckets)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t[val_col], pa.float64()), 100.0), 0.5)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore"):
+            b = np.floor(np.log2(np.maximum(cents, 1))).astype(np.int64)
+        # exact correction: ensure 2^b <= cents < 2^(b+1) (integers)
+        b -= ((np.int64(1) << np.maximum(b, 0)) > cents).astype(np.int64)
+        b += ((np.int64(1) << np.maximum(b + 1, 0)) <= cents).astype(np.int64)
+        b = np.where(cents <= 0, np.int64(-1), b)   # zero/neg bucket
+        df = pd.DataFrame({key: t[key].to_numpy(zero_copy_only=False),
+                           "bucket": b, "c": cents})
+        out = df.groupby([key, "bucket"], as_index=False).agg(
+            n=("c", "size"), sum_cents=("c", "sum"))
+        return pa_from_pandas(out.astype({"bucket": "int64", "n": "int64",
+                                          "sum_cents": "int64"}))
+
+    return compact_groupby(ds.map_batches(partial, batch_format="pyarrow"),
+                           [key, "bucket"],
+                           sum_cols={"n": "n", "sum_cents": "sum_cents"})

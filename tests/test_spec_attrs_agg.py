@@ -1089,3 +1089,32 @@ def test_expectations_report_rules_and_null_semantics():
     assert out.loc["id_unique", "n_failed"] == 2
     assert (out["n_checked"] == 6).all()
     assert out["passed"].tolist() == [0, 0, 0, 0]
+
+
+def test_exponential_histogram_boundaries():
+    """Power-of-2 boundary cents land in the LOWER-INCLUSIVE bucket;
+    zero and negative go to bucket -1; sums are exact."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.agg import (
+        exponential_histogram,
+    )
+
+    # cents: floor(v*100 + 0.5)
+    vals = [0.0,      # 0      -> bucket -1
+            -0.5,     # -50    -> bucket -1
+            0.01,     # 1      -> bucket 0  [1,2)
+            0.02,     # 2      -> bucket 1  [2,4)
+            0.03,     # 3      -> bucket 1
+            0.04,     # 4      -> bucket 2  [4,8)
+            10.24,    # 1024   -> bucket 10 boundary-exact
+            10.23]    # 1023   -> bucket 9
+    df = pd.DataFrame({"k": ["a"] * len(vals), "v": vals})
+    out = (exponential_histogram(rd.from_pandas(df).repartition(3), "k", "v")
+           .to_pandas().set_index("bucket").sort_index())
+    assert out.loc[-1, "n"] == 2 and out.loc[-1, "sum_cents"] == -50
+    assert out.loc[0, "n"] == 1
+    assert out.loc[1, "n"] == 2 and out.loc[1, "sum_cents"] == 5
+    assert out.loc[2, "n"] == 1
+    assert out.loc[9, "n"] == 1 and out.loc[9, "sum_cents"] == 1023
+    assert out.loc[10, "n"] == 1 and out.loc[10, "sum_cents"] == 1024
