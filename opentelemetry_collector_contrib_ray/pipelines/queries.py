@@ -10257,6 +10257,84 @@ FROM b2 GROUP BY 1, 2
 """
 
 
+def q_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): per-order quantity
+    combiner BELOW everything (one row per order moves, never per
+    lineitem), HAVING-filter to big orders, two staged native hash
+    joins (orders, then customer — materialize between joins per the
+    Dataset.join aggregator-pool interlock, SCALE.md), global top-100
+    through the block-local top-k combiner. Quantities exact in
+    cents."""
+    from ..stages.agg import hash_groupby_sum, topn_per_group
+    from ..stages.joins import bucketed_hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "qty_cents": _cents(t["l_quantity"])})
+
+    l_qty = hash_groupby_sum(li.map_batches(li_prep, batch_format="pyarrow"),
+                             ["l_orderkey"], "qty_cents",
+                             out_col="qty_cents")
+    big = l_qty.map_batches(
+        lambda t: t.filter(pc.greater(t["qty_cents"], 15_000)),
+        batch_format="pyarrow").materialize()
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                                 "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "total_cents": _cents(t["o_totalprice"]),
+            "o_date_us": pc.cast(pc.cast(t["o_orderdate"], pa.int64()),
+                                 pa.int64())})
+
+    j1 = bucketed_hash_join(big, orders.map_batches(o_prep,
+                                                    batch_format="pyarrow"),
+                            on="l_orderkey", right_on="o_orderkey",
+                            how="inner").materialize()
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j2 = bucketed_hash_join(j1, cust, on="o_custkey", right_on="c_custkey",
+                            how="inner")
+
+    withg = j2.map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    top = topn_per_group(withg, ["g"], "total_cents", 100,
+                         tie_cols=["o_date_us", "l_orderkey"],
+                         descending=True, compact=True)
+    return top.map_batches(
+        lambda t: t.select(["c_name", "o_custkey", "l_orderkey",
+                            "total_cents", "o_date_us", "qty_cents",
+                            "rank"]),
+        batch_format="pyarrow")
+
+
+SQL_Q18_LARGE_ORDERS = f"""
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM({_CENTS.format(x='l_quantity')}) AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM({_CENTS.format(x='l_quantity')}) AS BIGINT) > 15000
+), j AS (
+  SELECT c.c_name, o.o_custkey, q.l_orderkey,
+         {_CENTS.format(x='o.o_totalprice')} AS total_cents,
+         epoch_us(o.o_orderdate) AS o_date_us, q.qty_cents
+  FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT *, row_number() OVER (ORDER BY total_cents DESC, o_date_us,
+                             l_orderkey) AS rank
+FROM j QUALIFY rank <= 100
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10401,6 +10479,7 @@ QUERIES = {
     "events_conversion_labels": q_events_conversion_labels,
     "multimodal_video_frames": q_multimodal_video_frames,
     "events_exp_histogram": q_events_exp_histogram,
+    "q18_large_orders": q_q18_large_orders,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10661,6 +10740,7 @@ ORACLES = {
     "events_conversion_labels": SQL_EVENTS_CONVERSION_LABELS,
     "multimodal_video_frames": _video_sql(),
     "events_exp_histogram": SQL_EVENTS_EXP_HISTOGRAM,
+    "q18_large_orders": SQL_Q18_LARGE_ORDERS,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
