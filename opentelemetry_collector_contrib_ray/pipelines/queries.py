@@ -10335,6 +10335,47 @@ FROM j QUALIFY rank <= 100
 """
 
 
+def q_events_funnel_windowed(sf_dir: str):
+    """Time-constrained funnel (the conversion-window variant every
+    product-analytics store offers): view → click → purchase with
+    every later step inside 6 h of the user's FIRST view (first-touch
+    window, greedy earliest anchors) — stages/windows.py funnel_steps
+    window_s. Same one-exchange shape as the plain funnel."""
+    from ..stages.windows import funnel_steps
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, ["view", "click", "purchase"],
+                        num_partitions=16, window_s=6 * 3600)
+
+
+SQL_EVENTS_FUNNEL_WINDOWED = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+                JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s1.t1 + INTERVAL 6 HOUR
+  GROUP BY e.user_id
+)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10480,6 +10521,7 @@ QUERIES = {
     "multimodal_video_frames": q_multimodal_video_frames,
     "events_exp_histogram": q_events_exp_histogram,
     "q18_large_orders": q_q18_large_orders,
+    "events_funnel_windowed": q_events_funnel_windowed,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10741,6 +10783,7 @@ ORACLES = {
     "multimodal_video_frames": _video_sql(),
     "events_exp_histogram": SQL_EVENTS_EXP_HISTOGRAM,
     "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+    "events_funnel_windowed": SQL_EVENTS_FUNNEL_WINDOWED,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -208,7 +208,7 @@ def session_windows(ds, key: str, ts: str, gap_s: int, num_partitions: int = 64)
 
 def funnel_steps(ds, steps: list[str], user_col: str = "user_id",
                  ts_col: str = "ts", type_col: str = "event_type",
-                 num_partitions: int = 64):
+                 num_partitions: int = 64, window_s: int | None = None):
     """Ordered funnel analysis: how many users performed step 1, then
     step 2 STRICTLY after their first qualifying step 1, then step 3
     strictly after that, … (the classic product-analytics funnel, with
@@ -236,20 +236,29 @@ def funnel_steps(ds, steps: list[str], user_col: str = "user_id",
         return pa.table({
             "u": pa.array(u, type=pa.int64()),
             "k": pa.array(ty.to_numpy(np.int64)),
-            "t": pc.cast(t[ts_col], pa.int64()),
+            "t": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
             "__p": pa.array((u.astype(np.uint64) % np.uint64(P)).astype(np.int64)),
         })
+
+    win_us = None if window_s is None else int(window_s) * 1_000_000
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         counts = []
         prev = None  # per-user anchor timestamp of the previous step
+        deadline = None  # per-user first-touch deadline (window funnels)
         for k in range(len(steps)):
             sel = g[g["k"] == k]
             if prev is not None:
                 anchor = prev.reindex(sel["u"])
                 keep = sel["t"].to_numpy() > anchor.fillna(np.iinfo(np.int64).max).to_numpy()
+                if deadline is not None:
+                    dl = deadline.reindex(sel["u"])
+                    keep &= (sel["t"].to_numpy()
+                             <= dl.fillna(np.iinfo(np.int64).min).to_numpy())
                 sel = sel[keep]
             prev = sel.groupby("u")["t"].min()
+            if k == 0 and win_us is not None:
+                deadline = prev + win_us
             counts.append(len(prev))
         return pd.DataFrame({"step_idx": np.arange(len(steps), dtype=np.int64),
                              "step": steps,

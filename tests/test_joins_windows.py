@@ -1071,3 +1071,33 @@ def test_forward_asof_with_tolerance():
     assert got[11] == 2.0
     assert pd.isna(got[12])    # match exists but outside tolerance
     assert pd.isna(got[13])    # no right rows for key 3
+
+
+def test_funnel_window_constraint():
+    """A user whose click falls outside the 1h first-touch window
+    counts for step 1 only; inside-window user converts fully."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.windows import funnel_steps
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, "view", 0), (1, "click", 30), (1, "purchase", 50),   # all inside
+        (2, "view", 0), (2, "click", 90),                        # click late
+        (3, "view", 0), (3, "click", 30), (3, "purchase", 120),  # buy late
+    ]
+    df = pd.DataFrame({"user_id": [r[0] for r in rows],
+                       "event_type": [r[1] for r in rows],
+                       "ts": [base + pd.Timedelta(minutes=r[2])
+                              for r in rows]})
+    out = (funnel_steps(rd.from_pandas(df).repartition(3),
+                        ["view", "click", "purchase"], num_partitions=4,
+                        window_s=3600)
+           .to_pandas().sort_values("step_idx"))
+    assert out.n_users.tolist() == [3, 2, 1]
+
+    # without the window everyone converts
+    out2 = (funnel_steps(rd.from_pandas(df), ["view", "click", "purchase"],
+                         num_partitions=4)
+            .to_pandas().sort_values("step_idx"))
+    assert out2.n_users.tolist() == [3, 3, 2]
