@@ -10376,6 +10376,52 @@ SELECT CAST(2 AS BIGINT), 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
 """
 
 
+def q_graph_communities(sf_dir: str):
+    """Label-propagation communities (stages/graph.py
+    label_propagation, Raghavan et al. 2007; 2 synchronous rounds,
+    smallest-label ties) over the same prime-mixed event projection as
+    graph_kcore. Full (node, label) assignment."""
+    from ..stages.graph import label_propagation
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(((eid * 2654435761) % 1000003) % 256),
+                         "dst": pa.array(((eid * 40503 + 17) % 999983) % 256)})
+
+    return label_propagation(ds.map_batches(edges, batch_format="pyarrow"),
+                             rounds=2)
+
+
+def _lpa_sql(rounds: int = 2) -> str:
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(((event_id * 2654435761) % 1000003) % 256,
+                        ((event_id * 40503 + 17) % 999983) % 256) AS a,
+                  greatest(((event_id * 2654435761) % 1000003) % 256,
+                           ((event_id * 40503 + 17) % 999983) % 256) AS b
+  FROM events
+  WHERE (((event_id * 2654435761) % 1000003) % 256)
+        <> (((event_id * 40503 + 17) % 999983) % 256)
+), s0 AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+), l0 AS MATERIALIZED (SELECT DISTINCT u, u AS lab FROM s0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+, c{r} AS MATERIALIZED (
+    SELECT s.u, l.lab, count(*) AS c
+    FROM s0 s JOIN l{r - 1} l ON l.u = s.v GROUP BY s.u, l.lab)
+, l{r} AS MATERIALIZED (
+    SELECT u, lab FROM (
+      SELECT u, lab,
+             row_number() OVER (PARTITION BY u ORDER BY c DESC, lab) AS rn
+      FROM c{r}) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT u AS node, lab AS label FROM l{rounds}""")
+    return "".join(parts)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10522,6 +10568,7 @@ QUERIES = {
     "events_exp_histogram": q_events_exp_histogram,
     "q18_large_orders": q_q18_large_orders,
     "events_funnel_windowed": q_events_funnel_windowed,
+    "graph_communities": q_graph_communities,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10784,6 +10831,7 @@ ORACLES = {
     "events_exp_histogram": SQL_EVENTS_EXP_HISTOGRAM,
     "q18_large_orders": SQL_Q18_LARGE_ORDERS,
     "events_funnel_windowed": SQL_EVENTS_FUNNEL_WINDOWED,
+    "graph_communities": _lpa_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

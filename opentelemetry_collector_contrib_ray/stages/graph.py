@@ -262,3 +262,53 @@ def kcore_degrees(edges, src: str = "src", dst: str = "dst", k: int = 3,
         return pa.Table.from_pandas(deg, preserve_index=False)
 
     return distinct.map_batches(peel, batch_format="pyarrow", batch_size=None)
+
+
+def label_propagation(edges, src: str = "src", dst: str = "dst",
+                      rounds: int = 2):
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007), ``rounds`` rounds: every node starts
+    labeled with itself, then each round adopts the most frequent
+    label among its neighbors (ties → smallest label), all nodes
+    updating simultaneously — deterministic, so the SQL twin unrolls
+    the SAME rounds as MATERIALIZED CTE pairs (count → argmin-rank).
+
+    Scale shape: identical front end to ``kcore_degrees`` (per-block
+    canon + distinct before one compact exchange), then a vectorized
+    groupby-count/sort/first fold per round over O(edges) compact
+    rows; the per-round distributed variant is one label join + one
+    (node, label) count exchange per round."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t[src], t[dst])
+        b = pc.max_element_wise(t[src], t[dst])
+        keep = pc.not_equal(a, b)
+        return pa.table({"a": pc.cast(a, pa.int64()),
+                         "b": pc.cast(b, pa.int64())}).filter(keep)
+
+    distinct = compact_groupby(edges.map_batches(canon, batch_format="pyarrow"),
+                               ["a", "b"], count_alias="n")
+
+    def propagate(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["a", "b"]]
+        sym = pd.DataFrame({
+            "u": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
+            "v": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()])})
+        nodes = np.unique(sym["u"].to_numpy())
+        lab = pd.Series(nodes, index=nodes)
+        for _ in range(rounds):
+            nl = sym.assign(lab=lab.reindex(sym["v"]).to_numpy())
+            cnt = (nl.groupby(["u", "lab"], as_index=False).size()
+                   .rename(columns={"size": "c"}))
+            cnt = cnt.sort_values(["u", "c", "lab"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            first = cnt.groupby("u", as_index=False).first()
+            lab = pd.Series(first["lab"].to_numpy(np.int64),
+                            index=first["u"].to_numpy())
+        out = pd.DataFrame({"node": lab.index.to_numpy(np.int64),
+                            "label": lab.to_numpy(np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return distinct.map_batches(propagate, batch_format="pyarrow",
+                                batch_size=None)

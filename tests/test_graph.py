@@ -99,3 +99,36 @@ def test_kcore_peeling_clique_plus_chain():
     empty = kcore_degrees(rd.from_pandas(df), k=10, rounds=8).to_pandas()
     assert len(empty) == 0
     assert set(empty.columns) == {"node", "degree"} or empty.empty
+
+
+def test_label_propagation_two_cliques_bridge():
+    """Two triangles joined by one bridge edge: after 2 synchronous
+    min-tie rounds each triangle converges to its smallest member's
+    label; differential vs a direct NetworkX-free reimplementation."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.graph import label_propagation
+
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(2, 10)]
+    df = pd.DataFrame(tri1 + tri2 + bridge, columns=["src", "dst"])
+    out = (label_propagation(rd.from_pandas(df).repartition(3), rounds=2)
+           .to_pandas().sort_values("node"))
+    got = dict(zip(out.node, out.label))
+
+    # direct synchronous reference
+    import collections
+    adj = collections.defaultdict(list)
+    for s, d in tri1 + tri2 + bridge:
+        adj[s].append(d); adj[d].append(s)
+    lab = {n: n for n in adj}
+    for _ in range(2):
+        new = {}
+        for n in adj:
+            cnt = collections.Counter(lab[m] for m in adj[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    assert got == lab
