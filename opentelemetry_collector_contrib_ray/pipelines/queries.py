@@ -10422,6 +10422,61 @@ SELECT u AS node, lab AS label FROM l{rounds}""")
     return "".join(parts)
 
 
+def q_events_snapshot_diff(sf_dir: str):
+    """Snapshot diff audit (stages/joins.py snapshot_diff): v1 drops
+    every 7th event, v2 doubles every 5th value — classify added /
+    removed / changed / unchanged per event_type. Values compared in
+    cents so the diff is integer-exact."""
+    from ..stages.joins import snapshot_diff
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def v1(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        out = pa.table({"event_id": pa.array(eid),
+                        "event_type": t["event_type"],
+                        "cents": _cents(t["value"])})
+        return out.filter(pa.array(eid % 7 != 0))
+
+    def v2(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        val = pc.if_else(pa.array(eid % 5 == 0),
+                         pc.multiply(pc.cast(t["value"], pa.float64()), 2.0),
+                         pc.cast(t["value"], pa.float64()))
+        return pa.table({"event_id": pa.array(eid),
+                         "event_type": t["event_type"],
+                         "cents": _cents(val)})
+
+    left = ev.map_batches(v1, batch_format="pyarrow")
+    right = ev.map_batches(v2, batch_format="pyarrow")
+    return snapshot_diff(left, right, key="event_id", cmp_cols=["cents"],
+                         group_col="event_type")
+
+
+SQL_EVENTS_SNAPSHOT_DIFF = """
+WITH l AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_id % 7 <> 0
+), r AS (
+  SELECT event_id, event_type,
+         CAST(floor((CASE WHEN event_id % 5 = 0 THEN value * 2
+                          ELSE value END) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), j AS (
+  SELECT coalesce(l.event_type, r.event_type) AS event_type,
+         CASE WHEN l.event_id IS NULL THEN 'added'
+              WHEN r.event_id IS NULL THEN 'removed'
+              WHEN l.cents <> r.cents THEN 'changed'
+              ELSE 'unchanged' END AS category
+  FROM l FULL OUTER JOIN r ON l.event_id = r.event_id
+)
+SELECT event_type, category, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10569,6 +10624,7 @@ QUERIES = {
     "q18_large_orders": q_q18_large_orders,
     "events_funnel_windowed": q_events_funnel_windowed,
     "graph_communities": q_graph_communities,
+    "events_snapshot_diff": q_events_snapshot_diff,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10832,6 +10888,7 @@ ORACLES = {
     "q18_large_orders": SQL_Q18_LARGE_ORDERS,
     "events_funnel_windowed": SQL_EVENTS_FUNNEL_WINDOWED,
     "graph_communities": _lpa_sql(),
+    "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

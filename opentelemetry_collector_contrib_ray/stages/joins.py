@@ -775,3 +775,62 @@ def bloom_prefilter(ds, col: str, bloom_ref, m_bits: int = 1 << 20, k: int = 4,
         return ds.map_batches(Probe(), batch_format="pyarrow")
     return ds.map_batches(Probe, batch_format="pyarrow",
                           concurrency=norm_concurrency(concurrency))
+
+
+def snapshot_diff(left, right, key: str, cmp_cols: list[str],
+                  group_col: str | None = None,
+                  num_partitions: int | None = None):
+    """Snapshot diff audit (the table-versioning "what changed between
+    v1 and v2" report): classify every key as added (right only),
+    removed (left only), changed (both sides, any ``cmp_cols``
+    differs) or unchanged, and roll counts up per ``group_col``.
+
+    One key-hash exchange of the tagged union (only key + compared
+    columns move), vectorized per-partition classify (sort + adjacent
+    compare — a key appears at most once per side per snapshot),
+    compact (group, category, n) partials. Assumes ``key`` is unique
+    within each snapshot — the uniqueness expectation in
+    stages/expectations.py is the companion check."""
+    lschema = left.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    wanted = [key] + ([group_col] if group_col else []) + list(cmp_cols)
+    base_fields = {c: _pa_type(ltypes[c]) for c in wanted}
+    n_parts = num_partitions or _derive_partitions(left, right, 500_000)
+
+    both = _align_union([
+        left.map_batches(_tag("l"), batch_format="pyarrow"),
+        right.map_batches(_tag("r"), batch_format="pyarrow"),
+    ], dict(base_fields, __side=pa.string()))
+    both = both.map_batches(_add_part([key], n_parts), batch_format="pyarrow")
+
+    gcols = [group_col] if group_col else []
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"].set_index(key)
+        r = g[g["__side"] == "r"].set_index(key)
+        common = l.index.intersection(r.index)
+        changed = pd.Series(False, index=common)
+        for c in cmp_cols:
+            lv, rv = l.loc[common, c], r.loc[common, c]
+            changed |= (lv != rv) & ~(lv.isna() & rv.isna())
+        rows = []
+        def emit(idx_side, cat, idx):
+            if group_col:
+                grp = idx_side.loc[idx, group_col]
+                cnt = grp.groupby(grp).size()
+                rows.extend((gv, cat, int(n)) for gv, n in cnt.items())
+            else:
+                rows.append((cat, int(len(idx))))
+        emit(r, "added", r.index.difference(l.index))
+        emit(l, "removed", l.index.difference(r.index))
+        emit(r, "changed", common[changed.to_numpy()])
+        emit(r, "unchanged", common[~changed.to_numpy()])
+        cols = gcols + ["category", "n"]
+        return pd.DataFrame(rows, columns=cols)
+
+    from .agg import compact_groupby
+
+    per_part = both.groupby("__p").map_groups(classify,
+                                              batch_format="pandas")
+    return compact_groupby(per_part, gcols + ["category"],
+                           sum_cols={"n": "n"})

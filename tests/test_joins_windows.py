@@ -1101,3 +1101,28 @@ def test_funnel_window_constraint():
                          num_partitions=4)
             .to_pandas().sort_values("step_idx"))
     assert out2.n_users.tolist() == [3, 3, 2]
+
+
+def test_snapshot_diff_categories():
+    """Added / removed / changed / unchanged classification incl.
+    null-vs-null compares as unchanged and null-vs-value as changed."""
+    import pandas as pd
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.joins import snapshot_diff
+
+    left = pd.DataFrame({"k": [1, 2, 3, 5, 6],
+                         "g": ["a", "a", "b", "b", "a"],
+                         "v": [1.0, 2.0, None, 5.0, None]})
+    right = pd.DataFrame({"k": [1, 2, 4, 5, 6],
+                          "g": ["a", "a", "b", "b", "a"],
+                          "v": [1.0, 9.0, 4.0, 5.0, 7.0]})
+    out = (snapshot_diff(rd.from_pandas(left).repartition(2),
+                         rd.from_pandas(right), key="k", cmp_cols=["v"],
+                         group_col="g", num_partitions=4)
+           .to_pandas())
+    got = {(r.g, r.category): r.n for r in out.itertuples()}
+    assert got == {("b", "added"): 1,        # k=4
+                   ("b", "removed"): 1,      # k=3
+                   ("a", "changed"): 2,      # k=2 (2->9), k=6 (null->7)
+                   ("a", "unchanged"): 1,    # k=1
+                   ("b", "unchanged"): 1}    # k=5
