@@ -10477,6 +10477,85 @@ FROM j GROUP BY 1, 2
 """
 
 
+def q_users_rfm_segments(sf_dir: str):
+    """RFM segmentation (the classic customer-value grid): per user,
+    recency (integer days before the fixed 2024-02-01 reference),
+    frequency (purchase count), monetary (cents sum), each scored 1-3
+    by fixed thresholds; output = segment-cell user counts. One
+    user-hash exchange of per-block (user → max_ts/count/sum) partials
+    — raw purchases never move twice; scoring + rollup on O(users)
+    rows."""
+    import pandas as pd
+
+    REF_US = 1706745600000000  # 2024-02-01 epoch µs
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()).to_numpy(zero_copy_only=False),
+            "cents": _cents(t["value"]).to_numpy(zero_copy_only=False)})
+        g = df.groupby("user_id", as_index=False).agg(
+            last_us=("ts_us", "max"), n=("ts_us", "size"),
+            cents=("cents", "sum"))
+        g["__p"] = (g["user_id"].to_numpy(np.uint64)
+                    % np.uint64(64)).astype(np.int64)
+        return pa_from_pandas(g.astype({"n": "int64", "cents": "int64"}))
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False).agg(
+            last_us=("last_us", "max"), n=("n", "sum"),
+            cents=("cents", "sum"))
+        rec_days = (REF_US - u["last_us"].to_numpy()) // 86_400_000_000
+        r = np.where(rec_days <= 7, 3, np.where(rec_days <= 14, 2, 1))
+        f = np.where(u["n"] >= 3, 3, np.where(u["n"] >= 2, 2, 1))
+        m = np.where(u["cents"] >= 30_000, 3,
+                     np.where(u["cents"] >= 10_000, 2, 1))
+        d = pd.DataFrame({"r_score": r.astype(np.int64),
+                          "f_score": f.astype(np.int64),
+                          "m_score": m.astype(np.int64)})
+        out = (d.groupby(["r_score", "f_score", "m_score"], as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+        return out.astype({"n_users": "int64"})
+
+    from ..stages.agg import compact_groupby
+
+    per_part = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("__p").map_groups(score, batch_format="pandas"))
+    return compact_groupby(per_part, ["r_score", "f_score", "m_score"],
+                           sum_cols={"n_users": "n_users"})
+
+
+SQL_USERS_RFM_SEGMENTS = """
+WITH p AS (
+  SELECT user_id, count(*) AS n,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         max(ts) AS last_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), s AS (
+  SELECT
+    CASE WHEN (1706745600000000 - epoch_us(last_ts)) // 86400000000 <= 7
+         THEN 3
+         WHEN (1706745600000000 - epoch_us(last_ts)) // 86400000000 <= 14
+         THEN 2 ELSE 1 END AS r_score,
+    CASE WHEN n >= 3 THEN 3 WHEN n >= 2 THEN 2 ELSE 1 END AS f_score,
+    CASE WHEN cents >= 30000 THEN 3 WHEN cents >= 10000 THEN 2
+         ELSE 1 END AS m_score
+  FROM p
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10625,6 +10704,7 @@ QUERIES = {
     "events_funnel_windowed": q_events_funnel_windowed,
     "graph_communities": q_graph_communities,
     "events_snapshot_diff": q_events_snapshot_diff,
+    "users_rfm_segments": q_users_rfm_segments,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10889,6 +10969,7 @@ ORACLES = {
     "events_funnel_windowed": SQL_EVENTS_FUNNEL_WINDOWED,
     "graph_communities": _lpa_sql(),
     "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
+    "users_rfm_segments": SQL_USERS_RFM_SEGMENTS,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

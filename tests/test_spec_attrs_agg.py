@@ -1118,3 +1118,34 @@ def test_exponential_histogram_boundaries():
     assert out.loc[2, "n"] == 1
     assert out.loc[9, "n"] == 1 and out.loc[9, "sum_cents"] == 1023
     assert out.loc[10, "n"] == 1 and out.loc[10, "sum_cents"] == 1024
+
+
+def test_rfm_cross_block_user_merge():
+    """A user whose purchases span blocks must merge max/count/sum
+    BEFORE scoring — per-block scoring would double-count the user."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import tempfile, os
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_users_rfm_segments,
+    )
+
+    base = pd.Timestamp("2024-01-28")
+    # one user, 3 purchases (f=3), 350.00 total (m=3), 4 days recency (r=3)
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [7, 7, 7],
+        "ts": [base, base, base],
+        "event_type": ["purchase"] * 3,
+        "value": [100.0, 150.0, 100.0],
+        "props": ["{}"] * 3,
+    })
+    d = tempfile.mkdtemp(prefix="rfm_", dir="/tmp")
+    # two row groups -> two read blocks
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(df, preserve_index=False),
+        os.path.join(d, "events.parquet"), row_group_size=2)
+    out = q_users_rfm_segments(d).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.r_score, row.f_score, row.m_score, row.n_users) == (3, 3, 3, 1)
