@@ -10556,6 +10556,99 @@ FROM s GROUP BY 1, 2, 3
 """
 
 
+def q_docs_candidate_eval(sf_dir: str):
+    """Candidate-generation EVAL HARNESS (the recall/precision audit a
+    dedup pipeline runs before trusting a blocker): SimHash top-16-bit
+    prefix blocking proposes pairs, exact n-gram Jaccard ≥ 0.8 defines
+    truth, and the distributed snapshot_diff classifies the pair sets
+    into tp (both) / fp (blocker only) / fn (truth only) — every leg
+    is an existing hash-verified operator, composed. Both pair sets
+    key as id_a·2³² + id_b; zero categories are dropped (the SQL twin
+    can't emit them)."""
+    from ..stages.dedup import CharSimHasher, ngram_jaccard_pairs
+    from ..stages.joins import _add_part, snapshot_diff
+
+    import pandas as pd
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    hashed = ds.map_batches(CharSimHasher(window=4), batch_format="pyarrow")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "bucket": pa.array((h >> np.uint64(48)).astype(np.int64))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        multi = g.groupby("bucket", sort=False)["doc_id"].transform("size") >= 2
+        g = g.loc[multi].sort_values(["bucket", "doc_id"], kind="mergesort")
+        out_a, out_b = [], []
+        for _, sub in g.groupby("bucket", sort=False):
+            ids = sub["doc_id"].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia]); out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"pk": pd.Series([], dtype=np.int64)})
+        a = np.concatenate(out_a); b = np.concatenate(out_b)
+        return pd.DataFrame({"pk": a * (1 << 32) + b})
+
+    cands = (hashed.map_batches(bucketize, batch_format="pyarrow")
+             .map_batches(_add_part(["bucket"], 32), batch_format="pyarrow")
+             .groupby("__p").map_groups(bucket_pairs, batch_format="pandas"))
+
+    exact = ngram_jaccard_pairs(ds, threshold_num=8, threshold_den=10,
+                                n=3, max_df=None)
+    exact_keys = exact.map_batches(
+        lambda t: pa.table({"pk": pc.add(
+            pc.multiply(pc.cast(t["id_a"], pa.int64()),
+                        pa.scalar(1 << 32, pa.int64())),
+            pc.cast(t["id_b"], pa.int64()))}),
+        batch_format="pyarrow")
+
+    diff = snapshot_diff(exact_keys, cands, key="pk", cmp_cols=[],
+                         num_partitions=16)
+    NAME = {"unchanged": "tp", "added": "fp", "removed": "fn"}
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["n"] > 0]
+        df["category"] = df["category"].map(NAME)
+        df = df.dropna(subset=["category"])
+        return pa_from_pandas(df.astype({"n": "int64"}))
+
+    return diff.map_batches(finish, batch_format="pyarrow")
+
+
+def _candidate_eval_sql() -> str:
+    """Composes the exact-Jaccard twin (SQL_DOCS_MINHASH_PAIRS body)
+    with the byte-exact SimHash twin, bucket self-join, FULL OUTER
+    classify. Nested WITH inside each CTE keeps the existing builders
+    verbatim."""
+    return f"""
+WITH ex AS MATERIALIZED (
+  {SQL_DOCS_MINHASH_PAIRS}
+), sig AS MATERIALIZED (
+  {_char_simhash_sql()}
+), bk AS (
+  SELECT doc_id,
+         CAST(((simhash::HUGEINT + 18446744073709551616::HUGEINT)
+               % 18446744073709551616::HUGEINT)
+              // 281474976710656::HUGEINT AS BIGINT) AS bucket
+  FROM sig
+), cand AS MATERIALIZED (
+  SELECT a.doc_id * 4294967296 + b.doc_id AS pk
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), exk AS (SELECT id_a * 4294967296 + id_b AS pk FROM ex),
+cl AS (
+  SELECT CASE WHEN e.pk IS NULL THEN 'fp'
+              WHEN c.pk IS NULL THEN 'fn' ELSE 'tp' END AS category
+  FROM exk e FULL OUTER JOIN cand c ON e.pk = c.pk
+)
+SELECT category, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10705,6 +10798,7 @@ QUERIES = {
     "graph_communities": q_graph_communities,
     "events_snapshot_diff": q_events_snapshot_diff,
     "users_rfm_segments": q_users_rfm_segments,
+    "docs_candidate_eval": q_docs_candidate_eval,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -10970,6 +11064,7 @@ ORACLES = {
     "graph_communities": _lpa_sql(),
     "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
     "users_rfm_segments": SQL_USERS_RFM_SEGMENTS,
+    "docs_candidate_eval": _candidate_eval_sql(),
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

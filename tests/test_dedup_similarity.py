@@ -819,3 +819,18 @@ def test_pq_adc_topk_prefers_query_cluster():
     assert got.adc_dist.iloc[0] < got.adc_dist.iloc[1] or (
         got.adc_dist.iloc[0] == got.adc_dist.iloc[1])
     assert len(got) == 3
+
+
+def test_candidate_eval_composition(tmp_path):
+    """tp/fp/fn partition the union of blocker and truth pair sets:
+    tp + fp = |candidates|, tp + fn = |exact|."""
+    import pyarrow.parquet as pq
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_candidate_eval, q_docs_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = q_docs_candidate_eval(sf).to_pandas().set_index("category")["n"]
+    exact = q_docs_ngram_jaccard(sf).to_pandas()
+    assert ev.get("tp", 0) + ev.get("fn", 0) == len(exact)
+    assert ev.get("tp", 0) >= 0 and ev.get("fp", 0) >= 0
