@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "docs_bm25_topk",
     "events_bloom_prune",
     "q3_shipping_priority",
+    "events_peak_concurrency",
+    "docs_classifier_scores",
+    "emb_pq_adc_topk",
+    "events_exp_histogram",
+    "q18_large_orders",
 ]
 
 
