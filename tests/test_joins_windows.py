@@ -1126,3 +1126,20 @@ def test_snapshot_diff_categories():
                    ("a", "changed"): 2,      # k=2 (2->9), k=6 (null->7)
                    ("a", "unchanged"): 1,    # k=1
                    ("b", "unchanged"): 1}    # k=5
+
+
+def test_gated_broadcast_join_key_column_presence_contract():
+    """q18 relies on this contract: BOTH gate paths coalesce the join
+    key to the LEFT key name (broadcast renames; the native join drops
+    the right key) — the conditional re-derive handles either and any
+    future path that keeps both."""
+    from opentelemetry_collector_contrib_ray.stages.joins import gated_broadcast_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [1, 2], "w": [5, 6]}))
+    b = gated_broadcast_join(left, right, on="k", right_on="rk",
+                             threshold=1000).to_pandas()
+    assert "k" in b.columns and "rk" not in b.columns
+    h = gated_broadcast_join(left, right, on="k", right_on="rk",
+                             threshold=0, num_partitions=8).to_pandas()
+    assert "k" in h.columns and "rk" not in h.columns
