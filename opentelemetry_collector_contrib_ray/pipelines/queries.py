@@ -10666,6 +10666,106 @@ SELECT category, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY 1
 """
 
 
+def q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global
+    sum — the pruned-read showcase: only 4 columns leave storage, the
+    predicate evaluates as arrow kernels per block, one scalar partial
+    per block reaches the fold. Revenue = Σ extendedprice·discount in
+    cents·pct integer units."""
+    from ray.data.aggregate import Sum
+
+    D0, D1 = 788_918_400_000_000, 820_454_400_000_000  # 1995..1996
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount", "l_quantity",
+                             "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        keep = pc.and_(pc.and_(
+            pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)),
+            pc.and_(pc.greater_equal(pct, 5), pc.less_equal(pct, 7))),
+            pc.less(pc.cast(t["l_quantity"], pa.float64()), 24.0))
+        t = t.filter(keep)
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]), pct)
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_units": pa.array([s], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(None)
+              .aggregate(Sum("revenue_units", alias_name="revenue_units")))
+
+
+SQL_Q6_FORECAST_REVENUE = f"""
+SELECT CAST(SUM({_CENTS.format(x='l_extendedprice')}
+             * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_units
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution, INCLUDING
+    zero-order customers): per-customer order counts via one
+    combiner+exchange, the zero bucket from total-customer count minus
+    counted customers (no outer join of the full customer table
+    needed), compact histogram of counts."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby, hash_groupby_sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_cust = hash_groupby_sum(orders.map_batches(pre,
+                                                   batch_format="pyarrow"),
+                                ["o_custkey"], "one", out_col="c_count")
+
+    hist = compact_groupby(
+        per_cust.map_batches(
+            lambda t: pa.table({"c_count": t["c_count"]}),
+            batch_format="pyarrow"),
+        ["c_count"], count_alias="custdist")
+
+    n_customers = read_table(sf_dir, "customer",
+                             columns=["c_custkey"]).count()
+
+    def add_zero(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n_with = int(df["custdist"].sum())
+        zero = n_customers - n_with
+        if zero > 0:
+            df = pd.concat([df, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})])
+        return pa_from_pandas(df.astype({"c_count": "int64",
+                                         "custdist": "int64"}))
+
+    return hist.map_batches(add_zero, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SQL_Q13_CUSTOMER_DISTRIBUTION = """
+WITH pc AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM pc GROUP BY c_count
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10816,6 +10916,8 @@ QUERIES = {
     "events_snapshot_diff": q_events_snapshot_diff,
     "users_rfm_segments": q_users_rfm_segments,
     "docs_candidate_eval": q_docs_candidate_eval,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q13_customer_distribution": q_q13_customer_distribution,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11082,6 +11184,8 @@ ORACLES = {
     "events_snapshot_diff": SQL_EVENTS_SNAPSHOT_DIFF,
     "users_rfm_segments": SQL_USERS_RFM_SEGMENTS,
     "docs_candidate_eval": _candidate_eval_sql(),
+    "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
+    "q13_customer_distribution": SQL_Q13_CUSTOMER_DISTRIBUTION,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

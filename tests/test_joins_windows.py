@@ -1143,3 +1143,24 @@ def test_gated_broadcast_join_key_column_presence_contract():
     h = gated_broadcast_join(left, right, on="k", right_on="rk",
                              threshold=0, num_partitions=8).to_pandas()
     assert "k" in h.columns and "rk" not in h.columns
+
+
+def test_q13_zero_order_bucket():
+    """Customers without orders land in the c_count=0 bucket without a
+    full outer join of the customer table."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import tempfile, os, pyarrow as pa
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q13_customer_distribution,
+    )
+
+    d = tempfile.mkdtemp(prefix="q13_", dir="/tmp")
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+                   os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({"o_custkey": pa.array([1, 1, 2], pa.int64()),
+                             "o_orderkey": pa.array([10, 11, 12], pa.int64())}),
+                   os.path.join(d, "orders.parquet"))
+    out = (q_q13_customer_distribution(d).to_pandas()
+           .set_index("c_count")["custdist"].to_dict())
+    assert out == {0: 2, 1: 1, 2: 1}
