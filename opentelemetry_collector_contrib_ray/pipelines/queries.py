@@ -10766,6 +10766,73 @@ FROM pc GROUP BY c_count
 """
 
 
+def q_events_srm_check(sf_dir: str):
+    """A/B experimentation guardrail: sample-ratio-mismatch check on a
+    50/50 user split (variant = user_id % 2). Counts DISTINCT users
+    per (event_type, variant) — one user-hash exchange of per-block-
+    deduped triples (the honest exact cost, same as the uniqueness
+    expectation) — and flags types where (n0 − n1)² > 4·(n0 + n1),
+    the integer-exact 2σ z-test (Var(n0 − n1) = N under H0)."""
+    import pandas as pd
+
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def dedup_block(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t["event_type"].to_numpy(
+            zero_copy_only=False), "user_id": uid,
+            "variant": uid % 2}).drop_duplicates()
+        return pa_from_pandas(df)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "variant", "user_id"])
+        out = (d.groupby(["event_type", "variant"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        return out.astype({"variant": "int64", "n": "int64"})
+
+    from ..stages.agg import compact_groupby
+
+    counts = compact_groupby(
+        ds.map_batches(dedup_block, batch_format="pyarrow")
+          .map_batches(_add_part(["user_id"], 64), batch_format="pyarrow")
+          .groupby("__p").map_groups(count_part, batch_format="pandas"),
+        ["event_type", "variant"], sum_cols={"n": "n"})
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        w = df.pivot_table(index="event_type", columns="variant",
+                           values="n", fill_value=0).reset_index()
+        n0 = w.get(0, pd.Series(0, index=w.index)).astype("int64")
+        n1 = w.get(1, pd.Series(0, index=w.index)).astype("int64")
+        diff2 = (n0 - n1) ** 2
+        return pa.table({
+            "event_type": pa.array(w["event_type"]),
+            "n0": pa.array(n0.to_numpy(np.int64)),
+            "n1": pa.array(n1.to_numpy(np.int64)),
+            "srm_alarm": pa.array(
+                (diff2 > 4 * (n0 + n1)).astype(np.int64).to_numpy())})
+
+    return counts.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+SQL_EVENTS_SRM_CHECK = """
+WITH c AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0
+                                  THEN user_id END) AS BIGINT) AS n0,
+         CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1
+                                  THEN user_id END) AS BIGINT) AS n1
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n0, n1,
+       CAST(CASE WHEN (n0 - n1) * (n0 - n1) > 4 * (n0 + n1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_alarm
+FROM c
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10918,6 +10985,7 @@ QUERIES = {
     "docs_candidate_eval": q_docs_candidate_eval,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q13_customer_distribution": q_q13_customer_distribution,
+    "events_srm_check": q_events_srm_check,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11186,6 +11254,7 @@ ORACLES = {
     "docs_candidate_eval": _candidate_eval_sql(),
     "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
     "q13_customer_distribution": SQL_Q13_CUSTOMER_DISTRIBUTION,
+    "events_srm_check": SQL_EVENTS_SRM_CHECK,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

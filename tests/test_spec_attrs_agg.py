@@ -1149,3 +1149,31 @@ def test_rfm_cross_block_user_merge():
     assert len(out) == 1
     row = out.iloc[0]
     assert (row.r_score, row.f_score, row.m_score, row.n_users) == (3, 3, 3, 1)
+
+
+def test_srm_check_distinct_users_and_alarm():
+    """Repeated events by one user count once; a forced imbalance
+    alarms, a balanced split does not."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_srm_check,
+    )
+
+    # type 'bal': users 0..9 (5 even / 5 odd), duplicates included
+    # type 'skew': 30 even users vs 2 odd -> (28)^2=784 > 4*32=128
+    rows = [("bal", u) for u in range(10)] + [("bal", 0)] * 5
+    rows += [("skew", 2 * u) for u in range(30)] + [("skew", 1), ("skew", 3)]
+    df = pd.DataFrame(rows, columns=["event_type", "user_id"])
+    d = tempfile.mkdtemp(prefix="srm_", dir="/tmp")
+    pq.write_table(pa.Table.from_pandas(
+        df.assign(ts=pd.Timestamp("2024-01-01"), event_id=range(len(df)),
+                  value=0.0, props="{}"), preserve_index=False),
+        os.path.join(d, "events.parquet"))
+    out = q_events_srm_check(d).to_pandas().set_index("event_type")
+    assert (out.loc["bal", "n0"], out.loc["bal", "n1"]) == (5, 5)
+    assert out.loc["bal", "srm_alarm"] == 0
+    assert (out.loc["skew", "n0"], out.loc["skew", "n1"]) == (30, 2)
+    assert out.loc["skew", "srm_alarm"] == 1
