@@ -10833,6 +10833,118 @@ FROM c
 """
 
 
+def q_q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape (untapped customers): positive-balance global
+    average via two integer scalars (sum_cents, n) folded from
+    per-block partials, the above-average filter as the integer
+    CROSS-MULTIPLY cents·n > sum (no float division anywhere), then an
+    SIZE-GATED anti join against the per-block-deduped custkeys of
+    RECENT orders (o_orderdate >= 2000-01-01 — "lapsed high-value
+    customers", which keeps the Q22 shape non-degenerate on this data
+    where every customer has SOME order): key-set broadcast under the
+    threshold, native left_anti above it; rolled up per country-code
+    bucket (c_nationkey % 5)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import large_anti_join
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "cntrycode": pc.cast(
+                pc.subtract(pc.cast(t["c_nationkey"], pa.int64()),
+                            pc.multiply(pc.divide(pc.cast(t["c_nationkey"],
+                                                          pa.int64()), 5),
+                                        5)), pa.int64()),
+            "cents": _cents(t["c_acctbal"])})
+
+    cp = cust.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["cents"], 0))
+        return pa.table({"s": pa.array([pc.sum(pos["cents"]).as_py() or 0],
+                                       pa.int64()),
+                         "n": pa.array([pos.num_rows], pa.int64())})
+
+    scal = (cp.map_batches(pos_partial, batch_format="pyarrow")
+              .groupby(None).aggregate(Sum("s", alias_name="s"),
+                                       Sum("n", alias_name="n"))
+              .to_pandas())
+    S, N = int(scal["s"][0]), int(scal["n"][0])
+
+    eligible = cp.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t["cents"], pa.scalar(N, pa.int64())),
+            pa.scalar(S, pa.int64()))),
+        batch_format="pyarrow")
+
+    CUT_US = 946_684_800_000_000  # 2000-01-01 epoch µs
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+    okeys = orders.map_batches(
+        lambda t: pa.table({"o_custkey": pc.unique(pc.cast(
+            t.filter(pc.greater_equal(pc.cast(t["o_orderdate"], pa.int64()),
+                                      CUT_US))["o_custkey"], pa.int64()))}),
+        batch_format="pyarrow")
+    # size-gate the anti join: the deduped recent-order key set is
+    # bounded by |customers| — under the broadcast threshold it ships
+    # as a key set (vectorized is_in inversion per batch, no exchange,
+    # and immune to the native join's empty-zero-column-bundle race);
+    # above it, the hash-partitioned native left_anti path
+    import ray
+
+    from ..stages.joins import BROADCAST_ROWS_THRESHOLD, anti_join
+
+    okeys = okeys.materialize()
+    if okeys.count() <= BROADCAST_ROWS_THRESHOLD:
+        keyset = {r["o_custkey"] for r in okeys.take_all()}
+        noord = anti_join(eligible, ray.put(keyset), on="c_custkey")
+    else:
+        noord = large_anti_join(eligible, okeys, on="c_custkey",
+                                right_on="o_custkey")
+
+    import pandas as pd
+
+    def roll(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("cntrycode", as_index=False).agg(
+            n_cust=("cents", "size"), total_cents=("cents", "sum"))
+        return pa_from_pandas(out.astype({"n_cust": "int64",
+                                          "total_cents": "int64"}))
+
+    from ..stages.agg import compact_groupby
+
+    return compact_groupby(noord.map_batches(roll, batch_format="pyarrow"),
+                           ["cntrycode"],
+                           sum_cols={"n_cust": "n_cust",
+                                     "total_cents": "total_cents"})
+
+
+SQL_Q22_GLOBAL_SALES = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+         {_CENTS.format(x='c_acctbal')} AS cents
+  FROM customer
+), pos AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c WHERE cents > 0
+), eli AS (
+  SELECT c.* FROM c, pos WHERE c.cents * pos.n > pos.s
+), noord AS (
+  SELECT e.* FROM eli e
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+)
+SELECT CAST(cntrycode AS BIGINT) AS cntrycode,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM noord GROUP BY cntrycode
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -10986,6 +11098,7 @@ QUERIES = {
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q13_customer_distribution": q_q13_customer_distribution,
     "events_srm_check": q_events_srm_check,
+    "q22_global_sales": q_q22_global_sales_opportunity,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11255,6 +11368,7 @@ ORACLES = {
     "q6_forecast_revenue": SQL_Q6_FORECAST_REVENUE,
     "q13_customer_distribution": SQL_Q13_CUSTOMER_DISTRIBUTION,
     "events_srm_check": SQL_EVENTS_SRM_CHECK,
+    "q22_global_sales": SQL_Q22_GLOBAL_SALES,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -1164,3 +1164,43 @@ def test_q13_zero_order_bucket():
     out = (q_q13_customer_distribution(d).to_pandas()
            .set_index("c_count")["custdist"].to_dict())
     assert out == {0: 2, 1: 1, 2: 1}
+
+
+def test_q22_cross_multiply_threshold_and_anti_join():
+    """Above-average filter is the integer cross-multiply (no float
+    division); customers with recent orders drop; lapsed stay."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q22_global_sales_opportunity,
+    )
+
+    d = tempfile.mkdtemp(prefix="q22_", dir="/tmp")
+    # balances: 10.00, 20.00, 30.00, -5.00 -> pos avg = 20.00 exactly;
+    # strictly-above keeps only 30.00 (cust 3) and the tie at 20 drops
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 7, 3], pa.int32()),
+        "c_acctbal": pa.array([10.0, 20.0, 30.0, -5.0])}),
+        os.path.join(d, "customer.parquet"))
+    # cust 3 has only an OLD order -> lapsed, stays after anti join
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([3], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1999-01-01")],
+                                pa.timestamp("us"))}),
+        os.path.join(d, "orders.parquet"))
+    out = q_q22_global_sales_opportunity(d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.cntrycode, r.n_cust, r.total_cents) == (2, 1, 3000)
+
+    # give cust 3 a RECENT order -> everything filtered, empty result
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([3], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("2001-01-01")],
+                                pa.timestamp("us"))}),
+        os.path.join(d, "orders.parquet"))
+    out2 = q_q22_global_sales_opportunity(d).to_pandas()
+    assert len(out2) == 0
