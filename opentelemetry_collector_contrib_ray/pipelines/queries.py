@@ -10945,6 +10945,83 @@ FROM noord GROUP BY cntrycode
 """
 
 
+def q_docs_cluster_representatives(sf_dir: str):
+    """Survivorship meets fuzzy dedup: per near-dup cluster keep the
+    BEST representative — longest text wins, ties to the smallest id —
+    instead of min-id (the quality-aware keep rule real curation
+    pipelines use; RefinedWeb keeps longest). Composition: exact
+    Jaccard pairs → connected components → one cluster-hash exchange
+    of (cluster_id, doc_id, n_chars) triples — text never moves — and
+    a vectorized per-partition arg-max."""
+    import pandas as pd
+
+    from ..stages.cluster import dedup_by_clusters
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.joins import _add_part
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "n_chars"])
+    pairs = ngram_jaccard_pairs(
+        docs.map_batches(lambda t: t.select(["doc_id", "text"]),
+                         batch_format="pyarrow"),
+        threshold_num=8, threshold_den=10, n=3, max_df=1000)
+    slim = docs.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "n_chars": pc.cast(t["n_chars"], pa.int64())}),
+        batch_format="pyarrow")
+    tagged = dedup_by_clusters(slim, pairs)
+
+    def rep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        first = g.groupby("cluster_id", as_index=False).first()
+        size = g.groupby("cluster_id", as_index=False).size()
+        out = first.merge(size, on="cluster_id")
+        out = out.rename(columns={"doc_id": "rep_doc_id",
+                                  "n_chars": "rep_n_chars",
+                                  "size": "cluster_size"})
+        return out[["cluster_id", "rep_doc_id", "rep_n_chars",
+                    "cluster_size"]].astype("int64")
+
+    return (tagged.map_batches(
+                lambda t: t.select(["cluster_id", "doc_id", "n_chars"]),
+                batch_format="pyarrow")
+            .map_batches(_add_part(["cluster_id"], 32),
+                         batch_format="pyarrow")
+            .groupby("__p").map_groups(rep, batch_format="pandas"))
+
+
+SQL_DOCS_CLUSTER_REPRESENTATIVES = f"""
+WITH RECURSIVE pairs AS ({SQL_DOCS_NGRAM_JACCARD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+),
+lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+tagged AS (
+  SELECT coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+),
+rk AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM tagged
+)
+SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_n_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM rk WHERE rn = 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -11099,6 +11176,7 @@ QUERIES = {
     "q13_customer_distribution": q_q13_customer_distribution,
     "events_srm_check": q_events_srm_check,
     "q22_global_sales": q_q22_global_sales_opportunity,
+    "docs_cluster_representatives": q_docs_cluster_representatives,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11369,6 +11447,7 @@ ORACLES = {
     "q13_customer_distribution": SQL_Q13_CUSTOMER_DISTRIBUTION,
     "events_srm_check": SQL_EVENTS_SRM_CHECK,
     "q22_global_sales": SQL_Q22_GLOBAL_SALES,
+    "docs_cluster_representatives": SQL_DOCS_CLUSTER_REPRESENTATIVES,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -148,3 +148,41 @@ def test_golden_records_survivorship_rules():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_cluster_representatives_longest_tie_smallest(tmp_path):
+    """The docs_cluster_representatives keep rule: longest text wins
+    within a near-dup cluster, ties break to the smallest doc_id, and
+    singletons report themselves with cluster_size 1."""
+    import pandas as pd
+
+    # docs 1/2/3 are trigram-identical up to one extra sentence (so
+    # Jaccard >= 0.8 pairs them); doc 3 is longest -> representative.
+    # docs 10/11 are identical (tie on length -> smallest id 10 wins).
+    # doc 99 shares nothing -> singleton.
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 99],
+        "text": [base * 8, base * 8 + "tail", base * 8 + "tail more",
+                 "totally different words here " * 6,
+                 "totally different words here " * 6,
+                 "zzz qqq vvv unrelated content entirely"],
+    })
+    docs["n_chars"] = docs["text"].str.len()
+    d = tmp_path / "documents.parquet"
+    docs.to_parquet(d)
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_cluster_representatives,
+    )
+
+    out = (q_docs_cluster_representatives(str(tmp_path)).to_pandas()
+           .sort_values("cluster_id").reset_index(drop=True))
+    by_cluster = {int(r.cluster_id): r for r in out.itertuples()}
+    assert set(by_cluster) == {1, 10, 99}
+    # longest of {1,2,3} is doc 3
+    assert by_cluster[1].rep_doc_id == 3 and by_cluster[1].cluster_size == 3
+    # identical lengths -> smallest id
+    assert by_cluster[10].rep_doc_id == 10 and by_cluster[10].cluster_size == 2
+    assert by_cluster[99].rep_doc_id == 99 and by_cluster[99].cluster_size == 1
+    assert by_cluster[99].rep_n_chars == len(docs.loc[5, "text"])
