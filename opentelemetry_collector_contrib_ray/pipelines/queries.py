@@ -11022,6 +11022,189 @@ FROM rk WHERE rn = 1
 """
 
 
+def q_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (promotion effect): month-filtered lineitem
+    joined to the part-type dim through the size-gated broadcast — the
+    dim ships ONCE as a two-int64-column (p_partkey, is_promo) bitmap
+    under the threshold, native hash join above it. Revenue in
+    integer cents·pct units (pct = 100 − discount%), numerator and
+    denominator reported as BIGINTs so no float division exists in
+    either engine. One scalar partial per block reaches the fold."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import gated_broadcast_join
+
+    D0, D1 = 809_913_600_000_000, 812_505_600_000_000  # 1995-09 .. -10
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                             "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)))
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "rev_units": rev})
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "is_promo": pc.cast(pc.equal(t["p_type"], "PROMO"), pa.int64())})
+
+    j = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part.map_batches(p_prep, batch_format="pyarrow"),
+        on="l_partkey", right_on="p_partkey", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["rev_units"]
+        promo = pc.sum(pc.multiply(rev, t["is_promo"])).as_py() or 0
+        total = pc.sum(rev).as_py() or 0
+        return pa.table({"promo_units": pa.array([promo], pa.int64()),
+                         "total_units": pa.array([total], pa.int64())})
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+             .groupby(None)
+             .aggregate(Sum("promo_units", alias_name="promo_units"),
+                        Sum("total_units", alias_name="total_units")))
+
+
+def q_q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape (top-20 customers by lost revenue): returned-
+    lineitem revenue folds to ONE row per order below everything, the
+    quarter-filtered orders attach through the size-gated join (both
+    sides filter-bounded; native hash join above the threshold), the
+    per-customer rollup — compact by construction — gates onto the
+    streaming customer scan, nation is a 25-row broadcast, and the
+    global top-20 rides the block-local top-k combiner. Revenue in
+    integer cents·pct units throughout."""
+    from ..stages.agg import hash_groupby_sum, topn_per_group
+    from ..stages.joins import gated_broadcast_join
+
+    D0, D1 = 812_505_600_000_000, 820_454_400_000_000  # 1995-10 .. 1996-01
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                             "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "rev_units": rev})
+
+    per_order = hash_groupby_sum(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["l_orderkey"], "rev_units", out_col="rev_units")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    o_small = orders.map_batches(o_prep, batch_format="pyarrow").materialize()
+    j1 = gated_broadcast_join(per_order, o_small,
+                              on="l_orderkey", right_on="o_orderkey",
+                              how="inner")
+
+    # materialize: the rollup is compact (≤ customers with returned
+    # orders in the quarter) and the gate needs a provable row count —
+    # also the q3 scheduling rule (no two native exchanges co-scheduled)
+    per_cust = hash_groupby_sum(
+        j1.map_batches(lambda t: t.select(["o_custkey", "rev_units"]),
+                       batch_format="pyarrow"),
+        ["o_custkey"], "rev_units", out_col="rev_units").materialize()
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_acctbal",
+                               "c_nationkey"])
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "acctbal_cents": _cents(t["c_acctbal"]),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())})
+
+    j2 = gated_broadcast_join(cust.map_batches(c_prep,
+                                               batch_format="pyarrow"),
+                              per_cust, on="c_custkey",
+                              right_on="o_custkey", how="inner")
+
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j3 = gated_broadcast_join(
+        j2, nat.map_batches(
+            lambda t: pa.table({"c_nationkey": pc.cast(t["n_nationkey"],
+                                                       pa.int64()),
+                                "n_name": t["n_name"]}),
+            batch_format="pyarrow"),
+        on="c_nationkey", how="inner")
+
+    withg = j3.map_batches(
+        lambda t: t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    top = topn_per_group(withg, ["g"], "rev_units", 20,
+                         tie_cols=["c_custkey"], descending=True,
+                         compact=True)
+    return top.map_batches(
+        lambda t: t.select(["c_custkey", "c_name", "rev_units",
+                            "acctbal_cents", "n_name", "rank"]),
+        batch_format="pyarrow")
+
+
+SQL_Q10_RETURNED_ITEMS = f"""
+WITH r AS (
+  SELECT l_orderkey,
+         CAST(SUM({_CENTS.format(x='l_extendedprice')}
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS BIGINT) AS rev_units
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+), pc_ AS (
+  SELECT o.o_custkey, CAST(SUM(r.rev_units) AS BIGINT) AS rev_units
+  FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY 1
+), j AS (
+  SELECT c.c_custkey, c.c_name, pc_.rev_units,
+         {_CENTS.format(x='c.c_acctbal')} AS acctbal_cents, n.n_name
+  FROM pc_ JOIN customer c ON c.c_custkey = pc_.o_custkey
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT *, row_number() OVER (ORDER BY rev_units DESC, c_custkey) AS rank
+FROM j QUALIFY rank <= 20
+"""
+
+
+SQL_Q14_PROMO_REVENUE = f"""
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN u ELSE 0 END) AS BIGINT)
+         AS promo_units,
+       CAST(SUM(u) AS BIGINT) AS total_units
+FROM (
+  SELECT l_partkey,
+         {_CENTS.format(x='l_extendedprice')}
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01'
+) l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -11177,6 +11360,8 @@ QUERIES = {
     "events_srm_check": q_events_srm_check,
     "q22_global_sales": q_q22_global_sales_opportunity,
     "docs_cluster_representatives": q_docs_cluster_representatives,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q10_returned_items": q_q10_returned_items,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11448,6 +11633,8 @@ ORACLES = {
     "events_srm_check": SQL_EVENTS_SRM_CHECK,
     "q22_global_sales": SQL_Q22_GLOBAL_SALES,
     "docs_cluster_representatives": SQL_DOCS_CLUSTER_REPRESENTATIVES,
+    "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
+    "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

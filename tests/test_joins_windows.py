@@ -1204,3 +1204,85 @@ def test_q22_cross_multiply_threshold_and_anti_join():
         os.path.join(d, "orders.parquet"))
     out2 = q_q22_global_sales_opportunity(d).to_pandas()
     assert len(out2) == 0
+
+
+def test_q14_promo_units_integer_math():
+    """promo/total numerator-denominator math: revenue unit is
+    cents·(100 − discount%), promo restricted to p_type='PROMO',
+    rows outside the September window drop."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q14_promo_revenue,
+    )
+
+    d = tempfile.mkdtemp(prefix="q14_", dir="/tmp")
+    sep, oct_ = 1757721600000000, 1760400000000000  # 2025-09/10 — OUTSIDE
+    in1, in2 = 809913600000000, 810000000000000     # inside 1995-09
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 1], pa.int64()),
+        "l_shipdate": pa.array([in1, in2, sep],
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([10.0, 20.0, 99.0]),
+        "l_discount": pa.array([0.05, 0.10, 0.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["PROMO", "STANDARD"])}),
+        os.path.join(d, "part.parquet"))
+    out = q_q14_promo_revenue(d).to_pandas()
+    # row1: 1000 cents * 95 = 95000 (promo); row2: 2000 * 90 = 180000
+    assert out["promo_units"].tolist() == [95000]
+    assert out["total_units"].tolist() == [95000 + 180000]
+    assert oct_ > sep  # window constants sanity
+
+
+def test_q10_top20_rank_and_quarter_filter():
+    """Only R-flag lineitems of quarter orders count; rank orders by
+    revenue desc with custkey tie-break; nation name attaches."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q10_returned_items,
+    )
+
+    d = tempfile.mkdtemp(prefix="q10_", dir="/tmp")
+    inq, outq = 812505600000000, 780000000000000  # in / before the quarter
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R", "R"]),
+        "l_extendedprice": pa.array([10.0, 50.0, 10.0, 30.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([inq, inq, outq], pa.timestamp("us"))}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["a", "b", "c"]),
+        "c_acctbal": pa.array([1.0, 2.0, 3.0]),
+        "c_nationkey": pa.array([0, 0, 1], pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["ZERO", "ONE"])}),
+        os.path.join(d, "nation.parquet"))
+    out = (q_q10_returned_items(d).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    # cust 3's order is outside the quarter -> absent; the N-flag line
+    # of order 10 never counts. Both remaining customers tie at 100000
+    # units -> custkey ascending breaks the tie.
+    assert out["c_custkey"].tolist() == [1, 2]
+    assert out["rev_units"].tolist() == [100000, 100000]
+    assert out["rank"].tolist() == [1, 2]
+    assert out["n_name"].tolist() == ["ZERO", "ZERO"]
