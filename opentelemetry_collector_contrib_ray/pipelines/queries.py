@@ -11166,6 +11166,127 @@ def q_q10_returned_items(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume, region = ASIA): the
+    fixed-size nation⋈region dim resolves driver-side (25 + 5 rows at
+    ANY scale), the region-filtered supplier map gates onto the
+    lineitem scan carrying (s_nationkey, n_name), a per-(order, supp
+    nation) combiner folds lineitems before anything wide, the
+    year-filtered orders and the order-level rows attach through
+    size-gated joins (materialize() boundaries per the q3 scheduling
+    rule), the customer attach enforces the c_nationkey = s_nationkey
+    'local' equality as a vectorized post-filter, and the final
+    per-nation rollup moves O(nations) partials. Integer cents·pct
+    revenue units throughout."""
+    from ..stages.agg import compact_groupby, hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    D0, D1 = 788_918_400_000_000, 820_454_400_000_000  # 1995 full year
+
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia["r_name"] == "ASIA"]
+    keys = asia["n_nationkey"].to_numpy().astype(np.int64)
+    names = asia["n_name"].to_numpy()
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+
+    def s_prep(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["s_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        pos = np.searchsorted(keys[order], nk)
+        pos = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+        hit = keys[order][pos] == nk if len(keys) else np.zeros(
+            len(nk), bool)
+        t = pa.table({"s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                      "s_nationkey": pa.array(nk, pa.int64()),
+                      "n_name": pa.array(
+                          np.where(hit, names[order][pos], ""))})
+        return t.filter(pa.array(hit))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "rev_units": rev})
+
+    j0 = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        supp.map_batches(s_prep, batch_format="pyarrow").materialize(),
+        on="l_suppkey", right_on="s_suppkey", how="inner")
+
+    per_order = hash_groupby_sum(
+        j0.map_batches(
+            lambda t: t.select(["l_orderkey", "s_nationkey", "n_name",
+                                "rev_units"]),
+            batch_format="pyarrow"),
+        ["l_orderkey", "s_nationkey", "n_name"], "rev_units",
+        out_col="rev_units")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    o_small = orders.map_batches(o_prep, batch_format="pyarrow").materialize()
+    j1 = gated_broadcast_join(per_order, o_small,
+                              on="l_orderkey", right_on="o_orderkey",
+                              how="inner").materialize()
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())})
+
+    j2 = gated_broadcast_join(cust.map_batches(c_prep,
+                                               batch_format="pyarrow"),
+                              j1, on="c_custkey", right_on="o_custkey",
+                              how="inner")
+
+    local = j2.map_batches(
+        lambda t: t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"]))
+                   .select(["n_name", "rev_units"]),
+        batch_format="pyarrow")
+    return compact_groupby(local, ["n_name"],
+                           sum_cols={"rev_units": "rev_units"})
+
+
+SQL_Q5_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n.n_name,
+       CAST(SUM({_CENTS.format(x='l.l_extendedprice')}
+            * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+         AS BIGINT) AS rev_units
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n.n_name
+"""
+
+
 SQL_Q10_RETURNED_ITEMS = f"""
 WITH r AS (
   SELECT l_orderkey,
@@ -11362,6 +11483,7 @@ QUERIES = {
     "docs_cluster_representatives": q_docs_cluster_representatives,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q10_returned_items": q_q10_returned_items,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11635,6 +11757,7 @@ ORACLES = {
     "docs_cluster_representatives": SQL_DOCS_CLUSTER_REPRESENTATIVES,
     "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+    "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER_VOLUME,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

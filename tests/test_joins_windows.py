@@ -1286,3 +1286,57 @@ def test_q10_top20_rank_and_quarter_filter():
     assert out["rev_units"].tolist() == [100000, 100000]
     assert out["rank"].tolist() == [1, 2]
     assert out["n_name"].tolist() == ["ZERO", "ZERO"]
+
+
+def test_q5_local_equality_and_region_filter():
+    """Only lineitems whose supplier AND customer share an ASIA nation
+    count; the non-ASIA supplier drops at the dim gate."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q5_local_supplier_volume,
+    )
+
+    d = tempfile.mkdtemp(prefix="q5_", dir="/tmp")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["JP", "IN", "FR"]),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64())}),
+        os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["ASIA", "EUROPE"])}),
+        os.path.join(d, "region.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([100, 101, 102], pa.int64()),
+        "s_nationkey": pa.array([0, 1, 2], pa.int32())}),
+        os.path.join(d, "supplier.parquet"))
+    # cust 1 in JP, cust 2 in IN
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([0, 1], pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    in95 = 788918400000000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([in95, in95], pa.timestamp("us"))}),
+        os.path.join(d, "orders.parquet"))
+    # order 10 (JP cust): JP supplier (local, counts), IN supplier
+    # (non-local, drops), FR supplier (non-ASIA, drops at the dim).
+    # order 11 (IN cust): IN supplier (local, counts).
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 10, 11], pa.int64()),
+        "l_suppkey": pa.array([100, 101, 102, 101], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.5])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = (q_q5_local_supplier_volume(d).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    assert out["n_name"].tolist() == ["IN", "JP"]
+    # IN: 4000 cents * 50 = 200000; JP: 1000 * 100 = 100000
+    assert out["rev_units"].tolist() == [200000, 100000]
