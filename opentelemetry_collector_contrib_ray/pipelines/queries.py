@@ -11268,6 +11268,44 @@ def q_q5_local_supplier_volume(sf_dir: str):
                            sum_cols={"rev_units": "rev_units"})
 
 
+def q_events_global_rank(sf_dir: str):
+    """Distributed total-order row_number over the whole events table
+    (stages/windows.py global_rank: sampled boundaries → compact
+    bucket-count exchange → ONE row exchange; no global materialize,
+    no Ray sort operator). Rank is computed over EVERY row; the result
+    projects the deterministic event_id % 97 == 0 subset to keep the
+    comparison compact."""
+    from ..stages.windows import global_rank
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "cents": _cents(t["value"])})
+
+    ranked = global_rank(ds.map_batches(prep, batch_format="pyarrow"),
+                         ["cents", "event_id"], num_buckets=32)
+
+    def sample97(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    return ranked.map_batches(sample97, batch_format="pyarrow")
+
+
+SQL_EVENTS_GLOBAL_RANK = f"""
+WITH r AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         {_CENTS.format(x='value')} AS cents,
+         row_number() OVER (ORDER BY {_CENTS.format(x='value')},
+                            event_id) AS rank
+  FROM events
+)
+SELECT event_id, cents, CAST(rank AS BIGINT) AS rank
+FROM r WHERE event_id % 97 = 0
+"""
+
+
 SQL_Q5_LOCAL_SUPPLIER_VOLUME = f"""
 SELECT n.n_name,
        CAST(SUM({_CENTS.format(x='l.l_extendedprice')}
@@ -11484,6 +11522,7 @@ QUERIES = {
     "q14_promo_revenue": q_q14_promo_revenue,
     "q10_returned_items": q_q10_returned_items,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
+    "events_global_rank": q_events_global_rank,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11758,6 +11797,7 @@ ORACLES = {
     "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER_VOLUME,
+    "events_global_rank": SQL_EVENTS_GLOBAL_RANK,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

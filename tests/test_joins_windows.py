@@ -1340,3 +1340,32 @@ def test_q5_local_equality_and_region_filter():
     assert out["n_name"].tolist() == ["IN", "JP"]
     # IN: 4000 cents * 50 = 200000; JP: 1000 * 100 = 100000
     assert out["rev_units"].tolist() == [200000, 100000]
+
+
+def test_global_rank_total_order_and_ties():
+    """Cross-bucket offsets compose an exact total order; equal leading
+    values share one bucket so ties resolve via the next order column;
+    works across multiple blocks and with num_buckets > distinct values."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.windows import global_rank
+
+    df = pd.DataFrame({
+        "v": [5, 1, 3, 3, 9, 1, 3, 7, 0, 3],
+        "id": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    out = (global_rank(ds, ["v", "id"], num_buckets=3).to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    expect = df.sort_values(["v", "id"]).reset_index(drop=True)
+    assert out["v"].tolist() == expect["v"].tolist()
+    assert out["id"].tolist() == expect["id"].tolist()
+    assert out["rank"].tolist() == list(range(1, 11))
+
+    # num_buckets far above the distinct-value count still exact
+    out2 = (global_rank(rd.from_pandas(df).repartition(2), ["v", "id"],
+                        num_buckets=64).to_pandas()
+            .sort_values("rank").reset_index(drop=True))
+    assert out2["rank"].tolist() == list(range(1, 11))
+    assert out2["id"].tolist() == expect["id"].tolist()
