@@ -11293,6 +11293,73 @@ def q_events_global_rank(sf_dir: str):
     return ranked.map_batches(sample97, batch_format="pyarrow")
 
 
+def q_events_weighted_median_ts(sf_dir: str):
+    """Value-weighted median arrival time per event type ('when has
+    half the value landed' — the weighted-median family, done exactly
+    with integers): one key-hash exchange orders each type by (ts,
+    event_id) and cumulative-sums cents (stages/windows.py
+    running_total), per-type totals ride a compact partial exchange,
+    and the crossing row is the pure integer predicate
+    2·cum ≥ total AND 2·(cum − cents) < total — no division, no
+    average-of-two interpolation, so zero-weight rows can never be
+    selected and both engines agree bit-exactly."""
+    from ..stages.agg import compact_groupby
+    from ..stages.windows import running_total
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "ts_us": pc.cast(pc.cast(t["ts"], pa.int64()),
+                                          pa.int64()),
+                         "cents": _cents(t["value"])})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    totals_ds = compact_groupby(prepped, ["event_type"],
+                                sum_cols={"cents": "total"}).materialize()
+    totals = {}
+    for b in totals_ds.iter_batches(batch_format="pyarrow"):
+        totals.update(zip(b["event_type"].to_pylist(),
+                          b["total"].to_pylist()))
+
+    cum = running_total(prepped, ["event_type"], ["ts_us", "event_id"],
+                        "cents", out_col="cum")
+
+    def crossing(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tot = pd.Series(t["event_type"].to_pylist()).map(totals) \
+            .to_numpy(np.int64)
+        c = t["cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (2 * c >= tot) & (2 * (c - w) < tot)
+        t = t.filter(pa.array(keep))
+        return pa.table({"event_type": t["event_type"],
+                         "median_ts_us": t["ts_us"]})
+
+    return cum.map_batches(crossing, batch_format="pyarrow")
+
+
+SQL_EVENTS_WEIGHTED_MEDIAN_TS = f"""
+WITH p AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, CAST(event_id AS BIGINT) AS eid,
+         {_CENTS.format(x='value')} AS cents
+  FROM events
+), c AS (
+  SELECT event_type, ts_us, cents,
+         SUM(cents) OVER (PARTITION BY event_type
+                          ORDER BY ts_us, eid
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER (PARTITION BY event_type) AS total
+  FROM p
+)
+SELECT event_type, ts_us AS median_ts_us
+FROM c WHERE 2 * cum >= total AND 2 * (cum - cents) < total
+"""
+
+
 SQL_EVENTS_GLOBAL_RANK = f"""
 WITH r AS (
   SELECT CAST(event_id AS BIGINT) AS event_id,
@@ -11523,6 +11590,7 @@ QUERIES = {
     "q10_returned_items": q_q10_returned_items,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "events_global_rank": q_events_global_rank,
+    "events_weighted_median_ts": q_events_weighted_median_ts,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11798,6 +11866,7 @@ ORACLES = {
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER_VOLUME,
     "events_global_rank": SQL_EVENTS_GLOBAL_RANK,
+    "events_weighted_median_ts": SQL_EVENTS_WEIGHTED_MEDIAN_TS,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -1369,3 +1369,34 @@ def test_global_rank_total_order_and_ties():
             .sort_values("rank").reset_index(drop=True))
     assert out2["rank"].tolist() == list(range(1, 11))
     assert out2["id"].tolist() == expect["id"].tolist()
+
+
+def test_weighted_median_crossing_rules():
+    """Zero-weight rows are never the crossing row; the crossing row is
+    where cumulative weight first reaches half the total; zero-total
+    keys vanish."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_weighted_median_ts,
+    )
+
+    d = tempfile.mkdtemp(prefix="wmed_", dir="/tmp")
+    # type A: weights 1.0, 0.0, 3.0 cents=100,0,300 total=400 ->
+    #   crossing at cum>=200: third row (ts 30); the zero row can't win.
+    # type B: single row -> itself. type Z: all zero -> excluded.
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "event_type": pa.array(["A", "A", "A", "B", "Z"]),
+        "ts": pa.array([10_000_000, 20_000_000, 30_000_000,
+                        7_000_000, 1_000_000], pa.timestamp("us")),
+        "value": pa.array([1.0, 0.0, 3.0, 2.5, 0.0])}),
+        os.path.join(d, "events.parquet"))
+    out = (q_events_weighted_median_ts(d).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    assert out["event_type"].tolist() == ["A", "B"]
+    assert out["median_ts_us"].tolist() == [30_000_000, 7_000_000]
