@@ -11293,6 +11293,40 @@ def q_events_global_rank(sf_dir: str):
     return ranked.map_batches(sample97, batch_format="pyarrow")
 
 
+def q_docs_phrase_search(sf_dir: str):
+    """Exact phrase search ('table scan' as adjacent tokens) over a
+    positional inverted index (stages/index.py build_positional_index
+    + phrase_search): postings carry (term, doc, pos), the query reads
+    ONLY the buckets its terms hash to, and adjacency resolves as one
+    compact (doc, anchor = pos − slot) exchange where a doc matches
+    when an anchor collects every phrase slot."""
+    import shutil
+    import tempfile
+
+    from ..stages.index import build_positional_index, phrase_search
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tempfile.mkdtemp(prefix="posidx_", dir="/tmp")
+    try:
+        build_positional_index(ds, out, n_buckets=64)
+        return phrase_search(out, ["table", "scan"],
+                             n_buckets=64).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_DOCS_PHRASE_SEARCH = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(regexp_replace(coalesce(text, ''),
+           '^\s+|\s+$', '', 'g'), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id FROM tok
+WHERE len(list_filter(range(1, len(ws)),
+          i -> ws[i] = 'table' AND ws[i+1] = 'scan')) > 0
+"""
+
+
 def q_events_weighted_median_ts(sf_dir: str):
     """Value-weighted median arrival time per event type ('when has
     half the value landed' — the weighted-median family, done exactly
@@ -11591,6 +11625,7 @@ QUERIES = {
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "events_global_rank": q_events_global_rank,
     "events_weighted_median_ts": q_events_weighted_median_ts,
+    "docs_phrase_search": q_docs_phrase_search,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11867,6 +11902,7 @@ ORACLES = {
     "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER_VOLUME,
     "events_global_rank": SQL_EVENTS_GLOBAL_RANK,
     "events_weighted_median_ts": SQL_EVENTS_WEIGHTED_MEDIAN_TS,
+    "docs_phrase_search": SQL_DOCS_PHRASE_SEARCH,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

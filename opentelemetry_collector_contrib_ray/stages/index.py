@@ -103,3 +103,104 @@ def search_index(out_dir: str, terms: list[str], id_col: str = "doc_id",
 
         return counts.map_batches(keep_all, batch_format="pyarrow")
     return counts.select_columns([id_col])
+
+
+def build_positional_index(ds, out_dir: str, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = 64):
+    """Positional postings (term, doc, pos) — the phrase-query index.
+    Same one-streaming-pass Hive-bucketed build as the boolean index;
+    positions are 0-based offsets into the whitespace token list, so a
+    posting row is ~3 small columns and the text never leaves the map
+    stage. (term, doc, pos) is unique by construction — no dedup."""
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(
+                pc.fill_null(pc.cast(t[text_col], pa.string()), "")),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(len(flat), dtype=np.int64) - starts
+        keep = flat != ""
+        df = pd.DataFrame({"term": flat[keep], id_col: ids[keep],
+                           "pos": pos[keep]})
+        df["bucket"] = _term_bucket(df["term"].to_numpy().astype("U"),
+                                    n_buckets)
+        return pa_from_pandas(df)
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return out_dir
+
+
+def phrase_search(out_dir: str, phrase: list[str], id_col: str = "doc_id",
+                  n_buckets: int = 64):
+    """Exact phrase query against a positional index: read ONLY the
+    buckets the phrase's distinct terms hash to, turn every posting of
+    slot-j's term into an (doc, anchor = pos − j, slot) vote, and a doc
+    matches when some anchor collects ALL k slots. Postings are unique,
+    so the slot count per (doc, anchor) equals the number of satisfied
+    slots — one compact (doc, anchor) exchange resolves it; repeated
+    phrase terms ('batch batch') just vote the same postings into two
+    slots. Query cost scales with the phrase's term postings, never the
+    corpus."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from .agg import hash_groupby_sum
+
+    k = len(phrase)
+    uniq = sorted(set(phrase))
+    buckets = sorted(set(
+        _term_bucket(np.array(uniq, dtype="U"), n_buckets).tolist()))
+    paths = [f for b in buckets
+             for f in sorted(glob.glob(
+                 os.path.join(out_dir, f"bucket={b}", "*.parquet")))]
+    ds = rd.read_parquet(paths, columns=["term", id_col, "pos"])
+
+    slots: dict[str, list[int]] = {}
+    for j, term in enumerate(phrase):
+        slots.setdefault(term, []).append(j)
+    tset = pa.array(uniq, pa.string())
+
+    def anchors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["term"], value_set=tset))
+        df = t.to_pandas()
+        outs = []
+        for term, js in slots.items():
+            sub = df[df["term"] == term]
+            for j in js:
+                outs.append(pd.DataFrame({
+                    id_col: sub[id_col].to_numpy(),
+                    "anchor": sub["pos"].to_numpy() - j,
+                    "one": np.ones(len(sub), np.int64)}))
+        out = (pd.concat(outs) if outs else
+               pd.DataFrame({id_col: [], "anchor": [], "one": []}))
+        out = out[out["anchor"] >= 0]
+        return pa_from_pandas(out.astype({id_col: "int64",
+                                          "anchor": "int64",
+                                          "one": "int64"}))
+
+    per_anchor = hash_groupby_sum(
+        ds.map_batches(anchors, batch_format="pyarrow"),
+        [id_col, "anchor"], "one", out_col="nslots")
+
+    def hit_docs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["nslots"], k))
+        df = t.to_pandas()[[id_col]].drop_duplicates()
+        df["one"] = np.ones(len(df), np.int64)
+        return pa_from_pandas(df)
+
+    docs = hash_groupby_sum(
+        per_anchor.map_batches(hit_docs, batch_format="pyarrow"),
+        [id_col], "one", out_col="n_anchors_parts")
+    return docs.map_batches(lambda t: t.select([id_col]),
+                            batch_format="pyarrow")

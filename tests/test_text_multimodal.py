@@ -966,3 +966,42 @@ def test_rawv_codec_roundtrip_and_frame_sampling():
         decode_rawv(b"NOPE" + data[4:])
     with pytest.raises(ValueError):
         decode_rawv(data[:-1])
+
+
+def test_phrase_search_adjacency_and_repeats(tmp_path):
+    """Phrase match requires ADJACENT tokens in order; repeated phrase
+    terms need genuinely consecutive occurrences; reversed order and
+    gapped pairs never match."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.index import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a table scan runs",        # match
+                 "scan table",               # reversed -> no
+                 "table big scan",           # gapped -> no
+                 "table scan table scan",    # match (twice)
+                 ""],                        # empty -> no
+    })
+    idx = str(tmp_path / "idx")
+    build_positional_index(rd.from_pandas(docs).repartition(3), idx,
+                           n_buckets=8)
+    hits = sorted(phrase_search(idx, ["table", "scan"], n_buckets=8)
+                  .to_pandas()["doc_id"].tolist())
+    assert hits == [1, 4]
+
+    # repeated-term phrase: only doc 6's true triple repeat matches
+    docs2 = pd.DataFrame({
+        "doc_id": [6, 7],
+        "text": ["x batch batch batch y", "batch x batch batch_end"],
+    })
+    idx2 = str(tmp_path / "idx2")
+    build_positional_index(rd.from_pandas(docs2), idx2, n_buckets=8)
+    hits2 = sorted(phrase_search(idx2, ["batch", "batch", "batch"],
+                                 n_buckets=8).to_pandas()["doc_id"].tolist())
+    assert hits2 == [6]
