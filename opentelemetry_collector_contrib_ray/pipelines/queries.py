@@ -11293,6 +11293,58 @@ def q_events_global_rank(sf_dir: str):
     return ranked.map_batches(sample97, batch_format="pyarrow")
 
 
+def q_events_overlap_pairs(sf_dir: str):
+    """GLOBAL interval × interval overlap join (stages/joins.py
+    interval_overlap_join — the shape range_join can't express because
+    both sides are intervals): every error event opens a 2-hour
+    incident window, every purchase opens a 2-hour activity window;
+    overlapping (incident, purchase) pairs roll up per day of the
+    overlap start max(s_a, s_b). Both sides replicate ≤ 2× into 2-hour
+    buckets, one (bucket) exchange, pairs emitted once in their
+    canonical bucket — no distinct pass before the rollup."""
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import interval_overlap_join
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    WIN = 7_200_000_000
+
+    def mk(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            return pa.table({"s": us,
+                             "e": pc.add(us, pa.scalar(WIN, pa.int64()))})
+        return fn
+
+    a = ev.map_batches(mk("error"), batch_format="pyarrow")
+    b = ev.map_batches(mk("purchase"), batch_format="pyarrow")
+    pairs = interval_overlap_join(a, b, "s", "e", bucket_width_s=7200)
+
+    def day(t: pa.Table) -> pa.Table:
+        s_l = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_r = t["s_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.maximum(s_l, s_r) // 86_400_000_000
+        return pa.table({"day": pa.array(d, pa.int64())})
+
+    return compact_groupby(pairs.map_batches(day, batch_format="pyarrow"),
+                           ["day"], count_alias="n_pairs")
+
+
+SQL_EVENTS_OVERLAP_PAIRS = """
+WITH a AS (
+  SELECT epoch_us(ts) AS s, epoch_us(ts) + 7200000000 AS e
+  FROM events WHERE event_type = 'error'
+), b AS (
+  SELECT epoch_us(ts) AS s, epoch_us(ts) + 7200000000 AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(greatest(a.s, b.s) // 86400000000 AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+GROUP BY 1
+"""
+
+
 def q_docs_phrase_search(sf_dir: str):
     """Exact phrase search ('table scan' as adjacent tokens) over a
     positional inverted index (stages/index.py build_positional_index
@@ -11626,6 +11678,7 @@ QUERIES = {
     "events_global_rank": q_events_global_rank,
     "events_weighted_median_ts": q_events_weighted_median_ts,
     "docs_phrase_search": q_docs_phrase_search,
+    "events_overlap_pairs": q_events_overlap_pairs,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11903,6 +11956,7 @@ ORACLES = {
     "events_global_rank": SQL_EVENTS_GLOBAL_RANK,
     "events_weighted_median_ts": SQL_EVENTS_WEIGHTED_MEDIAN_TS,
     "docs_phrase_search": SQL_DOCS_PHRASE_SEARCH,
+    "events_overlap_pairs": SQL_EVENTS_OVERLAP_PAIRS,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

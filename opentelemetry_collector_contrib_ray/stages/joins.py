@@ -834,3 +834,93 @@ def snapshot_diff(left, right, key: str, cmp_cols: list[str],
                                               batch_format="pandas")
     return compact_groupby(per_part, gcols + ["category"],
                            sum_cols={"n": "n"})
+
+
+def interval_overlap_join(left, right, start: str, end: str,
+                          bucket_width_s: int, key: str | None = None,
+                          suffix: str = "_r",
+                          num_partitions: int | None = None):
+    """Interval × interval overlap join: one output row per (left,
+    right) pair with ``max(starts) ≤ min(ends)`` (closed-closed
+    overlap) and equal ``key`` (or globally when ``key=None``) — the
+    shape ``range_join`` cannot express because BOTH sides are
+    intervals. Each side replicates into every time bucket it overlaps
+    (factor len/width + 1 — pick ``bucket_width_s`` ≈ the max interval
+    length), ONE hash exchange on (key, bucket) co-locates all
+    candidates, and a pair is emitted ONLY in its canonical bucket —
+    the bucket containing ``max(s_l, s_r)``, an instant both intervals
+    span, so exactly one replica pair survives with NO distinct pass
+    (downstream aggregates roll up directly). Partitioning assumption:
+    one (key, bucket) cell fits a worker, same contract as range_join/
+    asof_join."""
+    k = key or "__k"
+    width_us = int(bucket_width_s) * 1_000_000
+    n_parts = num_partitions or _derive_partitions(left, right, 500_000)
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    ren = {c: (c + suffix if c in lcols else c)
+           for c in rschema.names if c != key}
+    rstart, rend = ren.get(start, start), ren.get(end, end)
+
+    def add_const(t: pa.Table) -> pa.Table:
+        return t.append_column(k, pa.array(
+            np.zeros(t.num_rows, np.int64)))
+
+    def rename_right(t: pa.Table) -> pa.Table:
+        return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+    lb = left
+    rb = right.map_batches(rename_right, batch_format="pyarrow")
+    if key is None:
+        lb = lb.map_batches(add_const, batch_format="pyarrow")
+        rb = rb.map_batches(add_const, batch_format="pyarrow")
+    lb = lb.map_batches(
+        _replicate_intervals(k, start, end, width_us, closed_end=True),
+        batch_format="pyarrow")
+    rb = rb.map_batches(
+        _replicate_intervals(k, rstart, rend, width_us, closed_end=True),
+        batch_format="pyarrow")
+
+    base_fields: dict = {}
+    for s in (lschema,):
+        for name, typ in zip(s.names, s.types):
+            base_fields.setdefault(name, _pa_type(typ))
+    for name, typ in zip(rschema.names, rschema.types):
+        base_fields.setdefault(ren.get(name, name), _pa_type(typ))
+    if key is None:
+        base_fields[k] = pa.int64()
+
+    out_l = [c for c in lcols]
+    out_r = [ren.get(c, c) for c in rschema.names if c != key]
+
+    def _us(col) -> np.ndarray:
+        v = col.to_numpy()
+        if v.dtype.kind == "M":
+            return v.astype("datetime64[us]").astype(np.int64)
+        return v.astype(np.int64)
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", list(dict.fromkeys(
+            out_l + [k, "__b"]))]
+        r = g.loc[g["__side"] == "r", list(dict.fromkeys(
+            out_r + [k, "__b"]))]
+        m = l.merge(r, on=[k, "__b"])
+        if len(m) == 0:
+            return m[out_l + out_r]
+        s_l, e_l = _us(m[start]), _us(m[end])
+        s_r, e_r = _us(m[rstart]), _us(m[rend])
+        smax = np.maximum(s_l, s_r)
+        keep = (smax <= np.minimum(e_l, e_r)) & \
+               (smax // width_us == m["__b"].to_numpy().astype(np.int64))
+        return m.loc[keep, out_l + out_r]
+
+    both = _align_union(
+        [lb.map_batches(_tag("l"), batch_format="pyarrow"),
+         rb.map_batches(_tag("r"), batch_format="pyarrow")],
+        dict(base_fields, __b=pa.int64(), __side=pa.string()),
+    )
+    both = both.map_batches(_add_part([k, "__b"], n_parts),
+                            batch_format="pyarrow")
+    return both.groupby("__p").map_groups(join_part, batch_format="pandas")

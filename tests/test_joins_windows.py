@@ -1400,3 +1400,39 @@ def test_weighted_median_crossing_rules():
            .sort_values("event_type").reset_index(drop=True))
     assert out["event_type"].tolist() == ["A", "B"]
     assert out["median_ts_us"].tolist() == [30_000_000, 7_000_000]
+
+
+def test_interval_overlap_join_canonical_dedup():
+    """A pair overlapping across MANY shared buckets is emitted exactly
+    once; touching endpoints count (closed-closed); disjoint intervals
+    never pair; keyed mode never crosses keys."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.joins import (
+        interval_overlap_join,
+    )
+
+    W = 1_000_000  # 1 s buckets
+    a = pd.DataFrame({"aid": [1, 2, 3],
+                      "s": [0 * W, 10 * W, 20 * W],
+                      "e": [8 * W, 11 * W, 21 * W]})
+    b = pd.DataFrame({"bid": [10, 11, 12],
+                      "s": [2 * W, 11 * W, 30 * W],
+                      "e": [9 * W, 12 * W, 31 * W]})
+    out = interval_overlap_join(
+        rd.from_pandas(a).repartition(2), rd.from_pandas(b).repartition(2),
+        "s", "e", bucket_width_s=1).to_pandas()
+    got = sorted(zip(out["aid"], out["bid"]))
+    # (1,10): overlap spans buckets 2..8 -> once. (2,11): touching at
+    # 11s exactly (e_a == s_b) -> closed-closed counts. 3 pairs nothing.
+    assert got == [(1, 10), (2, 11)]
+
+    # keyed mode: same intervals, different keys -> no pair
+    a["k"] = [1, 1, 1]
+    b["k"] = [2, 1, 1]
+    outk = interval_overlap_join(
+        rd.from_pandas(a), rd.from_pandas(b), "s", "e",
+        bucket_width_s=1, key="k").to_pandas()
+    gotk = sorted(zip(outk["aid"], outk["bid"]))
+    assert gotk == [(2, 11)]   # (1,10) now keys 1 vs 2 -> dropped
