@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "emb_pq_adc_topk",
     "events_exp_histogram",
     "q18_large_orders",
+    "q5_local_supplier_volume",
+    "events_global_rank",
+    "events_overlap_pairs",
+    "docs_phrase_search",
 ]
 
 

@@ -7772,6 +7772,92 @@ FROM events GROUP BY day
 """
 
 
+def q_docs_jaccard_prefix(sf_dir: str):
+    """Prefix-filtered EXACT Jaccard similarity join (stages/dedup.py
+    ngram_jaccard_prefix_pairs — AllPairs/PPJoin): candidate generation
+    touches only each doc's |d| − ⌈t·|d|⌉ + 1 rarest grams, exact
+    verification restores the full intersection, NO max_df truncation
+    anywhere. Twin: the all-pairs SQL with no df cap — the prefix
+    filter provably misses no pair, the verifier kills every false
+    candidate, so the outputs are identical sets."""
+    from ..stages.dedup import ngram_jaccard_prefix_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_prefix_pairs(docs, threshold_num=8,
+                                      threshold_den=10, n=3)
+
+
+SQL_DOCS_JACCARD_PREFIX = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks
+  )
+), dc AS (
+  SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared
+FROM pairs p JOIN dc da ON p.id_a = da.doc_id JOIN dc db ON p.id_b = db.doc_id
+WHERE 10 * p.shared >= 8 * (da.c + db.c - p.shared)
+"""
+
+
+def q_events_unpivot_daily(sf_dir: str):
+    """Wide → long unpivot (stages/transformers.py melt — the inverse
+    of the fixed-column pivot, and the other half of a reshaping
+    surface): the per-day wide count matrix melts back to (day,
+    event_type, n) INCLUDING the structural zeros the pivot
+    materialized. Pure per-block columnar fan-out after the pivot's
+    bounded exchange — melt itself moves nothing."""
+    from ..stages.agg import pivot_counts
+    from ..stages.transformers import melt
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000),
+            "event_type": t["event_type"]})
+
+    kinds = ["view", "click", "purchase", "signup", "error"]
+    wide = pivot_counts(ds.map_batches(prep, batch_format="pyarrow"),
+                        "day", "event_type", kinds)
+    return melt(wide, ["day"], [f"n_{k}" for k in kinds],
+                var_col="event_type", val_col="n", var_names=kinds)
+
+
+SQL_EVENTS_UNPIVOT_DAILY = """
+WITH wide AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_signup,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_error
+  FROM events GROUP BY day
+)
+SELECT day, 'view' AS event_type, n_view AS n FROM wide
+UNION ALL SELECT day, 'click', n_click FROM wide
+UNION ALL SELECT day, 'purchase', n_purchase FROM wide
+UNION ALL SELECT day, 'signup', n_signup FROM wide
+UNION ALL SELECT day, 'error', n_error FROM wide
+"""
+
+
 def q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling WITHOUT replacement (the
     integer-exact rendering of the Efraimidis–Spirakis key scheme):
@@ -8875,7 +8961,7 @@ def q_q3_shipping_priority(sf_dir: str):
     pct)). Exercises semi-join gate + combiner-below-join + bucketed
     join + top-k in one pipeline."""
     from ..stages.agg import hash_groupby_sum, topn_per_group
-    from ..stages.joins import bucketed_hash_join, gated_semi_join
+    from ..stages.joins import gated_broadcast_join, gated_semi_join
 
     D_US = 883_612_800_000_000  # 1998-01-01 in epoch µs
 
@@ -8938,8 +9024,14 @@ def q_q3_shipping_priority(sf_dir: str):
     # the broadcast path this is a cheap no-op-sized materialization.
     o_sel = o_sel.materialize()
 
-    j = bucketed_hash_join(l_rev, o_sel, on="l_orderkey",
-                           right_on="o_orderkey", how="inner")
+    # size-gated (the Q18 lesson): o_sel is filter-bounded (date ∧
+    # segment) and already materialized for the staging rule, so the
+    # gate sees its exact count and broadcasts it onto the streaming
+    # revenue combiner under the threshold — the native hash join above
+    # it paid ~6 s of fixed exchange latency at sf0.1/32 for a ~20k-row
+    # right side (10.2 s → ~4 s)
+    j = gated_broadcast_join(l_rev, o_sel, on="l_orderkey",
+                             right_on="o_orderkey", how="inner")
     withg = j.map_batches(
         lambda t: t.append_column(
             "g", pa.array(np.zeros(t.num_rows, np.int64))),
@@ -11679,6 +11771,8 @@ QUERIES = {
     "events_weighted_median_ts": q_events_weighted_median_ts,
     "docs_phrase_search": q_docs_phrase_search,
     "events_overlap_pairs": q_events_overlap_pairs,
+    "events_unpivot_daily": q_events_unpivot_daily,
+    "docs_jaccard_prefix": q_docs_jaccard_prefix,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -11957,6 +12051,8 @@ ORACLES = {
     "events_weighted_median_ts": SQL_EVENTS_WEIGHTED_MEDIAN_TS,
     "docs_phrase_search": SQL_DOCS_PHRASE_SEARCH,
     "events_overlap_pairs": SQL_EVENTS_OVERLAP_PAIRS,
+    "events_unpivot_daily": SQL_EVENTS_UNPIVOT_DAILY,
+    "docs_jaccard_prefix": SQL_DOCS_JACCARD_PREFIX,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

@@ -918,3 +918,159 @@ def span_dedup(ds, k: int = 8, col: str = "text", id_col: str = "doc_id",
     docs_tagged = ds.map_batches(tag_docs, batch_format="pyarrow")
     return docs_tagged.union(drop_ds).groupby("__q") \
         .map_groups(rebuild, batch_format="pandas")
+
+
+def ngram_jaccard_prefix_pairs(ds, threshold_num: int = 8,
+                               threshold_den: int = 10, n: int = 3,
+                               col: str = "text", id_col: str = "doc_id",
+                               num_partitions: int = 64):
+    """AllPairs/PPJoin-style prefix-filtered EXACT n-gram Jaccard join
+    (Chaudhuri et al. SSJoin 2006; Xiao et al. PPJoin 2008) — the
+    no-df-cap scale path beside ``ngram_jaccard_pairs`` (whose
+    ``max_df`` valve truncates stopword grams out of the intersection):
+    only each doc's PREFIX — its |d| − ⌈t·|d|⌉ + 1 globally RAREST
+    grams under the total order (df, gram) — enters pair generation,
+    so frequent grams never fan out quadratically; a per-candidate
+    verification pass then computes the FULL exact intersection. If
+    J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so the intersection must hit A's
+    prefix (and B's): with one shared global order the two prefixes
+    provably share a gram — no true pair is ever missed, and the
+    verifier kills every false candidate.
+
+    Six narrow integer exchanges (text never moves):
+    1. by gram: df = run length (a gram's rows co-locate), attached.
+    2. by doc: per-doc (df, gram) sort → prefix rows.
+    3. by gram over PREFIX rows only: run pairs = candidates.
+    4. by pair: distinct candidates.
+    5. by doc: each candidate fans to its two member docs and picks up
+       that doc's full gram list (cost Σ(|A|+|B|) over candidates —
+       the verification volume PPJoin pays instead of a df cap).
+    6. by pair: grams seen from BOTH sides = |A∩B|; keep when
+       den·C ≥ num·(|A|+|B|−C). Gram rows re-derive from the source on
+       pass 5 (a map over the pruned read — streaming, never
+       materialized)."""
+    from .base import pa_from_pandas
+
+    grams = ds.map_batches(ShingleRows(n=n, col=col, id_col=id_col),
+                           batch_format="pyarrow")
+
+    def mix_part(colname: str):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t[colname].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = v * np.uint64(0x9E3779B97F4A7C15)
+            return t.append_column("__p", pa.array(
+                (h % np.uint64(num_partitions)).astype(np.int64)))
+        return fn
+
+    # 1) df per gram, attached to each row inside the gram partition
+    def attach_df(g: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "gram": g["gram"].to_numpy(),
+            "c": g["c"].to_numpy(),
+            "df": g.groupby("gram")["gram"].transform("size")
+                   .to_numpy().astype(np.int64)})
+        return pa_from_pandas(out)
+
+    wdf = (grams.map_batches(mix_part("gram"), batch_format="pyarrow")
+                .groupby("__p").map_groups(attach_df,
+                                           batch_format="pandas"))
+
+    # 2) per-doc rarest-first prefix
+    def prefixes(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([id_col, "df", "gram"], kind="mergesort")
+        c = g["c"].to_numpy().astype(np.int64)
+        p = c - (-(-threshold_num * c) // threshold_den) + 1
+        ids = g[id_col].to_numpy().astype(np.int64)
+        new = np.r_[True, ids[1:] != ids[:-1]]
+        idx = np.arange(len(g), dtype=np.int64)
+        rank = idx - idx[new][np.cumsum(new) - 1]
+        out = g.loc[rank < p, [id_col, "gram", "c"]]
+        return pa_from_pandas(out.astype("int64"))
+
+    pref = (wdf.map_batches(mix_part(id_col), batch_format="pyarrow")
+               .groupby("__p").map_groups(prefixes, batch_format="pandas"))
+
+    # 3) candidates from prefix-gram runs
+    def cand_partition(g: pd.DataFrame) -> pa.Table:
+        a, b, ca, cb = _pairs_from_runs(
+            g[id_col].to_numpy(), g["gram"].to_numpy(),
+            g["c"].to_numpy(), None)
+        return pa_from_pandas(pd.DataFrame(
+            {"id_a": a, "id_b": b, "c_a": ca, "c_b": cb})
+            .drop_duplicates())
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ b
+        return t.append_column("__p", pa.array(
+            (h % np.uint64(num_partitions)).astype(np.int64)))
+
+    # 4) global distinct candidates
+    def distinct_cands(g: pd.DataFrame) -> pa.Table:
+        return pa_from_pandas(
+            g.drop(columns="__p").drop_duplicates().astype("int64"))
+
+    cands = (pref.map_batches(mix_part("gram"), batch_format="pyarrow")
+                 .groupby("__p").map_groups(cand_partition,
+                                            batch_format="pandas")
+                 .map_batches(pair_part, batch_format="pyarrow")
+                 .groupby("__p").map_groups(distinct_cands,
+                                            batch_format="pandas"))
+
+    # 5) fan candidates to member docs, pick up full gram lists
+    def fan_sides(t: pa.Table) -> pa.Table:
+        both = pa.concat_tables([
+            pa.table({"doc": t["id_a"], "id_a": t["id_a"],
+                      "id_b": t["id_b"], "c_a": t["c_a"],
+                      "c_b": t["c_b"]}),
+            pa.table({"doc": t["id_b"], "id_a": t["id_a"],
+                      "id_b": t["id_b"], "c_a": t["c_a"],
+                      "c_b": t["c_b"]})])
+        z = pa.nulls(both.num_rows, pa.int64())
+        return pa.table({"doc": both["doc"], "id_a": both["id_a"],
+                         "id_b": both["id_b"], "c_a": both["c_a"],
+                         "c_b": both["c_b"], "gram": z,
+                         "__side": pa.array(["c"] * both.num_rows)})
+
+    def gram_side(t: pa.Table) -> pa.Table:
+        z = pa.nulls(t.num_rows, pa.int64())
+        return pa.table({"doc": t[id_col], "id_a": z, "id_b": z,
+                         "c_a": z, "c_b": z, "gram": t["gram"],
+                         "__side": pa.array(["g"] * t.num_rows)})
+
+    unioned = (cands.map_batches(fan_sides, batch_format="pyarrow")
+               .union(grams.map_batches(gram_side,
+                                        batch_format="pyarrow"))
+               .map_batches(mix_part("doc"), batch_format="pyarrow"))
+
+    def pickup(g: pd.DataFrame) -> pa.Table:
+        cs = g.loc[g["__side"] == "c",
+                   ["doc", "id_a", "id_b", "c_a", "c_b"]]
+        gs = g.loc[g["__side"] == "g", ["doc", "gram"]]
+        m = cs.merge(gs, on="doc")
+        return pa_from_pandas(
+            m[["id_a", "id_b", "c_a", "c_b", "gram"]].astype("int64"))
+
+    pair_grams = (unioned.groupby("__p")
+                  .map_groups(pickup, batch_format="pandas"))
+
+    # 6) exact intersection + threshold
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["id_a", "id_b", "c_a", "c_b", "gram"],
+                        as_index=False).size()
+        both = cnt[cnt["size"] >= 2]
+        agg = (both.groupby(["id_a", "id_b", "c_a", "c_b"],
+                            as_index=False).size()
+               .rename(columns={"size": "shared"}))
+        c = agg["shared"].to_numpy().astype(np.int64)
+        keep = threshold_den * c >= threshold_num * (
+            agg["c_a"].to_numpy().astype(np.int64)
+            + agg["c_b"].to_numpy().astype(np.int64) - c)
+        return agg.loc[keep, ["id_a", "id_b", "shared"]].astype("int64")
+
+    return (pair_grams.map_batches(pair_part, batch_format="pyarrow")
+            .groupby("__p").map_groups(verify, batch_format="pandas"))

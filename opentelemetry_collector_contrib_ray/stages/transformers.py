@@ -252,3 +252,26 @@ class FlattenStruct(BatchOp):
         for f in col.type:
             t = set_column(t, f"{self.field}.{f.name}", pc.struct_field(col, f.name))
         return t.drop_columns([self.field]) if self.drop else t
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_col: str = "variable", val_col: str = "value",
+         var_names: list[str] | None = None):
+    """Wide → long unpivot (the inverse of the fixed-column pivot):
+    each value column becomes ``len(value_cols)`` long rows per input
+    row, labeled by ``var_names`` (default: the column names). Pure
+    per-block columnar fan-out — ZERO exchange, streaming, row count
+    grows by exactly the column factor. Value columns are cast to a
+    common int64 (the pivot counts/sums this inverts are integral)."""
+    names = var_names or value_cols
+
+    def fn(t: pa.Table) -> pa.Table:
+        outs = []
+        for c, nm in zip(value_cols, names):
+            outs.append(pa.table({
+                **{k: t[k] for k in id_cols},
+                var_col: pa.array([nm] * t.num_rows, pa.string()),
+                val_col: pc.cast(t[c], pa.int64())}))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -834,3 +834,50 @@ def test_candidate_eval_composition(tmp_path):
     exact = q_docs_ngram_jaccard(sf).to_pandas()
     assert ev.get("tp", 0) + ev.get("fn", 0) == len(exact)
     assert ev.get("tp", 0) >= 0 and ev.get("fp", 0) >= 0
+
+
+def test_prefix_jaccard_matches_inverted_index_exact():
+    """PPJoin prefix filtering + exact verification equals the
+    inverted-index all-pairs join with no df cap — including on a
+    corpus with a stopword gram shared by EVERY doc (the case the
+    prefix must skip without losing pairs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    stop = "the quick brown "       # shared trigram in every doc
+    body = "alpha beta gamma delta epsilon zeta eta theta "
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [stop + body * 4,
+                 stop + body * 4 + "tail",          # near-dup of 1
+                 stop + body * 4 + "tail extra",    # near-dup of 1, 2
+                 stop + "totally different words here repeated " * 5,
+                 stop + "yet another unrelated document body " * 5],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+
+    def pairset(out):
+        df = out.to_pandas()
+        if len(df) == 0:
+            return set()
+        return set(zip(df["id_a"], df["id_b"], df["shared"]))
+
+    exact = pairset(ngram_jaccard_pairs(
+        rd.from_pandas(docs).repartition(3),
+        threshold_num=8, threshold_den=10, n=3, max_df=None))
+    pref = pairset(ngram_jaccard_prefix_pairs(
+        ds, threshold_num=8, threshold_den=10, n=3))
+    assert pref == exact and len(pref) >= 1
+
+    # no-pair corpus -> empty both ways
+    lonely = pd.DataFrame({"doc_id": [1, 2],
+                           "text": ["one two three four five six",
+                                    "seven eight nine ten eleven twelve"]})
+    assert pairset(ngram_jaccard_prefix_pairs(
+        rd.from_pandas(lonely), threshold_num=8, threshold_den=10,
+        n=3)) == set()

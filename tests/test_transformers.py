@@ -512,3 +512,22 @@ def test_l_diversity_audit_hand_case():
     assert out["class_size"].tolist() == [4, 3]
     assert out["n_sensitive"].tolist() == [1, 3]
     assert out["at_risk"].tolist() == [1, 0]
+
+
+def test_melt_unpivot_roundtrip():
+    """melt fans each value column to labeled long rows, preserves ids,
+    and moves nothing (pure map) — wide row count × columns = long."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.transformers import melt
+
+    wide = pd.DataFrame({"k": [1, 2], "n_a": [10, 0], "n_b": [3, 7]})
+    out = (melt(rd.from_pandas(wide).repartition(2), ["k"],
+                ["n_a", "n_b"], var_col="kind", val_col="n",
+                var_names=["a", "b"])
+           .to_pandas().sort_values(["k", "kind"]).reset_index(drop=True))
+    assert len(out) == 4
+    assert out.to_dict("list") == {"k": [1, 1, 2, 2],
+                                   "kind": ["a", "b", "a", "b"],
+                                   "n": [10, 3, 0, 7]}
