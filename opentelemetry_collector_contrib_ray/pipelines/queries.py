@@ -11609,6 +11609,217 @@ FROM (
 """
 
 
+def q_q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking via EXISTS semi-join;
+    dbgen Q4 at tpch/queries/4.sql). The reference predicate
+    (l_commitdate < l_receiptdate) is not expressible over this corpus
+    — lineitem carries no commit/receipt dates — so the documented
+    adaptation keeps the EXISTS shape with "some lineitem shipped more
+    than 30 days after the order date". The per-order EXISTS collapses
+    to a per-order MAX(l_shipdate) combiner (ONE hash exchange of
+    compact (orderkey, max_ship) pairs — works at unbounded order
+    cardinality), the quarter-filtered orders gate onto it through the
+    size-gated broadcast, and priorities roll up in O(5) rows."""
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+    from ..stages.joins import gated_broadcast_join
+
+    D0, D1 = 804_556_800_000_000, 812_505_600_000_000  # 1995-07 .. -10
+    LATE_US = 30 * 86_400_000_000
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+
+    per_order = hash_groupby_agg(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["l_orderkey"], {"ship_us": ("max", "max_ship_us")})
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_date_us": pc.cast(t["o_orderdate"], pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    o_small = orders.map_batches(o_prep, batch_format="pyarrow").materialize()
+    j = gated_broadcast_join(per_order, o_small,
+                             on="l_orderkey", right_on="o_orderkey",
+                             how="inner")
+
+    def late(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["max_ship_us"],
+                          pc.add(t["o_date_us"],
+                                 pa.scalar(LATE_US, pa.int64())))
+        return t.filter(keep).select(["o_orderpriority"])
+
+    return compact_groupby(j.map_batches(late, batch_format="pyarrow"),
+                           ["o_orderpriority"], count_alias="n")
+
+
+SQL_Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate < TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_q12_late_shipments(sf_dir: str):
+    """TPC-H Q12 shape (shipping-mode priority classes; dbgen Q12 at
+    tpch/queries/12.sql). Adapted to this corpus: no l_shipmode /
+    commit / receipt dates exist, so the class column is
+    l_linestatus and "late" is l_shipdate > o_orderdate + 90 days —
+    the join + two-class conditional-count shape is unchanged. The
+    orders dim ships ONCE as three int64 columns through the
+    size-gated broadcast (native hash join above the threshold);
+    per-class partials fold in O(2) rows."""
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import gated_broadcast_join
+
+    LATE_US = 90 * 86_400_000_000
+    HIGH = ("1-URGENT", "2-HIGH")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_linestatus": t["l_linestatus"],
+                         "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        is_high = pc.cast(pc.is_in(t["o_orderpriority"],
+                                   value_set=pa.array(HIGH)), pa.int64())
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_date_us": pc.cast(t["o_orderdate"], pa.int64()),
+                         "is_high": is_high})
+
+    j = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey", how="inner")
+
+    def late(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["ship_us"],
+                          pc.add(t["o_date_us"],
+                                 pa.scalar(LATE_US, pa.int64())))
+        t = t.filter(keep)
+        return pa.table({"l_linestatus": t["l_linestatus"],
+                         "high_n": t["is_high"],
+                         "low_n": pc.subtract(pa.scalar(1, pa.int64()),
+                                              t["is_high"])})
+
+    return compact_groupby(j.map_batches(late, batch_format="pyarrow"),
+                           ["l_linestatus"],
+                           sum_cols={"high_n": "high_n", "low_n": "low_n"})
+
+
+SQL_Q12_LATE_SHIPMENTS = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_n
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+"""
+
+
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier by quarter revenue; dbgen Q15's
+    revenue view + max filter, tpch/queries/15.sql). The per-supplier
+    revenue rollup is ONE hash exchange (unbounded supplier
+    cardinality), materialized ONCE and reused for both the global-max
+    fold (per-block max partials → one tiny block) and the winner
+    filter — the scalar max ships back as a broadcast, never the
+    table. Supplier names attach through the size-gated broadcast.
+    Integer cents·pct revenue units, so max-equality is exact."""
+    from ..stages.agg import hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    D0, D1 = 820_454_400_000_000, 828_316_800_000_000  # 1996-01 .. -04
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                             "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)))
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        return pa.table({"l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "rev_units": rev})
+
+    rev = hash_groupby_sum(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["l_suppkey"], "rev_units", out_col="total_units").materialize()
+
+    def max_partial(col):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.max(t[col]).as_py() if t.num_rows else None
+            if m is None:
+                return pa.table({"m": pa.array([], pa.int64())})
+            return pa.table({"m": pa.array([m], pa.int64())})
+        return fn
+
+    mx_tbl = (rev.map_batches(max_partial("total_units"),
+                              batch_format="pyarrow")
+                 .repartition(1)
+                 .map_batches(max_partial("m"), batch_format="pyarrow")
+                 .take_all())
+    mx = mx_tbl[0]["m"] if mx_tbl else None
+
+    winners = (rev.filter(expr=f"total_units == {mx}") if mx is not None
+               else rev.filter(expr="total_units < 0")).materialize()
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def s_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                         "s_name": t["s_name"]})
+
+    # winners is provably tiny (max-ties only) — broadcast IT onto the
+    # streaming supplier scan, never the other way around
+    return gated_broadcast_join(
+        supp.map_batches(s_prep, batch_format="pyarrow"), winners,
+        on="s_suppkey", right_on="l_suppkey", how="inner")
+
+
+SQL_Q15_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM({_CENTS.format(x='l_extendedprice')}
+              * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+           AS BIGINT) AS total_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_units
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_units = (SELECT MAX(total_units) FROM rev)
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -11765,6 +11976,9 @@ QUERIES = {
     "q22_global_sales": q_q22_global_sales_opportunity,
     "docs_cluster_representatives": q_docs_cluster_representatives,
     "q14_promo_revenue": q_q14_promo_revenue,
+    "q4_order_priority": q_q4_order_priority,
+    "q12_late_shipments": q_q12_late_shipments,
+    "q15_top_supplier": q_q15_top_supplier,
     "q10_returned_items": q_q10_returned_items,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "events_global_rank": q_events_global_rank,
@@ -12045,6 +12259,9 @@ ORACLES = {
     "q22_global_sales": SQL_Q22_GLOBAL_SALES,
     "docs_cluster_representatives": SQL_DOCS_CLUSTER_REPRESENTATIVES,
     "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
+    "q4_order_priority": SQL_Q4_ORDER_PRIORITY,
+    "q12_late_shipments": SQL_Q12_LATE_SHIPMENTS,
+    "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER_VOLUME,
     "events_global_rank": SQL_EVENTS_GLOBAL_RANK,

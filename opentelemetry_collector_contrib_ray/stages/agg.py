@@ -1006,6 +1006,40 @@ def hash_groupby_sum(ds, keys: list[str], value_col: str,
               .map_groups(final, batch_format="pandas"))
 
 
+def hash_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                     num_partitions: int = 64):
+    """``hash_groupby_sum`` generalized to any SELF-DECOMPOSABLE
+    aggregate (max of maxes = max, min of mins = min, sum of sums =
+    sum) — still exactly ONE exchange: an arrow ``group_by`` combiner
+    per block, a hash partition on the key tuple, one vectorized
+    pandas groupby per partition. ``aggs``: {input_col: (fn, alias)}
+    with fn ∈ {"sum", "max", "min"}. Unbounded group cardinality;
+    only (keys + aliases) partial rows move."""
+    import pandas as pd
+
+    fns = {c: f for c, (f, _) in aggs.items()}
+    aliases = {c: a for c, (_, a) in aggs.items()}
+
+    def pre(t: pa.Table) -> pa.Table:
+        proj = pa.table({**{k: t[k] for k in keys},
+                         **{c: t[c] for c in aggs}})
+        g = proj.group_by(keys).aggregate([(c, fns[c]) for c in aggs])
+        g = g.rename_columns(keys + [aliases[c] for c in aggs])
+        h = pd.util.hash_pandas_object(
+            g.select(keys).to_pandas(), index=False).to_numpy()
+        return g.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def final(g: "pd.DataFrame") -> pa.Table:
+        out = g.groupby(keys, as_index=False, sort=False).agg(
+            {aliases[c]: fns[c] for c in aggs})
+        return pa_from_pandas(out)
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(final, batch_format="pandas"))
+
+
 def pivot_counts(ds, key: str, col: str, values: list[str],
                  value_col: str | None = None,
                  total_alias: str = "total"):

@@ -1436,3 +1436,109 @@ def test_interval_overlap_join_canonical_dedup():
         bucket_width_s=1, key="k").to_pandas()
     gotk = sorted(zip(outk["aid"], outk["bid"]))
     assert gotk == [(2, 11)]   # (1,10) now keys 1 vs 2 -> dropped
+
+
+def test_q4_exists_via_per_order_max():
+    """EXISTS("a lineitem shipped >30d after order date") collapses to
+    per-order MAX(shipdate): boundary is strict, out-of-window orders
+    drop, multi-lineitem orders count once."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q4_order_priority,
+    )
+
+    d = tempfile.mkdtemp(prefix="q4_", dir="/tmp")
+    D = 30 * 86_400_000_000
+    jul = 804_556_800_000_000           # 1995-07-01, inside the quarter
+    may = 788_918_400_000_000           # 1995-01-01, outside
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([jul, jul, may, jul], pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "5-LOW", "1-URGENT", "2-HIGH"])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4, 4], pa.int64()),
+        "l_shipdate": pa.array(
+            [jul + D + 1,      # order 1: late -> counted
+             jul + D,          # order 2: exactly +30d -> NOT late
+             may + D + 1,      # order 3: late but order outside window
+             jul + 1,          # order 4: early line ...
+             jul + D + 5],     # ... plus a late line -> counted ONCE
+            pa.timestamp("us"))}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_q4_order_priority(d).to_pandas()
+    got = dict(zip(out["o_orderpriority"], out["n"]))
+    assert got == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_q12_late_class_counts():
+    """late = ship > orderdate + 90d (strict); high/low classed by
+    order priority, grouped by linestatus."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q12_late_shipments,
+    )
+
+    d = tempfile.mkdtemp(prefix="q12_", dir="/tmp")
+    D = 90 * 86_400_000_000
+    t0 = 800_000_000_000_000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([t0, t0, t0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"])}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_linestatus": pa.array(["O", "F", "O"]),
+        "l_shipdate": pa.array(
+            [t0 + D + 1,   # high, late -> O.high_n
+             t0 + D + 2,   # low, late  -> F.low_n
+             t0 + D],      # exactly +90d -> NOT late
+            pa.timestamp("us"))}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_q12_late_shipments(d).to_pandas().set_index("l_linestatus")
+    assert out.loc["O", "high_n"] == 1 and out.loc["O", "low_n"] == 0
+    assert out.loc["F", "high_n"] == 0 and out.loc["F", "low_n"] == 1
+
+
+def test_q15_max_ties_and_window():
+    """Max-revenue ties BOTH win (exact integer equality); revenue
+    outside the quarter never counts."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q15_top_supplier,
+    )
+
+    d = tempfile.mkdtemp(prefix="q15_", dir="/tmp")
+    q1, before = 820_454_400_000_000, 800_000_000_000_000
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "l_shipdate": pa.array([q1, q1 + 5, q1 + 9, q1 + 2, before],
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([10.0, 10.0, 20.0, 5.0, 999.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s-one", "s-two", "s-three"])}),
+        os.path.join(d, "supplier.parquet"))
+    out = q_q15_top_supplier(d).to_pandas().sort_values("s_suppkey")
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["s_name"].tolist() == ["s-one", "s-two"]
+    assert out["total_units"].tolist() == [200000, 200000]
