@@ -11820,6 +11820,153 @@ WHERE r.total_units = (SELECT MAX(total_units) FROM rev)
 """
 
 
+def q_q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue: the correlated
+    per-part AVG subquery; dbgen Q17 at tpch/queries/17.sql, container
+    predicate adapted to p_size ≤ 10 — this corpus has no
+    p_container). The brand-filtered part keys broadcast onto the
+    lineitem scan; the surviving fraction (≈0.8% of lineitem)
+    materializes ONCE and feeds both the per-part (sum_qty, n) stats
+    rollup — compact, one exchange — and the final filter, where the
+    stats broadcast back and `qty < avg/5` evaluates as the exact
+    integer cross-multiply 5·qty·n < sum_qty. No float division in
+    either engine; output is one BIGINT cents total."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.joins import gated_broadcast_join
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_size"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["p_brand"], "Brand#17"),
+                       pc.less_equal(t["p_size"], 10))
+        return pa.table({"p_partkey": pc.cast(
+            t.filter(keep)["p_partkey"], pa.int64())})
+
+    pk = part.map_batches(p_prep, batch_format="pyarrow").materialize()
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.floor(pc.add(
+            pc.cast(t["l_quantity"], pa.float64()), 0.5)), pa.int64())
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "qty": qty,
+                         "cents": _cents(t["l_extendedprice"]),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    f = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), pk,
+        on="l_partkey", right_on="p_partkey", how="inner").materialize()
+
+    stats = hash_groupby_agg(
+        f, ["l_partkey"],
+        {"qty": ("sum", "sum_qty"), "one": ("sum", "n")}).materialize()
+
+    j = gated_broadcast_join(f, stats, on="l_partkey", how="inner")
+
+    def small(t: pa.Table) -> pa.Table:
+        keep = pc.less(pc.multiply(pc.multiply(
+            pa.scalar(5, pa.int64()), t["qty"]), t["n"]), t["sum_qty"])
+        kept = t.filter(keep)
+        return pa.table({"total_cents": pa.array(
+            [pc.sum(kept["cents"]).as_py() or 0], pa.int64())})
+
+    return j.map_batches(small, batch_format="pyarrow").groupby(
+        None).aggregate(Sum("total_cents", alias_name="total_cents"))
+
+
+SQL_Q17_SMALL_QUANTITY_REVENUE = f"""
+WITH pk AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#17' AND p_size <= 10
+), f AS (
+  SELECT l_partkey, CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         {_CENTS.format(x='l_extendedprice')} AS cents
+  FROM lineitem JOIN pk ON p_partkey = l_partkey
+), st AS (
+  SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n
+  FROM f GROUP BY l_partkey
+)
+SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+FROM f JOIN st USING (l_partkey)
+WHERE 5 * qty * n < sum_qty
+"""
+
+
+def q_q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (OR-of-ANDs predicate spanning the joined
+    tables; dbgen Q19 at tpch/queries/19.sql — shipmode/container
+    clauses adapted to (p_brand, p_size, l_quantity) bands, which this
+    corpus carries). The 3-column part dim broadcasts once onto the
+    lineitem scan; the whole disjunction evaluates as ONE vectorized
+    arrow mask — no per-clause passes, no row loop; a single scalar
+    partial per block reaches the fold. Integer cents·pct units."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import gated_broadcast_join
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_size"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                         "p_brand": t["p_brand"],
+                         "p_size": pc.cast(t["p_size"], pa.int64())})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        qty = pc.cast(pc.floor(pc.add(
+            pc.cast(t["l_quantity"], pa.float64()), 0.5)), pa.int64())
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "qty": qty, "rev_units": rev})
+
+    j = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part.map_batches(p_prep, batch_format="pyarrow"),
+        on="l_partkey", right_on="p_partkey", how="inner")
+
+    def clause(t, brand, smax, qlo, qhi):
+        return pc.and_(pc.and_(pc.equal(t["p_brand"], brand),
+                               pc.less_equal(t["p_size"], smax)),
+                       pc.and_(pc.greater_equal(t["qty"], qlo),
+                               pc.less_equal(t["qty"], qhi)))
+
+    def disj(t: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.or_(clause(t, "Brand#12", 5, 1, 11),
+                             clause(t, "Brand#23", 10, 10, 20)),
+                      clause(t, "Brand#34", 15, 20, 30))
+        kept = t.filter(keep)
+        return pa.table({"total_units": pa.array(
+            [pc.sum(kept["rev_units"]).as_py() or 0], pa.int64())})
+
+    return j.map_batches(disj, batch_format="pyarrow").groupby(
+        None).aggregate(Sum("total_units", alias_name="total_units"))
+
+
+SQL_Q19_DISJUNCTIVE_REVENUE = f"""
+SELECT CAST(COALESCE(SUM(u), 0) AS BIGINT) AS total_units
+FROM (
+  SELECT p_brand, p_size, CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+         {_CENTS.format(x='l_extendedprice')}
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS u
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+) x
+WHERE (p_brand = 'Brand#12' AND p_size <= 5  AND qty BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10 AND qty BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15 AND qty BETWEEN 20 AND 30)
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -11979,6 +12126,8 @@ QUERIES = {
     "q4_order_priority": q_q4_order_priority,
     "q12_late_shipments": q_q12_late_shipments,
     "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "events_global_rank": q_events_global_rank,
@@ -12262,6 +12411,8 @@ ORACLES = {
     "q4_order_priority": SQL_Q4_ORDER_PRIORITY,
     "q12_late_shipments": SQL_Q12_LATE_SHIPMENTS,
     "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+    "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
+    "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
     "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER_VOLUME,
     "events_global_rank": SQL_EVENTS_GLOBAL_RANK,

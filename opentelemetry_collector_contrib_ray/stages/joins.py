@@ -215,6 +215,13 @@ def gated_broadcast_join(large, small, on: str, right_on: str | None = None,
     key = right_on or on
     if n is not None and n <= thr:
         sm = small.to_pandas()
+        if sm.shape[1] == 0:
+            # an EMPTY dataset's to_pandas() loses its schema; rebuild
+            # the zero-row frame from plan metadata so the merge key
+            # survives (pandas raises KeyError on a columnless merge)
+            sch = small.schema()
+            base = getattr(sch, "base_schema", sch)
+            sm = base.empty_table().to_pandas()
         if key != on:
             sm = sm.rename(columns={key: on})
         # task mode: fuses with the large side's read into one task op

@@ -1542,3 +1542,102 @@ def test_q15_max_ties_and_window():
     assert out["s_suppkey"].tolist() == [1, 2]
     assert out["s_name"].tolist() == ["s-one", "s-two"]
     assert out["total_units"].tolist() == [200000, 200000]
+
+
+def test_q17_avg_threshold_exact():
+    """`qty < avg/5` evaluated as 5*qty*n < sum_qty: a qty EXACTLY at
+    avg/5 is excluded (strict), fractions never round; non-brand parts
+    contribute nothing to stats or revenue."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q17_small_quantity_revenue,
+    )
+
+    d = tempfile.mkdtemp(prefix="q17_", dir="/tmp")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["Brand#17", "Brand#99"]),
+        "p_size": pa.array([5, 5], pa.int64())}),
+        os.path.join(d, "part.parquet"))
+    # part 1 lines: qty 1, 10, 39 -> sum 50, n 3, avg/5 = 10/3 ~ 3.33
+    #   qty 1: 5*1*3=15 < 50 -> kept ($1.00)
+    #   qty 10: 150 >= 50 -> dropped; qty 39: dropped
+    # exactness probe: if avg/5 were floored to 3, qty 3 would be
+    # excluded too -- add a (qty=3, $2.00) line: 5*3*4=60 < 53? No --
+    # recompute with it included: sum 53, n 4 -> qty=3: 60 >= 53 drop,
+    # qty=1: 20 < 53 keep. Use that 4-line layout.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_quantity": pa.array([1.0, 10.0, 39.0, 3.0, 1.0]),
+        "l_extendedprice": pa.array([1.0, 7.0, 7.0, 2.0, 500.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_q17_small_quantity_revenue(d).to_pandas()
+    # only part-1 qty=1 survives (cents=100); Brand#99's $500 never seen
+    assert out["total_cents"].tolist() == [100]
+
+
+def test_q19_disjunction_bands():
+    """Each clause gates on (brand, size, qty band) jointly; a row
+    matching one clause's brand but another's band is dropped; band
+    endpoints are inclusive."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q19_disjunctive_revenue,
+    )
+
+    d = tempfile.mkdtemp(prefix="q19_", dir="/tmp")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#12"]),
+        "p_size": pa.array([5, 10, 6], pa.int64())}),
+        os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        # part1 (B12,size5): qty 11 = inclusive upper -> keep ($1);
+        #   qty 12 -> drop. part2 (B23,size10): qty 10 = inclusive
+        #   lower -> keep ($2); qty 21 (B34's band) -> drop.
+        # part3: Brand#12 but size 6 > 5 -> drop even at qty 5.
+        "l_quantity": pa.array([11.0, 12.0, 10.0, 21.0, 5.0]),
+        "l_extendedprice": pa.array([1.0, 9.0, 2.0, 9.0, 9.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0, 0.0])}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_q19_disjunctive_revenue(d).to_pandas()
+    # kept: $1.00 + $2.00 = 300 cents, x100 (pct units) = 30000
+    assert out["total_units"].tolist() == [30000]
+
+
+def test_gated_broadcast_join_empty_small_side_keeps_schema():
+    """A filtered-to-empty small side loses its schema in to_pandas()
+    (zero columns); the gate must rebuild the key column from plan
+    metadata so the merge doesn't KeyError and inner-join returns an
+    empty result with the joined schema."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.joins import (
+        gated_broadcast_join,
+    )
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [10, 20]}))
+    right = rd.from_pandas(
+        pd.DataFrame({"rk": [1, 2], "name": ["x", "y"]}))
+
+    def drop_all(t: pa.Table) -> pa.Table:
+        return t.slice(0, 0)
+
+    empty = right.map_batches(drop_all, batch_format="pyarrow").materialize()
+    out = gated_broadcast_join(left, empty, on="k", right_on="rk",
+                               threshold=1000, concurrency=1)
+    # the DATASET must carry the joined schema (Ray's to_pandas() on a
+    # zero-row dataset drops columns — that's outside the join contract)
+    assert {"k", "v", "name"} <= set(out.schema().names)
+    assert out.count() == 0
