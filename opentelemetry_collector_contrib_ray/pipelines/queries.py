@@ -11967,6 +11967,284 @@ WHERE (p_brand = 'Brand#12' AND p_size <= 5  AND qty BETWEEN 1  AND 11)
 """
 
 
+def q_q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations; dbgen Q7
+    at tpch/queries/7.sql — NATION_7 ↔ NATION_8 over ship years
+    1996–1997). Both nation-filtered dims shrink BEFORE anything wide:
+    the two-nation supplier map (suppkey, nationkey, name) gates onto
+    the date-filtered lineitem scan, a per-(order, supp-nation, year)
+    combiner folds lineitems to at most a few rows per order, the
+    full orders keymap attaches through the size-gated join, and the
+    two-nation customer map joins last with the cross-nation
+    constraint (supp ≠ cust) as a vectorized post-filter. Revenue in
+    integer cents·pct units; year via pc.year on the raw timestamp so
+    both engines extract identically."""
+    from ..stages.agg import compact_groupby, hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    D0, D1 = 820_454_400_000_000, 883_612_800_000_000  # 1996-01 .. 1998-01
+    NAT = ("NATION_7", "NATION_8")
+
+    nat = read_table(sf_dir, "nation").to_pandas()
+    nat = nat[nat["n_name"].isin(NAT)]
+    nat_keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nat_names = nat["n_name"].to_numpy()
+
+    def _nation_gate(key_col: str, name_col: str):
+        order = np.argsort(nat_keys, kind="stable")
+        sk, sn = nat_keys[order], nat_names[order]
+
+        def fn(t: pa.Table) -> pa.Table:
+            nk = pc.cast(t[key_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(sk, nk)
+            pos = np.minimum(pos, len(sk) - 1)
+            hit = sk[pos] == nk
+            cols = {c: t[c] for c in t.column_names}
+            cols[key_col] = pa.array(nk, pa.int64())
+            cols[name_col] = pa.array(np.where(hit, sn[pos], ""))
+            return pa.table(cols).filter(pa.array(hit))
+        return fn
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+    s_gate = _nation_gate("s_nationkey", "supp_nation")
+
+    def s_prep(t: pa.Table) -> pa.Table:
+        t = s_gate(t)
+        return pa.table({"s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                         "s_nationkey": t["s_nationkey"],
+                         "supp_nation": t["supp_nation"]})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)))
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "l_year": pc.cast(pc.year(t["l_shipdate"]),
+                                           pa.int64()),
+                         "rev_units": rev})
+
+    j0 = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        supp.map_batches(s_prep, batch_format="pyarrow").materialize(),
+        on="l_suppkey", right_on="s_suppkey", how="inner")
+
+    per_order = hash_groupby_sum(
+        j0.map_batches(
+            lambda t: t.select(["l_orderkey", "s_nationkey", "supp_nation",
+                                "l_year", "rev_units"]),
+            batch_format="pyarrow"),
+        ["l_orderkey", "s_nationkey", "supp_nation", "l_year"],
+        "rev_units", out_col="rev_units")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+    j1 = gated_broadcast_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        per_order.materialize(),
+        on="o_orderkey", right_on="l_orderkey", how="inner").materialize()
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    c_gate = _nation_gate("c_nationkey", "cust_nation")
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        t = c_gate(t)
+        return pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                         "c_nationkey": t["c_nationkey"],
+                         "cust_nation": t["cust_nation"]})
+
+    j2 = gated_broadcast_join(
+        cust.map_batches(c_prep, batch_format="pyarrow"),
+        j1, on="c_custkey", right_on="o_custkey", how="inner")
+
+    cross = j2.map_batches(
+        lambda t: t.filter(pc.not_equal(t["s_nationkey"], t["c_nationkey"]))
+                   .select(["supp_nation", "cust_nation", "l_year",
+                            "rev_units"]),
+        batch_format="pyarrow")
+    return compact_groupby(cross, ["supp_nation", "cust_nation", "l_year"],
+                           sum_cols={"rev_units": "rev_units"})
+
+
+SQL_Q7_VOLUME_SHIPPING = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(u) AS BIGINT) AS rev_units
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         {_CENTS.format(x='l_extendedprice')}
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS u
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_8')
+      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_7'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) x
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share; dbgen Q8 at
+    tpch/queries/8.sql — share of NATION_5 suppliers in AMERICA-region
+    customers' ECONOMY-part order volume, by order year). Adapted
+    constants only (corpus p_type is a 6-value class, nations are
+    NATION_*); the 8-table join DAG is unchanged. The type-filtered
+    part keyset (1 int64 column) gates onto the lineitem scan FIRST
+    (~1/6 selectivity before anything else moves), the supplier map
+    collapses to a per-row is-target flag, a per-(order, is_target)
+    combiner folds lineitems before the orders attach, the
+    region-filtered customer keymap joins last as a semi filter, and
+    the per-year rollup reports integer numerator/denominator units
+    (market share = target_units / total_units, divided by the READER
+    — no float division in either engine)."""
+    from ..stages.agg import compact_groupby, hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    D0, D1 = 820_454_400_000_000, 883_612_800_000_000  # 1996-01 .. 1998-01
+    TARGET_NATION = 5
+    PTYPE = "ECONOMY"
+    REGION = "AMERICA"
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["p_type"], PTYPE))
+        return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64())})
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+
+    def s_prep(t: pa.Table) -> pa.Table:
+        is_t = pc.cast(pc.equal(pc.cast(t["s_nationkey"], pa.int64()),
+                                pa.scalar(TARGET_NATION, pa.int64())),
+                       pa.int64())
+        return pa.table({"s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                         "is_target": is_t})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "rev_units": rev})
+
+    j0 = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part.map_batches(p_prep, batch_format="pyarrow").materialize(),
+        on="l_partkey", right_on="p_partkey", how="inner")
+    j1 = gated_broadcast_join(
+        j0, supp.map_batches(s_prep, batch_format="pyarrow").materialize(),
+        on="l_suppkey", right_on="s_suppkey", how="inner")
+
+    per_order = hash_groupby_sum(
+        j1.map_batches(
+            lambda t: t.select(["l_orderkey", "is_target", "rev_units"]),
+            batch_format="pyarrow"),
+        ["l_orderkey", "is_target"], "rev_units", out_col="rev_units")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    j2 = gated_broadcast_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        per_order.materialize(),
+        on="o_orderkey", right_on="l_orderkey", how="inner").materialize()
+
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+    amer = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    amer_keys = np.sort(
+        amer.loc[amer["r_name"] == REGION, "n_nationkey"]
+        .to_numpy().astype(np.int64))
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+
+    def c_prep(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(amer_keys, nk)
+        pos = np.minimum(pos, len(amer_keys) - 1)
+        hit = amer_keys[pos] == nk
+        t = t.filter(pa.array(hit))
+        return pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64())})
+
+    j3 = gated_broadcast_join(
+        cust.map_batches(c_prep, batch_format="pyarrow"),
+        j2, on="c_custkey", right_on="o_custkey", how="inner")
+
+    def split(t: pa.Table) -> pa.Table:
+        tgt = pc.multiply(t["is_target"], t["rev_units"])
+        return pa.table({"o_year": t["o_year"], "target_units": tgt,
+                         "total_units": t["rev_units"]})
+
+    return compact_groupby(j3.map_batches(split, batch_format="pyarrow"),
+                           ["o_year"],
+                           sum_cols={"target_units": "target_units",
+                                     "total_units": "total_units"})
+
+
+SQL_Q8_MARKET_SHARE = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN s_nationkey = 5 THEN u ELSE 0 END) AS BIGINT)
+         AS target_units,
+       CAST(SUM(u) AS BIGINT) AS total_units
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         s_nationkey,
+         {_CENTS.format(x='l_extendedprice')}
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS u
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+) x
+GROUP BY o_year
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -12126,6 +12404,8 @@ QUERIES = {
     "q4_order_priority": q_q4_order_priority,
     "q12_late_shipments": q_q12_late_shipments,
     "q15_top_supplier": q_q15_top_supplier,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -12411,6 +12691,8 @@ ORACLES = {
     "q4_order_priority": SQL_Q4_ORDER_PRIORITY,
     "q12_late_shipments": SQL_Q12_LATE_SHIPMENTS,
     "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+    "q7_volume_shipping": SQL_Q7_VOLUME_SHIPPING,
+    "q8_market_share": SQL_Q8_MARKET_SHARE,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1641,3 +1641,124 @@ def test_gated_broadcast_join_empty_small_side_keeps_schema():
     # zero-row dataset drops columns — that's outside the join contract)
     assert {"k", "v", "name"} <= set(out.schema().names)
     assert out.count() == 0
+
+
+def test_q7_cross_nation_and_year_split():
+    """Only supp→cust pairs across the two named nations count, same-
+    nation and third-nation rows drop at their gates, and revenue
+    splits by ship YEAR (1996 vs 1997) with the window end exclusive."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q7_volume_shipping,
+    )
+
+    def us(s):
+        return int(pd.Timestamp(s).value // 1000)
+
+    d = tempfile.mkdtemp(prefix="q7_", dir="/tmp")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 7, 8], pa.int64()),
+        "n_name": pa.array(["NATION_0", "NATION_7", "NATION_8"])}),
+        os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([100, 101, 102], pa.int64()),
+        "s_nationkey": pa.array([7, 8, 0], pa.int32())}),
+        os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([8, 7, 0], pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(d, "orders.parquet"))
+    ship = [us("1996-06-01"),  # o10/s100: 7->8, 1996, counts
+            us("1996-06-01"),  # o10/s101: 8->8 same nation, drops
+            us("1997-03-01"),  # o11/s101: 8->7, 1997, counts
+            us("1997-03-01"),  # o11/s100: 7->7 same nation, drops
+            us("1996-06-01"),  # o12/s100: cust NATION_0, drops
+            us("1996-06-01"),  # o10/s102: supp NATION_0, drops
+            us("1998-01-01")]  # o10/s100: window end EXCLUSIVE, drops
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 11, 12, 10, 10], pa.int64()),
+        "l_suppkey": pa.array([100, 101, 101, 100, 100, 102, 100],
+                              pa.int64()),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        "l_extendedprice": pa.array([10.0, 99.0, 20.0, 99.0, 99.0, 99.0,
+                                     99.0]),
+        "l_discount": pa.array([0.0] * 7)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = (q_q7_volume_shipping(d).to_pandas()
+           .sort_values("l_year").reset_index(drop=True))
+    assert out["supp_nation"].tolist() == ["NATION_7", "NATION_8"]
+    assert out["cust_nation"].tolist() == ["NATION_8", "NATION_7"]
+    assert out["l_year"].tolist() == [1996, 1997]
+    assert out["rev_units"].tolist() == [100000, 200000]
+
+
+def test_q8_market_share_gates_and_units():
+    """Part-type, order-year-window, and customer-region gates each
+    drop their row; the target-nation numerator is a subset of the
+    denominator in exact integer units."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q8_market_share,
+    )
+
+    def us(s):
+        return int(pd.Timestamp(s).value // 1000)
+
+    d = tempfile.mkdtemp(prefix="q8_", dir="/tmp")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["OTHER", "AMERICA"])}),
+        os.path.join(d, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([3, 5, 6], pa.int64()),
+        "n_name": pa.array(["NATION_3", "NATION_5", "NATION_6"]),
+        "n_regionkey": pa.array([0, 0, 1], pa.int64())}),
+        os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_type": pa.array(["ECONOMY", "LARGE"])}),
+        os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([100, 101], pa.int64()),
+        "s_nationkey": pa.array([5, 3], pa.int32())}),
+        os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([6, 3], pa.int32())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array([us("1996-03-01"), us("1998-02-01"),
+                                 us("1996-05-01")], pa.timestamp("us"))}),
+        os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 10, 11, 12], pa.int64()),
+        "l_partkey": pa.array([1, 1, 2, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([100, 101, 100, 100, 100], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 40.0, 99.0, 99.0]),
+        "l_discount": pa.array([0.0] * 5)}),
+        os.path.join(d, "lineitem.parquet"))
+    out = q_q8_market_share(d).to_pandas()
+    # o11 is outside [1996, 1998); o12's customer is non-AMERICA; the
+    # p2 line is the wrong part type. Target supplier contributes
+    # 100000 of the 300000 total.
+    assert out["o_year"].tolist() == [1996]
+    assert out["target_units"].tolist() == [100000]
+    assert out["total_units"].tolist() == [300000]
