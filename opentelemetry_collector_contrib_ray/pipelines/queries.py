@@ -12245,6 +12245,636 @@ GROUP BY o_year
 """
 
 
+def _region_supplier_dim(sf_dir: str, region: str,
+                         extra_cols: list[str] | None = None):
+    """Region-filtered supplier dim via the Q5 pattern: nation⋈region
+    resolves DRIVER-side (25 + 5 rows at any scale), the nationkey →
+    n_name map vectorizes into the supplier scan with searchsorted,
+    and non-region suppliers drop before anything joins. Returns the
+    filtered supplier Dataset carrying (s_suppkey, n_name, *extra)."""
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+    m = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    m = m[m["r_name"] == region]
+    keys = m["n_nationkey"].to_numpy().astype(np.int64)
+    names = m["n_name"].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    skeys, snames = keys[order], names[order]
+    extra = extra_cols or []
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey", *extra])
+
+    def s_prep(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["s_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, nk), len(skeys) - 1)
+            hit = skeys[pos] == nk
+            nn = np.where(hit, snames[pos], "")
+        else:
+            hit = np.zeros(len(nk), bool)
+            nn = np.full(len(nk), "")
+        out = pa.table({"s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                        "n_name": pa.array(nn),
+                        **{c: t[c] for c in extra}})
+        return out.filter(pa.array(hit))
+
+    return supp.map_batches(s_prep, batch_format="pyarrow")
+
+
+def q_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting; dbgen Q21
+    at tpch/queries/21.sql). The corpus has no commit/receipt dates,
+    so "late" adapts to l_shipdate > o_orderdate + 60 days — the
+    EXISTS(other supplier) / NOT EXISTS(other LATE supplier) pair
+    keeps its exact semantics. Shape: lineitem folds to ONE row per
+    (order, supplier) carrying max(shipdate) — a single compact
+    exchange, so the orders attach and everything downstream moves
+    per-pair, never per-lineitem. The correlated EXISTS pair then
+    collapses to self-decomposable per-order sums: n_supp, n_late,
+    and Σ(late·suppkey) — when n_late == 1 that sum IS the lone late
+    supplier's key (exactly one term), so no per-order supplier list
+    is ever held. Region filter via the driver-resolved 25+5-row
+    nation⋈region dim; order status 'F' gates the orders side before
+    it moves."""
+    from ..stages.agg import hash_groupby_agg, hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    LATE_US = 60 * 86_400_000_000
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
+
+    pairs = hash_groupby_agg(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"],
+        {"ship_us": ("max", "max_ship_us")}).materialize()
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderstatus"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "odate_us": pc.cast(t["o_orderdate"], pa.int64())})
+
+    o_f = orders.map_batches(o_prep, batch_format="pyarrow").materialize()
+
+    j = gated_broadcast_join(pairs, o_f, on="l_orderkey",
+                             right_on="o_orderkey", how="inner")
+
+    def late_terms(t: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(
+            t["max_ship_us"],
+            pc.add(t["odate_us"], pa.scalar(LATE_US, pa.int64()))),
+            pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64)),
+                         "late": late,
+                         "late_supp": pc.multiply(late, t["l_suppkey"])})
+
+    per_order = hash_groupby_agg(
+        j.map_batches(late_terms, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"one": ("sum", "n_supp"), "late": ("sum", "n_late"),
+         "late_supp": ("sum", "late_supp")})
+
+    def waiting(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["n_supp"], 2),
+                       pc.equal(t["n_late"], 1))
+        kept = t.filter(keep)
+        return pa.table({"s_suppkey": kept["late_supp"],
+                         "one": pa.array(np.ones(kept.num_rows, np.int64))})
+
+    waits = hash_groupby_sum(
+        per_order.map_batches(waiting, batch_format="pyarrow"),
+        ["s_suppkey"], "one", out_col="numwait").materialize()
+
+    supp = _region_supplier_dim(sf_dir, "ASIA", extra_cols=["s_name"])
+    # waits is provably compact (≤ suppliers) — broadcast IT onto the
+    # streaming region-filtered supplier scan
+    out = gated_broadcast_join(supp, waits, on="s_suppkey", how="inner")
+    return out.map_batches(
+        lambda t: t.select(["s_name", "numwait"]), batch_format="pyarrow")
+
+
+SQL_Q21_WAITING_SUPPLIERS = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT p.l_orderkey, p.l_suppkey,
+         CASE WHEN p.max_ship > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM pairs p JOIN orders o ON o.o_orderkey = p.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+         SUM(late * l_suppkey) AS late_supp
+  FROM j GROUP BY 1
+)
+SELECT s.s_name, w.numwait
+FROM (SELECT late_supp AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM per_order WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1) w
+JOIN supplier s ON s.s_suppkey = w.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+"""
+
+
+def q_q9_product_type_profit(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year; dbgen
+    Q9 at tpch/queries/9.sql). The corpus has no partsupp, so supply
+    cost adapts to cents(p_retailprice)·qty — profit keeps its
+    two-term revenue-minus-cost structure with a part-attribute
+    dependency, in exact integer cents·pct units: cents(extprice)·
+    (100−pct) − cents(retail)·qty·100. Joins: the name-filtered part
+    dim (keys + retail cents) and the supplier→nationkey map gate
+    onto the lineitem scan; profit folds to ONE row per (order,
+    nation) — a single compact exchange — BEFORE the orders attach
+    supplies the year; final rollup is O(nations × years). Nation
+    names resolve driver-side (25 rows at any scale)."""
+    from ..stages.agg import hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], "widget"))
+        return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                         "retail_cents": _cents(t["p_retailprice"])})
+
+    pk = part.map_batches(p_prep, batch_format="pyarrow").materialize()
+
+    supp = read_table(sf_dir, "supplier",
+                      columns=["s_suppkey", "s_nationkey"])
+    sm = supp.map_batches(
+        lambda t: pa.table({"s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                            "s_nationkey": pc.cast(t["s_nationkey"],
+                                                   pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        pct = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t["l_discount"], pa.float64()), 100.0), 0.5)), pa.int64())
+        qty = pc.cast(pc.floor(pc.add(
+            pc.cast(t["l_quantity"], pa.float64()), 0.5)), pa.int64())
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          pc.subtract(pa.scalar(100, pa.int64()), pct))
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                         "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "qty": qty, "rev_units": rev})
+
+    j0 = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), pk,
+        on="l_partkey", right_on="p_partkey", how="inner")
+    j1 = gated_broadcast_join(j0, sm, on="l_suppkey", right_on="s_suppkey",
+                              how="inner")
+
+    def profit(t: pa.Table) -> pa.Table:
+        cost = pc.multiply(pc.multiply(t["retail_cents"], t["qty"]),
+                           pa.scalar(100, pa.int64()))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "s_nationkey": t["s_nationkey"],
+                         "profit_units": pc.subtract(t["rev_units"], cost)})
+
+    per_onat = hash_groupby_sum(
+        j1.map_batches(profit, batch_format="pyarrow"),
+        ["l_orderkey", "s_nationkey"], "profit_units",
+        out_col="profit_units").materialize()
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey",
+                                                   "o_orderdate"])
+    o_y = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t["o_orderkey"],
+                                                  pa.int64()),
+                            "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                              pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    j2 = gated_broadcast_join(per_onat, o_y, on="l_orderkey",
+                              right_on="o_orderkey", how="inner")
+
+    roll = hash_groupby_sum(
+        j2.map_batches(lambda t: t.select(["s_nationkey", "o_year",
+                                           "profit_units"]),
+                       batch_format="pyarrow"),
+        ["s_nationkey", "o_year"], "profit_units",
+        out_col="profit_units")
+
+    nat = read_table(sf_dir, "nation").to_pandas()
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nnames = nat["n_name"].to_numpy()
+    order = np.argsort(nkeys, kind="stable")
+    skeys, snames = nkeys[order], nnames[order]
+
+    def name_attach(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(skeys, nk), len(skeys) - 1)
+        return pa.table({"n_name": pa.array(snames[pos]),
+                         "o_year": t["o_year"],
+                         "profit_units": t["profit_units"]})
+
+    return roll.map_batches(name_attach, batch_format="pyarrow")
+
+
+SQL_Q9_PRODUCT_TYPE_PROFIT = f"""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_CENTS.format(x='l_extendedprice')}
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+            - {_CENTS.format(x='p_retailprice')}
+                * CAST(floor(l_quantity + 0.5) AS BIGINT) * 100)
+         AS BIGINT) AS profit_units
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+
+
+def q_q16_parts_supplier_relationship(sf_dir: str):
+    """TPC-H Q16 shape (count of distinct suppliers able to supply
+    each surviving (brand, type, size) combination; dbgen Q16 at
+    tpch/queries/16.sql). The corpus has no partsupp — the part ↔
+    supplier relation derives from lineitem's distinct (partkey,
+    suppkey) pairs, deduped per block THEN through one compact
+    exchange so duplicates never reach a join. The complaint-supplier
+    exclusion adapts to acctbal cents < 100000 and evaluates as a
+    vectorized filter on the gated supplier dim (no separate anti
+    join). The exact distinct-count pays its honest second exchange on
+    (brand, type, size, suppkey) before the final count — suppliers
+    per combo are unbounded, so no driver set."""
+    from ..stages.agg import hash_groupby_agg, hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        proj = pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64())})
+        g = proj.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g.append_column(
+            "one", pa.array(np.ones(g.num_rows, np.int64)))
+
+    pairs = hash_groupby_agg(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], {"one": ("max", "one")})
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.invert(pc.equal(t["p_brand"], "Brand#13")),
+                    pc.invert(pc.equal(t["p_type"], "PROMO"))),
+            pc.is_in(pc.cast(t["p_size"], pa.int64()),
+                     value_set=pa.array(SIZES, pa.int64())))
+        t = t.filter(keep)
+        return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                         "p_brand": t["p_brand"], "p_type": t["p_type"],
+                         "p_size": pc.cast(t["p_size"], pa.int64())})
+
+    pk = part.map_batches(p_prep, batch_format="pyarrow").materialize()
+
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def s_prep(t: pa.Table) -> pa.Table:
+        bal = _cents(t["s_acctbal"])
+        t = pa.table({"s_suppkey": pc.cast(t["s_suppkey"], pa.int64()),
+                      "bal_cents": bal})
+        return t.filter(pc.greater_equal(t["bal_cents"],
+                                         pa.scalar(100_000, pa.int64())))
+
+    sok = supp.map_batches(s_prep, batch_format="pyarrow").materialize()
+
+    j0 = gated_broadcast_join(pairs, pk, on="l_partkey",
+                              right_on="p_partkey", how="inner")
+    j1 = gated_broadcast_join(j0, sok, on="l_suppkey",
+                              right_on="s_suppkey", how="inner")
+
+    distinct4 = hash_groupby_agg(
+        j1.map_batches(
+            lambda t: t.select(["p_brand", "p_type", "p_size", "l_suppkey",
+                                "one"]),
+            batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        {"one": ("max", "one")})
+
+    return hash_groupby_sum(distinct4, ["p_brand", "p_type", "p_size"],
+                            "one", out_col="supplier_cnt")
+
+
+SQL_Q16_PARTS_SUPPLIER_RELATIONSHIP = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND {_CENTS.format(x='s_acctbal')} >= 100000
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_q20_potential_promotion(sf_dir: str):
+    """TPC-H Q20 shape (suppliers with excess stock of promotable
+    parts; dbgen Q20 at tpch/queries/20.sql). No partsupp in the
+    corpus: ps_availqty > ½·shipped-qty adapts to "this supplier
+    moved a strict MAJORITY of the part's 1996 volume" — the same
+    correlated per-(part, supplier) vs per-part aggregate comparison,
+    evaluated as the exact integer cross-multiply 2·q_ps > q_part (no
+    division). The name-filtered part keyset gates onto the
+    date-windowed lineitem scan; qty folds once per (part, supplier)
+    — ONE compact exchange — and the per-part totals fold FROM that
+    rollup (second exchange over O(parts) rows, never re-reading
+    lineitem). Winning suppliers dedup per block, then the compact
+    winner set broadcasts onto the region-filtered supplier scan."""
+    from ..stages.agg import hash_groupby_agg, hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    D0, D1 = 820_454_400_000_000, 852_076_800_000_000  # 1996 full year
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.starts_with(t["p_name"], "red"))
+        return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64())})
+
+    pk = part.map_batches(p_prep, batch_format="pyarrow").materialize()
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity",
+                             "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, D0), pc.less(us, D1)))
+        qty = pc.cast(pc.floor(pc.add(
+            pc.cast(t["l_quantity"], pa.float64()), 0.5)), pa.int64())
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "qty": qty})
+
+    f = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), pk,
+        on="l_partkey", right_on="p_partkey", how="inner")
+
+    ps = hash_groupby_sum(f, ["l_partkey", "l_suppkey"], "qty",
+                          out_col="q_ps").materialize()
+
+    tot = hash_groupby_sum(ps, ["l_partkey"], "q_ps",
+                           out_col="q_part").materialize()
+
+    jt = gated_broadcast_join(ps, tot, on="l_partkey", how="inner")
+
+    def winners(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(pa.scalar(2, pa.int64()), t["q_ps"]),
+                          t["q_part"])
+        kept = t.filter(keep)
+        g = kept.select(["l_suppkey"]).group_by(["l_suppkey"]).aggregate([])
+        return g.append_column(
+            "one", pa.array(np.ones(g.num_rows, np.int64)))
+
+    win = hash_groupby_agg(
+        jt.map_batches(winners, batch_format="pyarrow"),
+        ["l_suppkey"], {"one": ("max", "one")}).materialize()
+
+    supp = _region_supplier_dim(sf_dir, "EUROPE", extra_cols=["s_name"])
+    out = gated_broadcast_join(supp, win, on="s_suppkey",
+                               right_on="l_suppkey", how="inner")
+    return out.map_batches(lambda t: t.select(["s_name"]),
+                           batch_format="pyarrow")
+
+
+SQL_Q20_POTENTIAL_PROMOTION = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(floor(l_quantity + 0.5)) AS BIGINT) AS q_ps
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, SUM(q_ps) AS q_part FROM ps GROUP BY 1
+)
+SELECT s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM ps JOIN tot USING (l_partkey)
+                    WHERE 2 * q_ps > q_part)
+"""
+
+
+def q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier per part in a region;
+    dbgen Q2 at tpch/queries/2.sql). No partsupp: supply cost adapts
+    to MIN cents(l_extendedprice) over the pair's lineitems — exact
+    integers, so the per-part minimum and its argmin join-back are
+    hash-stable (ties keep ALL minimal suppliers, as Q2's correlated
+    = (SELECT MIN…) does). Size/type-filtered part keys gate onto the
+    lineitem scan FIRST (~3% selectivity before anything folds); pair
+    costs fold in ONE compact exchange; the region constraint applies
+    as a gated join against the driver-resolved-region supplier dim
+    BEFORE the per-part minimum, exactly like Q2's nested region
+    filter; the per-part min table is O(filtered parts) and
+    broadcasts back onto the pair rollup. LIMIT 100 dropped — the
+    compare is set-based and the winner set is provably compact."""
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.joins import gated_broadcast_join
+
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_size", "p_type"])
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less_equal(pc.cast(t["p_size"], pa.int64()), 10),
+                       pc.equal(t["p_type"], "STANDARD"))
+        return pa.table({"p_partkey": pc.cast(
+            t.filter(keep)["p_partkey"], pa.int64())})
+
+    pk = part.map_batches(p_prep, batch_format="pyarrow").materialize()
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "cents": _cents(t["l_extendedprice"])})
+
+    f = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), pk,
+        on="l_partkey", right_on="p_partkey", how="inner")
+
+    supp = _region_supplier_dim(sf_dir, "EUROPE",
+                                extra_cols=["s_name", "s_acctbal"])
+    sd = supp.map_batches(
+        lambda t: pa.table({"s_suppkey": t["s_suppkey"],
+                            "s_name": t["s_name"],
+                            "n_name": t["n_name"],
+                            "acctbal_cents": _cents(t["s_acctbal"])}),
+        batch_format="pyarrow").materialize()
+
+    # key-only projection MATERIALIZED so the gate can prove its count
+    # (a derived lineage has no metadata count and would fall to the
+    # native join, whose empty-block FieldRef race the broadcast dodges)
+    sk = sd.map_batches(lambda t: t.select(["s_suppkey"]),
+                        batch_format="pyarrow").materialize()
+    fr = gated_broadcast_join(f, sk, on="l_suppkey", right_on="s_suppkey",
+                              how="inner")
+
+    cost = hash_groupby_agg(fr, ["l_partkey", "l_suppkey"],
+                            {"cents": ("min", "cost_cents")}).materialize()
+
+    mn = hash_groupby_agg(cost, ["l_partkey"],
+                          {"cost_cents": ("min", "min_cents")}).materialize()
+
+    jm = gated_broadcast_join(cost, mn, on="l_partkey", how="inner")
+
+    def argmin(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["cost_cents"], t["min_cents"]))
+        return kept.select(["l_partkey", "l_suppkey", "cost_cents"])
+
+    win = jm.map_batches(argmin, batch_format="pyarrow").materialize()
+
+    out = gated_broadcast_join(sd, win, on="s_suppkey",
+                               right_on="l_suppkey", how="inner")
+    return out.map_batches(
+        lambda t: pa.table({"s_name": t["s_name"], "n_name": t["n_name"],
+                            "acctbal_cents": t["acctbal_cents"],
+                            "p_partkey": t["l_partkey"],
+                            "cost_cents": t["cost_cents"]}),
+        batch_format="pyarrow")
+
+
+SQL_Q2_MIN_COST_SUPPLIER = f"""
+WITH pk AS (
+  SELECT p_partkey FROM part WHERE p_size <= 10 AND p_type = 'STANDARD'
+), eu AS (
+  SELECT s_suppkey, s_name, n_name,
+         {_CENTS.format(x='s_acctbal')} AS acctbal_cents
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+), cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN({_CENTS.format(x='l_extendedprice')}) AS BIGINT)
+           AS cost_cents
+  FROM lineitem
+  JOIN pk ON p_partkey = l_partkey
+  JOIN eu ON s_suppkey = l_suppkey
+  GROUP BY 1, 2
+), mn AS (
+  SELECT l_partkey, MIN(cost_cents) AS min_cents FROM cost GROUP BY 1
+)
+SELECT e.s_name, e.n_name, e.acctbal_cents,
+       c.l_partkey AS p_partkey, c.cost_cents
+FROM cost c
+JOIN mn m ON m.l_partkey = c.l_partkey AND c.cost_cents = m.min_cents
+JOIN eu e ON e.s_suppkey = c.l_suppkey
+"""
+
+
+def q_q11_important_stock(sf_dir: str):
+    """TPC-H Q11 shape (parts representing a significant share of a
+    region's stock value; dbgen Q11 at tpch/queries/11.sql). No
+    partsupp: part value adapts to Σ cents(l_extendedprice) over
+    lineitems shipped by the region's suppliers, and the fixed
+    0.0001-of-total fraction (which only works at a fixed SF) adapts
+    to the scale-free "value exceeds 2× the mean part value" —
+    val·n_parts > 2·total, evaluated EXACTLY: the driver folds the
+    compact per-part rollup's (total, count) scalars with arbitrary-
+    precision Python ints and re-derives the equivalent val ≥
+    ⌊2·total/n⌋+1 threshold, so no int64 product ever forms. One
+    exchange for the per-part fold; the region supplier keyset gates
+    onto the lineitem scan driver-resolved, like Q5."""
+    from ..stages.agg import hash_groupby_sum
+    from ..stages.joins import gated_broadcast_join
+
+    supp = _region_supplier_dim(sf_dir, "AMERICA")
+    sd = supp.map_batches(lambda t: t.select(["s_suppkey"]),
+                          batch_format="pyarrow").materialize()
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                         "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                         "cents": _cents(t["l_extendedprice"])})
+
+    f = gated_broadcast_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), sd,
+        on="l_suppkey", right_on="s_suppkey", how="inner")
+
+    v = hash_groupby_sum(f, ["l_partkey"], "cents",
+                         out_col="value_cents").materialize()
+
+    def fold_partial(t: pa.Table) -> pa.Table:
+        s = pc.sum(t["value_cents"]).as_py() or 0
+        return pa.table({"tot": pa.array([s], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    def fold_final(t: pa.Table) -> pa.Table:
+        return pa.table({"tot": pa.array([pc.sum(t["tot"]).as_py() or 0],
+                                         pa.int64()),
+                         "n": pa.array([pc.sum(t["n"]).as_py() or 0],
+                                       pa.int64())})
+
+    ft = (v.map_batches(fold_partial, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(fold_final, batch_format="pyarrow").take_all())
+    tot = int(ft[0]["tot"]) if ft else 0
+    n_parts = int(ft[0]["n"]) if ft else 0
+    # val·n > 2·tot  ⟺  val ≥ ⌊2·tot/n⌋ + 1 (integers, n > 0) — the
+    # division form never overflows int64 at any corpus size
+    thr = (2 * tot) // n_parts + 1 if n_parts else 1
+
+    return v.filter(expr=f"value_cents >= {thr}")
+
+
+SQL_Q11_IMPORTANT_STOCK = f"""
+WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM({_CENTS.format(x='l_extendedprice')}) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'AMERICA'
+  GROUP BY 1
+), t AS (
+  SELECT SUM(value_cents) AS tot, COUNT(*) AS np FROM v
+)
+SELECT l_partkey, value_cents
+FROM v, t
+WHERE value_cents * np > 2 * tot
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -12406,6 +13036,12 @@ QUERIES = {
     "q15_top_supplier": q_q15_top_supplier,
     "q7_volume_shipping": q_q7_volume_shipping,
     "q8_market_share": q_q8_market_share,
+    "q21_waiting_suppliers": q_q21_waiting_suppliers,
+    "q9_product_type_profit": q_q9_product_type_profit,
+    "q16_parts_supplier_relationship": q_q16_parts_supplier_relationship,
+    "q20_potential_promotion": q_q20_potential_promotion,
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q11_important_stock": q_q11_important_stock,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -12693,6 +13329,12 @@ ORACLES = {
     "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
     "q7_volume_shipping": SQL_Q7_VOLUME_SHIPPING,
     "q8_market_share": SQL_Q8_MARKET_SHARE,
+    "q21_waiting_suppliers": SQL_Q21_WAITING_SUPPLIERS,
+    "q9_product_type_profit": SQL_Q9_PRODUCT_TYPE_PROFIT,
+    "q16_parts_supplier_relationship": SQL_Q16_PARTS_SUPPLIER_RELATIONSHIP,
+    "q20_potential_promotion": SQL_Q20_POTENTIAL_PROMOTION,
+    "q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
+    "q11_important_stock": SQL_Q11_IMPORTANT_STOCK,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

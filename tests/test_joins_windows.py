@@ -1762,3 +1762,261 @@ def test_q8_market_share_gates_and_units():
     assert out["o_year"].tolist() == [1996]
     assert out["target_units"].tolist() == [100000]
     assert out["total_units"].tolist() == [300000]
+
+
+def _q_dir(prefix, tables):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix=prefix, dir="/tmp")
+    for name, tbl in tables.items():
+        pq.write_table(tbl, os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def _nation_region():
+    import pyarrow as pa
+
+    return {
+        "nation": pa.table({
+            "n_nationkey": pa.array([0, 2, 3], pa.int32()),
+            "n_name": pa.array(["N_AFRICA", "N_ASIA", "N_EUROPE"]),
+            "n_regionkey": pa.array([0, 2, 3], pa.int32())}),
+        "region": pa.table({
+            "r_regionkey": pa.array([0, 2, 3], pa.int32()),
+            "r_name": pa.array(["AFRICA", "ASIA", "EUROPE"])}),
+    }
+
+
+def test_q21_sole_late_supplier_gates():
+    """Only the SOLE late supplier on a multi-supplier 'F' order
+    waits: two-late orders and single-supplier orders drop, exactly
+    +60d is on time (strict >), suppkey 0 survives the Σ(late·supp)
+    identity, and the region filter drops non-ASIA suppliers."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q21_waiting_suppliers,
+    )
+
+    D = 946_684_800_000_000          # 2000-01-01
+    LATE = 953_078_400_000_000       # 2000-03-15 (> +60d)
+    EDGE = D + 60 * 86_400_000_000   # exactly +60d -> on time
+    OK = 947_894_400_000_000         # 2000-01-15
+
+    ts = pa.timestamp("us")
+    d = _q_dir("q21_", {
+        **_nation_region(),
+        "orders": pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_orderdate": pa.array([D] * 5, ts),
+            "o_orderstatus": pa.array(["F", "F", "O", "F", "F"])}),
+        # o1: s1 late, s2 exactly-on-boundary -> s1 waits
+        # o2: s1 and s2 both late -> n_late=2, nobody
+        # o3: status 'O' -> excluded even though s1 late
+        # o4: s1 late but SOLE supplier -> n_supp=1, nobody
+        # o5: s0 late, s1 on time -> s0 waits (suppkey 0 edge)
+        "lineitem": pa.table({
+            "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 5, 5], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 1, 2, 1, 1, 0, 1], pa.int64()),
+            "l_shipdate": pa.array(
+                [LATE, EDGE, LATE, LATE, LATE, LATE, LATE, OK], ts)}),
+        # s0, s1 in ASIA; s2 in AFRICA (would be filtered if it waited)
+        "supplier": pa.table({
+            "s_suppkey": pa.array([0, 1, 2], pa.int64()),
+            "s_nationkey": pa.array([2, 2, 0], pa.int32()),
+            "s_name": pa.array(["S0", "S1", "S2"]),
+            "s_acctbal": pa.array([1.0, 1.0, 1.0])}),
+    })
+    out = (q_q21_waiting_suppliers(d).to_pandas()
+           .sort_values("s_name").reset_index(drop=True))
+    assert out["s_name"].tolist() == ["S0", "S1"]
+    assert out["numwait"].tolist() == [1, 1]
+    assert isinstance(out, pd.DataFrame)
+
+
+def test_q9_profit_units_and_name_filter():
+    """profit = cents(ext)·(100−pct) − cents(retail)·qty·100 exactly;
+    non-matching part names drop; year comes from the ORDER date."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q9_product_type_profit,
+    )
+
+    ts = pa.timestamp("us")
+    d = _q_dir("q9_", {
+        **_nation_region(),
+        "part": pa.table({
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_name": pa.array(["red widget", "blue bolt"]),
+            "p_retailprice": pa.array([5.0, 1.0])}),
+        "supplier": pa.table({
+            "s_suppkey": pa.array([1], pa.int64()),
+            "s_nationkey": pa.array([3], pa.int32()),
+            "s_name": pa.array(["S1"]),
+            "s_acctbal": pa.array([1.0])}),
+        "orders": pa.table({
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_orderdate": pa.array([862_444_800_000_000], ts)}),  # 1997-05
+        "lineitem": pa.table({
+            "l_orderkey": pa.array([1, 1], pa.int64()),
+            "l_partkey": pa.array([1, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 1], pa.int64()),
+            "l_quantity": pa.array([2.0, 9.0]),
+            "l_extendedprice": pa.array([100.0, 999.0]),
+            "l_discount": pa.array([0.05, 0.0])}),
+    })
+    out = q_q9_product_type_profit(d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # rev = 10000·95 = 950000; cost = 500·2·100 = 100000
+    assert (r.n_name, r.o_year, r.profit_units) == ("N_EUROPE", 1997, 850000)
+
+
+def test_q16_distinct_suppliers_and_exclusions():
+    """Duplicate (part, supplier) pairs count ONCE; Brand#13 / PROMO /
+    off-set sizes drop; the acctbal-cents threshold keeps exactly-1000
+    and drops 999.99."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q16_parts_supplier_relationship,
+    )
+
+    d = _q_dir("q16_", {
+        "part": pa.table({
+            "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "p_brand": pa.array(["Brand#1", "Brand#13", "Brand#2",
+                                 "Brand#1"]),
+            "p_type": pa.array(["ECONOMY", "ECONOMY", "PROMO", "ECONOMY"]),
+            "p_size": pa.array([4, 4, 4, 5], pa.int32())}),
+        "supplier": pa.table({
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_acctbal": pa.array([2000.0, 1000.0, 999.99])}),
+        "lineitem": pa.table({
+            "l_partkey": pa.array([1, 1, 1, 1, 2, 3, 4, 1], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 1, 2, 1, 1, 1, 3], pa.int64())}),
+    })
+    out = q_q16_parts_supplier_relationship(d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.p_brand, r.p_type, r.p_size, r.supplier_cnt) == (
+        "Brand#1", "ECONOMY", 4, 2)
+
+
+def test_q20_strict_majority_and_window():
+    """2·q_ps > q_part is STRICT (exact half loses); out-of-window
+    volume is invisible; non-matching part names never qualify."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q20_potential_promotion,
+    )
+
+    IN96 = 830_000_000_000_000    # 1996-04-20
+    OUT97 = 860_000_000_000_000   # 1997-04
+    ts = pa.timestamp("us")
+    d = _q_dir("q20_", {
+        **_nation_region(),
+        "part": pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_name": pa.array(["red gear", "blue gear", "red bolt"])}),
+        "supplier": pa.table({
+            "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "s_nationkey": pa.array([3, 3, 3, 3], pa.int32()),
+            "s_name": pa.array(["S1", "S2", "S3", "S4"]),
+            "s_acctbal": pa.array([1.0] * 4)}),
+        # p1: s1=6, s2=5 (11 total) -> only s1 majority; s2's huge 1997
+        # row is outside the window; p3: s3=5, s4=5 -> exact half, none
+        "lineitem": pa.table({
+            "l_partkey": pa.array([1, 1, 1, 3, 3], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 2, 3, 4], pa.int64()),
+            "l_quantity": pa.array([6.0, 5.0, 100.0, 5.0, 5.0]),
+            "l_shipdate": pa.array([IN96, IN96, OUT97, IN96, IN96], ts)}),
+    })
+    out = q_q20_potential_promotion(d).to_pandas()
+    assert out["s_name"].tolist() == ["S1"]
+
+
+def test_q2_min_tie_and_region_gate():
+    """Per-part minimum keeps ALL tied suppliers; a cheaper NON-region
+    supplier is invisible to the minimum; filtered part attrs gate."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q2_min_cost_supplier,
+    )
+
+    d = _q_dir("q2_", {
+        **_nation_region(),
+        "part": pa.table({
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_size": pa.array([5, 20, 5], pa.int32()),
+            "p_type": pa.array(["STANDARD", "STANDARD", "ECONOMY"])}),
+        # s1, s2 EUROPE; s3 ASIA (its cheaper price must NOT win)
+        "supplier": pa.table({
+            "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "s_nationkey": pa.array([3, 3, 2], pa.int32()),
+            "s_name": pa.array(["S1", "S2", "S3"]),
+            "s_acctbal": pa.array([11.0, 22.0, 33.0])}),
+        "lineitem": pa.table({
+            "l_partkey": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+            "l_suppkey": pa.array([1, 1, 2, 3, 1, 1], pa.int64()),
+            "l_extendedprice": pa.array(
+                [12.0, 10.0, 10.0, 9.0, 1.0, 1.0])}),
+    })
+    out = (q_q2_min_cost_supplier(d).to_pandas()
+           .sort_values("s_name").reset_index(drop=True))
+    assert out["s_name"].tolist() == ["S1", "S2"]
+    assert out["cost_cents"].tolist() == [1000, 1000]
+    assert out["acctbal_cents"].tolist() == [1100, 2200]
+    assert out["p_partkey"].tolist() == [1, 1]
+    assert out["n_name"].tolist() == ["N_EUROPE", "N_EUROPE"]
+
+
+def test_q11_mean_threshold_exact():
+    """val·n > 2·total is strict at the boundary: a part at exactly
+    2× the mean drops, one cent above survives; non-region suppliers'
+    volume never enters the total."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_q11_important_stock,
+    )
+
+    def build(p1_price):
+        return _q_dir("q11_", {
+            **_nation_region(),
+            # s1 AMERICA-analog: use AFRICA dim? query pins AMERICA —
+            # give nation 0 the name but region must be AMERICA
+            "nation": pa.table({
+                "n_nationkey": pa.array([0, 2], pa.int32()),
+                "n_name": pa.array(["N_AM", "N_ASIA"]),
+                "n_regionkey": pa.array([1, 2], pa.int32())}),
+            "region": pa.table({
+                "r_regionkey": pa.array([1, 2], pa.int32()),
+                "r_name": pa.array(["AMERICA", "ASIA"])}),
+            "supplier": pa.table({
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_nationkey": pa.array([0, 2], pa.int32()),
+                "s_name": pa.array(["S1", "S2"]),
+                "s_acctbal": pa.array([1.0, 1.0])}),
+            # s2 (non-AMERICA) ships p9 at a huge price -> invisible
+            "lineitem": pa.table({
+                "l_partkey": pa.array([1, 2, 3, 4, 9], pa.int64()),
+                "l_suppkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [p1_price, 1.0, 1.0, 1.0, 9999.0])}),
+        })
+
+    # p1 = 3.00 -> total 600, n 4: 300·4 = 1200 = 2·600 -> NOT kept
+    out = q_q11_important_stock(build(3.0)).to_pandas()
+    assert len(out) == 0
+    # p1 = 3.01 -> total 601, n 4: 301·4 = 1204 > 1202 -> kept
+    out2 = q_q11_important_stock(build(3.01)).to_pandas()
+    assert out2["l_partkey"].tolist() == [1]
+    assert out2["value_cents"].tolist() == [301]
