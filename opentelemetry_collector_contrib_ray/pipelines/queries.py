@@ -34,7 +34,7 @@ from ..stages.recombine import recombine
 from ..stages.sampler import ProbabilisticSampler, knuth_hash_sql, sample_keep_sql
 from ..stages.text import LangId, token_stats
 from .flagship import ROUTES, TOOL_SERVICE, TOOL_SERVICE_DEFAULTS, build_parse_chain
-from ..stages.base import pa_from_pandas
+from ..stages.base import pa_from_pandas, arrow_out
 
 # --------------------------------------------------------------------------
 # shared SQL fragments
@@ -4580,7 +4580,7 @@ def q_conv_length_quantiles(sf_dir: str):
 
     counts = (
         ds.map_batches(part, batch_format="pyarrow")
-        .groupby("__p").map_groups(merge, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(merge), batch_format="pandas")
     )
     return int_quantiles(counts, "n", {"p50": 0.5, "p90": 0.9, "p99": 0.99})
 
@@ -4639,7 +4639,7 @@ def q_events_wow_growth(sf_dir: str):
                                pa.int64(), from_pandas=True),
         })
 
-    return weekly.groupby("event_type").map_groups(shift, batch_format="pandas")
+    return weekly.groupby("event_type").map_groups(arrow_out(shift), batch_format="pandas")
 
 
 SQL_EVENTS_WOW_GROWTH = """
@@ -4926,7 +4926,7 @@ def q_events_transitions(sf_dir: str):
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__p").map_groups(pairs, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(pairs), batch_format="pandas")
         .groupby(["prev_type", "event_type"])
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -4970,7 +4970,7 @@ def q_events_distinct_users(sf_dir: str):
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
-        .groupby("__p").map_groups(merge, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(merge), batch_format="pandas")
     )
 
 
@@ -5063,7 +5063,7 @@ def q_events_rolling_wau(sf_dir: str):
 
     return (
         ds.map_batches(expand, batch_format="pyarrow")
-        .groupby("__p").map_groups(count_windows, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(count_windows), batch_format="pandas")
     )
 
 
@@ -5119,7 +5119,7 @@ def q_docs_vocab_overlap(sf_dir: str):
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
-        .groupby("__p").map_groups(pairs, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(pairs), batch_format="pandas")
         .groupby(["lang_a", "lang_b"])
         .aggregate(Sum("n_shared", alias_name="n_shared"))
     )
@@ -5258,7 +5258,7 @@ def q_docs_dup_rate(sf_dir: str):
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
-        .groupby("__p").map_groups(merge, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(merge), batch_format="pandas")
         .groupby("source")
         .aggregate(_S("n_docs", alias_name="n_docs"),
                    _S("n_distinct", alias_name="n_distinct"))
@@ -5356,7 +5356,7 @@ def q_docs_longest_per_source(sf_dir: str):
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__p").map_groups(topk, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(topk), batch_format="pandas")
     )
 
 
@@ -5399,7 +5399,7 @@ def q_events_interarrival_quantiles(sf_dir: str):
 
     gap_ds = (
         ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__p").map_groups(gaps, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(gaps), batch_format="pandas")
     )
     return int_quantiles(gap_ds, "gap_s",
                          {"p50": 0.5, "p90": 0.9, "p99": 0.99})
@@ -5447,7 +5447,7 @@ def q_conv_role_violations(sf_dir: str):
 
     per_conv = (
         ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__p").map_groups(viol, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(viol), batch_format="pandas")
     )
 
     def roll(t: pa.Table) -> pa.Table:
@@ -5734,7 +5734,7 @@ def q_conv_tool_pairs(sf_dir: str):
 
     return (
         ds.map_batches(part, batch_format="pyarrow")
-        .groupby("__p").map_groups(pairs, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(pairs), batch_format="pandas")
         .groupby(["tool_a", "tool_b"])
         .aggregate(Sum("n_convs", alias_name="n_convs"))
     )
@@ -5944,7 +5944,7 @@ def q_events_new_returning(sf_dir: str):
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("__p").map_groups(cells, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(cells), batch_format="pandas")
         .groupby("week")
         .aggregate(Sum("n_new", alias_name="n_new"),
                    Sum("n_returning", alias_name="n_returning"))
@@ -6777,7 +6777,7 @@ def q_ref_integrity_audit(sf_dir: str):
             return pa.table({c: pa.array([v], pa.int64())
                              for c, v in zip(cols, vals)})
 
-        return both.groupby("__p").map_groups(roll, batch_format="pandas")
+        return both.groupby("__p").map_groups(arrow_out(roll), batch_format="pandas")
 
     rolled = _anti_rollup(li, orders, "l_orderkey", "l_orderkey",
                           "o_orderkey", 0, 1).union(
@@ -8906,7 +8906,7 @@ def q_events_basket_lift(sf_dir: str):
 
     partials = (ds.map_batches(prep, batch_format="pyarrow")
                   .groupby("__p")
-                  .map_groups(per_part, batch_format="pandas"))
+                  .map_groups(arrow_out(per_part), batch_format="pandas"))
     tot = compact_groupby(partials, ["ta", "tb"],
                           sum_cols={"n": "n"}).materialize()
     t = pa.concat_tables(list(tot.iter_batches(batch_format="pyarrow")))
@@ -10154,7 +10154,7 @@ def q_conv_response_latency(sf_dir: str):
                            "max_latency_us": "int64"})
 
     per_part = (ds.map_batches(add_part, batch_format="pyarrow")
-                  .groupby("__p").map_groups(pairs, batch_format="pandas"))
+                  .groupby("__p").map_groups(arrow_out(pairs), batch_format="pandas"))
 
     def fold(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -10634,7 +10634,7 @@ def q_users_rfm_segments(sf_dir: str):
     from ..stages.agg import compact_groupby
 
     per_part = (ds.map_batches(partial, batch_format="pyarrow")
-                  .groupby("__p").map_groups(score, batch_format="pandas"))
+                  .groupby("__p").map_groups(arrow_out(score), batch_format="pandas"))
     return compact_groupby(per_part, ["r_score", "f_score", "m_score"],
                            sum_cols={"n_users": "n_users"})
 
@@ -10704,7 +10704,7 @@ def q_docs_candidate_eval(sf_dir: str):
 
     cands = (hashed.map_batches(bucketize, batch_format="pyarrow")
              .map_batches(_add_part(["bucket"], 32), batch_format="pyarrow")
-             .groupby("__p").map_groups(bucket_pairs, batch_format="pandas"))
+             .groupby("__p").map_groups(arrow_out(bucket_pairs), batch_format="pandas"))
 
     exact = ngram_jaccard_pairs(ds, threshold_num=8, threshold_den=10,
                                 n=3, max_df=None)
@@ -10889,7 +10889,7 @@ def q_events_srm_check(sf_dir: str):
     counts = compact_groupby(
         ds.map_batches(dedup_block, batch_format="pyarrow")
           .map_batches(_add_part(["user_id"], 64), batch_format="pyarrow")
-          .groupby("__p").map_groups(count_part, batch_format="pandas"),
+          .groupby("__p").map_groups(arrow_out(count_part), batch_format="pandas"),
         ["event_type", "variant"], sum_cols={"n": "n"})
 
     def fold(t: pa.Table) -> pa.Table:
@@ -11080,7 +11080,7 @@ def q_docs_cluster_representatives(sf_dir: str):
                 batch_format="pyarrow")
             .map_batches(_add_part(["cluster_id"], 32),
                          batch_format="pyarrow")
-            .groupby("__p").map_groups(rep, batch_format="pandas"))
+            .groupby("__p").map_groups(arrow_out(rep), batch_format="pandas"))
 
 
 SQL_DOCS_CLUSTER_REPRESENTATIVES = f"""
@@ -12875,6 +12875,81 @@ WHERE value_cents * np > 2 * tot
 """
 
 
+def q_events_pattern_match(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: regex pattern matching over each user's
+    ORDERED event-type sequence (the row-pattern core of SQL
+    MATCH_RECOGNIZE / CEP engines, expressed batch-first). Each user's
+    events encode to one char each (v/c/p/e/s), ONE user-hash exchange
+    of compact (user, ts, id, ch) rows co-locates a user's history,
+    and the per-partition pass is vectorized end to end: one lexsort,
+    ONE C-level join into a single char buffer, per-user substrings by
+    offset (no per-event Python), then a single RE2
+    ``count_substring_regex`` kernel over the user-string array counts
+    non-overlapping ``vc*p`` funnels (view, any clicks, purchase).
+    Both engines run the SAME RE2 non-overlapping leftmost semantics
+    (DuckDB ``regexp_extract_all`` is RE2 too). Output is the compact
+    (n_matches, n_users) histogram — O(distinct match counts)."""
+    from ..stages.agg import compact_groupby
+
+    PAT = "vc*p"
+    TYPES = pa.array(["view", "click", "purchase", "error", "signup"])
+    CHARS = np.array(["v", "c", "p", "e", "s", "x"])
+    NPARTS = 64
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        idx = pc.fill_null(pc.index_in(t["event_type"], value_set=TYPES),
+                           len(CHARS) - 1).to_numpy(zero_copy_only=False)
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        part = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)) % np.uint64(NPARTS)
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "ts": pc.cast(t["ts"], pa.int64()),
+                         "event_id": pc.cast(t["event_id"], pa.int64()),
+                         "ch": pa.array(CHARS[idx]),
+                         "__p": pa.array(part.astype(np.int64))})
+
+    def match_partition(g: "pd.DataFrame") -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        big = "".join(g["ch"].tolist())
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        seqs = pa.array([big[s:e] for s, e in zip(starts, ends)])
+        n = pc.count_substring_regex(seqs, PAT).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals, counts = np.unique(n, return_counts=True)
+        return pa.table({"n_matches": pa.array(vals, pa.int64()),
+                         "n_users": pa.array(counts.astype(np.int64))})
+
+    partials = (ev.map_batches(prep, batch_format="pyarrow")
+                  .groupby("__p")
+                  .map_groups(match_partition, batch_format="pandas"))
+    return compact_groupby(partials, ["n_matches"],
+                           sum_cols={"n_users": "n_users"})
+
+
+SQL_EVENTS_PATTERN_MATCH = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                      WHEN 'signup' THEN 's' ELSE 'x' END,
+                    '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_matches,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM seq GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -13042,6 +13117,7 @@ QUERIES = {
     "q20_potential_promotion": q_q20_potential_promotion,
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q11_important_stock": q_q11_important_stock,
+    "events_pattern_match": q_events_pattern_match,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -13335,6 +13411,7 @@ ORACLES = {
     "q20_potential_promotion": SQL_Q20_POTENTIAL_PROMOTION,
     "q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
     "q11_important_stock": SQL_Q11_IMPORTANT_STOCK,
+    "events_pattern_match": SQL_EVENTS_PATTERN_MATCH,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

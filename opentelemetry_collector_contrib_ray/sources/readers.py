@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from ..stages.base import arrow_out
 
 
 def _clean_schema(path: str, columns: list[str] | None):
@@ -358,5 +359,5 @@ def transcripts_from_events(sf_dir: str, with_turn_idx: bool = True):
     return (
         ds.map_batches(_add_part(["conv_id"], 64), batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(rank_partition, batch_format="pandas")
+        .map_groups(arrow_out(rank_partition), batch_format="pandas")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 
 
 def compact_groupby(ds, keys: list[str], sum_cols: dict[str, str] | None = None,
@@ -227,7 +227,7 @@ def int_quantiles(ds, col: str, qs: dict[str, float],
     hist = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     ).to_pandas()
     hist = hist.sort_values("v")
     vals = hist["v"].to_numpy()
@@ -306,7 +306,7 @@ def grouped_outliers(ds, key: str, val: str, z: float = 2.0):
     return (
         ds.map_batches(count_outliers, batch_format="pyarrow")
         .groupby("k")
-        .map_groups(rollup, batch_format="pandas")
+        .map_groups(arrow_out(rollup), batch_format="pandas")
     )
 
 
@@ -360,7 +360,7 @@ def grouped_int_quantiles(ds, group_col: str, col: str, qs: dict[str, float],
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(quantiles_per_group, batch_format="pandas")
+        .map_groups(arrow_out(quantiles_per_group), batch_format="pandas")
     )
 
 
@@ -586,7 +586,7 @@ def profile_columns(ds, int_cols: list[str], str_cols: list[str]):
         out = df[["column", "n_rows", "n_nulls", "min_v", "max_v"]]
         return out.astype({"n_rows": "int64", "n_nulls": "int64"})
 
-    return merged.map_batches(render, batch_format="pandas")
+    return merged.map_batches(arrow_out(render), batch_format="pandas")
 
 
 def heavy_hitters(ds, col: str, k: int = 256):
@@ -935,7 +935,7 @@ def topn_per_group(ds, group_cols: list[str], order_col: str, n: int,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(final, batch_format="pandas"))
+              .map_groups(arrow_out(final), batch_format="pandas"))
 
 
 # --------------------------------------------- grouped cross-moments
@@ -1003,7 +1003,7 @@ def hash_groupby_sum(ds, keys: list[str], value_col: str,
 
     return (ds.map_batches(pre, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(final, batch_format="pandas"))
+              .map_groups(arrow_out(final), batch_format="pandas"))
 
 
 def hash_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
@@ -1037,7 +1037,7 @@ def hash_groupby_agg(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
 
     return (ds.map_batches(pre, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(final, batch_format="pandas"))
+              .map_groups(arrow_out(final), batch_format="pandas"))
 
 
 def pivot_counts(ds, key: str, col: str, values: list[str],

@@ -37,6 +37,27 @@ def pa_from_pandas(df) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
+def arrow_out(fn):
+    """Wrap a pandas-in UDF so a RAW pandas return converts to a
+    metadata-free arrow block HERE instead of inside Ray. Ray's own
+    pandas→arrow conversion attaches the ``b'pandas'`` schema metadata
+    that makes the schema unhashable and defeats shuffle schema
+    deduplication (see ``pa_from_pandas``), and a pandas BLOCK also
+    pays a per-boundary conversion at every later arrow stage. Arrow
+    returns pass through untouched, so the wrapper is safe on every
+    map_groups / map_batches UDF regardless of what it returns."""
+    import functools
+
+    import pandas as pd
+
+    @functools.wraps(fn)
+    def wrapped(g):
+        out = fn(g)
+        return pa_from_pandas(out) if isinstance(out, pd.DataFrame) else out
+
+    return wrapped
+
+
 def set_column(t: pa.Table, name: str, arr) -> pa.Table:
     """Replace-or-append a column (chunk-safe)."""
     if isinstance(arr, pa.ChunkedArray):

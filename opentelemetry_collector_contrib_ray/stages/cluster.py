@@ -41,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .base import arrow_out
 
 
 _EMPTY_LABELS = pa.table({
@@ -123,7 +124,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
 
     labels = (
         edges.groupby("part")
-        .map_groups(init_labels, batch_format="pandas")
+        .map_groups(arrow_out(init_labels), batch_format="pandas")
         .materialize()
     )
     prev_sum = labels.sum("b")
@@ -161,7 +162,7 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         )
         labels = (
             msgs.groupby("part")
-            .map_groups(reduce_min, batch_format="pandas")
+            .map_groups(arrow_out(reduce_min), batch_format="pandas")
             .materialize()
         )
         cur_sum = labels.sum("b")

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .base import norm_concurrency, pa_from_pandas
+from .base import norm_concurrency, pa_from_pandas, arrow_out
 import pyarrow.compute as pc
 
 # ------------------------------------------------------------- exact dedup
@@ -47,9 +47,12 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", num_partitions: i
     a Python call per group); ties on hash are resolved by comparing
     the actual value inside the partition."""
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def first_per_group(g: pd.DataFrame) -> pa.Table:
         out = g.sort_values([col, id_col], kind="mergesort").groupby(col, sort=False).head(1)
-        return out.drop(columns=["__hash", "__p"])
+        # arrow return via pa_from_pandas: a raw pandas return would
+        # convert inside Ray WITH pandas schema metadata, which is
+        # unhashable and defeats downstream shuffle schema dedup
+        return pa_from_pandas(out.drop(columns=["__hash", "__p"]))
 
     def add_keys(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, col)
@@ -61,7 +64,7 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id", num_partitions: i
     return (
         ds.map_batches(add_keys, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(first_per_group, batch_format="pandas")
+        .map_groups(arrow_out(first_per_group), batch_format="pandas")
     )
 
 
@@ -246,7 +249,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle: in
     cand = (
         bands_ds.map_batches(_add_part(["band", "bucket"], 64), batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(pairs_partition, batch_format="pandas")
+        .map_groups(arrow_out(pairs_partition), batch_format="pandas")
     )
     # dedup pairs found in multiple bands: local combiner inside the
     # band partition (np.unique over pair rows, max(capped) per pair)
@@ -268,7 +271,7 @@ def minhash_candidate_pairs(ds, num_perm: int = 64, bands: int = 16, shingle: in
     return (
         cand.map_batches(add_pair_part, batch_format="pyarrow")
         .groupby("__q")
-        .map_groups(merge_pairs, batch_format="pandas")
+        .map_groups(arrow_out(merge_pairs), batch_format="pandas")
     )
 
 
@@ -633,10 +636,10 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
     return (
         grams.map_batches(add_gram_part, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(pairs_partition, batch_format="pandas")
+        .map_groups(arrow_out(pairs_partition), batch_format="pandas")
         .map_batches(add_pair_part, batch_format="pyarrow")
         .groupby("__q")
-        .map_groups(merge_and_filter, batch_format="pandas")
+        .map_groups(arrow_out(merge_and_filter), batch_format="pandas")
     )
 
 
@@ -757,11 +760,11 @@ def segment_dedup(ds, col: str = "text", id_col: str = "doc_id",
     drop_ds = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(decide_drops, batch_format="pandas")
+        .map_groups(arrow_out(decide_drops), batch_format="pandas")
     )
     docs_tagged = ds.map_batches(tag_docs, batch_format="pyarrow")
     return docs_tagged.union(drop_ds).groupby("__q") \
-        .map_groups(rebuild, batch_format="pandas")
+        .map_groups(arrow_out(rebuild), batch_format="pandas")
 
 
 def span_dedup(ds, k: int = 8, col: str = "text", id_col: str = "doc_id",
@@ -913,11 +916,11 @@ def span_dedup(ds, k: int = 8, col: str = "text", id_col: str = "doc_id",
     drop_ds = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(decide_drops, batch_format="pandas")
+        .map_groups(arrow_out(decide_drops), batch_format="pandas")
     )
     docs_tagged = ds.map_batches(tag_docs, batch_format="pyarrow")
     return docs_tagged.union(drop_ds).groupby("__q") \
-        .map_groups(rebuild, batch_format="pandas")
+        .map_groups(arrow_out(rebuild), batch_format="pandas")
 
 
 def ngram_jaccard_prefix_pairs(ds, threshold_num: int = 8,
@@ -990,7 +993,7 @@ def ngram_jaccard_prefix_pairs(ds, threshold_num: int = 8,
         return pa_from_pandas(out.astype("int64"))
 
     pref = (wdf.map_batches(mix_part(id_col), batch_format="pyarrow")
-               .groupby("__p").map_groups(prefixes, batch_format="pandas"))
+               .groupby("__p").map_groups(arrow_out(prefixes), batch_format="pandas"))
 
     # 3) candidates from prefix-gram runs
     def cand_partition(g: pd.DataFrame) -> pa.Table:
@@ -1056,7 +1059,7 @@ def ngram_jaccard_prefix_pairs(ds, threshold_num: int = 8,
             m[["id_a", "id_b", "c_a", "c_b", "gram"]].astype("int64"))
 
     pair_grams = (unioned.groupby("__p")
-                  .map_groups(pickup, batch_format="pandas"))
+                  .map_groups(arrow_out(pickup), batch_format="pandas"))
 
     # 6) exact intersection + threshold
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -1073,4 +1076,4 @@ def ngram_jaccard_prefix_pairs(ds, threshold_num: int = 8,
         return agg.loc[keep, ["id_a", "id_b", "shared"]].astype("int64")
 
     return (pair_grams.map_batches(pair_part, batch_format="pyarrow")
-            .groupby("__p").map_groups(verify, batch_format="pandas"))
+            .groupby("__p").map_groups(arrow_out(verify), batch_format="pandas"))

@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 
 
 def _stream_partitioned(ds, keys: list[str], n_parts: int):
@@ -225,7 +225,7 @@ def interval_last(ds, keys: list[str], ts: str, size_s: int,
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )
 
 
@@ -266,5 +266,5 @@ def latest_state(ds, key: str, seq: str, delete_expr=None,
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )

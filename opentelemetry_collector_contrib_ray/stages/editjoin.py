@@ -42,7 +42,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 
 _B = np.uint64(1099511628211)  # FNV-64 prime; odd => invertible mod 2^64
 _BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
@@ -190,7 +190,7 @@ def edit_join_pairs(ds, col: str = "s", id_col: str = "sid",
     pairs = (ds.map_batches(explode, batch_format="pyarrow")
                .map_batches(add_part, batch_format="pyarrow")
                .groupby("__p")
-               .map_groups(pairs_partition, batch_format="pandas"))
+               .map_groups(arrow_out(pairs_partition), batch_format="pandas"))
     # a pair verified in several partitions emits identical rows; one
     # tiny compact pass dedups them (pair cardinality ~ true duplicates)
     out = compact_groupby(pairs, ["sid_a", "sid_b", "dist"],

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .agg import compact_groupby
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 
 
 def _true_count(mask) -> int:
@@ -101,7 +101,7 @@ def expectations_report(ds, rules: list[dict], num_partitions: int = 64):
             ds.select_columns([col])
               .map_batches(dedup_part, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(count_part, batch_format="pandas")
+              .map_groups(arrow_out(count_part), batch_format="pandas")
               .repartition(1)
               .map_batches(final_sum, batch_format="pyarrow",
                            batch_size=None))

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 
 _RULES = ("latest", "earliest", "max", "min", "longest")
 _LONG_SHIFT = np.int64(1) << np.int64(40)
@@ -74,4 +74,4 @@ def golden_records(ds, cluster_col: str, order_col: str,
 
     return (ds.map_batches(add_part, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(fuse, batch_format="pandas"))
+              .map_groups(arrow_out(fuse), batch_format="pandas"))

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .agg import compact_groupby
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 from .tailsampling import ray_get_tables
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -128,7 +128,7 @@ def triangle_counts(edges, src: str = "src", dst: str = "dst",
 
     e = (edges.map_batches(canon, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(distinct_part, batch_format="pandas")
+              .map_groups(arrow_out(distinct_part), batch_format="pandas")
               .materialize())     # reused by degrees, orientation, match
 
     if e.count() <= local_edges:
@@ -176,7 +176,7 @@ def triangle_counts(edges, src: str = "src", dst: str = "dst",
 
     wedges = (e.map_batches(orient, batch_format="pyarrow")
                .groupby("__w")
-               .map_groups(wedges_part, batch_format="pandas"))
+               .map_groups(arrow_out(wedges_part), batch_format="pandas"))
 
     def edge_rows(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
@@ -198,7 +198,7 @@ def triangle_counts(edges, src: str = "src", dst: str = "dst",
     tri_t = pa.concat_tables(ray_get_tables(compact_groupby(
         wedges.union(e.map_batches(edge_rows, batch_format="pyarrow"))
               .groupby("__q")
-              .map_groups(match, batch_format="pandas"),
+              .map_groups(arrow_out(match), batch_format="pandas"),
         ["node"], count_alias="triangles")))
 
     # final assembly on the two per-node tables (both already tiny)

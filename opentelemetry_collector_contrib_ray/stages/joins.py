@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .base import arrow_out
 
 _JOIN_TYPES = {
     "inner": "inner",
@@ -71,7 +72,7 @@ def broadcast_join(ds, small_ref, on: str, how: str = "left",
                      if not isinstance(small_ref, pd.DataFrame) else small_ref)
             return pa_from_pandas(b.merge(small, on=on, how=how))
 
-        return ds.map_batches(join_fn, batch_format="pandas")
+        return ds.map_batches(arrow_out(join_fn), batch_format="pandas")
 
     class Joiner:
         def __init__(self):
@@ -140,21 +141,43 @@ def anti_join(ds, keys_ref, on: str, concurrency: int = 4):
     return _key_set_stage(ds, keys_ref, on, False, concurrency)
 
 
+def _strip_schema_metadata(ds):
+    """Zero-copy ``replace_schema_metadata(None)`` per block, fused
+    into the upstream task op. Ray's hash-shuffle aggregators
+    deduplicate block schemas before unifying, and a schema carrying
+    ANY metadata is unhashable in pyarrow (``Schema.__hash__`` raises
+    ``unhashable type: 'dict'``), forcing the slow unify path on EVERY
+    bundle — at 100 TB that is millions of redundant unify calls in
+    the aggregator hot loop. ``pa_from_pandas`` keeps repo-built
+    blocks clean, but a ``map_groups``/``map_batches`` UDF returning a
+    RAW pandas frame converts inside Ray (metadata attached), so the
+    native-join wrappers scrub both inputs here — the consumption
+    point — instead of chasing every producer."""
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ds.map_batches(strip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def large_semi_join(left, right, on: str, right_on: str | None = None,
                     num_partitions: int | None = None):
     """Semi join where the right side is too large to broadcast —
     native hash-partitioned left_semi join."""
     np_ = num_partitions or _derive_partitions(left, right)
-    return left.join(right, join_type="left_semi", num_partitions=np_,
-                     on=(on,), right_on=(right_on or on,))
+    return _strip_schema_metadata(left).join(
+        _strip_schema_metadata(right), join_type="left_semi",
+        num_partitions=np_, on=(on,), right_on=(right_on or on,))
 
 
 def large_anti_join(left, right, on: str, right_on: str | None = None,
                     num_partitions: int | None = None):
     """Anti join against a large right side — native left_anti join."""
     np_ = num_partitions or _derive_partitions(left, right)
-    return left.join(right, join_type="left_anti", num_partitions=np_,
-                     on=(on,), right_on=(right_on or on,))
+    return _strip_schema_metadata(left).join(
+        _strip_schema_metadata(right), join_type="left_anti",
+        num_partitions=np_, on=(on,), right_on=(right_on or on,))
 
 
 DEFAULT_JOIN_PARTITIONS = 64
@@ -284,8 +307,8 @@ def bucketed_hash_join(left, right, on: str, how: str = "inner",
     alias)."""
     if num_partitions is None:
         num_partitions = n_buckets or _derive_partitions(left, right, rows_per_partition)
-    return left.join(
-        right,
+    return _strip_schema_metadata(left).join(
+        _strip_schema_metadata(right),
         join_type=_JOIN_TYPES.get(how, how),
         num_partitions=int(num_partitions),
         on=(on,),
@@ -428,7 +451,7 @@ def asof_join(left, right, key: str, ts: str, direction: str = "backward",
 
     summaries = (
         rb.map_batches(_add_part([key], n_parts), batch_format="pyarrow")
-        .groupby("__p").map_groups(last_rows, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(last_rows), batch_format="pandas")
     )
 
     # distinct (key, bucket) pairs present on the LEFT — two ints/row,
@@ -461,7 +484,7 @@ def asof_join(left, right, key: str, ts: str, direction: str = "backward",
     carries = (
         _align_union([tagged_s, tagged_t], dict(rb_fields, __c=pa.string()))
         .map_batches(_add_part([key], n_parts), batch_format="pyarrow")
-        .groupby("__p").map_groups(make_carries, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(make_carries), batch_format="pandas")
     )
 
     # final co-grouped pass: partition on hash(key, bucket) — hot keys
@@ -571,7 +594,7 @@ def range_join(left, intervals, key: str, ts: str, start: str, end: str,
         dict(base_fields, __b=pa.int64(), __side=pa.string()),
     )
     both = both.map_batches(_add_part([key, "__b"], n_parts), batch_format="pyarrow")
-    return both.groupby("__p").map_groups(join_part, batch_format="pandas")
+    return both.groupby("__p").map_groups(arrow_out(join_part), batch_format="pandas")
 
 
 class _BroadcastRangeJoiner:
@@ -930,4 +953,4 @@ def interval_overlap_join(left, right, start: str, end: str,
     )
     both = both.map_batches(_add_part([k, "__b"], n_parts),
                             batch_format="pyarrow")
-    return both.groupby("__p").map_groups(join_part, batch_format="pandas")
+    return both.groupby("__p").map_groups(arrow_out(join_part), batch_format="pandas")

@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .base import norm_concurrency
+from .base import norm_concurrency, arrow_out
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -401,7 +401,7 @@ def hash_band_pairs(hashed_ds, hash_col: str, max_hamming: int,
     pairs = (
         hashed_ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band", "val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(arrow_out(bucket_pairs), batch_format="pandas")
     )
 
     def dedup_pairs(g: pd.DataFrame) -> pa.Table:

@@ -41,7 +41,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 
 
 def token_counts(t: pa.Table, key: str = "doc_id", col: str = "text") -> pa.Table:
@@ -107,7 +107,7 @@ def doc_offsets(ds, key: str = "doc_id", col: str = "text",
     scanned = (
         counts.map_batches(bucketize, batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(scan, batch_format="pandas")
+        .map_groups(arrow_out(scan), batch_format="pandas")
     )
     return scanned, total
 
@@ -152,5 +152,5 @@ def pack_sequences(ds, seq_len: int, key: str = "doc_id",
     return (
         offs.map_batches(expand, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from .base import arrow_out
 
 
 def recombine(
@@ -124,4 +125,4 @@ def recombine(
     if prechunk:
         ds = ds.map_batches(add_chunk_key, batch_format="pyarrow")
     keyed = ds.map_batches(_add_part(group_keys, num_partitions), batch_format="pyarrow")
-    return keyed.groupby("__p").map_groups(join_partition, batch_format="pandas")
+    return keyed.groupby("__p").map_groups(arrow_out(join_partition), batch_format="pandas")

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import BatchOp
+from .base import BatchOp, arrow_out
 
 KNUTH = np.uint64(2654435761)
 MOD32 = np.uint64(4294967296)
@@ -135,7 +135,7 @@ def cap_per_key(ds, key_col: str, n: int, id_col: str, num_partitions: int = 64)
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(cap_partition, batch_format="pandas")
+        .map_groups(arrow_out(cap_partition), batch_format="pandas")
     )
 
 
@@ -179,7 +179,7 @@ def stratified_cap(ds, stratum_col: str, quotas: dict, default_n: int,
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(cap_partition, batch_format="pandas")
+        .map_groups(arrow_out(cap_partition), batch_format="pandas")
     )
 
 
@@ -346,7 +346,7 @@ def rate_limit(ds, key_col: str, ts_col: str, max_per_window: int,
     return (
         ds.map_batches(add_cols, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(limit_partition, batch_format="pandas")
+        .map_groups(arrow_out(limit_partition), batch_format="pandas")
     )
 
 

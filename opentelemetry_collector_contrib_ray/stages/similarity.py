@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .base import norm_concurrency, pa_from_pandas
+from .base import norm_concurrency, pa_from_pandas, arrow_out
 
 
 def _merge_topk_partials(partial, k: int, id_col: str) -> pa.Table:
@@ -463,10 +463,10 @@ def lsh_near_dup_pairs(ds, threshold: float = 0.9, n_bits: int = 4,
         ds.map_batches(_ExplodeBuckets(), batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(arrow_out(bucket_pairs), batch_format="pandas")
         .map_batches(add_pair_part, batch_format="pyarrow")
         .groupby("__q")
-        .map_groups(dedup_pairs, batch_format="pandas")
+        .map_groups(arrow_out(dedup_pairs), batch_format="pandas")
     )
 
 
@@ -498,7 +498,7 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.9, emb_col: str = "embedding"
 
         ds = ds.map_batches(all_one, batch_format="pyarrow")
         block_col = "__blk"
-    return ds.groupby(block_col).map_groups(pairs, batch_format="pandas")
+    return ds.groupby(block_col).map_groups(arrow_out(pairs), batch_format="pandas")
 
 
 def label_centroids(ds, emb_col: str = "embedding", label_col: str = "label",
@@ -553,7 +553,7 @@ def label_centroids(ds, emb_col: str = "embedding", label_col: str = "label",
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )
 
 
@@ -609,7 +609,7 @@ def nearest_centroid_confusion(ds, emb_col: str = "embedding",
     return (
         ds.map_batches(classify, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(rollup, batch_format="pandas")
+        .map_groups(arrow_out(rollup), batch_format="pandas")
     )
 
 
@@ -733,7 +733,7 @@ def kmeans_lloyd(ds, k: int = 4, iters: int = 2,
     return (
         ds.map_batches(final, batch_format="pyarrow")
         .groupby("cluster")
-        .map_groups(rollup, batch_format="pandas")
+        .map_groups(arrow_out(rollup), batch_format="pandas")
     )
 
 

@@ -48,7 +48,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .sampler import KNUTH, MOD32, fnv1a_hash_strings, sample_threshold
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 
 
 def _leaf_predicates(policies: list[dict]) -> list[dict]:
@@ -116,7 +116,7 @@ def trace_summaries(ds, trace_key: str, ts: str, policies: list[dict],
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )
 
 

@@ -13,7 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .base import set_column, pa_from_pandas
+from .base import set_column, pa_from_pandas, arrow_out
 
 # ----------------------------------------------------------- token count
 
@@ -284,7 +284,7 @@ def top_terms(ds, col: str = "text", k: int = 20, num_partitions: int = 64):
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )
     # Ray sort API: per-key descending flags
     return out.sort(["n", "term"], descending=[True, False]).limit(k)
@@ -411,7 +411,7 @@ def top_ngrams(ds, n: int = 2, k: int = 10_000, col: str = "text",
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )
     return out.sort(["n", "gram"], descending=[True, False]).limit(k)
 
@@ -615,9 +615,9 @@ def top_tfidf(ds, col: str = "text", id_col: str = "doc_id",
     return (
         ds.map_batches(tf_rows, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(score_and_prereduce, batch_format="pandas")
+        .map_groups(arrow_out(score_and_prereduce), batch_format="pandas")
         .groupby("__q")
-        .map_groups(final_argmax, batch_format="pandas")
+        .map_groups(arrow_out(final_argmax), batch_format="pandas")
     )
 
 
@@ -676,9 +676,9 @@ def top_terms_per_group(ds, group_col: str, k: int = 5, col: str = "text",
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge_and_prereduce, batch_format="pandas")
+        .map_groups(arrow_out(merge_and_prereduce), batch_format="pandas")
         .groupby("__q")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(arrow_out(final_topk), batch_format="pandas")
     )
 
 
@@ -756,9 +756,9 @@ def ngram_novelty(ds, n: int = 3, col: str = "text", id_col: str = "doc_id",
     return (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(df_partial, batch_format="pandas")
+        .map_groups(arrow_out(df_partial), batch_format="pandas")
         .groupby("__q")
-        .map_groups(rollup, batch_format="pandas")
+        .map_groups(arrow_out(rollup), batch_format="pandas")
     )
 
 
@@ -851,7 +851,7 @@ def template_mine(ds, col: str = "text",
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )
     if k is not None:
         out = out.sort(["n", "template"], descending=[True, False]).limit(k)
@@ -907,7 +907,7 @@ def cooccurrence_topk(ds, col: str = "text", id_col: str = "doc_id",
 
     top = (
         ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("__p").map_groups(df_merge, batch_format="pandas")
+        .groupby("__p").map_groups(arrow_out(df_merge), batch_format="pandas")
         .sort(["df_", "term"], descending=[True, False]).limit(vocab_size)
         .to_pandas()
     )

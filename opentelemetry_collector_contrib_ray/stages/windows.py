@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from .base import pa_from_pandas
+from .base import pa_from_pandas, arrow_out
 
 
 def tumbling_window(ds, key: str, ts: str, size_s: int,
@@ -63,7 +63,7 @@ def tumbling_window(ds, key: str, ts: str, size_s: int,
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrow_out(merge), batch_format="pandas")
     )
     return out.map_batches(
         lambda t: t.set_column(
@@ -173,7 +173,7 @@ def sliding_window_counts(ds, key: str, ts: str, size_s: int, step_s: int,
                              "window_end": ends, "n": n_out})
 
     fn = per_part if size_s % step_s == 0 and r >= 1 else per_part_fallback
-    return _partitioned(ds, key, num_partitions).map_groups(fn, batch_format="pandas")
+    return _partitioned(ds, key, num_partitions).map_groups(arrow_out(fn), batch_format="pandas")
 
 
 def session_windows(ds, key: str, ts: str, gap_s: int, num_partitions: int = 64):
@@ -203,7 +203,7 @@ def session_windows(ds, key: str, ts: str, gap_s: int, num_partitions: int = 64)
             }
         )
 
-    return _partitioned(ds, key, num_partitions).map_groups(per_part, batch_format="pandas")
+    return _partitioned(ds, key, num_partitions).map_groups(arrow_out(per_part), batch_format="pandas")
 
 
 def funnel_steps(ds, steps: list[str], user_col: str = "user_id",
@@ -272,9 +272,9 @@ def funnel_steps(ds, steps: list[str], user_col: str = "user_id",
     return (
         ds.map_batches(prefilter, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(arrow_out(per_partition), batch_format="pandas")
         .groupby("step_idx")
-        .map_groups(rollup, batch_format="pandas")
+        .map_groups(arrow_out(rollup), batch_format="pandas")
     )
 
 
@@ -325,9 +325,9 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
     return (
         ds.map_batches(prefilter, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(arrow_out(per_partition), batch_format="pandas")
         .groupby("__q")
-        .map_groups(rollup, batch_format="pandas")
+        .map_groups(arrow_out(rollup), batch_format="pandas")
     )
 
 
@@ -377,7 +377,7 @@ def late_arrivals(ds, key: str, ts_col: str, order_col: str,
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(flag_partition, batch_format="pandas")
+        .map_groups(arrow_out(flag_partition), batch_format="pandas")
     )
 
 
@@ -427,7 +427,7 @@ def first_k_paths(ds, key: str, ts_col: str, order_col: str, val_col: str,
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(paths, batch_format="pandas")
+        .map_groups(arrow_out(paths), batch_format="pandas")
     )
 
 
@@ -477,9 +477,9 @@ def cohort_value_matrix(ds, user_col: str = "user_id", ts_col: str = "ts",
     return (
         ds.map_batches(prefilter, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(arrow_out(per_partition), batch_format="pandas")
         .groupby("__q")
-        .map_groups(rollup, batch_format="pandas")
+        .map_groups(arrow_out(rollup), batch_format="pandas")
     )
 
 
@@ -541,7 +541,7 @@ def interval_union_coverage(ds, key: str, ts_col: str, length_s: int,
     return (
         ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("__p")
-        .map_groups(cover, batch_format="pandas")
+        .map_groups(arrow_out(cover), batch_format="pandas")
     )
 
 
@@ -577,7 +577,7 @@ def running_total(ds, key_cols: list[str], order_cols: list[str],
 
     return (ds.map_batches(add_part, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(scan, batch_format="pandas"))
+              .map_groups(arrow_out(scan), batch_format="pandas"))
 
 
 def exp_weighted_lag(ds, key_cols: list[str], order_cols: list[str],
@@ -641,7 +641,7 @@ def exp_weighted_lag(ds, key_cols: list[str], order_cols: list[str],
 
     return (ds.map_batches(add_part, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(scan, batch_format="pandas"))
+              .map_groups(arrow_out(scan), batch_format="pandas"))
 
 
 def run_compress(ds, key_cols: list[str], order_cols: list[str],
@@ -699,7 +699,7 @@ def run_compress(ds, key_cols: list[str], order_cols: list[str],
 
     return (ds.map_batches(add_part, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(scan, batch_format="pandas"))
+              .map_groups(arrow_out(scan), batch_format="pandas"))
 
 
 def peak_concurrency(ds, key: str, ts_col: str, length_s: int,
@@ -756,7 +756,7 @@ def peak_concurrency(ds, key: str, ts_col: str, length_s: int,
     return (ds.map_batches(to_points, batch_format="pyarrow")
               .map_batches(add_part, batch_format="pyarrow")
               .groupby("__p")
-              .map_groups(sweep, batch_format="pandas"))
+              .map_groups(arrow_out(sweep), batch_format="pandas"))
 
 
 def resample_ffill(ds, key: str, ts_col: str, val_col: str,
@@ -816,7 +816,7 @@ def resample_ffill(ds, key: str, ts_col: str, val_col: str,
             "observed": pa.array(m["observed"].to_numpy()),
         })
 
-    return (ds.map_batches(last_per_bucket, batch_format="pandas")
+    return (ds.map_batches(arrow_out(last_per_bucket), batch_format="pandas")
               .repartition(1)
               .map_batches(final, batch_format="pyarrow", batch_size=None))
 
@@ -942,4 +942,4 @@ def global_rank(ds, order_cols: list[str], num_buckets: int = 64,
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
               .groupby("__b")
-              .map_groups(rank_bucket, batch_format="pandas"))
+              .map_groups(arrow_out(rank_bucket), batch_format="pandas"))

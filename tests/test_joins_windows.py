@@ -2020,3 +2020,38 @@ def test_q11_mean_threshold_exact():
     out2 = q_q11_important_stock(build(3.01)).to_pandas()
     assert out2["l_partkey"].tolist() == [1]
     assert out2["value_cents"].tolist() == [301]
+
+
+def test_pattern_match_order_and_nonoverlap():
+    """Matches respect (ts, event_id) order, count non-overlapping,
+    clicks absorb greedily, and errors between view and purchase
+    break the pattern."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_pattern_match,
+    )
+
+    ts = pa.timestamp("us")
+    # user 1: v c c p v p        -> 2 matches
+    # user 2: v e p              -> 0 (error breaks vc*p)
+    # user 3: p v (id tiebreak: same ts, ids order v before p -> "vp") -> 1
+    d = _q_dir("pm_", {
+        "events": pa.table({
+            "user_id": pa.array([1, 1, 1, 1, 1, 1, 2, 2, 2, 3, 3],
+                                pa.int64()),
+            "ts": pa.array([10, 20, 30, 40, 50, 60, 10, 20, 30, 10, 10],
+                           ts),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 10],
+                                 pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "click", "purchase", "view", "purchase",
+                 "view", "error", "purchase", "purchase", "view"]),
+            "value": pa.array([0.0] * 11),
+            "props": pa.array(["{}"] * 11)}),
+    })
+    out = (q_events_pattern_match(d).to_pandas()
+           .sort_values("n_matches").reset_index(drop=True))
+    # n_matches 0 -> 1 user (u2), 1 -> 1 user (u3), 2 -> 1 user (u1)
+    assert out["n_matches"].tolist() == [0, 1, 2]
+    assert out["n_users"].tolist() == [1, 1, 1]
