@@ -531,3 +531,37 @@ def test_melt_unpivot_roundtrip():
     assert out.to_dict("list") == {"k": [1, 1, 2, 2],
                                    "kind": ["a", "b", "a", "b"],
                                    "n": [10, 3, 0, 7]}
+
+
+def test_arrow_out_strips_metadata_and_passes_arrow_through():
+    """arrow_out: raw pandas returns convert to METADATA-FREE arrow
+    (hashable schema — the shuffle schema-dedup contract); arrow and
+    non-frame returns pass through untouched; empty frames keep their
+    columns."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.base import arrow_out
+
+    out = arrow_out(lambda g: pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))(None)
+    assert isinstance(out, pa.Table)
+    assert out.schema.metadata is None
+    hash(out.schema)  # must not raise
+
+    t = pa.table({"a": pa.array([1], pa.int64())})
+    assert arrow_out(lambda g: t)(None) is t
+
+    empty = arrow_out(lambda g: pd.DataFrame({"a": pd.Series(dtype="int64")}))(None)
+    assert empty.num_rows == 0 and empty.column_names == ["a"]
+    assert empty.schema.field("a").type == pa.int64()
+
+    # the reference failure mode: pa.Table.from_pandas attaches
+    # b'pandas' metadata whose schema pyarrow cannot hash
+    dirty = pa.Table.from_pandas(pd.DataFrame({"a": [1]}))
+    assert dirty.schema.metadata is not None
+    try:
+        hash(dirty.schema)
+        raised = False
+    except TypeError:
+        raised = True
+    assert raised
