@@ -12875,6 +12875,78 @@ WHERE value_cents * np > 2 * tot
 """
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Multimodal RESIZE with a hash oracle — the explicit resize leg
+    of the decode / feature-extract / resize / frame-sample quartet
+    (dhash only resizes implicitly). REAL byte-level decode
+    (stages/codecs.py) → nearest-neighbor resize to 8×8
+    (stages/multimodal.ImageResizer: src = (dst·src_dim)//8, a pure
+    integer gather) → per-image integer checksums over the RESIZED
+    pixels in (y, x, channel) order. The DuckDB twin re-derives every
+    sampled pixel from the payload BYTES: the SAME //8 source-index
+    math composed with the BMP bottom-up/BGR/4-byte-stride (or PPM
+    header-skip) offset arithmetic — so a wrong rounding direction,
+    axis swap, or gather-order bug shifts the weighted checksum."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (ImageDecoder, ImageResizer,
+                                     ensure_mm_oracle_tables,
+                                     pixel_checksums)
+
+    d = ensure_mm_oracle_tables()
+    return (
+        rd.read_parquet(f"{d}/media.parquet")
+        .map_batches(ImageDecoder(fake=False), batch_format="pyarrow",
+                     batch_size=64)
+        .map_batches(ImageResizer(out_h=8, out_w=8),
+                     batch_format="pyarrow", batch_size=64)
+        .map_batches(pixel_checksums, batch_format="pyarrow")
+    )
+
+
+def _mm_resize_sql() -> str:
+    """DuckDB re-derivation of the 8×8 nearest-neighbor resample from
+    payload bytes (see q_multimodal_resize)."""
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+    return f"""
+WITH media AS (
+  SELECT media_id, media_type, hex(payload) AS hx,
+         CAST("meta.width" AS BIGINT) AS w, CAST("meta.height" AS BIGINT) AS h
+  FROM read_parquet('{MM_ORACLE_DIR}/media.parquet')
+), kk AS (
+  SELECT media_id, media_type, hx, w, h,
+         unnest(range(0, 8 * 8 * 3)) AS k
+  FROM media
+), src AS (
+  SELECT media_id, media_type, hx, w, h, k,
+         ((k // 24) * h) // 8 AS sy,
+         (((k % 24) // 3) * w) // 8 AS sx,
+         k % 3 AS c
+  FROM kk
+), pos AS (
+  SELECT media_id, k, hx,
+    CASE WHEN media_type = 'image/bmp'
+      THEN 54 + (h - 1 - sy) * (((w * 3 + 3) // 4) * 4) + sx * 3 + (2 - c)
+      ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+           + (sy * w + sx) * 3 + c
+    END AS pos
+  FROM src
+), v AS (
+  SELECT media_id, k,
+    (strpos('{hexd}', substr(hx, 2 * pos + 1, 1)) - 1) * 16
+    + (strpos('{hexd}', substr(hx, 2 * pos + 2, 1)) - 1) AS val
+  FROM pos
+)
+SELECT media_id, 'image' AS kind,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(sum(val) AS BIGINT) AS sum_units,
+       CAST(sum(val * (k + 1)) AS BIGINT) AS wsum_units
+FROM v GROUP BY media_id
+"""
+
+
 def q_events_pattern_match(sf_dir: str):
     """MATCH_RECOGNIZE-lite: regex pattern matching over each user's
     ORDERED event-type sequence (the row-pattern core of SQL
@@ -13118,6 +13190,7 @@ QUERIES = {
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
     "q11_important_stock": q_q11_important_stock,
     "events_pattern_match": q_events_pattern_match,
+    "multimodal_resize": q_multimodal_resize,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -13412,6 +13485,7 @@ ORACLES = {
     "q2_min_cost_supplier": SQL_Q2_MIN_COST_SUPPLIER,
     "q11_important_stock": SQL_Q11_IMPORTANT_STOCK,
     "events_pattern_match": SQL_EVENTS_PATTERN_MATCH,
+    "multimodal_resize": _mm_resize_sql(),
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
