@@ -12875,6 +12875,60 @@ WHERE value_cents * np > 2 * tot
 """
 
 
+def q_events_skew_join(sf_dir: str):
+    """Skew-aware hot/cold hybrid join (stages/joins.skew_hybrid_join):
+    events fact rows join their per-user activity dim with Zipf-hot
+    users routed through a broadcast of the dim's HOT SLICE while cold
+    keys take the normal hash-partitioned join — the classic
+    straggler-free skew plan. threshold_rows=70 makes the corpus's
+    heavy users genuinely take the hot route at both SFs; the oracle
+    is the PLAIN join (routing cannot change a row, only the
+    schedule), and sum(n_events) over joined rows pins the exact join
+    FANOUT per group, so a row duplicated or dropped by either route
+    (or counted by both) breaks the hash."""
+    from ..stages.agg import hash_groupby_agg, hash_groupby_sum
+    from ..stages.joins import skew_hybrid_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "value"])
+
+    def e_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "event_type": t["event_type"],
+                         "cents": _cents(t["value"])})
+
+    left = ev.map_batches(e_prep, batch_format="pyarrow")
+    dim = hash_groupby_sum(
+        left.map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["user_id"], "one", out_col="n_events")
+
+    j = skew_hybrid_join(left, dim, on="user_id", threshold_rows=70)
+    return hash_groupby_agg(
+        j.map_batches(lambda t: t.select(["event_type", "cents",
+                                          "n_events"]),
+                      batch_format="pyarrow"),
+        ["event_type"],
+        {"cents": ("sum", "sum_cents"), "n_events": ("sum",
+                                                     "sum_user_totals")})
+
+
+SQL_EVENTS_SKEW_JOIN = f"""
+WITH dim AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS sum_cents,
+       CAST(SUM(n_events) AS BIGINT) AS sum_user_totals
+FROM events JOIN dim USING (user_id)
+GROUP BY event_type
+"""
+
+
 def q_multimodal_resize(sf_dir: str):
     """Multimodal RESIZE with a hash oracle — the explicit resize leg
     of the decode / feature-extract / resize / frame-sample quartet
@@ -13191,6 +13245,7 @@ QUERIES = {
     "q11_important_stock": q_q11_important_stock,
     "events_pattern_match": q_events_pattern_match,
     "multimodal_resize": q_multimodal_resize,
+    "events_skew_join": q_events_skew_join,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -13486,6 +13541,7 @@ ORACLES = {
     "q11_important_stock": SQL_Q11_IMPORTANT_STOCK,
     "events_pattern_match": SQL_EVENTS_PATTERN_MATCH,
     "multimodal_resize": _mm_resize_sql(),
+    "events_skew_join": SQL_EVENTS_SKEW_JOIN,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

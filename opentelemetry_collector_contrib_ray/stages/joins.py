@@ -294,6 +294,126 @@ def _derive_partitions(left, right,
     return int(min(max(-(-total // rows_per_partition), 8), cap))
 
 
+def detect_hot_keys(left, on: str, per_block_k: int = 16,
+                    threshold_rows: int | None = None) -> list:
+    """Deterministic hot-key detection in ONE compact pass: each block
+    contributes its ``per_block_k`` most frequent keys with their
+    counts (a key that dominates a partition is by definition frequent
+    inside most blocks, so block-local top-k never misses a true hot
+    key; it can only UNDER-count, never over-count), the partials fold
+    into one tiny block, and keys whose summed count exceeds
+    ``threshold_rows`` come back as a plain list. O(k × blocks) rows
+    move — independent of both table size and key cardinality."""
+    thr = (DEFAULT_ROWS_PER_PARTITION // 4 if threshold_rows is None
+           else threshold_rows)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({on: t[on], "__n": pa.array([], pa.int64())})
+        g = t.select([on]).group_by([on]).aggregate([([], "count_all")])
+        g = g.rename_columns([on, "__n"])
+        if g.num_rows > per_block_k:
+            order = pc.select_k_unstable(
+                g, k=per_block_k, sort_keys=[("__n", "descending")])
+            g = g.take(order)
+        return g
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by([on]).aggregate([("__n", "sum")])
+        g = g.rename_columns([on, "__n"])
+        return g.filter(pc.greater(g["__n"], pa.scalar(thr, pa.int64())))
+
+    rows = (left.map_batches(partial, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(fold, batch_format="pyarrow")
+                .take_all())
+    return [r[on] for r in rows]
+
+
+def skew_hybrid_join(left, right, on: str, how: str = "inner",
+                     right_on: str | None = None,
+                     per_block_k: int = 16,
+                     threshold_rows: int | None = None,
+                     num_partitions: int | None = None):
+    """Skew-aware large × large join: the classic hot/cold split. A
+    hash-partitioned join concentrates each key on ONE aggregator, so
+    a Zipf-hot key turns the exchange into a single-worker straggler
+    (at 100 TB, one key with 1% of rows = one worker holding 1 TB).
+    This operator routes around it:
+
+    1. ``detect_hot_keys`` — one compact top-k-per-block pass over the
+       MATERIALIZED left (materialized once, reused by every pass
+       below; no lineage re-execution).
+    2. HOT rows: ``left ∩ hot`` joins via broadcast — the right side's
+       hot-key slice replicates to every task instead of the left
+       side's giant key concentrating on one worker. Gated: if the
+       right hot slice exceeds the broadcast threshold the whole thing
+       falls back to the plain hash join (both sides hot = no cheap
+       plan; document, don't guess).
+    3. COLD rows: both sides filtered to cold keys take the normal
+       hash-partitioned join — now free of stragglers.
+    4. Results union; routing is invisible in the output (the oracle
+       is the PLAIN join — hot/cold placement cannot change a single
+       row, only the schedule).
+
+    ``how``: inner or left (left-outer null-fill happens per route —
+    a cold left row can only match cold right rows and vice versa, so
+    per-route left joins compose exactly)."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError("skew_hybrid_join supports inner/left")
+    key = right_on or on
+    lm = left.materialize()
+    hot = detect_hot_keys(lm, on, per_block_k=per_block_k,
+                          threshold_rows=threshold_rows)
+    if not hot:
+        return bucketed_hash_join(lm, right, on=on, how=how, right_on=key,
+                                  num_partitions=num_partitions)
+
+    hot_arr = pa.array(hot)
+
+    def split(keep_hot: bool, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            c = t[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            m = pc.is_in(c, value_set=hot_arr.cast(c.type))
+            return t.filter(m if keep_hot else pc.invert(m))
+        return fn
+
+    r_hot = right.map_batches(split(True, key),
+                              batch_format="pyarrow").materialize()
+    if (r_hot.count() or 0) > BROADCAST_ROWS_THRESHOLD:
+        # hot on BOTH sides — no broadcast plan exists; pay the skewed
+        # exchange rather than OOM an actor replicating a huge side
+        return bucketed_hash_join(lm, right, on=on, how=how, right_on=key,
+                                  num_partitions=num_partitions)
+
+    sm = r_hot.to_pandas()
+    if key != on:
+        sm = sm.rename(columns={key: on})
+    hot_join = broadcast_join(lm.map_batches(split(True, on),
+                                             batch_format="pyarrow"),
+                              ray.put(sm), on=on, how=how, mode="task")
+    # the cold right coalesces through one split-repartition: a
+    # groupby().map_groups upstream (every rollup rail here) emits a
+    # ZERO-COLUMN block for each empty sort partition, map stages
+    # never see empty blocks (so no UDF can re-schema them), and the
+    # native join's aggregator unify races on them (FieldRef "no
+    # match" — the q15/q22 gate dodges documented this); repartition
+    # concat-merges empties into schema-carrying blocks. Cost: one
+    # block-level exchange of the (dim-scale) cold right only.
+    cold_right = (right.map_batches(split(False, key),
+                                    batch_format="pyarrow")
+                       .repartition(8))
+    cold_join = bucketed_hash_join(
+        lm.map_batches(split(False, on), batch_format="pyarrow"),
+        cold_right, on=on, how=how, right_on=key,
+        num_partitions=num_partitions)
+    return hot_join.union(cold_join)
+
+
 def bucketed_hash_join(left, right, on: str, how: str = "inner",
                        right_on: str | None = None,
                        num_partitions: int | None = None,

@@ -2055,3 +2055,81 @@ def test_pattern_match_order_and_nonoverlap():
     # n_matches 0 -> 1 user (u2), 1 -> 1 user (u3), 2 -> 1 user (u1)
     assert out["n_matches"].tolist() == [0, 1, 2]
     assert out["n_users"].tolist() == [1, 1, 1]
+
+
+def test_skew_hybrid_join_routes_and_matches_plain_join():
+    """Hot/cold routing is invisible in the result: with a forced-low
+    threshold the giant key takes the broadcast route and the long
+    tail the hash route, and the union equals the plain join row for
+    row; detect_hot_keys finds exactly the giant key."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.joins import (
+        bucketed_hash_join,
+        detect_hot_keys,
+        skew_hybrid_join,
+    )
+
+    # 8 blocks; key 7 is the Zipf head (half of all rows)
+    blocks = []
+    for b in range(8):
+        ks = [7] * 8 + list(range(b * 2, b * 2 + 8))
+        blocks.append(pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "x": pa.array([b * 100 + i for i in range(len(ks))],
+                          pa.int64())}))
+    left = rd.from_arrow(blocks)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(16)) + [99], pa.int64()),
+        "y": pa.array([k * 10 for k in range(16)] + [990], pa.int64())}))
+
+    hot = detect_hot_keys(left.materialize(), "k", threshold_rows=30)
+    assert hot == [7]
+    assert detect_hot_keys(left.materialize(), "k",
+                           threshold_rows=10_000) == []
+
+    out = (skew_hybrid_join(left, right, on="k", threshold_rows=30)
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    ref = (bucketed_hash_join(left, right, on="k")
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    assert len(out) == len(ref) > 0
+    pd.testing.assert_frame_equal(
+        out[["k", "x", "y"]].astype("int64"),
+        ref[["k", "x", "y"]].astype("int64"))
+    # the giant key's rows all survived exactly once: 8 head copies
+    # per block + the 4 tail ranges (b=0..3) that also contain 7
+    assert (out["k"] == 7).sum() == 68
+
+
+def test_skew_hybrid_join_left_outer_composes():
+    """how='left': null-fill composes per route (a cold left row can
+    only match cold right rows and vice versa), equal to the plain
+    left join including unmatched hot and cold rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.joins import (
+        bucketed_hash_join,
+        skew_hybrid_join,
+    )
+
+    blocks = [pa.table({"k": pa.array([7] * 6 + [b, 100 + b], pa.int64()),
+                        "x": pa.array(list(range(8)), pa.int64())})
+              for b in range(4)]
+    left = rd.from_arrow(blocks)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([7, 0, 1], pa.int64()),
+        "y": pa.array([70, 0, 10], pa.int64())}))
+
+    out = (skew_hybrid_join(left, right, on="k", how="left",
+                            threshold_rows=10)
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    ref = (bucketed_hash_join(left, right, on="k", how="left")
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    assert len(out) == len(ref) == 32
+    assert out[["k", "x"]].equals(ref[["k", "x"]])
+    assert (out["y"].fillna(-1) == ref["y"].fillna(-1)).all()
+    # unmatched keys (100+b) carried through with null y
+    assert out.loc[out["k"] >= 100, "y"].isna().all()
