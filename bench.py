@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "events_global_rank",
     "events_overlap_pairs",
     "docs_phrase_search",
+    "q21_waiting_suppliers",
+    "q9_product_type_profit",
+    "events_pattern_match",
+    "events_skew_join",
+    "multimodal_resize",
 ]
 
 
