@@ -1782,6 +1782,66 @@ FROM embeddings v LEFT JOIN lab l ON l.node = v.vec_id
 """
 
 
+def q_emb_dbscan(sf_dir: str):
+    """DBSCAN density clustering (stages/cluster.py dbscan_labels) over
+    the embedding ε-graph: neighbor ⇔ cosine ≥ 0.30 (float64 in both
+    engines — the SQL twin casts the FLOAT lists to DOUBLE so the
+    boundary comparison agrees; min |sim − 0.30| over all pairs is
+    7.5e-6 at sf0.001, far above double error), core ⇔ degree+1 ≥ 6,
+    clusters = components of the core-core subgraph (min core id),
+    border = min core-neighbor's cluster, noise −1. Exact all-pairs ε
+    here (500 vecs); the hash-verified LSH pair source
+    (emb_near_dup_lsh) is the drop-in 100 TB path."""
+    from ..stages.cluster import dbscan_labels
+    from ..stages.similarity import cosine_near_dup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_near_dup_pairs(ds, threshold=0.30)
+    pts = read_table(sf_dir, "embeddings", columns=["vec_id"])
+    return dbscan_labels(pts, pairs, id_col="vec_id", min_pts=6)
+
+
+SQL_EMB_DBSCAN = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(
+          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.30
+),
+edges AS (SELECT ia AS s, ib AS d FROM pairs
+          UNION ALL SELECT ib, ia FROM pairs),
+deg AS (SELECT s AS node, count(*) AS n FROM edges GROUP BY 1),
+core AS (SELECT node FROM deg WHERE n + 1 >= 6),
+cedge AS (SELECT e.s, e.d FROM edges e
+          JOIN core ca ON ca.node = e.s JOIN core cb ON cb.node = e.d),
+reach(node, r) AS (
+  SELECT s, s FROM cedge
+  UNION
+  SELECT c.s, reach.r FROM reach JOIN cedge c ON c.d = reach.node
+),
+lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+corelab AS (
+  SELECT c.node, coalesce(l.cluster_id, c.node) AS cluster_id
+  FROM core c LEFT JOIN lab l ON l.node = c.node
+),
+borderlab AS (
+  SELECT e.s AS node, min(cl.cluster_id) AS cluster_id
+  FROM edges e JOIN corelab cl ON cl.node = e.d
+  WHERE e.s NOT IN (SELECT node FROM core)
+  GROUP BY 1
+)
+SELECT v.vec_id,
+       CASE WHEN c.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(c.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id
+FROM embeddings v
+LEFT JOIN corelab c ON c.node = v.vec_id
+LEFT JOIN borderlab b ON b.node = v.vec_id
+"""
+
+
 def q_emb_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-k, hash-verified against the exact
     brute-force SQL oracle — the same trick that upgraded IVF: with the
@@ -13119,6 +13179,7 @@ QUERIES = {
     "emb_ann_top10": q_emb_ann_top10,
     "emb_near_dup_pairs": q_emb_near_dup_pairs,
     "emb_dedup_clusters": q_emb_dedup_clusters,
+    "emb_dbscan": q_emb_dbscan,
     "emb_ann_lsh": q_emb_ann_lsh,
     "emb_ann_ivf": q_emb_ann_ivf,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -13416,6 +13477,7 @@ ORACLES = {
     "emb_ann_top10": SQL_EMB_ANN,
     "emb_near_dup_pairs": SQL_EMB_NEAR_DUP,
     "emb_dedup_clusters": SQL_EMB_DEDUP_CLUSTERS,
+    "emb_dbscan": SQL_EMB_DBSCAN,
     "emb_ann_ivf": SQL_EMB_ANN,
     "emb_ann_lsh": SQL_EMB_ANN,
     "emb_near_dup_lsh": SQL_EMB_NEAR_DUP_ALL,

@@ -217,3 +217,139 @@ def dedup_by_clusters(docs, pairs, id_col: str = "doc_id",
     labels = connected_components(pairs, id_a=id_a, id_b=id_b,
                                   num_partitions=num_partitions)
     return attach_clusters(docs, labels, id_col=id_col)
+
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,
+                   default: int = -1) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized sorted-array dict: returns (found_mask, value-or-default)
+    for each probe id. ``keys`` must be sorted ascending."""
+    if len(keys) == 0:
+        return (np.zeros(len(probe), dtype=bool),
+                np.full(len(probe), default, dtype=np.int64))
+    pos = np.minimum(np.searchsorted(keys, probe), len(keys) - 1)
+    found = keys[pos] == probe
+    return found, np.where(found, vals[pos], default)
+
+
+def dbscan_labels(points, pairs, id_col: str = "vec_id", min_pts: int = 5,
+                  num_partitions: int = 64):
+    """DBSCAN (Ester et al., KDD 1996 — public literature) over a
+    precomputed ε-neighbor PAIR Dataset: the density-based clustering a
+    semantic-grouping / fuzzy-dedup pipeline reaches for when flat
+    connected components over-merge — a single sparse bridge point
+    chains two dense groups, while DBSCAN only walks cluster identity
+    through CORE points, so bridges demote to border/noise instead of
+    gluing clusters.
+
+    Deterministic semantics (classic DBSCAN's border assignment is
+    scan-order-dependent; this pins it so a SQL twin can agree exactly):
+
+    - ``degree(p)`` = # ε-neighbors in the pair graph; core ⇔
+      ``degree + 1 ≥ min_pts`` (the point itself counts).
+    - clusters = connected components of the CORE-CORE subgraph,
+      labeled min core id (an isolated core keeps its own id).
+    - border = non-core with ≥1 core neighbor → MIN over its core
+      neighbors' cluster ids.
+    - noise = everything else; ``cluster_id`` −1.
+
+    Scale shape: the pair Dataset materializes ONCE (it is O(ε-pairs),
+    the same contract as ``connected_components``); degree and the
+    border-min are each ONE hash exchange of narrow int64 rows
+    (``hash_groupby_agg`` — unbounded key cardinality); the
+    core/label/border tables ride the ``attach_clusters`` broadcast
+    contract (∝ ε-graph nodes, NOT corpus bytes — swap the attaches for
+    ``large_semi_join``/``bucketed_hash_join`` when the ε-graph itself
+    is corpus-scale). Embeddings/text never shuffle: pair generation is
+    the caller's choice (LSH-blocked at 100 TB, exact all-pairs in
+    tests).
+
+    Returns one row per ``points`` row: (id_col, role ∈
+    {core,border,noise}, cluster_id int64).
+    """
+    import ray
+
+    from .agg import hash_groupby_agg
+
+    pm = pairs.materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": np.concatenate([a, b]),
+                         "one": np.ones(2 * len(a), dtype=np.int64)})
+
+    deg = hash_groupby_agg(pm.map_batches(explode, batch_format="pyarrow"),
+                           ["node"], {"one": ("sum", "n")},
+                           num_partitions=num_partitions)
+    degf = deg.to_pandas()
+    if len(degf) == 0:
+        core_nodes = np.array([], dtype=np.int64)
+    else:
+        dn = degf["node"].to_numpy().astype(np.int64)
+        core_nodes = np.sort(dn[degf["n"].to_numpy().astype(np.int64) + 1
+                                >= min_pts])
+
+    # core-core subgraph → components (min-core-id labels)
+    def core_pairs(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fa, _ = _sorted_lookup(core_nodes, core_nodes, a)
+        fb, _ = _sorted_lookup(core_nodes, core_nodes, b)
+        m = fa & fb
+        return pa.table({"id_a": a[m], "id_b": b[m]})
+
+    labels = connected_components(pm.map_batches(core_pairs,
+                                                 batch_format="pyarrow"),
+                                  num_partitions=num_partitions).to_pandas()
+    lab_k = (labels["node"].to_numpy().astype(np.int64)
+             if len(labels) else np.array([], dtype=np.int64))
+    lab_v = (labels["label"].to_numpy().astype(np.int64)
+             if len(labels) else np.array([], dtype=np.int64))
+    o = np.argsort(lab_k, kind="stable")
+    lab_k, lab_v = lab_k[o], lab_v[o]
+    # corelab: component label if the core has core neighbors, else self
+    _, core_clusters = _sorted_lookup(lab_k, lab_v, core_nodes)
+    core_clusters = np.where(core_clusters < 0, core_nodes, core_clusters)
+
+    # border candidates: one (node, cand) row per (non-core, core) pair
+    # side — ONE hash exchange min-reduces them per node
+    def border_cands(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fa, ca = _sorted_lookup(core_nodes, core_clusters, a)
+        fb, cb = _sorted_lookup(core_nodes, core_clusters, b)
+        # a not core, b core  → a gets cb;  b not core, a core → b gets ca
+        na = ~fa & fb
+        nb = ~fb & fa
+        return pa.table({
+            "node": np.concatenate([a[na], b[nb]]),
+            "cand": np.concatenate([cb[na], ca[nb]]),
+        })
+
+    bmin = hash_groupby_agg(pm.map_batches(border_cands,
+                                           batch_format="pyarrow"),
+                            ["node"], {"cand": ("min", "cluster_id")},
+                            num_partitions=num_partitions).to_pandas()
+    bk = (bmin["node"].to_numpy().astype(np.int64)
+          if len(bmin) else np.array([], dtype=np.int64))
+    bv = (bmin["cluster_id"].to_numpy().astype(np.int64)
+          if len(bmin) else np.array([], dtype=np.int64))
+    o = np.argsort(bk, kind="stable")
+    bk, bv = bk[o], bv[o]
+
+    ref = ray.put((core_nodes, core_clusters, bk, bv))
+
+    def tag(t: pa.Table) -> pa.Table:
+        cn, cc, bkk, bvv = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_core, ccl = _sorted_lookup(cn, cc, ids)
+        is_bord, bcl = _sorted_lookup(bkk, bvv, ids)
+        role = np.where(is_core, "core", np.where(is_bord, "border", "noise"))
+        cluster = np.where(is_core, ccl, np.where(is_bord, bcl, -1))
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "role": pa.array(role.astype(object), type=pa.string()),
+            "cluster_id": pa.array(cluster, type=pa.int64()),
+        })
+
+    return points.map_batches(tag, batch_format="pyarrow")

@@ -186,3 +186,80 @@ def test_cluster_representatives_longest_tie_smallest(tmp_path):
     assert by_cluster[10].rep_doc_id == 10 and by_cluster[10].cluster_size == 2
     assert by_cluster[99].rep_doc_id == 99 and by_cluster[99].cluster_size == 1
     assert by_cluster[99].rep_n_chars == len(docs.loc[5, "text"])
+
+
+def test_dbscan_core_border_noise_and_bridge():
+    """Hand graph pinning every DBSCAN rule (min_pts=3 → core needs
+    degree ≥ 2):
+
+      dense A: 1-2-3 triangle (+ leaf 4 off node 1) → cores 1,2,3
+      bridge: 50 touches A(3) and B(11) only → degree 2... make it 1
+      dense B: 10-11-12 triangle → cores 10,11,12
+      leaf 4: border of A; 99: isolated noise (no pairs at all)
+      bridge 50: neighbors {3, 11} = degree 2 → CORE at min_pts=3?
+    degree+1 >= 3 means degree >= 2, so 50 WOULD be core and merge A,B.
+    Use min_pts=4 instead: core needs degree ≥ 3 → triangle nodes with
+    an extra edge are cores; the bridge (degree 2) demotes to border
+    and A/B stay separate clusters — the exact over-merge flat
+    components would commit.
+    """
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.cluster import dbscan_labels
+
+    # A: 1,2,3 triangle + leaf 4 on 1 and 5 on 2 and 6 on 3 (so each of
+    # 1,2,3 has degree 3 → core at min_pts=4); B likewise 10,11,12 with
+    # leaves 13,14,15; bridge 50 connects 3 and 11 (degree 2 → not core)
+    pairs = pa.table({
+        "id_a": [1, 1, 2, 1, 2, 3, 10, 10, 11, 10, 11, 12, 3, 11],
+        "id_b": [2, 3, 3, 4, 5, 6, 11, 12, 12, 13, 14, 15, 50, 50],
+    })
+    pts = rd.from_arrow(pa.table({"vec_id": [1, 2, 3, 4, 5, 6, 10, 11, 12,
+                                             13, 14, 15, 50, 99]}))
+    out = (dbscan_labels(pts, rd.from_arrow(pairs), id_col="vec_id",
+                         min_pts=4, num_partitions=4)
+           .to_pandas().set_index("vec_id"))
+    for n in (1, 2, 3):
+        assert out.loc[n, "role"] == "core" and out.loc[n, "cluster_id"] == 1
+    for n in (10, 11, 12):
+        assert out.loc[n, "role"] == "core" and out.loc[n, "cluster_id"] == 10
+    # leaves: border of their triangle's cluster
+    for n, c in [(4, 1), (5, 1), (6, 1), (13, 10), (14, 10), (15, 10)]:
+        assert out.loc[n, "role"] == "border" and out.loc[n, "cluster_id"] == c
+    # bridge: border with MIN core-neighbor cluster (1 < 10) — clusters
+    # did NOT merge through it
+    assert out.loc[50, "role"] == "border" and out.loc[50, "cluster_id"] == 1
+    # isolated: noise
+    assert out.loc[99, "role"] == "noise" and out.loc[99, "cluster_id"] == -1
+
+
+def test_dbscan_isolated_core_keeps_own_id():
+    """A star (hub 7 with 3 leaves) at min_pts=4: hub degree 3 → core,
+    leaves degree 1 → border; NO core-core edges exist, so the hub is
+    an isolated core labeled by itself."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.cluster import dbscan_labels
+
+    pairs = pa.table({"id_a": [7, 7, 7], "id_b": [8, 9, 10]})
+    pts = rd.from_arrow(pa.table({"vec_id": [7, 8, 9, 10]}))
+    out = (dbscan_labels(pts, rd.from_arrow(pairs), id_col="vec_id",
+                         min_pts=4, num_partitions=4)
+           .to_pandas().set_index("vec_id"))
+    assert out.loc[7, "role"] == "core" and out.loc[7, "cluster_id"] == 7
+    for n in (8, 9, 10):
+        assert out.loc[n, "role"] == "border" and out.loc[n, "cluster_id"] == 7
+
+
+def test_dbscan_empty_pairs_all_noise():
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.cluster import dbscan_labels
+
+    pairs = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    pts = rd.from_arrow(pa.table({"vec_id": [1, 2]}))
+    out = (dbscan_labels(pts, rd.from_arrow(pairs), id_col="vec_id",
+                         min_pts=2).to_pandas().sort_values("vec_id"))
+    assert list(out["role"]) == ["noise", "noise"]
+    assert list(out["cluster_id"]) == [-1, -1]
