@@ -6893,6 +6893,74 @@ SELECT user_id AS value, count(*) AS est_count FROM events GROUP BY 1
 """
 
 
+def q_events_ip_enrich(sf_dir: str):
+    """GeoIP-style range-table enrichment (stages/enrich.py
+    RangeLookupEnricher — the geoipprocessor / stanza ip_resolver
+    analog, SURVEY §2.8): a synthetic IPv4 per event (Knuth
+    multiplicative hash of user_id mod 2^32 — pure int64 arithmetic so
+    both engines derive the identical address) looked up in a
+    FIXED-SIZE table of 512 irregular non-overlapping [start,end)
+    blocks labeled with 23 countries. The block DB is scale-free
+    (GeoIP is ~3M rows at ANY corpus size) so it broadcasts once per
+    actor and the lookup is one searchsorted per batch — zero shuffle;
+    gaps between blocks exercise the 'unknown' miss path (~48% of the
+    address space). Rollup: per-country count + user/ip sums pin the
+    exact assignment."""
+    from ..stages.agg import compact_groupby
+    from ..stages.enrich import range_lookup
+
+    w = ((np.arange(512, dtype=np.int64) * 40503 + 17) % 4096 + 64) * 2048
+    g = ((np.arange(512, dtype=np.int64) * 9973) % 512 + 1) * 256
+    starts = np.cumsum(g) + np.concatenate([[0], np.cumsum(w)[:-1]])
+    ends = starts + w
+    labels = [f"C{i % 23}" for i in range(512)]
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def mk_ip(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        h = pc.multiply(u, 2654435761)
+        ip = pc.subtract(h, pc.multiply(pc.divide(h, 4294967296), 4294967296))
+        return pa.table({"user_id": u, "ip": ip})
+
+    ds = ds.map_batches(mk_ip, batch_format="pyarrow")
+    ds = range_lookup(ds, "ip", starts, ends, labels,
+                      out_col="country", default="unknown")
+    return compact_groupby(ds, keys=["country"],
+                           sum_cols={"user_id": "sum_user", "ip": "sum_ip"},
+                           count_alias="n_events")
+
+
+SQL_EVENTS_IP_ENRICH = """
+WITH blk AS (
+  SELECT i,
+         ((i * 40503 + 17) % 4096 + 64) * 2048 AS w,
+         ((i * 9973) % 512 + 1) * 256 AS g
+  FROM range(512) t(i)
+),
+rng AS (
+  SELECT i,
+         SUM(g) OVER (ORDER BY i)
+           + coalesce(SUM(w) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_v,
+         'C' || CAST(i % 23 AS VARCHAR) AS country,
+         w
+  FROM blk
+),
+rng2 AS (SELECT country, start_v, start_v + w AS end_v FROM rng),
+ips AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip
+        FROM events)
+SELECT coalesce(r.country, 'unknown') AS country,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(ips.user_id) AS BIGINT) AS sum_user,
+       CAST(sum(ips.ip) AS BIGINT) AS sum_ip
+FROM ips LEFT JOIN rng2 r
+  ON ips.ip >= r.start_v AND ips.ip < r.end_v
+GROUP BY 1
+"""
+
+
 def q_events_range_join(sf_dir: str):
     """Range (interval) join — the custom wide operator the brief names
     next to as-of (stages/joins.py range_join). Incidents are the
@@ -13320,6 +13388,7 @@ QUERIES = {
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
+    "events_ip_enrich": q_events_ip_enrich,
     "events_range_join": q_events_range_join,
     "log_templates": q_log_templates,
     "events_rate_limited": q_events_rate_limited,
@@ -13617,6 +13686,7 @@ ORACLES = {
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
+    "events_ip_enrich": SQL_EVENTS_IP_ENRICH,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "log_templates": SQL_LOG_TEMPLATES,
     "events_rate_limited": _rate_limited_sql(),

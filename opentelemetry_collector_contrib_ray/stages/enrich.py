@@ -131,3 +131,73 @@ class LongestPrefixRouter:
             out[hit] = mapped.to_numpy(dtype=object)[hit]
             unmatched &= ~hit
         return t.append_column(self.out_col, pa.array(out, pa.string()))
+
+
+class RangeLookupEnricher:
+    """Numeric range→label lookup — the geoip-processor / stanza
+    ``ip_resolver`` analog (SURVEY §2.8): a FIXED-SIZE table of sorted,
+    non-overlapping ``[start, end)`` ranges (a GeoIP block DB is a few
+    million rows at ANY corpus scale) maps a numeric column (an IPv4 as
+    uint32, a port, an id band) to a label.
+
+    Ray-native shape: the range arrays ship ONCE per actor
+    (``ray.ObjectRef`` resolved in ``__init__``, or directly in the
+    task closure for tiny tables); each ``__call__`` is one
+    ``np.searchsorted`` + one bound check per batch — broadcast lookup,
+    never a shuffle, exactly like ``LookupEnricher`` but over ranges
+    instead of keys.
+
+    ``ranges``: ``(starts, ends, labels)`` — int64 arrays sorted by
+    start, labels a list/array of strings — or an ObjectRef to that
+    tuple.
+    """
+
+    def __init__(self, value_col: str, ranges, out_col: str = "label",
+                 default: str = "unknown"):
+        import ray
+
+        if hasattr(ranges, "hex"):  # ObjectRef duck-check
+            ranges = ray.get(ranges)
+        starts, ends, labels = ranges
+        import numpy as np
+
+        self.starts = np.asarray(starts, dtype=np.int64)
+        self.ends = np.asarray(ends, dtype=np.int64)
+        self.labels = np.asarray(labels, dtype=object)
+        if np.any(self.starts[1:] < self.ends[:-1]):
+            raise ValueError("ranges must be sorted and non-overlapping")
+        self.value_col = value_col
+        self.out_col = out_col
+        self.default = default
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = pc.cast(t[self.value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(self.starts) == 0:
+            lab = np.full(t.num_rows, self.default, dtype=object)
+        else:
+            pos = np.searchsorted(self.starts, v, side="right") - 1
+            safe = np.maximum(pos, 0)
+            hit = (pos >= 0) & (v < self.ends[safe])
+            lab = np.where(hit, self.labels[safe], self.default)
+        return t.append_column(self.out_col,
+                               pa.array(lab.astype(object), pa.string()))
+
+
+def range_lookup(ds, value_col: str, starts, ends, labels,
+                 out_col: str = "label", default: str = "unknown",
+                 concurrency=(2, 8)):
+    """Apply :class:`RangeLookupEnricher` as an actor-pool stage; the
+    range table broadcasts once via ``ray.put``."""
+    import ray
+
+    ref = ray.put((starts, ends, labels))
+    return ds.map_batches(
+        RangeLookupEnricher,
+        fn_constructor_kwargs={"value_col": value_col, "ranges": ref,
+                               "out_col": out_col, "default": default},
+        batch_format="pyarrow",
+        concurrency=norm_concurrency(concurrency),
+    )

@@ -251,3 +251,31 @@ def test_partial_by_sink_matches_per_sink_partials():
         for m, a, c in zip(mm, aa, cnts):
             new[(sink, m, a)] = new.get((sink, m, a), 0) + c
     assert old == new and len(old) > 0
+
+
+def test_range_lookup_boundaries_and_gaps():
+    """RangeLookupEnricher pins [start, end) semantics: start hit, end
+    miss, gap/below/above → default; labels repeat across ranges."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.enrich import range_lookup
+
+    ds = rd.from_arrow(pa.table({"v": [5, 10, 19, 20, 25, 30, 39, 40, -3]}))
+    out = (range_lookup(ds, "v", [10, 30], [20, 40], ["A", "A"],
+                        out_col="lab", default="miss")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    got = dict(zip(out["v"], out["lab"]))
+    assert got == {-3: "miss", 5: "miss", 10: "A", 19: "A", 20: "miss",
+                   25: "miss", 30: "A", 39: "A", 40: "miss"}
+
+
+def test_range_lookup_rejects_overlap():
+    import pytest
+
+    from opentelemetry_collector_contrib_ray.stages.enrich import (
+        RangeLookupEnricher,
+    )
+
+    with pytest.raises(ValueError):
+        RangeLookupEnricher("v", ([0, 5], [6, 9], ["a", "b"]))
