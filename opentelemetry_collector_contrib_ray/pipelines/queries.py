@@ -1076,6 +1076,47 @@ SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
 """
 
 
+def q_docs_rake_scores(sf_dir: str):
+    """RAKE keyword extraction core (stages/text.py rake_scores; Rose
+    et al. 2010): candidate phrases = maximal stopword-free word runs;
+    per word, degree = Σ phrase lengths over its occurrences, freq =
+    occurrence count. Integer (degree, freq) pairs reported instead of
+    the degree/freq ratio so the twin hashes exactly (the ratio is a
+    driver-side division over this compact output). One term-hash
+    exchange of per-block partials; text never moves."""
+    from ..stages.text import rake_scores
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return rake_scores(ds, col="text")
+
+
+SQL_DOCS_RAKE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS term,
+         unnest(range(1, len(l) + 1)) AS i
+  FROM (SELECT doc_id,
+               string_split_regex(regexp_replace(coalesce(text, ''),
+                 '^\s+|\s+$', '', 'g'), '\s+') AS l
+        FROM documents)
+),
+seq AS (
+  SELECT doc_id, term, i,
+         term IN ('the','a','and','of','to','in','is','it') AS is_stop,
+         SUM(CASE WHEN term IN ('the','a','and','of','to','in','is','it')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM tok WHERE term <> ''
+),
+words AS (SELECT doc_id, pid, term FROM seq WHERE NOT is_stop),
+ph AS (SELECT doc_id, pid, count(*) AS plen FROM words GROUP BY 1, 2)
+SELECT w.term AS word,
+       CAST(sum(p.plen) AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS freq
+FROM words w JOIN ph p USING (doc_id, pid)
+GROUP BY 1
+"""
+
+
 def q_docs_langid(sf_dir: str):
     """Heuristic language-ID (rows-only check: no SQL twin)."""
     from ray.data.aggregate import Count
@@ -13240,6 +13281,7 @@ QUERIES = {
     "docs_chunks": q_docs_chunks,
     "docs_clean_corpus": q_docs_clean_corpus,
     "docs_top_terms": q_docs_top_terms,
+    "docs_rake_scores": q_docs_rake_scores,
     "docs_langid": q_docs_langid,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_simhash": q_docs_simhash,
@@ -13530,6 +13572,7 @@ ORACLES = {
     "docs_token_stats": SQL_DOCS_TOKENS,
     "docs_stopwords": SQL_DOCS_STOPWORDS,
     "docs_gopher_quality": SQL_DOCS_GOPHER,
+    "docs_rake_scores": SQL_DOCS_RAKE,
     "docs_langid": _langid_sql(),
     "docs_fingerprint": _fingerprint_sql(),
     "docs_ngram_jaccard": SQL_DOCS_NGRAM_JACCARD,

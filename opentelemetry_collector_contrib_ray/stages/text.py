@@ -1063,3 +1063,68 @@ def hashed_linear_classifier(ds, col: str = "text", group_col: str = "lang",
     return (ds.map_batches(score, batch_format="pyarrow")
               .groupby([group_col, "pred_class"])
               .aggregate(Sum("n", alias_name="n_docs")))
+
+
+def rake_scores(ds, col: str = "text",
+                stopwords: tuple[str, ...] = _STOPWORDS,
+                num_partitions: int = 64):
+    """RAKE keyword scoring (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents" — public literature), the
+    word-level core kept integer-exact so a SQL twin hashes
+    identically: candidate phrases are maximal stopword-free word runs
+    within a document; for every non-stop word occurrence,
+    ``degree += len(its phrase)`` and ``freq += 1``. RAKE's final
+    ``degree/freq`` ratio is a driver-side division over the compact
+    output — reporting the integer (degree, freq) pair instead keeps
+    the oracle exact.
+
+    Vectorized shape: per batch ONE split kernel, doc ids repeated by
+    list offsets, the phrase id is a plain cumsum over the stopword
+    mask (doc boundaries separate via the (doc, pid) key — no reset
+    needed), phrase lengths via one grouped transform; the batch emits
+    per-word (degree, freq) PARTIALS, so only vocab × blocks compact
+    rows reach the single term-hash exchange. Text never moves.
+    """
+    stop_arr = np.array(sorted(set(stopwords)), dtype="U")
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t[col], pa.string()), "")),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        is_stop = np.isin(flat, stop_arr)
+        pid = np.cumsum(is_stop)
+        w = ~is_stop
+        df = pd.DataFrame({"doc": doc_idx[w], "pid": pid[w],
+                           "word": flat[w]})
+        if len(df) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "degree": pa.array([], pa.int64()),
+                             "freq": pa.array([], pa.int64()),
+                             "__p": pa.array([], pa.int64())})
+        df["plen"] = df.groupby(["doc", "pid"])["word"].transform("size")
+        agg = df.groupby("word", as_index=False).agg(
+            degree=("plen", "sum"), freq=("plen", "size"))
+        terms = agg["word"].to_numpy().astype("U")
+        h = pd.util.hash_array(terms)
+        return pa.table({
+            "word": pa.array(terms.tolist(), type=pa.string()),
+            "degree": pa.array(agg["degree"].to_numpy(), type=pa.int64()),
+            "freq": pa.array(agg["freq"].to_numpy(), type=pa.int64()),
+            "__p": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False).agg(
+            {"degree": "sum", "freq": "sum"})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(merge), batch_format="pandas"))

@@ -1005,3 +1005,29 @@ def test_phrase_search_adjacency_and_repeats(tmp_path):
     hits2 = sorted(phrase_search(idx2, ["batch", "batch", "batch"],
                                  n_buckets=8).to_pandas()["doc_id"].tolist())
     assert hits2 == [6]
+
+
+def test_rake_scores_hand_phrases():
+    """RAKE degree/freq on a hand corpus: phrases split at stopwords,
+    degree sums member-phrase lengths across occurrences, stopword-only
+    and empty docs contribute nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import rake_scores
+
+    docs = pa.table({"text": [
+        "deep learning of neural networks and the deep learning",
+        "of the and",      # stopword-only → no words
+        "",                # empty
+        "solo",            # one 1-word phrase
+    ]})
+    out = (rake_scores(rd.from_arrow(docs), col="text", num_partitions=4)
+           .to_pandas().set_index("word"))
+    # phrases: [deep learning] x2, [neural networks], [solo]
+    assert out.loc["deep"].tolist() == [4, 2]       # 2+2 degree, 2 freq
+    assert out.loc["learning"].tolist() == [4, 2]
+    assert out.loc["neural"].tolist() == [2, 1]
+    assert out.loc["networks"].tolist() == [2, 1]
+    assert out.loc["solo"].tolist() == [1, 1]
+    assert set(out.index) == {"deep", "learning", "neural", "networks", "solo"}
