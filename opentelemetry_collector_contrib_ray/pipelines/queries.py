@@ -3806,6 +3806,113 @@ FROM br
 """
 
 
+def q_docs_cdc_shared_chunks(sf_dir: str):
+    """Storage-dedup ratio via content-defined chunking (stages/text.py
+    cdc_chunk_hashes): every CDC chunk gets an exact mod-2^64
+    polynomial content hash (one prefix-sum pass, modular-inverse
+    rebase — bit-identical to the direct sum), identical byte runs
+    across documents collapse in ONE (len, hash) exchange, and the
+    report is the 4-integer global dedup ledger (total/unique chunks
+    and bytes). The SQL twin re-derives every chunk hash from hex
+    pairs with a recursive HUGEINT power table — same integers, so
+    cross-engine distinctness is exact. Text never shuffles; only
+    (len, hash, n) triples move."""
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.text import cdc_chunk_hashes
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        c = cdc_chunk_hashes(t, window=8, mask_mod=64)
+        return pa.table({
+            "chunk_len": c["chunk_len"],
+            "chunk_hash": c["chunk_hash"],
+            "one": pa.array(np.ones(c.num_rows, dtype=np.int64)),
+        })
+
+    uniq = hash_groupby_agg(ds.map_batches(chunks, batch_format="pyarrow"),
+                            ["chunk_len", "chunk_hash"],
+                            {"one": ("sum", "n")}, num_partitions=16)
+
+    def part(t: pa.Table) -> pa.Table:
+        ln = pc.cast(t["chunk_len"], pa.int64()).to_numpy(zero_copy_only=False)
+        nn = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_chunks": pa.array([int(nn.sum())], pa.int64()),
+            "n_unique": pa.array([t.num_rows], pa.int64()),
+            "bytes_total": pa.array([int((ln * nn).sum())], pa.int64()),
+            "bytes_unique": pa.array([int(ln.sum())], pa.int64()),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+                         for c in t.column_names})
+
+    return (uniq.map_batches(part, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def _cdc_shared_sql(window: int = 8, mask_mod: int = 64) -> str:
+    base = np.uint64(1099511628211)
+    pows = [int(base ** np.uint64(k)) for k in range(window)]
+
+    def hv(c: str) -> str:
+        return (f"(CASE WHEN {c}='' THEN 0 WHEN ascii({c})>=65 "
+                f"THEN ascii({c})-55 ELSE ascii({c})-48 END)")
+
+    def byte_at(p: str) -> str:
+        return (f"(16*{hv(f'substring(h, 2*({p})-1, 1)')}"
+                f" + {hv(f'substring(h, 2*({p}), 1)')})")
+
+    terms = " + ".join(f"{byte_at(f'j+{k}')} * {pows[k]}::HUGEINT"
+                       for k in range(window))
+    m64 = "18446744073709551616::HUGEINT"
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+             octet_length(encode(coalesce(text, ''))) AS n FROM documents),
+mx AS (SELECT coalesce(max(n), 1) AS m FROM d),
+pw(i, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL
+  SELECT i + 1, (p * {int(base)}::HUGEINT) % {m64}
+  FROM pw WHERE i < (SELECT m FROM mx)
+),
+pos AS (SELECT doc_id, h, n,
+        unnest(range(1, greatest(n - {window - 2}, 2))) AS j FROM d),
+hh AS (SELECT doc_id, n, j,
+       ({terms}) % {m64} AS hv FROM pos),
+cuts AS (
+  SELECT doc_id, j + {window - 1} AS cpos
+  FROM hh WHERE hv % {mask_mod} = 0 AND j <= n - {window}
+  UNION ALL
+  SELECT doc_id, n FROM d WHERE n > 0
+),
+ch AS (SELECT doc_id,
+       coalesce(lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos), 0) + 1 AS s,
+       cpos AS e
+       FROM cuts),
+byt AS (SELECT doc_id, p, {byte_at('p')} AS bv
+        FROM (SELECT doc_id, h, unnest(range(1, n + 1)) AS p FROM d)),
+chpos AS (SELECT c.doc_id, c.s, c.e, unnest(range(c.s, c.e + 1)) AS p FROM ch c),
+chh AS (SELECT cp.doc_id, cp.s, cp.e,
+        (SUM(b.bv * w.p)) % {m64} AS hv
+        FROM chpos cp
+        JOIN byt b ON b.doc_id = cp.doc_id AND b.p = cp.p
+        JOIN pw w ON w.i = cp.p - cp.s
+        GROUP BY 1, 2, 3),
+chunks AS (SELECT e - s + 1 AS chunk_len, hv FROM chh),
+uniq AS (SELECT chunk_len, hv FROM chunks GROUP BY 1, 2)
+SELECT CAST((SELECT count(*) FROM chunks) AS BIGINT) AS n_chunks,
+       CAST((SELECT count(*) FROM uniq) AS BIGINT) AS n_unique,
+       CAST((SELECT coalesce(sum(chunk_len), 0) FROM chunks) AS BIGINT)
+         AS bytes_total,
+       CAST((SELECT coalesce(sum(chunk_len), 0) FROM uniq) AS BIGINT)
+         AS bytes_unique
+"""
+
+
 def q_log_templates(sf_dir: str):
     """Log template extraction (stages/text.py template_mine): mask the
     variable fields of every transcript line (msg= token, then all
@@ -13429,6 +13536,7 @@ QUERIES = {
     "docs_jaccard_prefix": q_docs_jaccard_prefix,
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
+    "docs_cdc_shared_chunks": q_docs_cdc_shared_chunks,
     "events_heavy_hitters": q_events_heavy_hitters,
     "events_ip_enrich": q_events_ip_enrich,
     "events_range_join": q_events_range_join,
@@ -13728,6 +13836,7 @@ ORACLES = {
     "docs_jaccard_prefix": SQL_DOCS_JACCARD_PREFIX,
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
+    "docs_cdc_shared_chunks": _cdc_shared_sql(),
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_ip_enrich": SQL_EVENTS_IP_ENRICH,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

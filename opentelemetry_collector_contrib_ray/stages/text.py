@@ -1128,3 +1128,94 @@ def rake_scores(ds, col: str = "text",
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("__p")
               .map_groups(arrow_out(merge), batch_format="pandas"))
+
+
+def cdc_chunk_hashes(t: pa.Table, col: str = "text", window: int = 8,
+                     mask_mod: int = 64, id_col: str = "doc_id") -> pa.Table:
+    """Per-CHUNK content identity for content-defined chunking — the
+    step storage/dataset dedup takes after breakpointing
+    (``cdc_chunk_stats`` counts chunks; this emits one row per chunk
+    with its exact mod-2^64 polynomial content hash, so identical byte
+    runs in DIFFERENT documents collapse in a downstream distinct).
+
+    Cut rule (identical to ``cdc_chunk_stats``): cut after byte
+    ``j+window−1`` (0-based) at every window start ``j ≤ len−window−1``
+    whose Karp-Rabin hash ≡ 0 (mod ``mask_mod``); chunks are the byte
+    runs between cuts. The chunk hash is ``Σ_k b[start+k]·base^k
+    (mod 2^64)`` computed from ONE prefix-sum pass via the modular
+    inverse (the base is odd), bit-identical to the direct sum — the
+    SQL twin reproduces the same integer per chunk from hex pairs and a
+    recursive power table, so cross-engine distinctness agrees exactly.
+
+    Zero-shuffle per-batch map; returns ``(id_col, chunk_len,
+    chunk_hash int64-wrapped)``. At 100 TB the (len, hash) pairs — not
+    the bytes — take the one dedup exchange.
+    """
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    n = len(c)
+    b = pc.cast(pc.fill_null(pc.cast(c, pa.string()), ""), pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int64)[b.offset: b.offset + n + 1]
+    data = (np.frombuffer(b.buffers()[2], dtype=np.uint8)
+            if b.buffers()[2] else np.empty(0, np.uint8))
+    lens = np.diff(offs)
+    padlens = np.maximum(lens, window)
+
+    buf = np.zeros(int(padlens.sum()), dtype=np.uint8)
+    intra_src, _ = _ragged_arange(lens)
+    seg_starts = np.cumsum(padlens) - padlens
+    buf[np.repeat(seg_starts, lens) + intra_src] = data[
+        np.repeat(offs[:-1], lens) + intra_src
+    ]
+
+    with np.errstate(over="ignore"):
+        m = len(buf)
+        pows = (np.concatenate([[np.uint64(1)],
+                np.cumprod(np.full(m - 1, _FP_BASE, dtype=np.uint64))])
+                if m > 1 else np.ones(m, dtype=np.uint64))
+        pinv = (np.concatenate([[np.uint64(1)],
+                np.cumprod(np.full(m, _FP_BASE_INV, dtype=np.uint64))])
+                if m > 0 else np.ones(1, dtype=np.uint64))
+        S = np.zeros(m + 1, dtype=np.uint64)
+        np.cumsum(buf.astype(np.uint64) * pows, out=S[1:])
+        wcount = padlens - window + 1
+        intra_w, _ = _ragged_arange(wcount)
+        gj = np.repeat(seg_starts, wcount) + intra_w          # global window starts
+        hv = (S[gj + window] - S[gj]) * pinv[gj]
+
+    doc_of_w = np.repeat(np.arange(n, dtype=np.int64), wcount)
+    eligible = intra_w < np.repeat(np.maximum(lens - window, 0), wcount)
+    is_break = (hv % np.uint64(mask_mod) == 0) & eligible
+    bidx = np.flatnonzero(is_break)
+    bdoc = doc_of_w[bidx]                                      # doc per cut, doc-major order
+    bcut = intra_w[bidx] + window                              # 0-based exclusive cut pos
+
+    nbreaks = np.bincount(bdoc, minlength=n).astype(np.int64)
+    has_chunk = lens > 0
+    k = nbreaks + has_chunk                                    # chunks per doc
+    doc_off = np.cumsum(k) - k
+    total = int(k.sum())
+
+    ends = np.empty(total, dtype=np.int64)
+    first_break = np.cumsum(nbreaks) - nbreaks
+    within = np.arange(len(bdoc), dtype=np.int64) - first_break[bdoc]
+    ends[doc_off[bdoc] + within] = bcut
+    ends[(doc_off + nbreaks)[has_chunk]] = lens[has_chunk]     # sentinel = doc end
+
+    starts = np.empty(total, dtype=np.int64)
+    if total:
+        starts[1:] = ends[:-1]
+        starts[doc_off[has_chunk]] = 0
+
+    doc_of_chunk = np.repeat(np.arange(n, dtype=np.int64), k)
+    gs = seg_starts[doc_of_chunk]
+    with np.errstate(over="ignore"):
+        chash = (S[gs + ends] - S[gs + starts]) * pinv[gs + starts]
+
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(ids[doc_of_chunk]),
+        "chunk_len": pa.array(ends - starts, type=pa.int64()),
+        "chunk_hash": pa.array(chash.view(np.int64)),
+    })

@@ -1031,3 +1031,75 @@ def test_rake_scores_hand_phrases():
     assert out.loc["networks"].tolist() == [2, 1]
     assert out.loc["solo"].tolist() == [1, 1]
     assert set(out.index) == {"deep", "learning", "neural", "networks", "solo"}
+
+
+def test_cdc_chunk_hashes_bit_exact_vs_direct():
+    """cdc_chunk_hashes equals the direct per-doc O(n·w) reference on a
+    random corpus: same cut rule as cdc_chunk_stats, chunk hash =
+    Σ b[start+k]·base^k mod 2^64 (prefix-sum + modular-inverse rebase
+    must be bit-identical to the direct sum)."""
+    import random
+
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.text import (
+        cdc_chunk_hashes,
+        cdc_chunk_stats,
+    )
+
+    BASE, M = 1099511628211, 2 ** 64
+
+    def brute(docs, window=8, mask=64):
+        out = []
+        for did, s in enumerate(docs):
+            b = s.encode()
+            n = len(b)
+            if n == 0:
+                continue
+            cuts = [j + window for j in range(max(n - window, 0))
+                    if sum(b[j + k] * pow(BASE, k, M)
+                           for k in range(window)) % M % mask == 0]
+            bounds = [0] + cuts + [n]
+            for st, en in zip(bounds[:-1], bounds[1:]):
+                ch = sum(b[st + k] * pow(BASE, k, M)
+                         for k in range(en - st)) % M
+                out.append((did, en - st, ch if ch < 2 ** 63 else ch - M))
+        return out
+
+    random.seed(7)
+    docs = ["".join(random.choice("abcde ") for _ in range(random.randint(0, 300)))
+            for _ in range(40)] + ["", "abc", "a" * 7, "b" * 8]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    got = list(zip(t["doc_id"].to_pylist() and
+                   cdc_chunk_hashes(t)["doc_id"].to_pylist(),
+                   cdc_chunk_hashes(t)["chunk_len"].to_pylist(),
+                   cdc_chunk_hashes(t)["chunk_hash"].to_pylist()))
+    assert got == brute(docs)
+    # per-doc chunk counts agree with cdc_chunk_stats
+    import collections
+    cnt = collections.Counter(d for d, _, _ in got)
+    cs = cdc_chunk_stats(t)
+    assert all(cnt.get(d, 0) == n for d, n in
+               zip(cs["doc_id"].to_pylist(), cs["n_chunks"].to_pylist()))
+
+
+def test_cdc_shared_chunks_duplicate_docs_collapse():
+    """Two byte-identical docs contribute identical (len, hash) chunk
+    multisets — unique bytes is half the total."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.text import cdc_chunk_hashes
+
+    import random
+
+    random.seed(11)
+    text = "".join(random.choice("abcdefgh ") for _ in range(2000))
+    t = pa.table({"doc_id": [1, 2], "text": [text, text]})
+    c = cdc_chunk_hashes(t)
+    # per-doc (len, hash) multisets equal
+    import collections
+    by_doc = collections.defaultdict(list)
+    for d, ln, h in zip(c["doc_id"].to_pylist(), c["chunk_len"].to_pylist(),
+                        c["chunk_hash"].to_pylist()):
+        by_doc[d].append((ln, h))
+    assert sorted(by_doc[1]) == sorted(by_doc[2]) and len(by_doc[1]) > 1
