@@ -7019,6 +7019,47 @@ SELECT
 """
 
 
+def q_events_trimmed_mean(sf_dir: str):
+    """Exact per-type trimmed aggregate (stages/agg.py
+    grouped_trimmed_sum): drop the k = ⌊n/20⌋ smallest and largest
+    value-cents per event_type and report the integer pieces (n, k,
+    total, trimmed sum) — the robust mean is a driver division. Rides
+    the grouped-histogram rail: (type, cents) distinct-value counts
+    take the ONE exchange, the trim is cumsum arithmetic with
+    multiplicity-aware partial takes at both crossing positions — no
+    row-level sort. Twin: row_number/count windows with the same
+    ⌊n/20⌋ rank bounds."""
+    from ..stages.agg import grouped_trimmed_sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    return grouped_trimmed_sum(ds, "event_type", "cents",
+                               trim_num=1, trim_den=20, num_partitions=8)
+
+
+SQL_EVENTS_TRIMMED_MEAN = f"""
+WITH v AS (
+  SELECT event_type AS g, {_CENTS.format(x='value')} AS v FROM events
+),
+r AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM v
+)
+SELECT g AS event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(n) // 20 AS BIGINT) AS k,
+       CAST(sum(v) AS BIGINT) AS sum_total,
+       CAST(sum(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                     THEN v ELSE 0 END) AS BIGINT) AS sum_trimmed
+FROM r GROUP BY 1
+"""
+
+
 def q_events_heavy_hitters(sf_dir: str):
     """Misra–Gries heavy hitters over event users (stages/agg.py
     heavy_hitters): bounded-state mergeable top-k summary — O(k) per
@@ -13537,6 +13578,7 @@ QUERIES = {
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_cdc_shared_chunks": q_docs_cdc_shared_chunks,
+    "events_trimmed_mean": q_events_trimmed_mean,
     "events_heavy_hitters": q_events_heavy_hitters,
     "events_ip_enrich": q_events_ip_enrich,
     "events_range_join": q_events_range_join,
@@ -13837,6 +13879,7 @@ ORACLES = {
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "docs_cdc_shared_chunks": _cdc_shared_sql(),
+    "events_trimmed_mean": SQL_EVENTS_TRIMMED_MEAN,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_ip_enrich": SQL_EVENTS_IP_ENRICH,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,

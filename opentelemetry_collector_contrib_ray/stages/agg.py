@@ -1101,3 +1101,82 @@ def exponential_histogram(ds, key: str, val_col: str, scale_note: str = ""):
     return compact_groupby(ds.map_batches(partial, batch_format="pyarrow"),
                            [key, "bucket"],
                            sum_cols={"n": "n", "sum_cents": "sum_cents"})
+
+
+def grouped_trimmed_sum(ds, group_col: str, col: str,
+                        trim_num: int = 1, trim_den: int = 20,
+                        num_partitions: int = 64):
+    """EXACT per-group trimmed aggregate over an integer column — the
+    robust-mean building block (drop the ``k = ⌊n·trim_num/trim_den⌋``
+    smallest and largest values, sum the middle). Reports the integer
+    pieces (n, k, sum_total, sum_trimmed); the trimmed MEAN is a
+    driver-side division over this compact output, keeping the oracle
+    float-free.
+
+    Same rail as ``grouped_int_quantiles``: per-batch (group, value)
+    histogram combiner → ONE group-hash exchange (each group's full
+    histogram lands in one partition — rows moved are distinct values,
+    not raw rows) → per-partition cumsum arithmetic: with value-sorted
+    counts ``n_i`` and weighted sums ``v_i·n_i``, the bottom-k sum is
+    ``cumsv[p−1] + (k − cumn[p−1])·v_p`` at the crossing position
+    (multiplicity-aware partial take), top-k symmetric from the tail —
+    no per-row sort anywhere.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t[group_col].to_numpy(zero_copy_only=False),
+            "v": t[col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        out = df.groupby(["g", "v"], as_index=False, dropna=False).size() \
+            .rename(columns={"size": "n"})
+        h = pd.util.hash_array(out["g"].to_numpy().astype("U"))
+        out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa_from_pandas(out)
+
+    def trimmed_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["g", "v"], as_index=False, dropna=False)["n"].sum()
+        g = g.sort_values(["g", "v"], kind="mergesort")
+        rows = []
+        for key, grp in g.groupby("g", sort=False, dropna=False):
+            vals = grp["v"].to_numpy()
+            cnt = grp["n"].to_numpy()
+            cumn = cnt.cumsum()
+            cumsv = (vals * cnt).cumsum()
+            n = int(cumn[-1])
+            total = int(cumsv[-1])
+            k = (n * trim_num) // trim_den
+            if 2 * k >= n:  # everything trimmed away
+                rows.append({group_col: key, "n": n, "k": k,
+                             "sum_total": total, "sum_trimmed": 0})
+                continue
+
+            def head_sum(kk: int) -> int:
+                if kk == 0:
+                    return 0
+                p = int(np.searchsorted(cumn, kk))  # first pos with cumn >= kk
+                before = int(cumsv[p - 1]) if p else 0
+                nbefore = int(cumn[p - 1]) if p else 0
+                return before + (kk - nbefore) * int(vals[p])
+
+            def tail_sum(kk: int) -> int:
+                if kk == 0:
+                    return 0
+                rn = cnt[::-1].cumsum()
+                rs = (vals[::-1] * cnt[::-1]).cumsum()
+                p = int(np.searchsorted(rn, kk))
+                before = int(rs[p - 1]) if p else 0
+                nbefore = int(rn[p - 1]) if p else 0
+                return before + (kk - nbefore) * int(vals[::-1][p])
+
+            rows.append({group_col: key, "n": n, "k": k,
+                         "sum_total": total,
+                         "sum_trimmed": total - head_sum(k) - tail_sum(k)})
+        return pd.DataFrame(rows,
+                            columns=[group_col, "n", "k",
+                                     "sum_total", "sum_trimmed"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(trimmed_per_group), batch_format="pandas"))

@@ -1177,3 +1177,36 @@ def test_srm_check_distinct_users_and_alarm():
     assert out.loc["bal", "srm_alarm"] == 0
     assert (out.loc["skew", "n0"], out.loc["skew", "n1"]) == (30, 2)
     assert out.loc["skew", "srm_alarm"] == 1
+
+
+def test_grouped_trimmed_sum_hand_and_boundary():
+    """Trimmed sum pins: multiplicity-aware partial takes at the
+    crossing value, k = n*num//den per group, all-trimmed edge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import grouped_trimmed_sum
+
+    # group A: values 1,1,1,2,3,9,9 (n=7); trim 2/7 each side → k=2:
+    # drop two 1s and two 9s → trimmed = 1+2+3 = 6
+    # group B: n=2, k = 2·2//7 = 0 → untouched
+    vals = [("A", v) for v in [9, 1, 2, 1, 9, 3, 1]] + [("B", 5), ("B", 6)]
+    t = pa.table({"g": [g for g, _ in vals], "v": [v for _, v in vals]})
+    out = (grouped_trimmed_sum(rd.from_arrow(t), "g", "v",
+                               trim_num=2, trim_den=7, num_partitions=4)
+           .to_pandas().set_index("g"))
+    assert out.loc["A"].tolist() == [7, 2, 26, 6]
+    assert out.loc["B"].tolist() == [2, 0, 11, 11]
+    # all-trimmed edge: trim 1/2 of n=2 → k=1, 2k>=n → trimmed 0
+    out3 = (grouped_trimmed_sum(rd.from_arrow(
+                pa.table({"g": ["D", "D"], "v": [5, 6]})),
+            "g", "v", trim_num=1, trim_den=2, num_partitions=2)
+            .to_pandas().set_index("g"))
+    assert out3.loc["D"].tolist() == [2, 1, 11, 0]
+    # k=0 passthrough: trim 0/20 of 3 values
+    out2 = (grouped_trimmed_sum(rd.from_arrow(
+                pa.table({"g": ["C"] * 3, "v": [4, 5, 6]})),
+            "g", "v", trim_num=1, trim_den=20, num_partitions=2)
+            .to_pandas().set_index("g"))
+    assert out2.loc["C"].tolist() == [3, 0, 15, 15]
