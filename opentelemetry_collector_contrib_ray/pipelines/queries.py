@@ -7019,6 +7019,58 @@ SELECT
 """
 
 
+def q_events_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance per event_type
+    (stages/agg.py grouped_ks_statistic), integer-exact: samples split
+    by user parity, the ECDF sup reported as the integer numerator
+    max|c1·n2 − c2·n1| with (n1, n2) — D is a driver division. Same
+    one-exchange histogram rail as quantiles/trimmed-mean; finer than
+    the binned TVD drift op (no bin domain to pick)."""
+    from ..stages.agg import grouped_ks_statistic
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        par = pc.subtract(u, pc.multiply(pc.divide(u, 2), 2))
+        return pa.table({"event_type": t["event_type"],
+                         "grp": par,
+                         "cents": _cents(t["value"])})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_ks_statistic(ds, "event_type", "grp", "cents",
+                                num_partitions=8)
+
+
+SQL_EVENTS_KS_TEST = f"""
+WITH v AS (
+  SELECT event_type AS g, user_id % 2 AS grp,
+         {_CENTS.format(x='value')} AS v
+  FROM events
+),
+d AS (
+  SELECT g, v,
+         CAST(count(*) FILTER (grp = 0) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (grp = 1) AS BIGINT) AS c2
+  FROM v GROUP BY 1, 2
+),
+c AS (
+  SELECT g, v,
+         SUM(c1) OVER (PARTITION BY g ORDER BY v) AS cc1,
+         SUM(c2) OVER (PARTITION BY g ORDER BY v) AS cc2,
+         SUM(c1) OVER (PARTITION BY g) AS n1,
+         SUM(c2) OVER (PARTITION BY g) AS n2
+  FROM d
+)
+SELECT g AS event_type,
+       CAST(max(n1) AS BIGINT) AS n1,
+       CAST(max(n2) AS BIGINT) AS n2,
+       CAST(max(abs(cc1 * n2 - cc2 * n1)) AS BIGINT) AS d_num
+FROM c GROUP BY 1
+"""
+
+
 def q_events_trimmed_mean(sf_dir: str):
     """Exact per-type trimmed aggregate (stages/agg.py
     grouped_trimmed_sum): drop the k = ⌊n/20⌋ smallest and largest
@@ -13578,6 +13630,7 @@ QUERIES = {
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_cdc_shared_chunks": q_docs_cdc_shared_chunks,
+    "events_ks_test": q_events_ks_test,
     "events_trimmed_mean": q_events_trimmed_mean,
     "events_heavy_hitters": q_events_heavy_hitters,
     "events_ip_enrich": q_events_ip_enrich,
@@ -13879,6 +13932,7 @@ ORACLES = {
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "docs_cdc_shared_chunks": _cdc_shared_sql(),
+    "events_ks_test": SQL_EVENTS_KS_TEST,
     "events_trimmed_mean": SQL_EVENTS_TRIMMED_MEAN,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_ip_enrich": SQL_EVENTS_IP_ENRICH,

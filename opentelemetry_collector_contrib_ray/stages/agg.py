@@ -1180,3 +1180,54 @@ def grouped_trimmed_sum(ds, group_col: str, col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("__p")
               .map_groups(arrow_out(trimmed_per_group), batch_format="pandas"))
+
+
+def grouped_ks_statistic(ds, group_col: str, split_col: str, col: str,
+                         num_partitions: int = 64):
+    """Two-sample Kolmogorov–Smirnov statistic per group, INTEGER-EXACT:
+    with samples A (``split_col`` = 0) and B (= 1) of sizes n1, n2, the
+    KS distance is ``max_v |F1(v) − F2(v)|``; reporting the integer
+    numerator ``d_num = max_v |c1(v)·n2 − c2(v)·n1|`` together with
+    (n1, n2) avoids every float division — D = d_num/(n1·n2) on the
+    driver. The sup over the pooled support is exact (the ECDF gap only
+    changes at observed values).
+
+    Same histogram rail as ``grouped_int_quantiles``: per-batch
+    (group, value) → (c1, c2) partial counts, ONE group-hash exchange
+    of distinct-value rows, per-partition value sort + two cumsums +
+    one vectorized |cross-product| max. Finer-grained than the binned
+    TVD drift op — no bin domain to pick.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[split_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "g": t[group_col].to_numpy(zero_copy_only=False),
+            "v": t[col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "c1": (s == 0).astype(np.int64),
+            "c2": (s == 1).astype(np.int64),
+        })
+        out = df.groupby(["g", "v"], as_index=False, dropna=False).agg(
+            {"c1": "sum", "c2": "sum"})
+        h = pd.util.hash_array(out["g"].to_numpy().astype("U"))
+        out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa_from_pandas(out)
+
+    def ks_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["g", "v"], as_index=False, dropna=False).agg(
+            {"c1": "sum", "c2": "sum"})
+        g = g.sort_values(["g", "v"], kind="mergesort")
+        rows = []
+        for key, grp in g.groupby("g", sort=False, dropna=False):
+            cc1 = grp["c1"].to_numpy().cumsum()
+            cc2 = grp["c2"].to_numpy().cumsum()
+            n1, n2 = int(cc1[-1]), int(cc2[-1])
+            d_num = int(np.max(np.abs(cc1 * n2 - cc2 * n1))) if len(cc1) else 0
+            rows.append({group_col: key, "n1": n1, "n2": n2,
+                         "d_num": d_num})
+        return pd.DataFrame(rows, columns=[group_col, "n1", "n2", "d_num"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(ks_per_group), batch_format="pandas"))

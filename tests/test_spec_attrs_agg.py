@@ -1210,3 +1210,25 @@ def test_grouped_trimmed_sum_hand_and_boundary():
             "g", "v", trim_num=1, trim_den=20, num_partitions=2)
             .to_pandas().set_index("g"))
     assert out2.loc["C"].tolist() == [3, 0, 15, 15]
+
+
+def test_grouped_ks_statistic_hand():
+    """KS numerator vs scipy-style direct computation on a hand case:
+    A = {1,2,3}, B = {3,4} → ECDF gaps at pooled values: v=1: |1·2−0·3|=2,
+    v=2: |2·2−0|=4, v=3: |3·2−1·3|=3, v=4: |6−6|=0 → d_num=4 (n1=3,n2=2,
+    true D = 4/6 = 2/3). One-sided group (all grp=0) → d_num = c1·0 = 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import grouped_ks_statistic
+
+    t = pa.table({
+        "g": ["x"] * 5 + ["solo"] * 2,
+        "s": [0, 0, 0, 1, 1, 0, 0],
+        "v": [1, 2, 3, 3, 4, 7, 8],
+    })
+    out = (grouped_ks_statistic(rd.from_arrow(t), "g", "s", "v",
+                                num_partitions=4)
+           .to_pandas().set_index("g"))
+    assert out.loc["x"].tolist() == [3, 2, 4]
+    assert out.loc["solo"].tolist() == [2, 0, 0]
