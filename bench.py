@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "events_pattern_match",
     "events_skew_join",
     "multimodal_resize",
+    "events_ip_enrich",
+    "events_trimmed_mean",
+    "events_ks_test",
+    "docs_cdc_shared_chunks",
+    "docs_rake_scores",
 ]
 
 
