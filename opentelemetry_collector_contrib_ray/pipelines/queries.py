@@ -7019,6 +7019,128 @@ SELECT
 """
 
 
+def q_events_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation components of per-type hourly volumes —
+    the time-series health check (is traffic bursty or smooth?) on the
+    compact-series rail: hourly counts fold via compact_groupby
+    (O(types × hours) partials, the only exchange), consecutive-hour
+    pairs form by a vectorized per-type shift on the folded series
+    (STRICTLY adjacent hours only — gaps break pairs), and the output
+    is the exact integer cross-moment monoid (n, Σx, Σy, Σx², Σy²,
+    Σxy) per type; r is a driver division. Twin: hourly-count CTE +
+    lead window with the same adjacency guard."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "hour": pc.divide(us, 3_600_000_000)})
+
+    hourly = compact_groupby(ds.map_batches(hours, batch_format="pyarrow"),
+                             keys=["event_type", "hour"], count_alias="n")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(["event_type", "hour"],
+                                       kind="mergesort")
+        g = df.groupby("event_type", sort=False)
+        nxt_h = g["hour"].shift(-1)
+        nxt_n = g["n"].shift(-1)
+        adj = (nxt_h == df["hour"] + 1)
+        x = df["n"].to_numpy()[adj.to_numpy()]
+        y = nxt_n.to_numpy()[adj.to_numpy()].astype(np.int64)
+        et = df["event_type"].to_numpy()[adj.to_numpy()]
+        out = pd.DataFrame({"event_type": et,
+                            "one": np.ones(len(x), dtype=np.int64),
+                            "sum_x": x, "sum_y": y,
+                            "sum_xx": x * x, "sum_yy": y * y,
+                            "sum_xy": x * y})
+        agg = out.groupby("event_type", as_index=False).sum()
+        return pa_from_pandas(agg.rename(columns={"one": "n_pairs"}))
+
+    return (hourly.repartition(1)
+                  .map_batches(pairs, batch_format="pyarrow",
+                               batch_size=None))
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type, hour, n,
+         lead(hour) OVER (PARTITION BY event_type ORDER BY hour) AS nh,
+         lead(n) OVER (PARTITION BY event_type ORDER BY hour) AS nn
+  FROM hourly
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(n) AS BIGINT) AS sum_x,
+       CAST(sum(nn) AS BIGINT) AS sum_y,
+       CAST(sum(n * n) AS BIGINT) AS sum_xx,
+       CAST(sum(nn * nn) AS BIGINT) AS sum_yy,
+       CAST(sum(n * nn) AS BIGINT) AS sum_xy
+FROM p WHERE nh = hour + 1
+GROUP BY 1
+"""
+
+
+def q_events_t_closeness(sf_dir: str):
+    """t-closeness audit (stages/agg.py grouped_emd_to_global; Li et
+    al. 2007) — completes the k-anonymity/l-diversity privacy trio:
+    per event_type (the quasi-identifier group), the ordered EMD
+    between the group's value-cents distribution and the global one as
+    the integer numerator Σ|cc_g·N − cc_all·n_g| over the pooled
+    support (t is a driver division). One partial pass feeds both the
+    broadcast global histogram and the group-hash exchange."""
+    from ..stages.agg import grouped_emd_to_global
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    return grouped_emd_to_global(ds, "event_type", "cents",
+                                 num_partitions=8)
+
+
+SQL_EVENTS_T_CLOSENESS = f"""
+WITH v AS (
+  SELECT event_type AS g, {_CENTS.format(x='value')} AS v FROM events
+),
+sup AS (SELECT DISTINCT v FROM v),
+gl AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+glc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc_all FROM gl),
+gc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+grid AS (SELECT gg.g, s.v FROM (SELECT DISTINCT g FROM v) gg
+         CROSS JOIN sup s),
+gcum AS (
+  SELECT grid.g, grid.v,
+         SUM(coalesce(gc.c, 0)) OVER (PARTITION BY grid.g
+                                      ORDER BY grid.v) AS cc_g
+  FROM grid LEFT JOIN gc ON gc.g = grid.g AND gc.v = grid.v
+),
+ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM v GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+SELECT gcum.g AS event_type,
+       CAST(max(ng.n_g) AS BIGINT) AS n_g,
+       CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(abs(gcum.cc_g * nt.n - glc.cc_all * ng.n_g)) AS BIGINT)
+         AS emd_num
+FROM gcum
+JOIN glc ON glc.v = gcum.v
+JOIN ng ON ng.g = gcum.g
+CROSS JOIN nt
+GROUP BY 1
+"""
+
+
 def q_events_ks_test(sf_dir: str):
     """Two-sample Kolmogorov–Smirnov distance per event_type
     (stages/agg.py grouped_ks_statistic), integer-exact: samples split
@@ -13630,6 +13752,8 @@ QUERIES = {
     "docs_normalized": q_docs_normalized,
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_cdc_shared_chunks": q_docs_cdc_shared_chunks,
+    "events_autocorr": q_events_autocorr,
+    "events_t_closeness": q_events_t_closeness,
     "events_ks_test": q_events_ks_test,
     "events_trimmed_mean": q_events_trimmed_mean,
     "events_heavy_hitters": q_events_heavy_hitters,
@@ -13932,6 +14056,8 @@ ORACLES = {
     "docs_normalized": SQL_DOCS_NORMALIZED,
     "docs_cdc_chunks": _cdc_sql(),
     "docs_cdc_shared_chunks": _cdc_shared_sql(),
+    "events_autocorr": SQL_EVENTS_AUTOCORR,
+    "events_t_closeness": SQL_EVENTS_T_CLOSENESS,
     "events_ks_test": SQL_EVENTS_KS_TEST,
     "events_trimmed_mean": SQL_EVENTS_TRIMMED_MEAN,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,

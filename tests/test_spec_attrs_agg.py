@@ -1232,3 +1232,55 @@ def test_grouped_ks_statistic_hand():
            .to_pandas().set_index("g"))
     assert out.loc["x"].tolist() == [3, 2, 4]
     assert out.loc["solo"].tolist() == [2, 0, 0]
+
+
+def test_grouped_emd_to_global_hand():
+    """EMD numerator vs direct computation: groups A={1,1,3}, B={2}.
+    Pooled support {1,2,3}, N=4, cc_all=[2,3,4].
+    A (n=3): cc_g at support = [2,2,3] → |2·4−2·3|+|2·4−3·3|+|3·4−4·3|
+      = 2+1+0 = 3.
+    B (n=1): cc_g = [0,1,1] → |0−2|+|4−3|+|4−4| = 3."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import grouped_emd_to_global
+
+    t = pa.table({"g": ["A", "A", "A", "B"], "v": [1, 1, 3, 2]})
+    out = (grouped_emd_to_global(rd.from_arrow(t), "g", "v",
+                                 num_partitions=4)
+           .to_pandas().set_index("g"))
+    assert out.loc["A"].tolist() == [3, 3, 3]
+    assert out.loc["B"].tolist() == [1, 3, 3]
+    # identical-distribution group → zero distance
+    t2 = pa.table({"g": ["X"] * 2 + ["Y"] * 4, "v": [1, 2, 1, 2, 1, 2]})
+    out2 = (grouped_emd_to_global(rd.from_arrow(t2), "g", "v",
+                                  num_partitions=2)
+            .to_pandas().set_index("g"))
+    assert out2.loc["X", "emd_num"] == 0 and out2.loc["Y", "emd_num"] == 0
+
+
+def test_autocorr_adjacency_gap_breaks_pairs(tmp_path):
+    """events_autocorr pairs only STRICTLY adjacent hours — a gap hour
+    breaks the chain — and single-hour types emit no row; driven
+    through the real query against a parquet fixture."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    us = 3_600_000_000
+    rows = []
+    for h, c in [(0, 2), (1, 3), (2, 1), (4, 5)]:
+        rows += [("A", h)] * c
+    rows += [("B", 9)] * 4
+    t = pa.table({
+        "event_type": [g for g, _ in rows],
+        "ts": pa.array([h * us + i for i, (_, h) in enumerate(rows)],
+                       type=pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = Q.QUERIES["events_autocorr"](str(tmp_path)).to_pandas()
+    out = out.set_index("event_type")
+    # A: adjacent pairs (2,3),(3,1); the 2->4 gap breaks; B: no pairs
+    assert out.loc["A"].tolist() == [2, 5, 4, 13, 10, 9]
+    assert "B" not in out.index
