@@ -1404,6 +1404,121 @@ FROM documents d LEFT JOIN score s USING (doc_id)
 """
 
 
+def q_docs_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity-bucket pruning (Wenzek et al. 2020 —
+    keep head+middle, drop the tail third): documents ranked by the
+    integer bigram-LM fluency score (higher = lower perplexity; the
+    hash-verified docs_bigram_lm rail), total order resolved with the
+    distributed global_rank stage on (−score, doc_id) — NO
+    materialized sort — and bucket = ⌊3·(rank−1)/n⌋ ∈ {0,1,2} with
+    keep = bucket < 2. Composition of two verified operators; n comes
+    from parquet metadata (never a count() pass)."""
+    from ..stages.text import ngram_lm_score, top_ngrams
+    from ..stages.windows import global_rank
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    top = top_ngrams(docs, n=2, k=10_000).to_pandas()
+    scored = ngram_lm_score(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), top, n=2)
+
+    def proj(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["lm_score"], pa.int64())
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "lm_score": s,
+                         "neg_score": pc.multiply(s, -1)})
+
+    ranked = global_rank(scored.map_batches(proj, batch_format="pyarrow"),
+                         ["neg_score", "doc_id"], num_buckets=16,
+                         out_col="rank")
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        rk = pc.cast(t["rank"], pa.int64())
+        b = pc.divide(pc.multiply(pc.subtract(rk, 1), 3), n_docs)
+        return pa.table({"doc_id": t["doc_id"], "lm_score": t["lm_score"],
+                         "bucket": pc.cast(b, pa.int64()),
+                         "keep": pc.less(b, 2)})
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+SQL_DOCS_CCNET_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+                 i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM toks
+), cnt AS (
+  SELECT gram, count(*) AS c FROM g GROUP BY gram
+), topk AS (
+  SELECT gram, c FROM cnt ORDER BY c DESC, gram ASC LIMIT 10000
+), score AS (
+  SELECT g.doc_id, sum(t.c) AS s FROM g JOIN topk t USING (gram)
+  GROUP BY g.doc_id
+), sc AS (
+  SELECT d.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS lm_score
+  FROM documents d LEFT JOIN score s USING (doc_id)
+), r AS (
+  SELECT doc_id, lm_score,
+         row_number() OVER (ORDER BY lm_score DESC, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM sc
+)
+SELECT doc_id, lm_score,
+       CAST((3 * (rk - 1)) // n AS BIGINT) AS bucket,
+       (3 * (rk - 1)) // n < 2 AS keep
+FROM r
+"""
+
+
+def q_conv_turn_position_stats(sf_dir: str):
+    """Transcript shape analysis: does turn LENGTH drift with position
+    in the conversation? Per role, the exact integer cross-moment
+    monoid of (turn_idx, text length) — slope/correlation are driver
+    divisions. turn_idx needs the one conv-hash exchange the
+    transcripts source already pays; moments fold per block then
+    through compact_groupby (4 roles × blocks partial rows)."""
+    from ..stages.agg import compact_groupby
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["turn_idx"], pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.utf8_length(pc.cast(t["text"], pa.string())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"role": t["role"],
+                         "one": np.ones(len(x), dtype=np.int64),
+                         "sum_x": x, "sum_y": y,
+                         "sum_xx": x * x, "sum_yy": y * y,
+                         "sum_xy": x * y})
+
+    return compact_groupby(
+        ds.map_batches(moments, batch_format="pyarrow"), keys=["role"],
+        sum_cols={"one": "n", "sum_x": "sum_x", "sum_y": "sum_y",
+                  "sum_xx": "sum_xx", "sum_yy": "sum_yy",
+                  "sum_xy": "sum_xy"})
+
+
+SQL_CONV_TURN_POSITION_STATS = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(turn_idx) AS BIGINT) AS sum_x,
+       CAST(sum(length(text)) AS BIGINT) AS sum_y,
+       CAST(sum(turn_idx * turn_idx) AS BIGINT) AS sum_xx,
+       CAST(sum(length(text) * length(text)) AS BIGINT) AS sum_yy,
+       CAST(sum(turn_idx * length(text)) AS BIGINT) AS sum_xy
+FROM transcripts GROUP BY 1
+"""
+)
+
+
 def q_docs_line_dedup(sf_dir: str):
     """Corpus-wide exact line dedup (RefinedWeb-style): docs are
     re-lined into 4-token segments (identical RE2 rewrite on both
@@ -13597,6 +13712,8 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_repetition": q_docs_repetition,
     "docs_bigram_lm": q_docs_bigram_lm,
+    "docs_ccnet_buckets": q_docs_ccnet_buckets,
+    "conv_turn_position_stats": q_conv_turn_position_stats,
     "docs_line_dedup": q_docs_line_dedup,
     "docs_pii": q_docs_pii,
     "docs_length_quantiles": q_docs_length_quantiles,
@@ -13907,6 +14024,8 @@ ORACLES = {
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_bigram_lm": SQL_DOCS_BIGRAM_LM,
+    "docs_ccnet_buckets": SQL_DOCS_CCNET_BUCKETS,
+    "conv_turn_position_stats": SQL_CONV_TURN_POSITION_STATS,
     "docs_line_dedup": SQL_DOCS_LINE_DEDUP,
     "docs_pii": SQL_DOCS_PII,
     "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,

@@ -1103,3 +1103,37 @@ def test_cdc_shared_chunks_duplicate_docs_collapse():
                         c["chunk_hash"].to_pylist()):
         by_doc[d].append((ln, h))
     assert sorted(by_doc[1]) == sorted(by_doc[2]) and len(by_doc[1]) > 1
+
+
+def test_ccnet_buckets_rank_and_keep(tmp_path):
+    """CCNet tercile pruning: rank by (score desc, doc_id asc),
+    bucket = ⌊3(rank−1)/n⌋, keep = head+middle. Driven through the
+    real query on a 6-doc fixture whose bigram scores are forced by
+    repetition (more repeated bigrams → higher fluency score)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    docs = [
+        (1, "alpha beta " * 30),       # many repeated bigrams → top score
+        (2, "alpha beta " * 20),
+        (3, "alpha beta " * 10),
+        (4, "gamma delta " * 5),
+        (5, "unique one two three"),
+        (6, "x"),                      # no repeated bigram → bottom
+    ]
+    t = pa.table({"doc_id": [d for d, _ in docs],
+                  "text": [s for _, s in docs]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (Q.QUERIES["docs_ccnet_buckets"](str(tmp_path))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert len(out) == 6
+    # scores must be non-increasing along doc_id for this construction
+    s = out["lm_score"]
+    assert s[1] > s[2] > s[3] > s[4] >= s[5] >= s[6]
+    # terciles of 6: ranks 1-2 → bucket 0, 3-4 → 1, 5-6 → 2
+    assert out.loc[1, "bucket"] == 0 and out.loc[2, "bucket"] == 0
+    assert out.loc[3, "bucket"] == 1 and out.loc[4, "bucket"] == 1
+    assert out.loc[5, "bucket"] == 2 and out.loc[6, "bucket"] == 2
+    assert out["keep"].tolist() == [True, True, True, True, False, False]
