@@ -5221,6 +5221,121 @@ GROUP BY split, bucket
 """
 
 
+def q_events_type_trigrams(sf_dir: str):
+    """Sequential-pattern mining one order up from the transition
+    matrix: per-user event-type TRIGRAMS in (ts, event_id) order —
+    the 3-step behavioral motifs (view→click→purchase vs
+    view→click→error) a funnel can't see. Same rail as
+    events_transitions: ONE user-hash exchange of narrow rows, one
+    vectorized sort + two grouped shifts per partition (user
+    boundaries null out the shifted values so trigrams never span
+    users), compact (t1,t2,t3) rollup — ≤ |types|³ rows out."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__p", pa.array((u.astype(np.uint64) % np.uint64(16)).astype(np.int64)))
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        by = g.groupby("user_id", sort=False)["event_type"]
+        d = pd.DataFrame({"t1": by.shift(2), "t2": by.shift(1),
+                          "t3": g["event_type"]})
+        d = d.dropna(subset=["t1", "t2"])
+        out = d.groupby(["t1", "t2", "t3"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    part = (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(trigrams), batch_format="pandas"))
+    return compact_groupby(part, keys=["t1", "t2", "t3"],
+                           sum_cols={"n": "n"})
+
+
+SQL_EVENTS_TYPE_TRIGRAMS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, event_type AS t3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def q_events_twa_value(sf_dir: str):
+    """Time-weighted average value per event_type — the
+    billing/utilization metric (each reading holds until the key's
+    next event; the average weights by holding time, not by sample
+    count). Integer-exact pieces: Σ cents·Δseconds (weight = gap to
+    the NEXT event of the same type, last reading contributes none)
+    and Σ Δseconds — the TWA is a driver division. One type-hash
+    exchange, per-partition sort + grouped shift(-1); compact 5-row
+    output."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "cents": _cents(t["value"]),
+            "__p": pc.cast(pc.binary_length(pc.cast(t["event_type"],
+                                                    pa.string())), pa.int64()),
+        })
+
+    def weight(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "ts_us", "event_id"],
+                          kind="mergesort")
+        nxt = g.groupby("event_type", sort=False)["ts_us"].shift(-1)
+        gap_s = ((nxt - g["ts_us"]) // 1_000_000)
+        keep = gap_s.notna()
+        d = pd.DataFrame({
+            "event_type": g["event_type"][keep],
+            "wv": (g["cents"][keep] * gap_s[keep]).astype("int64"),
+            "w": gap_s[keep].astype("int64"),
+        })
+        return d.groupby("event_type", as_index=False).sum()
+
+    part = (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(weight), batch_format="pandas"))
+    return compact_groupby(part, keys=["event_type"],
+                           sum_cols={"wv": "sum_wv", "w": "sum_w"})
+
+
+SQL_EVENTS_TWA_VALUE = f"""
+WITH s AS (
+  SELECT event_type, {_CENTS.format(x='value')} AS cents,
+         epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(cents * ((nxt - ts_us) // 1000000)) AS BIGINT) AS sum_wv,
+       CAST(sum((nxt - ts_us) // 1000000) AS BIGINT) AS sum_w
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_events_transitions(sf_dir: str):
     """Event-flow transition matrix (the Markov/sankey view): per user,
     consecutive event pairs in (ts, event_id) order → global
@@ -13903,6 +14018,8 @@ QUERIES = {
     "events_profile": q_events_profile,
     "docs_entropy": q_docs_entropy,
     "events_split_drift": q_events_split_drift,
+    "events_type_trigrams": q_events_type_trigrams,
+    "events_twa_value": q_events_twa_value,
     "events_transitions": q_events_transitions,
     "events_distinct_users": q_events_distinct_users,
     "docs_sample_k": q_docs_sample_k,
@@ -14209,6 +14326,8 @@ ORACLES = {
     "events_profile": _events_profile_sql(),
     "docs_entropy": SQL_DOCS_ENTROPY,
     "events_split_drift": _events_split_drift_sql(),
+    "events_type_trigrams": SQL_EVENTS_TYPE_TRIGRAMS,
+    "events_twa_value": SQL_EVENTS_TWA_VALUE,
     "events_transitions": SQL_EVENTS_TRANSITIONS,
     "events_distinct_users": SQL_EVENTS_DISTINCT_USERS,
     "docs_sample_k": _docs_sample_k_sql(),

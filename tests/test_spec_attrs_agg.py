@@ -1284,3 +1284,41 @@ def test_autocorr_adjacency_gap_breaks_pairs(tmp_path):
     # A: adjacent pairs (2,3),(3,1); the 2->4 gap breaks; B: no pairs
     assert out.loc["A"].tolist() == [2, 5, 4, 13, 10, 9]
     assert "B" not in out.index
+
+
+def test_type_trigrams_and_twa_hand(tmp_path):
+    """Trigrams never span users; TWA weights each reading by the gap
+    to the NEXT same-type event (last reading weightless)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    us = 1_000_000
+    t = pa.table({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "event_type": ["view", "click", "purchase", "view", "click", "view"],
+        "ts": pa.array([0, 10 * us, 30 * us, 60 * us, 5 * us, 25 * us],
+                       type=pa.timestamp("us")),
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    tri = Q.QUERIES["events_type_trigrams"](str(tmp_path)).to_pandas()
+    got = {(r.t1, r.t2, r.t3): r.n for r in tri.itertuples()}
+    # user 1 sequence: view click purchase view → 2 trigrams; user 2 has
+    # only 2 events → none (no cross-user trigram)
+    assert got == {("view", "click", "purchase"): 1,
+                   ("click", "purchase", "view"): 1}
+
+    twa = (Q.QUERIES["events_twa_value"](str(tmp_path))
+           .to_pandas().set_index("event_type"))
+    # view readings: (ts0,100c)->(ts60) gap... per TYPE order:
+    # view events at ts 0(100c,u1), 25(3200c,u2), 60(800c,u1):
+    #   gaps 25,35; last weightless → sum_wv=100*25+3200*35=114500, w=60
+    assert twa.loc["view"].tolist() == [100 * 25 + 3200 * 35, 60]
+    # click at ts 5(1600c),10(200c): gap 5 → wv=1600*5, w=5
+    assert twa.loc["click"].tolist() == [8000, 5]
+    # purchase single event → absent
+    assert "purchase" not in twa.index
