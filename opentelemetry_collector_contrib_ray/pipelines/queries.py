@@ -5656,6 +5656,62 @@ FROM g GROUP BY lang
 """
 
 
+def q_docs_dup_source_matrix(sf_dir: str):
+    """Duplication PROVENANCE: which source pairs NEAR-duplicATE each
+    other — the matrix a curation run consults before deciding which
+    feed to cut. Near-dup pairs come from the hash-verified exact
+    n-gram-Jaccard rail (threshold 8/10); each pair attaches its two
+    docs' sources via one broadcast doc→source lookup (the documents
+    dim — gated_broadcast_join is the swap-in above the threshold) and
+    rolls up by unordered source pair. Output is O(|sources|²)."""
+    import pandas as pd
+    import ray
+
+    from ..stages.agg import compact_groupby
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold_num=8, threshold_den=10,
+                                n=3, max_df=1000)
+
+    dim = read_table(sf_dir, "documents",
+                     columns=["doc_id", "source"]).to_pandas()
+    ids = dim["doc_id"].to_numpy().astype(np.int64)
+    srcs = dim["source"].to_numpy().astype(object)
+    o = np.argsort(ids, kind="stable")
+    ref = ray.put((ids[o], srcs[o]))
+
+    def tag(t: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        a = pc.cast(t["id_a"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t["id_b"], pa.int64()).to_numpy(zero_copy_only=False)
+        sa = v[np.searchsorted(k, a)].astype("U")
+        sb = v[np.searchsorted(k, b)].astype("U")
+        first = sa <= sb
+        lo = np.where(first, sa, sb)
+        hi = np.where(first, sb, sa)
+        return pa.table({
+            "source_a": pa.array(lo.astype(object), pa.string()),
+            "source_b": pa.array(hi.astype(object), pa.string()),
+        })
+
+    return compact_groupby(pairs.map_batches(tag, batch_format="pyarrow"),
+                           keys=["source_a", "source_b"],
+                           count_alias="n_pairs")
+
+
+SQL_DOCS_DUP_SOURCE_MATRIX = f"""
+WITH pr AS ({SQL_DOCS_NGRAM_JACCARD})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pr
+JOIN documents da ON da.doc_id = pr.id_a
+JOIN documents db ON db.doc_id = pr.id_b
+GROUP BY 1, 2
+"""
+
+
 def q_docs_dup_rate(sf_dir: str):
     """Per-source duplication rate: total docs vs distinct texts per
     source — the first diagnostic a curation run prints. Distinct
@@ -14028,6 +14084,7 @@ QUERIES = {
     "docs_vocab_overlap": q_docs_vocab_overlap,
     "events_hourly_profile": q_events_hourly_profile,
     "docs_moments": q_docs_moments,
+    "docs_dup_source_matrix": q_docs_dup_source_matrix,
     "docs_dup_rate": q_docs_dup_rate,
     "events_mad": q_events_mad,
     "docs_longest_per_source": q_docs_longest_per_source,
@@ -14336,6 +14393,7 @@ ORACLES = {
     "docs_vocab_overlap": SQL_DOCS_VOCAB_OVERLAP,
     "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
     "docs_moments": _docs_moments_sql(),
+    "docs_dup_source_matrix": SQL_DOCS_DUP_SOURCE_MATRIX,
     "docs_dup_rate": SQL_DOCS_DUP_RATE,
     "events_mad": SQL_EVENTS_MAD,
     "docs_longest_per_source": SQL_DOCS_LONGEST_PER_SOURCE,

@@ -1137,3 +1137,31 @@ def test_ccnet_buckets_rank_and_keep(tmp_path):
     assert out.loc[3, "bucket"] == 1 and out.loc[4, "bucket"] == 1
     assert out.loc[5, "bucket"] == 2 and out.loc[6, "bucket"] == 2
     assert out["keep"].tolist() == [True, True, True, True, False, False]
+
+
+def test_dup_source_matrix_unordered_pairs(tmp_path):
+    """Source matrix rolls near-dup pairs up by UNORDERED source pair
+    (cross-source orientation-free, same-source on the diagonal)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [
+        (1, base, "web"),
+        (2, base + "iota", "books"),    # near-dup of 1, other source
+        (3, base + "kappa", "web"),     # near-dup of 1, same source
+        (4, "totally different words here nothing shared at all "
+            "one two three four five six seven eight nine ten", "web"),
+    ]
+    t = pa.table({"doc_id": [d for d, _, _ in docs],
+                  "text": [s for _, s, _ in docs],
+                  "source": [src for _, _, src in docs]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (Q.QUERIES["docs_dup_source_matrix"](str(tmp_path))
+           .to_pandas().set_index(["source_a", "source_b"]))
+    # pairs: (1,2) web-books, (1,3) web-web, (2,3) books-web → unordered
+    assert out.loc[("books", "web"), "n_pairs"] == 2
+    assert out.loc[("web", "web"), "n_pairs"] == 1
+    assert len(out) == 2
