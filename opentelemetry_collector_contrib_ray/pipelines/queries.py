@@ -13853,6 +13853,214 @@ FROM seq GROUP BY 1
 """
 
 
+def q_graph_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance (stages/graph.py bfs_hops): every
+    node of the hashed 256-node event projection graph (the kcore
+    query's multiplicative-mixed edge derivation) reports its shortest
+    hop distance from the seed set {node % 29 == 0} within 6 hops —
+    the blast-radius query over a service graph. The recursive-CTE
+    twin carries the same hop cap and takes MIN(hop), so when BFS
+    converges earlier (it does here) the result is the exact
+    distance."""
+    from ..stages.graph import bfs_hops
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(((eid * 2654435761) % 1000003) % 256),
+                         "dst": pa.array(((eid * 40503 + 17) % 999983) % 256)})
+
+    return bfs_hops(ds.map_batches(edges, batch_format="pyarrow"),
+                    seed_mod=29, max_hops=6)
+
+
+SQL_GRAPH_BFS_HOPS = """
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT least(((event_id * 2654435761) % 1000003) % 256,
+                        ((event_id * 40503 + 17) % 999983) % 256) AS a,
+                  greatest(((event_id * 2654435761) % 1000003) % 256,
+                           ((event_id * 40503 + 17) % 999983) % 256) AS b
+  FROM events
+  WHERE (((event_id * 2654435761) % 1000003) % 256)
+        <> (((event_id * 40503 + 17) % 999983) % 256)
+), sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+), bfs AS (
+  SELECT u AS node, 0 AS hop FROM (SELECT DISTINCT u FROM sym)
+  WHERE u % 29 = 0
+  UNION
+  SELECT s.v, b.hop + 1
+  FROM bfs b JOIN sym s ON s.u = b.node
+  WHERE b.hop < 6
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hop) AS BIGINT) AS hop
+FROM bfs GROUP BY 1
+"""
+
+
+def q_events_mode_value(sf_dir: str):
+    """Exact per-type MODE of value cents (stages/agg.py grouped_mode):
+    most frequent quantized value, ties → smallest, with its
+    multiplicity and the group size — deterministic, so the
+    row_number() twin hashes identically. Rides the grouped-histogram
+    rail: distinct (type, cents) counts take the ONE exchange, never
+    raw rows."""
+    from ..stages.agg import grouped_mode
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "cents": _cents(t["value"])}),
+        batch_format="pyarrow")
+    return grouped_mode(ds, "event_type", "cents", num_partitions=8)
+
+
+SQL_EVENTS_MODE_VALUE = f"""
+WITH v AS (
+  SELECT event_type AS g, {_CENTS.format(x='value')} AS v FROM events
+),
+c AS (SELECT g, v, count(*) AS n FROM v GROUP BY 1, 2),
+r AS (
+  SELECT g, v, n,
+         row_number() OVER (PARTITION BY g ORDER BY n DESC, v ASC) AS rk,
+         SUM(n) OVER (PARTITION BY g) AS tot
+  FROM c
+)
+SELECT g AS event_type, CAST(v AS BIGINT) AS mode_value,
+       CAST(n AS BIGINT) AS n_mode, CAST(tot AS BIGINT) AS n_rows
+FROM r WHERE rk = 1
+"""
+
+
+def q_events_coverage_gaps(sf_dir: str):
+    """Idle-gap fragmentation stats (stages/windows.py
+    interval_gap_stats — the complement of events_activity_coverage):
+    per user, the count of gaps between merged 30-minute activity
+    islands, total idle seconds inside the active span, and the longest
+    single gap. Single-island users report (0, 0, 0). One key-hash
+    exchange + one vectorized pass; the twin extends the coverage SQL
+    with a lead() over island starts."""
+    from ..stages.windows import interval_gap_stats
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return interval_gap_stats(ds, key="user_id", ts_col="ts",
+                              length_s=1800, num_partitions=16)
+
+
+SQL_EVENTS_COVERAGE_GAPS = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+), m AS (
+  SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_max
+  FROM iv
+), g AS (
+  SELECT *, SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+            AS isl
+  FROM m
+), il AS (
+  SELECT user_id, isl, min(s) AS s, max(e) AS e
+  FROM g GROUP BY user_id, isl
+), gp AS (
+  SELECT user_id,
+         epoch_us(lead(s) OVER (PARTITION BY user_id ORDER BY s))
+           - epoch_us(e) AS gap_us
+  FROM il
+)
+SELECT user_id,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(coalesce(SUM(gap_us), 0) // 1000000 AS BIGINT) AS idle_s,
+       CAST(coalesce(MAX(gap_us), 0) // 1000000 AS BIGINT) AS max_gap_s
+FROM gp GROUP BY user_id
+"""
+
+
+def q_docs_pmi_bigrams(sf_dir: str):
+    """PMI collocation parts (stages/text.py pmi_bigram_parts, Church &
+    Hanks 1990): adjacent word pairs with pair_n ≥ 3 report the integer
+    quadruple (pair_n, left_n, right_n, n_total) — PMI itself is a
+    driver division, so the oracle stays float-free. Marginals fold
+    over ALL bigrams before the filter; text never shuffles (per-block
+    pair partials → one pair-hash exchange; O(vocab) marginals
+    broadcast for a searchsorted attach)."""
+    from ..stages.text import pmi_bigram_parts
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pmi_bigram_parts(ds, col="text", min_count=3, num_partitions=16)
+
+
+SQL_DOCS_PMI_BIGRAMS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS term,
+         unnest(range(1, len(l) + 1)) AS i
+  FROM (SELECT doc_id,
+               string_split_regex(regexp_replace(coalesce(text, ''),
+                 '^\s+|\s+$', '', 'g'), '\s+') AS l
+        FROM documents)
+),
+seq AS (SELECT doc_id, term, i FROM tok WHERE term <> ''),
+bg AS (
+  SELECT term AS w1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM seq
+),
+p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+      FROM bg WHERE w2 IS NOT NULL GROUP BY 1, 2),
+l AS (SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS left_n FROM p GROUP BY 1),
+r AS (SELECT w2, CAST(SUM(pair_n) AS BIGINT) AS right_n FROM p GROUP BY 1),
+tot AS (SELECT CAST(SUM(pair_n) AS BIGINT) AS n_total FROM p)
+SELECT p.w1, p.w2, p.pair_n, l.left_n, r.right_n, tot.n_total
+FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+WHERE p.pair_n >= 3
+"""
+
+
+def q_events_dp_counts(sf_dir: str):
+    """Local-DP randomized-response release (stages/privacy.py
+    randomized_response_counts, Warner 1965): each event's
+    high-value bit (cents > 5000) is reported flipped when the Knuth
+    hash of event_id lands on 0 mod 4 — the deterministic stand-in for
+    the client's p=1/4 coin that both engines derive identically. Per
+    type: (n, n_reported, est_num) with t̂ = est_num/2 left to the
+    driver. The aggregator only ever sees the noised bit."""
+    from ..stages.privacy import randomized_response_counts
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "is_high": pc.greater(_cents(t["value"]), 5000),
+        })
+
+    return randomized_response_counts(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_col="event_type", true_col="is_high",
+        hash_col="event_id", flip_mod=4)
+
+
+SQL_EVENTS_DP_COUNTS = f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN ((event_id * 2654435761) % 4294967296) % 4 = 0
+              THEN 1 - CAST({_CENTS.format(x='value')} > 5000 AS INTEGER)
+              ELSE CAST({_CENTS.format(x='value')} > 5000 AS INTEGER)
+         END AS reported
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(reported) AS BIGINT) AS n_reported,
+       CAST(4 * SUM(reported) - count(*) AS BIGINT) AS est_num
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -14114,6 +14322,11 @@ QUERIES = {
     "header_metadata_roundtrip": q_header_metadata_roundtrip,
     "grouped_sink_roundtrip": q_grouped_sink_roundtrip,
     "ref_integrity_audit": q_ref_integrity_audit,
+    "graph_bfs_hops": q_graph_bfs_hops,
+    "events_mode_value": q_events_mode_value,
+    "events_coverage_gaps": q_events_coverage_gaps,
+    "docs_pmi_bigrams": q_docs_pmi_bigrams,
+    "events_dp_counts": q_events_dp_counts,
 }
 
 # ----------------------------------------------------------- resumable
@@ -14423,4 +14636,9 @@ ORACLES = {
     "header_metadata_roundtrip": SQL_HEADER_METADATA_ROUNDTRIP,
     "grouped_sink_roundtrip": SQL_GROUPED_SINK_ROUNDTRIP,
     "ref_integrity_audit": SQL_REF_INTEGRITY_AUDIT,
+    "graph_bfs_hops": SQL_GRAPH_BFS_HOPS,
+    "events_mode_value": SQL_EVENTS_MODE_VALUE,
+    "events_coverage_gaps": SQL_EVENTS_COVERAGE_GAPS,
+    "docs_pmi_bigrams": SQL_DOCS_PMI_BIGRAMS,
+    "events_dp_counts": SQL_EVENTS_DP_COUNTS,
 }

@@ -1294,3 +1294,47 @@ def grouped_emd_to_global(ds, group_col: str, col: str,
 
     return (partials.groupby("__p")
             .map_groups(arrow_out(emd_per_group), batch_format="pandas"))
+
+
+def grouped_mode(ds, group_col: str, col: str, num_partitions: int = 64):
+    """Exact per-group MODE of an integer column (most frequent value,
+    ties → smallest value) with its multiplicity and the group size —
+    the "typical value" descriptive statistic, deterministic so a
+    row_number() twin hashes identically.
+
+    Rides the grouped-histogram rail (same as ``grouped_trimmed_sum`` /
+    ``grouped_ks_statistic``): per-batch (group, value) distinct-count
+    partials take the ONE group-hash exchange — rows moved are distinct
+    values per block, never raw rows — then each partition folds its
+    groups' full histograms with one stable sort + groupby-first. State
+    per group is its distinct-value count, which the rail already
+    assumes bounded (quantized cents domain)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t[group_col].to_numpy(zero_copy_only=False),
+            "v": t[col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        out = df.groupby(["g", "v"], as_index=False, dropna=False).size() \
+            .rename(columns={"size": "n"})
+        h = pd.util.hash_array(out["g"].to_numpy().astype("U"))
+        out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        return pa_from_pandas(out)
+
+    def mode_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["g", "v"], as_index=False, dropna=False)["n"].sum()
+        tot = g.groupby("g", dropna=False)["n"].transform("sum")
+        g = g.assign(tot=tot).sort_values(
+            ["g", "n", "v"], ascending=[True, False, True], kind="mergesort")
+        first = g.groupby("g", as_index=False, sort=False, dropna=False).first()
+        return pd.DataFrame({
+            group_col: first["g"],
+            "mode_value": first["v"].astype("int64"),
+            "n_mode": first["n"].astype("int64"),
+            "n_rows": first["tot"].astype("int64"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(mode_per_group), batch_format="pandas"))

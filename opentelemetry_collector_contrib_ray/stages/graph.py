@@ -312,3 +312,64 @@ def label_propagation(edges, src: str = "src", dst: str = "dst",
 
     return distinct.map_batches(propagate, batch_format="pyarrow",
                                 batch_size=None)
+
+
+def bfs_hops(edges, seed_mod: int, max_hops: int = 6,
+             src: str = "src", dst: str = "dst"):
+    """Multi-source breadth-first search: shortest hop distance from a
+    seed set (nodes with ``node % seed_mod == 0``) to every reachable
+    node within ``max_hops`` hops of the undirected simple graph — the
+    blast-radius / dependency-distance query a service graph answers
+    ("everything within k hops of the failing tier"). Capping the hop
+    count makes the operator deterministic and SQL-twinnable: the
+    recursive-CTE twin carries the same ``hop < max_hops`` guard, and
+    both engines report MIN(hop) per node, so when BFS converges before
+    the cap the result IS the exact hop distance.
+
+    Scale shape: same front end as ``kcore_degrees`` (per-block
+    canonicalize + arrow distinct shrink BEFORE anything moves, one
+    compact exchange of O(distinct edges) int64 pairs), then a
+    vectorized frontier loop — searchsorted node indexing + boolean
+    scatter per round, never per-node Python. Right when the node
+    domain is a fixed projection (as in the query twin); for
+    billion-node graphs the swap-in is the per-round distributed
+    frontier: ``max_hops`` × (frontier semi-join on the edge table +
+    anti-join against the visited set), each round ONE hash exchange
+    of (node,) rows — same semantics, bounded rounds.
+    """
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t[src], t[dst])
+        b = pc.max_element_wise(t[src], t[dst])
+        keep = pc.not_equal(a, b)
+        return pa.table({"a": pc.cast(a, pa.int64()),
+                         "b": pc.cast(b, pa.int64())}).filter(keep)
+
+    distinct = compact_groupby(edges.map_batches(canon, batch_format="pyarrow"),
+                               ["a", "b"], count_alias="n")
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["a", "b"]]
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        nodes = np.unique(u)
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        hop = np.full(len(nodes), -1, dtype=np.int64)
+        frontier = (nodes % seed_mod) == 0
+        hop[frontier] = 0
+        for h in range(1, max_hops + 1):
+            reach = np.zeros(len(nodes), dtype=bool)
+            reach[vi[frontier[ui]]] = True
+            frontier = reach & (hop < 0)
+            if not frontier.any():
+                break
+            hop[frontier] = h
+        keep = hop >= 0
+        return pa.table({"node": pa.array(nodes[keep]),
+                         "hop": pa.array(hop[keep])})
+
+    return distinct.map_batches(expand, batch_format="pyarrow",
+                                batch_size=None)

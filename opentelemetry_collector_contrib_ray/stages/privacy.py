@@ -126,3 +126,54 @@ def k_anonymity_sql(src: str, ladder: list[list[str]], k: int) -> str:
               " CAST(CASE WHEN level = (SELECT MIN(level) FROM s"
               f" WHERE min_class_size >= {k}) THEN 1 ELSE 0 END AS BIGINT)"
               " AS chosen FROM s")
+
+
+def randomized_response_counts(ds, group_col: str, true_col: str,
+                               hash_col: str, flip_mod: int = 4):
+    """Local-differential-privacy count release via RANDOMIZED RESPONSE
+    (Warner 1965; the RAPPOR-family primitive) made deterministic for
+    testing: each row's true boolean ``true_col`` is reported FLIPPED
+    when a Knuth multiplicative hash of ``hash_col`` lands on 0 mod
+    ``flip_mod`` — a stand-in for the client's coin with flip
+    probability p = 1/flip_mod that both engines can derive exactly.
+    Per group the release is (n, n_reported) plus the debiased integer
+    numerator ``est_num = flip_mod·n_reported − n`` of the estimator
+    t̂ = est_num / (flip_mod − 2) — the division stays on the driver so
+    the oracle never compares floats (flip_mod=4: t̂ = est_num/2).
+
+    Shape: one vectorized hash+xor kernel per block, then the compact
+    per-group rollup — O(groups × blocks) partial rows move, never raw
+    rows. The aggregator only ever sees the noised bit, mirroring the
+    LDP trust model."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .agg import compact_groupby
+
+    fm = int(flip_mod)
+
+    def respond(t: pa.Table) -> pa.Table:
+        h = pc.multiply(pc.cast(t[hash_col], pa.int64()), 2654435761)
+        h = pc.subtract(h, pc.multiply(pc.divide(h, 4294967296), 4294967296))
+        flip = pc.equal(pc.subtract(h, pc.multiply(pc.divide(h, fm), fm)), 0)
+        reported = pc.xor(pc.cast(t[true_col], pa.bool_()), flip)
+        return pa.table({
+            group_col: t[group_col],
+            "reported": pc.cast(reported, pa.int64()),
+        })
+
+    out = compact_groupby(ds.map_batches(respond, batch_format="pyarrow"),
+                          [group_col], sum_cols={"reported": "n_reported"},
+                          count_alias="n")
+
+    def debias(t: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: t[group_col],
+            "n": pc.cast(t["n"], pa.int64()),
+            "n_reported": pc.cast(t["n_reported"], pa.int64()),
+            "est_num": pc.cast(
+                pc.subtract(pc.multiply(t["n_reported"], fm), t["n"]),
+                pa.int64()),
+        })
+
+    return out.map_batches(debias, batch_format="pyarrow")

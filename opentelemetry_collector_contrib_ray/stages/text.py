@@ -1219,3 +1219,85 @@ def cdc_chunk_hashes(t: pa.Table, col: str = "text", window: int = 8,
         "chunk_len": pa.array(ends - starts, type=pa.int64()),
         "chunk_hash": pa.array(chash.view(np.int64)),
     })
+
+
+def pmi_bigram_parts(ds, col: str = "text", min_count: int = 3,
+                     num_partitions: int = 64):
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990) kept INTEGER-EXACT: for every adjacent word pair inside a
+    document, report the integer parts (pair_n, left_n, right_n,
+    n_total) — PMI = log(pair_n·n_total / (left_n·right_n)) is a
+    driver-side division over the compact output, so the oracle never
+    compares floats. Marginals are computed over ALL bigrams; only the
+    final report filters to ``pair_n >= min_count``.
+
+    Shape: per batch ONE whitespace split kernel, doc ids repeated by
+    list offsets, adjacency = consecutive kept tokens with a same-doc
+    mask (the split never yields interior empties, so filtering empty
+    tokens first keeps both engines' adjacency identical); per-block
+    (w1, w2) count partials take the ONE pair-hash exchange — text
+    never moves. The two marginal tables are O(vocab) and the final
+    attach broadcasts them sorted for a searchsorted lookup per batch;
+    above a vocab threshold the documented swap-in is two
+    ``bucketed_hash_join`` passes on w1 then w2 — same semantics, two
+    more exchanges instead of a broadcast."""
+    from .agg import compact_groupby
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t[col], pa.string()), "")),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = flat != ""
+        flat, doc_idx = flat[keep], doc_idx[keep]
+        if len(flat) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "__p": pa.array([], pa.int64())})
+        adj = doc_idx[1:] == doc_idx[:-1]
+        df = pd.DataFrame({"w1": flat[:-1][adj], "w2": flat[1:][adj]})
+        out = df.groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        h = pd.util.hash_array(
+            (out["w1"] + "\x1f" + out["w2"]).to_numpy().astype("U"))
+        out["__p"] = (h % np.uint64(num_partitions)).astype(np.int64)
+        out["n"] = out["n"].astype("int64")
+        return pa_from_pandas(out)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["w1", "w2"], as_index=False)["n"].sum()
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("__p")
+               .map_groups(arrow_out(merge), batch_format="pandas")
+               .materialize())
+
+    lefts = compact_groupby(pairs, ["w1"], sum_cols={"n": "left_n"}).take_all()
+    rights = compact_groupby(pairs, ["w2"], sum_cols={"n": "right_n"}).take_all()
+    lw = np.array(sorted(r["w1"] for r in lefts), dtype="U")
+    ln = np.array([r["left_n"] for r in sorted(lefts, key=lambda r: r["w1"])],
+                  dtype=np.int64)
+    rw = np.array(sorted(r["w2"] for r in rights), dtype="U")
+    rn = np.array([r["right_n"] for r in sorted(rights, key=lambda r: r["w2"])],
+                  dtype=np.int64)
+    n_total = int(ln.sum())
+
+    def attach(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        w1 = t["w1"].to_numpy(zero_copy_only=False).astype("U")
+        w2 = t["w2"].to_numpy(zero_copy_only=False).astype("U")
+        return pa.table({
+            "w1": t["w1"], "w2": t["w2"],
+            "pair_n": pc.cast(t["n"], pa.int64()),
+            "left_n": pa.array(ln[np.searchsorted(lw, w1)]),
+            "right_n": pa.array(rn[np.searchsorted(rw, w2)]),
+            "n_total": pa.array(np.full(len(w1), n_total, dtype=np.int64)),
+        })
+
+    return pairs.map_batches(attach, batch_format="pyarrow")

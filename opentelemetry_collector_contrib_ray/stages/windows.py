@@ -943,3 +943,74 @@ def global_rank(ds, order_cols: list[str], num_buckets: int = 64,
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
               .groupby("__b")
               .map_groups(arrow_out(rank_bucket), batch_format="pandas"))
+
+
+def interval_gap_stats(ds, key: str, ts_col: str, length_s: int,
+                       num_partitions: int = 64):
+    """Idle-gap statistics — the complement of
+    ``interval_union_coverage``: each row opens [ts, ts + length_s);
+    per key, report the number of gaps BETWEEN merged activity islands,
+    the total idle micro-second budget inside the key's active span
+    (reported as seconds, one integer division over the SUM so the twin
+    matches bit-for-bit), and the longest single gap — "how fragmented
+    was this tenant's activity". Keys with a single island report
+    (0, 0, 0).
+
+    Same shape as the coverage op: ONE key-hash exchange, one
+    vectorized pass per partition (grouped shift + cummax island
+    detection, island extents via groupby min/max, gaps via a grouped
+    shift over island starts). Gaps are strictly positive by island
+    construction (a new island opens only when its start exceeds the
+    running max end)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    len_us = int(length_s) * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind in "iu":
+            h = kv.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(kv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        s = g[ts_col].astype("datetime64[us]").astype("int64")
+        e = s + len_us
+        ee = pd.Series(e.to_numpy(), index=g.index)
+        prev_max = ee.groupby(g[key], sort=False, dropna=False).shift(1).groupby(
+            g[key], sort=False, dropna=False).cummax()
+        first = prev_max.isna().to_numpy()
+        new_island = first | (s.to_numpy() > prev_max.to_numpy())
+        isl = pd.Series(new_island.astype(np.int64), index=g.index).groupby(
+            g[key], sort=False, dropna=False).cumsum()
+        d = pd.DataFrame({key: g[key].to_numpy(), "isl": isl.to_numpy(),
+                          "s": s.to_numpy(), "e": e.to_numpy()})
+        ext = (d.groupby([key, "isl"], as_index=False, dropna=False)
+               .agg(s=("s", "min"), e=("e", "max"))
+               .sort_values([key, "isl"], kind="mergesort"))
+        nxt = ext.groupby(key, sort=False, dropna=False)["s"].shift(-1)
+        gap_us = (nxt - ext["e"]).dropna()
+        ext2 = ext.loc[gap_us.index, [key]].assign(gap_us=gap_us.astype("int64"))
+        base = (ext.groupby(key, as_index=False, dropna=False)
+                .agg(n_islands=("isl", "size")))
+        agg = (ext2.groupby(key, as_index=False, dropna=False)
+               .agg(idle_us=("gap_us", "sum"), max_gap_us=("gap_us", "max")))
+        out = base.merge(agg, on=key, how="left")
+        out["n_gaps"] = (out["n_islands"] - 1).astype("int64")
+        out["idle_s"] = (out["idle_us"].fillna(0).astype("int64")
+                         // 1_000_000).astype("int64")
+        out["max_gap_s"] = (out["max_gap_us"].fillna(0).astype("int64")
+                            // 1_000_000).astype("int64")
+        return out[[key, "n_gaps", "idle_s", "max_gap_s"]]
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(arrow_out(gaps), batch_format="pandas")
+    )

@@ -132,3 +132,28 @@ def test_label_propagation_two_cliques_bridge():
             new[n] = best[0]
         lab = new
     assert got == lab
+
+
+def test_bfs_hops_path_and_multi_seed():
+    """BFS pins: exact hop distance on a path graph, the max_hops cap,
+    multi-seed MIN semantics, and unreachable-component absence."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.graph import bfs_hops
+
+    # path 0-1-2-...-10 plus a disconnected edge 501-502 (no seed)
+    src = list(range(10)) + [501]
+    dst = list(range(1, 11)) + [502]
+    ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                 "dst": pa.array(dst, pa.int64())})).repartition(3)
+    # seed_mod=1000: only node 0 is a seed → hop = index, capped at 6
+    out = bfs_hops(ds, seed_mod=1000, max_hops=6).to_pandas()
+    got = dict(zip(out["node"], out["hop"]))
+    assert got == {i: i for i in range(7)}  # 7..10 beyond cap; 501/502 absent
+
+    # seed_mod=5: seeds {0,5,10} → distance to the nearest seed
+    out2 = bfs_hops(ds, seed_mod=5, max_hops=6).to_pandas()
+    got2 = dict(zip(out2["node"], out2["hop"]))
+    assert got2 == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0,
+                    6: 1, 7: 2, 8: 2, 9: 1, 10: 0}

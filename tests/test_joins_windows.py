@@ -2133,3 +2133,25 @@ def test_skew_hybrid_join_left_outer_composes():
     assert (out["y"].fillna(-1) == ref["y"].fillna(-1)).all()
     # unmatched keys (100+b) carried through with null y
     assert out.loc[out["k"] >= 100, "y"].isna().all()
+
+
+def test_interval_gap_stats_hand():
+    """Gap stats pin: single-island users report (0,0,0); gaps are the
+    distances between merged-island extents; idle_s divides the SUM
+    once (not per gap); max gap picked across >2 islands."""
+    from opentelemetry_collector_contrib_ray.stages.windows import interval_gap_stats
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    df = pd.DataFrame({
+        # user 1: islands [0,40) (merged 0+10), [120,150), [300,330)
+        #   → gaps 80min and 150min: n=2, idle=230min, max=150min
+        # user 2: single event → single island → (0, 0, 0)
+        "u": [1, 1, 1, 1, 2],
+        "ts": [base, base + 10 * M, base + 120 * M, base + 300 * M,
+               base + 121 * M],
+    })
+    out = interval_gap_stats(rd.from_pandas(df).repartition(2), "u", "ts",
+                             1800, num_partitions=2).to_pandas()
+    got = {r.u: (r.n_gaps, r.idle_s, r.max_gap_s) for r in out.itertuples()}
+    assert got == {1: (2, 230 * 60, 150 * 60), 2: (0, 0, 0)}

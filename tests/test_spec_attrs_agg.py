@@ -1322,3 +1322,49 @@ def test_type_trigrams_and_twa_hand(tmp_path):
     assert twa.loc["click"].tolist() == [8000, 5]
     # purchase single event → absent
     assert "purchase" not in twa.index
+
+
+def test_grouped_mode_tie_and_counts():
+    """Mode pins: highest multiplicity wins, count-ties resolve to the
+    SMALLEST value, n_rows is the full group size, cross-block counts
+    merge before the argmax."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import grouped_mode
+
+    vals = ([("A", 7)] * 3 + [("A", 2)] * 3 + [("A", 9)]      # tie 7/2 → 2
+            + [("B", 5), ("B", 5), ("B", 1)])                  # clear mode 5
+    t = pa.table({"g": [g for g, _ in vals],
+                  "v": pa.array([v for _, v in vals], pa.int64())})
+    out = (grouped_mode(rd.from_arrow(t).repartition(4), "g", "v",
+                        num_partitions=4).to_pandas().set_index("g"))
+    assert out.loc["A"].tolist() == [2, 3, 7]   # mode_value, n_mode, n_rows
+    assert out.loc["B"].tolist() == [5, 2, 3]
+
+
+def test_randomized_response_debias_and_flip_positions():
+    """Randomized response pins: the flip set is exactly
+    {hash(id) % 4 == 0}, n_reported counts the noised bit, and
+    est_num = 4·n_reported − n debiases (est_num/2 ≈ true count)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.privacy import (
+        randomized_response_counts,
+    )
+
+    ids = np.arange(1, 401, dtype=np.int64)
+    true = (ids % 3 == 0)
+    t = pa.table({"g": ["x"] * 400, "id": ids, "b": true})
+    out = randomized_response_counts(
+        rd.from_arrow(t).repartition(4), group_col="g", true_col="b",
+        hash_col="id", flip_mod=4).to_pandas()
+    flip = ((ids * 2654435761) % 4294967296) % 4 == 0
+    reported = int(np.sum(true ^ flip))
+    assert out.loc[0, "n"] == 400
+    assert out.loc[0, "n_reported"] == reported
+    assert out.loc[0, "est_num"] == 4 * reported - 400
+    # the estimator halves to ~the true count (133) within noise
+    assert abs((4 * reported - 400) / 2 - int(true.sum())) <= 25

@@ -1165,3 +1165,29 @@ def test_dup_source_matrix_unordered_pairs(tmp_path):
     assert out.loc[("books", "web"), "n_pairs"] == 2
     assert out.loc[("web", "web"), "n_pairs"] == 1
     assert len(out) == 2
+
+
+def test_pmi_bigram_parts_hand():
+    """PMI parts pin: adjacency never crosses documents, marginals fold
+    over ALL bigrams (including pairs later dropped by min_count), and
+    n_total is the corpus bigram count."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import pmi_bigram_parts
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # doc1: a b / b c ; doc2: a b ; doc3 ends with 'a' and doc1
+        # starts with 'a' in flat order — must NOT form a cross-doc pair
+        "text": ["a b c", "a b", "z a"],
+    })
+    out = (pmi_bigram_parts(rd.from_arrow(docs).repartition(2), col="text",
+                            min_count=2, num_partitions=4)
+           .to_pandas().set_index(["w1", "w2"]))
+    # bigrams: (a,b)×2, (b,c)×1, (z,a)×1 → only (a,b) survives min_count=2
+    assert list(out.index) == [("a", "b")]
+    row = out.loc[("a", "b")]
+    assert row["pair_n"] == 2
+    assert row["left_n"] == 2      # 'a' starts 2 bigrams
+    assert row["right_n"] == 2     # 'b' ends 2 bigrams
+    assert row["n_total"] == 4     # marginals/total include dropped pairs
