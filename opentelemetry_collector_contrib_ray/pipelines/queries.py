@@ -14061,6 +14061,114 @@ FROM b GROUP BY 1
 """
 
 
+def q_graph_shortest_paths(sf_dir: str):
+    """Bounded-round Bellman–Ford (stages/graph.py shortest_paths):
+    minimum weighted distance from the seed set {node % 29 == 0} over
+    paths of ≤ 4 edges of the same 256-node projection graph as
+    graph_bfs_hops, edge weight (a + b) % 50 + 1. Synchronous
+    relaxation round r is exact over ≤ r-edge paths — exactly what the
+    hop-guarded recursive-CTE twin's MIN(dist) computes, so the twin is
+    exact even below the weighted diameter."""
+    from ..stages.graph import shortest_paths
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        s = ((eid * 2654435761) % 1000003) % 256
+        d = ((eid * 40503 + 17) % 999983) % 256
+        return pa.table({"src": pa.array(s), "dst": pa.array(d),
+                         "w": pa.array((s + d) % 50 + 1)})
+
+    return shortest_paths(ds.map_batches(edges, batch_format="pyarrow"),
+                          seed_mod=29, rounds=4)
+
+
+SQL_GRAPH_SHORTEST_PATHS = """
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT least(((event_id * 2654435761) % 1000003) % 256,
+                        ((event_id * 40503 + 17) % 999983) % 256) AS a,
+                  greatest(((event_id * 2654435761) % 1000003) % 256,
+                           ((event_id * 40503 + 17) % 999983) % 256) AS b
+  FROM events
+  WHERE (((event_id * 2654435761) % 1000003) % 256)
+        <> (((event_id * 40503 + 17) % 999983) % 256)
+), sym AS MATERIALIZED (
+  SELECT a AS u, b AS v, (a + b) % 50 + 1 AS w FROM e0
+  UNION ALL
+  SELECT b AS u, a AS v, (a + b) % 50 + 1 AS w FROM e0
+), sp AS (
+  SELECT u AS node, 0 AS hop, 0 AS dist FROM (SELECT DISTINCT u FROM sym)
+  WHERE u % 29 = 0
+  UNION
+  SELECT s.v, p.hop + 1, p.dist + s.w
+  FROM sp p JOIN sym s ON s.u = p.node
+  WHERE p.hop < 4
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM sp GROUP BY 1
+"""
+
+
+def q_events_benford_audit(sf_dir: str):
+    """Benford first-significant-digit audit (data-quality / fraud
+    screen — Benford 1938, public): the distribution of the leading
+    decimal digit of positive value cents per event_type. The digit is
+    the first character of the integer's decimal rendering in BOTH
+    engines (no float log10 anywhere). One vectorized cast+slice
+    kernel, compact (type, digit) rollup."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def digit(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        tt = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .filter(pc.greater(cents, 0))
+        d = pc.utf8_slice_codeunits(
+            pc.cast(tt["cents"], pa.string()), 0, 1)
+        return pa.table({"event_type": tt["event_type"], "digit": d})
+
+    return compact_groupby(ds.map_batches(digit, batch_format="pyarrow"),
+                           ["event_type", "digit"], count_alias="n")
+
+
+SQL_EVENTS_BENFORD_AUDIT = f"""
+WITH c AS (
+  SELECT event_type, {_CENTS.format(x='value')} AS cents FROM events
+)
+SELECT event_type, substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+       CAST(count(*) AS BIGINT) AS n
+FROM c WHERE cents > 0 GROUP BY 1, 2
+"""
+
+
+def q_docs_readability(sf_dir: str):
+    """Flesch reading-ease integer parts per source (stages/text.py
+    readability_parts): words = \\S+ runs, sentences = [.!?]+ runs,
+    syllables = vowel runs — three RE2 count kernels (DuckDB's regexp
+    engine is RE2 too, so run semantics match exactly), compact
+    per-source fold; the Flesch formula is driver arithmetic over the
+    integer parts."""
+    from ..stages.text import readability_parts
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    return readability_parts(ds, col="text", group_col="source")
+
+
+SQL_DOCS_READABILITY = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '\S+')))
+            AS BIGINT) AS n_words,
+       CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))
+            AS BIGINT) AS n_sentences,
+       CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+')))
+            AS BIGINT) AS n_syllables
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -14327,6 +14435,9 @@ QUERIES = {
     "events_coverage_gaps": q_events_coverage_gaps,
     "docs_pmi_bigrams": q_docs_pmi_bigrams,
     "events_dp_counts": q_events_dp_counts,
+    "graph_shortest_paths": q_graph_shortest_paths,
+    "events_benford_audit": q_events_benford_audit,
+    "docs_readability": q_docs_readability,
 }
 
 # ----------------------------------------------------------- resumable
@@ -14641,4 +14752,7 @@ ORACLES = {
     "events_coverage_gaps": SQL_EVENTS_COVERAGE_GAPS,
     "docs_pmi_bigrams": SQL_DOCS_PMI_BIGRAMS,
     "events_dp_counts": SQL_EVENTS_DP_COUNTS,
+    "graph_shortest_paths": SQL_GRAPH_SHORTEST_PATHS,
+    "events_benford_audit": SQL_EVENTS_BENFORD_AUDIT,
+    "docs_readability": SQL_DOCS_READABILITY,
 }

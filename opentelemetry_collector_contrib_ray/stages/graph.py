@@ -373,3 +373,66 @@ def bfs_hops(edges, seed_mod: int, max_hops: int = 6,
 
     return distinct.map_batches(expand, batch_format="pyarrow",
                                 batch_size=None)
+
+
+def shortest_paths(edges, seed_mod: int, rounds: int = 4,
+                   src: str = "src", dst: str = "dst", weight: str = "w"):
+    """Bounded-round Bellman–Ford: minimum WEIGHTED distance from the
+    seed set (``node % seed_mod == 0``) over paths of at most
+    ``rounds`` edges of the undirected graph — the weighted companion
+    to ``bfs_hops`` (latency-weighted blast radius instead of hop
+    count). Synchronous relaxation (each round reads the PREVIOUS
+    round's distances) makes round r exact over ≤ r-edge paths, which
+    is precisely what the recursive-CTE twin's hop-guarded
+    accumulation + MIN(dist) computes — so the twin is exact even when
+    ``rounds`` is below the graph's weighted diameter.
+
+    Scale shape: per-block canonicalize keeps the MINIMUM weight per
+    parallel edge (min-combine, not distinct), one compact exchange of
+    O(distinct edges) rows, then a vectorized ``np.minimum.at``
+    scatter per round. The distributed swap-in is the classic
+    per-round exchange: join the frontier's distances onto the edge
+    table, min-reduce per target node — ``rounds`` × one hash
+    exchange."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = pc.min_element_wise(t[src], t[dst])
+        b = pc.max_element_wise(t[src], t[dst])
+        keep = pc.not_equal(a, b)
+        return pa.table({"a": pc.cast(a, pa.int64()),
+                         "b": pc.cast(b, pa.int64()),
+                         "w": pc.cast(t[weight], pa.int64())}).filter(keep)
+
+    # distinct on (a, b, w): a parallel edge surviving with a LARGER
+    # weight can never win a min-distance relaxation, so keeping one
+    # row per distinct weight (instead of a min-combine) is exact —
+    # and it rides the same compact front end as kcore/bfs_hops.
+    distinct = compact_groupby(edges.map_batches(canon, batch_format="pyarrow"),
+                               ["a", "b", "w"], count_alias="n")
+
+    def relax(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["a", "b", "w"]]
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
+        w = df["w"].to_numpy(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        ww = np.concatenate([w, w])
+        nodes = np.unique(u)
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        INF = np.int64(2**62)
+        dist = np.full(len(nodes), INF, dtype=np.int64)
+        dist[(nodes % seed_mod) == 0] = 0
+        for _ in range(rounds):
+            prev = dist.copy()
+            cand = prev[ui]
+            ok = cand < INF
+            relaxed = cand[ok] + ww[ok]
+            np.minimum.at(dist, vi[ok], relaxed)
+        keep = dist < INF
+        return pa.table({"node": pa.array(nodes[keep]),
+                         "dist": pa.array(dist[keep])})
+
+    return distinct.map_batches(relax, batch_format="pyarrow",
+                                batch_size=None)

@@ -1301,3 +1301,40 @@ def pmi_bigram_parts(ds, col: str = "text", min_count: int = 3,
         })
 
     return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+def readability_parts(ds, col: str = "text", group_col: str = "source"):
+    """Flesch reading-ease INTEGER PARTS per group (Flesch 1948; the
+    classic readability screen a text-quality pipeline runs next to
+    the Gopher rules): per document, words = maximal ``\\S+`` runs,
+    sentences = maximal ``[.!?]+`` runs, syllables = maximal vowel
+    runs ``[aeiouyAEIOUY]+`` (the standard whole-text approximation —
+    word boundaries break runs, so counting over the full text equals
+    the per-word sum). The report is the per-group integer fold
+    (n_docs, n_words, n_sentences, n_syllables); the Flesch formula
+    206.835 − 1.015·(W/S) − 84.6·(Y/W) is driver arithmetic over it,
+    so the oracle never compares floats.
+
+    Shape: three RE2 count kernels per block, then the compact
+    per-group rollup — O(groups × blocks) partials move, text never
+    leaves the map stage."""
+    from .agg import compact_groupby
+
+    def parts(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t[col], pa.string()), "")
+        return pa.table({
+            group_col: t[group_col],
+            "n_words": pc.cast(
+                pc.count_substring_regex(txt, r"\S+"), pa.int64()),
+            "n_sentences": pc.cast(
+                pc.count_substring_regex(txt, r"[.!?]+"), pa.int64()),
+            "n_syllables": pc.cast(
+                pc.count_substring_regex(txt, r"[aeiouyAEIOUY]+"), pa.int64()),
+        })
+
+    return compact_groupby(
+        ds.map_batches(parts, batch_format="pyarrow"),
+        [group_col],
+        sum_cols={"n_words": "n_words", "n_sentences": "n_sentences",
+                  "n_syllables": "n_syllables"},
+        count_alias="n_docs")

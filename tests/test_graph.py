@@ -157,3 +157,29 @@ def test_bfs_hops_path_and_multi_seed():
     got2 = dict(zip(out2["node"], out2["hop"]))
     assert got2 == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0,
                     6: 1, 7: 2, 8: 2, 9: 1, 10: 0}
+
+
+def test_shortest_paths_weights_rounds_and_parallel_edges():
+    """Bellman–Ford pins: weighted distance beats hop count, parallel
+    edges resolve to the cheapest, and the round cap bounds path
+    LENGTH (not distance)."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.graph import shortest_paths
+
+    # 0 —10— 1 —10— 2 —1— 3 —1— 4, shortcut 0—100—2, parallel 0—3—1
+    t = pa.table({
+        "src": pa.array([0, 1, 0, 0, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 2, 1, 3, 4], pa.int64()),
+        "w":   pa.array([10, 10, 100, 3, 1, 1], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = shortest_paths(ds, seed_mod=1000, rounds=4).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {0: 0, 1: 3, 2: 13, 3: 14, 4: 15}
+
+    # rounds=2: only ≤2-edge paths — node 2 must fall back to the
+    # expensive direct edge, node 3 to the 2-edge 0-2-3, node 4 absent
+    out2 = shortest_paths(ds, seed_mod=1000, rounds=2).to_pandas()
+    got2 = dict(zip(out2["node"], out2["dist"]))
+    assert got2 == {0: 0, 1: 3, 2: 13, 3: 101}

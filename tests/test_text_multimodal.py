@@ -1191,3 +1191,27 @@ def test_pmi_bigram_parts_hand():
     assert row["left_n"] == 2      # 'a' starts 2 bigrams
     assert row["right_n"] == 2     # 'b' ends 2 bigrams
     assert row["n_total"] == 4     # marginals/total include dropped pairs
+
+
+def test_readability_parts_hand():
+    """Readability pins: \\S+ word runs, [.!?]+ sentence runs (!? and
+    ellipses collapse to one), vowel-run syllables, empty text zeros."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import readability_parts
+
+    docs = pa.table({
+        "source": ["a", "a", "b"],
+        # 'Hello world. It is sunny!' → 5 words, 2 sentences,
+        # syllables: e|o, o, I, i, u|y → 7
+        "text": ["Hello world. It is sunny!", "Wait... what?!", None],
+    })
+    out = (readability_parts(rd.from_arrow(docs).repartition(2),
+                             col="text", group_col="source")
+           .to_pandas().set_index("source"))
+    # 'Wait... what?!' → 2 words, 2 sentence runs ('...' and '?!'),
+    # syllables: ai, a → 2
+    assert out.loc["a"][["n_words", "n_sentences", "n_syllables",
+                         "n_docs"]].tolist() == [7, 4, 9, 2]
+    assert out.loc["b"][["n_words", "n_sentences", "n_syllables",
+                         "n_docs"]].tolist() == [0, 0, 0, 1]
