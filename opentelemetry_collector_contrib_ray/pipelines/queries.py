@@ -14169,6 +14169,101 @@ FROM documents GROUP BY 1
 """
 
 
+def q_events_entry_exit(sf_dir: str):
+    """Session entry/exit matrix with bounces (stages/windows.py
+    session_entry_exit): 30-min-gap sessions per user under the total
+    (ts, event_id) order; each session lands one (entry_type,
+    exit_type) cell, 1-event sessions count as bounces — the
+    landing/exit-page report. One user-hash exchange + per-partition
+    vectorized sessionization; twin via row_number-first/last over
+    lag-gap session ids."""
+    from ..stages.windows import session_entry_exit
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    out = session_entry_exit(ds, key="user_id", ts_col="ts",
+                             order_col="event_id", val_col="event_type",
+                             gap_s=1800, num_partitions=16)
+    return out.map_batches(
+        lambda t: t.rename_columns(["entry_type", "exit_type",
+                                    "n_sessions", "n_bounces"]),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_ENTRY_EXIT = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+), r AS (
+  SELECT user_id, sess, event_type,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, sess) AS n
+  FROM s
+), per AS (
+  SELECT user_id, sess,
+         max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN rn = n THEN event_type END) AS exit_type,
+         max(n) AS n
+  FROM r GROUP BY 1, 2
+)
+SELECT entry_type, exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+FROM per GROUP BY 1, 2
+"""
+
+
+def q_events_survival_km(sf_dir: str):
+    """Kaplan–Meier survival parts (stages/windows.py
+    survival_km_parts): per-user lifetimes (last − first event, hourly
+    buckets) with right censoring for users still active in the final
+    6 h of the corpus; one row per bucket t with the integer
+    (n_risk, n_died, n_censored) triple — the KM product Π(1 − d/n) is
+    driver arithmetic. One pruned max-ts fold + one user-hash
+    min/max exchange + compact bucket rollup."""
+    from ..stages.windows import survival_km_parts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return survival_km_parts(ds, key="user_id", ts_col="ts",
+                             bucket_s=3600, censor_tail_s=21600)
+
+
+SQL_EVENTS_SURVIVAL_KM = """
+WITH mx AS (SELECT max(ts) AS mt FROM events),
+u AS (
+  SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+),
+d AS (
+  SELECT (epoch_us(l) - epoch_us(f)) // 3600000000 AS t_bucket,
+         CASE WHEN epoch_us(mt) - epoch_us(l) < 21600000000
+              THEN 1 ELSE 0 END AS cens
+  FROM u, mx
+),
+b AS (
+  SELECT t_bucket,
+         CAST(SUM(1 - cens) AS BIGINT) AS n_died,
+         CAST(SUM(cens) AS BIGINT) AS n_censored,
+         count(*) AS n
+  FROM d GROUP BY 1
+)
+SELECT CAST(t_bucket AS BIGINT) AS t_bucket,
+       CAST(SUM(n) OVER (ORDER BY t_bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            AS BIGINT) AS n_risk,
+       n_died, n_censored
+FROM b
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -14438,6 +14533,8 @@ QUERIES = {
     "graph_shortest_paths": q_graph_shortest_paths,
     "events_benford_audit": q_events_benford_audit,
     "docs_readability": q_docs_readability,
+    "events_entry_exit": q_events_entry_exit,
+    "events_survival_km": q_events_survival_km,
 }
 
 # ----------------------------------------------------------- resumable
@@ -14755,4 +14852,6 @@ ORACLES = {
     "graph_shortest_paths": SQL_GRAPH_SHORTEST_PATHS,
     "events_benford_audit": SQL_EVENTS_BENFORD_AUDIT,
     "docs_readability": SQL_DOCS_READABILITY,
+    "events_entry_exit": SQL_EVENTS_ENTRY_EXIT,
+    "events_survival_km": SQL_EVENTS_SURVIVAL_KM,
 }

@@ -1014,3 +1014,129 @@ def interval_gap_stats(ds, key: str, ts_col: str, length_s: int,
         .groupby("__p")
         .map_groups(arrow_out(gaps), batch_format="pandas")
     )
+
+
+def session_entry_exit(ds, key: str, ts_col: str, order_col: str,
+                       val_col: str, gap_s: int = 1800,
+                       num_partitions: int = 64):
+    """Session entry/exit matrix with bounce counts — the landing/exit
+    page report: sessions are maximal runs per key with inter-event
+    gaps ≤ ``gap_s`` (a STRICTLY larger gap opens a new session), each
+    session contributes one (entry value, exit value) pair under the
+    total (ts, order_col) order, and a 1-event session is a bounce.
+    Output: (entry, exit, n_sessions, n_bounces).
+
+    ONE key-hash exchange (the sessionization rail shared with
+    events_sessions/first_k_paths), per-partition vectorized pass
+    (lexsort, grouped shift for the gap break, cumsum session ids,
+    groupby first/last/size), then per-partition (entry, exit)
+    PARTIALS into the compact final fold — O(|vals|² × partitions)
+    tiny rows, raw rows move once."""
+    import pandas as pd
+
+    from .agg import compact_groupby
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind in "iu":
+            h = kv.astype(np.uint64)
+        else:
+            h = pd.util.hash_array(kv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, order_col], kind="mergesort")
+        s = g[ts_col].astype("datetime64[us]").astype("int64")
+        prev = pd.Series(s.to_numpy(), index=g.index).groupby(
+            g[key], sort=False, dropna=False).shift(1)
+        brk = prev.isna().to_numpy() | ((s.to_numpy() - prev.to_numpy())
+                                        > gap_us)
+        sess = np.cumsum(brk.astype(np.int64))  # global ids: keys never share
+        d = pd.DataFrame({"sess": sess, "val": g[val_col].to_numpy()})
+        per = d.groupby("sess", sort=False).agg(
+            entry=("val", "first"), exit=("val", "last"), n=("val", "size"))
+        out = per.assign(bounce=(per["n"] == 1).astype(np.int64)).groupby(
+            ["entry", "exit"], as_index=False).agg(
+            n_sessions=("n", "size"), n_bounces=("bounce", "sum"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_bounces"] = out["n_bounces"].astype("int64")
+        return out
+
+    partials = (ds.map_batches(add_part, batch_format="pyarrow")
+                .groupby("__p")
+                .map_groups(arrow_out(fold), batch_format="pandas"))
+    return compact_groupby(partials, ["entry", "exit"],
+                           sum_cols={"n_sessions": "n_sessions",
+                                     "n_bounces": "n_bounces"})
+
+
+def survival_km_parts(ds, key: str, ts_col: str, bucket_s: int = 3600,
+                      censor_tail_s: int = 21600):
+    """Kaplan–Meier survival-curve INTEGER PARTS (Kaplan & Meier 1958)
+    over per-key lifetimes with right censoring: a key's lifetime is
+    ``last_ts − first_ts`` bucketed to ``bucket_s``; keys whose last
+    event falls within ``censor_tail_s`` of the corpus max timestamp
+    are CENSORED (they may still be alive — the estimator must not
+    count them as deaths). Output, one row per observed lifetime
+    bucket t: (t_bucket, n_risk, n_died, n_censored) where
+    ``n_risk = Σ_{t' ≥ t} (died + censored)`` — the KM product
+    Π(1 − d/n) is driver arithmetic over these integers, so the twin
+    never compares floats.
+
+    Shape: one pruned pass folds the global max timestamp (per-block
+    max partials); ONE key-hash exchange builds per-key (first, last)
+    via the self-decomposable min/max combiner (hash_groupby_agg —
+    unbounded key cardinality, only per-block partials move); the
+    bucket rollup is compact (O(buckets)) and the at-risk suffix
+    cumsum runs on that single final block."""
+    import pandas as pd
+
+    from .agg import compact_groupby, hash_groupby_agg
+
+    bucket_us = int(bucket_s) * 1_000_000
+    tail_us = int(censor_tail_s) * 1_000_000
+
+    def blk_max(t: pa.Table) -> pa.Table:
+        m = pc.max(pc.cast(t[ts_col], pa.timestamp("us")))
+        return pa.table({"m": pa.array([m.value], pa.int64())})
+
+    from .tailsampling import ray_get_tables
+    mx = int(pa.concat_tables(
+        ray_get_tables(ds.map_batches(blk_max, batch_format="pyarrow"))
+    )["m"].to_pandas().max())
+
+    def dup(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({key: t[key], "f_us": us, "l_us": us})
+
+    users = hash_groupby_agg(
+        ds.map_batches(dup, batch_format="pyarrow"), [key],
+        {"f_us": ("min", "first_us"), "l_us": ("max", "last_us")},
+        num_partitions=32)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        f = t["first_us"].to_numpy(zero_copy_only=False)
+        l = t["last_us"].to_numpy(zero_copy_only=False)
+        tb = (l - f) // bucket_us
+        cens = ((mx - l) < tail_us).astype(np.int64)
+        return pa.table({"t_bucket": pa.array(tb.astype(np.int64)),
+                         "n_died": pa.array(1 - cens),
+                         "n_censored": pa.array(cens)})
+
+    buckets = compact_groupby(
+        users.map_batches(bucketize, batch_format="pyarrow"),
+        ["t_bucket"], sum_cols={"n_died": "n_died",
+                                "n_censored": "n_censored"})
+
+    def at_risk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("t_bucket", ascending=False)
+        df["n_risk"] = (df["n_died"] + df["n_censored"]).cumsum()
+        df = df.sort_values("t_bucket")
+        return pa_from_pandas(df[["t_bucket", "n_risk",
+                                  "n_died", "n_censored"]].astype("int64"))
+
+    return buckets.map_batches(at_risk, batch_format="pyarrow",
+                               batch_size=None)

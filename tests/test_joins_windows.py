@@ -2155,3 +2155,50 @@ def test_interval_gap_stats_hand():
                              1800, num_partitions=2).to_pandas()
     got = {r.u: (r.n_gaps, r.idle_s, r.max_gap_s) for r in out.itertuples()}
     assert got == {1: (2, 230 * 60, 150 * 60), 2: (0, 0, 0)}
+
+
+def test_session_entry_exit_boundary_and_bounce():
+    """Entry/exit pins: a gap of EXACTLY gap_s stays in-session (only
+    strictly larger gaps break), 1-event sessions are bounces, entry
+    and exit come from the total (ts, order) order."""
+    from opentelemetry_collector_contrib_ray.stages.windows import session_entry_exit
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2],
+        "ts": [base, base + 1800 * S,            # exactly 30min → SAME session
+               base + 10_000 * S, base + 10_100 * S,   # session 2: view→buy
+               base + 50 * S],                   # user 2: bounce
+        "eid": [1, 2, 3, 4, 5],
+        "v": ["view", "click", "view", "buy", "err"],
+    })
+    out = session_entry_exit(rd.from_pandas(df).repartition(2), key="u",
+                             ts_col="ts", order_col="eid", val_col="v",
+                             gap_s=1800, num_partitions=2).to_pandas()
+    got = {(r.entry, r.exit): (r.n_sessions, r.n_bounces)
+           for r in out.itertuples()}
+    assert got == {("view", "click"): (1, 0), ("view", "buy"): (1, 0),
+                   ("err", "err"): (1, 1)}
+
+
+def test_survival_km_parts_censoring_and_risk():
+    """KM pins: lifetime bucketing, tail censoring vs death, and the
+    at-risk suffix cumsum over buckets."""
+    from opentelemetry_collector_contrib_ray.stages.windows import survival_km_parts
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rows = [
+        (1, base), (1, base + np.timedelta64(210, "m")),  # 3.5h → bucket 3, died
+        (2, base + 1 * H), (2, base + 5 * H),             # 4h → bucket 4, censored
+        (3, base + 10 * H),                               # bucket 0, censored (at mx)
+        (4, base), (4, base + np.timedelta64(30, "m")),   # bucket 0, died
+    ]
+    df = pd.DataFrame({"u": [u for u, _ in rows], "ts": [t for _, t in rows]})
+    out = (survival_km_parts(rd.from_pandas(df).repartition(3), key="u",
+                             ts_col="ts", bucket_s=3600, censor_tail_s=21600)
+           .to_pandas().set_index("t_bucket").sort_index())
+    assert out.loc[0].tolist() == [4, 1, 1]   # n_risk, n_died, n_censored
+    assert out.loc[3].tolist() == [2, 1, 0]
+    assert out.loc[4].tolist() == [1, 0, 1]
