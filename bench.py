@@ -84,6 +84,14 @@ BENCH_QUERIES = [
     "events_ks_test",
     "docs_cdc_shared_chunks",
     "docs_rake_scores",
+    # round-4 continuation session: new-op representatives
+    "graph_bfs_hops",
+    "graph_shortest_paths",
+    "docs_pmi_bigrams",
+    "events_entry_exit",
+    "events_survival_km",
+    "events_coverage_gaps",
+    "docs_readability",
 ]
 
 

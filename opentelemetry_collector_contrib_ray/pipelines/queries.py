@@ -14264,6 +14264,128 @@ FROM b
 """
 
 
+def q_events_burst_hours(sf_dir: str):
+    """Trailing-baseline burst detection (stages/windows.py
+    burst_hours; the integer-exact core of Kleinberg 2002): hours where
+    the per-type count exceeds 3× the trailing-24h mean on a DENSE hour
+    spine (missing hours are real zeros), first 24 hours of a type's
+    span never flagged. Cross-multiplied 24·n > 3·trail keeps both
+    engines division-free; the hourly fold is one compact exchange and
+    the spine work runs on the single compact block."""
+    from ..stages.windows import burst_hours
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    return burst_hours(ds, key="event_type", ts_col="ts",
+                       window=24, factor=3)
+
+
+SQL_EVENTS_BURST_HOURS = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM c GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS h, mn FROM b
+), d AS (
+  SELECT s.event_type, s.h, s.mn, coalesce(c.n, 0) AS n
+  FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.h = s.h
+), w AS (
+  SELECT event_type, h, n, mn,
+         coalesce(SUM(n) OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS trail
+  FROM d
+)
+SELECT event_type, CAST(h AS BIGINT) AS hour, CAST(n AS BIGINT) AS n,
+       CAST(trail AS BIGINT) AS trail
+FROM w WHERE h - mn >= 24 AND 24 * n > 3 * trail
+"""
+
+
+def q_docs_fd_audit(sf_dir: str):
+    """Functional-dependency audit (stages/agg.py fd_audit — the
+    data-contract screen a schema-inference run consults): three
+    candidate FDs over documents (source→lang, lang→source,
+    source→length-parity), each reporting determinant counts,
+    violating determinants, the worst determinant's distinct-dependent
+    count, and rows under violation. One column-pruned compact pass
+    per FD; UNION ALL twin."""
+    from ..stages.agg import fd_audit
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["source", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"], "lang": t["lang"],
+            "parity": _pc_mod(pc.cast(t["n_chars"], pa.int64()), 2),
+        })
+
+    return fd_audit(ds.map_batches(prep, batch_format="pyarrow"),
+                    {"source_lang": ("source", "lang"),
+                     "lang_source": ("lang", "source"),
+                     "source_parity": ("source", "parity")})
+
+
+def _fd_sql(name: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{name}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_det,
+       CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(max(nv) AS BIGINT) AS max_values,
+       CAST(SUM(CASE WHEN nv > 1 THEN nr ELSE 0 END) AS BIGINT)
+         AS n_rows_violating
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nv, count(*) AS nr
+      FROM documents GROUP BY 1)
+"""
+
+
+SQL_DOCS_FD_AUDIT = (
+    _fd_sql("source_lang", "source", "lang")
+    + " UNION ALL " + _fd_sql("lang_source", "lang", "source")
+    + " UNION ALL " + _fd_sql("source_parity", "source", "n_chars % 2")
+)
+
+
+def q_docs_freq_spectrum(sf_dir: str):
+    """Term-frequency spectrum (stages/text.py term_freq_spectrum —
+    the rank-free Zipf/Heaps profile): distinct-term count and token
+    mass per power-of-2 frequency bucket. Bucket = integer MSB of the
+    frequency with the exact shift correction (no libm); the twin
+    derives the same bucket from a correlated max-over-powers
+    subquery. Term counts take the one term-hash exchange; text never
+    moves."""
+    from ..stages.text import term_freq_spectrum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return term_freq_spectrum(ds, col="text", num_partitions=16)
+
+
+SQL_DOCS_FREQ_SPECTRUM = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(regexp_replace(coalesce(text, ''),
+           '^\s+|\s+$', '', 'g'), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS f
+  FROM tok WHERE term <> '' GROUP BY 1
+), spec AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS nt FROM tf GROUP BY 1
+), bk AS (
+  SELECT f, nt,
+         (SELECT max(k) FROM range(0, 63) r(k)
+          WHERE (CAST(1 AS BIGINT) << k) <= spec.f) AS bucket
+  FROM spec
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(SUM(nt) AS BIGINT) AS n_terms,
+       CAST(SUM(f * nt) AS BIGINT) AS sum_freq
+FROM bk GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -14535,6 +14657,9 @@ QUERIES = {
     "docs_readability": q_docs_readability,
     "events_entry_exit": q_events_entry_exit,
     "events_survival_km": q_events_survival_km,
+    "events_burst_hours": q_events_burst_hours,
+    "docs_fd_audit": q_docs_fd_audit,
+    "docs_freq_spectrum": q_docs_freq_spectrum,
 }
 
 # ----------------------------------------------------------- resumable
@@ -14854,4 +14979,7 @@ ORACLES = {
     "docs_readability": SQL_DOCS_READABILITY,
     "events_entry_exit": SQL_EVENTS_ENTRY_EXIT,
     "events_survival_km": SQL_EVENTS_SURVIVAL_KM,
+    "events_burst_hours": SQL_EVENTS_BURST_HOURS,
+    "docs_fd_audit": SQL_DOCS_FD_AUDIT,
+    "docs_freq_spectrum": SQL_DOCS_FREQ_SPECTRUM,
 }

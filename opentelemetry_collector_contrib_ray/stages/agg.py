@@ -1338,3 +1338,48 @@ def grouped_mode(ds, group_col: str, col: str, num_partitions: int = 64):
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("__p")
               .map_groups(arrow_out(mode_per_group), batch_format="pandas"))
+
+
+def fd_audit(ds, fds: dict[str, tuple[str, str]]):
+    """Functional-dependency audit (data-contract screen): for each
+    candidate FD ``det → dep``, does every determinant value map to a
+    single dependent value? Reports one row per FD: the determinant
+    count, how many determinants VIOLATE (≥2 distinct dependents), the
+    worst determinant's distinct-dependent count, and the row count
+    living under violating determinants — the prioritized fix list a
+    schema-inference run consults.
+
+    Shape: one column-pruned pass per FD — per-block distinct
+    (det, dep) partials into the compact exchange (O(distinct pairs ×
+    blocks) rows move), the per-FD verdict folds on the single compact
+    block, results union. Bounded-domain contract (same as every
+    compact_groupby consumer); an id-like determinant wants the
+    hash-partitioned rail instead."""
+
+    def report_for(name: str, det: str, dep: str):
+        pairs = compact_groupby(ds, [det, dep], count_alias="n_rows")
+
+        def verdict(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            df = t.to_pandas()
+            per = df.groupby(det, dropna=False).agg(
+                nv=(dep, "size"), nr=("n_rows", "sum"))
+            bad = per[per["nv"] > 1]
+            return pa.table({
+                "fd": pa.array([name]),
+                "n_det": pa.array([len(per)], pa.int64()),
+                "n_violating": pa.array([len(bad)], pa.int64()),
+                "max_values": pa.array([int(per["nv"].max()) if len(per)
+                                        else 0], pa.int64()),
+                "n_rows_violating": pa.array([int(bad["nr"].sum())],
+                                             pa.int64()),
+            })
+
+        return pairs.map_batches(verdict, batch_format="pyarrow",
+                                 batch_size=None)
+
+    out = None
+    for name, (det, dep) in fds.items():
+        part = report_for(name, det, dep)
+        out = part if out is None else out.union(part)
+    return out

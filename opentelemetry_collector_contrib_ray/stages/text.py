@@ -1338,3 +1338,54 @@ def readability_parts(ds, col: str = "text", group_col: str = "source"):
         sum_cols={"n_words": "n_words", "n_sentences": "n_sentences",
                   "n_syllables": "n_syllables"},
         count_alias="n_docs")
+
+
+def term_freq_spectrum(ds, col: str = "text", num_partitions: int = 64):
+    """Term-frequency SPECTRUM (the rank-free Zipf/Heaps profile): how
+    many distinct terms occur with frequency in [2^b, 2^(b+1)), plus
+    the total token mass per bucket — the corpus-statistics report
+    that checks Zipf's law without a global rank (rank needs a total
+    string order; the spectrum is tie-free and purely compact). The
+    bucket is the integer MSB index of the frequency (same exact
+    integer-shift correction as the exponential histogram — no libm).
+
+    Shape: per-block term-count partials → ONE term-hash exchange
+    (the RAKE/TF rail; text never moves) → per-partition (bucket,
+    n_terms, sum_freq) partials → compact fold."""
+    from .agg import compact_groupby
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t[col], pa.string()), "")),
+            r"\s+",
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        flat = flat[flat != ""]
+        terms, counts = np.unique(flat, return_counts=True)
+        h = pd.util.hash_array(terms)
+        return pa.table({
+            "term": pa.array(terms.tolist(), pa.string()),
+            "f": pa.array(counts.astype(np.int64)),
+            "__p": pa.array((h % np.uint64(num_partitions)).astype(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("term", as_index=False)["f"].sum()
+        f = m["f"].to_numpy(np.int64)
+        b = np.floor(np.log2(np.maximum(f, 1))).astype(np.int64)
+        b -= ((np.int64(1) << np.maximum(b, 0)) > f).astype(np.int64)
+        b += ((np.int64(1) << np.maximum(b + 1, 0)) <= f).astype(np.int64)
+        out = pd.DataFrame({"bucket": b, "f": f}).groupby(
+            "bucket", as_index=False).agg(n_terms=("f", "size"),
+                                          sum_freq=("f", "sum"))
+        return out.astype({"bucket": "int64", "n_terms": "int64",
+                           "sum_freq": "int64"})
+
+    partials = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("__p")
+                  .map_groups(arrow_out(merge), batch_format="pandas"))
+    return compact_groupby(partials, ["bucket"],
+                           sum_cols={"n_terms": "n_terms",
+                                     "sum_freq": "sum_freq"})

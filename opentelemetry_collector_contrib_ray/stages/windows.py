@@ -1140,3 +1140,58 @@ def survival_km_parts(ds, key: str, ts_col: str, bucket_s: int = 3600,
 
     return buckets.map_batches(at_risk, batch_format="pyarrow",
                                batch_size=None)
+
+
+def burst_hours(ds, key: str, ts_col: str, window: int = 24,
+                factor: int = 3):
+    """Burst detection against a trailing baseline (the practical core
+    of Kleinberg 2002's burst model, kept integer-exact): hourly event
+    counts per key on a DENSE hour spine (missing hours count 0 — a
+    sparse trailing window would inflate the baseline), an hour bursts
+    when ``window·n > factor·trail`` where ``trail`` is the sum of the
+    previous ``window`` hourly counts (i.e. n > factor × trailing
+    mean, cross-multiplied so neither engine divides). The first
+    ``window`` hours of a key's span are never flagged (incomplete
+    baseline). Output: flagged (key, hour, n, trail) rows.
+
+    Shape: the hourly fold is ONE compact exchange (O(keys × hours)
+    partial rows); the spine densify + rolling sum run on the single
+    compact final block — bounded by the corpus time span, not its
+    volume."""
+    import pandas as pd
+
+    from .agg import compact_groupby
+
+    def to_hour(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({key: t[key],
+                         "hour": pc.divide(us, 3_600_000_000)})
+
+    hourly = compact_groupby(ds.map_batches(to_hour, batch_format="pyarrow"),
+                             [key, "hour"], count_alias="n")
+
+    def detect(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for k, g in df.groupby(key, sort=False, dropna=False):
+            g = g.set_index("hour")["n"]
+            spine = pd.RangeIndex(int(g.index.min()), int(g.index.max()) + 1)
+            n = g.reindex(spine, fill_value=0).astype("int64")
+            trail = n.rolling(window, min_periods=1).sum().shift(1).fillna(0)
+            idx = np.arange(len(n))
+            flag = (idx >= window) & (window * n.to_numpy()
+                                      > factor * trail.to_numpy())
+            if flag.any():
+                rows.append(pd.DataFrame({
+                    key: k, "hour": n.index[flag].to_numpy(np.int64),
+                    "n": n.to_numpy()[flag],
+                    "trail": trail.to_numpy()[flag].astype(np.int64)}))
+        if not rows:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             "hour": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "trail": pa.array([], pa.int64())})
+        return pa_from_pandas(pd.concat(rows, ignore_index=True))
+
+    return hourly.map_batches(detect, batch_format="pyarrow",
+                              batch_size=None)

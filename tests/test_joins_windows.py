@@ -2202,3 +2202,28 @@ def test_survival_km_parts_censoring_and_risk():
     assert out.loc[0].tolist() == [4, 1, 1]   # n_risk, n_died, n_censored
     assert out.loc[3].tolist() == [2, 1, 0]
     assert out.loc[4].tolist() == [1, 0, 1]
+
+
+def test_burst_hours_dense_spine_and_warmup():
+    """Burst pins: trailing window over the DENSE spine (missing hours
+    are zeros), the first `window` hours never flag, cross-multiplied
+    threshold, zero-baseline bursts."""
+    from opentelemetry_collector_contrib_ray.stages.windows import burst_hours
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rows = []
+    # key a: 1/hour for hours 0..23, then 4 at hour 24, 1 at hour 25
+    rows += [("a", base + h * H) for h in range(24)]
+    rows += [("a", base + 24 * H)] * 4 + [("a", base + 25 * H)]
+    # key b: burst of 5 at hour 0 (warm-up, never flagged), silence,
+    # then 2 at hour 30 over an all-zero trailing window
+    rows += [("b", base)] * 5 + [("b", base + 30 * H)] * 2
+    df = pd.DataFrame({"k": [k for k, _ in rows], "ts": [t for _, t in rows]})
+    out = burst_hours(rd.from_pandas(df).repartition(3), key="k",
+                      ts_col="ts", window=24, factor=3).to_pandas()
+    got = {(r.k, r.hour - 473352): (r.n, r.trail) for r in out.itertuples()}
+    # 473352 = epoch hours of 2024-01-01
+    assert got == {("a", 24): (4, 24), ("b", 30): (2, 0)}
+
+

@@ -1368,3 +1368,24 @@ def test_randomized_response_debias_and_flip_positions():
     assert out.loc[0, "est_num"] == 4 * reported - 400
     # the estimator halves to ~the true count (133) within noise
     assert abs((4 * reported - 400) / 2 - int(true.sum())) <= 25
+
+
+def test_fd_audit_hand():
+    """FD audit pins: held vs violated determinants, worst-case
+    distinct-dependent count, rows-under-violation accounting."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import fd_audit
+
+    t = pa.table({
+        "det": ["A", "A", "B", "B", "C"],
+        "dep": [1, 1, 1, 2, 3],
+    })
+    out = fd_audit(rd.from_arrow(t).repartition(2),
+                   {"fwd": ("det", "dep"), "rev": ("dep", "det")}) \
+        .to_pandas().set_index("fd")
+    # fwd: A→{1} ok, B→{1,2} violated (2 rows), C→{3} ok
+    assert out.loc["fwd"].tolist() == [3, 1, 2, 2]
+    # rev: 1→{A,B} violated (3 rows), 2→{B} ok, 3→{C} ok
+    assert out.loc["rev"].tolist() == [3, 1, 2, 3]

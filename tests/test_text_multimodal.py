@@ -1215,3 +1215,20 @@ def test_readability_parts_hand():
                          "n_docs"]].tolist() == [7, 4, 9, 2]
     assert out.loc["b"][["n_words", "n_sentences", "n_syllables",
                          "n_docs"]].tolist() == [0, 0, 0, 1]
+
+
+def test_term_freq_spectrum_boundaries():
+    """Spectrum pins: power-of-2 bucket boundaries are exact (freq 2^k
+    lands in bucket k), counts merge across blocks before bucketing."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import term_freq_spectrum
+
+    docs = pa.table({"text": ["a a a", "a b b c", "d d d"]})
+    # freqs: a=4 → bucket 2, b=2 → bucket 1, d=3 → bucket 1, c=1 → bucket 0
+    out = (term_freq_spectrum(rd.from_arrow(docs).repartition(3),
+                              col="text", num_partitions=4)
+           .to_pandas().set_index("bucket").sort_index())
+    assert out.loc[0].tolist() == [1, 1]    # n_terms, sum_freq
+    assert out.loc[1].tolist() == [2, 5]
+    assert out.loc[2].tolist() == [1, 4]
