@@ -13674,7 +13674,10 @@ def q_events_skew_join(sf_dir: str):
                          "event_type": t["event_type"],
                          "cents": _cents(t["value"])})
 
-    left = ev.map_batches(e_prep, batch_format="pyarrow")
+    # materialize the prepped fact ONCE — it feeds the dim rollup, the
+    # hot-key detector and both join routes (4 consumers); without this
+    # the read+prep lineage re-executes per consumer
+    left = ev.map_batches(e_prep, batch_format="pyarrow").materialize()
     dim = hash_groupby_sum(
         left.map_batches(
             lambda t: pa.table({

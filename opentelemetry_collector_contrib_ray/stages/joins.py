@@ -365,10 +365,14 @@ def skew_hybrid_join(left, right, on: str, how: str = "inner",
         raise ValueError("skew_hybrid_join supports inner/left")
     key = right_on or on
     lm = left.materialize()
+    # the right is consumed by BOTH the hot-slice scan and the cold
+    # route; without a materialize its whole lineage (often a rollup
+    # with its own exchange) re-executes once per consumer
+    rm = right.materialize()
     hot = detect_hot_keys(lm, on, per_block_k=per_block_k,
                           threshold_rows=threshold_rows)
     if not hot:
-        return bucketed_hash_join(lm, right, on=on, how=how, right_on=key,
+        return bucketed_hash_join(lm, rm, on=on, how=how, right_on=key,
                                   num_partitions=num_partitions)
 
     hot_arr = pa.array(hot)
@@ -382,12 +386,12 @@ def skew_hybrid_join(left, right, on: str, how: str = "inner",
             return t.filter(m if keep_hot else pc.invert(m))
         return fn
 
-    r_hot = right.map_batches(split(True, key),
-                              batch_format="pyarrow").materialize()
+    r_hot = rm.map_batches(split(True, key),
+                           batch_format="pyarrow").materialize()
     if (r_hot.count() or 0) > BROADCAST_ROWS_THRESHOLD:
         # hot on BOTH sides — no broadcast plan exists; pay the skewed
         # exchange rather than OOM an actor replicating a huge side
-        return bucketed_hash_join(lm, right, on=on, how=how, right_on=key,
+        return bucketed_hash_join(lm, rm, on=on, how=how, right_on=key,
                                   num_partitions=num_partitions)
 
     sm = r_hot.to_pandas()
@@ -404,9 +408,9 @@ def skew_hybrid_join(left, right, on: str, how: str = "inner",
     # match" — the q15/q22 gate dodges documented this); repartition
     # concat-merges empties into schema-carrying blocks. Cost: one
     # block-level exchange of the (dim-scale) cold right only.
-    cold_right = (right.map_batches(split(False, key),
-                                    batch_format="pyarrow")
-                       .repartition(8))
+    cold_right = (rm.map_batches(split(False, key),
+                                 batch_format="pyarrow")
+                    .repartition(8))
     cold_join = bucketed_hash_join(
         lm.map_batches(split(False, on), batch_format="pyarrow"),
         cold_right, on=on, how=how, right_on=key,
