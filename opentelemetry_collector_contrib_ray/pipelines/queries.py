@@ -14389,6 +14389,158 @@ FROM bk GROUP BY 1
 """
 
 
+def q_conv_echo_rate(sf_dir: str):
+    """Assistant-echoes-user copy rate (the train-data contamination
+    diagnostic a chat-data curator screens for — an assistant turn
+    that mostly repeats the preceding user turn is low-value):
+    stages/text.adjacent_echo_stats over the transcripts derivation —
+    per (user → immediately-following assistant) pair, the count of
+    DISTINCT assistant tokens also present in the user turn, per day.
+    ONE conv-hash exchange; integer triple keeps the echo rate a
+    driver division."""
+    from ..stages.text import adjacent_echo_stats
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+    ds = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text", "ts"]),
+        batch_format="pyarrow")
+    return adjacent_echo_stats(ds, key="conv_id", order_col="turn_idx",
+                               role_col="role", text_col="text",
+                               ts_col="ts")
+
+
+SQL_CONV_ECHO_RATE = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, w AS (
+  SELECT conv_id, role, text, ts,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nrole,
+         LEAD(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ntext,
+         LEAD(ts)   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nts
+  FROM transcripts
+), p AS (
+  SELECT date_trunc('day', nts) AS day,
+         list_distinct(list_filter(string_split(ntext, ' '), t -> t <> '')) AS atoks,
+         list_distinct(list_filter(string_split(text,  ' '), t -> t <> '')) AS utoks
+  FROM w WHERE role = 'user' AND nrole = 'assistant'
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(len(list_intersect(atoks, utoks))) AS BIGINT) AS sum_overlap,
+       CAST(SUM(len(atoks)) AS BIGINT) AS sum_asst_tokens
+FROM p GROUP BY 1
+"""
+)
+
+
+#: context-window budget (tokens) for q_conv_context_budget — small
+#: enough that many synthetic conversations truncate at every SF.
+CONTEXT_BUDGET_TOKENS = 64
+
+
+def q_conv_context_budget(sf_dir: str):
+    """Context-window truncation audit
+    (stages/windows.suffix_budget_stats): keep the longest SUFFIX of
+    turns whose total token count fits CONTEXT_BUDGET_TOKENS —
+    most-recent-first, the standard chat truncation — and report per
+    kept-turn count how many conversations land there and the token
+    mass kept vs dropped. A single turn over budget keeps 0 turns
+    (strict rule; pinned by hand test)."""
+    from ..stages.windows import suffix_budget_stats
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+    ds = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "text"]),
+        batch_format="pyarrow")
+    return suffix_budget_stats(ds, key="conv_id", order_col="turn_idx",
+                               text_col="text",
+                               budget=CONTEXT_BUDGET_TOKENS)
+
+
+SQL_CONV_CONTEXT_BUDGET = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + f"""
+, tk AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+  FROM transcripts
+), sfx AS (
+  SELECT conv_id, ntok,
+         SUM(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                         ROWS UNBOUNDED PRECEDING) AS sufsum
+  FROM tk
+), per AS (
+  SELECT conv_id,
+         SUM(ntok) AS tokens_total,
+         COUNT(*) FILTER (WHERE sufsum <= {CONTEXT_BUDGET_TOKENS}) AS n_kept,
+         COALESCE(SUM(ntok) FILTER (WHERE sufsum <= {CONTEXT_BUDGET_TOKENS}), 0) AS tokens_kept
+  FROM sfx GROUP BY conv_id
+)
+SELECT CAST(n_kept AS BIGINT) AS n_turns_kept,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(tokens_kept) AS BIGINT) AS sum_tokens_kept,
+       CAST(SUM(tokens_total - tokens_kept) AS BIGINT) AS sum_tokens_dropped
+FROM per GROUP BY 1
+"""
+)
+
+
+def q_events_grid_density(sf_dir: str):
+    """Spatial grid density with 3×3 neighborhood smoothing (the
+    hotspot / KDE-lite panel of a geo pipeline): each event maps to a
+    64×64 grid cell via two pure-int64 Knuth multiplicative hashes of
+    event_id (identical arithmetic in numpy and DuckDB — the
+    events_ip_enrich parity trick), per-cell (count, cents) folds
+    through compact_groupby (≤4096 partial rows per block move — the
+    ONLY exchange), and the neighborhood sum is
+    stages/agg.grid_neighborhood's vectorized 9-shift scatter-add on
+    the single compact block (no self-join of the fact table
+    anywhere). Boundary cells truncate; empty cells emit nothing but
+    contribute 0 — exactly the SQL twin's join-of-existing-cells
+    semantics."""
+    from ..stages.agg import compact_groupby, grid_neighborhood
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        e = pc.cast(t["event_id"], pa.int64())
+
+        def cell(mult: int) -> pa.Array:
+            h = pc.multiply(e, mult)
+            m = pc.subtract(h, pc.multiply(pc.divide(h, 4294967296),
+                                           4294967296))
+            return pc.divide(m, 67108864)  # 2^32 / 64
+
+        return pa.table({"cx": cell(2654435761), "cy": cell(2246822519),
+                         "cents": _cents(t["value"])})
+
+    cell_ds = compact_groupby(
+        ds.map_batches(cells, batch_format="pyarrow"),
+        keys=["cx", "cy"], sum_cols={"cents": "sum_cents"},
+        count_alias="n_events")
+    return grid_neighborhood(cell_ds, "cx", "cy", "n_events", grid=64)
+
+
+SQL_EVENTS_GRID_DENSITY = f"""
+WITH pts AS (
+  SELECT ((event_id * 2654435761) % 4294967296) // 67108864 AS cx,
+         ((event_id * 2246822519) % 4294967296) // 67108864 AS cy,
+         {_CENTS.format(x='value')} AS cents
+  FROM events
+), cells AS (
+  SELECT cx, cy, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sc
+  FROM pts GROUP BY 1, 2
+)
+SELECT CAST(a.cx AS BIGINT) AS cx, CAST(a.cy AS BIGINT) AS cy,
+       a.sc AS sum_cents, a.n AS n_events,
+       CAST(SUM(b.n) AS BIGINT) AS nbr_events
+FROM cells a JOIN cells b
+  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+GROUP BY 1, 2, 3, 4
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -14563,6 +14715,9 @@ QUERIES = {
     "events_pattern_match": q_events_pattern_match,
     "multimodal_resize": q_multimodal_resize,
     "events_skew_join": q_events_skew_join,
+    "conv_echo_rate": q_conv_echo_rate,
+    "conv_context_budget": q_conv_context_budget,
+    "events_grid_density": q_events_grid_density,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -14885,6 +15040,9 @@ ORACLES = {
     "events_pattern_match": SQL_EVENTS_PATTERN_MATCH,
     "multimodal_resize": _mm_resize_sql(),
     "events_skew_join": SQL_EVENTS_SKEW_JOIN,
+    "conv_echo_rate": SQL_CONV_ECHO_RATE,
+    "conv_context_budget": SQL_CONV_CONTEXT_BUDGET,
+    "events_grid_density": SQL_EVENTS_GRID_DENSITY,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

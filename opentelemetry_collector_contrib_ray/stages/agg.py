@@ -1383,3 +1383,32 @@ def fd_audit(ds, fds: dict[str, tuple[str, str]]):
         part = report_for(name, det, dep)
         out = part if out is None else out.union(part)
     return out
+
+
+def grid_neighborhood(cell_ds, x_col: str, y_col: str, n_col: str,
+                      grid: int = 64):
+    """3×3 neighborhood smoothing over a COMPACT per-cell table (the
+    hotspot / KDE-lite step of a spatial pipeline): appends
+    ``nbr_events`` = the sum of ``n_col`` over the cell's 3×3
+    neighborhood, boundary-truncated (no wraparound). Expects the
+    single-block output of ``compact_groupby`` keyed on integer cells
+    in [0, grid)²; the smoothing is a vectorized 9-shift scatter-add
+    on that one block — never a self-join of the fact table. Absent
+    cells contribute 0 and emit nothing, matching a
+    join-of-existing-cells SQL twin exactly."""
+
+    def neigh(t: pa.Table) -> pa.Table:
+        cx = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cy = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = np.zeros((grid, grid), np.int64)
+        g[cx, cy] = n
+        acc = np.zeros((grid + 2, grid + 2), np.int64)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                acc[1 + dx:grid + 1 + dx, 1 + dy:grid + 1 + dy] += g
+        return t.append_column(
+            "nbr_events", pa.array(acc[1:grid + 1, 1:grid + 1][cx, cy]))
+
+    return cell_ds.map_batches(neigh, batch_format="pyarrow",
+                               batch_size=None)

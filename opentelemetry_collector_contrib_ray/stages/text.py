@@ -1389,3 +1389,82 @@ def term_freq_spectrum(ds, col: str = "text", num_partitions: int = 64):
     return compact_groupby(partials, ["bucket"],
                            sum_cols={"n_terms": "n_terms",
                                      "sum_freq": "sum_freq"})
+
+
+def adjacent_echo_stats(ds, key: str, order_col: str, role_col: str,
+                        text_col: str, ts_col: str,
+                        from_role: str = "user", to_role: str = "assistant",
+                        num_partitions: int = 16):
+    """Adjacent-turn echo / copy-rate audit (the train-data
+    contamination screen a chat curator runs — a ``to_role`` turn that
+    mostly repeats the preceding ``from_role`` turn is low-value): for
+    every (from → immediately-following to) pair within a key, count
+    the DISTINCT ``to_role`` tokens that also occur in the preceding
+    ``from_role`` turn, per UTC day of the ``to_role`` turn. Tokens =
+    non-empty space-separated runs. Output (day:timestamp[us],
+    n_pairs, sum_overlap, sum_asst_tokens) — integers so the echo
+    RATE stays a driver division.
+
+    Shape: ONE key-hash exchange (text moves once); per partition the
+    pairing is a grouped shift(-1) and the set intersection is
+    explode → drop-dup → inner merge — all columnar; compact per-day
+    partials fold on the single final block."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(kv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        nrole = grp[role_col].shift(-1)
+        ntext = grp[text_col].shift(-1)
+        nts = grp[ts_col].shift(-1)
+        keep = (g[role_col] == from_role) & (nrole == to_role)
+        ut = g.loc[keep, text_col].reset_index(drop=True)
+        at = ntext[keep].reset_index(drop=True)
+        day_us = (nts[keep].astype("datetime64[us]")
+                  .to_numpy().astype("int64"))
+        day = (day_us // 86_400_000_000) * 86_400_000_000
+
+        def toks(s: pd.Series) -> pd.DataFrame:
+            e = s.str.split(" ").explode()
+            d = pd.DataFrame({"pid": e.index.to_numpy(),
+                              "tok": e.to_numpy()})
+            d = d[d["tok"].notna() & (d["tok"] != "")]
+            return d.drop_duplicates()
+
+        A, U = toks(at), toks(ut)
+        ov = A.merge(U, on=["pid", "tok"]).groupby("pid").size()
+        na = A.groupby("pid").size()
+        pid = np.arange(len(ut))
+        out = pd.DataFrame({
+            "day": day,
+            "n_overlap": ov.reindex(pid, fill_value=0).to_numpy(np.int64),
+            "n_asst": na.reindex(pid, fill_value=0).to_numpy(np.int64)})
+        r = out.groupby("day", as_index=False).agg(
+            n_pairs=("n_asst", "size"), sum_overlap=("n_overlap", "sum"),
+            sum_asst_tokens=("n_asst", "sum"))
+        return r.astype({"day": "int64", "n_pairs": "int64",
+                         "sum_overlap": "int64", "sum_asst_tokens": "int64"})
+
+    per_part = (ds.map_batches(add_part, batch_format="pyarrow")
+                  .groupby("__p")
+                  .map_groups(arrow_out(pairs), batch_format="pandas"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("day", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"), sum_overlap=("sum_overlap", "sum"),
+            sum_asst_tokens=("sum_asst_tokens", "sum"))
+        return pa.table({
+            "day": pa.array(out["day"].to_numpy(), pa.timestamp("us")),
+            "n_pairs": pa.array(out["n_pairs"].to_numpy(np.int64)),
+            "sum_overlap": pa.array(out["sum_overlap"].to_numpy(np.int64)),
+            "sum_asst_tokens": pa.array(
+                out["sum_asst_tokens"].to_numpy(np.int64))})
+
+    return (per_part.repartition(1)
+            .map_batches(fold, batch_format="pyarrow", batch_size=None))

@@ -1195,3 +1195,64 @@ def burst_hours(ds, key: str, ts_col: str, window: int = 24,
 
     return hourly.map_batches(detect, batch_format="pyarrow",
                               batch_size=None)
+
+
+def suffix_budget_stats(ds, key: str, order_col: str, text_col: str,
+                        budget: int, num_partitions: int = 16):
+    """Context-window truncation audit (what a chat trainer's packer
+    does to every conversation): keep the longest SUFFIX of ordered
+    rows whose total token count fits ``budget`` — most-recent-first,
+    the standard chat truncation — and report per kept-row count
+    ``n_turns_kept``: how many keys land there (``n_convs``) and the
+    integer token mass kept vs dropped. Tokens = non-empty
+    space-separated runs ('' → 0). A single row larger than the budget
+    keeps 0 rows (the strict rule).
+
+    Shape: ONE key-hash exchange of (key, order, text); per partition
+    the suffix sum is a single segmented cumsum over rows sorted
+    (key, order DESC) — no per-key loop; only per-partition
+    (n_kept → partials) rows fold, through compact_groupby's
+    repartition(1) of tiny partials."""
+    from .agg import compact_groupby
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(kv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col],
+                          ascending=[True, False], kind="mergesort")
+        ntok = g[text_col].str.count(r"[^ ]+").to_numpy(np.int64)
+        kv = g[key].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = kv[1:] != kv[:-1]
+        cs = np.cumsum(ntok)
+        idx = np.arange(n)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        suf = cs - (cs[start] - ntok[start])  # segmented suffix cumsum
+        kept = suf <= budget
+        d = pd.DataFrame({"k": kv, "ntok": ntok,
+                          "kept_tok": np.where(kept, ntok, 0),
+                          "kept": kept.astype(np.int64)})
+        per_key = d.groupby("k", sort=False).agg(
+            tokens_total=("ntok", "sum"), n_kept=("kept", "sum"),
+            tokens_kept=("kept_tok", "sum"))
+        per_key["dropped"] = per_key["tokens_total"] - per_key["tokens_kept"]
+        out = per_key.groupby("n_kept", as_index=False).agg(
+            n_convs=("tokens_total", "size"),
+            sum_tokens_kept=("tokens_kept", "sum"),
+            sum_tokens_dropped=("dropped", "sum"))
+        out = out.rename(columns={"n_kept": "n_turns_kept"})
+        return out.astype({c: "int64" for c in out.columns})
+
+    per_part = (ds.map_batches(add_part, batch_format="pyarrow")
+                  .groupby("__p")
+                  .map_groups(arrow_out(per), batch_format="pandas"))
+    return compact_groupby(
+        per_part, keys=["n_turns_kept"],
+        sum_cols={"n_convs": "n_convs",
+                  "sum_tokens_kept": "sum_tokens_kept",
+                  "sum_tokens_dropped": "sum_tokens_dropped"})

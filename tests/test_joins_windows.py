@@ -2227,3 +2227,29 @@ def test_burst_hours_dense_spine_and_warmup():
     assert got == {("a", 24): (4, 24), ("b", 30): (2, 0)}
 
 
+
+
+def test_suffix_budget_strict_truncation():
+    """Suffix-budget pins: the kept set is the longest SUFFIX (most
+    recent turns), an exactly-at-budget suffix stays kept, a single
+    over-budget last turn keeps 0, and token counting ignores empty
+    runs ('' and multi-space)."""
+    from opentelemetry_collector_contrib_ray.stages.windows import suffix_budget_stats
+
+    df = pd.DataFrame({
+        # conv a: turn tokens [4, 3, 3] budget 6 → suffix sums from the
+        # end: 3, 6, 10 → keeps 2 turns / 6 tokens, drops 4
+        # conv b: single turn of 7 tokens > 6 → keeps 0, drops 7
+        # conv c: '' + 'x  y' → tokens [0, 2] → keeps 2 turns / 2 tokens
+        "conv": ["a", "a", "a", "b", "c", "c"],
+        "turn": [0, 1, 2, 0, 0, 1],
+        "text": ["w w w w", "x y z", "a b c",
+                 "t t t t t t t", "", "x  y"],
+    })
+    out = suffix_budget_stats(rd.from_pandas(df).repartition(2),
+                              key="conv", order_col="turn",
+                              text_col="text", budget=6).to_pandas()
+    got = {r.n_turns_kept: (r.n_convs, r.sum_tokens_kept,
+                            r.sum_tokens_dropped)
+           for r in out.itertuples()}
+    assert got == {2: (2, 8, 4), 0: (1, 0, 7)}

@@ -1389,3 +1389,21 @@ def test_fd_audit_hand():
     assert out.loc["fwd"].tolist() == [3, 1, 2, 2]
     # rev: 1→{A,B} violated (3 rows), 2→{B} ok, 3→{C} ok
     assert out.loc["rev"].tolist() == [3, 1, 2, 3]
+
+
+def test_grid_neighborhood_boundary_and_absent_cells():
+    """Grid pins: corner cells truncate (no wraparound), the 3×3 sum
+    includes self, and absent cells contribute 0 without emitting."""
+    from opentelemetry_collector_contrib_ray.stages.agg import grid_neighborhood
+
+    cells = pa.table({
+        "cx": pa.array([0, 0, 1, 3], pa.int64()),
+        "cy": pa.array([0, 1, 0, 3], pa.int64()),
+        "n":  pa.array([5, 2, 7, 1], pa.int64())})
+    out = grid_neighborhood(rd.from_arrow(cells), "cx", "cy", "n",
+                            grid=4).to_pandas()
+    got = {(r.cx, r.cy): r.nbr_events for r in out.itertuples()}
+    # (0,0): neighbors within grid = (0,1)+(1,0)+self = 2+7+5 = 14
+    # (3,3): isolated corner = 1; (1,0): 5+2+7 = 14; (0,1): 5+2+7 = 14
+    assert got == {(0, 0): 14, (0, 1): 14, (1, 0): 14, (3, 3): 1}
+    assert len(out) == 4

@@ -1232,3 +1232,41 @@ def test_term_freq_spectrum_boundaries():
     assert out.loc[0].tolist() == [1, 1]    # n_terms, sum_freq
     assert out.loc[1].tolist() == [2, 5]
     assert out.loc[2].tolist() == [1, 4]
+
+
+def test_adjacent_echo_distinct_tokens_and_pairing():
+    """Echo pins: only (user → immediately-next assistant) pairs count
+    (assistant→assistant and user→user don't), overlap counts DISTINCT
+    assistant tokens present anywhere in the user turn (duplicates in
+    either side collapse), empty assistant text contributes a pair
+    with 0 tokens, and the day bucket comes from the ASSISTANT turn."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import adjacent_echo_stats
+
+    base = np.datetime64("2024-03-01T23:59:00", "us")
+    M = np.timedelta64(1, "m")
+    df = pd.DataFrame({
+        "conv": ["a"] * 4 + ["b"] * 2,
+        "turn": [0, 1, 2, 3, 0, 1],
+        "role": ["user", "assistant", "assistant", "user",
+                 "user", "assistant"],
+        # pair 1: user 'x y x' vs asst 'y y z' → asst distinct {y,z},
+        #   overlap {y} → (1 overlap, 2 tokens); lands on 2024-03-02
+        #   (assistant ts crosses midnight)
+        # asst→asst turn 2 and trailing user turn 3: no pair
+        # pair 2 (conv b): empty assistant → (0, 0); stays on 03-01
+        #   (23:50) while pair 1's assistant at 00:01 crosses to 03-02
+        "text": ["x y x", "y y z", "ignored", "x",
+                 "p q", ""],
+        "ts": [base, base + 2 * M, base + 3 * M, base + 4 * M,
+               base - 10 * M, base - 9 * M],
+    })
+    out = adjacent_echo_stats(rd.from_pandas(df).repartition(2),
+                              key="conv", order_col="turn",
+                              role_col="role", text_col="text",
+                              ts_col="ts").to_pandas()
+    got = {str(r.day)[:10]: (r.n_pairs, r.sum_overlap, r.sum_asst_tokens)
+           for r in out.itertuples()}
+    assert got == {"2024-03-02": (1, 1, 2), "2024-03-01": (1, 0, 0)}
