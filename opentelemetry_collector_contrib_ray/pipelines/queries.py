@@ -14541,6 +14541,110 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_conv_tool_runs(sf_dir: str):
+    """Agent tool-loop detector (the runaway-tool diagnostic an agent
+    platform alerts on — the same tool invoked in ≥3 CONSECUTIVE
+    turns): stages/windows.run_compress (the SCD-2 gaps-and-islands
+    rail, one conv-hash exchange) collapses the transcript's tool
+    sequence into runs; a non-tool turn between two calls breaks the
+    run (runs are over the FULL turn order, then filtered to real
+    tools — pinned by hand test). Rollup per tool: loop count, total
+    and longest looped-turn mass via one hash_groupby_agg combiner
+    exchange of per-run rows."""
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.windows import run_compress
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+    ds = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "tool"]),
+        batch_format="pyarrow")
+    runs = run_compress(ds, ["conv_id"], ["turn_idx"], "tool")
+
+    def keep(t: pa.Table) -> pa.Table:
+        rl = pc.cast(t["run_len"], pa.int64())
+        m = pc.and_(pc.not_equal(t["tool"], ""),
+                    pc.greater_equal(rl, 3))
+        f = t.filter(m)
+        rl = pc.cast(f["run_len"], pa.int64())
+        return pa.table({"tool": f["tool"], "run_len": rl, "rl2": rl,
+                         "one": pa.array(np.ones(f.num_rows, np.int64))})
+
+    return hash_groupby_agg(
+        runs.map_batches(keep, batch_format="pyarrow"), ["tool"],
+        {"one": ("sum", "n_runs"), "run_len": ("sum", "sum_len"),
+         "rl2": ("max", "max_len")})
+
+
+SQL_CONV_TOOL_RUNS = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, t2 AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         - row_number() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+           AS grp
+  FROM transcripts
+), runs AS (
+  SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS run_len
+  FROM t2 GROUP BY conv_id, tool, grp
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(SUM(run_len) AS BIGINT) AS sum_len,
+       CAST(MAX(run_len) AS BIGINT) AS max_len
+FROM runs WHERE tool <> '' AND run_len >= 3
+GROUP BY tool
+"""
+)
+
+
+def q_events_seasonal_error(sf_dir: str):
+    """Seasonal-naive backtest / MASE parts
+    (stages/windows.seasonal_naive_error): per event type, hourly
+    cents totals on the DENSE hour spine (missing hours are real
+    zeros), then over the evaluable horizon (≥24 h after the type's
+    first hour) the integer absolute-error masses of the two canonical
+    baselines — seasonal-naive (value 24 h earlier) and naive (value
+    1 h earlier). The MASE ratio is a driver division over the
+    4-integer row, so the oracle hashes exactly; a type spanning <25
+    hours emits nothing (pinned by hand test)."""
+    from ..stages.windows import seasonal_naive_error
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "ts": t["ts"],
+                         "cents": _cents(t["value"])})
+
+    return seasonal_naive_error(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="event_type", ts_col="ts", val_col="cents", season=24)
+
+
+SQL_EVENTS_SEASONAL_ERROR = f"""
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(h) AS mn, max(h) AS mx FROM c GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(range(mn, mx + 1)) AS h, mn FROM b
+), d AS (
+  SELECT s.event_type, s.h, s.mn, coalesce(c.v, 0) AS v
+  FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.h = s.h
+), w AS (
+  SELECT event_type, h, mn, v,
+         lag(v, 1)  OVER (PARTITION BY event_type ORDER BY h) AS l1,
+         lag(v, 24) OVER (PARTITION BY event_type ORDER BY h) AS l24
+  FROM d
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(SUM(abs(v - l24)) AS BIGINT) AS sum_abs_seasonal,
+       CAST(SUM(abs(v - l1)) AS BIGINT) AS sum_abs_naive
+FROM w WHERE h - mn >= 24 GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -14718,6 +14822,8 @@ QUERIES = {
     "conv_echo_rate": q_conv_echo_rate,
     "conv_context_budget": q_conv_context_budget,
     "events_grid_density": q_events_grid_density,
+    "conv_tool_runs": q_conv_tool_runs,
+    "events_seasonal_error": q_events_seasonal_error,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15043,6 +15149,8 @@ ORACLES = {
     "conv_echo_rate": SQL_CONV_ECHO_RATE,
     "conv_context_budget": SQL_CONV_CONTEXT_BUDGET,
     "events_grid_density": SQL_EVENTS_GRID_DENSITY,
+    "conv_tool_runs": SQL_CONV_TOOL_RUNS,
+    "events_seasonal_error": SQL_EVENTS_SEASONAL_ERROR,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

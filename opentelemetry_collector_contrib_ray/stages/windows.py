@@ -1256,3 +1256,54 @@ def suffix_budget_stats(ds, key: str, order_col: str, text_col: str,
         sum_cols={"n_convs": "n_convs",
                   "sum_tokens_kept": "sum_tokens_kept",
                   "sum_tokens_dropped": "sum_tokens_dropped"})
+
+
+def seasonal_naive_error(ds, key: str, ts_col: str, val_col: str,
+                         season: int = 24):
+    """Seasonal-naive backtest / MASE parts (Hyndman & Koehler 2006's
+    scaled-error denominator and numerator, kept integer-exact): per
+    key, hourly value totals on a DENSE hour spine (missing hours are
+    real zeros), then over the evaluable horizon (hours ≥ span start +
+    ``season``) the absolute errors of the two canonical baselines —
+    seasonal-naive ŷ_h = v_{h−season} and naive ŷ_h = v_{h−1}. Output
+    one row per key: (n_hours, sum_abs_seasonal, sum_abs_naive); the
+    MASE ratio stays a driver division. A key whose span is shorter
+    than ``season``+1 hours emits nothing (no evaluable hour).
+
+    Shape: the hourly fold is ONE compact exchange (O(keys × hours)
+    partial rows); spine densify + shifts run on the single compact
+    block — bounded by the time span, not the volume."""
+    from .agg import compact_groupby
+
+    def to_hour(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        return pa.table({key: t[key],
+                         "hour": pc.divide(us, 3_600_000_000),
+                         "v": pc.cast(t[val_col], pa.int64())})
+
+    hourly = compact_groupby(ds.map_batches(to_hour, batch_format="pyarrow"),
+                             [key, "hour"], sum_cols={"v": "v"})
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for k, g in df.groupby(key, sort=False):
+            g = g.set_index("hour")["v"].sort_index()
+            spine = pd.RangeIndex(int(g.index.min()), int(g.index.max()) + 1)
+            v = g.reindex(spine, fill_value=0).to_numpy(np.int64)
+            if len(v) <= season:
+                continue
+            seas = np.abs(v[season:] - v[:-season])
+            naiv = np.abs(v[1:] - v[:-1])[season - 1:]
+            rows.append((k, len(seas), int(seas.sum()), int(naiv.sum())))
+        cols = list(zip(*rows)) if rows else ([], [], [], [])
+        return pa.table({key: pa.array(list(cols[0]),
+                                       t.schema.field(key).type),
+                         "n_hours": pa.array(list(cols[1]), pa.int64()),
+                         "sum_abs_seasonal": pa.array(list(cols[2]),
+                                                      pa.int64()),
+                         "sum_abs_naive": pa.array(list(cols[3]),
+                                                   pa.int64())})
+
+    return hourly.map_batches(score, batch_format="pyarrow",
+                              batch_size=None)

@@ -2253,3 +2253,48 @@ def test_suffix_budget_strict_truncation():
                             r.sum_tokens_dropped)
            for r in out.itertuples()}
     assert got == {2: (2, 8, 4), 0: (1, 0, 7)}
+
+
+def test_seasonal_naive_error_dense_spine_and_short_span():
+    """Seasonal-error pins: missing hours are REAL zeros on the spine
+    (both baselines see them), the evaluable horizon starts exactly
+    season hours after the key's first hour, and a key spanning fewer
+    than season+1 hours emits nothing."""
+    from opentelemetry_collector_contrib_ray.stages.windows import seasonal_naive_error
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rows = []
+    # key a with season=2: hours 0..4 values [5, 0(missing), 3, 1, 4]
+    #   evaluable h=2,3,4: seasonal |3-5|+|1-0|+|4-3| = 4
+    #                      naive    |3-0|+|1-3|+|4-1| = 8
+    rows += [("a", 0, 5), ("a", 2, 3), ("a", 3, 1), ("a", 4, 4)]
+    # key b: span 2 hours (0,1) < season+1=3 → absent
+    rows += [("b", 0, 9), ("b", 1, 9)]
+    df = pd.DataFrame({"k": [k for k, _, _ in rows],
+                       "ts": [base + h * H for _, h, _ in rows],
+                       "v": [v for _, _, v in rows]})
+    out = seasonal_naive_error(rd.from_pandas(df).repartition(2), key="k",
+                               ts_col="ts", val_col="v",
+                               season=2).to_pandas()
+    got = {r.k: (r.n_hours, r.sum_abs_seasonal, r.sum_abs_naive)
+           for r in out.itertuples()}
+    assert got == {"a": (3, 4, 8)}
+
+
+def test_tool_runs_break_on_interruption():
+    """Tool-run pins (the conv_tool_runs rail): a non-tool turn between
+    two calls of the same tool BREAKS the run — run_compress runs over
+    the full turn order, so ['t','t','','t','t','t'] is a 2-run and a
+    3-run, not a 5-run."""
+    from opentelemetry_collector_contrib_ray.stages.windows import run_compress
+
+    df = pd.DataFrame({
+        "conv": ["c"] * 6,
+        "turn": list(range(6)),
+        "tool": ["t", "t", "", "t", "t", "t"],
+    })
+    runs = run_compress(rd.from_pandas(df).repartition(2), ["conv"],
+                        ["turn"], "tool").to_pandas()
+    t_runs = sorted(runs.loc[runs["tool"] == "t", "run_len"].tolist())
+    assert t_runs == [2, 3]
