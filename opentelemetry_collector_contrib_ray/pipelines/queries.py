@@ -14645,6 +14645,138 @@ FROM w WHERE h - mn >= 24 GROUP BY 1
 """
 
 
+def q_conv_context_growth(sf_dir: str):
+    """Quadratic context-cost audit
+    (stages/windows.context_cost_stats — what serving a multi-turn
+    conversation costs a transformer, each turn re-reading its whole
+    prefix): per conversation LENGTH, how many conversations land
+    there, their raw token mass and their context (prefix-resummed)
+    mass — the blow-up ratio a serving planner budgets against. ONE
+    conv-hash exchange; segmented prefix cumsum per partition."""
+    from ..stages.windows import context_cost_stats
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+    ds = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "text"]),
+        batch_format="pyarrow")
+    return context_cost_stats(ds, key="conv_id", order_col="turn_idx",
+                              text_col="text")
+
+
+SQL_CONV_CONTEXT_GROWTH = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, tk AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+  FROM transcripts
+), w AS (
+  SELECT conv_id, ntok,
+         SUM(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS ctx
+  FROM tk
+), per AS (
+  SELECT conv_id, count(*) AS n_turns, SUM(ntok) AS tokens,
+         SUM(ctx) AS context_tokens
+  FROM w GROUP BY conv_id
+)
+SELECT CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(context_tokens) AS BIGINT) AS sum_context_tokens
+FROM per GROUP BY 1
+"""
+)
+
+
+def q_events_cuped_parts(sf_dir: str):
+    """CUPED variance-reduction parts (Deng et al. 2013 — the
+    experimentation platform's pre-period covariate adjustment): the
+    corpus splits at its global time midpoint into pre/post windows,
+    each user gets integer (x = pre cents, y = post cents) totals in
+    ONE user-hash combiner exchange, variant = user parity, and the
+    output is the exact per-variant cross-moment monoid (n_users,
+    Σx, Σy, Σx², Σxy, Σy²) — θ = Cov/Var and the adjusted means stay
+    driver divisions, so the oracle hashes exactly. The midpoint comes
+    from a pruned per-block (min,max) ts fold (tiny rows only); a user
+    active in only one window carries 0 in the other (pinned by the
+    masked-sum construction in both engines)."""
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+
+    ts_only = read_table(sf_dir, "events", columns=["ts"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(us).as_py()], pa.int64())})
+
+    def mm_fold(t: pa.Table) -> pa.Table:
+        return pa.table({"mn": pa.array([pc.min(t["mn"]).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(t["mx"]).as_py()], pa.int64())})
+
+    row = (ts_only.map_batches(mm, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(mm_fold, batch_format="pyarrow",
+                               batch_size=None).take_all())[0]
+    mid = (int(row["mn"]) + int(row["mx"])) // 2
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        cents = _cents(t["value"])
+        is_pre = pc.less(us, mid)
+        zero = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "pre": pc.if_else(is_pre, cents, zero),
+            "post": pc.if_else(is_pre, zero, cents)})
+
+    per_user = hash_groupby_agg(
+        ev.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        {"pre": ("sum", "x"), "post": ("sum", "y")})
+
+    def moments(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"variant": pa.array(u % 2),
+                         "one": pa.array(np.ones(len(u), np.int64)),
+                         "x": pa.array(x), "y": pa.array(y),
+                         "xx": pa.array(x * x), "xy": pa.array(x * y),
+                         "yy": pa.array(y * y)})
+
+    return compact_groupby(
+        per_user.map_batches(moments, batch_format="pyarrow"),
+        keys=["variant"],
+        sum_cols={"one": "n_users", "x": "sum_x", "y": "sum_y",
+                  "xx": "sum_xx", "xy": "sum_xy", "yy": "sum_yy"})
+
+
+SQL_EVENTS_CUPED_PARTS = f"""
+WITH b AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+), per AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) < mid
+                            THEN {_CENTS.format(x='value')} END), 0)
+              AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(ts) >= mid
+                            THEN {_CENTS.format(x='value')} END), 0)
+              AS BIGINT) AS y
+  FROM events, b GROUP BY user_id
+)
+SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(y * y) AS BIGINT) AS sum_yy
+FROM per GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -14824,6 +14956,8 @@ QUERIES = {
     "events_grid_density": q_events_grid_density,
     "conv_tool_runs": q_conv_tool_runs,
     "events_seasonal_error": q_events_seasonal_error,
+    "conv_context_growth": q_conv_context_growth,
+    "events_cuped_parts": q_events_cuped_parts,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15151,6 +15285,8 @@ ORACLES = {
     "events_grid_density": SQL_EVENTS_GRID_DENSITY,
     "conv_tool_runs": SQL_CONV_TOOL_RUNS,
     "events_seasonal_error": SQL_EVENTS_SEASONAL_ERROR,
+    "conv_context_growth": SQL_CONV_CONTEXT_GROWTH,
+    "events_cuped_parts": SQL_EVENTS_CUPED_PARTS,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1307,3 +1307,54 @@ def seasonal_naive_error(ds, key: str, ts_col: str, val_col: str,
 
     return hourly.map_batches(score, batch_format="pyarrow",
                               batch_size=None)
+
+
+def context_cost_stats(ds, key: str, order_col: str, text_col: str,
+                       num_partitions: int = 16):
+    """Quadratic context-cost audit (what serving a multi-turn
+    conversation actually costs a transformer: every turn re-reads its
+    whole prefix): per key with ordered turn token counts t_0..t_{n-1},
+    the serving mass is Σ_i Σ_{j≤i} t_j — each token paid once per
+    later-or-equal turn. Output per conversation LENGTH ``n_turns``:
+    (n_convs, sum_tokens, sum_context_tokens) — the context blow-up
+    ratio stays a driver division. Tokens = non-empty space-separated
+    runs.
+
+    Shape: ONE key-hash exchange; per partition the prefix sums are a
+    single segmented cumsum over rows sorted (key, order); compact
+    per-length partials fold through compact_groupby."""
+    from .agg import compact_groupby
+
+    def add_part(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(kv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
+
+    def per(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        ntok = g[text_col].str.count(r"[^ ]+").to_numpy(np.int64)
+        kv = g[key].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = kv[1:] != kv[:-1]
+        cs = np.cumsum(ntok)
+        idx = np.arange(n)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        ctx = cs - (cs[start] - ntok[start])  # segmented prefix cumsum
+        d = pd.DataFrame({"k": kv, "ntok": ntok, "ctx": ctx})
+        per_key = d.groupby("k", sort=False).agg(
+            n_turns=("ntok", "size"), tokens=("ntok", "sum"),
+            context_tokens=("ctx", "sum"))
+        out = per_key.groupby("n_turns", as_index=False).agg(
+            n_convs=("tokens", "size"), sum_tokens=("tokens", "sum"),
+            sum_context_tokens=("context_tokens", "sum"))
+        return out.astype({c: "int64" for c in out.columns})
+
+    per_part = (ds.map_batches(add_part, batch_format="pyarrow")
+                  .groupby("__p")
+                  .map_groups(arrow_out(per), batch_format="pandas"))
+    return compact_groupby(
+        per_part, keys=["n_turns"],
+        sum_cols={"n_convs": "n_convs", "sum_tokens": "sum_tokens",
+                  "sum_context_tokens": "sum_context_tokens"})

@@ -2298,3 +2298,55 @@ def test_tool_runs_break_on_interruption():
                         ["turn"], "tool").to_pandas()
     t_runs = sorted(runs.loc[runs["tool"] == "t", "run_len"].tolist())
     assert t_runs == [2, 3]
+
+
+def test_context_cost_prefix_resumming():
+    """Context-cost pins: a conversation of token counts [3, 2, 4] has
+    context mass 3 + (3+2) + (3+2+4) = 17; a single-turn conversation
+    costs exactly its own tokens; lengths bucket separately."""
+    from opentelemetry_collector_contrib_ray.stages.windows import context_cost_stats
+
+    df = pd.DataFrame({
+        "conv": ["a", "a", "a", "b"],
+        "turn": [0, 1, 2, 0],
+        "text": ["x y z", "p q", "a b c d", "solo turn here"],
+    })
+    out = context_cost_stats(rd.from_pandas(df).repartition(2), key="conv",
+                             order_col="turn", text_col="text").to_pandas()
+    got = {r.n_turns: (r.n_convs, r.sum_tokens, r.sum_context_tokens)
+           for r in out.itertuples()}
+    assert got == {3: (1, 9, 17), 1: (1, 3, 3)}
+
+
+def test_cuped_parts_window_split_and_single_window_users(tmp_path):
+    """CUPED pins: the midpoint splits min/max inclusive-right (an
+    event AT the midpoint is post), a user active only pre carries
+    y=0, and the cross-moment row reproduces hand-computed sums."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import q_events_cuped_parts
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    # span 0..4h → mid = 2h. user 0 (variant 0): pre 1.00 @0h, post
+    # 2.00 @2h (AT mid → post) and 3.00 @4h → x=100, y=500.
+    # user 2 (variant 0): pre-only 4.00 @1h → x=400, y=0.
+    # user 1 (variant 1): post-only 5.00 @3h → x=0, y=500.
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([base, base + 2 * H, base + 4 * H, base + 1 * H,
+                        base + 3 * H]),
+        "user_id": pa.array([0, 0, 0, 2, 1], pa.int64()),
+        "event_type": ["view"] * 5,
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        "props": ["{}"] * 5,
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_cuped_parts(str(tmp_path)).to_pandas()
+    got = {r.variant: (r.n_users, r.sum_x, r.sum_y, r.sum_xx, r.sum_xy,
+                       r.sum_yy) for r in out.itertuples()}
+    # variant 0: users 0,2 → Σx=500, Σy=500, Σx²=100²+400²=170000,
+    #   Σxy=100·500+0=50000, Σy²=250000
+    # variant 1: user 1 → (1, 0, 500, 0, 0, 250000)
+    assert got == {0: (2, 500, 500, 170000, 50000, 250000),
+                   1: (1, 0, 500, 0, 0, 250000)}
