@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "q9_product_type_profit",
     "events_pattern_match",
     "events_skew_join",
+    "conv_echo_rate",
+    "conv_context_budget",
+    "events_grid_density",
+    "conv_tool_runs",
+    "events_seasonal_error",
+    "events_cuped_parts",
     "multimodal_resize",
     "events_ip_enrich",
     "events_trimmed_mean",
