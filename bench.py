@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "conv_tool_runs",
     "events_seasonal_error",
     "events_cuped_parts",
+    "conv_template_dedup",
     "multimodal_resize",
     "events_ip_enrich",
     "events_trimmed_mean",

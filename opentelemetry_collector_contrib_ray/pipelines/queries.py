@@ -14777,6 +14777,115 @@ FROM per GROUP BY 1
 """
 
 
+def q_conv_template_dedup(sf_dir: str):
+    """Session-level template dedup (the chat-dataset analog of
+    docs_exact_dedup — near-identical INTERACTION SHAPES dominate real
+    assistant logs and a curator caps them before training): each
+    conversation splits into sessions at >30-min gaps (strictly
+    greater, the sessionization rail's rule), each session
+    canonicalizes to its ordered ``role:text`` sequence with digit
+    runs templated to '#' (RE2 in both engines), and sessions group by
+    that exact canonical string. Output: the duplication spectrum
+    (group_size → n_groups); kept-after-dedup = Σ n_groups and the dup
+    rate are driver arithmetic.
+
+    Shape: exchange 1 (conv-hash) assembles each session ONCE — the
+    session break is a vectorized gap-diff cumsum and the per-partition
+    join is arrow ``binary_join`` over list offsets, no per-group
+    Python; exchange 2 moves one canonical string per session to its
+    content-hash partition (text moves once more — the honest
+    exact-dedup exchange; a 100 TB run swaps the string for its
+    128-bit hash and accepts the collision bound). The spectrum folds
+    compactly."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(t["text"], r"[0-9]+", "#")
+        # binary_join_element_wise treats the LAST arg as the
+        # separator, so this is exactly role:text
+        line = pc.binary_join_element_wise(t["role"], norm, ":")
+        return pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                         "ts": t["ts"], "line": line})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        cv = t["conv_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(cv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(16)).astype(np.int64)))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        ts_us = g["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > 1_800_000_000
+        brk = new | gap  # session starts
+        starts = np.flatnonzero(brk)
+        offsets = np.append(starts, n).astype(np.int32)
+        flat = pa.array(g["line"].to_numpy(), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets), flat)
+        content = pc.binary_join(lists, "\n")
+        return pd.DataFrame(
+            {"content": content.to_numpy(zero_copy_only=False)})
+
+    convs = (ds.map_batches(prep, batch_format="pyarrow")
+               .map_batches(add_part, batch_format="pyarrow")
+               .groupby("__p")
+               .map_groups(arrow_out(assemble), batch_format="pandas"))
+
+    def add_cpart(t: pa.Table) -> pa.Table:
+        cv = t["content"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(cv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(32)).astype(np.int64)))
+
+    def gsize(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("content", as_index=False).size()
+                .rename(columns={"size": "group_size"}))
+        return out[["group_size"]].astype("int64")
+
+    sizes = (convs.map_batches(add_cpart, batch_format="pyarrow")
+                  .groupby("__p")
+                  .map_groups(arrow_out(gsize), batch_format="pandas"))
+    return compact_groupby(sizes, keys=["group_size"],
+                           count_alias="n_groups")
+
+
+SQL_CONV_TEMPLATE_DEDUP = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + '''
+, g AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts
+), s AS (
+  SELECT conv_id, turn_idx, role, text,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS sess
+  FROM g
+), conv AS (
+  SELECT conv_id, sess,
+         string_agg(role || ':' || regexp_replace(text, '[0-9]+', '#', 'g'),
+                    chr(10) ORDER BY turn_idx) AS content
+  FROM s GROUP BY conv_id, sess
+), grp AS (
+  SELECT content, CAST(count(*) AS BIGINT) AS group_size
+  FROM conv GROUP BY content
+)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+FROM grp GROUP BY 1
+'''
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -14958,6 +15067,7 @@ QUERIES = {
     "events_seasonal_error": q_events_seasonal_error,
     "conv_context_growth": q_conv_context_growth,
     "events_cuped_parts": q_events_cuped_parts,
+    "conv_template_dedup": q_conv_template_dedup,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15287,6 +15397,7 @@ ORACLES = {
     "events_seasonal_error": SQL_EVENTS_SEASONAL_ERROR,
     "conv_context_growth": SQL_CONV_CONTEXT_GROWTH,
     "events_cuped_parts": SQL_EVENTS_CUPED_PARTS,
+    "conv_template_dedup": SQL_CONV_TEMPLATE_DEDUP,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1270,3 +1270,38 @@ def test_adjacent_echo_distinct_tokens_and_pairing():
     got = {str(r.day)[:10]: (r.n_pairs, r.sum_overlap, r.sum_asst_tokens)
            for r in out.itertuples()}
     assert got == {"2024-03-02": (1, 1, 2), "2024-03-01": (1, 0, 0)}
+
+
+def test_conv_template_dedup_session_split_and_templating(tmp_path):
+    """Session-dedup pins: a >30-min gap splits a conversation into
+    sessions (an exactly-30-min gap does NOT), digit runs template to
+    '#' so values differing only in numbers collapse, and the
+    spectrum counts groups by size."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_conv_template_dedup,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    # user 7 events: two view events 31min apart → 2 sessions, each
+    # canonicalizing to the same 1-turn template (latency digits
+    # differ → '#' collapses them) → one group of size 2.
+    # user 8: two view events exactly 30min apart → ONE 2-turn
+    # session → its own group of size 1.
+    # event_id % 10 picks the text form; ids 3,13,23,33 → bucket 3
+    # (logline form 'TRACE latency_ms=... status=... msg=evt_view').
+    t = pa.table({
+        "event_id": pa.array([3, 13, 23, 33], pa.int64()),
+        "ts": pa.array([base, base + 31 * M, base, base + 30 * M]),
+        "user_id": pa.array([7, 7, 8, 8], pa.int64()),
+        "event_type": ["view"] * 4,
+        "value": [1.5, 2.5, 3.5, 4.5],
+        "props": ["{}"] * 4,
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_conv_template_dedup(str(tmp_path)).to_pandas()
+    got = {r.group_size: r.n_groups for r in out.itertuples()}
+    assert got == {2: (1), 1: (1)}
