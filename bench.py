@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "events_seasonal_error",
     "events_cuped_parts",
     "conv_template_dedup",
+    "conv_curation_e2e",
     "multimodal_resize",
     "events_ip_enrich",
     "events_trimmed_mean",

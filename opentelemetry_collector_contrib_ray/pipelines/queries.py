@@ -14886,6 +14886,259 @@ FROM grp GROUP BY 1
 )
 
 
+def q_conv_curation_e2e(sf_dir: str):
+    """Chat-data curation pipeline END-TO-END (the transcripts-axis
+    flagship — every stage is an independently-oracled operator and
+    this query pins their COMPOSITION): sessionize (>30-min gaps) →
+    session template dedup (keep the FIRST (conv, sess) per canonical
+    digit-templated role:text sequence) → echo filter (drop a session
+    whose assistant turns echo strictly more than half their distinct
+    tokens from the preceding user turn) → context-budget truncation
+    (keep each survivor's longest most-recent turn suffix fitting 64
+    tokens). Output: the 4-row integer funnel
+    (stage, n_sessions, n_turns, n_tokens) a curation run reports.
+
+    Shape: ONE conv-hash exchange does ALL per-session derivation
+    (sessions are conv-local): gap-cumsum sessionize, RE2 templating,
+    arrow binary_join canonicalization, grouped-shift echo pairing,
+    segmented suffix cumsum budget — per-partition, columnar. The only
+    other exchange moves one compact session STAT row (content string
+    for the dedup decide + 6 ints) to its content-hash partition;
+    winners resolve there (min (conv, sess) per group) and only the
+    4×4 funnel partials fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    B = CONTEXT_BUDGET_TOKENS
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(t["text"], r"[0-9]+", "#")
+        line = pc.binary_join_element_wise(t["role"], norm, ":")
+        return pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                         "role": t["role"], "text": t["text"],
+                         "ts": t["ts"], "line": line})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        cv = t["conv_id"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(cv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(16)).astype(np.int64)))
+
+    def per_session(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        ts_us = g["ts"].astype("datetime64[us]").to_numpy().astype("int64")
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > 1_800_000_000
+        brk = new | gap
+        sess = np.cumsum(brk) - 1  # global session ordinal (partition-local)
+        # per-conv session index for the deterministic dedup order:
+        # sess minus the conv's first session ordinal (new marks conv
+        # starts and row 0 is always new, so the running max is exact)
+        starts = np.flatnonzero(brk)
+        sess_in_conv = sess - np.maximum.accumulate(np.where(new, sess, 0))
+        ntok = g["text"].str.count(r"[^ ]+").to_numpy(np.int64)
+
+        # canonical content per session
+        offsets = np.append(starts, n).astype(np.int32)
+        flat = pa.array(g["line"].to_numpy(), pa.string())
+        content = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat),
+            "\n").to_numpy(zero_copy_only=False)
+
+        # echo mass per session: user → next-assistant pairs WITHIN the
+        # session (grouped shift keyed on the session ordinal)
+        d = pd.DataFrame({"sess": sess, "role": g["role"].to_numpy(),
+                          "text": g["text"].to_numpy()})
+        grp = d.groupby("sess", sort=False)
+        nrole = grp["role"].shift(-1)
+        ntext = grp["text"].shift(-1)
+        keep = (d["role"] == "user") & (nrole == "assistant")
+        ut = d.loc[keep, "text"].reset_index(drop=True)
+        at = ntext[keep].reset_index(drop=True)
+        pair_sess = d.loc[keep, "sess"].to_numpy()
+
+        def toks(s: pd.Series) -> pd.DataFrame:
+            e = s.str.split(" ").explode()
+            dd = pd.DataFrame({"pid": e.index.to_numpy(),
+                               "tok": e.to_numpy()})
+            dd = dd[dd["tok"].notna() & (dd["tok"] != "")]
+            return dd.drop_duplicates()
+
+        A, U = toks(at), toks(ut)
+        ov = A.merge(U, on=["pid", "tok"]).groupby("pid").size()
+        na = A.groupby("pid").size()
+        pid = np.arange(len(ut))
+        pairs = pd.DataFrame({
+            "sess": pair_sess,
+            "ovl": ov.reindex(pid, fill_value=0).to_numpy(np.int64),
+            "asst": na.reindex(pid, fill_value=0).to_numpy(np.int64)})
+        echo = pairs.groupby("sess").agg(ovl=("ovl", "sum"),
+                                         asst=("asst", "sum"))
+
+        # budget suffix per session (segmented suffix cumsum over rows
+        # sorted session-asc, turn-desc)
+        order = np.lexsort((-g["turn_idx"].to_numpy(), sess))
+        s_ntok = ntok[order]
+        s_sess = sess[order]
+        s_new = np.ones(n, dtype=bool)
+        s_new[1:] = s_sess[1:] != s_sess[:-1]
+        cs = np.cumsum(s_ntok)
+        idx = np.arange(n)
+        st = np.maximum.accumulate(np.where(s_new, idx, 0))
+        suf = cs - (cs[st] - s_ntok[st])
+        kept = suf <= B
+        bud = pd.DataFrame({"sess": s_sess,
+                            "n_kept": kept.astype(np.int64),
+                            "tok_kept": np.where(kept, s_ntok, 0)}) \
+                .groupby("sess").sum()
+
+        per = pd.DataFrame({
+            "sess": sess, "ntok": ntok,
+            "conv_id": conv, "sess_in_conv": sess_in_conv})
+        agg = per.groupby("sess").agg(
+            conv_id=("conv_id", "first"),
+            sess_in_conv=("sess_in_conv", "first"),
+            n_turns=("ntok", "size"), n_tokens=("ntok", "sum"))
+        agg["content"] = content
+        agg = agg.join(echo, how="left").fillna(0)
+        agg = agg.join(bud, how="left")
+        out = agg.reset_index(drop=True)
+        for c in ["sess_in_conv", "n_turns", "n_tokens", "ovl", "asst",
+                  "n_kept", "tok_kept"]:
+            out[c] = out[c].astype("int64")
+        return out[["conv_id", "sess_in_conv", "content", "n_turns",
+                    "n_tokens", "ovl", "asst", "n_kept", "tok_kept"]]
+
+    sessions = (ds.map_batches(prep, batch_format="pyarrow")
+                  .map_batches(add_part, batch_format="pyarrow")
+                  .groupby("__p")
+                  .map_groups(arrow_out(per_session),
+                              batch_format="pandas"))
+
+    def add_cpart(t: pa.Table) -> pa.Table:
+        cv = t["content"].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(cv.astype("U"))
+        return t.append_column(
+            "__p", pa.array((h % np.uint64(32)).astype(np.int64)))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        # dedup winners: first (conv_id, sess_in_conv) per content
+        g = g.sort_values(["content", "conv_id", "sess_in_conv"],
+                          kind="mergesort")
+        first = np.ones(len(g), dtype=bool)
+        cv = g["content"].to_numpy()
+        first[1:] = cv[1:] != cv[:-1]
+        w = g[first]
+        # echo filter: drop sessions echoing strictly more than half
+        surv = w[2 * w["ovl"].to_numpy() <= w["asst"].to_numpy()]
+        rows = [
+            ("1_ingested", len(g), int(g["n_turns"].sum()),
+             int(g["n_tokens"].sum())),
+            ("2_deduped", len(w), int(w["n_turns"].sum()),
+             int(w["n_tokens"].sum())),
+            ("3_echo_filtered", len(surv), int(surv["n_turns"].sum()),
+             int(surv["n_tokens"].sum())),
+            ("4_budgeted", len(surv), int(surv["n_kept"].sum()),
+             int(surv["tok_kept"].sum())),
+        ]
+        return pd.DataFrame(rows, columns=["stage", "n_sessions",
+                                           "n_turns", "n_tokens"])
+
+    partials = (sessions.map_batches(add_cpart, batch_format="pyarrow")
+                        .groupby("__p")
+                        .map_groups(arrow_out(funnel),
+                                    batch_format="pandas"))
+    return compact_groupby(
+        partials, keys=["stage"],
+        sum_cols={"n_sessions": "n_sessions", "n_turns": "n_turns",
+                  "n_tokens": "n_tokens"})
+
+
+SQL_CONV_CURATION_E2E = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + f"""
+, g AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM transcripts
+), s AS (
+  SELECT conv_id, turn_idx, role, text,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS sess,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+  FROM g
+), pairs AS (
+  SELECT conv_id, sess,
+         list_distinct(list_filter(string_split(
+             lead(text) OVER w, ' '), t -> t <> '')) AS atoks,
+         list_distinct(list_filter(string_split(text, ' '),
+                                   t -> t <> '')) AS utoks,
+         role, lead(role) OVER w AS nrole
+  FROM s
+  WINDOW w AS (PARTITION BY conv_id, sess ORDER BY turn_idx)
+), echo AS (
+  SELECT conv_id, sess,
+         COALESCE(SUM(len(list_intersect(atoks, utoks)))
+                  FILTER (WHERE role = 'user' AND nrole = 'assistant'),
+                  0) AS ovl,
+         COALESCE(SUM(len(atoks))
+                  FILTER (WHERE role = 'user' AND nrole = 'assistant'),
+                  0) AS asst
+  FROM pairs GROUP BY 1, 2
+), sfx AS (
+  SELECT conv_id, sess, ntok,
+         SUM(ntok) OVER (PARTITION BY conv_id, sess ORDER BY turn_idx DESC
+                         ROWS UNBOUNDED PRECEDING) AS sufsum
+  FROM s
+), bud AS (
+  SELECT conv_id, sess,
+         COUNT(*) FILTER (WHERE sufsum <= {CONTEXT_BUDGET_TOKENS}) AS n_kept,
+         COALESCE(SUM(ntok) FILTER (WHERE sufsum <= {CONTEXT_BUDGET_TOKENS}),
+                  0) AS tok_kept
+  FROM sfx GROUP BY 1, 2
+), per AS (
+  SELECT conv_id, sess,
+         string_agg(role || ':' || regexp_replace(text, '[0-9]+', '#', 'g'),
+                    chr(10) ORDER BY turn_idx) AS content,
+         count(*) AS n_turns, SUM(ntok) AS n_tokens
+  FROM s GROUP BY 1, 2
+), full0 AS (
+  SELECT p.*, e.ovl, e.asst, b.n_kept, b.tok_kept,
+         row_number() OVER (PARTITION BY p.content
+                            ORDER BY p.conv_id, p.sess) AS rn
+  FROM per p
+  JOIN echo e ON e.conv_id = p.conv_id AND e.sess = p.sess
+  JOIN bud b ON b.conv_id = p.conv_id AND b.sess = p.sess
+), w AS (SELECT * FROM full0 WHERE rn = 1),
+surv AS (SELECT * FROM w WHERE 2 * ovl <= asst)
+SELECT * FROM (
+  SELECT '1_ingested' AS stage, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(COALESCE(SUM(n_turns), 0) AS BIGINT) AS n_turns,
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM full0
+  UNION ALL
+  SELECT '2_deduped', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_turns), 0) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM w
+  UNION ALL
+  SELECT '3_echo_filtered', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_turns), 0) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM surv
+  UNION ALL
+  SELECT '4_budgeted', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_kept), 0) AS BIGINT),
+         CAST(COALESCE(SUM(tok_kept), 0) AS BIGINT) FROM surv
+) t
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15068,6 +15321,7 @@ QUERIES = {
     "conv_context_growth": q_conv_context_growth,
     "events_cuped_parts": q_events_cuped_parts,
     "conv_template_dedup": q_conv_template_dedup,
+    "conv_curation_e2e": q_conv_curation_e2e,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15398,6 +15652,7 @@ ORACLES = {
     "conv_context_growth": SQL_CONV_CONTEXT_GROWTH,
     "events_cuped_parts": SQL_EVENTS_CUPED_PARTS,
     "conv_template_dedup": SQL_CONV_TEMPLATE_DEDUP,
+    "conv_curation_e2e": SQL_CONV_CURATION_E2E,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

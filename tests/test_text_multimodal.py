@@ -1305,3 +1305,61 @@ def test_conv_template_dedup_session_split_and_templating(tmp_path):
     out = q_conv_template_dedup(str(tmp_path)).to_pandas()
     got = {r.group_size: r.n_groups for r in out.itertuples()}
     assert got == {2: (1), 1: (1)}
+
+
+def test_conv_curation_e2e_funnel_composition(tmp_path):
+    """E2E curation funnel pins the STAGE COMPOSITION: the dedup
+    winner is chosen BEFORE the echo filter runs (a duplicate session
+    that would fail the echo filter is removed by dedup, and the
+    surviving first-(conv, sess) winner is the one the filter judges);
+    exactly-half echo overlap survives (strictly-more-than-half
+    drops); a zero-pair session survives (0 <= 0); and the budget
+    keeps the suffix at EXACTLY 64 tokens but drops the turn that
+    crosses it."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_conv_curation_e2e,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    # conv1 (user 1): signup→purchase twice, split by a 31-min gap.
+    #   Session A (eids 10, 20): lat 15 vs 25, status 203 vs 206 →
+    #   echo overlap {INFO} = 1 of 4 → 2*1 <= 4 survives.
+    #   Session B (eids 30, 44): lat 30 = 30, status 202 = 202 →
+    #   overlap {INFO, latency_ms=30, status=202} = 3 of 4 → would be
+    #   echo-dropped IF it won dedup. Same digit template as A.
+    # conv2 (user 2): ONE signup→purchase session (exact-30-min gap
+    #   does NOT split), same template, echo-heavy like B → deduped.
+    #   Dedup winner of the 3-member group = (conv1, sess 0) = A.
+    # conv3 (user 3): 17 view turns (tool role → no user→assistant
+    #   pair → ovl=asst=0 survives), 4 tokens each = 68 > 64 → budget
+    #   keeps the most-recent 16 turns (exactly 64 tokens).
+    eids = [10, 20, 30, 44, 100, 114] + [
+        1000 + 10 * (i // 5) + (i % 5) for i in range(17)]
+    ts = [base, base + 1 * M, base + 32 * M, base + 33 * M,
+          base, base + 30 * M] + [base + i * M for i in range(17)]
+    uids = [1, 1, 1, 1, 2, 2] + [3] * 17
+    etypes = ["signup", "purchase"] * 2 + ["signup", "purchase"] + [
+        "view"] * 17
+    vals = [1.5, 2.5, 3.0, 3.04, 4.0, 4.04] + [1.0] * 17
+    t = pa.table({
+        "event_id": pa.array(eids, pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array(uids, pa.int64()),
+        "event_type": etypes,
+        "value": vals,
+        "props": ["{}"] * len(eids),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_conv_curation_e2e(str(tmp_path)).to_pandas()
+    got = {r.stage: (r.n_sessions, r.n_turns, r.n_tokens)
+           for r in out.itertuples()}
+    assert got == {
+        "1_ingested": (4, 23, 92),
+        "2_deduped": (2, 19, 76),
+        "3_echo_filtered": (2, 19, 76),
+        "4_budgeted": (2, 18, 72),
+    }
