@@ -15139,6 +15139,58 @@ SELECT * FROM (
 )
 
 
+def q_conv_repeated_questions(sf_dir: str):
+    """Repeated-user-question spectrum (the frustration / unresolved-
+    intent audit a chat platform runs: how often does a user re-ask
+    the same thing within ONE conversation): user turns template with
+    the RE2 digit collapse (values differing only in numbers are the
+    same question), each (conv_id, template) pair counts its asks
+    through hash_groupby_agg's per-block combiner + ONE pair-hash
+    exchange (the template string moves once as the group key — the
+    100 TB swap-in hashes (conv, template) to 128 bits before the
+    exchange, as in conv_template_dedup), and the ask_count → n_pairs
+    spectrum folds compactly. Cross-conversation repeats do NOT count
+    (pinned by hand test) — that is docs-style dedup, not this audit."""
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["role"], "user"))
+        templ = pc.replace_substring_regex(f["text"], r"[0-9]+", "#")
+        return pa.table({
+            "conv_id": f["conv_id"], "templ": templ,
+            "one": pa.array(np.ones(f.num_rows, np.int64))})
+
+    pairs = hash_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["conv_id", "templ"], {"one": ("sum", "ask_count")})
+
+    def spectrum(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ask_count": t["ask_count"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return compact_groupby(
+        pairs.map_batches(spectrum, batch_format="pyarrow"),
+        keys=["ask_count"], sum_cols={"one": "n_pairs"})
+
+
+SQL_CONV_REPEATED_QUESTIONS = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, asks AS (
+  SELECT conv_id, regexp_replace(text, '[0-9]+', '#', 'g') AS templ,
+         CAST(count(*) AS BIGINT) AS ask_count
+  FROM transcripts WHERE role = 'user'
+  GROUP BY 1, 2
+)
+SELECT ask_count, CAST(count(*) AS BIGINT) AS n_pairs
+FROM asks GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15322,6 +15374,7 @@ QUERIES = {
     "events_cuped_parts": q_events_cuped_parts,
     "conv_template_dedup": q_conv_template_dedup,
     "conv_curation_e2e": q_conv_curation_e2e,
+    "conv_repeated_questions": q_conv_repeated_questions,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15653,6 +15706,7 @@ ORACLES = {
     "events_cuped_parts": SQL_EVENTS_CUPED_PARTS,
     "conv_template_dedup": SQL_CONV_TEMPLATE_DEDUP,
     "conv_curation_e2e": SQL_CONV_CURATION_E2E,
+    "conv_repeated_questions": SQL_CONV_REPEATED_QUESTIONS,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1363,3 +1363,38 @@ def test_conv_curation_e2e_funnel_composition(tmp_path):
         "3_echo_filtered": (2, 19, 76),
         "4_budgeted": (2, 18, 72),
     }
+
+
+def test_conv_repeated_questions_templating_and_scope(tmp_path):
+    """Repeated-question pins: digit-differing user turns collapse to
+    the same template and count as a repeat; the SAME question in a
+    DIFFERENT conversation does not (per-conv scope); assistant/tool
+    turns never count as questions."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_conv_repeated_questions,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    # conv1 (user 1): clicks eid 11 & 21 (user role, bucket-1 logline,
+    #   digits differ → same '#' template → ask_count 2), signup eid 31
+    #   (user, distinct template → ask_count 1), view eid 41 (tool role
+    #   → ignored).
+    # conv2 (user 2): click eid 101 → SAME click template but its own
+    #   conv → its own pair with ask_count 1; purchase eid 111
+    #   (assistant role → ignored).
+    t = pa.table({
+        "event_id": pa.array([11, 21, 31, 41, 101, 111], pa.int64()),
+        "ts": pa.array([base + i * M for i in range(6)]),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_type": ["click", "click", "signup", "view",
+                       "click", "purchase"],
+        "value": [1.5, 2.5, 3.5, 4.5, 5.5, 6.5],
+        "props": ["{}"] * 6,
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_conv_repeated_questions(str(tmp_path)).to_pandas()
+    got = {r.ask_count: r.n_pairs for r in out.itertuples()}
+    assert got == {2: 1, 1: 2}
