@@ -15191,6 +15191,114 @@ FROM asks GROUP BY 1
 )
 
 
+def q_docs_winnowing(sf_dir: str):
+    """Winnowing fingerprint ledger (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS plagiarism-detector selection rule; SURVEY §2.9
+    fingerprinting family): per document, k-gram (k=8) Karp-Rabin
+    hashes → window (w=4) minimum with RIGHTMOST tie → distinct
+    selected positions are the fingerprints (stages/text.py
+    winnow_fingerprints — brute-force-verified bit-exact incl.
+    empty/short docs). Report: the 3-integer global ledger
+    (n_fps, n_hashes, n_shared_hashes across ≥2 docs).
+
+    Scale shape: text NEVER shuffles — fingerprints compute per batch;
+    each doc lives in one row so per-batch (hash → n_pos, n_docs)
+    partials are exact, and ONE fp-hash exchange
+    (hash_groupby_agg) folds them; the final fold moves 3 ints per
+    block. The DuckDB twin re-derives every k-gram hash from hex byte
+    pairs with the same mod-2^64 polynomial (the _cdc_sql machinery)
+    and replays the window/tie rule with an explicit window self-join,
+    so cross-engine distinctness is exact integer arithmetic."""
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.text import winnow_fingerprints
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        fps = winnow_fingerprints(t, k=8, w=4)
+        df = pd.DataFrame({"fp_hash": fps["fp_hash"].to_numpy(),
+                           "doc_id": fps["doc_id"].to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby("fp_hash").agg(
+            n_pos=("doc_id", "size"), nd=("doc_id", "nunique"))
+        return pa.table({
+            "fp_hash": pa.array(g.index.to_numpy()),
+            "n_pos": pa.array(g["n_pos"].to_numpy(np.int64)),
+            "nd": pa.array(g["nd"].to_numpy(np.int64))})
+
+    perh = hash_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["fp_hash"], {"n_pos": ("sum", "n_pos"), "nd": ("sum", "nd")},
+        num_partitions=16)
+
+    def part(t: pa.Table) -> pa.Table:
+        npos = pc.cast(t["n_pos"], pa.int64())
+        nd = pc.cast(t["nd"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_fps": pa.array([pc.sum(npos).as_py() or 0], pa.int64()),
+            "n_hashes": pa.array([t.num_rows], pa.int64()),
+            "n_shared_hashes": pa.array([int((nd >= 2).sum())],
+                                        pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array([pc.sum(t[c]).as_py() or 0],
+                                     pa.int64())
+                         for c in t.column_names})
+
+    return (perh.map_batches(part, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(final, batch_format="pyarrow",
+                             batch_size=None))
+
+
+def _winnowing_sql(k: int = 8, w: int = 4) -> str:
+    base = np.uint64(1099511628211)
+    pows = [int(base ** np.uint64(i)) for i in range(k)]
+
+    def hv(c: str) -> str:
+        return (f"(CASE WHEN {c}='' THEN 0 WHEN ascii({c})>=65 "
+                f"THEN ascii({c})-55 ELSE ascii({c})-48 END)")
+
+    def byte_at(p: str) -> str:
+        return (f"(16*{hv(f'substring(h, 2*({p})-1, 1)')}"
+                f" + {hv(f'substring(h, 2*({p}), 1)')})")
+
+    terms = " + ".join(f"{byte_at(f'j+{i}')} * {pows[i]}::HUGEINT"
+                       for i in range(k))
+    return f"""
+WITH d AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                  octet_length(encode(coalesce(text, ''))) AS n
+           FROM documents),
+pos AS (SELECT doc_id, h, n,
+        unnest(range(1, greatest(n - {k - 2}, 2))) AS j FROM d),
+hh AS (SELECT doc_id, j,
+       ({terms}) % 18446744073709551616::HUGEINT AS hv FROM pos),
+np_ AS (SELECT doc_id, max(j) AS npos FROM hh GROUP BY 1),
+wins AS (SELECT h.doc_id, h.j FROM hh h
+         JOIN np_ p ON p.doc_id = h.doc_id
+         WHERE h.j <= greatest(p.npos - {w - 1}, 1)),
+memb AS (SELECT w.doc_id, w.j, h.j AS p, h.hv
+         FROM wins w JOIN hh h ON h.doc_id = w.doc_id
+                              AND h.j BETWEEN w.j AND w.j + {w - 1}),
+mins AS (SELECT doc_id, j, min(hv) AS mh FROM memb GROUP BY 1, 2),
+sel AS (SELECT m.doc_id, max(me.p) AS sp
+        FROM mins m JOIN memb me ON me.doc_id = m.doc_id
+                                AND me.j = m.j AND me.hv = m.mh
+        GROUP BY m.doc_id, m.j),
+fps AS (SELECT DISTINCT s.doc_id, s.sp, h.hv
+        FROM sel s JOIN hh h ON h.doc_id = s.doc_id AND h.j = s.sp),
+perh AS (SELECT hv, count(*) AS n_pos, count(DISTINCT doc_id) AS nd
+         FROM fps GROUP BY 1)
+SELECT CAST(COALESCE(SUM(n_pos), 0) AS BIGINT) AS n_fps,
+       CAST(count(*) AS BIGINT) AS n_hashes,
+       CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_shared_hashes
+FROM perh
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15375,6 +15483,7 @@ QUERIES = {
     "conv_template_dedup": q_conv_template_dedup,
     "conv_curation_e2e": q_conv_curation_e2e,
     "conv_repeated_questions": q_conv_repeated_questions,
+    "docs_winnowing": q_docs_winnowing,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15707,6 +15816,7 @@ ORACLES = {
     "conv_template_dedup": SQL_CONV_TEMPLATE_DEDUP,
     "conv_curation_e2e": SQL_CONV_CURATION_E2E,
     "conv_repeated_questions": SQL_CONV_REPEATED_QUESTIONS,
+    "docs_winnowing": _winnowing_sql(),
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

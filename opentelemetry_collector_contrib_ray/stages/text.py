@@ -254,6 +254,58 @@ def rolling_fingerprint(t: pa.Table, col: str = "text", window: int = 16,
     return set_column(t, out, pa.array(mins.view(np.int64)))
 
 
+def winnow_fingerprints(t: pa.Table, col: str = "text", k: int = 8,
+                        w: int = 4, doc_col: str = "doc_id") -> pa.Table:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local document fingerprinting algorithm): over each
+    document's k-gram Karp-Rabin hash sequence (``_window_hashes``),
+    slide a window of ``w`` consecutive hashes and select the minimum,
+    breaking ties by the RIGHTMOST position; the fingerprint set is
+    the distinct selected positions. Guarantees every match of length
+    ≥ w+k−1 is caught while sampling ~2/(w+1) of positions.
+
+    Fully vectorized: all docs' hash runs lie in one max-padded buffer
+    (pads are uint64-max so they never win a min), windows come from
+    one ``sliding_window_view``, the rightmost-tie argmin is one
+    reversed-equality argmax, and position dedup is one ``np.unique``.
+    A doc with fewer than ``w`` k-grams gets ONE window over its real
+    hashes (classic boundary rule). Returns one row per fingerprint:
+    (doc_id, fp_pos 1-based, fp_hash int64 bit-view of the uint64)."""
+    if t.num_rows == 0:
+        return pa.table({doc_col: t[doc_col],
+                         "fp_pos": pa.array([], pa.int64()),
+                         "fp_hash": pa.array([], pa.int64())})
+    hv, _, counts = _window_hashes(t[col], k)
+    counts = counts.astype(np.int64)
+    padc = np.maximum(counts, w)
+    seg = np.cumsum(padc) - padc
+    buf = np.full(int(padc.sum()), np.uint64(0xFFFFFFFFFFFFFFFF),
+                  dtype=np.uint64)
+    intra, _ = _ragged_arange(counts)
+    buf[np.repeat(seg, counts) + intra] = hv
+
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(buf, w)
+    nwin = padc - w + 1
+    intra_w, _ = _ragged_arange(nwin)
+    starts = np.repeat(seg, nwin) + intra_w
+    wv = win[starts]
+    m = wv.min(axis=1)
+    rt = w - 1 - np.argmax(wv[:, ::-1] == m[:, None], axis=1)
+    selpos = starts + rt
+    docw = np.repeat(np.arange(len(counts)), nwin)
+    uniq_pos, first_idx = np.unique(selpos, return_index=True)
+    doc_sel = docw[first_idx]
+    ids = t[doc_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        doc_col: ids.take(pa.array(doc_sel)),
+        "fp_pos": pa.array((uniq_pos - seg[doc_sel] + 1).astype(np.int64)),
+        "fp_hash": pa.array(buf[uniq_pos].view(np.int64)),
+    })
+
+
 def top_terms(ds, col: str = "text", k: int = 20, num_partitions: int = 64):
     """Corpus-wide term frequencies, top-k: per-batch pandas
     value_counts (combiner) → term-hash partition merge → global

@@ -1398,3 +1398,48 @@ def test_conv_repeated_questions_templating_and_scope(tmp_path):
     out = q_conv_repeated_questions(str(tmp_path)).to_pandas()
     got = {r.ask_count: r.n_pairs for r in out.itertuples()}
     assert got == {2: 1, 1: 2}
+
+
+def test_winnow_fingerprints_brute_force_and_rightmost_tie():
+    """Winnowing (Schleimer 2003) pins: bit-exact equality with a
+    per-position brute force over random short docs (incl. empty and
+    sub-window docs), and the RIGHTMOST-tie rule — an all-identical
+    doc ('a'*12, every 8-gram hash equal) selects positions {4, 5}
+    (leftmost-tie would select {1, 2})."""
+    from opentelemetry_collector_contrib_ray.stages.text import (
+        winnow_fingerprints,
+    )
+
+    K, W = 8, 4
+    rng = np.random.default_rng(7)
+    docs = ["".join(rng.choice(list("abcd "), int(rng.integers(0, 40))))
+            for _ in range(120)]
+    docs += ["", "abc", "a" * 12, "abcabcabcabcabcab"]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(len(docs))],
+                  "text": docs})
+    out = winnow_fingerprints(t, k=K, w=W)
+
+    BASE = np.uint64(1099511628211)
+    exp = set()
+    for i, s in enumerate(docs):
+        b = s.encode()
+        n = len(b)
+        hs = []
+        for j in range(max(n - K + 1, 1)):
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for kk in range(K):
+                    byte = b[j + kk] if j + kk < n else 0
+                    h = h + np.uint64(byte) * (BASE ** np.uint64(kk))
+            hs.append(int(h))
+        for j in range(max(len(hs) - W + 1, 1)):
+            wvals = hs[j:j + W]
+            mn = min(wvals)
+            p = j + max(ix for ix, v in enumerate(wvals) if v == mn)
+            exp.add((f"d{i}", p + 1, mn))
+    got = {(d, p, int(np.uint64(np.int64(h)))) for d, p, h in zip(
+        out["doc_id"].to_pylist(), out["fp_pos"].to_pylist(),
+        out["fp_hash"].to_pylist())}
+    assert got == exp
+    tie = {p for d, p, _ in got if d == f"d{len(docs) - 2}"}
+    assert tie == {4, 5}
