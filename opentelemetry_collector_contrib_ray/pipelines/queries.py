@@ -15299,6 +15299,85 @@ FROM perh
 """
 
 
+_GOPHER_FLAGS = ["words_ok", "mean_word_len_ok", "symbol_ratio_ok",
+                 "bullet_ok", "ellipsis_ok", "alpha_words_ok",
+                 "stopwords_ok"]
+
+
+def q_docs_filter_ablation(sf_dir: str):
+    """Quality-filter ablation report (the before-you-cut-a-rule
+    analysis a curation run consults: which Gopher rule rejects how
+    much, and how much would come BACK if that one rule were dropped):
+    per rule, n_fail (docs failing it) and n_unique_fail (docs failing
+    ONLY it — exactly the docs a single-rule ablation recovers, since
+    every other rule already passes them). Flags come from the same
+    stages/text.py gopher_rules pass as docs_gopher_quality; the
+    fail-count and unique-fail masks are one vectorized per-batch
+    numpy step, and only 7 (rule, n_fail, n_unique) partial rows per
+    block fold through compact_groupby — zero wide exchange."""
+    from ..stages.agg import compact_groupby
+    from ..stages.text import gopher_rules
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = gopher_rules(t, min_words=10)
+        fails = np.stack([
+            1 - pc.cast(g[f], pa.int64()).to_numpy(zero_copy_only=False)
+            for f in _GOPHER_FLAGS])
+        nfail = fails.sum(axis=0)
+        uniq = fails * (nfail == 1)
+        return pa.table({
+            "rule": pa.array(_GOPHER_FLAGS, pa.string()),
+            "n_fail": pa.array(fails.sum(axis=1).astype(np.int64)),
+            "n_unique_fail": pa.array(uniq.sum(axis=1).astype(np.int64)),
+        })
+
+    return compact_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["rule"], sum_cols={"n_fail": "n_fail",
+                                 "n_unique_fail": "n_unique_fail"})
+
+
+SQL_DOCS_FILTER_ABLATION = _GOPHER_CTE + r"""
+, fc AS (
+  SELECT words_ok, mean_word_len_ok, symbol_ratio_ok, bullet_ok,
+         ellipsis_ok, alpha_words_ok, stopwords_ok,
+         7 - (words_ok + mean_word_len_ok + symbol_ratio_ok + bullet_ok
+              + ellipsis_ok + alpha_words_ok + stopwords_ok) AS nfail
+  FROM f
+)
+SELECT 'words_ok' AS rule,
+       CAST(SUM(1 - words_ok) AS BIGINT) AS n_fail,
+       CAST(SUM(CASE WHEN words_ok = 0 AND nfail = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unique_fail FROM fc
+UNION ALL
+SELECT 'mean_word_len_ok', CAST(SUM(1 - mean_word_len_ok) AS BIGINT),
+       CAST(SUM(CASE WHEN mean_word_len_ok = 0 AND nfail = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM fc
+UNION ALL
+SELECT 'symbol_ratio_ok', CAST(SUM(1 - symbol_ratio_ok) AS BIGINT),
+       CAST(SUM(CASE WHEN symbol_ratio_ok = 0 AND nfail = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM fc
+UNION ALL
+SELECT 'bullet_ok', CAST(SUM(1 - bullet_ok) AS BIGINT),
+       CAST(SUM(CASE WHEN bullet_ok = 0 AND nfail = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM fc
+UNION ALL
+SELECT 'ellipsis_ok', CAST(SUM(1 - ellipsis_ok) AS BIGINT),
+       CAST(SUM(CASE WHEN ellipsis_ok = 0 AND nfail = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM fc
+UNION ALL
+SELECT 'alpha_words_ok', CAST(SUM(1 - alpha_words_ok) AS BIGINT),
+       CAST(SUM(CASE WHEN alpha_words_ok = 0 AND nfail = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM fc
+UNION ALL
+SELECT 'stopwords_ok', CAST(SUM(1 - stopwords_ok) AS BIGINT),
+       CAST(SUM(CASE WHEN stopwords_ok = 0 AND nfail = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM fc
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15484,6 +15563,7 @@ QUERIES = {
     "conv_curation_e2e": q_conv_curation_e2e,
     "conv_repeated_questions": q_conv_repeated_questions,
     "docs_winnowing": q_docs_winnowing,
+    "docs_filter_ablation": q_docs_filter_ablation,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15817,6 +15897,7 @@ ORACLES = {
     "conv_curation_e2e": SQL_CONV_CURATION_E2E,
     "conv_repeated_questions": SQL_CONV_REPEATED_QUESTIONS,
     "docs_winnowing": _winnowing_sql(),
+    "docs_filter_ablation": SQL_DOCS_FILTER_ABLATION,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

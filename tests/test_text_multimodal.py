@@ -1443,3 +1443,44 @@ def test_winnow_fingerprints_brute_force_and_rightmost_tie():
     assert got == exp
     tie = {p for d, p, _ in got if d == f"d{len(docs) - 2}"}
     assert tie == {4, 5}
+
+
+def test_docs_filter_ablation_unique_fail_semantics(tmp_path):
+    """Ablation pins: n_unique_fail counts docs failing EXACTLY that
+    one rule (a doc failing two rules contributes to both n_fail
+    columns but to neither n_unique_fail), verified differentially
+    against the gopher_rules flags themselves."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        _GOPHER_FLAGS,
+        q_docs_filter_ablation,
+    )
+    from opentelemetry_collector_contrib_ray.stages.text import gopher_rules
+
+    good = ("this is a fine document that we have written with care and "
+            "the words flow to be of reasonable length " * 3)
+    docs = [good,                       # passes everything
+            "- one\n- two\n- three",    # bullets AND too few words
+            good + " ............................",  # symbols only? or more
+            # 3-char words keep mean word length in range → fails ONLY
+            # the stopword rule
+            "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg"]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(len(docs))],
+                  "text": docs})
+    flags = gopher_rules(t, min_words=10)
+    fails = {f: (1 - np.asarray(flags[f].to_pylist(), dtype=int))
+             for f in _GOPHER_FLAGS}
+    nfail = sum(fails.values())
+    exp = {f: (int(fails[f].sum()),
+               int((fails[f] * (nfail == 1)).sum()))
+           for f in _GOPHER_FLAGS}
+    # the fixture must actually exercise both sides: at least one doc
+    # failing exactly one rule and one failing more than one
+    assert (nfail == 1).any() and (nfail > 1).any()
+
+    pq.write_table(t.append_column("source", pa.array(["s"] * len(docs))),
+                   tmp_path / "documents.parquet")
+    out = q_docs_filter_ablation(str(tmp_path)).to_pandas()
+    got = {r.rule: (r.n_fail, r.n_unique_fail) for r in out.itertuples()}
+    assert got == exp
