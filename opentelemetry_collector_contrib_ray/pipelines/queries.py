@@ -15378,6 +15378,64 @@ SELECT 'stopwords_ok', CAST(SUM(1 - stopwords_ok) AS BIGINT),
 """
 
 
+def q_conv_error_position(sf_dir: str):
+    """Failure-density-by-position audit (do conversations derail as
+    they run long — the 'late-conversation degradation' panel an agent
+    platform tracks): each turn lands in its within-conversation
+    position tercile ⌊3·turn_idx / n_turns⌋ (0 = early, 2 = late), and
+    per tercile the report carries (n_turns, n_hits) where a hit is a
+    5xx status in the turn text (RE2 ``status=5[0-9][0-9]`` — the
+    same kernel family as the PII scans). Integer pair keeps the rate
+    a driver division. ONE conv-hash exchange (n_turns is per-conv
+    state); the tercile rollup folds 3 compact rows per partition."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        hit = pc.cast(pc.match_substring_regex(
+            t["text"], r"status=5[0-9][0-9]"), pa.int64())
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "hit": hit})
+
+    def terciles(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("conv_id")["turn_idx"].transform("size").to_numpy()
+        terc = (3 * g["turn_idx"].to_numpy()) // n
+        return pd.DataFrame({"tercile": terc.astype(np.int64),
+                             "one": np.ones(len(g), np.int64),
+                             "hit": g["hit"].to_numpy()})
+
+    per = (ds.map_batches(prep, batch_format="pyarrow")
+             .map_batches(_add_part(["conv_id"], 64),
+                          batch_format="pyarrow")
+             .groupby("__p")
+             .map_groups(arrow_out(terciles), batch_format="pandas"))
+    return compact_groupby(per, keys=["tercile"],
+                           sum_cols={"one": "n_turns", "hit": "n_hits"})
+
+
+SQL_CONV_ERROR_POSITION = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, s AS (
+  SELECT turn_idx,
+         CASE WHEN regexp_matches(text, 'status=5[0-9][0-9]')
+              THEN 1 ELSE 0 END AS hit,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM transcripts
+)
+SELECT CAST((3 * turn_idx) // n AS BIGINT) AS tercile,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(SUM(hit) AS BIGINT) AS n_hits
+FROM s GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15564,6 +15622,7 @@ QUERIES = {
     "conv_repeated_questions": q_conv_repeated_questions,
     "docs_winnowing": q_docs_winnowing,
     "docs_filter_ablation": q_docs_filter_ablation,
+    "conv_error_position": q_conv_error_position,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15898,6 +15957,7 @@ ORACLES = {
     "conv_repeated_questions": SQL_CONV_REPEATED_QUESTIONS,
     "docs_winnowing": _winnowing_sql(),
     "docs_filter_ablation": SQL_DOCS_FILTER_ABLATION,
+    "conv_error_position": SQL_CONV_ERROR_POSITION,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1484,3 +1484,29 @@ def test_docs_filter_ablation_unique_fail_semantics(tmp_path):
     out = q_docs_filter_ablation(str(tmp_path)).to_pandas()
     got = {r.rule: (r.n_fail, r.n_unique_fail) for r in out.itertuples()}
     assert got == exp
+
+
+def test_conv_error_position_tercile_math(tmp_path):
+    """Position-tercile pins: ⌊3·idx/n⌋ boundaries for n=4 (positions
+    0,0,1,2), a single-turn conversation lands in tercile 0, and only
+    5xx statuses count as hits (2xx view turns do not)."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_conv_error_position,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    t = pa.table({
+        "event_id": pa.array([11, 21, 31, 41, 51], pa.int64()),
+        "ts": pa.array([base, base + M, base + 2 * M, base + 3 * M, base]),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_type": ["view", "view", "error", "error", "error"],
+        "value": [1.0] * 5,
+        "props": ["{}"] * 5,
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_conv_error_position(str(tmp_path)).to_pandas()
+    got = {r.tercile: (r.n_turns, r.n_hits) for r in out.itertuples()}
+    assert got == {0: (3, 1), 1: (1, 1), 2: (1, 1)}
