@@ -15436,6 +15436,84 @@ FROM s GROUP BY 1
 )
 
 
+def q_docs_token_fertility(sf_dir: str):
+    """Tokenizer fertility by PREDICTED language (the multilingual
+    token-budget panel: how many BPE-ish tokens per word / per char
+    each language costs — fertility is THE number a tokenizer choice
+    is judged on, and at corpus scale there are no language labels, so
+    this composes LangId ∘ token_stats): per lang_pred the integer
+    quadruple (n_docs, sum_bpe, sum_ws, sum_chars); both fertility
+    ratios stay driver divisions. Zero wide exchange — both kernels
+    are per-batch, the rollup is a compact ≤|langs| fold. The SQL twin
+    is GENERATED from the same LangId profile table (the _langid_sql
+    construction, so the two can never drift) and counts BPE tokens
+    with the identical RE2 alternation, which pyarrow and DuckDB share
+    engine-for-engine."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = LangId()(t)
+        t = token_stats(t)
+        return pa.table({
+            "lang_pred": t["lang_pred"],
+            "bpe": t["n_tokens_bpe"], "ws": t["n_tokens_ws"],
+            "chars": t["n_chars_text"]})
+
+    return compact_groupby(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        keys=["lang_pred"],
+        sum_cols={"bpe": "sum_bpe", "ws": "sum_ws",
+                  "chars": "sum_chars"},
+        count_alias="n_docs")
+
+
+def _fertility_sql() -> str:
+    """SQL twin of q_docs_token_fertility — language scoring generated
+    from LangId.PROFILES exactly as in ``_langid_sql`` (same replace()
+    occurrence counting, same first-language tie win), with the
+    token_stats counting expressions attached per doc."""
+    langs = list(LangId.PROFILES)
+    score_expr = {}
+    for lang in langs:
+        terms = []
+        for m in LangId.PROFILES[lang]:
+            esc = m.replace("'", "''")
+            L = len(m)
+            diff = f"(length(p) - length(replace(p, '{esc}', '')))"
+            terms.append(diff if L == 1 else f"({diff} // {L})")
+        score_expr[lang] = " + ".join(terms)
+    scores = ",\n         ".join(f"{score_expr[l]} AS s_{l}" for l in langs)
+    zero = " AND ".join(f"s_{l} = 0" for l in langs)
+    arms = []
+    for i, l in enumerate(langs):
+        conds = [f"s_{l} >= s_{o}" for o in langs[i + 1:]]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{l}'"
+                    if conds else f"ELSE '{l}'")
+    case = "\n              ".join(arms)
+    return rf"""
+WITH padded AS (
+  SELECT coalesce(text, '') AS text,
+         ' ' || lower(coalesce(text, '')) || ' ' AS p FROM documents
+), scored AS (
+  SELECT text,
+         {scores}
+  FROM padded
+), pred AS (
+  SELECT text, CASE WHEN {zero} THEN 'unknown'
+              {case} END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(
+           text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))) AS BIGINT) AS sum_bpe,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_ws,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM pred GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15623,6 +15701,7 @@ QUERIES = {
     "docs_winnowing": q_docs_winnowing,
     "docs_filter_ablation": q_docs_filter_ablation,
     "conv_error_position": q_conv_error_position,
+    "docs_token_fertility": q_docs_token_fertility,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -15958,6 +16037,7 @@ ORACLES = {
     "docs_winnowing": _winnowing_sql(),
     "docs_filter_ablation": SQL_DOCS_FILTER_ABLATION,
     "conv_error_position": SQL_CONV_ERROR_POSITION,
+    "docs_token_fertility": _fertility_sql(),
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

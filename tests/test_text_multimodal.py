@@ -1510,3 +1510,41 @@ def test_conv_error_position_tercile_math(tmp_path):
     out = q_conv_error_position(str(tmp_path)).to_pandas()
     got = {r.tercile: (r.n_turns, r.n_hits) for r in out.itertuples()}
     assert got == {0: (3, 1), 1: (1, 1), 2: (1, 1)}
+
+
+def test_docs_token_fertility_composition(tmp_path):
+    """Fertility pins: grouping is by PREDICTED language (LangId ∘
+    token_stats composition), BPE counts split punctuation off words
+    (fr doc: 7 BPE vs 5 ws tokens), and the empty doc lands in
+    'unknown' with all-zero sums."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_token_fertility,
+    )
+
+    docs = [
+        ("the cat and the dog went to the park and it is nice", "en"),
+        ("le chat, et la maison est une belle chose de la vie.", "fr"),
+        ("", "unknown"),
+    ]
+    tok_re = re.compile(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]")
+    exp = {}
+    for text, lang in docs:
+        d = exp.setdefault(lang, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len(tok_re.findall(text))
+        d[2] += len(text.split())
+        d[3] += len(text)
+    # the fr doc must actually exercise the bpe-vs-ws split
+    assert exp["fr"][1] == exp["fr"][2] + 2
+
+    t = pa.table({"doc_id": [f"d{i}" for i in range(len(docs))],
+                  "text": [d[0] for d in docs]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_token_fertility(str(tmp_path)).to_pandas()
+    got = {r.lang_pred: [r.n_docs, r.sum_bpe, r.sum_ws, r.sum_chars]
+           for r in out.itertuples()}
+    assert got == exp
