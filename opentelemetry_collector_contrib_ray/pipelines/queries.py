@@ -15514,6 +15514,71 @@ FROM pred GROUP BY 1
 """
 
 
+def q_conv_tool_error_attribution(sf_dir: str):
+    """Tool→failure attribution (the which-tool-breaks-the-agent
+    report: for each tool, how many of its calls are IMMEDIATELY
+    followed by a system error turn in the same conversation): one
+    conv-hash exchange, per-partition lexsort + grouped shift(-1)
+    pairing (the adjacent-pair rail conv_echo_rate rides), the
+    next-turn error test is role=='system' AND a 5xx status in the
+    next text, and a conversation's LAST turn has no next (never
+    counts — pinned by hand test). Per tool the integer
+    (n_calls, n_next_error) pair keeps the failure rate a driver
+    division; partials fold through compact_groupby (≤|tools| rows)."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        err = pc.and_(
+            pc.equal(t["role"], "system"),
+            pc.match_substring_regex(t["text"], r"status=5[0-9][0-9]"))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "err": pc.cast(err, pa.int64())})
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nerr = g.groupby("conv_id", sort=False)["err"].shift(-1)
+        keep = g["tool"].to_numpy() != ""
+        return pd.DataFrame({
+            "tool": g["tool"].to_numpy()[keep],
+            "one": np.ones(int(keep.sum()), np.int64),
+            "next_err": nerr.fillna(0).to_numpy(np.int64)[keep]})
+
+    per = (ds.map_batches(prep, batch_format="pyarrow")
+             .map_batches(_add_part(["conv_id"], 64),
+                          batch_format="pyarrow")
+             .groupby("__p")
+             .map_groups(arrow_out(pair), batch_format="pandas"))
+    return compact_groupby(per, keys=["tool"],
+                           sum_cols={"one": "n_calls",
+                                     "next_err": "n_next_error"})
+
+
+SQL_CONV_TOOL_ERROR_ATTRIBUTION = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, s AS (
+  SELECT tool,
+         CASE WHEN lead(role) OVER w = 'system'
+               AND regexp_matches(lead(text) OVER w, 'status=5[0-9][0-9]')
+              THEN 1 ELSE 0 END AS next_err
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(SUM(next_err) AS BIGINT) AS n_next_error
+FROM s WHERE tool <> '' GROUP BY tool
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15702,6 +15767,7 @@ QUERIES = {
     "docs_filter_ablation": q_docs_filter_ablation,
     "conv_error_position": q_conv_error_position,
     "docs_token_fertility": q_docs_token_fertility,
+    "conv_tool_error_attribution": q_conv_tool_error_attribution,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16038,6 +16104,7 @@ ORACLES = {
     "docs_filter_ablation": SQL_DOCS_FILTER_ABLATION,
     "conv_error_position": SQL_CONV_ERROR_POSITION,
     "docs_token_fertility": _fertility_sql(),
+    "conv_tool_error_attribution": SQL_CONV_TOOL_ERROR_ATTRIBUTION,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1548,3 +1548,32 @@ def test_docs_token_fertility_composition(tmp_path):
     got = {r.lang_pred: [r.n_docs, r.sum_bpe, r.sum_ws, r.sum_chars]
            for r in out.itertuples()}
     assert got == exp
+
+
+def test_conv_tool_error_attribution_adjacency(tmp_path):
+    """Attribution pins: only the IMMEDIATELY-next turn counts (a user
+    turn between tool call and error breaks attribution), and a
+    conversation-final tool call has no next turn so it never counts."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_conv_tool_error_attribution,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    # view → tool 'browser'; purchase → tool 'db_query'; error →
+    # role system with status=5xx text; click → role user.
+    t = pa.table({
+        "event_id": pa.array([11, 21, 31, 41, 51, 61], pa.int64()),
+        "ts": pa.array([base + i * M for i in range(6)]),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        "event_type": ["view", "error", "view", "click", "error",
+                       "purchase"],
+        "value": [1.0] * 6,
+        "props": ["{}"] * 6,
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_conv_tool_error_attribution(str(tmp_path)).to_pandas()
+    got = {r.tool: (r.n_calls, r.n_next_error) for r in out.itertuples()}
+    assert got == {"browser": (2, 1), "db_query": (1, 0)}
