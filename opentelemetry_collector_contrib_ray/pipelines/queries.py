@@ -15579,6 +15579,72 @@ FROM s WHERE tool <> '' GROUP BY tool
 )
 
 
+def q_events_lifecycle_audit(sf_dir: str):
+    """Entity-lifecycle ordering audit (the cross-ROW data-contract
+    check column-level expectations cannot express: did every user's
+    first purchase happen AFTER their first signup?): per user the
+    first signup and first purchase timestamps fold through ONE
+    user-hash exchange (hash_groupby_agg min over int64 micros with a
+    2^62 sentinel for 'absent' — no NULL ever enters the pandas min,
+    so the int64 path stays exact; NULL→float64 would round micros to
+    256-µs buckets), and each user lands in exactly one category:
+    ok / purchase_before_signup / purchase_without_signup /
+    no_purchase. Scope = users with at least one of the two event
+    types (pruned at the read). Compact 4-row category fold."""
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+
+    SENT = np.int64(1) << np.int64(62)
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type",
+                                               "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["event_type"],
+                     value_set=pa.array(["signup", "purchase"]))
+        f = t.filter(m)
+        us = pc.cast(pc.cast(f["ts"], pa.timestamp("us")), pa.int64())
+        sig = pc.equal(f["event_type"], "signup")
+        sent = pa.scalar(int(SENT), pa.int64())
+        return pa.table({
+            "user_id": f["user_id"],
+            "su": pc.if_else(sig, us, sent),
+            "pu": pc.if_else(sig, sent, us)})
+
+    per_user = hash_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"), ["user_id"],
+        {"su": ("min", "su"), "pu": ("min", "pu")})
+
+    def categorize(t: pa.Table) -> pa.Table:
+        su = pc.cast(t["su"], pa.int64()).to_numpy(zero_copy_only=False)
+        pu = pc.cast(t["pu"], pa.int64()).to_numpy(zero_copy_only=False)
+        cat = np.where(
+            pu == SENT, "no_purchase",
+            np.where(su == SENT, "purchase_without_signup",
+                     np.where(pu < su, "purchase_before_signup", "ok")))
+        return pa.table({"category": pa.array(cat.astype(object)),
+                         "one": pa.array(np.ones(len(cat), np.int64))})
+
+    return compact_groupby(
+        per_user.map_batches(categorize, batch_format="pyarrow"),
+        keys=["category"], sum_cols={"one": "n_users"})
+
+
+SQL_EVENTS_LIFECYCLE_AUDIT = """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS su,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS pu
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY 1
+)
+SELECT CASE WHEN pu IS NULL THEN 'no_purchase'
+            WHEN su IS NULL THEN 'purchase_without_signup'
+            WHEN pu < su THEN 'purchase_before_signup'
+            ELSE 'ok' END AS category,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15768,6 +15834,7 @@ QUERIES = {
     "conv_error_position": q_conv_error_position,
     "docs_token_fertility": q_docs_token_fertility,
     "conv_tool_error_attribution": q_conv_tool_error_attribution,
+    "events_lifecycle_audit": q_events_lifecycle_audit,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16105,6 +16172,7 @@ ORACLES = {
     "conv_error_position": SQL_CONV_ERROR_POSITION,
     "docs_token_fertility": _fertility_sql(),
     "conv_tool_error_attribution": SQL_CONV_TOOL_ERROR_ATTRIBUTION,
+    "events_lifecycle_audit": SQL_EVENTS_LIFECYCLE_AUDIT,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

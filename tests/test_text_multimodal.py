@@ -1577,3 +1577,38 @@ def test_conv_tool_error_attribution_adjacency(tmp_path):
     out = q_conv_tool_error_attribution(str(tmp_path)).to_pandas()
     got = {r.tool: (r.n_calls, r.n_next_error) for r in out.itertuples()}
     assert got == {"browser": (2, 1), "db_query": (1, 0)}
+
+
+def test_events_lifecycle_audit_categories(tmp_path):
+    """Lifecycle pins: all four categories, the same-timestamp tie
+    counts as ok (strict <), and a user with neither event type is out
+    of scope entirely."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_lifecycle_audit,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(1, "m")
+    rows = [  # (user, etype, ts)
+        (1, "signup", base), (1, "purchase", base + M),      # ok
+        (2, "purchase", base), (2, "signup", base + M),      # before
+        (3, "purchase", base),                               # w/o signup
+        (4, "signup", base),                                 # no purchase
+        (5, "view", base),                                   # out of scope
+        (6, "signup", base + M), (6, "purchase", base + M),  # tie → ok
+    ]
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[2] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": [r[1] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_lifecycle_audit(str(tmp_path)).to_pandas()
+    got = {r.category: r.n_users for r in out.itertuples()}
+    assert got == {"ok": 2, "purchase_before_signup": 1,
+                   "purchase_without_signup": 1, "no_purchase": 1}
