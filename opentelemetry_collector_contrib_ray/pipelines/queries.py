@@ -15645,6 +15645,73 @@ FROM m GROUP BY 1
 """
 
 
+def q_conv_vocab_introduction(sf_dir: str):
+    """Vocabulary-introduction attribution (who brings NEW words into
+    a conversation — the user steering it or the assistant/tools
+    expanding it; the grounding-vs-novelty signal a dialogue-quality
+    monitor tracks): for every (conv, token) the FIRST turn containing
+    it (by turn order) attributes the introduction to that turn's
+    role, and the report is the per-role integer introduction count.
+    ONE conv-hash exchange; per partition a single sort + explode +
+    drop_duplicates (C-level hash dedup, no per-row Python), compact
+    ≤|roles| fold. Duplicates inside the first turn collapse to one
+    introduction (pinned by hand test)."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "role": t["role"], "text": t["text"]})
+
+    def intro(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        e = g["text"].str.split(" ").explode()
+        d = pd.DataFrame({
+            "conv_id": g["conv_id"].reindex(e.index).to_numpy(),
+            "role": g["role"].reindex(e.index).to_numpy(),
+            "tok": e.to_numpy()})
+        d = d[pd.notna(d["tok"]) & (d["tok"] != "")]
+        firsts = d.drop_duplicates(["conv_id", "tok"])
+        out = firsts.groupby("role", as_index=False).size()
+        return pd.DataFrame({"role": out["role"],
+                             "one": out["size"].astype(np.int64)})
+
+    per = (ds.map_batches(prep, batch_format="pyarrow")
+             .map_batches(_add_part(["conv_id"], 64),
+                          batch_format="pyarrow")
+             .groupby("__p")
+             .map_groups(arrow_out(intro), batch_format="pandas"))
+    return compact_groupby(per, keys=["role"],
+                           sum_cols={"one": "n_introduced"})
+
+
+SQL_CONV_VOCAB_INTRODUCTION = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, ex AS (
+  SELECT conv_id, turn_idx, role,
+         unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS tok
+  FROM transcripts
+), ft AS (
+  SELECT conv_id, tok, min(turn_idx) AS first_turn
+  FROM ex GROUP BY 1, 2
+), firsts AS (
+  SELECT DISTINCT f.conv_id, f.tok, e.role
+  FROM ft f JOIN ex e ON e.conv_id = f.conv_id AND e.tok = f.tok
+                     AND e.turn_idx = f.first_turn
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n_introduced
+FROM firsts GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15835,6 +15902,7 @@ QUERIES = {
     "docs_token_fertility": q_docs_token_fertility,
     "conv_tool_error_attribution": q_conv_tool_error_attribution,
     "events_lifecycle_audit": q_events_lifecycle_audit,
+    "conv_vocab_introduction": q_conv_vocab_introduction,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16173,6 +16241,7 @@ ORACLES = {
     "docs_token_fertility": _fertility_sql(),
     "conv_tool_error_attribution": SQL_CONV_TOOL_ERROR_ATTRIBUTION,
     "events_lifecycle_audit": SQL_EVENTS_LIFECYCLE_AUDIT,
+    "conv_vocab_introduction": SQL_CONV_VOCAB_INTRODUCTION,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1612,3 +1612,34 @@ def test_events_lifecycle_audit_categories(tmp_path):
     got = {r.category: r.n_users for r in out.itertuples()}
     assert got == {"ok": 2, "purchase_before_signup": 1,
                    "purchase_without_signup": 1, "no_purchase": 1}
+
+
+def test_conv_vocab_introduction_first_turn_attribution(tmp_path):
+    """Vocab-introduction pins: a token repeated in a later turn is
+    attributed ONLY to the first turn's role; duplicates inside the
+    introducing turn collapse to one; the same token in another
+    conversation is a fresh introduction there."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user", "assistant", "tool"],
+        # turn a0 (user): x y x → introduces {x, y} (dup x collapses)
+        # turn a1 (assistant): y z → y already seen → introduces {z}
+        # conv b (tool): x → fresh in conv b → introduces {x}
+        "text": ["x y x", "y z", "x"],
+    })
+
+    ds = rd.from_pandas(df).repartition(2)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_vocab_introduction("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.role: r.n_introduced for r in out.itertuples()}
+    assert got == {"user": 2, "assistant": 1, "tool": 1}
