@@ -86,6 +86,14 @@ BENCH_QUERIES = [
     "events_cuped_parts",
     "conv_template_dedup",
     "conv_curation_e2e",
+    "conv_repeated_questions",
+    "docs_winnowing",
+    "docs_filter_ablation",
+    "conv_error_position",
+    "docs_token_fertility",
+    "conv_tool_error_attribution",
+    "events_lifecycle_audit",
+    "conv_vocab_introduction",
     "multimodal_resize",
     "events_ip_enrich",
     "events_trimmed_mean",
