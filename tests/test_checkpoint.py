@@ -258,3 +258,46 @@ def test_round4_heavy_queries_resume_from_store(ray_session, tmp_path):
         a = first[cols].sort_values(cols).reset_index(drop=True)
         b = second[cols].sort_values(cols).reset_index(drop=True)
         assert a.equals(b)
+
+
+def test_resumable_sweep_kill_resume_conv_curation_e2e(ray_session, tmp_path,
+                                                       monkeypatch):
+    """Same kill/resume contract on the transcripts-axis flagship
+    composition: a sweep dying inside conv_curation_e2e resumes
+    without re-executing the committed query, and the recovered funnel
+    equals a direct run row-for-row."""
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ckpt")
+    names = ["conv_template_dedup", "conv_curation_e2e"]
+    calls = []
+    real = {n: Q.QUERIES[n] for n in names}
+
+    def spied(n):
+        def fn(sf_dir):
+            calls.append(n)
+            return real[n](sf_dir)
+        return fn
+
+    monkeypatch.setitem(Q.QUERIES, "conv_template_dedup",
+                        spied("conv_template_dedup"))
+    monkeypatch.setitem(
+        Q.QUERIES, "conv_curation_e2e",
+        lambda sf_dir: (_ for _ in ()).throw(RuntimeError("killed")))
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        Q.run_resumable_sweep(sf, names=names, root=root)
+    assert calls == ["conv_template_dedup"]
+
+    monkeypatch.setitem(Q.QUERIES, "conv_curation_e2e",
+                        spied("conv_curation_e2e"))
+    out = Q.run_resumable_sweep(sf, names=names, root=root)
+    assert calls == ["conv_template_dedup", "conv_curation_e2e"]
+    direct = real["conv_curation_e2e"](sf).to_pandas().sort_values(
+        "stage").reset_index(drop=True)
+    got = out["conv_curation_e2e"].to_pandas().sort_values(
+        "stage").reset_index(drop=True)
+    assert got.equals(direct[got.columns.tolist()])
