@@ -15712,6 +15712,76 @@ FROM firsts GROUP BY 1
 )
 
 
+def q_docs_dedup_threshold_sweep(sf_dir: str):
+    """Dedup threshold-tuning curve (the how-aggressive-should-the-cut-
+    be analysis run BEFORE committing a near-dup threshold: cumulative
+    pair counts at Jaccard ≥ 0.5/0.6/0.7/0.8/0.9 from ONE pass): the
+    verified inverted-shingle rail (stages/dedup.py
+    ngram_jaccard_pairs) runs once at the loosest cut (1/2) with
+    ``keep_counts`` so every surviving pair carries its exact integer
+    (shared, |A|, |B|) triple, and all five tiers evaluate as
+    cross-multiplied integer tests ``10·shared ≥ t·(|A|+|B|−shared)``
+    per batch — 5 partial rows per block fold compactly. Same two
+    exchanges as the single-threshold op; no extra pass per tier."""
+    from ..stages.agg import compact_groupby
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold_num=1, threshold_den=2,
+                                n=3, max_df=1000, keep_counts=True)
+
+    tiers = np.array([5, 6, 7, 8, 9], dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["shared"], pa.int64()).to_numpy(zero_copy_only=False)
+        ca = pc.cast(t["c_a"], pa.int64()).to_numpy(zero_copy_only=False)
+        cb = pc.cast(t["c_b"], pa.int64()).to_numpy(zero_copy_only=False)
+        uni = ca + cb - c
+        counts = (10 * c[None, :] >= tiers[:, None] * uni[None, :]).sum(
+            axis=1).astype(np.int64)
+        return pa.table({"threshold_tenths": pa.array(tiers),
+                         "n": pa.array(counts)})
+
+    return compact_groupby(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        keys=["threshold_tenths"], sum_cols={"n": "n_pairs"})
+
+
+SQL_DOCS_DEDUP_THRESHOLD_SWEEP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks
+  )
+), keepg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) <= 1000
+), gf AS (
+  SELECT g.doc_id, g.gram FROM g JOIN keepg USING (gram)
+), dc AS (
+  SELECT doc_id, count(*) AS c FROM g GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sel AS (
+  SELECT p.shared, da.c + db.c - p.shared AS uni
+  FROM pairs p JOIN dc da ON p.id_a = da.doc_id
+               JOIN dc db ON p.id_b = db.doc_id
+)
+SELECT CAST(t.th AS BIGINT) AS threshold_tenths,
+       CAST(COALESCE(SUM(CASE WHEN 10 * s.shared >= t.th * s.uni
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+FROM (VALUES (5), (6), (7), (8), (9)) AS t(th)
+LEFT JOIN sel s ON TRUE
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15903,6 +15973,7 @@ QUERIES = {
     "conv_tool_error_attribution": q_conv_tool_error_attribution,
     "events_lifecycle_audit": q_events_lifecycle_audit,
     "conv_vocab_introduction": q_conv_vocab_introduction,
+    "docs_dedup_threshold_sweep": q_docs_dedup_threshold_sweep,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16242,6 +16313,7 @@ ORACLES = {
     "conv_tool_error_attribution": SQL_CONV_TOOL_ERROR_ATTRIBUTION,
     "events_lifecycle_audit": SQL_EVENTS_LIFECYCLE_AUDIT,
     "conv_vocab_introduction": SQL_CONV_VOCAB_INTRODUCTION,
+    "docs_dedup_threshold_sweep": SQL_DOCS_DEDUP_THRESHOLD_SWEEP,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

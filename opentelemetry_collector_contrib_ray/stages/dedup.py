@@ -562,7 +562,7 @@ def _pairs_from_runs(doc: np.ndarray, gram: np.ndarray, c: np.ndarray,
 def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
                         n: int = 3, col: str = "text", id_col: str = "doc_id",
                         max_df: int | None = None, num_partitions: int = 64,
-                        mode: str = "jaccard"):
+                        mode: str = "jaccard", keep_counts: bool = False):
     """All-pairs word-n-gram Jaccard ≥ threshold via a distributed
     inverted shingle index — the exact counterpart to MinHash-LSH:
 
@@ -631,7 +631,9 @@ def ngram_jaccard_pairs(ds, threshold_num: int = 8, threshold_den: int = 10,
         else:
             denom = agg["c_a"].to_numpy() + agg["c_b"].to_numpy() - c
         keep = threshold_den * c >= threshold_num * denom
-        return agg.loc[keep, ["id_a", "id_b", "shared"]]
+        cols = (["id_a", "id_b", "c_a", "c_b", "shared"] if keep_counts
+                else ["id_a", "id_b", "shared"])
+        return agg.loc[keep, cols]
 
     return (
         grams.map_batches(add_gram_part, batch_format="pyarrow")

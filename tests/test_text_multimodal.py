@@ -1643,3 +1643,29 @@ def test_conv_vocab_introduction_first_turn_attribution(tmp_path):
         Q.transcripts_from_events = real
     got = {r.role: r.n_introduced for r in out.itertuples()}
     assert got == {"user": 2, "assistant": 1, "tool": 1}
+
+
+def test_docs_dedup_threshold_sweep_tier_boundaries(tmp_path):
+    """Sweep pins: a J=0.5 pair counts ONLY at tier 5 (the ≥ boundary),
+    a J=0.8 pair counts at tiers 5–8 (40 ≥ 8·5 but not 9·5), and an
+    identical pair counts at every tier — cumulative counts 3/2/2/2/1."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_dedup_threshold_sweep,
+    )
+
+    docs = [
+        (1, "a b c d"),        # grams {abc, bcd}
+        (2, "a b c"),          # gram {abc} → shared 1, union 2 → J=0.5
+        (3, "x y z w"),        # identical pair → J=1
+        (4, "x y z w"),
+        (5, "p q r s t u v"),  # 5 grams
+        (6, "p q r s t u"),    # 4 grams, all shared → J=4/5=0.8
+    ]
+    t = pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": [d[1] for d in docs]})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_dedup_threshold_sweep(str(tmp_path)).to_pandas()
+    got = {r.threshold_tenths: r.n_pairs for r in out.itertuples()}
+    assert got == {5: 3, 6: 2, 7: 2, 8: 2, 9: 1}
