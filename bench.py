@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "conv_tool_error_attribution",
     "events_lifecycle_audit",
     "conv_vocab_introduction",
+    "docs_dedup_threshold_sweep",
     "multimodal_resize",
     "events_ip_enrich",
     "events_trimmed_mean",
