@@ -15782,6 +15782,58 @@ GROUP BY 1
 """
 
 
+def q_events_type_cooccurrence(sf_dir: str):
+    """Per-user event-type co-occurrence matrix (the audience-overlap
+    affinity report: how many users exhibit BOTH type a and type b —
+    basket analysis at user grain, the symmetric complement of
+    events_basket_lift's per-order pairs): per batch one distinct
+    (user, type) combiner, ONE user-hash exchange of those narrow
+    rows, per-partition cross-pair expansion of each user's ≤|types|
+    distinct set (ordered a < b so every pair emits exactly once), and
+    the ≤|types|² matrix folds compactly. Diagonal excluded; a user
+    counts once per pair regardless of event multiplicity."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"]}).group_by(
+            ["user_id", "event_type"]).aggregate([])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"], kind="mergesort")
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"],
+                        as_index=False).size()
+        return pd.DataFrame({"type_a": out["event_type_x"],
+                             "type_b": out["event_type_y"],
+                             "one": out["size"].astype(np.int64)})
+
+    per = (ds.map_batches(distinct, batch_format="pyarrow")
+             .map_batches(_add_part(["user_id"], 64),
+                          batch_format="pyarrow")
+             .groupby("__p")
+             .map_groups(arrow_out(pairs), batch_format="pandas"))
+    return compact_groupby(per, keys=["type_a", "type_b"],
+                           sum_cols={"one": "n_users"})
+
+
+SQL_EVENTS_TYPE_COOCCURRENCE = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -15974,6 +16026,7 @@ QUERIES = {
     "events_lifecycle_audit": q_events_lifecycle_audit,
     "conv_vocab_introduction": q_conv_vocab_introduction,
     "docs_dedup_threshold_sweep": q_docs_dedup_threshold_sweep,
+    "events_type_cooccurrence": q_events_type_cooccurrence,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16314,6 +16367,7 @@ ORACLES = {
     "events_lifecycle_audit": SQL_EVENTS_LIFECYCLE_AUDIT,
     "conv_vocab_introduction": SQL_CONV_VOCAB_INTRODUCTION,
     "docs_dedup_threshold_sweep": SQL_DOCS_DEDUP_THRESHOLD_SWEEP,
+    "events_type_cooccurrence": SQL_EVENTS_TYPE_COOCCURRENCE,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1669,3 +1669,33 @@ def test_docs_dedup_threshold_sweep_tier_boundaries(tmp_path):
     out = q_docs_dedup_threshold_sweep(str(tmp_path)).to_pandas()
     got = {r.threshold_tenths: r.n_pairs for r in out.itertuples()}
     assert got == {5: 3, 6: 2, 7: 2, 8: 2, 9: 1}
+
+
+def test_events_type_cooccurrence_user_grain(tmp_path):
+    """Co-occurrence pins: a user counts ONCE per pair regardless of
+    event multiplicity, pairs are ordered a < b with no diagonal, and
+    single-type users contribute nothing."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_type_cooccurrence,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [  # (user, etype) — user 1: 3 views + click + purchase;
+              # user 2: click only; user 3: click + view
+        (1, "view"), (1, "view"), (1, "view"), (1, "click"),
+        (1, "purchase"), (2, "click"), (3, "click"), (3, "view")]
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([base] * len(rows)),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": [r[1] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_type_cooccurrence(str(tmp_path)).to_pandas()
+    got = {(r.type_a, r.type_b): r.n_users for r in out.itertuples()}
+    assert got == {("click", "view"): 2, ("click", "purchase"): 1,
+                   ("purchase", "view"): 1}
