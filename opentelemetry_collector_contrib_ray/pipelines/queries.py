@@ -15834,6 +15834,64 @@ GROUP BY 1, 2
 """
 
 
+def q_conv_turn_taking(sf_dir: str):
+    """Turn-taking structure matrix (the dialogue-shape fingerprint a
+    conversation dataset is screened by: who speaks after whom —
+    user→assistant is the healthy backbone, assistant→assistant means
+    multi-part replies, tool→tool means chained calls): adjacent
+    role-transition counts within each conversation on the
+    adjacent-pair rail (ONE conv-hash exchange, per-partition lexsort
+    + grouped shift(-1); conversation boundaries never pair — pinned
+    by hand test), folding the ≤|roles|² integer matrix compactly."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                         "role": t["role"]})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nxt = g.groupby("conv_id", sort=False)["role"].shift(-1)
+        keep = nxt.notna().to_numpy()
+        out = pd.DataFrame({
+            "role_from": g["role"].to_numpy()[keep],
+            "role_to": nxt.to_numpy()[keep]}).groupby(
+            ["role_from", "role_to"], as_index=False).size()
+        return pd.DataFrame({"role_from": out["role_from"],
+                             "role_to": out["role_to"],
+                             "one": out["size"].astype(np.int64)})
+
+    per = (ds.map_batches(prep, batch_format="pyarrow")
+             .map_batches(_add_part(["conv_id"], 64),
+                          batch_format="pyarrow")
+             .groupby("__p")
+             .map_groups(arrow_out(pairs), batch_format="pandas"))
+    return compact_groupby(per, keys=["role_from", "role_to"],
+                           sum_cols={"one": "n_transitions"})
+
+
+SQL_CONV_TURN_TAKING = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, s AS (
+  SELECT role AS role_from,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS role_to
+  FROM transcripts
+)
+SELECT role_from, role_to, CAST(count(*) AS BIGINT) AS n_transitions
+FROM s WHERE role_to IS NOT NULL
+GROUP BY 1, 2
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -16027,6 +16085,7 @@ QUERIES = {
     "conv_vocab_introduction": q_conv_vocab_introduction,
     "docs_dedup_threshold_sweep": q_docs_dedup_threshold_sweep,
     "events_type_cooccurrence": q_events_type_cooccurrence,
+    "conv_turn_taking": q_conv_turn_taking,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16368,6 +16427,7 @@ ORACLES = {
     "conv_vocab_introduction": SQL_CONV_VOCAB_INTRODUCTION,
     "docs_dedup_threshold_sweep": SQL_DOCS_DEDUP_THRESHOLD_SWEEP,
     "events_type_cooccurrence": SQL_EVENTS_TYPE_COOCCURRENCE,
+    "conv_turn_taking": SQL_CONV_TURN_TAKING,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

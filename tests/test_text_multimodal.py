@@ -1699,3 +1699,32 @@ def test_events_type_cooccurrence_user_grain(tmp_path):
     got = {(r.type_a, r.type_b): r.n_users for r in out.itertuples()}
     assert got == {("click", "view"): 2, ("click", "purchase"): 1,
                    ("purchase", "view"): 1}
+
+
+def test_conv_turn_taking_boundaries(tmp_path):
+    """Turn-taking pins: transitions never cross conversation
+    boundaries (the last turn of conv a and first of conv b do not
+    pair), and self-transitions count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b"],
+        "turn_idx": [0, 1, 2, 0, 1],
+        "role": ["user", "assistant", "assistant", "tool", "user"],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_turn_taking("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {(r.role_from, r.role_to): r.n_transitions
+           for r in out.itertuples()}
+    # conv a: user→assistant, assistant→assistant; conv b: tool→user;
+    # NO assistant→tool pair across the a/b boundary
+    assert got == {("user", "assistant"): 1, ("assistant", "assistant"): 1,
+                   ("tool", "user"): 1}
