@@ -15892,6 +15892,70 @@ GROUP BY 1, 2
 )
 
 
+def q_conv_tool_latency(sf_dir: str):
+    """Per-tool turnaround panel (the slow-tool report an agent
+    platform pages on: from a tool call to the NEXT turn of the same
+    conversation, how long): the adjacent-pair rail once more (ONE
+    conv-hash exchange, grouped shift(-1) on the microsecond
+    timestamp), per tool the exact integer triple
+    (n_pairs, sum_gap_us, max_gap_us) — mean is a driver division,
+    and conversation-final tool calls have no next turn so they are
+    excluded (pinned by hand test, along with the zero-gap
+    same-timestamp pair). hash_groupby_agg folds the ≤|tools| rows."""
+    import pandas as pd
+
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                          pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nxt = g.groupby("conv_id", sort=False)["us"].shift(-1)
+        keep = (g["tool"].to_numpy() != "") & nxt.notna().to_numpy()
+        gap = (nxt.to_numpy()[keep] -
+               g["us"].to_numpy()[keep]).astype(np.int64)
+        return pd.DataFrame({"tool": g["tool"].to_numpy()[keep],
+                             "one": np.ones(len(gap), np.int64),
+                             "gap": gap, "gap2": gap})
+
+    per = (ds.map_batches(prep, batch_format="pyarrow")
+             .map_batches(_add_part(["conv_id"], 64),
+                          batch_format="pyarrow")
+             .groupby("__p")
+             .map_groups(arrow_out(pairs), batch_format="pandas"))
+    return hash_groupby_agg(per, ["tool"],
+                            {"one": ("sum", "n_pairs"),
+                             "gap": ("sum", "sum_gap_us"),
+                             "gap2": ("max", "max_gap_us")})
+
+
+SQL_CONV_TOOL_LATENCY = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, s AS (
+  SELECT tool,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM s WHERE tool <> '' AND gap IS NOT NULL
+GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -16086,6 +16150,7 @@ QUERIES = {
     "docs_dedup_threshold_sweep": q_docs_dedup_threshold_sweep,
     "events_type_cooccurrence": q_events_type_cooccurrence,
     "conv_turn_taking": q_conv_turn_taking,
+    "conv_tool_latency": q_conv_tool_latency,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16428,6 +16493,7 @@ ORACLES = {
     "docs_dedup_threshold_sweep": SQL_DOCS_DEDUP_THRESHOLD_SWEEP,
     "events_type_cooccurrence": SQL_EVENTS_TYPE_COOCCURRENCE,
     "conv_turn_taking": SQL_CONV_TURN_TAKING,
+    "conv_tool_latency": SQL_CONV_TOOL_LATENCY,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1728,3 +1728,35 @@ def test_conv_turn_taking_boundaries(tmp_path):
     # NO assistant→tool pair across the a/b boundary
     assert got == {("user", "assistant"): 1, ("assistant", "assistant"): 1,
                    ("tool", "user"): 1}
+
+
+def test_conv_tool_latency_gaps(tmp_path):
+    """Tool-latency pins: the gap is to the NEXT turn of the same
+    conversation (a conversation-final tool call is excluded), a
+    same-timestamp pair contributes a zero gap, and sums/maxes are
+    exact microseconds."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b"],
+        "turn_idx": [0, 1, 2, 0, 1],
+        "tool": ["browser", "", "db_query", "browser", ""],
+        # browser a0→a1: 3 s; db_query a2: conversation-final → out;
+        # browser b0→b1: same timestamp → 0 gap
+        "ts": [base, base + 3 * S, base + 9 * S, base, base],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_tool_latency("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.tool: (r.n_pairs, r.sum_gap_us, r.max_gap_us)
+           for r in out.itertuples()}
+    assert got == {"browser": (2, 3_000_000, 3_000_000)}
