@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "events_lifecycle_audit",
     "conv_vocab_introduction",
     "docs_dedup_threshold_sweep",
+    "events_type_cooccurrence",
+    "conv_turn_taking",
+    "conv_tool_latency",
     "multimodal_resize",
     "events_ip_enrich",
     "events_trimmed_mean",
