@@ -14506,7 +14506,10 @@ def q_events_grid_density(sf_dir: str):
         e = pc.cast(t["event_id"], pa.int64())
 
         def cell(mult: int) -> pa.Array:
-            h = pc.multiply(e, mult)
+            # checked multiply: DuckDB raises on BIGINT overflow
+            # (event_id > ~3.47e9 at extreme SF), so the Ray side must
+            # raise too rather than silently wrap and diverge
+            h = pc.multiply_checked(e, mult)
             m = pc.subtract(h, pc.multiply(pc.divide(h, 4294967296),
                                            4294967296))
             return pc.divide(m, 67108864)  # 2^32 / 64
@@ -14740,6 +14743,15 @@ def q_events_cuped_parts(sf_dir: str):
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 squares are exact only while |per-user window cents|
+        # < sqrt(2^63) ≈ 3.037e9 (= $30.4M per user per window); the
+        # DuckDB twin raises on BIGINT multiply overflow, so raise here
+        # too instead of silently wrapping and diverging
+        lim = np.int64(3_037_000_499)
+        if len(x) and (np.abs(x).max() >= lim or np.abs(y).max() >= lim):
+            raise OverflowError(
+                "cuped moments: per-user cents exceed int64-exact "
+                "square bound (~3.037e9 cents)")
         return pa.table({"variant": pa.array(u % 2),
                          "one": pa.array(np.ones(len(u), np.int64)),
                          "x": pa.array(x), "y": pa.array(y),

@@ -1401,6 +1401,13 @@ def grid_neighborhood(cell_ds, x_col: str, y_col: str, n_col: str,
         cx = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cy = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the scatter below relies on cells in [0, grid); a negative
+        # index would silently wrap to the opposite edge (numpy
+        # negative indexing) and corrupt the smoothing — fail loudly
+        if len(cx) and not ((cx >= 0).all() and (cx < grid).all()
+                            and (cy >= 0).all() and (cy < grid).all()):
+            raise ValueError("grid_neighborhood: cell index out of "
+                             f"[0, {grid}) range")
         g = np.zeros((grid, grid), np.int64)
         g[cx, cy] = n
         acc = np.zeros((grid + 2, grid + 2), np.int64)

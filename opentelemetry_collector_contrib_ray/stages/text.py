@@ -279,6 +279,11 @@ def winnow_fingerprints(t: pa.Table, col: str = "text", k: int = 8,
     counts = counts.astype(np.int64)
     padc = np.maximum(counts, w)
     seg = np.cumsum(padc) - padc
+    # 2^64-1 pads the (rare) sub-window docs. Documented assumption: a
+    # REAL k-gram hash equal to the sentinel inside such a doc would
+    # tie with the pads and the rightmost-tie rule could select a pad
+    # position (probability ~n/2^64 per corpus — astronomically small,
+    # and the SQL twin would flag the out-of-range fp_pos loudly).
     buf = np.full(int(padc.sum()), np.uint64(0xFFFFFFFFFFFFFFFF),
                   dtype=np.uint64)
     intra, _ = _ragged_arange(counts)
