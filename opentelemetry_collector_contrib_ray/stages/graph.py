@@ -314,8 +314,151 @@ def label_propagation(edges, src: str = "src", dst: str = "dst",
                                 batch_size=None)
 
 
+_ROUND_SCHEMA = ["part", "u", "v", "kind", "f"]
+
+
+def _empty_round_table(extra: list[str] | None = None) -> pa.Table:
+    cols = _ROUND_SCHEMA[:3] + (extra or []) + _ROUND_SCHEMA[3:]
+    return pa.table({c: pa.array([], pa.int64()) for c in cols})
+
+
+def _frontier_active(visited) -> int:
+    """Sum of the f flag over a (materialized) round table — 0 means
+    the frontier is empty and the fixpoint is reached. Guarded per
+    block because a ``map_groups`` upstream can emit zero-column
+    blocks for empty sort partitions (the known Ray quirk)."""
+
+    def cnt(t: pa.Table) -> pa.Table:
+        n = (0 if ("f" not in t.column_names or t.num_rows == 0)
+             else (pc.sum(t["f"]).as_py() or 0))
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    s = visited.map_batches(cnt, batch_format="pyarrow",
+                            batch_size=None).sum("n")
+    return int(s) if s is not None else 0
+
+
+def _kind_split(kind_val: int, extra: list[str] | None = None):
+    """Per-block kind filter that tolerates the zero-column empty
+    blocks Ray's map_groups emits for empty sort partitions."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "kind" not in t.column_names:
+            return _empty_round_table(extra)
+        return t.filter(pc.equal(t["kind"], kind_val))
+
+    return fn
+
+
+def _distributed_bfs(pre, seed_mod: int, max_hops: int, P: int):
+    """Per-round distributed frontier BFS over the canonicalized (but
+    not yet globally distinct) edge dataset ``pre`` (columns a, b).
+
+    Layout: ONE row schema (part, u, v, kind, f) unions edges, visited
+    and candidate rows so every exchange is a plain ``groupby("part")``
+    over narrow int64 columns — the connected_components layout:
+
+    - kind=1 edge row: u→v, co-partitioned with u's state (part=u%P);
+      global dedup happens in the same exchange that symmetrizes.
+    - kind=0 visited row: u=node, v=hop, f=1 while the node is on the
+      current frontier.
+    - kind=2 candidate row: u=node, v=proposed hop.
+
+    Each hop = 2 hash exchanges of O(frontier-adjacent) rows: frontier
+    semi-join along co-located out-edges (emit), then min/anti-join
+    against the visited set at the destination partition (step). The
+    per-round ``materialize()`` pins the iteration state (mandatory for
+    loops — lineage would otherwise re-execute every prior round), and
+    it is O(reached nodes), never corpus-scale. Early exit on an empty
+    frontier makes post-convergence rounds free."""
+    import ray
+
+    Pn = np.int64(P)
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        z = np.zeros(len(u), np.int64)
+        return pa.table({"part": pa.array(u % Pn), "u": pa.array(u),
+                         "v": pa.array(v),
+                         "kind": pa.array(z + 1), "f": pa.array(z)})
+
+    def dedupe_and_seed(g: pd.DataFrame) -> pa.Table:
+        """One u-partition: exact global edge dedup (all (u,*) rows of
+        a node live here) + emit the partition's seed rows."""
+        e = g[["part", "u", "v", "kind", "f"]].drop_duplicates(["u", "v"])
+        nodes = np.unique(e["u"].to_numpy(np.int64))
+        seeds = nodes[nodes % seed_mod == 0]
+        srows = pd.DataFrame({
+            "part": seeds % Pn, "u": seeds,
+            "v": np.zeros(len(seeds), np.int64),
+            "kind": np.zeros(len(seeds), np.int64),
+            "f": np.ones(len(seeds), np.int64)})
+        return pa_from_pandas(pd.concat([e, srows], ignore_index=True))
+
+    state = (pre.map_batches(to_sym, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(arrow_out(dedupe_and_seed),
+                            batch_format="pandas")
+                .materialize())
+    edges_k = state.map_batches(_kind_split(1),
+                                batch_format="pyarrow").materialize()
+    visited = state.map_batches(_kind_split(0),
+                                batch_format="pyarrow").materialize()
+
+    for h in range(1, max_hops + 1):
+        if _frontier_active(visited) == 0:
+            break
+
+        def emit(g: pd.DataFrame, hop=h) -> pa.Table:
+            e = g[g["kind"] == 1]
+            fr = g[(g["kind"] == 0) & (g["f"] == 1)]
+            if e.empty or fr.empty:
+                return _empty_round_table()
+            m = e.merge(fr[["u"]].drop_duplicates(), on="u")
+            tv = np.unique(m["v"].to_numpy(np.int64))
+            return pa.table({
+                "part": pa.array(tv % Pn), "u": pa.array(tv),
+                "v": pa.array(np.full(len(tv), hop, np.int64)),
+                "kind": pa.array(np.full(len(tv), 2, np.int64)),
+                "f": pa.array(np.zeros(len(tv), np.int64))})
+
+        msgs = (edges_k.union(visited).groupby("part")
+                .map_groups(arrow_out(emit), batch_format="pandas"))
+
+        def step(g: pd.DataFrame, hop=h) -> pa.Table:
+            vis = g[g["kind"] == 0]
+            cand = g[g["kind"] == 2]
+            new = np.setdiff1d(np.unique(cand["u"].to_numpy(np.int64)),
+                               vis["u"].to_numpy(np.int64))
+            keep = vis[["part", "u", "v", "kind"]].copy()
+            keep["f"] = np.int64(0)
+            nrows = pd.DataFrame({
+                "part": new % Pn, "u": new,
+                "v": np.full(len(new), hop, np.int64),
+                "kind": np.zeros(len(new), np.int64),
+                "f": np.ones(len(new), np.int64)})
+            return pa_from_pandas(pd.concat([keep, nrows],
+                                            ignore_index=True))
+
+        visited = (msgs.union(visited).groupby("part")
+                   .map_groups(arrow_out(step), batch_format="pandas")
+                   .materialize())
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"node": z, "hop": z})
+        return pa.table({"node": t["u"], "hop": t["v"]})
+
+    return visited.map_batches(project, batch_format="pyarrow")
+
+
 def bfs_hops(edges, seed_mod: int, max_hops: int = 6,
-             src: str = "src", dst: str = "dst"):
+             src: str = "src", dst: str = "dst",
+             local_edges: int = 4_000_000, num_partitions: int = 64):
     """Multi-source breadth-first search: shortest hop distance from a
     seed set (nodes with ``node % seed_mod == 0``) to every reachable
     node within ``max_hops`` hops of the undirected simple graph — the
@@ -326,30 +469,35 @@ def bfs_hops(edges, seed_mod: int, max_hops: int = 6,
     both engines report MIN(hop) per node, so when BFS converges before
     the cap the result IS the exact hop distance.
 
-    Scale shape: same front end as ``kcore_degrees`` (per-block
-    canonicalize + arrow distinct shrink BEFORE anything moves, one
-    compact exchange of O(distinct edges) int64 pairs), then a
-    vectorized frontier loop — searchsorted node indexing + boolean
-    scatter per round, never per-node Python. Right when the node
-    domain is a fixed projection (as in the query twin); for
-    billion-node graphs the swap-in is the per-round distributed
-    frontier: ``max_hops`` × (frontier semi-join on the edge table +
-    anti-join against the visited set), each round ONE hash exchange
-    of (node,) rows — same semantics, bounded rounds.
-    """
+    Size-gated execution (the triangle_counts pattern): per-block
+    canonicalize + block-local dedup shrink the stream BEFORE anything
+    moves, and the surviving row count (an upper bound on the distinct
+    edge count — cross-block duplicates can only inflate it) picks the
+    plan. At or under ``local_edges`` the whole graph collapses through
+    ONE repartition(1) exchange into a single vectorized frontier loop
+    (searchsorted node indexing + boolean scatter per round — right for
+    bounded projections like a service graph). Above the gate the
+    per-round distributed frontier takes over: ``max_hops`` × (frontier
+    semi-join along co-partitioned out-edges + anti-join against the
+    visited set), 2 narrow hash exchanges per hop and never a
+    single-block collapse — the corpus-scale shape (billion-node
+    user×user / doc×doc graphs)."""
 
     def canon(t: pa.Table) -> pa.Table:
         a = pc.min_element_wise(t[src], t[dst])
         b = pc.max_element_wise(t[src], t[dst])
-        keep = pc.not_equal(a, b)
-        return pa.table({"a": pc.cast(a, pa.int64()),
-                         "b": pc.cast(b, pa.int64())}).filter(keep)
+        tt = pa.table({"a": pc.cast(a, pa.int64()),
+                       "b": pc.cast(b, pa.int64())}).filter(
+            pc.not_equal(a, b))
+        return pa_from_pandas(tt.to_pandas().drop_duplicates())
 
-    distinct = compact_groupby(edges.map_batches(canon, batch_format="pyarrow"),
-                               ["a", "b"], count_alias="n")
+    pre = edges.map_batches(canon, batch_format="pyarrow").materialize()
+
+    if pre.count() > local_edges:
+        return _distributed_bfs(pre, seed_mod, max_hops, num_partitions)
 
     def expand(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()[["a", "b"]]
+        df = t.to_pandas()[["a", "b"]].drop_duplicates()
         a = df["a"].to_numpy(np.int64)
         b = df["b"].to_numpy(np.int64)
         u = np.concatenate([a, b])
@@ -371,12 +519,125 @@ def bfs_hops(edges, seed_mod: int, max_hops: int = 6,
         return pa.table({"node": pa.array(nodes[keep]),
                          "hop": pa.array(hop[keep])})
 
-    return distinct.map_batches(expand, batch_format="pyarrow",
-                                batch_size=None)
+    return pre.repartition(1).map_batches(expand, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+def _distributed_sssp(pre, seed_mod: int, rounds: int, P: int):
+    """Per-round distributed Bellman–Ford over the canonicalized edge
+    dataset ``pre`` (columns a, b, w). Same (part, u, v, w, kind, f)
+    single-schema layout as ``_distributed_bfs`` — kind=1 edge rows
+    (u→v weight w) co-partitioned with u's state, kind=0 distance rows
+    (v=dist, f=1 while improved last round), kind=2 candidates
+    (v=proposed dist). Delta relaxation — only nodes improved in the
+    previous round re-propose — is exact for the min: an unchanged
+    node's proposals were already beaten or matched in the round it
+    last changed. 2 narrow hash exchanges per round, per-round
+    materialize pins the state, early exit when nothing improves (the
+    remaining bounded rounds are then no-ops by definition)."""
+    Pn = np.int64(P)
+    EXTRA = ["w"]
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        ww = np.concatenate([w, w])
+        z = np.zeros(len(u), np.int64)
+        return pa.table({"part": pa.array(u % Pn), "u": pa.array(u),
+                         "v": pa.array(v), "w": pa.array(ww),
+                         "kind": pa.array(z + 1), "f": pa.array(z)})
+
+    def dedupe_and_seed(g: pd.DataFrame) -> pa.Table:
+        cols = ["part", "u", "v", "w", "kind", "f"]
+        e = g[cols].drop_duplicates(["u", "v", "w"])
+        nodes = np.unique(e["u"].to_numpy(np.int64))
+        seeds = nodes[nodes % seed_mod == 0]
+        z = np.zeros(len(seeds), np.int64)
+        srows = pd.DataFrame({"part": seeds % Pn, "u": seeds, "v": z,
+                              "w": z, "kind": z, "f": z + 1})
+        return pa_from_pandas(pd.concat([e, srows], ignore_index=True))
+
+    state = (pre.map_batches(to_sym, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(arrow_out(dedupe_and_seed),
+                            batch_format="pandas")
+                .materialize())
+    edges_k = state.map_batches(_kind_split(1, EXTRA),
+                                batch_format="pyarrow").materialize()
+    dist = state.map_batches(_kind_split(0, EXTRA),
+                             batch_format="pyarrow").materialize()
+
+    for _ in range(rounds):
+        if _frontier_active(dist) == 0:
+            break
+
+        def emit(g: pd.DataFrame) -> pa.Table:
+            e = g[g["kind"] == 1]
+            fr = g[(g["kind"] == 0) & (g["f"] == 1)]
+            if e.empty or fr.empty:
+                return _empty_round_table(EXTRA)
+            m = e.merge(fr[["u", "v"]].rename(columns={"v": "du"}),
+                        on="u")
+            cand = (pd.DataFrame({"tv": m["v"].to_numpy(np.int64),
+                                  "d": m["du"].to_numpy(np.int64)
+                                  + m["w"].to_numpy(np.int64)})
+                    .groupby("tv", as_index=False)["d"].min())
+            tv = cand["tv"].to_numpy(np.int64)
+            z = np.zeros(len(tv), np.int64)
+            return pa.table({"part": pa.array(tv % Pn),
+                             "u": pa.array(tv),
+                             "v": pa.array(cand["d"].to_numpy(np.int64)),
+                             "w": pa.array(z),
+                             "kind": pa.array(z + 2),
+                             "f": pa.array(z)})
+
+        msgs = (edges_k.union(dist).groupby("part")
+                .map_groups(arrow_out(emit), batch_format="pandas"))
+
+        def step(g: pd.DataFrame) -> pa.Table:
+            vis = g[g["kind"] == 0]
+            cand = (g[g["kind"] == 2].groupby("u", as_index=False)["v"]
+                    .min())
+            # pure-int64 sorted-union merge: an outer pandas merge
+            # would push absent sides through float64, losing exactness
+            # for distances above 2^53
+            vu = vis["u"].to_numpy(np.int64)
+            vv = vis["v"].to_numpy(np.int64)
+            cu = cand["u"].to_numpy(np.int64)
+            cv = cand["v"].to_numpy(np.int64)
+            INF = np.int64(2**62)
+            allu = np.union1d(vu, cu)
+            old = np.full(len(allu), INF, np.int64)
+            old[np.searchsorted(allu, vu)] = vv
+            new = np.full(len(allu), INF, np.int64)
+            new[np.searchsorted(allu, cu)] = cv
+            best = np.minimum(old, new)
+            improved = (new < old).astype(np.int64)
+            z = np.zeros(len(allu), np.int64)
+            return pa.table({"part": pa.array(allu % Pn),
+                             "u": pa.array(allu),
+                             "v": pa.array(best), "w": pa.array(z),
+                             "kind": pa.array(z), "f": pa.array(improved)})
+
+        dist = (msgs.union(dist).groupby("part")
+                .map_groups(arrow_out(step), batch_format="pandas")
+                .materialize())
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            z = pa.array([], pa.int64())
+            return pa.table({"node": z, "dist": z})
+        return pa.table({"node": t["u"], "dist": t["v"]})
+
+    return dist.map_batches(project, batch_format="pyarrow")
 
 
 def shortest_paths(edges, seed_mod: int, rounds: int = 4,
-                   src: str = "src", dst: str = "dst", weight: str = "w"):
+                   src: str = "src", dst: str = "dst", weight: str = "w",
+                   local_edges: int = 4_000_000, num_partitions: int = 64):
     """Bounded-round Bellman–Ford: minimum WEIGHTED distance from the
     seed set (``node % seed_mod == 0``) over paths of at most
     ``rounds`` edges of the undirected graph — the weighted companion
@@ -387,31 +648,32 @@ def shortest_paths(edges, seed_mod: int, rounds: int = 4,
     accumulation + MIN(dist) computes — so the twin is exact even when
     ``rounds`` is below the graph's weighted diameter.
 
-    Scale shape: per-block canonicalize keeps the MINIMUM weight per
-    parallel edge (min-combine, not distinct), one compact exchange of
-    O(distinct edges) rows, then a vectorized ``np.minimum.at``
-    scatter per round. The distributed swap-in is the classic
-    per-round exchange: join the frontier's distances onto the edge
-    table, min-reduce per target node — ``rounds`` × one hash
-    exchange."""
+    Size-gated like ``bfs_hops``: per-block canonicalize + block-local
+    dedup on (a, b, w) shrink the stream first (a parallel edge with a
+    LARGER weight can never win a min-distance relaxation, so distinct
+    triples are exact); at or under ``local_edges`` surviving rows the
+    graph collapses through one repartition(1) into a vectorized
+    ``np.minimum.at`` relaxation loop, above it ``_distributed_sssp``
+    runs the classic per-round exchange (frontier distances join onto
+    co-partitioned out-edges, min-reduce per target) — 2 narrow hash
+    exchanges per round, no single-block collapse."""
 
     def canon(t: pa.Table) -> pa.Table:
         a = pc.min_element_wise(t[src], t[dst])
         b = pc.max_element_wise(t[src], t[dst])
         keep = pc.not_equal(a, b)
-        return pa.table({"a": pc.cast(a, pa.int64()),
-                         "b": pc.cast(b, pa.int64()),
-                         "w": pc.cast(t[weight], pa.int64())}).filter(keep)
+        tt = pa.table({"a": pc.cast(a, pa.int64()),
+                       "b": pc.cast(b, pa.int64()),
+                       "w": pc.cast(t[weight], pa.int64())}).filter(keep)
+        return pa_from_pandas(tt.to_pandas().drop_duplicates())
 
-    # distinct on (a, b, w): a parallel edge surviving with a LARGER
-    # weight can never win a min-distance relaxation, so keeping one
-    # row per distinct weight (instead of a min-combine) is exact —
-    # and it rides the same compact front end as kcore/bfs_hops.
-    distinct = compact_groupby(edges.map_batches(canon, batch_format="pyarrow"),
-                               ["a", "b", "w"], count_alias="n")
+    pre = edges.map_batches(canon, batch_format="pyarrow").materialize()
+
+    if pre.count() > local_edges:
+        return _distributed_sssp(pre, seed_mod, rounds, num_partitions)
 
     def relax(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()[["a", "b", "w"]]
+        df = t.to_pandas()[["a", "b", "w"]].drop_duplicates()
         a = df["a"].to_numpy(np.int64)
         b = df["b"].to_numpy(np.int64)
         w = df["w"].to_numpy(np.int64)
@@ -434,5 +696,5 @@ def shortest_paths(edges, seed_mod: int, rounds: int = 4,
         return pa.table({"node": pa.array(nodes[keep]),
                          "dist": pa.array(dist[keep])})
 
-    return distinct.map_batches(relax, batch_format="pyarrow",
-                                batch_size=None)
+    return pre.repartition(1).map_batches(relax, batch_format="pyarrow",
+                                          batch_size=None)

@@ -183,3 +183,87 @@ def test_shortest_paths_weights_rounds_and_parallel_edges():
     out2 = shortest_paths(ds, seed_mod=1000, rounds=2).to_pandas()
     got2 = dict(zip(out2["node"], out2["dist"]))
     assert got2 == {0: 0, 1: 3, 2: 13, 3: 101}
+
+
+def test_bfs_sssp_distributed_vs_local_differential():
+    """The size-gated distributed per-round frontier (local_edges=0
+    forces it) must equal the single-task vectorized loop row-for-row
+    on random graphs with duplicates, reversed edges and self-loops —
+    including hop/round caps that bite before convergence."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.graph import (
+        bfs_hops, shortest_paths)
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(50, 400))
+        nn = int(rng.integers(8, 120))
+        src = rng.integers(0, nn, n).astype(np.int64)
+        dst = rng.integers(0, nn, n).astype(np.int64)
+        w = rng.integers(1, 90, n).astype(np.int64)
+        # dirty the stream: dup + reversed + self-loop rows
+        src2 = np.concatenate([src, dst, src[:7], np.arange(3)])
+        dst2 = np.concatenate([dst, src, dst[:7], np.arange(3)])
+        w2 = np.concatenate([w, w, w[:7], np.ones(3, np.int64)])
+        t = pa.table({"src": pa.array(src2), "dst": pa.array(dst2),
+                      "w": pa.array(w2)})
+        sm = int(rng.integers(2, 15))
+        cap = int(rng.integers(1, 6))
+
+        loc = (bfs_hops(rd.from_arrow(t).repartition(4), seed_mod=sm,
+                        max_hops=cap)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        dis = (bfs_hops(rd.from_arrow(t).repartition(4), seed_mod=sm,
+                        max_hops=cap, local_edges=0, num_partitions=8)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert loc.equals(dis), f"bfs mismatch seed={seed}"
+
+        loc2 = (shortest_paths(rd.from_arrow(t).repartition(4),
+                               seed_mod=sm, rounds=cap)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        dis2 = (shortest_paths(rd.from_arrow(t).repartition(4),
+                               seed_mod=sm, rounds=cap, local_edges=0,
+                               num_partitions=8)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+        assert loc2.equals(dis2), f"sssp mismatch seed={seed}"
+
+
+def test_bfs_sssp_distributed_on_oracle_projection_graph():
+    """The exact oracle inputs (graph_bfs_hops / graph_shortest_paths
+    at sf0.001 — the 256-node event projection) through the FORCED
+    distributed path must equal the hash-verified local-path result,
+    so both oracles are green through both plans."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.graph import (
+        bfs_hops, shortest_paths)
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "events.parquet")):
+        import pytest
+        pytest.skip("testdata not present")
+    eid = pq.read_table(os.path.join(sf, "events.parquet"),
+                        columns=["event_id"])["event_id"]
+    eid = eid.to_numpy(zero_copy_only=False).astype(np.int64)
+    s = ((eid * 2654435761) % 1000003) % 256
+    d = ((eid * 40503 + 17) % 999983) % 256
+    t = pa.table({"src": pa.array(s), "dst": pa.array(d),
+                  "w": pa.array((s + d) % 50 + 1)})
+
+    loc = (bfs_hops(rd.from_arrow(t), seed_mod=29, max_hops=6)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    dis = (bfs_hops(rd.from_arrow(t), seed_mod=29, max_hops=6,
+                    local_edges=0)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert loc.equals(dis)
+
+    loc2 = (shortest_paths(rd.from_arrow(t), seed_mod=29, rounds=4)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    dis2 = (shortest_paths(rd.from_arrow(t), seed_mod=29, rounds=4,
+                           local_edges=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert loc2.equals(dis2)
