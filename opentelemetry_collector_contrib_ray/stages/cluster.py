@@ -41,6 +41,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
 from .base import arrow_out
 
 
@@ -177,12 +179,47 @@ def connected_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def attach_clusters(docs, labels, id_col: str = "doc_id",
-                    out_col: str = "cluster_id", keep_col: str = "keep"):
-    """Broadcast the (small) component-label table over the corpus:
-    every doc gets ``cluster_id`` (= itself for singletons) and
-    ``keep`` (is it the canonical min-id member). ``ray.put`` once,
-    ``np.searchsorted`` per batch — no shuffle over the corpus."""
+                    out_col: str = "cluster_id", keep_col: str = "keep",
+                    broadcast_threshold: int | None = None):
+    """Attach the component-label table to the corpus: every doc gets
+    ``cluster_id`` (= itself for singletons) and ``keep`` (is it the
+    canonical min-id member).
+
+    Size-gated (the ``gated_broadcast_join`` contract from
+    stages/joins.py): a label table at or under the broadcast
+    threshold ships ONCE via ``ray.put`` and resolves with a
+    ``np.searchsorted`` lookup per batch — no shuffle over the corpus.
+    Above the threshold the label table is corpus-proportional (high
+    dup rates at 100 TB make the near-dup node set scale with the
+    input), so broadcasting it to every task would replicate
+    gigabytes; the plan falls back to ONE hash-partitioned native
+    left join on the id column, then a vectorized null-fill — same
+    rows, one exchange of the (narrow) id/label columns."""
     import ray
+
+    from .joins import (BROADCAST_ROWS_THRESHOLD, _rows_estimate,
+                        bucketed_hash_join)
+
+    thr = (BROADCAST_ROWS_THRESHOLD if broadcast_threshold is None
+           else broadcast_threshold)
+    n = _rows_estimate(labels)
+    if n is None:
+        labels = labels.materialize()
+        n = labels.count()
+
+    if n > thr:
+        joined = bucketed_hash_join(docs, labels, on=id_col,
+                                    right_on="node", how="left")
+
+        def finalize(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t[id_col], pa.int64())
+            lab_c = pc.cast(t["label"], pa.int64())
+            cluster = pc.if_else(pc.is_null(lab_c), ids, lab_c)
+            t = t.drop_columns(["label"])
+            t = t.append_column(out_col, cluster)
+            return t.append_column(keep_col, pc.equal(cluster, ids))
+
+        return joined.map_batches(finalize, batch_format="pyarrow")
 
     lab = labels.to_pandas()
     if len(lab) == 0 or "node" not in lab.columns:
@@ -210,13 +247,15 @@ def attach_clusters(docs, labels, id_col: str = "doc_id",
 
 def dedup_by_clusters(docs, pairs, id_col: str = "doc_id",
                       id_a: str = "id_a", id_b: str = "id_b",
-                      num_partitions: int = 64):
+                      num_partitions: int = 64,
+                      broadcast_threshold: int | None = None):
     """End-to-end fuzzy-dedup completion: pairs → components → tag the
     corpus with ``cluster_id``/``keep``. Filter ``keep`` downstream to
     materialize the deduplicated corpus."""
     labels = connected_components(pairs, id_a=id_a, id_b=id_b,
                                   num_partitions=num_partitions)
-    return attach_clusters(docs, labels, id_col=id_col)
+    return attach_clusters(docs, labels, id_col=id_col,
+                           broadcast_threshold=broadcast_threshold)
 
 
 def _sorted_lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray,

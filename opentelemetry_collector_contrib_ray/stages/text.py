@@ -1279,7 +1279,8 @@ def cdc_chunk_hashes(t: pa.Table, col: str = "text", window: int = 8,
 
 
 def pmi_bigram_parts(ds, col: str = "text", min_count: int = 3,
-                     num_partitions: int = 64):
+                     num_partitions: int = 64,
+                     broadcast_threshold: int | None = None):
     """Pointwise-mutual-information collocation mining (Church & Hanks
     1990) kept INTEGER-EXACT: for every adjacent word pair inside a
     document, report the integer parts (pair_n, left_n, right_n,
@@ -1293,12 +1294,17 @@ def pmi_bigram_parts(ds, col: str = "text", min_count: int = 3,
     mask (the split never yields interior empties, so filtering empty
     tokens first keeps both engines' adjacency identical); per-block
     (w1, w2) count partials take the ONE pair-hash exchange — text
-    never moves. The two marginal tables are O(vocab) and the final
-    attach broadcasts them sorted for a searchsorted lookup per batch;
-    above a vocab threshold the documented swap-in is two
-    ``bucketed_hash_join`` passes on w1 then w2 — same semantics, two
-    more exchanges instead of a broadcast."""
-    from .agg import compact_groupby
+    never moves.
+
+    Size-gated marginal attach: at or under ``broadcast_threshold``
+    distinct bigrams (default ``BROADCAST_ROWS_THRESHOLD``) the two
+    O(vocab) marginal tables broadcast sorted for a searchsorted
+    lookup per batch; above it the vocab is corpus-proportional and
+    the plan swaps to two ``bucketed_hash_join`` passes on w1 then w2
+    plus ``hash_groupby_agg`` marginals — same rows, two more
+    exchanges instead of a driver-held broadcast."""
+    from .agg import compact_groupby, hash_groupby_agg
+    from .joins import BROADCAST_ROWS_THRESHOLD, bucketed_hash_join
 
     def partial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -1334,6 +1340,72 @@ def pmi_bigram_parts(ds, col: str = "text", min_count: int = 3,
                .groupby("__p")
                .map_groups(arrow_out(merge), batch_format="pandas")
                .materialize())
+
+    thr = (BROADCAST_ROWS_THRESHOLD if broadcast_threshold is None
+           else broadcast_threshold)
+    if (pairs.count() or 0) > thr:
+        # corpus-proportional vocab: marginals via ONE hash exchange
+        # each, attach via two hash-partitioned joins — nothing is
+        # ever held on the driver or replicated per task
+        def norm(t: pa.Table) -> pa.Table:
+            # empty __p partitions upstream emit zero-column blocks
+            # (the known map_groups quirk) — re-schema them so the
+            # joins and combiners below never see a schema-less block
+            if t.num_rows == 0 or "w1" not in t.column_names:
+                return pa.table({"w1": pa.array([], pa.string()),
+                                 "w2": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            return t.select(["w1", "w2", "n"])
+
+        pairs = pairs.map_batches(norm, batch_format="pyarrow")
+
+        def total_partial(t: pa.Table) -> pa.Table:
+            s = (0 if ("n" not in t.column_names or t.num_rows == 0)
+                 else (pc.sum(t["n"]).as_py() or 0))
+            return pa.table({"s": pa.array([int(s)], pa.int64())})
+
+        n_total = int(pairs.map_batches(
+            total_partial, batch_format="pyarrow",
+            batch_size=None).sum("s") or 0)
+
+        lefts_ds = hash_groupby_agg(pairs, ["w1"],
+                                    {"n": ("sum", "left_n")},
+                                    num_partitions=num_partitions)
+        rights_ds = hash_groupby_agg(pairs, ["w2"],
+                                     {"n": ("sum", "right_n")},
+                                     num_partitions=num_partitions)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater_equal(t["n"], min_count))
+            return pa.table({"w1": t["w1"], "w2": t["w2"],
+                             "pair_n": pc.cast(t["n"], pa.int64())})
+
+        filt = pairs.map_batches(prefilter, batch_format="pyarrow")
+        j1 = bucketed_hash_join(filt, lefts_ds, on="w1", how="inner",
+                                num_partitions=num_partitions)
+        # a join partition with no rows emits a ZERO-COLUMN block and
+        # the next join's aggregator unify races on it (the documented
+        # q15/q22 FieldRef "no match" dodge) — one block-level
+        # repartition concat-merges empties into schema-carrying blocks
+        j1 = j1.repartition(max(8, num_partitions // 4))
+        j2 = bucketed_hash_join(
+            j1, rights_ds.map_batches(
+                lambda t: pa.table({"w2": t["w2"],
+                                    "right_n": t["right_n"]}),
+                batch_format="pyarrow"),
+            on="w2", how="inner", num_partitions=num_partitions)
+
+        def order_cols(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "w1": t["w1"], "w2": t["w2"],
+                "pair_n": pc.cast(t["pair_n"], pa.int64()),
+                "left_n": pc.cast(t["left_n"], pa.int64()),
+                "right_n": pc.cast(t["right_n"], pa.int64()),
+                "n_total": pa.array(
+                    np.full(t.num_rows, n_total, dtype=np.int64)),
+            })
+
+        return j2.map_batches(order_cols, batch_format="pyarrow")
 
     lefts = compact_groupby(pairs, ["w1"], sum_cols={"n": "left_n"}).take_all()
     rights = compact_groupby(pairs, ["w2"], sum_cols={"n": "right_n"}).take_all()

@@ -263,3 +263,60 @@ def test_dbscan_empty_pairs_all_noise():
                          min_pts=2).to_pandas().sort_values("vec_id"))
     assert list(out["role"]) == ["noise", "noise"]
     assert list(out["cluster_id"]) == [-1, -1]
+
+
+def test_attach_clusters_joined_path_matches_broadcast():
+    """broadcast_threshold=0 forces the hash-partitioned left-join
+    attach; it must equal the broadcast searchsorted path row-for-row
+    (columns, dtypes, singleton fill, keep flags)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.cluster import dedup_by_clusters
+
+    def mk():
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+            "text": pa.array([f"d{i}" for i in range(30)])})).repartition(3)
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array([1, 2, 5, 7, 20], pa.int64()),
+            "id_b": pa.array([2, 3, 6, 1, 21], pa.int64())}))
+        return docs, pairs
+
+    d1, p1 = mk()
+    a = (dedup_by_clusters(d1, p1).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    d2, p2 = mk()
+    b = (dedup_by_clusters(d2, p2, broadcast_threshold=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
+    # spot semantics: 1-2-3-7 one cluster labeled 1; singleton keeps
+    got = dict(zip(a["doc_id"], a["cluster_id"]))
+    assert got[1] == got[2] == got[3] == got[7] == 1
+    assert got[10] == 10 and a.loc[a.doc_id == 10, "keep"].item()
+
+
+def test_pmi_joined_path_matches_broadcast():
+    """broadcast_threshold=0 forces hash_groupby_agg marginals + two
+    bucketed joins; same rows/dtypes as the broadcast attach."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.text import pmi_bigram_parts
+
+    txts = ["the cat sat on the mat", "the cat ran",
+            "a dog sat on the mat", "", "the the the"] * 3
+
+    p1 = (pmi_bigram_parts(
+            rd.from_arrow(pa.table({"text": pa.array(txts)})),
+            min_count=2, num_partitions=4)
+          .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True))
+    p2 = (pmi_bigram_parts(
+            rd.from_arrow(pa.table({"text": pa.array(txts)})),
+            min_count=2, num_partitions=4, broadcast_threshold=0)
+          .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True))
+    assert list(p1.columns) == list(p2.columns)
+    assert p1.equals(p2)
+    assert (p1["pair_n"] >= 2).all()
