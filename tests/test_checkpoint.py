@@ -301,3 +301,76 @@ def test_resumable_sweep_kill_resume_conv_curation_e2e(ray_session, tmp_path,
     got = out["conv_curation_e2e"].to_pandas().sort_values(
         "stage").reset_index(drop=True)
     assert got.equals(direct[got.columns.tolist()])
+
+
+def test_sigkill_mid_shuffle_resume_hash_identical(ray_session, tmp_path):
+    """REAL kill/resume on a shuffle-heavy query: a separate driver
+    process joins this session's cluster, starts the checkpointed
+    docs_ngram_jaccard (inverted-shingle exchange + pair-hash
+    exchange) and is SIGKILLed mid-execution — while the shuffle is in
+    flight. The atomic temp-dir + manifest protocol must leave NO
+    committed state, and the resumed run must recompute a result
+    hash-identical to a direct run."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pandas as pd
+
+    import opentelemetry_collector_contrib_ray as pkg
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        QUERIES, resumable_query)
+    from opentelemetry_collector_contrib_ray.state.checkpoint import PartitionCheckpointer
+
+    sf = "/root/testdata/sf0.01"
+    root = str(tmp_path / "ckpt")
+    os.makedirs(root, exist_ok=True)
+    child = tmp_path / "child.py"
+    child.write_text(
+        "import os, sys\n"
+        "import ray\n"
+        "root, sf = sys.argv[1], sys.argv[2]\n"
+        "ray.init(address='auto', include_dashboard=False,"
+        " log_to_driver=False)\n"
+        "open(os.path.join(root, 'started'), 'w').write('1')\n"
+        "from opentelemetry_collector_contrib_ray.pipelines.queries import resumable_query\n"
+        "resumable_query('docs_ngram_jaccard', sf, root=root)\n"
+        "open(os.path.join(root, 'finished'), 'w').write('1')\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(pkg.__file__))
+
+    p = subprocess.Popen([sys.executable, str(child), root, sf], env=env,
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    t0 = time.time()
+    while (not os.path.exists(os.path.join(root, "started"))
+           and time.time() - t0 < 90):
+        time.sleep(0.05)
+    assert os.path.exists(os.path.join(root, "started"))
+    time.sleep(1.2)  # the query runs ~3 s on this cluster: mid-shuffle
+    os.kill(p.pid, signal.SIGKILL)
+    p.wait()
+
+    # the kill landed before completion and committed NOTHING
+    assert not os.path.exists(os.path.join(root, "finished"))
+    slug = sf.rstrip("/").replace("/", "_").lstrip("_")
+    ck = PartitionCheckpointer(root)
+    assert not ck.is_done(f"docs_ngram_jaccard@{slug}")
+
+    # resume: recomputes (no manifest) and commits
+    res = resumable_query("docs_ngram_jaccard", sf, root=root)
+    assert ck.is_done(f"docs_ngram_jaccard@{slug}")
+    direct = QUERIES["docs_ngram_jaccard"](sf)
+    a = res.to_pandas()
+    b = direct if isinstance(direct, pd.DataFrame) else direct.to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    # third pass streams from the store without executing
+    res2 = resumable_query("docs_ngram_jaccard", sf, root=root)
+    assert res2.to_pandas()[cols].sort_values(cols).reset_index(
+        drop=True).equals(a)
