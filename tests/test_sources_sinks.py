@@ -398,3 +398,109 @@ def test_otlp_proto_file_sink_and_source(ray_session, tmp_path):
     assert (got["resource.service"] == "svc").all()
     counts = got["attributes.level"].value_counts()
     assert counts["INFO"] == 25 and counts["ERROR"] == 25
+
+
+def test_otlp_proto_traces_codec_pure():
+    """Span tree wire pins: id byte round-trips, fixed64 nanos, nested
+    Status{message,code}, attrs, resource/scope envelope, and the
+    parent_span_id presence rule (absent ↔ empty hex)."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.sources.otlp_proto import (
+        decode_traces_data, encode_otlp_proto_spans)
+
+    t = pa.table({
+        "trace_id": ["0af7651916cd43dd8448eb211c80319c"] * 2,
+        "span_id": ["b7ad6b7169203331", "00f067aa0ba902b7"],
+        "parent_span_id": ["", "b7ad6b7169203331"],
+        "name": ["GET /", "SELECT"],
+        "kind": pa.array([2, 3], pa.int64()),
+        "start_time_unix_nano": pa.array(
+            [1544712660000000000, 1544712661000000000], pa.int64()),
+        "end_time_unix_nano": pa.array(
+            [1544712661000000000, 1544712662000000000], pa.int64()),
+        "status.code": pa.array([0, 2], pa.int64()),
+        "status.message": ["", "boom"],
+        "attributes.http_status": pa.array([200, 500], pa.int64()),
+        "resource.service": ["api", "api"],
+        "scope_name": ["otelray", "otelray"],
+    })
+    rows = sorted(decode_traces_data(encode_otlp_proto_spans(t)),
+                  key=lambda r: r["span_id"])
+    assert len(rows) == 2
+    child = [r for r in rows if r["span_id"] == "00f067aa0ba902b7"][0]
+    root = [r for r in rows if r["span_id"] == "b7ad6b7169203331"][0]
+    assert child["parent_span_id"] == "b7ad6b7169203331"
+    assert root["parent_span_id"] == ""
+    assert child["status.code"] == 2 and child["status.message"] == "boom"
+    assert root["status.code"] == 0 and root["status.message"] == ""
+    assert child["kind"] == 3 and child["name"] == "SELECT"
+    assert child["end_time_unix_nano"] == 1544712662000000000
+    assert child["attributes.http_status"] == 500
+    assert child["resource.service"] == "api"
+    assert child["scope_name"] == "otelray"
+
+
+def test_otlp_proto_metrics_codec_pure():
+    """Metric tree wire pins: the Gauge/Sum oneof (temporality and
+    monotonic exist ONLY inside Sum), sfixed64 negative int values,
+    double values, per-metric datapoint regrouping."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.sources.otlp_proto import (
+        decode_metrics_data, encode_otlp_proto_metrics)
+
+    m = pa.table({
+        "metric_name": ["req_count", "req_count", "temp"],
+        "unit": ["1", "1", "C"],
+        "type": pa.array([2, 2, 1], pa.int64()),
+        "aggregation_temporality": pa.array([2, 2, 0], pa.int64()),
+        "is_monotonic": pa.array([True, True, False]),
+        "time_unix_nano": pa.array([10, 20, 30], pa.int64()),
+        "start_time_unix_nano": pa.array([1, 1, 0], pa.int64()),
+        "value_int": pa.array([10, -5, None], pa.int64()),
+        "value_double": pa.array([None, None, 21.5], pa.float64()),
+        "attributes.host": ["a", "b", "a"],
+        "resource.service": ["api"] * 3,
+        "scope_name": ["otelray"] * 3,
+    })
+    rows = decode_metrics_data(encode_otlp_proto_metrics(m))
+    assert len(rows) == 3
+    sums = sorted((r for r in rows if r["metric_name"] == "req_count"),
+                  key=lambda r: r["time_unix_nano"])
+    assert [r["value_int"] for r in sums] == [10, -5]  # sfixed64 sign
+    assert all(r["type"] == 2 and r["aggregation_temporality"] == 2
+               and r["is_monotonic"] for r in sums)
+    assert {r["attributes.host"] for r in sums} == {"a", "b"}
+    g = [r for r in rows if r["metric_name"] == "temp"][0]
+    assert g["type"] == 1 and g["value_double"] == 21.5
+    assert g["value_int"] is None
+    assert g["aggregation_temporality"] == 0 and not g["is_monotonic"]
+    assert g["unit"] == "C" and g["start_time_unix_nano"] == 0
+
+
+def test_otlp_proto_traces_decoder_skips_unknown_fields():
+    """A TracesData written by the reference collector carries fields
+    this flat model doesn't track (dropped counts, schema_url, links)
+    — the decoder must skip them by wire type, not break."""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.sources.otlp_proto import (
+        _ld, _tag, _varint, decode_traces_data, encode_otlp_proto_spans)
+
+    t = pa.table({
+        "span_id": ["b7ad6b7169203331"],
+        "name": ["op"],
+        "kind": pa.array([1], pa.int64()),
+        "scope_name": ["s"],
+    })
+    buf = bytearray(encode_otlp_proto_spans(t))
+    # append an unknown varint field (10: dropped_attributes_count)
+    # inside a fresh top-level ResourceSpans with one span
+    span = _ld(2, b"\x62\x02op") + _tag(10, 0) + _varint(7)
+    extra_span = _ld(5, b"op2") + _tag(10, 0) + _varint(3)
+    sl = _ld(2, extra_span)
+    rl = _ld(2, sl) + _ld(3, b"https://schema")  # 3: schema_url
+    buf += _ld(1, bytes(rl))
+    rows = decode_traces_data(bytes(buf))
+    assert {r["name"] for r in rows} == {"op", "op2"}
