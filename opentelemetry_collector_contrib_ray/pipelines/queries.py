@@ -12282,14 +12282,6 @@ def q_q5_local_supplier_volume(sf_dir: str):
         supp.map_batches(s_prep, batch_format="pyarrow").materialize(),
         on="l_suppkey", right_on="s_suppkey", how="inner")
 
-    per_order = hash_groupby_sum(
-        j0.map_batches(
-            lambda t: t.select(["l_orderkey", "s_nationkey", "n_name",
-                                "rev_units"]),
-            batch_format="pyarrow"),
-        ["l_orderkey", "s_nationkey", "n_name"], "rev_units",
-        out_col="rev_units")
-
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -12300,9 +12292,6 @@ def q_q5_local_supplier_volume(sf_dir: str):
                          "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
 
     o_small = orders.map_batches(o_prep, batch_format="pyarrow").materialize()
-    j1 = gated_broadcast_join(per_order, o_small,
-                              on="l_orderkey", right_on="o_orderkey",
-                              how="inner").materialize()
 
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_nationkey"])
@@ -12311,6 +12300,66 @@ def q_q5_local_supplier_volume(sf_dir: str):
         return pa.table({
             "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
             "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())})
+
+    from ..stages.joins import BROADCAST_ROWS_THRESHOLD, _rows_estimate
+
+    n_cust = _rows_estimate(cust)
+    if (o_small.count() <= BROADCAST_ROWS_THRESHOLD
+            and n_cust is not None and n_cust <= BROADCAST_ROWS_THRESHOLD):
+        # r5 exchange cut: with BOTH the year-filtered order map and
+        # the customer→nation map under the broadcast gate, the
+        # per-(order, nation) combiner loses its purpose — year
+        # membership and locality equality resolve per batch by two
+        # searchsorted lookups, and revenue folds STRAIGHT to the
+        # O(nations) compact rollup: ZERO wide exchange after the
+        # (gated) supplier attach. Over either gate the original
+        # combiner-then-attach plan stands unchanged.
+        import ray
+
+        om = o_small.to_pandas()
+        ok = om["o_orderkey"].to_numpy(np.int64)
+        oc = om["o_custkey"].to_numpy(np.int64)
+        o_s = np.argsort(ok, kind="stable")
+        cm = cust.map_batches(c_prep, batch_format="pyarrow").to_pandas()
+        ck = cm["c_custkey"].to_numpy(np.int64)
+        cn = cm["c_nationkey"].to_numpy(np.int64)
+        c_s = np.argsort(ck, kind="stable")
+        ref = ray.put((ok[o_s], oc[o_s], ck[c_s], cn[c_s]))
+
+        def attach_local(t: pa.Table) -> pa.Table:
+            oks, ocs, cks, cns = ray.get(ref)
+            okv = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = (np.minimum(np.searchsorted(oks, okv), len(oks) - 1)
+                   if len(oks) else np.zeros(len(okv), np.int64))
+            f1 = (oks[pos] == okv) if len(oks) else np.zeros(len(okv),
+                                                            bool)
+            custk = np.where(f1, ocs[pos] if len(oks) else -1, -1)
+            cpos = (np.minimum(np.searchsorted(cks, custk), len(cks) - 1)
+                    if len(cks) else np.zeros(len(custk), np.int64))
+            f2 = f1 & ((cks[cpos] == custk) if len(cks)
+                       else np.zeros(len(custk), bool))
+            snat = t["s_nationkey"].to_numpy(zero_copy_only=False)
+            keep = f2 & ((cns[cpos] if len(cks)
+                          else np.full(len(custk), -1)) == snat)
+            m = pa.array(keep)
+            return pa.table({"n_name": t["n_name"].filter(m),
+                             "rev_units": t["rev_units"].filter(m)})
+
+        return compact_groupby(
+            j0.map_batches(attach_local, batch_format="pyarrow"),
+            ["n_name"], sum_cols={"rev_units": "rev_units"})
+
+    per_order = hash_groupby_sum(
+        j0.map_batches(
+            lambda t: t.select(["l_orderkey", "s_nationkey", "n_name",
+                                "rev_units"]),
+            batch_format="pyarrow"),
+        ["l_orderkey", "s_nationkey", "n_name"], "rev_units",
+        out_col="rev_units")
+
+    j1 = gated_broadcast_join(per_order, o_small,
+                              on="l_orderkey", right_on="o_orderkey",
+                              how="inner").materialize()
 
     j2 = gated_broadcast_join(cust.map_batches(c_prep,
                                                batch_format="pyarrow"),
@@ -13262,9 +13311,23 @@ def q_q21_waiting_suppliers(sf_dir: str):
     supplier's key (exactly one term), so no per-order supplier list
     is ever held. Region filter via the driver-resolved 25+5-row
     nation⋈region dim; order status 'F' gates the orders side before
-    it moves."""
-    from ..stages.agg import hash_groupby_agg, hash_groupby_sum
-    from ..stages.joins import gated_broadcast_join
+    it moves.
+
+    r5 exchange cut: while the F-filtered orders dim fits the
+    broadcast gate, the pair fold, the odate attach, the per-order
+    EXISTS sums AND the waiting filter all fuse into ONE
+    orderkey-partitioned exchange (per-block (order,supp,max)
+    combiner before it, per-partition vectorized pandas after — rows
+    of one order co-locate, so every per-order decision is
+    partition-local) with a compact (≤ suppliers) numwait fold after.
+    Over the gate the original 3-exchange plan stands unchanged."""
+    import pandas as pd
+
+    import ray
+
+    from ..stages.agg import (compact_groupby, hash_groupby_agg,
+                              hash_groupby_sum)
+    from ..stages.joins import BROADCAST_ROWS_THRESHOLD, gated_broadcast_join
 
     LATE_US = 60 * 86_400_000_000
 
@@ -13275,11 +13338,6 @@ def q_q21_waiting_suppliers(sf_dir: str):
         return pa.table({"l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
                          "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
                          "ship_us": pc.cast(t["l_shipdate"], pa.int64())})
-
-    pairs = hash_groupby_agg(
-        li.map_batches(li_prep, batch_format="pyarrow"),
-        ["l_orderkey", "l_suppkey"],
-        {"ship_us": ("max", "max_ship_us")}).materialize()
 
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_orderdate",
@@ -13292,35 +13350,88 @@ def q_q21_waiting_suppliers(sf_dir: str):
 
     o_f = orders.map_batches(o_prep, batch_format="pyarrow").materialize()
 
-    j = gated_broadcast_join(pairs, o_f, on="l_orderkey",
-                             right_on="o_orderkey", how="inner")
+    if o_f.count() <= BROADCAST_ROWS_THRESHOLD:
+        od = o_f.to_pandas()
+        okeys = od["o_orderkey"].to_numpy(np.int64)
+        odates = od["odate_us"].to_numpy(np.int64)
+        order_idx = np.argsort(okeys, kind="stable")
+        oref = ray.put((okeys[order_idx], odates[order_idx]))
+        P = np.int64(64)
 
-    def late_terms(t: pa.Table) -> pa.Table:
-        late = pc.cast(pc.greater(
-            t["max_ship_us"],
-            pc.add(t["odate_us"], pa.scalar(LATE_US, pa.int64()))),
-            pa.int64())
-        return pa.table({"l_orderkey": t["l_orderkey"],
-                         "one": pa.array(np.ones(t.num_rows, np.int64)),
-                         "late": late,
-                         "late_supp": pc.multiply(late, t["l_suppkey"])})
+        def li_part(t: pa.Table) -> pa.Table:
+            t = li_prep(t)
+            g = (t.group_by(["l_orderkey", "l_suppkey"])
+                  .aggregate([("ship_us", "max")])
+                  .rename_columns(["l_orderkey", "l_suppkey",
+                                   "max_ship_us"]))
+            ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+            return g.append_column("__p", pa.array(ok % P))
 
-    per_order = hash_groupby_agg(
-        j.map_batches(late_terms, batch_format="pyarrow"),
-        ["l_orderkey"],
-        {"one": ("sum", "n_supp"), "late": ("sum", "n_late"),
-         "late_supp": ("sum", "late_supp")})
+        def fold(g: pd.DataFrame) -> pa.Table:
+            d = (g.groupby(["l_orderkey", "l_suppkey"], as_index=False)
+                 ["max_ship_us"].max())
+            ks, ds_ = ray.get(oref)
+            okv = d["l_orderkey"].to_numpy(np.int64)
+            pos = (np.minimum(np.searchsorted(ks, okv), len(ks) - 1)
+                   if len(ks) else np.zeros(len(okv), np.int64))
+            found = (ks[pos] == okv) if len(ks) else np.zeros(len(okv),
+                                                             bool)
+            d = d[found]
+            odate = ds_[pos[found]] if len(ks) else np.array([], np.int64)
+            late = (d["max_ship_us"].to_numpy(np.int64)
+                    > odate + LATE_US).astype(np.int64)
+            sup = d["l_suppkey"].to_numpy(np.int64)
+            per = pd.DataFrame({"o": d["l_orderkey"].to_numpy(np.int64),
+                                "one": np.ones(len(d), np.int64),
+                                "late": late, "ls": late * sup})
+            po = per.groupby("o", as_index=False).sum()
+            keep = po[(po["one"] >= 2) & (po["late"] == 1)]
+            w = (keep.groupby("ls", as_index=False)["late"].count()
+                 .rename(columns={"ls": "s_suppkey", "late": "one"}))
+            w["one"] = w["one"].astype(np.int64)
+            return pa_from_pandas(w)
 
-    def waiting(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater_equal(t["n_supp"], 2),
-                       pc.equal(t["n_late"], 1))
-        kept = t.filter(keep)
-        return pa.table({"s_suppkey": kept["late_supp"],
-                         "one": pa.array(np.ones(kept.num_rows, np.int64))})
+        waits = compact_groupby(
+            li.map_batches(li_part, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(fold), batch_format="pandas"),
+            ["s_suppkey"], sum_cols={"one": "numwait"}).materialize()
+    else:
+        pairs = hash_groupby_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey", "l_suppkey"],
+            {"ship_us": ("max", "max_ship_us")}).materialize()
 
-    waits = hash_groupby_sum(
-        per_order.map_batches(waiting, batch_format="pyarrow"),
-        ["s_suppkey"], "one", out_col="numwait").materialize()
+        j = gated_broadcast_join(pairs, o_f, on="l_orderkey",
+                                 right_on="o_orderkey", how="inner")
+
+        def late_terms(t: pa.Table) -> pa.Table:
+            late = pc.cast(pc.greater(
+                t["max_ship_us"],
+                pc.add(t["odate_us"], pa.scalar(LATE_US, pa.int64()))),
+                pa.int64())
+            return pa.table({"l_orderkey": t["l_orderkey"],
+                             "one": pa.array(np.ones(t.num_rows, np.int64)),
+                             "late": late,
+                             "late_supp": pc.multiply(late, t["l_suppkey"])})
+
+        per_order = hash_groupby_agg(
+            j.map_batches(late_terms, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"one": ("sum", "n_supp"), "late": ("sum", "n_late"),
+             "late_supp": ("sum", "late_supp")})
+
+        def waiting(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater_equal(t["n_supp"], 2),
+                           pc.equal(t["n_late"], 1))
+            kept = t.filter(keep)
+            return pa.table({"s_suppkey": kept["late_supp"],
+                             "one": pa.array(np.ones(kept.num_rows,
+                                                     np.int64))})
+
+        waits = hash_groupby_sum(
+            per_order.map_batches(waiting, batch_format="pyarrow"),
+            ["s_suppkey"], "one", out_col="numwait").materialize()
 
     supp = _region_supplier_dim(sf_dir, "ASIA", extra_cols=["s_name"])
     # waits is provably compact (≤ suppliers) — broadcast IT onto the
@@ -13417,11 +13528,6 @@ def q_q9_product_type_profit(sf_dir: str):
                          "s_nationkey": t["s_nationkey"],
                          "profit_units": pc.subtract(t["rev_units"], cost)})
 
-    per_onat = hash_groupby_sum(
-        j1.map_batches(profit, batch_format="pyarrow"),
-        ["l_orderkey", "s_nationkey"], "profit_units",
-        out_col="profit_units").materialize()
-
     orders = read_table(sf_dir, "orders", columns=["o_orderkey",
                                                    "o_orderdate"])
     o_y = orders.map_batches(
@@ -13431,15 +13537,59 @@ def q_q9_product_type_profit(sf_dir: str):
                                               pa.int64())}),
         batch_format="pyarrow").materialize()
 
-    j2 = gated_broadcast_join(per_onat, o_y, on="l_orderkey",
-                              right_on="o_orderkey", how="inner")
+    from ..stages.joins import BROADCAST_ROWS_THRESHOLD
 
-    roll = hash_groupby_sum(
-        j2.map_batches(lambda t: t.select(["s_nationkey", "o_year",
-                                           "profit_units"]),
-                       batch_format="pyarrow"),
-        ["s_nationkey", "o_year"], "profit_units",
-        out_col="profit_units")
+    if o_y.count() <= BROADCAST_ROWS_THRESHOLD:
+        # r5 exchange cut: with the order→year map under the broadcast
+        # gate, the per-(order, nation) pre-fold loses its purpose (it
+        # only existed to bound the orders attach) — the year resolves
+        # per batch by searchsorted and profit folds STRAIGHT to the
+        # ≤ nations × years compact rollup: ZERO wide exchange, only
+        # O(groups × blocks) partial rows move. Over the gate the
+        # original per-(order,nation)-then-attach plan stands.
+        import ray
+
+        from ..stages.agg import compact_groupby
+
+        oy = o_y.to_pandas()
+        ok = oy["o_orderkey"].to_numpy(np.int64)
+        yv = oy["o_year"].to_numpy(np.int64)
+        o_s = np.argsort(ok, kind="stable")
+        yref = ray.put((ok[o_s], yv[o_s]))
+
+        def profit_year(t: pa.Table) -> pa.Table:
+            t = profit(t)
+            ks, ys = ray.get(yref)
+            okv = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ks, okv), max(len(ks) - 1, 0))
+            found = (ks[pos] == okv) if len(ks) else np.zeros(len(okv),
+                                                             bool)
+            return pa.table({
+                "s_nationkey": t["s_nationkey"].filter(pa.array(found)),
+                "o_year": pa.array(ys[pos[found]] if len(ks)
+                                   else np.array([], np.int64)),
+                "profit_units": t["profit_units"].filter(pa.array(found)),
+            })
+
+        roll = compact_groupby(
+            j1.map_batches(profit_year, batch_format="pyarrow"),
+            ["s_nationkey", "o_year"],
+            sum_cols={"profit_units": "profit_units"})
+    else:
+        per_onat = hash_groupby_sum(
+            j1.map_batches(profit, batch_format="pyarrow"),
+            ["l_orderkey", "s_nationkey"], "profit_units",
+            out_col="profit_units").materialize()
+
+        j2 = gated_broadcast_join(per_onat, o_y, on="l_orderkey",
+                                  right_on="o_orderkey", how="inner")
+
+        roll = hash_groupby_sum(
+            j2.map_batches(lambda t: t.select(["s_nationkey", "o_year",
+                                               "profit_units"]),
+                           batch_format="pyarrow"),
+            ["s_nationkey", "o_year"], "profit_units",
+            out_col="profit_units")
 
     nat = read_table(sf_dir, "nation").to_pandas()
     nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)

@@ -2350,3 +2350,54 @@ def test_cuped_parts_window_split_and_single_window_users(tmp_path):
     # variant 1: user 1 → (1, 0, 500, 0, 0, 250000)
     assert got == {0: (2, 500, 500, 170000, 50000, 250000),
                    1: (1, 0, 500, 0, 0, 250000)}
+
+
+def test_q21_fused_vs_unfused_paths(ray_session, monkeypatch):
+    """The r5 fused single-exchange q21 plan (orders under the
+    broadcast gate) must equal the 3-exchange fallback plan forced by
+    a zero threshold — same rows, same dtypes."""
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+    from opentelemetry_collector_contrib_ray.stages import joins
+
+    sf = "/root/testdata/sf0.001"
+    fused = (Q.QUERIES["q21_waiting_suppliers"](sf).to_pandas()
+             .sort_values(["s_name"]).reset_index(drop=True))
+    # 100: over-gate for the F-filtered orders dim (~750 rows at
+    # sf0.001) -> forces the 3-exchange fallback plan, while the tiny
+    # waits/supplier/nation dims stay on their broadcast paths
+    monkeypatch.setattr(joins, "BROADCAST_ROWS_THRESHOLD", 100)
+    unfused = (Q.QUERIES["q21_waiting_suppliers"](sf).to_pandas()
+               .sort_values(["s_name"]).reset_index(drop=True))
+    assert list(fused.columns) == list(unfused.columns)
+    assert fused.equals(unfused)
+    assert len(fused) > 0
+
+
+def test_q9_q5_fused_vs_unfused_paths(ray_session, monkeypatch):
+    """The r5 zero-wide-exchange q9/q5 plans (order/customer maps under
+    the broadcast gate) must equal the hash-exchange fallback plans
+    forced by a low threshold. sf0.01 so the fallback's partials fill
+    every partition (the empty-partition join quirk is a small-data
+    artifact the production fallback regime never sees)."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+    from opentelemetry_collector_contrib_ray.stages import joins
+
+    sf = "/root/testdata/sf0.01"
+
+    def run(name):
+        out = Q.QUERIES[name](sf)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    for name in ("q9_product_type_profit", "q5_local_supplier_volume"):
+        monkeypatch.setattr(joins, "BROADCAST_ROWS_THRESHOLD", 2_000_000)
+        fused = run(name)
+        # 1000: over-gate for the order map (~15k at sf0.01) and the
+        # customer map, under-gate for part/supplier dims
+        monkeypatch.setattr(joins, "BROADCAST_ROWS_THRESHOLD", 1000)
+        unfused = run(name)
+        assert fused.equals(unfused), name
+        assert len(fused) > 0
