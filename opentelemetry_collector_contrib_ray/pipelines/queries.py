@@ -16306,6 +16306,143 @@ GROUP BY 1
 )
 
 
+def q_logs_template_mining(sf_dir: str):
+    """Drain-lite log template extraction (He et al., "Drain: An
+    Online Log Parsing Approach", ICWS 2017 — the variable-masking
+    core, without the online parse tree since batch mining over a
+    bounded template space needs none): every log line masks its
+    digit runs to ``#`` and the corpus folds to (template, n_lines,
+    sum_chars) — the what-is-this-cluster-of-logs report every log
+    platform builds first, and the precondition for template-based
+    anomaly/ratio monitoring. Variables (latencies, statuses, ids)
+    vanish; the constant skeleton survives.
+
+    Shape: ONE RE2 replace kernel + a length kernel per batch, then
+    compact_groupby — the template space is bounded by the format
+    strings in the codebase that emitted the logs (dozens–hundreds),
+    so only O(templates × blocks) partial rows move and the text
+    never shuffles. DuckDB twin shares the identical RE2
+    ``regexp_replace(..., 'g')`` engine-for-engine."""
+    from ..stages.agg import compact_groupby
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def mask(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        tpl = pc.replace_substring_regex(txt, r"[0-9]+", "#")
+        return pa.table({
+            "template": tpl,
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+        })
+
+    return compact_groupby(
+        ds.map_batches(mask, batch_format="pyarrow"),
+        ["template"],
+        sum_cols={"one": "n_lines", "chars": "sum_chars"})
+
+
+SQL_LOGS_TEMPLATE_MINING = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM transcripts GROUP BY 1
+"""
+)
+
+
+def q_events_funnel_steps(sf_dir: str):
+    """Strict-chained conversion funnel (view → click → purchase), the
+    product-analytics primitive: a user converts step k only with a
+    step-k event STRICTLY AFTER their step-(k−1) conversion time,
+    where the conversion time is the EARLIEST valid chain time — so a
+    click before the first view never counts, and the purchase must
+    follow that first-qualifying click. Reports the single funnel row
+    (n_step1, n_step2, n_step3).
+
+    Shape: the read prunes to the three funnel types and narrow
+    (user, ts, step) int rows take ONE user-hash exchange (chaining
+    needs every candidate time of later steps per user — a min-only
+    combiner would miss a later click that postdates the first view —
+    so the rows themselves move, like the conversation rails); per
+    partition the three chained mins are vectorized groupby-min +
+    map-filter passes, and 3 integers per partition fold compactly.
+    Microsecond ints end-to-end — no float timestamps (the int64
+    exactness rule)."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    STEPS = {"view": 1, "click": 2, "purchase": 3}
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(list(STEPS)))
+        t = t.filter(keep)
+        step = pc.case_when(
+            pc.make_struct(pc.equal(t["event_type"], "view"),
+                           pc.equal(t["event_type"], "click")),
+            pa.scalar(1, pa.int64()), pa.scalar(2, pa.int64()),
+            pa.scalar(3, pa.int64()))
+        out = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "step": step,
+        })
+        return _add_part(["user_id"], 64)(out)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        t1 = (g[g["step"] == 1].groupby("user_id")["ts_us"].min())
+        c = g[g["step"] == 2].copy()
+        c["t1"] = t1.reindex(c["user_id"]).to_numpy()
+        c = c[c["ts_us"] > c["t1"]]
+        t2 = c.groupby("user_id")["ts_us"].min()
+        p = g[g["step"] == 3].copy()
+        p["t2"] = t2.reindex(p["user_id"]).to_numpy()
+        p = p[p["ts_us"] > p["t2"]]
+        t3 = p.groupby("user_id")["ts_us"].min()
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n1": pa.array([len(t1)], pa.int64()),
+                         "n2": pa.array([len(t2)], pa.int64()),
+                         "n3": pa.array([len(t3)], pa.int64())})
+
+    out = compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["k"], sum_cols={"n1": "n_step1", "n2": "n_step2",
+                         "n3": "n_step3"})
+    return out.map_batches(
+        lambda t: t.select(["n_step1", "n_step2", "n_step3"]),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_FUNNEL_STEPS = """
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+  JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+  JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_step1,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_step2,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_step3
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -16501,6 +16638,8 @@ QUERIES = {
     "events_type_cooccurrence": q_events_type_cooccurrence,
     "conv_turn_taking": q_conv_turn_taking,
     "conv_tool_latency": q_conv_tool_latency,
+    "logs_template_mining": q_logs_template_mining,
+    "events_funnel_steps": q_events_funnel_steps,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16846,6 +16985,8 @@ ORACLES = {
     "events_type_cooccurrence": SQL_EVENTS_TYPE_COOCCURRENCE,
     "conv_turn_taking": SQL_CONV_TURN_TAKING,
     "conv_tool_latency": SQL_CONV_TOOL_LATENCY,
+    "logs_template_mining": SQL_LOGS_TEMPLATE_MINING,
+    "events_funnel_steps": SQL_EVENTS_FUNNEL_STEPS,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1407,3 +1407,90 @@ def test_grid_neighborhood_boundary_and_absent_cells():
     # (3,3): isolated corner = 1; (1,0): 5+2+7 = 14; (0,1): 5+2+7 = 14
     assert got == {(0, 0): 14, (0, 1): 14, (1, 0): 14, (3, 3): 1}
     assert len(out) == 4
+
+
+def test_funnel_strict_chaining_hand(ray_session, tmp_path):
+    """Funnel pins: a click BEFORE the first view never counts; a
+    later click after the view rescues the user (min-only combining
+    would miss it); the purchase must strictly follow the QUALIFYING
+    click; equal timestamps fail the strictly-greater rule."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    rows = []
+
+    def ev(u, t_us, typ):
+        rows.append((u, t_us, typ))
+
+    # u1: full clean funnel
+    ev(1, 100, "view"); ev(1, 200, "click"); ev(1, 300, "purchase")
+    # u2: click before view + click after view → step2 at 250; purchase
+    # at 240 precedes the QUALIFYING click → no step3
+    ev(2, 50, "click"); ev(2, 100, "view"); ev(2, 250, "click")
+    ev(2, 240, "purchase")
+    # u3: click ties the view timestamp → strictly-greater fails step2
+    ev(3, 100, "view"); ev(3, 100, "click"); ev(3, 500, "purchase")
+    # u4: purchase only → not even step1
+    ev(4, 10, "purchase")
+    # u5: view only
+    ev(5, 10, "view")
+
+    df = pd.DataFrame(rows, columns=["user_id", "t_us", "event_type"])
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(df), dtype=np.int64)),
+        "ts": pa.array(df["t_us"].to_numpy(np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(df["user_id"].to_numpy(np.int64)),
+        "event_type": pa.array(df["event_type"]),
+        "value": pa.array(np.zeros(len(df))),
+        "props": pa.array(["{}"] * len(df)),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+
+    out = QUERIES["events_funnel_steps"](str(sf)).to_pandas()
+    assert out.iloc[0]["n_step1"] == 4   # u1 u2 u3 u5
+    assert out.iloc[0]["n_step2"] == 2   # u1, u2 (the 250 click)
+    assert out.iloc[0]["n_step3"] == 1   # u1 only
+
+
+def test_template_mining_masks_hand(ray_session, tmp_path):
+    """Template pins: every digit RUN masks to one '#', non-digits
+    survive, empty lines keep their own (empty) template, and counts
+    fold across variable values."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import compact_groupby
+    import pyarrow.compute as pc
+
+    # use the same kernel the query uses, over a hand corpus
+    lines = ["INFO latency_ms=42 status=200 msg=evt_click",
+             "INFO latency_ms=7 status=503 msg=evt_click",
+             "user9 logged in from 10.0.0.1",
+             "user12 logged in from 10.9.8.7",
+             ""]
+    ds = rd.from_arrow(pa.table({"text": pa.array(lines)}))
+
+    def mask(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({
+            "template": pc.replace_substring_regex(txt, r"[0-9]+", "#"),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    out = compact_groupby(ds.map_batches(mask, batch_format="pyarrow"),
+                          ["template"], sum_cols={"one": "n"}).to_pandas()
+    got = dict(zip(out["template"], out["n"]))
+    assert got["INFO latency_ms=# status=# msg=evt_click"] == 2
+    assert got["user# logged in from #.#.#.#"] == 2
+    assert got[""] == 1
+    assert len(got) == 3
