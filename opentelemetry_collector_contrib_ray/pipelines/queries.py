@@ -16512,6 +16512,150 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_docs_curriculum_deciles(sf_dir: str):
+    """Curriculum-ordering panel (Bengio et al. 2009 curriculum
+    learning — the shortest-first schedule a training pipeline stages
+    data by): every doc takes its GLOBAL rank under (token count,
+    doc_id) and lands in a decile = (rank−1)·10 // n; per decile the
+    report folds (n_docs, sum_tokens, min_tokens, max_tokens) — the
+    exact shard manifest a curriculum loader consumes. Rank-based
+    deciles (not value-quantiles) so shard sizes are balanced by
+    CONSTRUCTION even on skewed length distributions.
+
+    Shape: token counting is the per-batch RE2 kernel; the total
+    order rides stages/windows.global_rank (compact bucket-count
+    exchange + ONE row exchange — the honest cost of a global sort,
+    no materialization); deciles are arithmetic on the rank and fold
+    through compact_groupby. n comes from the same ranked stream, not
+    a second pass."""
+    from ..stages.agg import compact_groupby
+    from ..stages.text import token_stats
+    from ..stages.windows import global_rank
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = token_stats(t)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "tok": pc.cast(t["n_tokens_ws"], pa.int64())})
+
+    toks = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    n = toks.count()
+    ranked = global_rank(toks, ["tok", "doc_id"], num_buckets=32)
+
+    # ONE pass: per-block (decile, n, sum, min, max) partials →
+    # repartition(1) → one pandas fold over ≤ 10 × blocks tiny rows.
+    # (Two separate folds would re-execute the global-rank lineage.)
+    import pandas as pd
+
+    def part(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        d = ((r - 1) * 10 // max(n, 1)).astype(np.int64)
+        tok = t["tok"].to_numpy(zero_copy_only=False)
+        f = (pd.DataFrame({"decile": d, "n_docs": 1, "sum_tokens": tok,
+                           "min_tokens": tok, "max_tokens": tok})
+             .groupby("decile", as_index=False)
+             .agg(n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+                  min_tokens=("min_tokens", "min"),
+                  max_tokens=("max_tokens", "max")))
+        return pa_from_pandas(f.astype(np.int64))
+
+    def fold(t: pa.Table) -> pa.Table:
+        f = (t.to_pandas().groupby("decile", as_index=False)
+             .agg(n_docs=("n_docs", "sum"), sum_tokens=("sum_tokens", "sum"),
+                  min_tokens=("min_tokens", "min"),
+                  max_tokens=("max_tokens", "max"))
+             .sort_values("decile").reset_index(drop=True))
+        return pa_from_pandas(f.astype(np.int64))
+
+    return (ranked.map_batches(part, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(fold, batch_format="pyarrow",
+                               batch_size=None))
+
+
+SQL_DOCS_CURRICULUM_DECILES = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+  FROM documents
+), ranked AS (
+  SELECT doc_id, tok,
+         row_number() OVER (ORDER BY tok, doc_id) AS r,
+         (SELECT count(*) FROM toks) AS n
+  FROM toks
+)
+SELECT CAST((r - 1) * 10 // greatest(n, 1) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+       CAST(MIN(tok) AS BIGINT) AS min_tokens,
+       CAST(MAX(tok) AS BIGINT) AS max_tokens
+FROM ranked GROUP BY 1
+"""
+
+
+def q_events_k_anonymity(sf_dir: str):
+    """k-anonymity audit (Sweeney 2002 — the release-safety check a
+    privacy review runs before sharing an event extract): under the
+    quasi-identifier tuple (event_type, activity hour-of-day, value
+    band), how many equivalence classes exist, how many violate k=5,
+    and how many ROWS sit in violating classes (the re-identifiable
+    population — the number that decides suppress-vs-generalize).
+
+    Shape: the QI projection is one vectorized kernel; class sizes
+    fold through compact_groupby (QI cardinality is bounded by
+    construction: |types| × 24 × bands); the k test and the three
+    panel integers are arithmetic on the compact class table."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "value"])
+
+    def qi(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hour = _pc_mod(pc.divide(us, 3_600_000_000), 24)
+        band = pc.divide(_cents(t["value"]), 1000)
+        return pa.table({"event_type": t["event_type"],
+                         "hour": hour, "band": band,
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    classes = compact_groupby(ds.map_batches(qi, batch_format="pyarrow"),
+                              ["event_type", "hour", "band"],
+                              sum_cols={"one": "n"})
+
+    def panel(t: pa.Table) -> pa.Table:
+        nvals = t["n"].to_numpy(zero_copy_only=False)
+        viol = nvals < 5
+        return pa.table({
+            "n_classes": pa.array([len(nvals)], pa.int64()),
+            "n_violating": pa.array([int(viol.sum())], pa.int64()),
+            "rows_at_risk": pa.array([int(nvals[viol].sum())],
+                                     pa.int64()),
+            "n_rows": pa.array([int(nvals.sum())], pa.int64()),
+        })
+
+    return classes.map_batches(panel, batch_format="pyarrow",
+                               batch_size=None)
+
+
+SQL_EVENTS_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hour,
+         {_CENTS.format(x='value')} // 1000 AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(SUM(n) AS BIGINT) AS n_rows
+FROM classes
+"""
+
+
 def q_logs_template_burst(sf_dir: str):
     """Template-rate burst detection — the log-anomaly primitive built
     ON TOP of template mining (a template that suddenly spikes against
@@ -16882,6 +17026,8 @@ QUERIES = {
     "emb_ann_recall_halfdim": q_emb_ann_recall_halfdim,
     "docs_dup_span_coverage": q_docs_dup_span_coverage,
     "logs_template_burst": q_logs_template_burst,
+    "docs_curriculum_deciles": q_docs_curriculum_deciles,
+    "events_k_anonymity": q_events_k_anonymity,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -17232,6 +17378,8 @@ ORACLES = {
     "emb_ann_recall_halfdim": SQL_EMB_ANN_RECALL_HALFDIM,
     "docs_dup_span_coverage": SQL_DOCS_DUP_SPAN_COVERAGE,
     "logs_template_burst": SQL_LOGS_TEMPLATE_BURST,
+    "docs_curriculum_deciles": SQL_DOCS_CURRICULUM_DECILES,
+    "events_k_anonymity": SQL_EVENTS_K_ANONYMITY,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

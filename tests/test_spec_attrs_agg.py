@@ -1573,3 +1573,69 @@ def test_dup_span_coverage_hand(ray_session):
     assert got[2][0] == 3 and got[2][1] == 1
     assert got[3] == (3, 0)
     assert got[5][0] == 1 and got[5][1] == 0    # repeats collapse
+
+
+def test_curriculum_deciles_hand(ray_session, tmp_path):
+    """Decile pins: rank-based shards are balanced by construction
+    (12 docs → deciles of size 2,1,1,...), ties order by doc_id, and
+    min/max bracket each shard exactly."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    # 12 docs with token counts 1..12 (doc_id descending so the
+    # doc_id tie-break is visible only through determinism)
+    texts = [" ".join(["w"] * k) for k in range(1, 13)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(12, dtype=np.int64)),
+        "text": pa.array(texts)}),
+        os.path.join(tmp_path, "documents.parquet"))
+    out = (QUERIES["docs_curriculum_deciles"](str(tmp_path))
+           .to_pandas().sort_values("decile").reset_index(drop=True))
+    assert list(out["decile"]) == list(range(10))
+    # ranks 1..12 → decile sizes: (r-1)*10//12 → 2,1,1,1,1,2,1,1,1,1
+    assert list(out["n_docs"]) == [2, 1, 1, 1, 1, 2, 1, 1, 1, 1]
+    assert out.loc[0, "min_tokens"] == 1 and out.loc[0, "max_tokens"] == 2
+    assert out.loc[9, "min_tokens"] == 12 and out.loc[9, "max_tokens"] == 12
+    assert out["n_docs"].sum() == 12
+    assert out["sum_tokens"].sum() == sum(range(1, 13))
+
+
+def test_k_anonymity_hand(ray_session, tmp_path):
+    """k-anonymity pins: classes under k=5 count as violating with
+    their ROW counts at risk; classes at exactly 5 are safe."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    rows = []
+    # class A: 5 rows (safe, exactly k) — type=click hour=0 band=0
+    rows += [("click", 0, 1.0)] * 5
+    # class B: 2 rows (violating)
+    rows += [("view", 0, 1.0)] * 2
+    # class C: 1 row (violating)
+    rows += [("error", 0, 1.0)]
+    n = len(rows)
+    base_us = 0
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, base_us, np.int64)).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array([r[0] for r in rows]),
+        "value": pa.array([r[2] for r in rows]),
+        "props": pa.array(["{}"] * n)}),
+        os.path.join(tmp_path, "events.parquet"))
+    out = QUERIES["events_k_anonymity"](str(tmp_path)).to_pandas()
+    assert out.iloc[0]["n_classes"] == 3
+    assert out.iloc[0]["n_violating"] == 2
+    assert out.iloc[0]["rows_at_risk"] == 3
+    assert out.iloc[0]["n_rows"] == 8
