@@ -11274,6 +11274,69 @@ FROM pxb GROUP BY media_id
 """
 
 
+def q_multimodal_keyframes(sf_dir: str):
+    """Shot-boundary keyframe selection over REAL RAWV videos
+    (stages/multimodal.keyframe_stats): per video, frames whose
+    summed per-pixel L1 distance from the predecessor exceeds
+    85 × frame_size start a new shot (frame 0 always keys); the
+    report is exact integers (n_frames, n_keyframes, sum_key_diff).
+    The DuckDB twin re-decodes the SAME payload bytes (hex-pair
+    arithmetic at computable frame offsets) and re-runs the
+    threshold — a stride/offset/sign bug anywhere in the diff breaks
+    the hash."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ensure_mm_oracle_tables, keyframe_stats
+
+    d = ensure_mm_oracle_tables()
+    return (rd.read_parquet(f"{d}/video.parquet")
+              .map_batches(keyframe_stats, batch_format="pyarrow",
+                           batch_size=16))
+
+
+def _keyframe_sql(thr: int = 85) -> str:
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+
+    def byte(p: str) -> str:
+        return (f"((strpos('{hexd}', substr(hx, 2 * ({p}) + 1, 1)) - 1) * 16"
+                f" + (strpos('{hexd}', substr(hx, 2 * ({p}) + 2, 1)) - 1))")
+
+    cur = byte("10 + (li // fsz + 1) * fsz + (li % fsz)")
+    prev = byte("10 + (li // fsz) * fsz + (li % fsz)")
+    return f"""
+WITH vid AS (
+  SELECT media_id, hex(payload) AS hx,
+         CAST("meta.width" AS BIGINT) * CAST("meta.height" AS BIGINT) * 3
+           AS fsz,
+         CAST("meta.duration_ms" AS BIGINT) // 1000 AS nf
+  FROM read_parquet('{MM_ORACLE_DIR}/video.parquet')
+), pos AS (
+  SELECT media_id, hx, fsz, unnest(range(0, (nf - 1) * fsz)) AS li
+  FROM vid WHERE nf > 1
+), d AS (
+  SELECT media_id, fsz, 1 + li // fsz AS f,
+         abs({cur} - {prev}) AS ad
+  FROM pos
+), fd AS (
+  SELECT media_id, fsz, f, CAST(SUM(ad) AS BIGINT) AS diff
+  FROM d GROUP BY 1, 2, 3
+), agg AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN diff > {thr} * fsz THEN 1 ELSE 0 END)
+              AS BIGINT) AS nk,
+         CAST(SUM(CASE WHEN diff > {thr} * fsz THEN diff ELSE 0 END)
+              AS BIGINT) AS skd
+  FROM fd GROUP BY 1
+)
+SELECT v.media_id, CAST(v.nf AS BIGINT) AS n_frames,
+       CAST(1 + COALESCE(a.nk, 0) AS BIGINT) AS n_keyframes,
+       CAST(COALESCE(a.skd, 0) AS BIGINT) AS sum_key_diff
+FROM vid v LEFT JOIN agg a USING (media_id)
+"""
+
+
 def q_events_exp_histogram(sf_dir: str):
     """OTel exponential histogram at scale 0 (stages/agg.py
     exponential_histogram): per event_type, counts + cents sums per
@@ -16512,6 +16575,68 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_events_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix — THE product-analytics table (cohort
+    week × age): every user joins the cohort of their first event's
+    ISO week, and cell (cohort_week, offset) counts DISTINCT users of
+    that cohort active in cohort_week + offset. Diagonal = cohort
+    sizes; rows decay = retention curves.
+
+    Shape: narrow (user, week) int rows take ONE user-hash exchange
+    (per-block distinct combiner first, so at most users × weeks rows
+    move); per partition the cohort (min week) and the distinct
+    activity weeks of a user are LOCAL, so each partition emits
+    (cohort, offset) count partials and the ≤ weeks² matrix folds
+    compactly. No distinct-count exchange: distinctness is free
+    inside the user's partition."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        week = pc.divide(us, 604_800_000_000)  # 7*86400e6
+        out = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                        "week": week})
+        # per-block distinct combiner before the exchange
+        out = pa_from_pandas(out.to_pandas().drop_duplicates())
+        return _add_part(["user_id"], 64)(out)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "week"]].drop_duplicates()
+        cohort = d.groupby("user_id")["week"].transform("min")
+        cells = (pd.DataFrame({"cohort_week": cohort.to_numpy(np.int64),
+                               "offset": d["week"].to_numpy(np.int64)
+                               - cohort.to_numpy(np.int64)})
+                 .groupby(["cohort_week", "offset"], as_index=False)
+                 .size().rename(columns={"size": "n"}))
+        cells["n"] = cells["n"].astype(np.int64)
+        return pa_from_pandas(cells)
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["cohort_week", "offset"], sum_cols={"n": "n_users"})
+
+
+SQL_EVENTS_RETENTION_COHORTS = """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+)
+SELECT c.cohort_week, uw.week - c.cohort_week AS "offset",
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_docs_curriculum_deciles(sf_dir: str):
     """Curriculum-ordering panel (Bengio et al. 2009 curriculum
     learning — the shortest-first schedule a training pipeline stages
@@ -17028,6 +17153,8 @@ QUERIES = {
     "logs_template_burst": q_logs_template_burst,
     "docs_curriculum_deciles": q_docs_curriculum_deciles,
     "events_k_anonymity": q_events_k_anonymity,
+    "events_retention_cohorts": q_events_retention_cohorts,
+    "multimodal_keyframes": q_multimodal_keyframes,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -17380,6 +17507,8 @@ ORACLES = {
     "logs_template_burst": SQL_LOGS_TEMPLATE_BURST,
     "docs_curriculum_deciles": SQL_DOCS_CURRICULUM_DECILES,
     "events_k_anonymity": SQL_EVENTS_K_ANONYMITY,
+    "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
+    "multimodal_keyframes": _keyframe_sql(),
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

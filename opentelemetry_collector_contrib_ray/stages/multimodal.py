@@ -734,3 +734,40 @@ def sampled_frame_checksums(t: pa.Table, stride: int = 3) -> pa.Table:
                                    pa.array(values, pa.int64()))
     return _ragged_checksums(col, t["media_id"].to_numpy(zero_copy_only=False),
                              "video", values)
+
+
+def keyframe_stats(t: pa.Table, per_pixel_threshold: int = 85) -> pa.Table:
+    """Frame-difference keyframe selection over RAWV payloads — the
+    shot-boundary primitive of a video curation pipeline (a frame
+    whose summed per-pixel L1 distance from its predecessor exceeds
+    ``per_pixel_threshold × frame_size`` starts a new shot; frame 0
+    always keys). Per video: (n_frames, n_keyframes, sum_key_diff) —
+    all exact integers so the blob-SQL oracle re-derives them from the
+    payload bytes.
+
+    Runs inside map_batches (decode parallelism = block parallelism);
+    the per-video numpy diff is vectorized, only the video loop is
+    Python — the same contract as the other codec stages."""
+    from .codecs import decode_rawv
+
+    ids = t["media_id"].to_numpy(zero_copy_only=False)
+    mids, nfs, nks, skds = [], [], [], []
+    for mid, payload in zip(ids, t["payload"].to_pylist()):
+        fr = decode_rawv(payload).astype(np.int64)
+        nf = fr.shape[0]
+        fsz = int(fr[0].size)
+        if nf > 1:
+            d = np.abs(fr[1:] - fr[:-1]).reshape(nf - 1, -1).sum(axis=1)
+        else:
+            d = np.zeros(0, np.int64)
+        key = d > per_pixel_threshold * fsz
+        mids.append(int(mid))
+        nfs.append(nf)
+        nks.append(1 + int(key.sum()))
+        skds.append(int(d[key].sum()))
+    return pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "n_frames": pa.array(nfs, pa.int64()),
+        "n_keyframes": pa.array(nks, pa.int64()),
+        "sum_key_diff": pa.array(skds, pa.int64()),
+    })
