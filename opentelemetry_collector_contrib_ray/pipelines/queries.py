@@ -16575,6 +16575,182 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_docs_char_repeat_rate(sf_dir: str):
+    """Character repeat-rate — the integer-exact Rényi-2 entropy proxy
+    of the compression-ratio quality filter (Gopher/CCNet family:
+    low-entropy boilerplate compresses too well; zlib itself is not
+    SQL-reproducible, but the collision probability Σk_c² / n² ranks
+    docs the same way for the degenerate-text cases the filter
+    exists to catch): per doc (n_chars, n_distinct_chars, sum_sq
+    where k_c = count of codepoint c) — the repeat rate stays a
+    driver division. Empty docs are out of scope in both engines
+    (DuckDB's char split of '' yields [''], not []).
+
+    Shape: fully per-batch — the padded-UCS4 view turns the whole
+    block into one (doc, codepoint) np.unique + two bincounts, no
+    Python per doc, no exchange at all (per-doc stats are local)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        a = txt.to_numpy(zero_copy_only=False).astype("U")
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.char.str_len(a) > 0
+        a, ids = a[keep], ids[keep]
+        if not len(a):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_chars": z,
+                             "n_distinct_chars": z, "sum_sq": z})
+        m = a.dtype.itemsize // 4
+        cp = a.view(np.uint32).reshape(len(a), m)
+        mask = cp != 0
+        doc_idx = np.broadcast_to(np.arange(len(a))[:, None],
+                                  cp.shape)[mask]
+        codes = cp[mask].astype(np.int64)
+        key = doc_idx.astype(np.int64) * (1 << 21) + codes
+        uk, counts = np.unique(key, return_counts=True)
+        udoc = (uk >> 21).astype(np.int64)
+        n_chars = np.bincount(doc_idx, minlength=len(a)).astype(np.int64)
+        n_dist = np.bincount(udoc, minlength=len(a)).astype(np.int64)
+        sum_sq = np.bincount(udoc, weights=(counts.astype(np.float64)
+                                            ** 2),
+                             minlength=len(a))
+        # counts ≤ doc length < 2^26 → k² < 2^52: float64-exact
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_chars": pa.array(n_chars),
+                         "n_distinct_chars": pa.array(n_dist),
+                         "sum_sq": pa.array(sum_sq.astype(np.int64))})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_DOCS_CHAR_REPEAT_RATE = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+), cc AS (
+  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(k * k) AS BIGINT) AS sum_sq
+FROM cc GROUP BY 1
+"""
+
+
+def q_docs_ngram_novelty_curve(sf_dir: str):
+    """N-gram novelty saturation curve — the is-the-tail-worth-
+    ingesting curation report (novelty per corpus slice collapses as
+    a source saturates; the signal behind "stop crawling this
+    domain"): doc ids bucket into 10 id-range slices, and per slice
+    the report folds (n_new_grams — distinct word-3-grams whose FIRST
+    occurrence, by min doc_id, lands in the slice — and
+    n_gram_mentions — all distinct per-doc gram rows of the slice).
+    new/mentions per slice is the novelty ratio, a driver division.
+
+    Shape: rides the inverted-shingle rail; mentions are per-block
+    partials (zero exchange), first-occurrence needs the global min
+    doc per gram — per-block (gram, min_doc) combiner then ONE
+    gram-hash exchange of narrow int rows, min-fold, slice-of-min
+    partials. The two 10-row tables merge driver-side."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+    from ..stages.dedup import ShingleRows
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    mx_t = (read_table(sf_dir, "documents", columns=["doc_id"])
+            .map_batches(lambda t: pa.table({
+                "m": pa.array([pc.max(pc.cast(t["doc_id"],
+                                              pa.int64())).as_py() or 0],
+                              pa.int64())}),
+                batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(lambda t: pa.table({
+                "m": pa.array([pc.max(t["m"]).as_py() or 0], pa.int64())}),
+                batch_format="pyarrow", batch_size=None).take_all())
+    m = int(mx_t[0]["m"]) + 1
+
+    grams = ds.map_batches(ShingleRows(n=3), batch_format="pyarrow")
+
+    def partials(t: pa.Table) -> pa.Table:
+        d = t[ShingleRows().id_col].to_numpy(zero_copy_only=False)
+        g = t["gram"].to_numpy(zero_copy_only=False)
+        # per-block (gram, min_doc) combiner + per-slice mention counts
+        df = pd.DataFrame({"gram": g.astype(np.uint64),
+                           "doc": d.astype(np.int64)})
+        gm = df.groupby("gram", as_index=False)["doc"].min()
+        gm["__p"] = (gm["gram"].to_numpy() % np.uint64(64)).astype(np.int64)
+        gm["gram"] = gm["gram"].astype(np.int64)
+        return pa_from_pandas(gm)
+
+    def min_fold(gp: pd.DataFrame) -> pa.Table:
+        f = gp.groupby("gram", as_index=False)["doc"].min()
+        slc = (f["doc"].to_numpy(np.int64) * 10 // m)
+        out = (pd.DataFrame({"slice": slc, "n": 1})
+               .groupby("slice", as_index=False)["n"].sum())
+        out["slice"] = out["slice"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return pa_from_pandas(out)
+
+    new_grams = compact_groupby(
+        grams.map_batches(partials, batch_format="pyarrow")
+             .groupby("__p")
+             .map_groups(arrow_out(min_fold), batch_format="pandas"),
+        ["slice"], sum_cols={"n": "n_new_grams"}).to_pandas()
+
+    def mention_partials(t: pa.Table) -> pa.Table:
+        d = t[ShingleRows().id_col].to_numpy(zero_copy_only=False)
+        slc = (d.astype(np.int64) * 10 // m)
+        out = (pd.DataFrame({"slice": slc, "n": 1})
+               .groupby("slice", as_index=False)["n"].sum())
+        out["slice"] = out["slice"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return pa_from_pandas(out)
+
+    grams2 = (read_table(sf_dir, "documents", columns=["doc_id", "text"])
+              .map_batches(ShingleRows(n=3), batch_format="pyarrow"))
+    mentions = compact_groupby(
+        grams2.map_batches(mention_partials, batch_format="pyarrow"),
+        ["slice"], sum_cols={"n": "n_gram_mentions"}).to_pandas()
+
+    out = (new_grams.merge(mentions, on="slice", how="outer")
+           .fillna(0).sort_values("slice").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa_from_pandas(out)
+
+
+SQL_DOCS_NGRAM_NOVELTY_CURVE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks
+  )
+), mx AS (
+  SELECT max(doc_id) + 1 AS m FROM documents
+), fg AS (
+  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1
+), ng AS (
+  SELECT first_doc * 10 // m AS slc, CAST(count(*) AS BIGINT) AS n_new
+  FROM fg, mx GROUP BY 1
+), mm AS (
+  SELECT doc_id * 10 // m AS slc, CAST(count(*) AS BIGINT) AS n_men
+  FROM g, mx GROUP BY 1
+)
+SELECT COALESCE(ng.slc, mm.slc) AS slice,
+       CAST(COALESCE(ng.n_new, 0) AS BIGINT) AS n_new_grams,
+       CAST(COALESCE(mm.n_men, 0) AS BIGINT) AS n_gram_mentions
+FROM ng FULL OUTER JOIN mm ON ng.slc = mm.slc
+"""
+
+
 def q_events_retention_cohorts(sf_dir: str):
     """Retention cohort matrix — THE product-analytics table (cohort
     week × age): every user joins the cohort of their first event's
@@ -17155,6 +17331,8 @@ QUERIES = {
     "events_k_anonymity": q_events_k_anonymity,
     "events_retention_cohorts": q_events_retention_cohorts,
     "multimodal_keyframes": q_multimodal_keyframes,
+    "docs_char_repeat_rate": q_docs_char_repeat_rate,
+    "docs_ngram_novelty_curve": q_docs_ngram_novelty_curve,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -17509,6 +17687,8 @@ ORACLES = {
     "events_k_anonymity": SQL_EVENTS_K_ANONYMITY,
     "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
     "multimodal_keyframes": _keyframe_sql(),
+    "docs_char_repeat_rate": SQL_DOCS_CHAR_REPEAT_RATE,
+    "docs_ngram_novelty_curve": SQL_DOCS_NGRAM_NOVELTY_CURVE,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

@@ -1639,3 +1639,56 @@ def test_k_anonymity_hand(ray_session, tmp_path):
     assert out.iloc[0]["n_violating"] == 2
     assert out.iloc[0]["rows_at_risk"] == 3
     assert out.iloc[0]["n_rows"] == 8
+
+
+def test_char_repeat_rate_hand(ray_session, tmp_path):
+    """Repeat-rate pins: sum of squared codepoint counts is exact,
+    repeats inflate sum_sq not n_distinct, non-ASCII codepoints count
+    as single chars, empty docs are out of scope."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["aaab", "abcd", "", "héé"])}),
+        os.path.join(tmp_path, "documents.parquet"))
+    out = QUERIES["docs_char_repeat_rate"](str(tmp_path)).to_pandas()
+    got = {r.doc_id: (r.n_chars, r.n_distinct_chars, r.sum_sq)
+           for r in out.itertuples()}
+    assert got[1] == (4, 2, 10)   # a:3² + b:1² = 10
+    assert got[2] == (4, 4, 4)
+    assert 3 not in got           # empty doc excluded
+    assert got[4] == (3, 2, 5)    # h:1, é:2 → 1 + 4
+
+
+def test_ngram_novelty_first_occurrence_hand(ray_session, tmp_path):
+    """Novelty pins: a gram repeated in a later slice attributes its
+    novelty ONLY to the earliest doc's slice; mentions count per
+    slice regardless."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    # 10 docs → slice = doc_id (m=10). doc0 and doc9 share a gram.
+    texts = ["alpha beta gamma"] + [f"u{i} v{i} w{i}" for i in range(1, 9)]
+    texts.append("alpha beta gamma")    # doc 9 repeats doc 0's gram
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(texts)}),
+        os.path.join(tmp_path, "documents.parquet"))
+    out = (QUERIES["docs_ngram_novelty_curve"](str(tmp_path))
+           .to_pandas().set_index("slice"))
+    assert out.loc[0, "n_new_grams"] == 1
+    assert out.loc[0, "n_gram_mentions"] == 1
+    assert out.loc[9, "n_new_grams"] == 0      # repeat → no novelty
+    assert out.loc[9, "n_gram_mentions"] == 1  # but it IS a mention
+    assert out["n_new_grams"].sum() == 9       # 9 distinct grams
