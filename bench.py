@@ -112,6 +112,19 @@ BENCH_QUERIES = [
     "events_survival_km",
     "events_coverage_gaps",
     "docs_readability",
+    "otlp_proto_traces_roundtrip",
+    "otlp_proto_metrics_roundtrip",
+    "logs_template_mining",
+    "logs_template_burst",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "events_k_anonymity_risk",
+    "emb_ann_recall_halfdim",
+    "docs_dup_span_coverage",
+    "docs_curriculum_deciles",
+    "docs_char_repeat_rate",
+    "docs_ngram_novelty_curve",
+    "multimodal_keyframes",
 ]
 
 

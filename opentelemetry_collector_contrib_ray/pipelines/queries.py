@@ -16895,8 +16895,9 @@ FROM ranked GROUP BY 1
 """
 
 
-def q_events_k_anonymity(sf_dir: str):
-    """k-anonymity audit (Sweeney 2002 — the release-safety check a
+def q_events_k_anonymity_risk(sf_dir: str):
+    """k-anonymity RISK PANEL (Sweeney 2002), the one-row summary that
+    complements the per-class `events_k_anonymity` table — the
     privacy review runs before sharing an event extract): under the
     quasi-identifier tuple (event_type, activity hour-of-day, value
     band), how many equivalence classes exist, how many violate k=5,
@@ -16939,7 +16940,7 @@ def q_events_k_anonymity(sf_dir: str):
                                batch_size=None)
 
 
-SQL_EVENTS_K_ANONYMITY = f"""
+SQL_EVENTS_K_ANONYMITY_RISK = f"""
 WITH classes AS (
   SELECT event_type,
          (epoch_us(ts) // 3600000000) % 24 AS hour,
@@ -17328,7 +17329,7 @@ QUERIES = {
     "docs_dup_span_coverage": q_docs_dup_span_coverage,
     "logs_template_burst": q_logs_template_burst,
     "docs_curriculum_deciles": q_docs_curriculum_deciles,
-    "events_k_anonymity": q_events_k_anonymity,
+    "events_k_anonymity_risk": q_events_k_anonymity_risk,
     "events_retention_cohorts": q_events_retention_cohorts,
     "multimodal_keyframes": q_multimodal_keyframes,
     "docs_char_repeat_rate": q_docs_char_repeat_rate,
@@ -17684,7 +17685,7 @@ ORACLES = {
     "docs_dup_span_coverage": SQL_DOCS_DUP_SPAN_COVERAGE,
     "logs_template_burst": SQL_LOGS_TEMPLATE_BURST,
     "docs_curriculum_deciles": SQL_DOCS_CURRICULUM_DECILES,
-    "events_k_anonymity": SQL_EVENTS_K_ANONYMITY,
+    "events_k_anonymity_risk": SQL_EVENTS_K_ANONYMITY_RISK,
     "events_retention_cohorts": SQL_EVENTS_RETENTION_COHORTS,
     "multimodal_keyframes": _keyframe_sql(),
     "docs_char_repeat_rate": SQL_DOCS_CHAR_REPEAT_RATE,

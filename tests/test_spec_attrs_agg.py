@@ -1634,7 +1634,7 @@ def test_k_anonymity_hand(ray_session, tmp_path):
         "value": pa.array([r[2] for r in rows]),
         "props": pa.array(["{}"] * n)}),
         os.path.join(tmp_path, "events.parquet"))
-    out = QUERIES["events_k_anonymity"](str(tmp_path)).to_pandas()
+    out = QUERIES["events_k_anonymity_risk"](str(tmp_path)).to_pandas()
     assert out.iloc[0]["n_classes"] == 3
     assert out.iloc[0]["n_violating"] == 2
     assert out.iloc[0]["rows_at_risk"] == 3
