@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "docs_char_repeat_rate",
     "docs_ngram_novelty_curve",
     "multimodal_keyframes",
+    "docs_lexicon_polarity",
+    "events_user_gini_parts",
 ]
 
 

@@ -16575,6 +16575,112 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_docs_lexicon_polarity(sf_dir: str):
+    """Lexicon polarity scoring (the dictionary-based sentiment /
+    stance panel — Liu 2012 opinion-lexicon family; at corpus scale
+    a wordlist pass is the triage before any model scoring): per
+    lang, whole-word hits of a positive list (fast|big) vs a negative
+    list (slow|small|dup) over documents; (n_docs, n_pos, n_neg)
+    integer parts — net polarity stays a driver division.
+
+    Shape: two RE2 whole-word count kernels per batch + the compact
+    per-lang fold; DuckDB shares the identical RE2 engine so the
+    \\b word-boundary semantics match kernel-for-kernel."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "pos": pc.cast(pc.count_substring_regex(
+                txt, r"\b(fast|big)\b"), pa.int64()),
+            "neg": pc.cast(pc.count_substring_regex(
+                txt, r"\b(slow|small|dup)\b"), pa.int64()),
+        })
+
+    return compact_groupby(
+        ds.map_batches(score, batch_format="pyarrow"),
+        ["lang"], sum_cols={"one": "n_docs", "pos": "n_pos",
+                            "neg": "n_neg"})
+
+
+SQL_DOCS_LEXICON_POLARITY = r"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '\b(fast|big)\b')))
+            AS BIGINT) AS n_pos,
+       CAST(SUM(len(regexp_extract_all(text, '\b(slow|small|dup)\b')))
+            AS BIGINT) AS n_neg
+FROM documents GROUP BY 1
+"""
+
+
+def q_events_user_gini_parts(sf_dir: str):
+    """Concentration / inequality panel — the Gini coefficient of
+    per-user event counts, INTEGER PARTS only (Gini =
+    (2·Σi·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted counts; every
+    term here is an exact integer, the division is the driver's):
+    the who-generates-my-load audit behind quota design and the
+    heavy-user skew behind every salting decision in this repo.
+
+    Shape: per-user counts via ONE hash exchange of (user, 1)
+    partials; the ascending total order (count, user_id) rides
+    stages/windows.global_rank (compact bucket-count + one row
+    exchange); the three panel integers fold as per-block partials →
+    one tiny block."""
+    from ..stages.agg import hash_groupby_sum
+    from ..stages.windows import global_rank
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_user = hash_groupby_sum(ds.map_batches(ones, batch_format="pyarrow"),
+                                ["user_id"], "one", out_col="c")
+    ranked = global_rank(per_user, ["c", "user_id"], num_buckets=32)
+
+    def parts(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_users": pa.array([len(c)], pa.int64()),
+            "sum_events": pa.array([int(c.sum())], pa.int64()),
+            "sum_rank_weighted": pa.array([int((r * c).sum())],
+                                          pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_users": pa.array([pc.sum(t["n_users"]).as_py() or 0],
+                                pa.int64()),
+            "sum_events": pa.array([pc.sum(t["sum_events"]).as_py() or 0],
+                                   pa.int64()),
+            "sum_rank_weighted": pa.array(
+                [pc.sum(t["sum_rank_weighted"]).as_py() or 0],
+                pa.int64())})
+
+    return (ranked.map_batches(parts, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(fold, batch_format="pyarrow",
+                               batch_size=None))
+
+
+SQL_EVENTS_USER_GINI_PARTS = """
+WITH pu AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY 1
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM pu
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS sum_events,
+       CAST(SUM(i * c) AS BIGINT) AS sum_rank_weighted
+FROM r
+"""
+
+
 def q_docs_char_repeat_rate(sf_dir: str):
     """Character repeat-rate — the integer-exact Rényi-2 entropy proxy
     of the compression-ratio quality filter (Gopher/CCNet family:
@@ -17334,6 +17440,8 @@ QUERIES = {
     "multimodal_keyframes": q_multimodal_keyframes,
     "docs_char_repeat_rate": q_docs_char_repeat_rate,
     "docs_ngram_novelty_curve": q_docs_ngram_novelty_curve,
+    "docs_lexicon_polarity": q_docs_lexicon_polarity,
+    "events_user_gini_parts": q_events_user_gini_parts,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -17690,6 +17798,8 @@ ORACLES = {
     "multimodal_keyframes": _keyframe_sql(),
     "docs_char_repeat_rate": SQL_DOCS_CHAR_REPEAT_RATE,
     "docs_ngram_novelty_curve": SQL_DOCS_NGRAM_NOVELTY_CURVE,
+    "docs_lexicon_polarity": SQL_DOCS_LEXICON_POLARITY,
+    "events_user_gini_parts": SQL_EVENTS_USER_GINI_PARTS,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
