@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "multimodal_keyframes",
     "docs_lexicon_polarity",
     "events_user_gini_parts",
+    "docs_ttr_curve",
+    "events_out_of_order_audit",
 ]
 
 

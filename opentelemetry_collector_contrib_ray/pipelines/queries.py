@@ -16575,6 +16575,158 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_events_out_of_order_audit(sf_dir: str):
+    """Per-key watermark lateness audit — the out-of-order-ingest
+    report every streaming pipeline sizes its allowed-lateness from
+    (per-key running-max watermarks are exactly how Flink/Beam-style
+    systems track it; arrival order here is event_id, the ingest
+    sequence): within each user's stream in arrival order, an event
+    is LATE when its event time undercuts the running max of earlier
+    arrivals; per event_type the panel folds (n_events, n_late,
+    max_lateness_us).
+
+    Shape: ONE user-hash exchange of narrow (user, eid, ts) rows
+    (the sequential dependency lives inside the key, so keys
+    partition it exactly like the conversation rails); per partition
+    a lexsort + segment-reset np.maximum.accumulate computes every
+    watermark vectorized; per-type partials fold through one tiny
+    keyed exchange (sum/sum/max are self-decomposable)."""
+    import pandas as pd
+
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "event_type": t["event_type"],
+        })
+        return _add_part(["user_id"], 64)(out)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        u = g["user_id"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        o = np.lexsort((e, u))
+        u, ts, et = u[o], ts[o], et[o]
+        # per-user running max in arrival order (C-level grouped
+        # cummax — a plain np.maximum.accumulate can't segment-reset),
+        # then shift one row so each event sees the watermark of
+        # strictly EARLIER arrivals
+        first = np.r_[True, u[1:] != u[:-1]]
+        LOW = np.int64(-(2**62))
+        run = (pd.Series(ts).groupby(pd.Series(u)).cummax()
+               .to_numpy(np.int64))
+        prev = np.empty(len(ts), np.int64)
+        prev[0] = LOW
+        prev[1:] = run[:-1]
+        prev[first] = LOW
+        late = ts < prev
+        lateness = np.where(late, prev - ts, 0)
+        out = (pd.DataFrame({"event_type": et,
+                             "one": np.ones(len(ts), np.int64),
+                             "late": late.astype(np.int64),
+                             "ml": lateness})
+               .groupby("event_type", as_index=False)
+               .agg(one=("one", "sum"), late=("late", "sum"),
+                    ml=("ml", "max")))
+        out["one"] = out["one"].astype(np.int64)
+        out["late"] = out["late"].astype(np.int64)
+        out["ml"] = out["ml"].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return hash_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["event_type"],
+        {"one": ("sum", "n_events"), "late": ("sum", "n_late"),
+         "ml": ("max", "max_lateness_us")}, num_partitions=4)
+
+
+SQL_EVENTS_OUT_OF_ORDER_AUDIT = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN t < pm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN t < pm THEN pm - t END), 0) AS BIGINT)
+         AS max_lateness_us
+FROM w GROUP BY 1
+"""
+
+
+def q_docs_ttr_curve(sf_dir: str):
+    """Type-token-ratio curve by length bucket — the lexical-diversity
+    panel (Herdan/Heaps law territory: TTR falls with length, so the
+    signal is only meaningful WITHIN a length bucket; the flat-TTR
+    boilerplate band is what a curation pass cuts): per bucket
+    min(tokens // 50, 9), the integer parts (n_docs, sum_tokens,
+    sum_types) — the ratio stays a driver division. Token identity is
+    the whitespace-split list in BOTH engines (not the \\S+ count), so
+    whitespace-only docs degenerate identically.
+
+    Shape: one split kernel per batch; per-doc distinct types via a
+    single (doc, token-hash) np.unique — no Python per doc; the
+    ≤ 10-bucket compact fold is the only thing that moves."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt),
+                                      r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype("U")
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        h = pd.util.hash_array(flat).astype(np.uint64)
+        pair = np.unique(np.stack([doc_idx.astype(np.uint64), h], axis=1),
+                         axis=0)
+        n_types = np.bincount(pair[:, 0].astype(np.int64),
+                              minlength=len(lens)).astype(np.int64)
+        bucket = np.minimum(lens.astype(np.int64) // 50, 9)
+        return pa.table({"bucket": pa.array(bucket),
+                         "one": pa.array(np.ones(len(lens), np.int64)),
+                         "tok": pa.array(lens.astype(np.int64)),
+                         "typ": pa.array(n_types)})
+
+    return compact_groupby(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        ["bucket"], sum_cols={"one": "n_docs", "tok": "sum_tokens",
+                              "typ": "sum_types"})
+
+
+SQL_DOCS_TTR_CURVE = r"""
+WITH toks AS (
+  SELECT string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM documents
+), s AS (
+  SELECT len(w) AS n_tok, len(list_distinct(w)) AS n_typ FROM toks
+)
+SELECT CAST(least(n_tok // 50, 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_typ) AS BIGINT) AS sum_types
+FROM s GROUP BY 1
+"""
+
+
 def q_docs_lexicon_polarity(sf_dir: str):
     """Lexicon polarity scoring (the dictionary-based sentiment /
     stance panel — Liu 2012 opinion-lexicon family; at corpus scale
@@ -17442,6 +17594,8 @@ QUERIES = {
     "docs_ngram_novelty_curve": q_docs_ngram_novelty_curve,
     "docs_lexicon_polarity": q_docs_lexicon_polarity,
     "events_user_gini_parts": q_events_user_gini_parts,
+    "docs_ttr_curve": q_docs_ttr_curve,
+    "events_out_of_order_audit": q_events_out_of_order_audit,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -17800,6 +17954,8 @@ ORACLES = {
     "docs_ngram_novelty_curve": SQL_DOCS_NGRAM_NOVELTY_CURVE,
     "docs_lexicon_polarity": SQL_DOCS_LEXICON_POLARITY,
     "events_user_gini_parts": SQL_EVENTS_USER_GINI_PARTS,
+    "docs_ttr_curve": SQL_DOCS_TTR_CURVE,
+    "events_out_of_order_audit": SQL_EVENTS_OUT_OF_ORDER_AUDIT,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
