@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "events_user_gini_parts",
     "docs_ttr_curve",
     "events_out_of_order_audit",
+    "events_error_burn_rate",
+    "events_changepoint_cusum",
 ]
 
 

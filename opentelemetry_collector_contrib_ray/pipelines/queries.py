@@ -16575,6 +16575,169 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_events_changepoint_cusum(sf_dir: str):
+    """Offline changepoint localization per event type — the
+    where-did-the-metric-shift question answered with the CUSUM
+    argmax (Page 1954; Taylor's cumulative-sum changepoint method),
+    kept INTEGER-EXACT by cross-multiplying the means away: over the
+    daily series, D_k = n_total·cumcents_k − cumcount_k·total_cents
+    (the scaled deviation of the prefix mean from the global mean);
+    the split day is argmax |D_k| (earliest day on ties). Per type:
+    (split_day, max_abs_dev, n_total, total_cents).
+
+    Shape: one per-batch kernel feeds the compact (type, day) fold;
+    the CUSUM scan + argmax run vectorized on the single compact
+    block — the fact table never re-shuffles and nothing sequential
+    ever leaves the ≤ types × days rollup."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(us, 86_400_000_000),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": _cents(t["value"]),
+        })
+
+    td = compact_groupby(ds.map_batches(daily, batch_format="pyarrow"),
+                         ["event_type", "day"],
+                         sum_cols={"one": "n", "cents": "c"})
+
+    def cusum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["event_type", "day"])
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            n = g["n"].to_numpy(np.int64)
+            c = g["c"].to_numpy(np.int64)
+            N, T = int(n.sum()), int(c.sum())
+            # |D_k| ≤ N·T: guard the int64 bound loudly (the DuckDB
+            # twin computes the windows in HUGEINT and raises on its
+            # final BIGINT cast — the engines must fail together, not
+            # diverge via silent numpy wraparound)
+            if N * T >= 2**62:
+                raise OverflowError(
+                    "changepoint CUSUM exceeds int64-exact bound")
+            d = N * np.cumsum(c) - np.cumsum(n) * T
+            k = int(np.argmax(np.abs(d)))  # first max on ties
+            rows.append((et, int(g["day"].to_numpy(np.int64)[k]),
+                         int(abs(d[k])), N, T))
+        out = pd.DataFrame(rows, columns=["event_type", "split_day",
+                                          "max_abs_dev", "n_total",
+                                          "total_cents"])
+        for col in out.columns[1:]:
+            out[col] = out[col].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return td.map_batches(cusum, batch_format="pyarrow",
+                          batch_size=None)
+
+
+SQL_EVENTS_CHANGEPOINT_CUSUM = f"""
+WITH td AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, SUM(n) AS nt, SUM(c) AS ct FROM td GROUP BY 1
+), cum AS (
+  SELECT td.event_type, td.day,
+         tot.nt * SUM(td.c) OVER (PARTITION BY td.event_type
+                                  ORDER BY td.day)
+         - SUM(td.n) OVER (PARTITION BY td.event_type ORDER BY td.day)
+           * tot.ct AS d,
+         tot.nt, tot.ct
+  FROM td JOIN tot USING (event_type)
+), ranked AS (
+  SELECT event_type, day, abs(d) AS ad, nt, ct,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(d) DESC, day) AS r
+  FROM cum
+)
+SELECT event_type, CAST(day AS BIGINT) AS split_day,
+       CAST(ad AS BIGINT) AS max_abs_dev,
+       CAST(nt AS BIGINT) AS n_total,
+       CAST(ct AS BIGINT) AS total_cents
+FROM ranked WHERE r = 1
+"""
+
+
+def q_events_error_burn_rate(sf_dir: str):
+    """Multi-window SLO burn-rate panel (the Google-SRE-workbook
+    alerting primitive: an alert fires when the SHORT-window error
+    rate outruns the long-window baseline — absolute thresholds page
+    on busy hours, burn rate pages on regressions): per hour the
+    integer quadruple (n, n_err, prev24_n, prev24_err) where the
+    prev-24 sums cover the 24 CALENDAR hours before this one (gap
+    hours count 0); the burn ratio (n_err·prev24_n)/(n·prev24_err)
+    stays a driver division.
+
+    Shape: one per-batch kernel feeds the compact (hour, n, n_err)
+    fold (bounded by the corpus time span); the trailing sums are
+    prefix-sum + two searchsorted probes on the ONE compact block —
+    the logs_template_burst machinery with a 24-wide frame."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "hour": pc.divide(us, 3_600_000_000),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "err": pc.cast(pc.equal(t["event_type"], "error"),
+                           pa.int64()),
+        })
+
+    th = compact_groupby(ds.map_batches(hourly, batch_format="pyarrow"),
+                         ["hour"], sum_cols={"one": "n", "err": "n_err"})
+
+    def windows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("hour").reset_index(drop=True)
+        h = df["hour"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        e = df["n_err"].to_numpy(np.int64)
+        cn = np.concatenate([[0], np.cumsum(n)])
+        ce = np.concatenate([[0], np.cumsum(e)])
+        lo = np.searchsorted(h, h - 24, side="left")
+        hi = np.searchsorted(h, h - 1, side="right")
+        out = pd.DataFrame({
+            "hour": h, "n": n, "n_err": e,
+            "prev24_n": cn[hi] - cn[lo],
+            "prev24_err": ce[hi] - ce[lo]})
+        return pa_from_pandas(out.astype(np.int64))
+
+    return th.map_batches(windows, batch_format="pyarrow",
+                          batch_size=None)
+
+
+SQL_EVENTS_ERROR_BURN_RATE = """
+WITH th AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+)
+SELECT hour, n, n_err,
+       CAST(COALESCE(SUM(n) OVER (ORDER BY hour
+         RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS prev24_n,
+       CAST(COALESCE(SUM(n_err) OVER (ORDER BY hour
+         RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS prev24_err
+FROM th
+"""
+
+
 def q_events_out_of_order_audit(sf_dir: str):
     """Per-key watermark lateness audit — the out-of-order-ingest
     report every streaming pipeline sizes its allowed-lateness from
@@ -17596,6 +17759,8 @@ QUERIES = {
     "events_user_gini_parts": q_events_user_gini_parts,
     "docs_ttr_curve": q_docs_ttr_curve,
     "events_out_of_order_audit": q_events_out_of_order_audit,
+    "events_error_burn_rate": q_events_error_burn_rate,
+    "events_changepoint_cusum": q_events_changepoint_cusum,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -17956,6 +18121,8 @@ ORACLES = {
     "events_user_gini_parts": SQL_EVENTS_USER_GINI_PARTS,
     "docs_ttr_curve": SQL_DOCS_TTR_CURVE,
     "events_out_of_order_audit": SQL_EVENTS_OUT_OF_ORDER_AUDIT,
+    "events_error_burn_rate": SQL_EVENTS_ERROR_BURN_RATE,
+    "events_changepoint_cusum": SQL_EVENTS_CHANGEPOINT_CUSUM,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,

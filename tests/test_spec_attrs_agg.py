@@ -1692,3 +1692,70 @@ def test_ngram_novelty_first_occurrence_hand(ray_session, tmp_path):
     assert out.loc[9, "n_new_grams"] == 0      # repeat → no novelty
     assert out.loc[9, "n_gram_mentions"] == 1  # but it IS a mention
     assert out["n_new_grams"].sum() == 9       # 9 distinct grams
+
+
+def test_error_burn_rate_calendar_window_hand(ray_session, tmp_path):
+    """Burn-rate pins: the 24h frame is CALENDAR (gap hours contribute
+    0), the current hour is excluded from its own baseline, and both
+    error and total sums track the same frame."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    rows = []  # (hour, type, count)
+    rows += [(0, "click")] * 4 + [(0, "error")] * 1
+    rows += [(1, "error")] * 2
+    rows += [(30, "click")] * 3   # 29h gap: hour 1..24 frame empty
+    n = len(rows)
+    us = np.array([h * 3_600_000_000 for h, _ in rows], np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(us).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array([t for _, t in rows]),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n)}),
+        os.path.join(tmp_path, "events.parquet"))
+    out = (QUERIES["events_error_burn_rate"](str(tmp_path))
+           .to_pandas().set_index("hour"))
+    assert out.loc[0, "prev24_n"] == 0            # first hour: empty
+    assert out.loc[1, "prev24_n"] == 5 and out.loc[1, "prev24_err"] == 1
+    # hour 30: hours 6..29 in frame → only hour... 30-24=6..29: none
+    assert out.loc[30, "prev24_n"] == 0
+    assert out.loc[30, "n"] == 3 and out.loc[30, "n_err"] == 0
+
+
+def test_changepoint_cusum_hand(ray_session, tmp_path):
+    """CUSUM pins: a clean level shift localizes to the last day of
+    the low regime (prefix-mean deviation peaks there); earliest day
+    wins ties; the statistic is the exact integer N·C_k − K_k·T."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    # 6 days: value 1.00 on days 0-2, 5.00 on days 3-5 (one event/day)
+    vals = [1.0, 1.0, 1.0, 5.0, 5.0, 5.0]
+    n = len(vals)
+    us = np.array([d * 86_400_000_000 for d in range(n)], np.int64)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(us).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * n)}),
+        os.path.join(tmp_path, "events.parquet"))
+    out = QUERIES["events_changepoint_cusum"](str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert r["split_day"] == 2       # last low-regime day
+    # N=6, T=1800 cents; C_2=300, K_2=3 → |6·300 − 3·1800| = 3600
+    assert r["max_abs_dev"] == 3600
+    assert r["n_total"] == 6 and r["total_cents"] == 1800
