@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "events_out_of_order_audit",
     "events_error_burn_rate",
     "events_changepoint_cusum",
+    "events_daily_mad",
+    "events_funnel_time_to_convert",
 ]
 
 

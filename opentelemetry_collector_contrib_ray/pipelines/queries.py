@@ -16575,6 +16575,167 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_events_daily_mad(sf_dir: str):
+    """Robust volume baseline per event type — lower-median + MAD of
+    the daily counts (the outlier-immune center/spread pair an
+    anomaly detector thresholds against; means/stddevs are exactly
+    what an incident day corrupts). Integer-exact via ORDER
+    STATISTICS: median = the ⌈d/2⌉-th smallest daily count (lower
+    median — deterministic for even d where the midpoint average
+    would go fractional), MAD = the lower median of |count − median|.
+    Per type: (n_days, median_daily, mad_daily).
+
+    Shape: one kernel feeds the compact (type, day) fold; both order
+    statistics are two vectorized sorts of the ≤ types × days compact
+    block. The SQL twin selects the same k-th order statistic by
+    row_number — not quantile_cont, which interpolates."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(us, 86_400_000_000),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    td = compact_groupby(ds.map_batches(daily, batch_format="pyarrow"),
+                         ["event_type", "day"], sum_cols={"one": "n"})
+
+    def mad(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            n = np.sort(g["n"].to_numpy(np.int64))
+            d = len(n)
+            med = int(n[(d + 1) // 2 - 1])          # lower median
+            dev = np.sort(np.abs(n - med))
+            rows.append((et, d, med, int(dev[(d + 1) // 2 - 1])))
+        out = pd.DataFrame(rows, columns=["event_type", "n_days",
+                                          "median_daily", "mad_daily"])
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return td.map_batches(mad, batch_format="pyarrow", batch_size=None)
+
+
+SQL_EVENTS_DAILY_MAD = """
+WITH td AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, n, row_number() OVER (PARTITION BY event_type
+           ORDER BY n) AS r,
+         count(*) OVER (PARTITION BY event_type) AS d
+  FROM td
+), m AS (
+  SELECT event_type, n AS median_daily, d FROM med
+  WHERE r = (d + 1) // 2
+), dev AS (
+  SELECT td.event_type, abs(td.n - m.median_daily) AS a,
+         m.median_daily, m.d,
+         row_number() OVER (PARTITION BY td.event_type
+           ORDER BY abs(td.n - m.median_daily)) AS r
+  FROM td JOIN m USING (event_type)
+)
+SELECT event_type, CAST(d AS BIGINT) AS n_days,
+       CAST(median_daily AS BIGINT) AS median_daily,
+       CAST(a AS BIGINT) AS mad_daily
+FROM dev WHERE r = (d + 1) // 2
+"""
+
+
+def q_events_funnel_time_to_convert(sf_dir: str):
+    """Time-to-convert histogram for the strict-chained funnel — the
+    HOW-LONG companion of events_funnel_steps (conversion counts say
+    whether; the latency distribution says whether the product is
+    converting in minutes or weeks, which decides attribution windows
+    and nudge timing): for fully-converted users, bucket
+    t3 − t1 (first view → qualifying purchase) into hour-decades
+    min(hours // 10, 9) and fold (n_users, sum_hours) per bucket.
+
+    Shape: identical ONE user-hash exchange as the funnel (the
+    chained mins are partition-local); only the ≤10-bucket histogram
+    partials fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    STEPS = ["view", "click", "purchase"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(STEPS)))
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype("U16")
+        step = np.select([et == "view", et == "click"], [1, 2],
+                         default=3).astype(np.int64)
+        out = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "step": pa.array(step),
+        })
+        return _add_part(["user_id"], 64)(out)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        t1 = g[g["step"] == 1].groupby("user_id")["ts_us"].min()
+        c = g[g["step"] == 2].copy()
+        c["t1"] = t1.reindex(c["user_id"]).to_numpy()
+        c = c[c["ts_us"] > c["t1"]]
+        t2 = c.groupby("user_id")["ts_us"].min()
+        p = g[g["step"] == 3].copy()
+        p["t2"] = t2.reindex(p["user_id"]).to_numpy()
+        p = p[p["ts_us"] > p["t2"]]
+        t3 = p.groupby("user_id")["ts_us"].min()
+        if not len(t3):
+            z = pa.array([], pa.int64())
+            return pa.table({"bucket": z, "one": z, "hours": z})
+        dt = (t3 - t1.reindex(t3.index)).to_numpy(np.int64)
+        hours = dt // 3_600_000_000
+        bucket = np.minimum(hours // 10, 9)
+        return pa.table({"bucket": pa.array(bucket),
+                         "one": pa.array(np.ones(len(hours), np.int64)),
+                         "hours": pa.array(hours)})
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["bucket"], sum_cols={"one": "n_users", "hours": "sum_hours"})
+
+
+SQL_EVENTS_FUNNEL_TIME_TO_CONVERT = """
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+  JOIN v ON v.user_id = e.user_id AND epoch_us(e.ts) > v.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+  JOIN c ON c.user_id = e.user_id AND epoch_us(e.ts) > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+), conv AS (
+  SELECT (p.t3 - v.t1) // 3600000000 AS hours
+  FROM p JOIN v USING (user_id)
+)
+SELECT CAST(least(hours // 10, 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(hours) AS BIGINT) AS sum_hours
+FROM conv GROUP BY 1
+"""
+
+
 def q_events_changepoint_cusum(sf_dir: str):
     """Offline changepoint localization per event type — the
     where-did-the-metric-shift question answered with the CUSUM
@@ -17761,6 +17922,8 @@ QUERIES = {
     "events_out_of_order_audit": q_events_out_of_order_audit,
     "events_error_burn_rate": q_events_error_burn_rate,
     "events_changepoint_cusum": q_events_changepoint_cusum,
+    "events_daily_mad": q_events_daily_mad,
+    "events_funnel_time_to_convert": q_events_funnel_time_to_convert,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -18123,6 +18286,8 @@ ORACLES = {
     "events_out_of_order_audit": SQL_EVENTS_OUT_OF_ORDER_AUDIT,
     "events_error_burn_rate": SQL_EVENTS_ERROR_BURN_RATE,
     "events_changepoint_cusum": SQL_EVENTS_CHANGEPOINT_CUSUM,
+    "events_daily_mad": SQL_EVENTS_DAILY_MAD,
+    "events_funnel_time_to_convert": SQL_EVENTS_FUNNEL_TIME_TO_CONVERT,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
