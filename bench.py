@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "events_changepoint_cusum",
     "events_daily_mad",
     "events_funnel_time_to_convert",
+    "events_hrw_shard_migration",
+    "conv_first_response_latency",
 ]
 
 

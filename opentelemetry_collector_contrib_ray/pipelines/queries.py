@@ -16575,6 +16575,175 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_events_hrw_shard_migration(sf_dir: str):
+    """Rendezvous-hashing rebalance audit (Thaler & Ravishankar 1998
+    HRW — the consistent-placement scheme whose selling point IS this
+    number): when the shard set grows 8 → 9, how many keys move?
+    HRW's guarantee is that ONLY keys whose argmax lands on the new
+    shard relocate (expected 1/9); this measures it exactly on the
+    real key population. Per key, shard = argmax over shards of the
+    mixed score ((key·P1) XOR (shard·P2)) mod 2^61 (pure int64
+    arithmetic both engines can evaluate; ties → lowest shard).
+    Output: (n_keys, n_moved).
+
+    Shape: per-block distinct user combiner, ONE user-hash exchange
+    for global distinctness, per-partition vectorized 9-column argmax
+    — scores never move, only the 2-int panel partials fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    P1, P2, M = 2654435761, 40503, (1 << 61) - 1
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = np.unique(pc.cast(t["user_id"], pa.int64())
+                      .to_numpy(zero_copy_only=False))
+        out = pa.table({"user_id": pa.array(u)})
+        return _add_part(["user_id"], 64)(out)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        u = np.unique(g["user_id"].to_numpy(np.int64))
+        scores = np.empty((len(u), 9), np.int64)
+        for s in range(9):
+            scores[:, s] = ((u * P1) ^ (s * P2)) % M
+        # argmax, ties to LOWEST shard: reversed argmax trick not
+        # needed — np.argmax already returns the first (lowest) index
+        old = np.argmax(scores[:, :8], axis=1)
+        new = np.argmax(scores, axis=1)
+        moved = int((old != new).sum())
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n_keys": pa.array([len(u)], pa.int64()),
+                         "n_moved": pa.array([moved], pa.int64())})
+
+    out = compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["k"], sum_cols={"n_keys": "n_keys", "n_moved": "n_moved"})
+    return out.map_batches(
+        lambda t: t.select(["n_keys", "n_moved"]),
+        batch_format="pyarrow")
+
+
+SQL_EVENTS_HRW_SHARD_MIGRATION = f"""
+WITH keys AS (
+  SELECT DISTINCT user_id AS u FROM events
+), scored AS (
+  SELECT u, s, xor(u * {2654435761}, s * {40503}) % {(1 << 61) - 1}
+           AS score
+  FROM keys, (SELECT unnest(range(0, 9)) AS s)
+), old AS (
+  SELECT u, s FROM (
+    SELECT u, s, row_number() OVER (PARTITION BY u
+      ORDER BY score DESC, s) AS r
+    FROM scored WHERE s < 8) WHERE r = 1
+), new AS (
+  SELECT u, s FROM (
+    SELECT u, s, row_number() OVER (PARTITION BY u
+      ORDER BY score DESC, s) AS r
+    FROM scored) WHERE r = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN old.s <> new.s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM old JOIN new USING (u)
+"""
+
+
+def q_conv_first_response_latency(sf_dir: str):
+    """First-response-latency panel — the support/agent SLA metric
+    (time from a conversation's first USER turn to the first
+    ASSISTANT turn strictly after it; conversations where no
+    assistant reply ever follows count separately as unanswered):
+    second-decade buckets min(seconds // 10, 9) of the latency fold
+    (n_convs, sum_seconds), plus one bucket=-1 row carrying the
+    unanswered count.
+
+    Shape: the conversation rail — narrow (conv, ts, role-code) rows
+    through ONE conv-hash exchange, chained mins partition-local,
+    ≤ 11 histogram partials fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        role = t["role"].to_numpy(zero_copy_only=False).astype("U16")
+        code = np.select([role == "user", role == "assistant"], [1, 2],
+                         default=0).astype(np.int64)
+        out = pa.table({
+            "conv_id": t["conv_id"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "code": pa.array(code),
+        })
+        out = out.filter(pc.greater(out["code"], 0))
+        return _add_part(["conv_id"], 64)(out)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        t1 = g[g["code"] == 1].groupby("conv_id")["ts_us"].min()
+        a = g[g["code"] == 2].copy()
+        a["t1"] = t1.reindex(a["conv_id"]).to_numpy()
+        a = a[a["ts_us"] > a["t1"]]
+        t2 = a.groupby("conv_id")["ts_us"].min()
+        answered = len(t2)
+        unanswered = len(t1) - answered
+        if answered:
+            secs = ((t2 - t1.reindex(t2.index)).to_numpy(np.int64)
+                    // 1_000_000)
+            bucket = np.minimum(secs // 10, 9)
+            hist = (pd.DataFrame({"bucket": bucket, "one": 1,
+                                  "secs": secs})
+                    .groupby("bucket", as_index=False)
+                    .agg(one=("one", "sum"), secs=("secs", "sum")))
+        else:
+            hist = pd.DataFrame({"bucket": [], "one": [], "secs": []})
+        un = pd.DataFrame({"bucket": [-1], "one": [unanswered],
+                           "secs": [0]})
+        out = pd.concat([hist, un], ignore_index=True)
+        return pa_from_pandas(out.astype(np.int64))
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["bucket"], sum_cols={"one": "n_convs", "secs": "sum_seconds"})
+
+
+SQL_CONV_FIRST_RESPONSE_LATENCY = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, fu AS (
+  SELECT conv_id, min(epoch_us(ts)) AS t1 FROM transcripts
+  WHERE role = 'user' GROUP BY 1
+), fa AS (
+  SELECT t.conv_id, min(epoch_us(t.ts)) AS t2 FROM transcripts t
+  JOIN fu ON fu.conv_id = t.conv_id AND epoch_us(t.ts) > fu.t1
+  WHERE t.role = 'assistant' GROUP BY 1
+), lat AS (
+  SELECT (fa.t2 - fu.t1) // 1000000 AS secs
+  FROM fa JOIN fu USING (conv_id)
+), hist AS (
+  SELECT CAST(least(secs // 10, 9) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(SUM(secs) AS BIGINT) AS sum_seconds
+  FROM lat GROUP BY 1
+)
+SELECT * FROM hist
+UNION ALL
+SELECT -1,
+       (SELECT CAST(count(*) AS BIGINT) FROM fu)
+       - (SELECT CAST(count(*) AS BIGINT) FROM fa),
+       0
+"""
+)
+
+
 def q_events_daily_mad(sf_dir: str):
     """Robust volume baseline per event type — lower-median + MAD of
     the daily counts (the outlier-immune center/spread pair an
@@ -17924,6 +18093,8 @@ QUERIES = {
     "events_changepoint_cusum": q_events_changepoint_cusum,
     "events_daily_mad": q_events_daily_mad,
     "events_funnel_time_to_convert": q_events_funnel_time_to_convert,
+    "events_hrw_shard_migration": q_events_hrw_shard_migration,
+    "conv_first_response_latency": q_conv_first_response_latency,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -18288,6 +18459,8 @@ ORACLES = {
     "events_changepoint_cusum": SQL_EVENTS_CHANGEPOINT_CUSUM,
     "events_daily_mad": SQL_EVENTS_DAILY_MAD,
     "events_funnel_time_to_convert": SQL_EVENTS_FUNNEL_TIME_TO_CONVERT,
+    "events_hrw_shard_migration": SQL_EVENTS_HRW_SHARD_MIGRATION,
+    "conv_first_response_latency": SQL_CONV_FIRST_RESPONSE_LATENCY,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
