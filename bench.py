@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "events_funnel_time_to_convert",
     "events_hrw_shard_migration",
     "conv_first_response_latency",
+    "orders_ship_lag_deciles",
 ]
 
 

@@ -16575,6 +16575,106 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_orders_ship_lag_deciles(sf_dir: str):
+    """Exact fulfillment-lag deciles — the order-to-first-shipment
+    latency distribution a logistics SLA is written against, as TRUE
+    order statistics (no interpolation, no sketch): per order the lag
+    = min(l_shipdate) − o_orderdate in days, then the 9 interior
+    decile boundaries, each the ⌈i·n/10⌉-th smallest lag with ties
+    broken by orderkey — so both engines select the IDENTICAL row.
+
+    Shape: per-(order) min-ship fold is ONE hash exchange with
+    per-block combiners; the orderdate attaches via the gated
+    broadcast; the total order rides global_rank (compact
+    bucket-count + one row exchange) and the 9 boundary rows are a
+    vectorized rank-membership filter — no driver-side sort, no
+    materialized corpus."""
+    from ..stages.agg import hash_groupby_agg
+    from ..stages.joins import gated_broadcast_join
+    from ..stages.windows import global_rank
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey",
+                                                 "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"],
+                                               pa.int64()),
+                         "ship_us": pc.cast(t["l_shipdate"],
+                                            pa.int64())})
+
+    per_order = hash_groupby_agg(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["l_orderkey"], {"ship_us": ("min", "min_ship_us")}).materialize()
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey",
+                                                   "o_orderdate"])
+    o_d = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t["o_orderkey"],
+                                                  pa.int64()),
+                            "odate_us": pc.cast(t["o_orderdate"],
+                                                pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    j = gated_broadcast_join(per_order, o_d, on="l_orderkey",
+                             right_on="o_orderkey", how="inner")
+
+    def lag(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.subtract(t["min_ship_us"], t["odate_us"]),
+                      86_400_000_000)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "lag_days": pc.cast(d, pa.int64())})
+
+    lags = j.map_batches(lag, batch_format="pyarrow").materialize()
+    n = lags.count()
+    ranked = global_rank(lags, ["lag_days", "l_orderkey"],
+                         num_buckets=32)
+    # integer ceil — identical arithmetic to the SQL twin (a float
+    # ceil could round differently at scale)
+    targets = np.unique((np.arange(1, 10) * n + 9) // 10).astype(np.int64)
+    t_arr = pa.array(targets)
+
+    def pick(t: pa.Table) -> pa.Table:
+        r = t["rank"]
+        if isinstance(r, pa.ChunkedArray):
+            r = r.combine_chunks()
+        keep = pc.is_in(r, value_set=t_arr)
+        kept = t.filter(keep)
+        return pa.table({
+            "decile": pc.cast(pc.divide(pc.multiply(kept["rank"], 10),
+                                        max(n, 1)), pa.int64()),
+            "lag_days": pc.cast(kept["lag_days"], pa.int64()),
+        })
+
+    out = ranked.map_batches(pick, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa_from_pandas(
+            t.to_pandas().sort_values("decile").reset_index(drop=True)),
+        batch_format="pyarrow", batch_size=None)
+
+
+SQL_ORDERS_SHIP_LAG_DECILES = """
+WITH po AS (
+  SELECT l_orderkey, min(l_shipdate) AS ms FROM lineitem GROUP BY 1
+), lags AS (
+  SELECT po.l_orderkey,
+         (epoch_us(po.ms) - epoch_us(o.o_orderdate)) // 86400000000
+           AS lag_days
+  FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey
+), r AS (
+  SELECT lag_days,
+         row_number() OVER (ORDER BY lag_days, l_orderkey) AS rk,
+         count(*) OVER () AS n
+  FROM lags
+)
+SELECT CAST(rk * 10 // greatest(n, 1) AS BIGINT) AS decile,
+       CAST(lag_days AS BIGINT) AS lag_days
+FROM r
+WHERE rk IN (SELECT (i * (SELECT count(*) FROM lags) + 9) // 10
+             FROM (SELECT unnest(range(1, 10)) AS i))
+ORDER BY decile
+"""
+
+
 def q_events_hrw_shard_migration(sf_dir: str):
     """Rendezvous-hashing rebalance audit (Thaler & Ravishankar 1998
     HRW — the consistent-placement scheme whose selling point IS this
@@ -18095,6 +18195,7 @@ QUERIES = {
     "events_funnel_time_to_convert": q_events_funnel_time_to_convert,
     "events_hrw_shard_migration": q_events_hrw_shard_migration,
     "conv_first_response_latency": q_conv_first_response_latency,
+    "orders_ship_lag_deciles": q_orders_ship_lag_deciles,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -18461,6 +18562,7 @@ ORACLES = {
     "events_funnel_time_to_convert": SQL_EVENTS_FUNNEL_TIME_TO_CONVERT,
     "events_hrw_shard_migration": SQL_EVENTS_HRW_SHARD_MIGRATION,
     "conv_first_response_latency": SQL_CONV_FIRST_RESPONSE_LATENCY,
+    "orders_ship_lag_deciles": SQL_ORDERS_SHIP_LAG_DECILES,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
