@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "events_hrw_shard_migration",
     "conv_first_response_latency",
     "orders_ship_lag_deciles",
+    "docs_dedup_lang_shift",
+    "emb_range_search_counts",
 ]
 
 

@@ -16575,6 +16575,119 @@ FROM transcripts GROUP BY 1
 )
 
 
+def q_docs_dedup_lang_shift(sf_dir: str):
+    """Dedup composition-shift report — the did-dedup-bias-my-mix
+    audit a multilingual curation pass runs after keep-canonical
+    (exact dedup keeps the MIN-doc_id copy; if one language's content
+    is more duplicated, its share shrinks and a tokenizer/mixture
+    decision made on pre-dedup counts is silently wrong): per lang,
+    (n_before, n_after) — the shares are driver divisions.
+
+    Shape: before-counts are a zero-exchange compact fold; the
+    after-side rides the exact_dedup content-hash exchange
+    (stages/dedup.py — min-doc per text group, the hash-verified
+    rail) followed by the same compact fold; the two ≤|langs| tables
+    merge driver-side."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.dedup import exact_dedup
+
+    before = compact_groupby(
+        read_table(sf_dir, "documents", columns=["lang"])
+        .map_batches(lambda t: pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["lang"], sum_cols={"one": "n_before"}).to_pandas()
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang"])
+    kept = exact_dedup(ds, col="text", id_col="doc_id")
+    after = compact_groupby(
+        kept.map_batches(lambda t: pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["lang"], sum_cols={"one": "n_after"}).to_pandas()
+
+    out = (before.merge(after, on="lang", how="left").fillna(0)
+           .sort_values("lang").reset_index(drop=True))
+    out["n_before"] = out["n_before"].astype(np.int64)
+    out["n_after"] = out["n_after"].astype(np.int64)
+    return pa_from_pandas(out)
+
+
+SQL_DOCS_DEDUP_LANG_SHIFT = """
+WITH keep AS (
+  SELECT d.lang FROM documents d
+  JOIN (SELECT text, min(doc_id) AS doc_id FROM documents
+        GROUP BY text) k
+    ON d.doc_id = k.doc_id
+), a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_after FROM keep GROUP BY 1
+)
+SELECT b.lang, CAST(count(*) AS BIGINT) AS n_before,
+       CAST(COALESCE(MAX(a.n_after), 0) AS BIGINT) AS n_after
+FROM documents b LEFT JOIN a USING (lang)
+GROUP BY b.lang
+"""
+
+
+def q_emb_range_search_counts(sf_dir: str):
+    """Range search (radius query) — the how-crowded-is-this-
+    neighborhood sibling of top-k that density estimation, dedup
+    thresholds and RAG cutoff tuning actually consume: per query
+    (vec_id % 157 set), the COUNT of corpus vectors with cosine ≥ 0.3
+    (the query itself included — both engines count it). Counting,
+    not ranking, makes the whole operator integer-output.
+
+    Shape: the broadcast-query-matrix rail — per block one matmul
+    against the normalized query matrix, per-query count partials,
+    compact fold; the corpus never shuffles and only nq-row partials
+    move."""
+    from ..stages.agg import compact_groupby
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = emb.map_batches(
+        lambda t: t.filter(pc.equal(_pc_mod(pc.cast(t["vec_id"],
+                                                    pa.int64()), 157), 0)),
+        batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows], np.int64)
+    Q = np.array([r["embedding"] for r in qrows], np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = np.asarray(col.flatten(), dtype=np.float64).reshape(
+            t.num_rows, -1)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = Qn @ m.T
+        c = (sims >= 0.3).sum(axis=1).astype(np.int64)
+        return pa.table({"query_id": pa.array(qids),
+                         "n_in_range": pa.array(c)})
+
+    emb2 = read_table(sf_dir, "embeddings", columns=["embedding"])
+    return compact_groupby(
+        emb2.map_batches(counts, batch_format="pyarrow"),
+        ["query_id"], sum_cols={"n_in_range": "n_in_range"})
+
+
+SQL_EMB_RANGE_SEARCH_COUNTS = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id % 157 = 0
+)
+SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_in_range
+FROM embeddings e, q
+WHERE list_cosine_similarity(e.embedding, q.embedding) >= 0.3
+GROUP BY 1
+"""
+
+
 def q_orders_ship_lag_deciles(sf_dir: str):
     """Exact fulfillment-lag deciles — the order-to-first-shipment
     latency distribution a logistics SLA is written against, as TRUE
@@ -18196,6 +18309,8 @@ QUERIES = {
     "events_hrw_shard_migration": q_events_hrw_shard_migration,
     "conv_first_response_latency": q_conv_first_response_latency,
     "orders_ship_lag_deciles": q_orders_ship_lag_deciles,
+    "docs_dedup_lang_shift": q_docs_dedup_lang_shift,
+    "emb_range_search_counts": q_emb_range_search_counts,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     "q10_returned_items": q_q10_returned_items,
@@ -18563,6 +18678,8 @@ ORACLES = {
     "events_hrw_shard_migration": SQL_EVENTS_HRW_SHARD_MIGRATION,
     "conv_first_response_latency": SQL_CONV_FIRST_RESPONSE_LATENCY,
     "orders_ship_lag_deciles": SQL_ORDERS_SHIP_LAG_DECILES,
+    "docs_dedup_lang_shift": SQL_DOCS_DEDUP_LANG_SHIFT,
+    "emb_range_search_counts": SQL_EMB_RANGE_SEARCH_COUNTS,
     "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY_REVENUE,
     "q19_disjunctive_revenue": SQL_Q19_DISJUNCTIVE_REVENUE,
     "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
