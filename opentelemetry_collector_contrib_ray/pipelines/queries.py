@@ -18092,6 +18092,180 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_step1,
 """
 
 
+def q_conv_abandonment(sf_dir: str):
+    """Hanging-conversation audit — who had the LAST word, per
+    conversation: a transcript corpus whose conversations end on a
+    ``user`` turn is full of unanswered requests (abandonment), one
+    ending on ``tool`` died mid-call — the dialogue-completeness
+    screen a curation pass runs before training on conversations.
+    Per final role: (n_convs, sum_turns, max_turns) — all integers.
+
+    Shape: per-block per-conv argmax-(ts, event_id) + count partials
+    (one row per conv per block), ONE conv-hash exchange of those
+    narrow rows, per-partition re-fold (argmax carries the role, turn
+    counts SUM), then a ≤ |roles| compact fold. The final-turn rule
+    matches the rail's turn ordering (ts, then event_id) exactly, so
+    the twin's max(turn_idx) selects the same turn."""
+    import pandas as pd
+
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        if not len(conv):
+            z = pa.array([], pa.int64())
+            return _add_part(["conv_id"], 64)(pa.table({
+                "conv_id": pa.array([], pa.string()), "ts_us": z,
+                "eid": z, "final_role": pa.array([], pa.string()),
+                "n_turns": z}))
+        order = np.lexsort((eid, ts, conv))
+        cs = conv[order]
+        new = np.ones(len(cs), bool)
+        new[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(cs)) - 1
+        idx = order[ends]
+        out = pa.table({
+            "conv_id": pa.array(conv[idx]),
+            "ts_us": pa.array(ts[idx]),
+            "eid": pa.array(eid[idx]),
+            "final_role": pa.array(role[idx]),
+            "n_turns": pa.array(np.diff(np.append(starts, len(cs)))
+                                .astype(np.int64))})
+        return _add_part(["conv_id"], 64)(out)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        # partials for one hash partition: re-argmax + re-sum per conv
+        g = g.sort_values(["conv_id", "ts_us", "eid"], kind="mergesort")
+        last = g.groupby("conv_id", sort=False).tail(1)
+        n = g.groupby("conv_id", sort=False)["n_turns"].sum()
+        roles = last["final_role"].to_numpy()
+        turns = n.reindex(last["conv_id"]).to_numpy(np.int64)
+        out = (pd.DataFrame({"final_role": roles, "one": 1,
+                             "turns": turns, "mx": turns})
+               .groupby("final_role", as_index=False)
+               .agg(one=("one", "sum"), turns=("turns", "sum"),
+                    mx=("mx", "max")))
+        return pa_from_pandas(out)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = (df.groupby("final_role", as_index=False)
+               .agg(n_convs=("one", "sum"), sum_turns=("turns", "sum"),
+                    max_turns=("mx", "max")))
+        for c in ("n_convs", "sum_turns", "max_turns"):
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(fold), batch_format="pandas")
+              .repartition(1)
+              .map_batches(final, batch_format="pyarrow",
+                           batch_size=None))
+
+
+SQL_CONV_ABANDONMENT = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, f AS (
+  SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS m
+  FROM transcripts GROUP BY 1
+), last AS (
+  SELECT t.role AS final_role, f.n_turns
+  FROM transcripts t
+  JOIN f ON t.conv_id = f.conv_id AND t.turn_idx = f.m
+)
+SELECT final_role, CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(n_turns) AS BIGINT) AS sum_turns,
+       CAST(MAX(n_turns) AS BIGINT) AS max_turns
+FROM last GROUP BY 1
+"""
+)
+
+
+def q_events_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user → histogram
+    (streak_len → n_users) — the engagement-persistence panel (DAU
+    streaks) and the classic gaps-and-islands computation, here as a
+    distributed rail: islands need each user's FULL day set in one
+    place, nothing more.
+
+    Shape: per-block distinct (user, day) combiner bounds the ONE
+    user-hash exchange at users × active-days narrow int rows;
+    per-partition re-distinct + one lexsort finds islands as runs
+    where day increments by exactly 1 (vectorized — no per-user
+    loop); per-user max streak + histogram are partition-local, and
+    ≤ |streak lengths| partials fold compactly. The SQL twin is the
+    textbook day − row_number() island id."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        tt = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.divide(us, 86_400_000_000)})
+        return _add_part(["user_id"], 64)(
+            tt.group_by(["user_id", "day"]).aggregate([]))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        if not len(u):
+            z = pa.array([], pa.int64())
+            return pa.table({"streak_len": z, "one": z})
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        sid = np.cumsum(new) - 1
+        slen = np.bincount(sid).astype(np.int64)
+        mx = (pd.DataFrame({"u": u[new], "l": slen})
+              .groupby("u")["l"].max())
+        hist = mx.value_counts().sort_index()
+        return pa.table({
+            "streak_len": pa.array(hist.index.to_numpy(np.int64)),
+            "one": pa.array(hist.to_numpy(np.int64))})
+
+    return compact_groupby(
+        ds.map_batches(days, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["streak_len"], sum_cols={"one": "n_users"})
+
+
+SQL_EVENTS_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM d
+), s AS (
+  SELECT user_id, count(*) AS len FROM g GROUP BY user_id, grp
+), m AS (
+  SELECT user_id, max(len) AS streak FROM s GROUP BY 1
+)
+SELECT CAST(streak AS BIGINT) AS streak_len,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM m GROUP BY 1
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -18413,6 +18587,8 @@ QUERIES = {
     "events_burst_hours": q_events_burst_hours,
     "docs_fd_audit": q_docs_fd_audit,
     "docs_freq_spectrum": q_docs_freq_spectrum,
+    "conv_abandonment": q_conv_abandonment,
+    "events_streaks": q_events_streaks,
 }
 
 # ----------------------------------------------------------- resumable
@@ -18782,4 +18958,6 @@ ORACLES = {
     "events_burst_hours": SQL_EVENTS_BURST_HOURS,
     "docs_fd_audit": SQL_DOCS_FD_AUDIT,
     "docs_freq_spectrum": SQL_DOCS_FREQ_SPECTRUM,
+    "conv_abandonment": SQL_CONV_ABANDONMENT,
+    "events_streaks": SQL_EVENTS_STREAKS,
 }

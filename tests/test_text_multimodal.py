@@ -1760,3 +1760,78 @@ def test_conv_tool_latency_gaps(tmp_path):
     got = {r.tool: (r.n_pairs, r.sum_gap_us, r.max_gap_us)
            for r in out.itertuples()}
     assert got == {"browser": (2, 3_000_000, 3_000_000)}
+
+
+def test_conv_abandonment_final_turn_rules(tmp_path):
+    """Abandonment pins: the final turn is the (ts, event_id)-max (a
+    same-timestamp tie resolves to the higher event_id), turn counts
+    SUM across blocks when a conversation is split, and every final
+    role present gets its own row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b", "c", "c", "d"],
+        "event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "role": ["user", "assistant", "user",      # a ends on user
+                 "user", "assistant",              # b ends on assistant
+                 "assistant", "tool",              # c: same-ts tie →
+                 "system"],                        #   eid 7 (tool) wins
+        "text": [""] * 8,
+        "tool": [""] * 8,
+        "ts": [base, base + S, base + 2 * S,
+               base, base + S,
+               base + S, base + S,
+               base],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_abandonment("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.final_role: (r.n_convs, r.sum_turns, r.max_turns)
+           for r in out.itertuples()}
+    assert got == {"user": (1, 3, 3), "assistant": (1, 2, 2),
+                   "tool": (1, 2, 2), "system": (1, 1, 1)}
+
+
+def test_events_streaks_islands(tmp_path):
+    """Streak pins: a gap day breaks the run (0,1,2 then 4,5 → max 3),
+    alternating days never chain (0,2,4 → 1), multiple events inside
+    one day collapse to one active day, and the histogram counts
+    users at their MAX streak only."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_streaks,
+    )
+
+    day0 = np.datetime64("2024-01-01T12:00:00", "us")
+    D = np.timedelta64(1, "D")
+    H = np.timedelta64(1, "h")
+    rows = [  # (user, ts)
+        (1, day0), (1, day0 + D), (1, day0 + 2 * D),
+        (1, day0 + 4 * D), (1, day0 + 5 * D),          # max 3
+        (2, day0 + 10 * D),                            # 1
+        (3, day0), (3, day0 + 2 * D), (3, day0 + 4 * D),  # 1
+        (4, day0 + 7 * D), (4, day0 + 8 * D),          # 2
+        (4, day0 + 8 * D + H),                         # same-day dup
+    ]
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_streaks(str(tmp_path)).to_pandas()
+    got = {r.streak_len: r.n_users for r in out.itertuples()}
+    assert got == {3: 1, 1: 2, 2: 1}
