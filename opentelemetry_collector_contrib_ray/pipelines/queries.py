@@ -18266,6 +18266,103 @@ FROM m GROUP BY 1
 """
 
 
+def q_events_dow_hour_matrix(sf_dir: str):
+    """Day-of-week × hour-of-day traffic matrix per event type — the
+    calendar-heatmap behind capacity planning and batch-window
+    placement (the hourly profile op collapses days; this keeps the
+    weekly structure). Both engines derive dow from the SAME integer
+    formula — (epoch_day + 4) % 7 with 0 = Sunday (1970-01-01 was a
+    Thursday) — so no SQL dow()-convention/locale divergence exists
+    by construction.
+
+    Shape: one vectorized epoch-arithmetic kernel, then the
+    ≤ |types|·168-group compact fold — zero wide exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def km(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        hour = (us // 3_600_000_000) % 24
+        return pa.table({
+            "event_type": t["event_type"],
+            "dow": pa.array(dow.astype(np.int64)),
+            "hour": pa.array(hour.astype(np.int64)),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["event_type", "dow", "hour"],
+                           sum_cols={"one": "n"})
+
+
+SQL_EVENTS_DOW_HOUR_MATRIX = """
+SELECT event_type,
+       CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_docs_char_class_census(sf_dir: str):
+    """Per-document character-class census — (n_upper, n_lower,
+    n_digit, n_space, n_other) over ASCII classes: the casing/digit/
+    symbol profile quality filters threshold on (all-caps shouting,
+    digit-table boilerplate, symbol soup) and the cheapest full-corpus
+    shape fingerprint to diff after any cleaning pass. Classes are
+    ASCII by declaration ([A-Z], [a-z], [0-9], [ \\t\\n\\r]) so the
+    RE2 twin counts the identical sets.
+
+    Shape: fully per-batch, zero exchange — the padded-UCS4 view
+    classifies every codepoint of a block in five vectorized range
+    tests; per-doc sums are one boolean-matrix row-sum each."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def census(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        a = txt.to_numpy(zero_copy_only=False).astype("U")
+        ids = pc.cast(t["doc_id"], pa.int64())
+        n = len(a)
+        m = a.dtype.itemsize // 4 if n else 0
+        if not n or not m:
+            z = np.zeros(n, np.int64)
+            return pa.table({"doc_id": ids, "n_upper": z, "n_lower": z,
+                             "n_digit": z, "n_space": z, "n_other": z})
+        cp = a.view(np.uint32).reshape(n, m)
+        real = cp != 0  # UCS4 pad; texts contain no NUL by contract
+        up = ((cp >= 65) & (cp <= 90)).sum(1).astype(np.int64)
+        lo = ((cp >= 97) & (cp <= 122)).sum(1).astype(np.int64)
+        dg = ((cp >= 48) & (cp <= 57)).sum(1).astype(np.int64)
+        sp = ((cp == 32) | (cp == 9) | (cp == 10) | (cp == 13)) \
+            .sum(1).astype(np.int64)
+        tot = real.sum(1).astype(np.int64)
+        return pa.table({
+            "doc_id": ids,
+            "n_upper": pa.array(up), "n_lower": pa.array(lo),
+            "n_digit": pa.array(dg), "n_space": pa.array(sp),
+            "n_other": pa.array(tot - up - lo - dg - sp)})
+
+    return ds.map_batches(census, batch_format="pyarrow")
+
+
+SQL_DOCS_CHAR_CLASS_CENSUS = r"""
+SELECT doc_id,
+  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+       AS BIGINT) AS n_upper,
+  CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+       AS BIGINT) AS n_lower,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       AS BIGINT) AS n_digit,
+  CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+       AS BIGINT) AS n_space,
+  CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\r]', '', 'g'))
+       AS BIGINT) AS n_other
+FROM documents
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -18589,6 +18686,8 @@ QUERIES = {
     "docs_freq_spectrum": q_docs_freq_spectrum,
     "conv_abandonment": q_conv_abandonment,
     "events_streaks": q_events_streaks,
+    "events_dow_hour_matrix": q_events_dow_hour_matrix,
+    "docs_char_class_census": q_docs_char_class_census,
 }
 
 # ----------------------------------------------------------- resumable
@@ -18960,4 +19059,6 @@ ORACLES = {
     "docs_freq_spectrum": SQL_DOCS_FREQ_SPECTRUM,
     "conv_abandonment": SQL_CONV_ABANDONMENT,
     "events_streaks": SQL_EVENTS_STREAKS,
+    "events_dow_hour_matrix": SQL_EVENTS_DOW_HOUR_MATRIX,
+    "docs_char_class_census": SQL_DOCS_CHAR_CLASS_CENSUS,
 }

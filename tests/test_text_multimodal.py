@@ -1835,3 +1835,55 @@ def test_events_streaks_islands(tmp_path):
     out = q_events_streaks(str(tmp_path)).to_pandas()
     got = {r.streak_len: r.n_users for r in out.itertuples()}
     assert got == {3: 1, 1: 2, 2: 1}
+
+
+def test_events_dow_hour_matrix_formula(tmp_path):
+    """Calendar-matrix pins: 2024-01-01 (a Monday) lands in dow=1
+    under the shared (epoch_day + 4) % 7 formula (0 = Sunday), hours
+    split rows into distinct cells, and counts accumulate per cell."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_dow_hour_matrix,
+    )
+
+    mon = np.datetime64("2024-01-01T13:00:00", "us")  # Monday 13:00
+    sun = np.datetime64("2024-01-07T00:30:00", "us")  # Sunday 00:xx
+    rows = [("view", mon), ("view", mon), ("click", mon), ("view", sun)]
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": [r[0] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_dow_hour_matrix(str(tmp_path)).to_pandas()
+    got = {(r.event_type, r.dow, r.hour): r.n for r in out.itertuples()}
+    assert got == {("view", 1, 13): 2, ("click", 1, 13): 1,
+                   ("view", 0, 0): 1}
+
+
+def test_docs_char_class_census_classes(tmp_path):
+    """Census pins: each ASCII class counts its own codepoints only, a
+    non-ASCII letter lands in n_other (classes are ASCII by
+    declaration), and an empty doc is all zeros."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_char_class_census,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["Ab3 \n?", "", "é9"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = (q_docs_char_class_census(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1].tolist() == [1, 1, 1, 2, 1]
+    assert out.loc[2].tolist() == [0, 0, 0, 0, 0]
+    assert out.loc[3].tolist() == [0, 0, 1, 0, 1]
