@@ -18363,6 +18363,126 @@ FROM documents
 """
 
 
+def q_conv_tool_first_use_depth(sf_dir: str):
+    """When does a conversation first reach for each tool? Per tool,
+    the histogram of the turn index at FIRST use within each
+    conversation (bucket = min(turn_idx, 9)) plus the exact
+    sum_first_turn — the tool-adoption-depth profile an agent-harness
+    designer reads to decide which tools belong in the first prompt
+    versus behind progressive disclosure.
+
+    Shape: the rail's conv exchange yields turn_idx; tool turns
+    project to narrow (conv, tool, turn_idx) rows, the per-(conv,
+    tool) min folds through hash_groupby_agg's ONE exchange
+    (per-block min combiners bound it at convs × tools rows), and
+    the ≤ |tools|·10 bucket panel folds compactly."""
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+
+    ds = transcripts_from_events(sf_dir)
+
+    def proj(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "conv_id": t["conv_id"],
+            "tool": t["tool"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64())})
+        return tt.filter(pc.not_equal(pc.fill_null(tt["tool"], ""), ""))
+
+    first = hash_groupby_agg(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        ["conv_id", "tool"], {"turn_idx": ("min", "ft")})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ft = t["ft"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "tool": t["tool"],
+            "bucket": pa.array(np.minimum(ft, 9)),
+            "one": pa.array(np.ones(len(ft), np.int64)),
+            "ft": pa.array(ft)})
+
+    return compact_groupby(
+        first.map_batches(bucket, batch_format="pyarrow"),
+        ["tool", "bucket"],
+        sum_cols={"one": "n_convs", "ft": "sum_first_turn"})
+
+
+SQL_CONV_TOOL_FIRST_USE_DEPTH = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, f AS (
+  SELECT conv_id, tool, min(turn_idx) AS ft
+  FROM transcripts WHERE tool <> '' GROUP BY 1, 2
+)
+SELECT tool, CAST(least(ft, 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(ft) AS BIGINT) AS sum_first_turn
+FROM f GROUP BY 1, 2
+"""
+)
+
+
+def q_multimodal_audio_silence(sf_dir: str):
+    """Silence profiling over REAL WAV payloads — the trim-silence /
+    drop-dead-air curation stage of an audio pipeline, as integers:
+    per clip (n_samples, n_silent, lead_silent) at |i16| < 3277
+    (≈ −20 dBFS), where lead_silent is the leading silent run (the
+    trim point; == n_samples flags a fully-silent clip for dropping).
+    The DuckDB twin re-decodes the SAME payload bytes (44-byte RIFF
+    header + int16 LE via hex-pair arithmetic, as in
+    ``multimodal_decode``) and re-runs the threshold — decode sign
+    handling, sample order and the run rule are all hash-pinned.
+
+    Shape: task-closure decode (built-in codec has no per-actor
+    state to amortize) then one vectorized silence kernel per block;
+    zero exchange — per-clip stats are local."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (MM_ORACLE_DIR, AudioDecoder,
+                                     ensure_mm_oracle_tables,
+                                     silence_stats)
+
+    ensure_mm_oracle_tables()
+    return (rd.read_parquet(f"{MM_ORACLE_DIR}/audio.parquet")
+            .map_batches(AudioDecoder(), batch_format="pyarrow",
+                         batch_size=64)
+            .map_batches(silence_stats, batch_format="pyarrow"))
+
+
+def _audio_silence_sql() -> str:
+    """DuckDB re-decode of the WAV int16 stream + silence threshold
+    (shares the byte arithmetic of ``_mm_sql``'s audio branch)."""
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+    return f"""
+WITH audio_files AS (
+  SELECT media_id, hex(payload) AS hx,
+         (octet_length(payload) - 44) // 2 AS n_samp
+  FROM read_parquet('{MM_ORACLE_DIR}/audio.parquet')
+), smp AS (
+  SELECT media_id, hx, n_samp, unnest(range(0, n_samp)) AS i
+  FROM audio_files
+), smpv AS (
+  SELECT media_id, n_samp, i,
+    ((strpos('{hexd}', substr(hx, 2 * (44 + 2 * i) + 1, 1)) - 1) * 16
+     + (strpos('{hexd}', substr(hx, 2 * (44 + 2 * i) + 2, 1)) - 1))
+    + 256 * ((strpos('{hexd}', substr(hx, 2 * (45 + 2 * i) + 1, 1)) - 1) * 16
+             + (strpos('{hexd}', substr(hx, 2 * (45 + 2 * i) + 2, 1)) - 1)) AS u
+  FROM smp
+), sgn AS (
+  SELECT media_id, n_samp, i,
+         abs(u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END) AS a
+  FROM smpv
+)
+SELECT media_id,
+       CAST(max(n_samp) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN a < 3277 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_silent,
+       CAST(coalesce(min(CASE WHEN a >= 3277 THEN i END), max(n_samp))
+            AS BIGINT) AS lead_silent
+FROM sgn GROUP BY media_id
+"""
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -18688,6 +18808,8 @@ QUERIES = {
     "events_streaks": q_events_streaks,
     "events_dow_hour_matrix": q_events_dow_hour_matrix,
     "docs_char_class_census": q_docs_char_class_census,
+    "conv_tool_first_use_depth": q_conv_tool_first_use_depth,
+    "multimodal_audio_silence": q_multimodal_audio_silence,
 }
 
 # ----------------------------------------------------------- resumable
@@ -19061,4 +19183,6 @@ ORACLES = {
     "events_streaks": SQL_EVENTS_STREAKS,
     "events_dow_hour_matrix": SQL_EVENTS_DOW_HOUR_MATRIX,
     "docs_char_class_census": SQL_DOCS_CHAR_CLASS_CENSUS,
+    "conv_tool_first_use_depth": SQL_CONV_TOOL_FIRST_USE_DEPTH,
+    "multimodal_audio_silence": _audio_silence_sql(),
 }

@@ -587,6 +587,46 @@ def waveform_checksums(t: pa.Table) -> pa.Table:
                              "audio", i16)
 
 
+def silence_stats(t: pa.Table, thr: int = 3277) -> pa.Table:
+    """Decoded waveform → per-clip silence profile on the EXACT int16
+    samples: (n_samples, n_silent, lead_silent) where a sample is
+    silent iff |i16| < ``thr`` (default 3277 ≈ −20 dBFS) and
+    ``lead_silent`` is the leading silent run — the trim point a
+    speech-curation pass cuts at; a fully-silent clip (the drop case)
+    reads lead_silent == n_samples. All integer, no per-clip loop:
+    one reduceat for the counts, one ``np.minimum.at`` scatter for
+    the first-loud index."""
+    col = t["waveform"]
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.asarray(c.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    lens = np.diff(offs)
+    n = len(lens)
+    i16 = np.round(np.asarray(c.flatten(), dtype=np.float64) * 32768.0).astype(np.int64)
+    loud = np.abs(i16) >= thr
+    n_silent = np.zeros(n, dtype=np.int64)
+    nz = np.flatnonzero(lens > 0)
+    if len(i16) and len(nz):
+        n_silent[nz] = np.add.reduceat((~loud).astype(np.int64), offs[:-1][nz])
+    lead = lens.astype(np.int64).copy()
+    if len(i16):
+        pos = np.arange(len(i16), dtype=np.int64) - np.repeat(offs[:-1], lens)
+        clip = np.repeat(np.arange(n, dtype=np.int64), lens)
+        li = np.flatnonzero(loud)
+        if len(li):
+            first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(first, clip[li], pos[li])
+            has = first != np.iinfo(np.int64).max
+            lead[has] = first[has]
+    return pa.table({
+        "media_id": pa.array(t["media_id"].to_numpy(zero_copy_only=False)
+                             .astype(np.int64)),
+        "n_samples": pa.array(lens.astype(np.int64)),
+        "n_silent": pa.array(n_silent),
+        "lead_silent": pa.array(lead),
+    })
+
+
 def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 64,
                     resize_to: tuple[int, int] | None = None):
     """payload → pixels [→ resize] → features, small batches for big

@@ -1887,3 +1887,51 @@ def test_docs_char_class_census_classes(tmp_path):
     assert out.loc[1].tolist() == [1, 1, 1, 2, 1]
     assert out.loc[2].tolist() == [0, 0, 0, 0, 0]
     assert out.loc[3].tolist() == [0, 0, 1, 0, 1]
+
+
+def test_silence_stats_threshold_and_lead():
+    """Silence pins: |i16| < 3277 is silent (0.05 FS → 1638 counts,
+    0.5 FS → 16384 does not), lead_silent is the run BEFORE the first
+    loud sample, and a fully-silent clip reads lead == n_samples."""
+    from opentelemetry_collector_contrib_ray.stages.multimodal import silence_stats
+
+    w1 = np.array([0.0, 0.05, 0.5, 0.0, -0.5], np.float32) \
+        .astype(np.float64) / 1.0
+    w2 = np.zeros(4, np.float64)
+    col = pa.array([ (w1 / 1.0).tolist(), w2.tolist() ],
+                   type=pa.list_(pa.float32()))
+    t = pa.table({"media_id": pa.array([7, 8], pa.int64()),
+                  "waveform": col})
+    out = silence_stats(t).to_pandas().set_index("media_id")
+    assert out.loc[7].tolist() == [5, 3, 2]
+    assert out.loc[8].tolist() == [4, 4, 4]
+
+
+def test_conv_tool_first_use_depth_buckets():
+    """First-use pins: later uses of the same tool in a conversation
+    never recount (min turn wins), turn_idx ≥ 9 clamps into bucket 9
+    while sum_first_turn keeps the exact value, and each (conv, tool)
+    contributes once."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "a", "b"],
+        "turn_idx": [0, 1, 5, 12, 0],
+        "role": ["user", "tool", "tool", "tool", "tool"],
+        "text": [""] * 5,
+        "tool": ["", "browser", "browser", "db_query", "browser"],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_tool_first_use_depth("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {(r.tool, r.bucket): (r.n_convs, r.sum_first_turn)
+           for r in out.itertuples()}
+    assert got == {("browser", 1): (1, 1), ("browser", 0): (1, 0),
+                   ("db_query", 9): (1, 12)}
