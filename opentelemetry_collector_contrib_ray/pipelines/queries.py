@@ -6969,6 +6969,118 @@ FROM dps GROUP BY 1, 2, 3, 4
 """
 
 
+def q_otlp_proto_histogram_roundtrip(sf_dir: str):
+    """OTLP-protobuf HISTOGRAM metrics marshal + file source end to
+    end — the fourth pmetric data type the reference fileexporter
+    marshals (after the Gauge/Sum trees): a per-event
+    HistogramDataPoint derivation (fixed64 count, double sum,
+    PACKED fixed64 bucket_counts, packed double explicit_bounds,
+    min/max doubles, temporality on the Histogram message) marshals
+    to ``MetricsData`` files, re-ingests, and re-aggregates per
+    metric identity including PER-BUCKET sums — a wrong packed
+    stride, bucket order flip, or sign error shifts sum_b0/1/2 and
+    breaks the hash. All aggregated outputs are exact (ints +
+    max-of-doubles)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..sources.otlp_proto import (read_otlp_proto_metrics,
+                                      write_otlp_proto_metrics)
+
+    tmp = tempfile.mkdtemp(prefix="otlppbht_", dir="/tmp")
+    try:
+        ev = read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "event_type"])
+
+        def to_hdps(t: pa.Table) -> pa.Table:
+            eid = pc.cast(t["event_id"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            n = len(eid)
+            b0, b1, b2 = eid % 3, eid % 5, eid % 7
+            cnt = b0 + b1 + b2
+            tns = pc.multiply(
+                pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                1000)
+            bc = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * 3),
+                pa.array(np.stack([b0, b1, b2], 1).ravel()))
+            eb = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * 2),
+                pa.array(np.tile(np.array([10.0, 100.0]), n)))
+            return pa.table({
+                "metric_name": t["event_type"],
+                "unit": pa.array(["ms"] * n),
+                "type": pa.array(np.full(n, 3, np.int64)),
+                "aggregation_temporality": pa.array(
+                    np.full(n, 2, np.int64)),
+                "time_unix_nano": tns,
+                "hist_count": pa.array(cnt),
+                "hist_sum": pa.array((eid % 1000).astype(np.float64)),
+                "bucket_counts": bc,
+                "explicit_bounds": eb,
+                "hist_min": pa.array((eid % 10).astype(np.float64)),
+                "hist_max": pa.array((eid % 10 + cnt)
+                                     .astype(np.float64)),
+                "resource.service": t["event_type"],
+                "scope_name": pa.array(["otelray"] * n),
+            })
+
+        write_otlp_proto_metrics(
+            ev.map_batches(to_hdps, batch_format="pyarrow"), tmp)
+        back = read_otlp_proto_metrics(sorted(glob.glob(tmp + "/*.pb")))
+
+        def proj(t: pa.Table) -> pa.Table:
+            bc = t["bucket_counts"]
+            if isinstance(bc, pa.ChunkedArray):
+                bc = bc.combine_chunks()
+            v = np.asarray(bc.flatten(), dtype=np.int64).reshape(-1, 3)
+            return pa.table({
+                "metric_name": t["metric_name"],
+                "temporality": pc.cast(t["aggregation_temporality"],
+                                       pa.int64()),
+                "cnt": pc.cast(t["hist_count"], pa.int64()),
+                "b0": pa.array(v[:, 0]), "b1": pa.array(v[:, 1]),
+                "b2": pa.array(v[:, 2]),
+                "mx": pc.cast(t["hist_max"], pa.float64()),
+            })
+
+        return (
+            back.map_batches(proj, batch_format="pyarrow")
+            .groupby(["metric_name", "temporality"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("cnt", alias_name="sum_count"),
+                       Sum("b0", alias_name="sum_b0"),
+                       Sum("b1", alias_name="sum_b1"),
+                       Sum("b2", alias_name="sum_b2"),
+                       Max("mx", alias_name="max_max"))
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_OTLP_PROTO_HISTOGRAM_ROUNDTRIP = """
+WITH h AS (
+  SELECT event_type AS metric_name, 2 AS temporality,
+         event_id % 3 AS b0, event_id % 5 AS b1, event_id % 7 AS b2,
+         event_id % 10 + event_id % 3 + event_id % 5 + event_id % 7
+           AS mx
+  FROM events
+)
+SELECT metric_name, CAST(temporality AS BIGINT) AS temporality,
+       count(*) AS n,
+       CAST(SUM(b0 + b1 + b2) AS BIGINT) AS sum_count,
+       CAST(SUM(b0) AS BIGINT) AS sum_b0,
+       CAST(SUM(b1) AS BIGINT) AS sum_b1,
+       CAST(SUM(b2) AS BIGINT) AS sum_b2,
+       CAST(MAX(mx) AS DOUBLE) AS max_max
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_transformer_chain(sf_dir: str):
     """Stanza transformer editors end-to-end with an oracle (upgrades
     §2.4 add/copy/move/unquote from unit-only): quote the level, copy
@@ -18810,6 +18922,7 @@ QUERIES = {
     "docs_char_class_census": q_docs_char_class_census,
     "conv_tool_first_use_depth": q_conv_tool_first_use_depth,
     "multimodal_audio_silence": q_multimodal_audio_silence,
+    "otlp_proto_histogram_roundtrip": q_otlp_proto_histogram_roundtrip,
 }
 
 # ----------------------------------------------------------- resumable
@@ -19185,4 +19298,5 @@ ORACLES = {
     "docs_char_class_census": SQL_DOCS_CHAR_CLASS_CENSUS,
     "conv_tool_first_use_depth": SQL_CONV_TOOL_FIRST_USE_DEPTH,
     "multimodal_audio_silence": _audio_silence_sql(),
+    "otlp_proto_histogram_roundtrip": SQL_OTLP_PROTO_HISTOGRAM_ROUNDTRIP,
 }

@@ -313,6 +313,15 @@ def decode_otlp_proto_files(t: pa.Table, bytes_col: str = "bytes") -> pa.Table:
 #   NumberDataPoint { 2/3: fixed64 start/time_unix_nano,
 #                     oneof value 4: double | 6: sfixed64 as_int,
 #                     7: repeated KeyValue attributes }
+#   Metric oneof also 9: Histogram
+#   Histogram       { 1: repeated HistogramDataPoint,
+#                     2: varint aggregation_temporality }
+#   HistogramDataPoint { 2/3: fixed64 start/time_unix_nano,
+#                     4: fixed64 count, 5: double sum,
+#                     6: packed fixed64 bucket_counts,
+#                     7: packed double explicit_bounds,
+#                     9: repeated KeyValue attributes,
+#                     11/12: double min/max }
 #
 # Flat-row contract matches stages/contexts.py's span/datapoint path
 # tables: hex trace/span ids, integer kind/status.code, nano ints,
@@ -321,6 +330,7 @@ def decode_otlp_proto_files(t: pa.Table, bytes_col: str = "bytes") -> pa.Table:
 
 _METRIC_TYPE_GAUGE = 1
 _METRIC_TYPE_SUM = 2
+_METRIC_TYPE_HISTOGRAM = 3
 
 
 def _enc_span(rec: dict) -> bytes:
@@ -413,7 +423,9 @@ def encode_otlp_proto_spans(t: pa.Table) -> bytes:
 _METRIC_ENVELOPE = ("metric_name", "description", "unit", "type",
                     "aggregation_temporality", "is_monotonic",
                     "start_time_unix_nano", "time_unix_nano",
-                    "value_int", "value_double")
+                    "value_int", "value_double",
+                    "hist_count", "hist_sum", "bucket_counts",
+                    "explicit_bounds", "hist_min", "hist_max")
 
 
 def _enc_number_dp(rec: dict) -> bytes:
@@ -428,6 +440,38 @@ def _enc_number_dp(rec: dict) -> bytes:
         out += _tag(6, 1) + struct.pack("<q", int(rec["value_int"]))
     for k, v in rec.get("attributes", ()):
         out += _ld(7, _enc_keyvalue(k, v))
+    return bytes(out)
+
+
+def _enc_histogram_dp(rec: dict) -> bytes:
+    """HistogramDataPoint (opentelemetry-proto metrics.proto): 2/3
+    fixed64 start/time nanos, 4 fixed64 count, 5 double sum,
+    6 repeated fixed64 bucket_counts (PACKED — proto3 default for
+    repeated scalars), 7 repeated double explicit_bounds (packed),
+    9 repeated KeyValue attributes, 11/12 double min/max. The
+    len(bucket_counts) == len(explicit_bounds) + 1 invariant is the
+    caller's (as in pmetric)."""
+    out = bytearray()
+    if rec.get("start_time_unix_nano"):
+        out += _tag(2, 1) + struct.pack("<Q", int(rec["start_time_unix_nano"]))
+    if rec.get("time_unix_nano"):
+        out += _tag(3, 1) + struct.pack("<Q", int(rec["time_unix_nano"]))
+    if rec.get("hist_count") is not None:
+        out += _tag(4, 1) + struct.pack("<Q", int(rec["hist_count"]))
+    if rec.get("hist_sum") is not None:
+        out += _tag(5, 1) + struct.pack("<d", float(rec["hist_sum"]))
+    bc = rec.get("bucket_counts")
+    if bc:
+        out += _ld(6, b"".join(struct.pack("<Q", int(c)) for c in bc))
+    eb = rec.get("explicit_bounds")
+    if eb:
+        out += _ld(7, b"".join(struct.pack("<d", float(x)) for x in eb))
+    for k, v in rec.get("attributes", ()):
+        out += _ld(9, _enc_keyvalue(k, v))
+    if rec.get("hist_min") is not None:
+        out += _tag(11, 1) + struct.pack("<d", float(rec["hist_min"]))
+    if rec.get("hist_max") is not None:
+        out += _tag(12, 1) + struct.pack("<d", float(rec["hist_max"]))
     return bytes(out)
 
 
@@ -450,8 +494,14 @@ def _enc_metrics_scope(recs: list[dict]) -> bytes:
             m += _ld(2, str(desc).encode("utf-8"))
         if unit:
             m += _ld(3, str(unit).encode("utf-8"))
-        body = b"".join(_ld(1, _enc_number_dp(r)) for r in dps)
-        if typ == _METRIC_TYPE_SUM:
+        if typ == _METRIC_TYPE_HISTOGRAM:
+            h_msg = bytearray(
+                b"".join(_ld(1, _enc_histogram_dp(r)) for r in dps))
+            if temp:
+                h_msg += _tag(2, 0) + _varint(int(temp))
+            m += _ld(9, bytes(h_msg))
+        elif typ == _METRIC_TYPE_SUM:
+            body = b"".join(_ld(1, _enc_number_dp(r)) for r in dps)
             sum_msg = bytearray(body)
             if temp:
                 sum_msg += _tag(2, 0) + _varint(int(temp))
@@ -459,6 +509,7 @@ def _enc_metrics_scope(recs: list[dict]) -> bytes:
                 sum_msg += _tag(3, 0) + _varint(1)
             m += _ld(7, bytes(sum_msg))
         else:
+            body = b"".join(_ld(1, _enc_number_dp(r)) for r in dps)
             m += _ld(5, body)
         out += _ld(2, bytes(m))
     return bytes(out)
@@ -521,6 +572,45 @@ def _dec_number_dp(buf: bytes) -> dict:
         elif field == 7:
             k, v = _dec_keyvalue(val)
             dp[f"attributes.{k}"] = v
+    return dp
+
+
+def _dec_histogram_dp(buf: bytes) -> dict:
+    dp: dict = {"start_time_unix_nano": 0, "time_unix_nano": 0,
+                "hist_count": 0, "hist_sum": None,
+                "bucket_counts": [], "explicit_bounds": [],
+                "hist_min": None, "hist_max": None}
+    for field, wire, val in _iter_fields(buf):
+        if field == 2:
+            dp["start_time_unix_nano"] = int(val)
+        elif field == 3:
+            dp["time_unix_nano"] = int(val)
+        elif field == 4:
+            dp["hist_count"] = int(val)
+        elif field == 5:
+            dp["hist_sum"] = struct.unpack("<d", struct.pack("<Q", val))[0]
+        elif field == 6:
+            if wire == 2:  # packed fixed64
+                dp["bucket_counts"] = [
+                    struct.unpack_from("<Q", val, o)[0]
+                    for o in range(0, len(val), 8)]
+            else:  # tolerated unpacked form
+                dp["bucket_counts"].append(int(val))
+        elif field == 7:
+            if wire == 2:  # packed double
+                dp["explicit_bounds"] = [
+                    struct.unpack_from("<d", val, o)[0]
+                    for o in range(0, len(val), 8)]
+            else:
+                dp["explicit_bounds"].append(
+                    struct.unpack("<d", struct.pack("<Q", val))[0])
+        elif field == 9:
+            k, v = _dec_keyvalue(val)
+            dp[f"attributes.{k}"] = v
+        elif field == 11:
+            dp["hist_min"] = struct.unpack("<d", struct.pack("<Q", val))[0]
+        elif field == 12:
+            dp["hist_max"] = struct.unpack("<d", struct.pack("<Q", val))[0]
     return dp
 
 
@@ -597,11 +687,21 @@ def decode_metrics_data(buf: bytes) -> list[dict]:
                             meta["aggregation_temporality"] = int(v2)
                         elif f2 == 3:
                             meta["is_monotonic"] = bool(v2)
+                elif field == 9:
+                    meta["type"] = _METRIC_TYPE_HISTOGRAM
+                    for f2, _w2, v2 in _iter_fields(val):
+                        if f2 == 1:
+                            dp_bufs.append(v2)
+                        elif f2 == 2:
+                            meta["aggregation_temporality"] = int(v2)
+            dec_dp = (_dec_histogram_dp
+                      if meta["type"] == _METRIC_TYPE_HISTOGRAM
+                      else _dec_number_dp)
             for dp_buf in dp_bufs:
                 row = dict(res)
                 row["scope_name"] = scope_name
                 row.update(meta)
-                row.update(_dec_number_dp(dp_buf))
+                row.update(dec_dp(dp_buf))
                 rows.append(row)
     return rows
 

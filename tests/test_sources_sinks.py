@@ -504,3 +504,61 @@ def test_otlp_proto_traces_decoder_skips_unknown_fields():
     buf += _ld(1, bytes(rl))
     rows = decode_traces_data(bytes(buf))
     assert {r["name"] for r in rows} == {"op", "op2"}
+
+
+def test_otlp_proto_histogram_codec_pure():
+    """Histogram tree wire pins: packed fixed64 bucket_counts / packed
+    double explicit_bounds survive the roundtrip in order, count is
+    fixed64, sum/min/max are doubles, temporality rides the Histogram
+    message (field 2), and a mixed Gauge+Histogram stream keeps each
+    metric's own datapoint shape."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.sources.otlp_proto import (
+        _enc_histogram_dp,
+        decode_metrics_data,
+        encode_otlp_proto_metrics,
+    )
+
+    # exact wire bytes of one minimal dp: time=1, count=2, buckets [1,2]
+    raw = _enc_histogram_dp({"time_unix_nano": 1, "hist_count": 2,
+                             "bucket_counts": [1, 2],
+                             "explicit_bounds": [10.0]})
+    expect = (
+        bytes([0x19]) + struct.pack("<Q", 1)      # f3 fixed64 time
+        + bytes([0x21]) + struct.pack("<Q", 2)    # f4 fixed64 count
+        + bytes([0x32, 16]) + struct.pack("<QQ", 1, 2)  # f6 packed
+        + bytes([0x3A, 8]) + struct.pack("<d", 10.0)    # f7 packed
+    )
+    assert raw == expect
+
+    t = pa.table({
+        "metric_name": ["hist", "hist", "g"],
+        "type": pa.array([3, 3, 1], pa.int64()),
+        "aggregation_temporality": pa.array([2, 2, 0], pa.int64()),
+        "time_unix_nano": pa.array([111, 222, 333], pa.int64()),
+        "hist_count": pa.array([6, 0, None], pa.int64()),
+        "hist_sum": pa.array([12.5, 0.0, None], pa.float64()),
+        "bucket_counts": pa.array([[1, 2, 3], [0, 0, 0], None],
+                                  pa.list_(pa.int64())),
+        "explicit_bounds": pa.array([[10.0, 100.0], [10.0, 100.0], None],
+                                    pa.list_(pa.float64())),
+        "hist_min": pa.array([0.5, None, None], pa.float64()),
+        "hist_max": pa.array([99.0, None, None], pa.float64()),
+        "value_int": pa.array([None, None, 7], pa.int64()),
+        "scope_name": ["s"] * 3,
+    })
+    rows = sorted(decode_metrics_data(encode_otlp_proto_metrics(t)),
+                  key=lambda r: r["time_unix_nano"])
+    assert rows[0]["bucket_counts"] == [1, 2, 3]
+    assert rows[0]["explicit_bounds"] == [10.0, 100.0]
+    assert rows[0]["hist_count"] == 6 and rows[0]["hist_max"] == 99.0
+    assert rows[0]["aggregation_temporality"] == 2
+    assert rows[0]["type"] == 3
+    assert rows[1]["bucket_counts"] == [0, 0, 0]
+    assert rows[1]["hist_count"] == 0
+    assert rows[2]["type"] == 1 and rows[2]["value_int"] == 7
+    assert "bucket_counts" not in rows[2]
