@@ -18594,6 +18594,119 @@ SELECT media_id,
 FROM sgn GROUP BY media_id
 """
 
+def q_conv_duration_hist(sf_dir: str):
+    """Conversation wall-clock span histogram — last turn ts minus
+    first turn ts per conversation, bucketed by DAY decades
+    (min(days, 9)) with the exact second sum carried alongside: the
+    short-session vs long-running-thread mix a transcript dataset is
+    screened by before sessionization decisions.
+
+    Shape: per-block per-conv (min_ts, max_ts) combiners bound the
+    ONE hash exchange at convs × blocks narrow rows
+    (hash_groupby_agg), then the ≤ 10-bucket panel folds compactly."""
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"conv_id": t["conv_id"], "lo": us, "hi": us})
+
+    spans = hash_groupby_agg(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        ["conv_id"], {"lo": ("min", "lo"), "hi": ("max", "hi")})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        secs = (hi - lo) // 1_000_000
+        return pa.table({
+            "bucket": pa.array(np.minimum(secs // 86_400, 9)),
+            "one": pa.array(np.ones(len(secs), np.int64)),
+            "secs": pa.array(secs)})
+
+    return compact_groupby(
+        spans.map_batches(bucket, batch_format="pyarrow"),
+        ["bucket"], sum_cols={"one": "n_convs", "secs": "sum_seconds"})
+
+
+SQL_CONV_DURATION_HIST = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, sp AS (
+  SELECT conv_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS secs
+  FROM transcripts GROUP BY 1
+)
+SELECT CAST(least(secs // 86400, 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(secs) AS BIGINT) AS sum_seconds
+FROM sp GROUP BY 1
+"""
+)
+
+
+def q_docs_prefix_boilerplate(sf_dir: str):
+    """Boilerplate-prefix audit — documents sharing their first 32
+    characters (generated headers, scraped templates, license
+    preambles) that exact/normalized dedup misses because the tails
+    differ: (n_prefix_groups, n_docs_in_groups, max_group) over
+    groups of ≥ 2 docs. The prefix is CHARACTER-based in both
+    engines (substr semantics), so multibyte text cannot diverge.
+
+    Shape: per-block prefix-count combiners bound the ONE prefix-hash
+    exchange (hash_groupby_sum) at prefixes × blocks rows; the 3-int
+    panel folds from per-block partials."""
+    from ..stages.agg import hash_groupby_sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({
+            "prefix": pc.utf8_slice_codeunits(txt, 0, 32),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = hash_groupby_sum(ds.map_batches(pre, batch_format="pyarrow"),
+                              ["prefix"], "one", out_col="c")
+
+    def parts(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = c[c >= 2]
+        return pa.table({
+            "n_prefix_groups": pa.array([len(dup)], pa.int64()),
+            "n_docs_in_groups": pa.array([int(dup.sum())], pa.int64()),
+            "max_group": pa.array([int(dup.max()) if len(dup) else 0],
+                                  pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_prefix_groups": pa.array(
+                [pc.sum(t["n_prefix_groups"]).as_py() or 0], pa.int64()),
+            "n_docs_in_groups": pa.array(
+                [pc.sum(t["n_docs_in_groups"]).as_py() or 0], pa.int64()),
+            "max_group": pa.array(
+                [pc.max(t["max_group"]).as_py() or 0], pa.int64())})
+
+    return (counts.map_batches(parts, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(fold, batch_format="pyarrow",
+                               batch_size=None))
+
+
+SQL_DOCS_PREFIX_BOILERPLATE = """
+WITH g AS (
+  SELECT substr(coalesce(text, ''), 1, 32) AS prefix, count(*) AS c
+  FROM documents GROUP BY 1
+), d AS (
+  SELECT c FROM g WHERE c >= 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_prefix_groups,
+       CAST(coalesce(SUM(c), 0) AS BIGINT) AS n_docs_in_groups,
+       CAST(coalesce(MAX(c), 0) AS BIGINT) AS max_group
+FROM d
+"""
+
 
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
@@ -18923,6 +19036,8 @@ QUERIES = {
     "conv_tool_first_use_depth": q_conv_tool_first_use_depth,
     "multimodal_audio_silence": q_multimodal_audio_silence,
     "otlp_proto_histogram_roundtrip": q_otlp_proto_histogram_roundtrip,
+    "conv_duration_hist": q_conv_duration_hist,
+    "docs_prefix_boilerplate": q_docs_prefix_boilerplate,
 }
 
 # ----------------------------------------------------------- resumable
@@ -19299,4 +19414,6 @@ ORACLES = {
     "conv_tool_first_use_depth": SQL_CONV_TOOL_FIRST_USE_DEPTH,
     "multimodal_audio_silence": _audio_silence_sql(),
     "otlp_proto_histogram_roundtrip": SQL_OTLP_PROTO_HISTOGRAM_ROUNDTRIP,
+    "conv_duration_hist": SQL_CONV_DURATION_HIST,
+    "docs_prefix_boilerplate": SQL_DOCS_PREFIX_BOILERPLATE,
 }

@@ -1935,3 +1935,65 @@ def test_conv_tool_first_use_depth_buckets():
            for r in out.itertuples()}
     assert got == {("browser", 1): (1, 1), ("browser", 0): (1, 0),
                    ("db_query", 9): (1, 12)}
+
+
+def test_conv_duration_hist_buckets():
+    """Duration pins: span is max−min ts (a single-turn conversation
+    reads 0 s), day decades clamp at bucket 9, and second sums are
+    exact across split blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    rows = [("a", 1, base), ("a", 2, base + 1800 * S),       # 30 min → b0
+            ("b", 3, base), ("b", 4, base + 216000 * S),     # 2.5 d → b2
+            ("c", 5, base),                                  # 0 s → b0
+            ("d", 6, base), ("d", 7, base + 1_728_000 * S)]  # 20 d → b9
+    df = pd.DataFrame({
+        "conv_id": [r[0] for r in rows],
+        "event_id": [r[1] for r in rows],
+        "role": ["user"] * len(rows),
+        "text": [""] * len(rows),
+        "tool": [""] * len(rows),
+        "ts": [r[2] for r in rows],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_duration_hist("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.bucket: (r.n_convs, r.sum_seconds) for r in out.itertuples()}
+    assert got == {0: (2, 1800), 2: (1, 216000), 9: (1, 1_728_000)}
+
+
+def test_docs_prefix_boilerplate_groups(tmp_path):
+    """Boilerplate pins: grouping is on the first 32 CHARACTERS (a
+    multibyte prefix groups identically in both engines), docs shorter
+    than 32 chars group on their whole text, and singles never
+    count."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_prefix_boilerplate,
+    )
+
+    p, q, e = "A" * 32, "B" * 32, "é" * 32
+    texts = [p + "x", p + "y", p + "z",    # group of 3
+             q + "1", q + "2",             # group of 2
+             "short", "short",             # short-text group of 2
+             e + "a", e + "b",             # multibyte group of 2
+             "unique-doc"]                 # single → out
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_prefix_boilerplate(str(tmp_path)).to_pandas()
+    assert out.iloc[0].tolist() == [4, 9, 3]
