@@ -18708,6 +18708,155 @@ FROM d
 """
 
 
+def q_events_spike_days(sf_dir: str):
+    """Spike-day counter on the robust baseline — per event type, how
+    many days exceeded median + 3·MAD of the type's own daily counts
+    (the page-worthy anomaly count an alert-threshold review reads,
+    using the outlier-immune center/spread the daily_mad op
+    establishes; a mean+3σ rule would let the spikes inflate their
+    own threshold). All order statistics are the exact lower-median
+    integers; the spike test is an integer compare.
+
+    Shape: one kernel feeds the ≤ types × days compact daily fold;
+    median, MAD and the spike count are three vectorized passes over
+    that one compact block."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(us, 86_400_000_000),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    td = compact_groupby(ds.map_batches(daily, batch_format="pyarrow"),
+                         ["event_type", "day"], sum_cols={"one": "n"})
+
+    def spikes(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            n = g["n"].to_numpy(np.int64)
+            d = len(n)
+            srt = np.sort(n)
+            med = int(srt[(d + 1) // 2 - 1])        # lower median
+            dev = np.sort(np.abs(n - med))
+            mad = int(dev[(d + 1) // 2 - 1])
+            thr = med + 3 * mad
+            rows.append((et, d, int((n > thr).sum()), int(n.max())))
+        out = pd.DataFrame(rows, columns=["event_type", "n_days",
+                                          "n_spike_days", "max_daily"])
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return td.map_batches(spikes, batch_format="pyarrow",
+                          batch_size=None)
+
+
+SQL_EVENTS_SPIKE_DAYS = """
+WITH td AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, n, row_number() OVER (PARTITION BY event_type
+           ORDER BY n) AS r,
+         count(*) OVER (PARTITION BY event_type) AS d
+  FROM td
+), m AS (
+  SELECT event_type, n AS median_daily, d FROM med
+  WHERE r = (d + 1) // 2
+), dev AS (
+  SELECT td.event_type, abs(td.n - m.median_daily) AS a,
+         m.median_daily, m.d,
+         row_number() OVER (PARTITION BY td.event_type
+           ORDER BY abs(td.n - m.median_daily)) AS r
+  FROM td JOIN m USING (event_type)
+), m2 AS (
+  SELECT event_type, median_daily, a AS mad_daily FROM dev
+  WHERE r = (d + 1) // 2
+)
+SELECT t.event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN t.n > m2.median_daily + 3 * m2.mad_daily
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_days,
+       CAST(MAX(t.n) AS BIGINT) AS max_daily
+FROM td t JOIN m2 USING (event_type) GROUP BY 1
+"""
+
+
+def q_emb_dim_stats(sf_dir: str):
+    """Per-dimension embedding census — (n_vecs, sum_cents, min_cents,
+    max_cents) per coordinate at 1e-4 quantization: the
+    feature-scaling audit run before PQ codebook training or int8
+    quantization (a dimension with runaway range dominates every
+    distance; a dead dimension wastes a codebook). The cents
+    transform floor(x·10000 + 0.5) is the repo's standard
+    bit-deterministic float→int map, identical IEEE ops in numpy and
+    DuckDB.
+
+    Shape: zero exchange — each block folds to d partial rows (one
+    vectorized reshape + 4 column reductions), and the ≤ d × blocks
+    partials reduce on one compact block."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = np.asarray(c.flatten(), dtype=np.float64)
+        n = len(c)
+        if not n or not len(vals):
+            z = pa.array([], pa.int64())
+            return pa.table({"dim": z, "n_vecs": z, "sum_cents": z,
+                             "min_cents": z, "max_cents": z})
+        d = len(vals) // n
+        cents = np.floor(vals * 10000.0 + 0.5).astype(np.int64)             .reshape(n, d)
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n_vecs": pa.array(np.full(d, n, np.int64)),
+            "sum_cents": pa.array(cents.sum(0, dtype=np.int64)),
+            "min_cents": pa.array(cents.min(0)),
+            "max_cents": pa.array(cents.max(0))})
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = (df.groupby("dim", as_index=False)
+               .agg(n_vecs=("n_vecs", "sum"),
+                    sum_cents=("sum_cents", "sum"),
+                    min_cents=("min_cents", "min"),
+                    max_cents=("max_cents", "max")))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return (ds.map_batches(parts, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(fold, batch_format="pyarrow",
+                           batch_size=None))
+
+
+SQL_EMB_DIM_STATS = """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS cents
+  FROM embeddings
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM u GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -19038,6 +19187,8 @@ QUERIES = {
     "otlp_proto_histogram_roundtrip": q_otlp_proto_histogram_roundtrip,
     "conv_duration_hist": q_conv_duration_hist,
     "docs_prefix_boilerplate": q_docs_prefix_boilerplate,
+    "events_spike_days": q_events_spike_days,
+    "emb_dim_stats": q_emb_dim_stats,
 }
 
 # ----------------------------------------------------------- resumable
@@ -19416,4 +19567,6 @@ ORACLES = {
     "otlp_proto_histogram_roundtrip": SQL_OTLP_PROTO_HISTOGRAM_ROUNDTRIP,
     "conv_duration_hist": SQL_CONV_DURATION_HIST,
     "docs_prefix_boilerplate": SQL_DOCS_PREFIX_BOILERPLATE,
+    "events_spike_days": SQL_EVENTS_SPIKE_DAYS,
+    "emb_dim_stats": SQL_EMB_DIM_STATS,
 }

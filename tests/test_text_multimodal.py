@@ -1997,3 +1997,62 @@ def test_docs_prefix_boilerplate_groups(tmp_path):
     pq.write_table(t, tmp_path / "documents.parquet")
     out = q_docs_prefix_boilerplate(str(tmp_path)).to_pandas()
     assert out.iloc[0].tolist() == [4, 9, 3]
+
+
+def test_events_spike_days_threshold(tmp_path):
+    """Spike pins: the test is STRICTLY greater than median + 3·MAD on
+    the lower-median statistics; a flat series (MAD 0) flags any day
+    above the median, and max_daily reads the true peak."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_spike_days,
+    )
+
+    day0 = np.datetime64("2024-01-01T00:00:00", "us")
+    D = np.timedelta64(1, "D")
+    rows = []
+    # type "a": daily counts [2,2,2,2,9] → med 2, MAD 0, thr 2 → one
+    # spike day (9) and max 9
+    for day, cnt in enumerate([2, 2, 2, 2, 9]):
+        rows += [("a", day0 + day * D)] * cnt
+    # type "b": [1,3,5] → med 3, MAD 2, thr 9 → no spikes
+    for day, cnt in enumerate([1, 3, 5]):
+        rows += [("b", day0 + day * D)] * cnt
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": [r[0] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_spike_days(str(tmp_path)).to_pandas()
+    got = {r.event_type: (r.n_days, r.n_spike_days, r.max_daily)
+           for r in out.itertuples()}
+    assert got == {"a": (5, 1, 9), "b": (3, 0, 5)}
+
+
+def test_emb_dim_stats_quantization(tmp_path):
+    """Dim-stats pins: the cents map is floor(x·10000 + 0.5) on the
+    float32-promoted value (0.00025f → 3 rounds half-up, 0.00012f → 1
+    floors), per-dimension min/max/sum survive cross-block folding,
+    and dims index from 0."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_emb_dim_stats,
+    )
+
+    vecs = [[0.00025, 1.0], [0.00012, -2.5], [0.5, 0.25]]
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = (q_emb_dim_stats(str(tmp_path)).to_pandas()
+           .set_index("dim").sort_index())
+    assert out.loc[0].tolist() == [3, 3 + 1 + 5000, 1, 5000]
+    assert out.loc[1].tolist() == [3, 10000 - 25000 + 2500, -25000, 10000]
