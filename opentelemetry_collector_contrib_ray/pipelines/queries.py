@@ -18857,6 +18857,112 @@ FROM u GROUP BY 1
 
 
 
+def q_events_stickiness_parts(sf_dir: str):
+    """Stickiness (DAU/WAU) integer parts — Σ daily active users,
+    Σ weekly active users, and the distinct-user total: the
+    engagement ratio product analytics tracks (avg DAU / avg WAU);
+    the two sums are the numerators, the divisions stay driver-side.
+    Weeks are epoch-day // 7 in both engines (no ISO-week locale
+    rules to diverge on).
+
+    Shape: per-block distinct (user, day) combiner bounds the ONE
+    user-hash exchange; per-partition re-distinct makes user-days,
+    user-weeks and users all partition-local counts, and a 3-int
+    partial per partition folds to one row."""
+    import pandas as pd
+
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        tt = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.divide(us, 86_400_000_000)})
+        return _add_part(["user_id"], 64)(
+            tt.group_by(["user_id", "day"]).aggregate([]))
+
+    def parts(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user_id", "day"])
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        uw = np.unique(u * (1 << 22) + d // 7)  # day//7 < 2^22
+        return pa.table({
+            "n_user_days": pa.array([len(g)], pa.int64()),
+            "n_user_weeks": pa.array([len(uw)], pa.int64()),
+            "n_users": pa.array([len(np.unique(u))], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+            for c in ("n_user_days", "n_user_weeks", "n_users")})
+
+    return (ds.map_batches(days, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(parts), batch_format="pandas")
+              .repartition(1)
+              .map_batches(fold, batch_format="pyarrow",
+                           batch_size=None))
+
+
+SQL_EVENTS_STICKINESS_PARTS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), w AS (
+  SELECT DISTINCT user_id, day // 7 AS week FROM d
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_user_days,
+       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_user_weeks,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM d)
+         AS n_users
+"""
+
+
+def q_docs_line_length_profile(sf_dir: str):
+    """Corpus line-length histogram — lines from a newline split,
+    bucketed by length decades (min(len // 10, 9)) with exact length
+    sums: the log-shape audit (truncated lines, runaway lines,
+    empty-line rates) a parsing pipeline is tuned against. Split
+    semantics are pinned identical: '' yields one empty line and a
+    trailing newline yields a trailing empty line in BOTH engines.
+
+    Shape: fully per-batch — one split kernel + one vectorized
+    length pass per block, ≤ 10-bucket compact fold, zero
+    exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def lines(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        ln = pc.list_flatten(pc.split_pattern(txt, "\n"))
+        lens = pc.utf8_length(ln).to_numpy(zero_copy_only=False)             .astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(np.minimum(lens // 10, 9)),
+            "one": pa.array(np.ones(len(lens), np.int64)),
+            "len": pa.array(lens)})
+
+    return compact_groupby(ds.map_batches(lines, batch_format="pyarrow"),
+                           ["bucket"],
+                           sum_cols={"one": "n_lines", "len": "sum_len"})
+
+
+SQL_DOCS_LINE_LENGTH_PROFILE = """
+WITH l AS (
+  SELECT length(unnest(string_split(coalesce(text, ''), chr(10))))
+    AS len
+  FROM documents
+)
+SELECT CAST(least(len // 10, 9) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(len) AS BIGINT) AS sum_len
+FROM l GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -19189,6 +19295,8 @@ QUERIES = {
     "docs_prefix_boilerplate": q_docs_prefix_boilerplate,
     "events_spike_days": q_events_spike_days,
     "emb_dim_stats": q_emb_dim_stats,
+    "events_stickiness_parts": q_events_stickiness_parts,
+    "docs_line_length_profile": q_docs_line_length_profile,
 }
 
 # ----------------------------------------------------------- resumable
@@ -19569,4 +19677,6 @@ ORACLES = {
     "docs_prefix_boilerplate": SQL_DOCS_PREFIX_BOILERPLATE,
     "events_spike_days": SQL_EVENTS_SPIKE_DAYS,
     "emb_dim_stats": SQL_EMB_DIM_STATS,
+    "events_stickiness_parts": SQL_EVENTS_STICKINESS_PARTS,
+    "docs_line_length_profile": SQL_DOCS_LINE_LENGTH_PROFILE,
 }

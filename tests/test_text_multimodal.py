@@ -2056,3 +2056,57 @@ def test_emb_dim_stats_quantization(tmp_path):
            .set_index("dim").sort_index())
     assert out.loc[0].tolist() == [3, 3 + 1 + 5000, 1, 5000]
     assert out.loc[1].tolist() == [3, 10000 - 25000 + 2500, -25000, 10000]
+
+
+def test_events_stickiness_parts_distincts(tmp_path):
+    """Stickiness pins: same-day repeats collapse to one user-day, a
+    week is epoch-day // 7 (day 7 starts a new week), and the three
+    counts are global distincts across blocks."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_stickiness_parts,
+    )
+
+    day0 = np.datetime64("2024-01-04T00:00:00", "us")  # epoch day %7==0
+    assert (day0.astype("datetime64[D]").astype(int)) % 7 == 0
+    D = np.timedelta64(1, "D")
+    H = np.timedelta64(1, "h")
+    rows = [(1, day0 + k * D) for k in range(8)]   # days 0..7 → 2 weeks
+    rows += [(2, day0), (2, day0 + H)]             # same-day dup
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_stickiness_parts(str(tmp_path)).to_pandas()
+    assert out.iloc[0].tolist() == [9, 3, 2]
+
+
+def test_docs_line_length_profile_split_semantics(tmp_path):
+    """Line-profile pins: a trailing newline yields a trailing empty
+    line, an empty doc is one empty line, and lengths ≥ 90 clamp into
+    bucket 9 with exact sums."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_line_length_profile,
+    )
+
+    texts = ["abc\ndefghij\n",  # 3, 7, '' → all bucket 0
+             "x" * 95,          # bucket 9
+             ""]                # one empty line → bucket 0
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": texts,
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_line_length_profile(str(tmp_path)).to_pandas()
+    got = {r.bucket: (r.n_lines, r.sum_len) for r in out.itertuples()}
+    assert got == {0: (4, 10), 9: (1, 95)}
