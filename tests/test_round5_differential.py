@@ -165,3 +165,103 @@ def test_hrw_migration_brute_force(ray_session, tmp_path):
     assert out["n_moved"] == moved
     # HRW guarantee: only new-shard winners move (≈ n/9, loose bounds)
     assert 0 < moved < len(users) // 3
+
+
+def _naive_streaks(rows):
+    per = {}
+    for u, t, *_ in rows:
+        per.setdefault(u, set()).add(t // 86_400_000_000)
+    hist = {}
+    for days in per.values():
+        best = run = 0
+        prev = None
+        for d in sorted(days):
+            run = run + 1 if prev is not None and d == prev + 1 else 1
+            best = max(best, run)
+            prev = d
+        hist[best] = hist.get(best, 0) + 1
+    return hist
+
+
+def test_streaks_random_differential(ray_session, tmp_path):
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(40, 250))
+        rows = [(int(rng.integers(0, 15)),
+                 int(rng.integers(0, 40)) * 86_400_000_000
+                 + int(rng.integers(0, 86_400)) * 1_000_000,
+                 "view")
+                for _ in range(n)]
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        sf = _events(d, rows)
+        out = QUERIES["events_streaks"](sf).to_pandas()
+        got = {int(r.streak_len): int(r.n_users) for r in out.itertuples()}
+        assert got == _naive_streaks(rows), f"seed={seed}"
+
+
+def _naive_spikes(rows):
+    per = {}
+    for u, t, et, *_ in rows:
+        per.setdefault(et, {}).setdefault(t // 86_400_000_000, 0)
+        per[et][t // 86_400_000_000] += 1
+    out = {}
+    for et, days in per.items():
+        n = sorted(days.values())
+        d = len(n)
+        med = n[(d + 1) // 2 - 1]
+        dev = sorted(abs(x - med) for x in n)
+        mad = dev[(d + 1) // 2 - 1]
+        out[et] = (d, sum(1 for x in n if x > med + 3 * mad), max(n))
+    return out
+
+
+def test_spike_days_random_differential(ray_session, tmp_path):
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(60, 300))
+        rows = [(int(rng.integers(0, 10)),
+                 int(rng.integers(0, 25)) * 86_400_000_000
+                 + int(rng.integers(0, 86_400)) * 1_000_000,
+                 ["view", "click", "error"][int(rng.integers(0, 3))])
+                for _ in range(n)]
+        d = tmp_path / f"k{seed}"
+        d.mkdir()
+        sf = _events(d, rows)
+        out = QUERIES["events_spike_days"](sf).to_pandas()
+        got = {r.event_type: (r.n_days, r.n_spike_days, r.max_daily)
+               for r in out.itertuples()}
+        assert got == _naive_spikes(rows), f"seed={seed}"
+
+
+def _naive_stickiness(rows):
+    ud, uw, us = set(), set(), set()
+    for u, t, *_ in rows:
+        day = t // 86_400_000_000
+        ud.add((u, day))
+        uw.add((u, day // 7))
+        us.add(u)
+    return [len(ud), len(uw), len(us)]
+
+
+def test_stickiness_random_differential(ray_session, tmp_path):
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(40, 250))
+        rows = [(int(rng.integers(0, 15)),
+                 int(rng.integers(0, 30)) * 86_400_000_000
+                 + int(rng.integers(0, 86_400)) * 1_000_000,
+                 "view")
+                for _ in range(n)]
+        d = tmp_path / f"w{seed}"
+        d.mkdir()
+        sf = _events(d, rows)
+        out = QUERIES["events_stickiness_parts"](sf).to_pandas()
+        assert out.iloc[0].tolist() == _naive_stickiness(rows), \
+            f"seed={seed}"
