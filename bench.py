@@ -138,6 +138,20 @@ BENCH_QUERIES = [
     "orders_ship_lag_deciles",
     "docs_dedup_lang_shift",
     "emb_range_search_counts",
+    # round-5 continuation session
+    "conv_abandonment",
+    "events_streaks",
+    "events_dow_hour_matrix",
+    "docs_char_class_census",
+    "conv_tool_first_use_depth",
+    "multimodal_audio_silence",
+    "otlp_proto_histogram_roundtrip",
+    "conv_duration_hist",
+    "docs_prefix_boilerplate",
+    "events_spike_days",
+    "emb_dim_stats",
+    "events_stickiness_parts",
+    "docs_line_length_profile",
 ]
 
 
