@@ -18963,6 +18963,378 @@ FROM l GROUP BY 1
 
 
 
+def q_conv_text_parse_rate(sf_dir: str):
+    """Parse-health panel — per role, how many turn texts fall in each
+    format class (logline / json / kv / empty / other): the
+    parser-coverage report a log-pipeline operator reads before and
+    after changing the parse chain (a rising ``other`` share is the
+    canary for a format drift upstream). Classification precedence is
+    the SAME ordered CASE in both engines, over the same RE2
+    patterns the parsers use.
+
+    Shape: three vectorized regex kernels + one np.select per block,
+    ≤ |roles|·5 compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def classify(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        is_log = pc.match_substring_regex(txt, _LOGLINE)             .to_numpy(zero_copy_only=False)
+        is_json = pc.match_substring_regex(txt, '^\\{"event"')             .to_numpy(zero_copy_only=False)
+        is_kv = pc.match_substring_regex(txt, _KV)             .to_numpy(zero_copy_only=False)
+        is_empty = pc.equal(txt, "").to_numpy(zero_copy_only=False)
+        fmt = np.select([is_log, is_json, is_kv, is_empty],
+                        ["logline", "json", "kv", "empty"],
+                        default="other")
+        return pa.table({
+            "role": t["role"],
+            "fmt": pa.array(fmt.astype(object)),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return compact_groupby(
+        ds.map_batches(classify, batch_format="pyarrow"),
+        ["role", "fmt"], sum_cols={"one": "n_turns"})
+
+
+SQL_CONV_TEXT_PARSE_RATE = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + f"""
+SELECT role,
+       CASE WHEN regexp_matches(text, '{_LOGLINE}') THEN 'logline'
+            WHEN regexp_matches(text, '^\\{{"event"') THEN 'json'
+            WHEN regexp_matches(text, '{_KV}') THEN 'kv'
+            WHEN text = '' THEN 'empty'
+            ELSE 'other' END AS fmt,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts GROUP BY 1, 2
+"""
+)
+
+
+def q_events_dup_event_audit(sf_dir: str):
+    """Exact duplicate-event audit — rows agreeing on (user_id,
+    event_type, ts): the double-fire / at-least-once-delivery damage
+    report an ingestion pipeline runs before enabling idempotent
+    writes. (n_dup_groups, n_extra_rows, max_group) — extra rows is
+    what exact dedup would delete.
+
+    Shape: per-block (key-triple, count) combiners bound the ONE
+    hash exchange (hash_groupby_sum) at triples × blocks rows; the
+    3-int panel folds from per-block partials."""
+    from ..stages.agg import hash_groupby_sum
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = hash_groupby_sum(ds.map_batches(pre, batch_format="pyarrow"),
+                              ["user_id", "event_type", "ts_us"],
+                              "one", out_col="c")
+
+    def parts(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = c[c >= 2]
+        return pa.table({
+            "n_dup_groups": pa.array([len(dup)], pa.int64()),
+            "n_extra_rows": pa.array([int((dup - 1).sum())], pa.int64()),
+            "max_group": pa.array([int(dup.max()) if len(dup) else 0],
+                                  pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_dup_groups": pa.array(
+                [pc.sum(t["n_dup_groups"]).as_py() or 0], pa.int64()),
+            "n_extra_rows": pa.array(
+                [pc.sum(t["n_extra_rows"]).as_py() or 0], pa.int64()),
+            "max_group": pa.array(
+                [pc.max(t["max_group"]).as_py() or 0], pa.int64())})
+
+    return (counts.map_batches(parts, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(fold, batch_format="pyarrow",
+                               batch_size=None))
+
+
+SQL_EVENTS_DUP_EVENT_AUDIT = """
+WITH g AS (
+  SELECT user_id, event_type, ts, count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), d AS (
+  SELECT c FROM g WHERE c >= 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+       CAST(coalesce(SUM(c - 1), 0) AS BIGINT) AS n_extra_rows,
+       CAST(coalesce(MAX(c), 0) AS BIGINT) AS max_group
+FROM d
+"""
+
+
+
+def q_events_night_owl_segments(sf_dir: str):
+    """Night-owl audience segmentation — users whose activity is
+    majority-nocturnal (strictly more than half of their events in
+    hours 0–5): per segment (night_owl / daytime), user count and
+    total event mass — the send-time / maintenance-window audience
+    split. Hours are the same epoch integer arithmetic in both
+    engines.
+
+    Shape: per-block (user, night, total) sum combiners bound the
+    ONE user-hash exchange (hash_groupby_agg); the 2-row panel folds
+    compactly."""
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "night": pa.array((hour < 6).astype(np.int64)),
+            "total": pa.array(np.ones(len(us), np.int64))})
+
+    per_user = hash_groupby_agg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["user_id"], {"night": ("sum", "night"),
+                      "total": ("sum", "total")})
+
+    def seg(t: pa.Table) -> pa.Table:
+        n = t["night"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cls = np.where(2 * n > tot, "night_owl", "daytime")
+        return pa.table({
+            "segment": pa.array(cls.astype(object)),
+            "one": pa.array(np.ones(len(n), np.int64)),
+            "ev": pa.array(tot)})
+
+    return compact_groupby(
+        per_user.map_batches(seg, batch_format="pyarrow"),
+        ["segment"], sum_cols={"one": "n_users", "ev": "sum_events"})
+
+
+SQL_EVENTS_NIGHT_OWL_SEGMENTS = """
+WITH pu AS (
+  SELECT user_id,
+         SUM(CASE WHEN (epoch_us(ts) // 3600000000) % 24 < 6
+                  THEN 1 ELSE 0 END) AS night,
+         count(*) AS total
+  FROM events GROUP BY 1
+)
+SELECT CASE WHEN 2 * night > total THEN 'night_owl'
+            ELSE 'daytime' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(total) AS BIGINT) AS sum_events
+FROM pu GROUP BY 1
+"""
+
+
+def q_orders_weekday_revenue(sf_dir: str):
+    """Revenue by day of week — order counts and exact cents revenue
+    per weekday (the staffing/settlement calendar panel), using the
+    repo's shared (epoch_day + 4) % 7 integer dow (0 = Sunday) and
+    the standard floor(x·100 + 0.5) cents transform, so neither a
+    dow convention nor a float sum order can diverge.
+
+    Shape: one vectorized kernel over a 2-column pruned read, 7-row
+    compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def km(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "dow": pa.array((days + 4) % 7),
+            "one": pa.array(np.ones(len(days), np.int64)),
+            "cents": pa.array(cents)})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["dow"],
+                           sum_cols={"one": "n_orders",
+                                     "cents": "revenue_cents"})
+
+
+SQL_ORDERS_WEEKDAY_REVENUE = """
+SELECT CAST((datediff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) + 4) % 7
+            AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY 1
+"""
+
+
+
+def q_events_weekend_effect_parts(sf_dir: str):
+    """Weekend-effect panel — per event type, the weekday vs weekend
+    split of event counts and exact cents value mass (weekend =
+    Saturday/Sunday under the shared (epoch_day + 4) % 7 dow, 0 =
+    Sunday): the seasonality contrast behind staffing and send-time
+    experiments; the lift ratio stays a driver division of exact
+    integers.
+
+    Shape: one vectorized kernel + conditional cents columns, ≤
+    |types| compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events",
+                    columns=["ts", "event_type", "value"])
+
+    def km(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        wknd = (dow == 0) | (dow == 6)
+        val = t["value"].to_numpy(zero_copy_only=False)             .astype(np.float64)
+        cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_weekday": pa.array((~wknd).astype(np.int64)),
+            "cents_weekday": pa.array(np.where(wknd, 0, cents)),
+            "n_weekend": pa.array(wknd.astype(np.int64)),
+            "cents_weekend": pa.array(np.where(wknd, cents, 0))})
+
+    return compact_groupby(
+        ds.map_batches(km, batch_format="pyarrow"), ["event_type"],
+        sum_cols={"n_weekday": "n_weekday",
+                  "cents_weekday": "cents_weekday",
+                  "n_weekend": "n_weekend",
+                  "cents_weekend": "cents_weekend"})
+
+
+SQL_EVENTS_WEEKEND_EFFECT_PARTS = """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN dow IN (0, 6) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_weekday,
+       CAST(SUM(CASE WHEN dow IN (0, 6) THEN 0 ELSE cents END)
+            AS BIGINT) AS cents_weekday,
+       CAST(SUM(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_weekend,
+       CAST(SUM(CASE WHEN dow IN (0, 6) THEN cents ELSE 0 END)
+            AS BIGINT) AS cents_weekend
+FROM e GROUP BY 1
+"""
+
+
+def q_multimodal_lum_collision(sf_dir: str):
+    """Per-image luminance-collision profile — (n_pixels,
+    n_distinct_lum, sum_sq of luminance counts) over the integer
+    luminance 299·R + 587·G + 114·B of every decoded pixel: the
+    Rényi-2 flatness proxy of the tonal histogram (flat synthetic
+    fills and single-color padding score high collision — the
+    degenerate-image screen of an image-curation pass, the visual
+    sibling of docs_char_repeat_rate). The DuckDB twin re-decodes
+    payload BYTES (BMP bottom-up BGR stride / PPM header arithmetic,
+    as in multimodal_decode) and re-derives per-pixel luminance, so
+    decode layout and the weight vector are hash-pinned.
+
+    Shape: task-closure decode, then one (image, lum) np.unique +
+    two bincounts per block — zero exchange."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (MM_ORACLE_DIR, ImageDecoder,
+                                     ensure_mm_oracle_tables)
+
+    ensure_mm_oracle_tables()
+
+    def lum_stats(t: pa.Table) -> pa.Table:
+        col = t["pixels"]
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray)             else col
+        offs = np.asarray(c.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        n = len(lens)
+        flat = np.asarray(c.flatten(), dtype=np.int64)
+        lum = 299 * flat[0::3] + 587 * flat[1::3] + 114 * flat[2::3]
+        npx = (lens // 3).astype(np.int64)
+        img_idx = np.repeat(np.arange(n, dtype=np.int64), npx)
+        key = img_idx * (1 << 18) + lum  # lum ≤ 255000 < 2^18
+        uk, counts = np.unique(key, return_counts=True)
+        uimg = (uk >> 18).astype(np.int64)
+        n_dist = np.bincount(uimg, minlength=n).astype(np.int64)
+        sum_sq = np.bincount(uimg, weights=(counts.astype(np.float64)
+                                            ** 2), minlength=n)
+        return pa.table({
+            "media_id": pa.array(t["media_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "n_pixels": pa.array(npx),
+            "n_distinct_lum": pa.array(n_dist),
+            "sum_sq": pa.array(sum_sq.astype(np.int64))})
+
+    return (rd.read_parquet(f"{MM_ORACLE_DIR}/media.parquet")
+            .map_batches(ImageDecoder(fake=False),
+                         batch_format="pyarrow", batch_size=64)
+            .map_batches(lum_stats, batch_format="pyarrow"))
+
+
+def _lum_collision_sql() -> str:
+    """DuckDB blob re-decode + per-pixel luminance re-derivation
+    (shares the byte-position arithmetic of ``_mm_sql``)."""
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+    return f"""
+WITH media AS (
+  SELECT media_id, media_type, hex(payload) AS hx,
+         CAST("meta.width" AS BIGINT) AS w,
+         CAST("meta.height" AS BIGINT) AS h
+  FROM read_parquet('{MM_ORACLE_DIR}/media.parquet')
+), px AS (
+  SELECT media_id, media_type, hx, w, h,
+         unnest(range(0, w * h * 3)) AS li
+  FROM media
+), pxv AS (
+  SELECT media_id, li, hx,
+    CASE WHEN media_type = 'image/bmp'
+      THEN 54 + (h - 1 - (li // (w * 3))) * (((w * 3 + 3) // 4) * 4)
+           + ((li % (w * 3)) // 3) * 3 + (2 - (li % 3))
+      ELSE 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+           + li
+    END AS pos
+  FROM px
+), pxb AS (
+  SELECT media_id, li,
+    (strpos('{hexd}', substr(hx, 2 * pos + 1, 1)) - 1) * 16
+    + (strpos('{hexd}', substr(hx, 2 * pos + 2, 1)) - 1) AS val
+  FROM pxv
+), pix AS (
+  SELECT media_id, li // 3 AS pi,
+         SUM(val * CASE li % 3 WHEN 0 THEN 299 WHEN 1 THEN 587
+                   ELSE 114 END) AS lum
+  FROM pxb GROUP BY 1, 2
+), lc AS (
+  SELECT media_id, lum, count(*) AS k FROM pix GROUP BY 1, 2
+)
+SELECT media_id, CAST(SUM(k) AS BIGINT) AS n_pixels,
+       CAST(count(*) AS BIGINT) AS n_distinct_lum,
+       CAST(SUM(k * k) AS BIGINT) AS sum_sq
+FROM lc GROUP BY media_id
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -19297,6 +19669,12 @@ QUERIES = {
     "emb_dim_stats": q_emb_dim_stats,
     "events_stickiness_parts": q_events_stickiness_parts,
     "docs_line_length_profile": q_docs_line_length_profile,
+    "conv_text_parse_rate": q_conv_text_parse_rate,
+    "events_dup_event_audit": q_events_dup_event_audit,
+    "events_night_owl_segments": q_events_night_owl_segments,
+    "orders_weekday_revenue": q_orders_weekday_revenue,
+    "events_weekend_effect_parts": q_events_weekend_effect_parts,
+    "multimodal_lum_collision": q_multimodal_lum_collision,
 }
 
 # ----------------------------------------------------------- resumable
@@ -19679,4 +20057,10 @@ ORACLES = {
     "emb_dim_stats": SQL_EMB_DIM_STATS,
     "events_stickiness_parts": SQL_EVENTS_STICKINESS_PARTS,
     "docs_line_length_profile": SQL_DOCS_LINE_LENGTH_PROFILE,
+    "conv_text_parse_rate": SQL_CONV_TEXT_PARSE_RATE,
+    "events_dup_event_audit": SQL_EVENTS_DUP_EVENT_AUDIT,
+    "events_night_owl_segments": SQL_EVENTS_NIGHT_OWL_SEGMENTS,
+    "orders_weekday_revenue": SQL_ORDERS_WEEKDAY_REVENUE,
+    "events_weekend_effect_parts": SQL_EVENTS_WEEKEND_EFFECT_PARTS,
+    "multimodal_lum_collision": _lum_collision_sql(),
 }

@@ -2110,3 +2110,188 @@ def test_docs_line_length_profile_split_semantics(tmp_path):
     out = q_docs_line_length_profile(str(tmp_path)).to_pandas()
     got = {r.bucket: (r.n_lines, r.sum_len) for r in out.itertuples()}
     assert got == {0: (4, 10), 9: (1, 95)}
+
+
+def test_conv_text_parse_rate_precedence():
+    """Parse-rate pins: classification follows the ordered CASE
+    (logline before kv), empty only when the text is exactly '', and
+    broken JSON lands in other."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "conv_id": ["a"] * 6,
+        "event_id": list(range(6)),
+        "role": ["user"] * 6,
+        "text": ["INFO latency_ms=5 status=200 msg=evt_x",   # logline
+                 '{"event": "click", "latency_ms": 3}',      # json
+                 "latency_ms=5 status=200 region=r1",        # kv
+                 "",                                         # empty
+                 "{broken json",                             # other
+                 "latency_ms="],                             # other
+        "tool": [""] * 6,
+        "ts": [base] * 6,
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_text_parse_rate("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {(r.role, r.fmt): r.n_turns for r in out.itertuples()}
+    assert got == {("user", "logline"): 1, ("user", "json"): 1,
+                   ("user", "kv"): 1, ("user", "empty"): 1,
+                   ("user", "other"): 2}
+
+
+def test_events_dup_event_audit_groups(tmp_path):
+    """Dup-audit pins: a triple repeated k times contributes k−1 extra
+    rows, groups split by ANY differing key component, and a clean
+    table reads all zeros."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_dup_event_audit,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    rows = [(1, "view", base)] * 3       # group of 3 → 2 extra
+    rows += [(1, "view", base + S)]      # differs on ts → clean
+    rows += [(1, "click", base)]         # differs on type → clean
+    rows += [(2, "view", base)] * 2      # group of 2 → 1 extra
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[2] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": [r[1] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_dup_event_audit(str(tmp_path)).to_pandas()
+    assert out.iloc[0].tolist() == [2, 3, 3]
+
+
+def test_events_night_owl_segments_majority(tmp_path):
+    """Segment pins: the rule is STRICTLY more than half in hours 0–5
+    (an exact 50/50 user is daytime), hour 5 is night and hour 6 is
+    not, and event mass sums per segment."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_night_owl_segments,
+    )
+
+    d = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rows = [(1, d + 5 * H), (1, d + 5 * H), (1, d + 12 * H),  # 2/3 night
+            (2, d + 5 * H), (2, d + 6 * H),                   # 1/2 → day
+            (3, d + 6 * H)]                                   # 0/1 → day
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_night_owl_segments(str(tmp_path)).to_pandas()
+    got = {r.segment: (r.n_users, r.sum_events) for r in out.itertuples()}
+    assert got == {"night_owl": (1, 3), "daytime": (2, 3)}
+
+
+def test_orders_weekday_revenue_dow_and_cents(tmp_path):
+    """Weekday-revenue pins: 2024-01-01 (Monday) → dow 1 under the
+    shared formula, and cents round half-up exactly."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_orders_weekday_revenue,
+    )
+
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": ["O"] * 3,
+        "o_totalprice": pa.array([10.005, 0.004, 99.999], pa.float64()),
+        "o_orderdate": pa.array(np.array(
+            ["2024-01-01", "2024-01-01", "2024-01-07"],
+            dtype="datetime64[D]")),
+        "o_orderpriority": ["1-URGENT"] * 3,
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = q_orders_weekday_revenue(str(tmp_path)).to_pandas()
+    got = {r.dow: (r.n_orders, r.revenue_cents) for r in out.itertuples()}
+    # 10.005*100+0.5 floors to 1001 (float64 10.005 ≈ 10.00499999),
+    # 0.004 → 0, 99.999 → 10000
+    import numpy as _np
+    c1 = int(_np.floor(10.005 * 100 + 0.5)) + int(_np.floor(0.004 * 100 + 0.5))
+    assert got == {1: (2, c1), 0: (1, int(_np.floor(99.999 * 100 + 0.5)))}
+
+
+def test_events_weekend_effect_parts_split(tmp_path):
+    """Weekend pins: Saturday and Sunday (dow 6 and 0) are weekend,
+    Monday is not, and cents land in exactly one side per row."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_weekend_effect_parts,
+    )
+
+    rows = [("view", np.datetime64("2024-01-06T10:00:00", "us"), 1.0),   # Sat
+            ("view", np.datetime64("2024-01-07T10:00:00", "us"), 2.0),   # Sun
+            ("view", np.datetime64("2024-01-08T10:00:00", "us"), 4.0)]   # Mon
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": [r[0] for r in rows],
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+        "props": ["{}"] * 3,
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_weekend_effect_parts(str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert [r.n_weekday, r.cents_weekday, r.n_weekend,
+            r.cents_weekend] == [1, 400, 2, 300]
+
+
+def test_multimodal_lum_collision_differential():
+    """Lum-collision differential: the distributed result over the
+    real oracle media table equals a naive pure-Python re-decode
+    (codec directly, collections.Counter per image) for every one of
+    the 256 images — decode layout, the 299/587/114 weights and the
+    collision counting all re-derived on a second path."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_multimodal_lum_collision,
+    )
+    from opentelemetry_collector_contrib_ray.stages.codecs import decode_image
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ensure_mm_oracle_tables,
+    )
+
+    d = ensure_mm_oracle_tables()
+    out = (q_multimodal_lum_collision("unused").to_pandas()
+           .set_index("media_id").sort_index())
+    media = pq.read_table(f"{d}/media.parquet").to_pylist()
+    assert len(out) == len(media) == 256
+    for row in media:
+        img = decode_image(row["payload"], row["meta.width"],
+                           row["meta.height"]).astype(np.int64)
+        lum = (299 * img[:, :, 0] + 587 * img[:, :, 1]
+               + 114 * img[:, :, 2]).ravel()
+        c = Counter(lum.tolist())
+        got = out.loc[row["media_id"]]
+        assert got["n_pixels"] == lum.size
+        assert got["n_distinct_lum"] == len(c)
+        assert got["sum_sq"] == sum(k * k for k in c.values())
