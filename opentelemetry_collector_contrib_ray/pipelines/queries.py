@@ -19335,6 +19335,201 @@ FROM lc GROUP BY media_id
 
 
 
+def q_orders_basket_size_hist(sf_dir: str):
+    """Order-size distribution — how many line items per order
+    (histogram of basket sizes, the items-per-order companion of
+    Q13's orders-per-customer): pick-pack capacity planning reads
+    this curve, and a missing-lineitem ingestion bug shifts it
+    before any revenue total moves.
+
+    Shape: per-block (orderkey, count) combiners bound the ONE
+    orderkey-hash exchange (hash_groupby_sum); the ≤ 7-ish size
+    histogram folds compactly."""
+    from ..stages.agg import compact_groupby, hash_groupby_sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    per_order = hash_groupby_sum(
+        ds.map_batches(ones, batch_format="pyarrow"),
+        ["l_orderkey"], "one", out_col="c")
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "basket_size": pa.array(c),
+            "one": pa.array(np.ones(len(c), np.int64))})
+
+    return compact_groupby(
+        per_order.map_batches(hist, batch_format="pyarrow"),
+        ["basket_size"], sum_cols={"one": "n_orders"})
+
+
+SQL_ORDERS_BASKET_SIZE_HIST = """
+WITH po AS (
+  SELECT l_orderkey, count(*) AS basket_size
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(basket_size AS BIGINT) AS basket_size,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM po GROUP BY 1
+"""
+
+
+def q_events_type_hour_entropy_parts(sf_dir: str):
+    """Traffic-concentration profile per event type — the integer
+    Rényi-2 collision parts of each type's hour-of-day distribution:
+    (n_events, n_active_hours, sum_sq of hourly counts). A type whose
+    collision ratio Σk² / n² nears 1/n_active_hours is flat
+    (cacheable, schedulable); one nearing 1 is a single-hour burst —
+    the shape signal behind batch-window placement, computed without
+    floats.
+
+    Shape: one epoch kernel feeds the ≤ types × 24 compact hourly
+    fold; the panel is one vectorized pass over that compact
+    block."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pa.array((us // 3_600_000_000) % 24),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    th = compact_groupby(ds.map_batches(hourly, batch_format="pyarrow"),
+                         ["event_type", "hour"], sum_cols={"one": "n"})
+
+    def parts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby("event_type")["n"]
+             .agg(n_events="sum", n_active_hours="count",
+                  sum_sq=lambda x: int((x.to_numpy(np.int64) ** 2)
+                                       .sum())).reset_index())
+        for c in ("n_events", "n_active_hours", "sum_sq"):
+            g[c] = g[c].astype(np.int64)
+        return pa_from_pandas(g)
+
+    return th.map_batches(parts, batch_format="pyarrow",
+                          batch_size=None)
+
+
+SQL_EVENTS_TYPE_HOUR_ENTROPY_PARTS = """
+WITH th AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_active_hours,
+       CAST(SUM(n * n) AS BIGINT) AS sum_sq
+FROM th GROUP BY 1
+"""
+
+
+
+def q_lineitem_discount_bands(sf_dir: str):
+    """Discount-band revenue curve — per integer discount band
+    (cents, 0–10): line count, gross price mass, and the exact
+    discount give-back in price-cents × discount-cents units (the
+    same integer product Q6 uses, so no float multiply can diverge):
+    the is-discounting-buying-volume curve a pricing review reads.
+
+    Shape: one kernel + the ≤ 11-band compact fold, zero
+    exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_discount"])
+
+    def km(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pc_ = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        band = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "band": pa.array(band),
+            "one": pa.array(np.ones(len(band), np.int64)),
+            "gross": pa.array(pc_),
+            "giveback": pa.array(pc_ * band)})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["band"],
+                           sum_cols={"one": "n_items",
+                                     "gross": "gross_cents",
+                                     "giveback": "giveback_units"})
+
+
+SQL_LINEITEM_DISCOUNT_BANDS = f"""
+WITH l AS (
+  SELECT {_CENTS.format(x='l_extendedprice')} AS pc,
+         {_CENTS.format(x='l_discount')} AS band
+  FROM lineitem
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(pc) AS BIGINT) AS gross_cents,
+       CAST(SUM(pc * band) AS BIGINT) AS giveback_units
+FROM l GROUP BY 1
+"""
+
+
+def q_customer_balance_segments(sf_dir: str):
+    """Receivables-risk panel per market segment — customer count,
+    negative-balance (delinquent) count, and the exact cents balance
+    mass: the credit-exposure summary Q22's lapsed-customer logic is
+    a refinement of, here as the per-segment census.
+
+    Shape: one kernel over a 2-column pruned read, ≤ |segments|
+    compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_mktsegment", "c_acctbal"])
+
+    def km(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "one": pa.array(np.ones(len(cents), np.int64)),
+            "neg": pa.array((cents < 0).astype(np.int64)),
+            "cents": pa.array(cents)})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["c_mktsegment"],
+                           sum_cols={"one": "n_customers",
+                                     "neg": "n_negative",
+                                     "cents": "balance_cents"})
+
+
+SQL_CUSTOMER_BALANCE_SEGMENTS = f"""
+WITH c AS (
+  SELECT c_mktsegment, {_CENTS.format(x='c_acctbal')} AS cents
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(SUM(cents) AS BIGINT) AS balance_cents
+FROM c GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -19675,6 +19870,10 @@ QUERIES = {
     "orders_weekday_revenue": q_orders_weekday_revenue,
     "events_weekend_effect_parts": q_events_weekend_effect_parts,
     "multimodal_lum_collision": q_multimodal_lum_collision,
+    "orders_basket_size_hist": q_orders_basket_size_hist,
+    "events_type_hour_entropy_parts": q_events_type_hour_entropy_parts,
+    "lineitem_discount_bands": q_lineitem_discount_bands,
+    "customer_balance_segments": q_customer_balance_segments,
 }
 
 # ----------------------------------------------------------- resumable
@@ -20063,4 +20262,8 @@ ORACLES = {
     "orders_weekday_revenue": SQL_ORDERS_WEEKDAY_REVENUE,
     "events_weekend_effect_parts": SQL_EVENTS_WEEKEND_EFFECT_PARTS,
     "multimodal_lum_collision": _lum_collision_sql(),
+    "orders_basket_size_hist": SQL_ORDERS_BASKET_SIZE_HIST,
+    "events_type_hour_entropy_parts": SQL_EVENTS_TYPE_HOUR_ENTROPY_PARTS,
+    "lineitem_discount_bands": SQL_LINEITEM_DISCOUNT_BANDS,
+    "customer_balance_segments": SQL_CUSTOMER_BALANCE_SEGMENTS,
 }

@@ -2295,3 +2295,116 @@ def test_multimodal_lum_collision_differential():
         assert got["n_pixels"] == lum.size
         assert got["n_distinct_lum"] == len(c)
         assert got["sum_sq"] == sum(k * k for k in c.values())
+
+
+def test_orders_basket_size_hist(tmp_path):
+    """Basket pins: counts group per order across blocks and the
+    histogram counts orders at their exact size."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_orders_basket_size_hist,
+    )
+
+    keys = [1, 1, 1, 2, 3, 3]
+    t = pa.table({
+        "l_orderkey": pa.array(keys, pa.int64()),
+        "l_partkey": pa.array([1] * 6, pa.int64()),
+        "l_suppkey": pa.array([1] * 6, pa.int64()),
+        "l_linenumber": pa.array(list(range(1, 7)), pa.int32()),
+        "l_quantity": pa.array([1.0] * 6),
+        "l_extendedprice": pa.array([1.0] * 6),
+        "l_discount": pa.array([0.0] * 6),
+        "l_tax": pa.array([0.0] * 6),
+        "l_returnflag": ["N"] * 6,
+        "l_linestatus": ["O"] * 6,
+        "l_shipdate": pa.array(
+            np.array(["2024-01-01"] * 6, dtype="datetime64[us]")),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = q_orders_basket_size_hist(str(tmp_path)).to_pandas()
+    got = {r.basket_size: r.n_orders for r in out.itertuples()}
+    assert got == {3: 1, 1: 1, 2: 1}
+
+
+def test_events_type_hour_entropy_parts(tmp_path):
+    """Concentration pins: a single-hour burst reads sum_sq = n², a
+    two-hour even split reads n²/2, and active hours count only hours
+    with events."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_type_hour_entropy_parts,
+    )
+
+    d = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rows = [("burst", d + 3 * H)] * 4
+    rows += [("flat", d + 1 * H)] * 2 + [("flat", d + 2 * H)] * 2
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": [r[0] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_type_hour_entropy_parts(str(tmp_path)).to_pandas()
+    got = {r.event_type: (r.n_events, r.n_active_hours, r.sum_sq)
+           for r in out.itertuples()}
+    assert got == {"burst": (4, 1, 16), "flat": (4, 2, 8)}
+
+
+def test_lineitem_discount_bands(tmp_path):
+    """Band pins: the giveback is the integer price-cents ×
+    discount-cents product (Q6 discipline), and band 0 gives back
+    nothing."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_lineitem_discount_bands,
+    )
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([1] * 3, pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 3),
+        "l_extendedprice": pa.array([100.0, 50.0, 20.0]),
+        "l_discount": pa.array([0.05, 0.05, 0.0]),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": ["N"] * 3,
+        "l_linestatus": ["O"] * 3,
+        "l_shipdate": pa.array(
+            np.array(["2024-01-01"] * 3, dtype="datetime64[us]")),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = q_lineitem_discount_bands(str(tmp_path)).to_pandas()
+    got = {r.band: (r.n_items, r.gross_cents, r.giveback_units)
+           for r in out.itertuples()}
+    assert got == {5: (2, 15000, 75000), 0: (1, 2000, 0)}
+
+
+def test_customer_balance_segments(tmp_path):
+    """Segment pins: negative balances count separately while the
+    cents mass nets them, and segments stay apart."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_customer_balance_segments,
+    )
+
+    t = pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": ["a", "b", "c"],
+        "c_nationkey": pa.array([0, 0, 0], pa.int64()),
+        "c_acctbal": pa.array([10.0, -5.0, 7.5]),
+        "c_mktsegment": ["BUILDING", "BUILDING", "AUTOMOBILE"],
+    })
+    pq.write_table(t, tmp_path / "customer.parquet")
+    out = q_customer_balance_segments(str(tmp_path)).to_pandas()
+    got = {r.c_mktsegment: (r.n_customers, r.n_negative, r.balance_cents)
+           for r in out.itertuples()}
+    assert got == {"BUILDING": (2, 1, 500), "AUTOMOBILE": (1, 0, 750)}
