@@ -152,6 +152,16 @@ BENCH_QUERIES = [
     "emb_dim_stats",
     "events_stickiness_parts",
     "docs_line_length_profile",
+    "conv_text_parse_rate",
+    "events_dup_event_audit",
+    "events_night_owl_segments",
+    "orders_weekday_revenue",
+    "events_weekend_effect_parts",
+    "multimodal_lum_collision",
+    "orders_basket_size_hist",
+    "events_type_hour_entropy_parts",
+    "lineitem_discount_bands",
+    "customer_balance_segments",
 ]
 
 
