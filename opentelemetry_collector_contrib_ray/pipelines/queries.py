@@ -19530,6 +19530,110 @@ FROM c GROUP BY 1
 
 
 
+def q_events_session_depth_hist(sf_dir: str):
+    """Session-depth distribution — events per session on the
+    gap-based session rail (2 h inactivity closes a session),
+    bucketed min(n, 10) with the exact event mass alongside: the
+    bounce-vs-binge engagement curve (bucket 1 IS the bounce rate
+    numerator) that session-level sampling decisions read.
+
+    Shape: rides stages/windows.session_windows (ONE user-hash
+    exchange, per-partition vectorized gap splits); the ≤ 10-bucket
+    histogram folds compactly from per-block partials."""
+    from ..stages.agg import compact_groupby
+    from ..stages.windows import session_windows
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    sess = session_windows(ds, "user_id", "ts", gap_s=7200)
+
+    def hist(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "depth_bucket": pa.array(np.minimum(n, 10)),
+            "one": pa.array(np.ones(len(n), np.int64)),
+            "ev": pa.array(n)})
+
+    return compact_groupby(
+        sess.map_batches(hist, batch_format="pyarrow"),
+        ["depth_bucket"],
+        sum_cols={"one": "n_sessions", "ev": "sum_events"})
+
+
+SQL_EVENTS_SESSION_DEPTH_HIST = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY ts, new
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), d AS (
+  SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2
+)
+SELECT CAST(least(n, 10) AS BIGINT) AS depth_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS sum_events
+FROM d GROUP BY 1
+"""
+
+
+def q_lineitem_return_rate_by_month(sf_dir: str):
+    """Return-rate time series — per ship month: line count, returned
+    (l_returnflag = 'R') count, and the exact returned cents mass:
+    the quality-regression trend a supplier review reads (a rising
+    return share predates the revenue dip). The month key is
+    year·100 + month from the SAME timestamp fields in both
+    engines.
+
+    Shape: one kernel + conditional columns, ≤ months compact fold,
+    zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_returnflag",
+                             "l_extendedprice"])
+
+    def km(t: pa.Table) -> pa.Table:
+        sd = pc.cast(t["l_shipdate"], pa.timestamp("us"))
+        ym = pc.add(pc.multiply(pc.cast(pc.year(sd), pa.int64()), 100),
+                    pc.cast(pc.month(sd), pa.int64()))
+        ret = pc.equal(t["l_returnflag"], "R")             .to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "ship_month": ym,
+            "one": pa.array(np.ones(len(ret), np.int64)),
+            "ret": pa.array(ret.astype(np.int64)),
+            "ret_cents": pa.array(np.where(ret, cents, 0))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["ship_month"],
+                           sum_cols={"one": "n_items",
+                                     "ret": "n_returned",
+                                     "ret_cents": "returned_cents"})
+
+
+SQL_LINEITEM_RETURN_RATE_BY_MONTH = f"""
+WITH l AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS ship_month,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         {_CENTS.format(x='l_extendedprice')} AS cents
+  FROM lineitem
+)
+SELECT ship_month, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(ret) AS BIGINT) AS n_returned,
+       CAST(SUM(ret * cents) AS BIGINT) AS returned_cents
+FROM l GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -19874,6 +19978,8 @@ QUERIES = {
     "events_type_hour_entropy_parts": q_events_type_hour_entropy_parts,
     "lineitem_discount_bands": q_lineitem_discount_bands,
     "customer_balance_segments": q_customer_balance_segments,
+    "events_session_depth_hist": q_events_session_depth_hist,
+    "lineitem_return_rate_by_month": q_lineitem_return_rate_by_month,
 }
 
 # ----------------------------------------------------------- resumable
@@ -20266,4 +20372,6 @@ ORACLES = {
     "events_type_hour_entropy_parts": SQL_EVENTS_TYPE_HOUR_ENTROPY_PARTS,
     "lineitem_discount_bands": SQL_LINEITEM_DISCOUNT_BANDS,
     "customer_balance_segments": SQL_CUSTOMER_BALANCE_SEGMENTS,
+    "events_session_depth_hist": SQL_EVENTS_SESSION_DEPTH_HIST,
+    "lineitem_return_rate_by_month": SQL_LINEITEM_RETURN_RATE_BY_MONTH,
 }

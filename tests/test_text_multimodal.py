@@ -2408,3 +2408,66 @@ def test_customer_balance_segments(tmp_path):
     got = {r.c_mktsegment: (r.n_customers, r.n_negative, r.balance_cents)
            for r in out.itertuples()}
     assert got == {"BUILDING": (2, 1, 500), "AUTOMOBILE": (1, 0, 750)}
+
+
+def test_events_session_depth_hist(tmp_path):
+    """Depth pins: a 2-hour gap is NOT a new session (strictly greater
+    splits), depth ≥ 10 clamps into bucket 10, and single-event
+    sessions land in bucket 1 (the bounce numerator)."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_session_depth_hist,
+    )
+
+    d = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    M = np.timedelta64(1, "m")
+    rows = [(1, d), (1, d + 2 * H),              # exactly 2 h → same
+            (1, d + 5 * H)]                      # > 2 h gap → new (1)
+    rows += [(2, d + k * M) for k in range(11)]  # 11 events → bucket 10
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_session_depth_hist(str(tmp_path)).to_pandas()
+    got = {r.depth_bucket: (r.n_sessions, r.sum_events)
+           for r in out.itertuples()}
+    assert got == {2: (1, 2), 1: (1, 1), 10: (1, 11)}
+
+
+def test_lineitem_return_rate_by_month(tmp_path):
+    """Return-rate pins: only flag 'R' counts as returned, cents
+    attach only to returned lines, and the month key is
+    year*100+month."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_lineitem_return_rate_by_month,
+    )
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([1] * 3, pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 3),
+        "l_extendedprice": pa.array([100.0, 50.0, 25.0]),
+        "l_discount": pa.array([0.0] * 3),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": ["R", "N", "R"],
+        "l_linestatus": ["O"] * 3,
+        "l_shipdate": pa.array(np.array(
+            ["2024-03-05", "2024-03-20", "2024-04-01"],
+            dtype="datetime64[us]")),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = q_lineitem_return_rate_by_month(str(tmp_path)).to_pandas()
+    got = {r.ship_month: (r.n_items, r.n_returned, r.returned_cents)
+           for r in out.itertuples()}
+    assert got == {202403: (2, 1, 10000), 202404: (1, 1, 2500)}
