@@ -19634,6 +19634,122 @@ FROM l GROUP BY 1
 
 
 
+def q_multimodal_video_motion_profile(sf_dir: str):
+    """Per-video motion profile over REAL RAWV payloads
+    (stages/multimodal.motion_stats) — total and peak adjacent-frame
+    L1 motion: the static-video screen (near-zero total motion =
+    still image padded as video, a classic junk class) and the
+    hardest-cut locator, complementing the keyframe op which
+    thresholds the same diffs. The DuckDB twin re-decodes the SAME
+    payload bytes at computable frame offsets and re-sums — stride,
+    offset and sign are hash-pinned.
+
+    Shape: decode + vectorized per-video diffs inside map_batches,
+    zero exchange."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ensure_mm_oracle_tables, motion_stats
+
+    d = ensure_mm_oracle_tables()
+    return (rd.read_parquet(f"{d}/video.parquet")
+              .map_batches(motion_stats, batch_format="pyarrow",
+                           batch_size=16))
+
+
+def _motion_profile_sql() -> str:
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+
+    def byte(p: str) -> str:
+        return (f"((strpos('{hexd}', substr(hx, 2 * ({p}) + 1, 1)) - 1) * 16"
+                f" + (strpos('{hexd}', substr(hx, 2 * ({p}) + 2, 1)) - 1))")
+
+    cur = byte("10 + (li // fsz + 1) * fsz + (li % fsz)")
+    prev = byte("10 + (li // fsz) * fsz + (li % fsz)")
+    return f"""
+WITH vid AS (
+  SELECT media_id, hex(payload) AS hx,
+         CAST("meta.width" AS BIGINT) * CAST("meta.height" AS BIGINT) * 3
+           AS fsz,
+         CAST("meta.duration_ms" AS BIGINT) // 1000 AS nf
+  FROM read_parquet('{MM_ORACLE_DIR}/video.parquet')
+), pos AS (
+  SELECT media_id, hx, fsz, unnest(range(0, (nf - 1) * fsz)) AS li
+  FROM vid WHERE nf > 1
+), d AS (
+  SELECT media_id, 1 + li // fsz AS f, abs({cur} - {prev}) AS ad
+  FROM pos
+), fd AS (
+  SELECT media_id, f, CAST(SUM(ad) AS BIGINT) AS diff
+  FROM d GROUP BY 1, 2
+), agg AS (
+  SELECT media_id, CAST(SUM(diff) AS BIGINT) AS sm,
+         CAST(MAX(diff) AS BIGINT) AS mx
+  FROM fd GROUP BY 1
+)
+SELECT v.media_id, CAST(v.nf AS BIGINT) AS n_frames,
+       CAST(COALESCE(a.sm, 0) AS BIGINT) AS sum_motion,
+       CAST(COALESCE(a.mx, 0) AS BIGINT) AS max_frame_diff
+FROM vid v LEFT JOIN agg a USING (media_id)
+"""
+
+
+def q_docs_shouting_screen(sf_dir: str):
+    """All-caps shouting screen — per language, documents whose ASCII
+    uppercase count strictly exceeds their lowercase count (forum
+    shouting, OCR'd headers, legal boilerplate): the per-language
+    casing-health census a cleaning pass thresholds before
+    lowercasing decisions. Classes are the census's ASCII ranges, so
+    the RE2 twin counts identical sets.
+
+    Shape: two vectorized range tests on the padded-UCS4 view per
+    block, ≤ |langs| compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def km(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        a = txt.to_numpy(zero_copy_only=False).astype("U")
+        n = len(a)
+        m = a.dtype.itemsize // 4 if n else 0
+        if not n or not m:
+            return pa.table({
+                "lang": t["lang"],
+                "one": pa.array(np.ones(n, np.int64)),
+                "shout": pa.array(np.zeros(n, np.int64))})
+        cp = a.view(np.uint32).reshape(n, m)
+        up = ((cp >= 65) & (cp <= 90)).sum(1)
+        lo = ((cp >= 97) & (cp <= 122)).sum(1)
+        return pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(n, np.int64)),
+            "shout": pa.array((up > lo).astype(np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["lang"],
+                           sum_cols={"one": "n_docs",
+                                     "shout": "n_shouting"})
+
+
+SQL_DOCS_SHOUTING_SCREEN = r"""
+WITH c AS (
+  SELECT lang,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+           AS up,
+         length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+           AS lo
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN up > lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shouting
+FROM c GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -19980,6 +20096,8 @@ QUERIES = {
     "customer_balance_segments": q_customer_balance_segments,
     "events_session_depth_hist": q_events_session_depth_hist,
     "lineitem_return_rate_by_month": q_lineitem_return_rate_by_month,
+    "multimodal_video_motion_profile": q_multimodal_video_motion_profile,
+    "docs_shouting_screen": q_docs_shouting_screen,
 }
 
 # ----------------------------------------------------------- resumable
@@ -20374,4 +20492,6 @@ ORACLES = {
     "customer_balance_segments": SQL_CUSTOMER_BALANCE_SEGMENTS,
     "events_session_depth_hist": SQL_EVENTS_SESSION_DEPTH_HIST,
     "lineitem_return_rate_by_month": SQL_LINEITEM_RETURN_RATE_BY_MONTH,
+    "multimodal_video_motion_profile": _motion_profile_sql(),
+    "docs_shouting_screen": SQL_DOCS_SHOUTING_SCREEN,
 }

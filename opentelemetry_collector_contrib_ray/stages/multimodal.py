@@ -627,6 +627,37 @@ def silence_stats(t: pa.Table, thr: int = 3277) -> pa.Table:
     })
 
 
+def motion_stats(t: pa.Table) -> pa.Table:
+    """Per-video motion profile over RAWV payloads — the
+    static-vs-action screen of a video curation pass (a near-zero
+    total L1 motion flags a still-image-as-video; the max single
+    transition is the hardest cut): (n_frames, sum_motion,
+    max_frame_diff) over every adjacent-frame L1 distance, as exact
+    integers for the blob-SQL oracle. Same decode/loop contract as
+    ``keyframe_stats``."""
+    from .codecs import decode_rawv
+
+    ids = t["media_id"].to_numpy(zero_copy_only=False)
+    mids, nfs, sms, mxs = [], [], [], []
+    for mid, payload in zip(ids, t["payload"].to_pylist()):
+        fr = decode_rawv(payload).astype(np.int64)
+        nf = fr.shape[0]
+        if nf > 1:
+            d = np.abs(fr[1:] - fr[:-1]).reshape(nf - 1, -1).sum(axis=1)
+        else:
+            d = np.zeros(0, np.int64)
+        mids.append(int(mid))
+        nfs.append(nf)
+        sms.append(int(d.sum()))
+        mxs.append(int(d.max()) if len(d) else 0)
+    return pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "n_frames": pa.array(nfs, pa.int64()),
+        "sum_motion": pa.array(sms, pa.int64()),
+        "max_frame_diff": pa.array(mxs, pa.int64()),
+    })
+
+
 def decode_pipeline(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 64,
                     resize_to: tuple[int, int] | None = None):
     """payload → pixels [→ resize] → features, small batches for big

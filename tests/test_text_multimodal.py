@@ -2471,3 +2471,50 @@ def test_lineitem_return_rate_by_month(tmp_path):
     got = {r.ship_month: (r.n_items, r.n_returned, r.returned_cents)
            for r in out.itertuples()}
     assert got == {202403: (2, 1, 10000), 202404: (1, 1, 2500)}
+
+
+def test_motion_stats_single_and_multi_frame():
+    """Motion pins: a single-frame video reads zero motion, total and
+    max come from exact per-transition L1 sums."""
+    from opentelemetry_collector_contrib_ray.stages.codecs import encode_rawv
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        motion_stats,
+    )
+
+    # 3 frames of 1x1x3: [0,0,0] → [10,0,0] (L1 10) → [10,5,0] (L1 5)
+    fr = np.array([[[[0, 0, 0]]], [[[10, 0, 0]]], [[[10, 5, 0]]]],
+                  np.uint8)
+    single = np.array([[[[7, 7, 7]]]], np.uint8)
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_rawv(fr), encode_rawv(single)],
+                            pa.large_binary()),
+    })
+    out = motion_stats(t).to_pandas().set_index("media_id")
+    assert out.loc[1].tolist() == [3, 15, 10]
+    assert out.loc[2].tolist() == [1, 0, 0]
+
+
+def test_docs_shouting_screen_strict(tmp_path):
+    """Shouting pins: the rule is STRICTLY more upper than lower
+    (a tie is not shouting), digits/symbols don't count either way,
+    and languages stay apart."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_shouting_screen,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["HELLO world!!",   # 5 up vs 5 lo → tie → not shouting
+                 "LOUD TEXT x",     # 8 vs 1 → shouting
+                 "quiet 123",       # 0 vs 5 → no
+                 "A"],              # 1 vs 0 → shouting
+        "lang": ["en", "en", "en", "de"],
+        "source": ["s"] * 4,
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_shouting_screen(str(tmp_path)).to_pandas()
+    got = {r.lang: (r.n_docs, r.n_shouting) for r in out.itertuples()}
+    assert got == {"en": (3, 1), "de": (1, 1)}
