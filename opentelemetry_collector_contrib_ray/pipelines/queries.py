@@ -19750,6 +19750,166 @@ FROM c GROUP BY 1
 
 
 
+def q_orders_ship_sla_by_priority(sf_dir: str):
+    """Fulfillment-SLA attainment by order priority — per priority:
+    orders with lineitems, orders first-shipped within 7 days, and
+    the exact lag-day mass: the did-URGENT-actually-ship-faster
+    check a logistics review runs (the deciles op gives the global
+    distribution; this is the per-class attainment rate).
+
+    Shape: the deciles rail — per-order min-ship fold (ONE hash
+    exchange with per-block min combiners), orderdate+priority
+    attach via the gated broadcast, then a ≤ |priorities| compact
+    fold. Lag uses the same integer day arithmetic as the twin."""
+    from ..stages.agg import compact_groupby, hash_groupby_agg
+    from ..stages.joins import gated_broadcast_join
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.cast(t["l_orderkey"],
+                                               pa.int64()),
+                         "ship_us": pc.cast(t["l_shipdate"],
+                                            pa.int64())})
+
+    per_order = hash_groupby_agg(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        ["l_orderkey"], {"ship_us": ("min", "min_ship_us")}).materialize()
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    o_d = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": pc.cast(t["o_orderkey"],
+                                                  pa.int64()),
+                            "odate_us": pc.cast(t["o_orderdate"],
+                                                pa.int64()),
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow").materialize()
+
+    j = gated_broadcast_join(per_order, o_d, on="l_orderkey",
+                             right_on="o_orderkey", how="inner")
+
+    def sla(t: pa.Table) -> pa.Table:
+        lag = pc.cast(pc.divide(pc.subtract(t["min_ship_us"],
+                                            t["odate_us"]),
+                                86_400_000_000), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "one": pa.array(np.ones(len(lag), np.int64)),
+            "within7": pa.array((lag <= 7).astype(np.int64)),
+            "lag": pa.array(lag)})
+
+    return compact_groupby(j.map_batches(sla, batch_format="pyarrow"),
+                           ["o_orderpriority"],
+                           sum_cols={"one": "n_orders",
+                                     "within7": "n_within_7d",
+                                     "lag": "sum_lag_days"})
+
+
+SQL_ORDERS_SHIP_SLA_BY_PRIORITY = """
+WITH po AS (
+  SELECT l_orderkey, min(epoch_us(l_shipdate)) AS min_ship_us
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority,
+         (po.min_ship_us - epoch_us(o.o_orderdate)) // 86400000000
+           AS lag
+  FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN lag <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_7d,
+       CAST(SUM(lag) AS BIGINT) AS sum_lag_days
+FROM j GROUP BY 1
+"""
+
+
+def q_emb_quant_norm_hist(sf_dir: str):
+    """Quantized-norm histogram per label — the magnitude profile of
+    the embedding space in power-of-2 buckets of the INTEGER
+    quantized norm² s = Σ cents² (cents = floor(x·10000 + 0.5) per
+    dimension): the pre-ANN sanity screen for runaway and near-zero
+    vectors, bit-deterministic because the norm is summed in
+    integers (a float norm's sum order would diverge between
+    engines). Bucket = exact integer MSB of s (the
+    exponential-histogram correction), −1 for s = 0.
+
+    Shape: one cents-matrix kernel + MSB arithmetic per block,
+    ≤ labels × 64 compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["embedding", "label"])
+
+    def km(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        vals = np.asarray(c.flatten(), dtype=np.float64)
+        n = len(c)
+        lab = pc.cast(t["label"], pa.int64())
+        if not n or not len(vals):
+            z = pa.array([], pa.int64())
+            return pa.table({"label": z, "bucket": z, "one": z,
+                             "sum_s": z})
+        d = len(vals) // n
+        cents = np.floor(vals * 10000.0 + 0.5).astype(np.int64) \
+            .reshape(n, d)
+        sarr = (cents * cents).sum(1, dtype=np.int64)
+        with np.errstate(divide="ignore"):
+            b = np.floor(np.log2(np.maximum(sarr, 1))).astype(np.int64)
+        b -= ((np.int64(1) << np.maximum(b, 0)) > sarr).astype(np.int64)
+        b += ((np.int64(1) << np.maximum(b + 1, 0)) <= sarr) \
+            .astype(np.int64)
+        b = np.where(sarr <= 0, np.int64(-1), b)
+        return pa.table({
+            "label": lab,
+            "bucket": pa.array(b),
+            "one": pa.array(np.ones(n, np.int64)),
+            "sum_s": pa.array(sarr)})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["label", "bucket"],
+                           sum_cols={"one": "n_vecs", "sum_s": "sum_s"})
+
+
+SQL_EMB_QUANT_NORM_HIST = """
+WITH u AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
+              AS BIGINT) AS cents
+  FROM embeddings
+), v AS (
+  SELECT vec_id, label, CAST(SUM(cents * cents) AS BIGINT) AS s
+  FROM u GROUP BY 1, 2
+), b0 AS (
+  SELECT label, s,
+         CAST(floor(log2(greatest(s, 1))) AS BIGINT) AS r
+  FROM v
+), b1 AS (
+  SELECT label, s,
+         r - CASE WHEN (1::BIGINT << CAST(greatest(r, 0) AS INTEGER))
+                       > s THEN 1 ELSE 0 END AS r2
+  FROM b0
+), b2 AS (
+  SELECT label, s,
+         r2 + CASE WHEN (1::BIGINT << CAST(greatest(r2 + 1, 0)
+                                           AS INTEGER)) <= s
+                   THEN 1 ELSE 0 END AS r3
+  FROM b1
+)
+SELECT label,
+       CAST(CASE WHEN s <= 0 THEN -1 ELSE r3 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(s) AS BIGINT) AS sum_s
+FROM b2 GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -20098,6 +20258,8 @@ QUERIES = {
     "lineitem_return_rate_by_month": q_lineitem_return_rate_by_month,
     "multimodal_video_motion_profile": q_multimodal_video_motion_profile,
     "docs_shouting_screen": q_docs_shouting_screen,
+    "orders_ship_sla_by_priority": q_orders_ship_sla_by_priority,
+    "emb_quant_norm_hist": q_emb_quant_norm_hist,
 }
 
 # ----------------------------------------------------------- resumable
@@ -20494,4 +20656,6 @@ ORACLES = {
     "lineitem_return_rate_by_month": SQL_LINEITEM_RETURN_RATE_BY_MONTH,
     "multimodal_video_motion_profile": _motion_profile_sql(),
     "docs_shouting_screen": SQL_DOCS_SHOUTING_SCREEN,
+    "orders_ship_sla_by_priority": SQL_ORDERS_SHIP_SLA_BY_PRIORITY,
+    "emb_quant_norm_hist": SQL_EMB_QUANT_NORM_HIST,
 }

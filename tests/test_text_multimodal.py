@@ -2518,3 +2518,68 @@ def test_docs_shouting_screen_strict(tmp_path):
     out = q_docs_shouting_screen(str(tmp_path)).to_pandas()
     got = {r.lang: (r.n_docs, r.n_shouting) for r in out.itertuples()}
     assert got == {"en": (3, 1), "de": (1, 1)}
+
+
+def test_orders_ship_sla_by_priority(tmp_path):
+    """SLA pins: the lag is to the FIRST (min) shipment, the boundary
+    day 7 counts as within, and orders without lineitems are out of
+    scope."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_orders_ship_sla_by_priority,
+    )
+
+    od = np.datetime64("2024-01-01", "us")
+    D = np.timedelta64(1, "D")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([1] * 3, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 3),
+        "l_extendedprice": pa.array([1.0] * 3),
+        "l_discount": pa.array([0.0] * 3),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": ["N"] * 3,
+        "l_linestatus": ["O"] * 3,
+        # order 1 ships day 10 then day 7 → min = 7 → within
+        # order 2 ships day 8 → outside
+        "l_shipdate": pa.array([od + 10 * D, od + 7 * D, od + 8 * D]),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1] * 3, pa.int64()),
+        "o_orderstatus": ["O"] * 3,
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([od, od, od]),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW"],
+    }), tmp_path / "orders.parquet")
+    out = q_orders_ship_sla_by_priority(str(tmp_path)).to_pandas()
+    got = {r.o_orderpriority: (r.n_orders, r.n_within_7d, r.sum_lag_days)
+           for r in out.itertuples()}
+    assert got == {"1-URGENT": (2, 1, 15)}
+
+
+def test_emb_quant_norm_hist_buckets(tmp_path):
+    """Norm-hist pins: bucket is the exact integer MSB of Σ cents²
+    (s = 2^k lands in bucket k, s = 2^k − 1 in k−1), and the zero
+    vector reads bucket −1."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_emb_quant_norm_hist,
+    )
+
+    # cents are value·10⁴: [0.0016, 0] → cents [16, 0] → s=256 → b 8
+    # [0.0001]*3 + pad0 → s=3 → bucket 1;  zero vector → -1
+    vecs = [[0.0016, 0.0], [0.0001, 0.0001], [0.0, 0.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1], pa.int32()),
+    }), tmp_path / "embeddings.parquet")
+    out = q_emb_quant_norm_hist(str(tmp_path)).to_pandas()
+    got = {(r.label, r.bucket): (r.n_vecs, r.sum_s)
+           for r in out.itertuples()}
+    assert got == {(0, 8): (1, 256), (0, 1): (1, 2), (1, -1): (1, 0)}
