@@ -201,3 +201,65 @@ def test_single_pass_counts_match_flagship(tmp_path):
         lz = cds.to_pandas().sort_values(["metric", "attrs"]).reset_index(drop=True)
         b = r_two["counts"][s].sort_values(["metric", "attrs"]).reset_index(drop=True)
         assert lz["count"].tolist() == b["count"].tolist(), f"sink {s} lazy vs single-pass"
+
+
+def test_job_entrypoint_flagship_and_query(ray_session, tmp_path):
+    """``ray job submit`` surface: a SECOND driver process joins the
+    test cluster (address=auto — exactly what the job supervisor
+    does), runs the flagship job over a small transcript corpus and a
+    registry query job, and each prints one machine-readable summary
+    line; outputs land as parquet."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        ensure_transcripts_parquet,
+    )
+
+    inp = ensure_transcripts_parquet(2000, root=str(tmp_path / "corpus"))
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)   # job.py falls back to address=auto
+    env["PYTHONPATH"] = "/root/repo"
+
+    out1 = subprocess.run(
+        [sys.executable, "-m", "opentelemetry_collector_contrib_ray.job",
+         "--input", inp, "--out", str(tmp_path / "out"),
+         "--summary-json", str(tmp_path / "summary.json")],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    summary = json.loads(out1.stdout.strip().splitlines()[-1])
+    assert summary["mode"] == "flagship" and summary["counts"]
+    assert os.path.isdir(summary["sinks"])
+    assert json.loads(open(tmp_path / "summary.json").read()) == summary
+
+    # query mode: any registry operator is cluster-runnable
+    ev = pa.table({
+        "event_id": pa.array(np.arange(1, 21), pa.int64()),
+        "ts": pa.array(
+            np.arange(20) * np.timedelta64(1, "h")
+            + np.datetime64("2024-01-01T00:00:00", "us")),
+        "user_id": pa.array(np.arange(20) % 3 + 1, pa.int64()),
+        "event_type": ["view", "click"] * 10,
+        "value": [1.0] * 20,
+        "props": ["{}"] * 20,
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(ev, sf / "events.parquet")
+    out2 = subprocess.run(
+        [sys.executable, "-m", "opentelemetry_collector_contrib_ray.job",
+         "--query", "events_dow_hour_matrix", "--sf-dir", str(sf),
+         "--out", str(tmp_path / "qout")],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    s2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert s2["mode"] == "query" and s2["rows"] > 0
+    back = pq.read_table(f"{tmp_path}/qout/events_dow_hour_matrix")
+    assert back.num_rows == s2["rows"]
