@@ -19910,6 +19910,133 @@ FROM b2 GROUP BY 1, 2
 
 
 
+def q_conv_episode_count_hist(sf_dir: str):
+    """Episode structure of long-running conversations — how many
+    2-hour-gap episodes each conversation splits into (histogram
+    min(episodes, 9) with exact episode mass): a multi-episode
+    conversation is a returning thread (support ticket, long-running
+    agent), a single-episode one is a one-shot — the
+    should-I-split-on-gaps decision a transcript sessionizer is
+    configured by.
+
+    Shape: narrow (conv, ts) rows through ONE conv-hash exchange;
+    per-partition lexsort + vectorized gap test counts episodes with
+    no per-conversation loop; ≤ 10-bucket fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _add_part(["conv_id"], 64)(pa.table({
+            "conv_id": t["conv_id"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64())}))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["conv_id", "ts_us"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        if not len(conv):
+            z = pa.array([], pa.int64())
+            return pa.table({"episode_bucket": z, "one": z, "eps": z})
+        new_conv = np.ones(len(conv), bool)
+        new_conv[1:] = conv[1:] != conv[:-1]
+        gap = np.zeros(len(conv), bool)
+        gap[1:] = ts[1:] - ts[:-1] > 7_200_000_000
+        new_ep = new_conv | gap
+        cid = np.cumsum(new_conv) - 1
+        eps = np.bincount(cid[new_ep]).astype(np.int64)
+        return pa.table({
+            "episode_bucket": pa.array(np.minimum(eps, 9)),
+            "one": pa.array(np.ones(len(eps), np.int64)),
+            "eps": pa.array(eps)})
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["episode_bucket"],
+        sum_cols={"one": "n_convs", "eps": "sum_episodes"})
+
+
+SQL_CONV_EPISODE_COUNT_HIST = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, o AS (
+  SELECT conv_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts)
+), e AS (
+  SELECT conv_id, SUM(new) AS eps FROM o GROUP BY 1
+)
+SELECT CAST(least(eps, 9) AS BIGINT) AS episode_bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(eps) AS BIGINT) AS sum_episodes
+FROM e GROUP BY 1
+"""
+)
+
+
+def q_part_type_price_stats(sf_dir: str):
+    """Catalog price census per part type — (n_parts, min, max, sum)
+    of retail price cents: the assortment-pricing spread report, and
+    the dimension-side sanity check Q2's min-cost logic sits on.
+
+    Shape: per-block per-type (count, min, max, sum) partials — the
+    bounded-cardinality min/max fold (types ≲ 150) — then one
+    compact final block; zero wide exchange."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "part", columns=["p_type", "p_retailprice"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"p_type": t["p_type"].to_numpy(
+            zero_copy_only=False), "c": cents})
+        out = (df.groupby("p_type", as_index=False)["c"]
+               .agg(n_parts="size", min_cents="min", max_cents="max",
+                    sum_cents="sum"))
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = (df.groupby("p_type", as_index=False)
+               .agg(n_parts=("n_parts", "sum"),
+                    min_cents=("min_cents", "min"),
+                    max_cents=("max_cents", "max"),
+                    sum_cents=("sum_cents", "sum")))
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return (ds.map_batches(parts, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(final, batch_format="pyarrow",
+                           batch_size=None))
+
+
+SQL_PART_TYPE_PRICE_STATS = f"""
+WITH p AS (
+  SELECT p_type, {_CENTS.format(x='p_retailprice')} AS cents FROM part
+)
+SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM p GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -20260,6 +20387,8 @@ QUERIES = {
     "docs_shouting_screen": q_docs_shouting_screen,
     "orders_ship_sla_by_priority": q_orders_ship_sla_by_priority,
     "emb_quant_norm_hist": q_emb_quant_norm_hist,
+    "conv_episode_count_hist": q_conv_episode_count_hist,
+    "part_type_price_stats": q_part_type_price_stats,
 }
 
 # ----------------------------------------------------------- resumable
@@ -20658,4 +20787,6 @@ ORACLES = {
     "docs_shouting_screen": SQL_DOCS_SHOUTING_SCREEN,
     "orders_ship_sla_by_priority": SQL_ORDERS_SHIP_SLA_BY_PRIORITY,
     "emb_quant_norm_hist": SQL_EMB_QUANT_NORM_HIST,
+    "conv_episode_count_hist": SQL_CONV_EPISODE_COUNT_HIST,
+    "part_type_price_stats": SQL_PART_TYPE_PRICE_STATS,
 }

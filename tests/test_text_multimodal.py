@@ -2583,3 +2583,64 @@ def test_emb_quant_norm_hist_buckets(tmp_path):
     got = {(r.label, r.bucket): (r.n_vecs, r.sum_s)
            for r in out.itertuples()}
     assert got == {(0, 8): (1, 256), (0, 1): (1, 2), (1, -1): (1, 0)}
+
+
+def test_conv_episode_count_hist():
+    """Episode pins: exactly 2 h is the SAME episode (strictly greater
+    splits), each conversation counts once at its episode count, and
+    single-turn conversations read one episode."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    d = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rows = [("a", d), ("a", d + 2 * H),        # same episode (== 2 h)
+            ("a", d + 10 * H),                 # new → 2 episodes
+            ("b", d),                          # 1 episode
+            ("c", d), ("c", d + 3 * H), ("c", d + 9 * H)]  # 3 episodes
+    df = pd.DataFrame({
+        "conv_id": [r[0] for r in rows],
+        "event_id": list(range(len(rows))),
+        "role": ["user"] * len(rows),
+        "text": [""] * len(rows),
+        "tool": [""] * len(rows),
+        "ts": [r[1] for r in rows],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_episode_count_hist("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.episode_bucket: (r.n_convs, r.sum_episodes)
+           for r in out.itertuples()}
+    assert got == {2: (1, 2), 1: (1, 1), 3: (1, 3)}
+
+
+def test_part_type_price_stats(tmp_path):
+    """Price-census pins: min/max survive cross-block folding and
+    cents round half-up."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_part_type_price_stats,
+    )
+
+    t = pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": ["a", "b", "c"],
+        "p_brand": ["B"] * 3,
+        "p_type": ["STEEL", "STEEL", "BRASS"],
+        "p_size": pa.array([1, 2, 3], pa.int32()),
+        "p_retailprice": pa.array([10.005, 20.0, 5.5]),
+    })
+    pq.write_table(t, tmp_path / "part.parquet")
+    out = (q_part_type_price_stats(str(tmp_path)).to_pandas()
+           .set_index("p_type"))
+    import numpy as _np
+    c = int(_np.floor(10.005 * 100 + 0.5))
+    assert out.loc["STEEL"].tolist() == [2, c, 2000, c + 2000]
+    assert out.loc["BRASS"].tolist() == [1, 550, 550, 550]
