@@ -20037,6 +20037,101 @@ FROM p GROUP BY 1
 
 
 
+def q_conv_role_mix_by_depth(sf_dir: str):
+    """Who talks when — the role mix by conversation depth (turn-index
+    decades, clamped at 9): early turns are user-question-heavy, deep
+    turns show whether threads drift into tool loops or assistant
+    monologues — the dialogue-shape curve that decides how much tail
+    context a fine-tuning sample keeps.
+
+    Shape: the rail's conv exchange yields turn_idx; one bucket
+    kernel then a ≤ 10 × |roles| compact fold."""
+    from ..stages.agg import compact_groupby
+
+    ds = transcripts_from_events(sf_dir)
+
+    def km(t: pa.Table) -> pa.Table:
+        ti = pc.cast(t["turn_idx"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "depth_decade": pa.array(np.minimum(ti // 10, 9)),
+            "role": t["role"],
+            "one": pa.array(np.ones(len(ti), np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["depth_decade", "role"],
+                           sum_cols={"one": "n_turns"})
+
+
+SQL_CONV_ROLE_MIX_BY_DEPTH = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+SELECT CAST(least(turn_idx // 10, 9) AS BIGINT) AS depth_decade,
+       role, CAST(count(*) AS BIGINT) AS n_turns
+FROM transcripts GROUP BY 1, 2
+"""
+)
+
+
+def q_supplier_nation_census(sf_dir: str):
+    """Supplier footprint per nation — supplier count, negative-balance
+    count and exact netted cents per nation NAME (the supply-chain
+    concentration report behind Q7/Q9's nation rollups): the nation
+    dimension (25 rows) attaches via the size-gated broadcast, never
+    a shuffle.
+
+    Shape: one kernel + gated dim broadcast + ≤ |nations| compact
+    fold; zero wide exchange."""
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import gated_broadcast_join
+
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_nationkey", "s_acctbal"])
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        bal = t["s_acctbal"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+            "one": pa.array(np.ones(len(cents), np.int64)),
+            "neg": pa.array((cents < 0).astype(np.int64)),
+            "cents": pa.array(cents)})
+
+    nat_p = nat.map_batches(
+        lambda t: pa.table({"n_nationkey": pc.cast(t["n_nationkey"],
+                                                   pa.int64()),
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow").materialize()
+
+    j = gated_broadcast_join(
+        sup.map_batches(prep, batch_format="pyarrow").materialize(),
+        nat_p, on="s_nationkey", right_on="n_nationkey", how="inner")
+
+    return compact_groupby(j, ["n_name"],
+                           sum_cols={"one": "n_suppliers",
+                                     "neg": "n_negative",
+                                     "cents": "balance_cents"})
+
+
+SQL_SUPPLIER_NATION_CENSUS = f"""
+WITH sup AS (
+  SELECT s_nationkey, {_CENTS.format(x='s_acctbal')} AS cents
+  FROM supplier
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(SUM(cents) AS BIGINT) AS balance_cents
+FROM sup JOIN nation n ON n.n_nationkey = sup.s_nationkey
+GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -20389,6 +20484,8 @@ QUERIES = {
     "emb_quant_norm_hist": q_emb_quant_norm_hist,
     "conv_episode_count_hist": q_conv_episode_count_hist,
     "part_type_price_stats": q_part_type_price_stats,
+    "conv_role_mix_by_depth": q_conv_role_mix_by_depth,
+    "supplier_nation_census": q_supplier_nation_census,
 }
 
 # ----------------------------------------------------------- resumable
@@ -20789,4 +20886,6 @@ ORACLES = {
     "emb_quant_norm_hist": SQL_EMB_QUANT_NORM_HIST,
     "conv_episode_count_hist": SQL_CONV_EPISODE_COUNT_HIST,
     "part_type_price_stats": SQL_PART_TYPE_PRICE_STATS,
+    "conv_role_mix_by_depth": SQL_CONV_ROLE_MIX_BY_DEPTH,
+    "supplier_nation_census": SQL_SUPPLIER_NATION_CENSUS,
 }

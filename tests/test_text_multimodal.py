@@ -2644,3 +2644,74 @@ def test_part_type_price_stats(tmp_path):
     c = int(_np.floor(10.005 * 100 + 0.5))
     assert out.loc["STEEL"].tolist() == [2, c, 2000, c + 2000]
     assert out.loc["BRASS"].tolist() == [1, 550, 550, 550]
+
+
+def test_conv_role_mix_by_depth():
+    """Depth-mix pins: turn 9 is decade 0's last slot, turn 10 opens
+    decade 1, and turn 95+ clamps into decade 9."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    n = 100
+    df = pd.DataFrame({
+        "conv_id": ["a"] * n,
+        "event_id": list(range(n)),
+        "role": ["user" if i % 2 == 0 else "assistant"
+                 for i in range(n)],
+        "text": [""] * n,
+        "tool": [""] * n,
+        "ts": [base + i * S for i in range(n)],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = real  # with_turn_idx path needed
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: (
+            real_rank(ds) if with_turn_idx else ds)
+
+        def real_rank(d):
+            # emulate the rail's turn_idx: rank by (ts, event_id)
+            pdf = d.to_pandas().sort_values(["conv_id", "ts", "event_id"])
+            pdf["turn_idx"] = pdf.groupby("conv_id").cumcount() \
+                .astype("int32")
+            return rd.from_pandas(pdf).repartition(3)
+
+        out = Q.q_conv_role_mix_by_depth("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {(r.depth_decade, r.role): r.n_turns for r in out.itertuples()}
+    # decades 0..8 hold 10 turns each (5 user / 5 assistant); decade 9
+    # holds turns 90..99 → also 5/5
+    assert got[(0, "user")] == 5 and got[(0, "assistant")] == 5
+    assert got[(9, "user")] == 5 and got[(9, "assistant")] == 5
+    assert sum(got.values()) == 100
+
+
+def test_supplier_nation_census(tmp_path):
+    """Census pins: the nation NAME attaches via the dim join, and
+    negative balances count separately while cents net."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_supplier_nation_census,
+    )
+
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": ["x", "y", "z"],
+        "s_nationkey": pa.array([0, 0, 1], pa.int64()),
+        "s_acctbal": pa.array([10.0, -2.5, 4.0]),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": ["FRANCE", "KENYA"],
+        "n_regionkey": pa.array([0, 1], pa.int64()),
+    }), tmp_path / "nation.parquet")
+    out = q_supplier_nation_census(str(tmp_path)).to_pandas()
+    got = {r.n_name: (r.n_suppliers, r.n_negative, r.balance_cents)
+           for r in out.itertuples()}
+    assert got == {"FRANCE": (2, 1, 750), "KENYA": (1, 0, 400)}
