@@ -20132,6 +20132,131 @@ GROUP BY 1
 
 
 
+def q_events_first_event_census(sf_dir: str):
+    """First-touch census — per user, the TYPE of their very first
+    event ((ts, event_id)-min, the same total order as every rail
+    here), rolled up to (first_event_type, n_users, sum_events):
+    the onboarding-entrypoint mix (a user whose first event is
+    ``purchase`` skipped the funnel — acquisition attribution reads
+    this census before trusting channel reports).
+
+    Shape: per-block per-user argmin-(ts,event_id) + count partials,
+    ONE user-hash exchange, re-argmin + count SUM per user, ≤ |types|
+    compact fold — the abandonment op's mirror (first vs last)."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        if not len(uid):
+            z = pa.array([], pa.int64())
+            return _add_part(["user_id"], 64)(pa.table({
+                "user_id": z, "ts_us": z, "eid": z,
+                "first_type": pa.array([], pa.string()), "n": z}))
+        order = np.lexsort((eid, ts, uid))
+        us = uid[order]
+        new_u = np.ones(len(us), bool)
+        new_u[1:] = us[1:] != us[:-1]
+        starts = np.flatnonzero(new_u)
+        idx = order[starts]
+        return _add_part(["user_id"], 64)(pa.table({
+            "user_id": pa.array(uid[idx]),
+            "ts_us": pa.array(ts[idx]),
+            "eid": pa.array(eid[idx]),
+            "first_type": pa.array(et[idx]),
+            "n": pa.array(np.diff(np.append(starts, len(us)))
+                          .astype(np.int64))}))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "eid"], kind="mergesort")
+        first = g.groupby("user_id", sort=False).head(1)
+        n = g.groupby("user_id", sort=False)["n"].sum()
+        out = (pd.DataFrame({
+            "first_type": first["first_type"].to_numpy(),
+            "one": 1,
+            "ev": n.reindex(first["user_id"]).to_numpy(np.int64)})
+            .groupby("first_type", as_index=False)
+            .agg(one=("one", "sum"), ev=("ev", "sum")))
+        return pa_from_pandas(out)
+
+    return compact_groupby(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["first_type"], sum_cols={"one": "n_users", "ev": "sum_events"})
+
+
+SQL_EVENTS_FIRST_EVENT_CENSUS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT event_type AS first_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS sum_events
+FROM r WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q_orders_status_month_mix(sf_dir: str):
+    """Order status mix by month — (order month, status) counts with
+    exact cents mass: the backlog-health series (a growing share of
+    non-final statuses in recent months is the fulfillment backlog
+    forming). Month key = year·100 + month in both engines.
+
+    Shape: one kernel, ≤ months × statuses compact fold, zero
+    exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_orderstatus",
+                             "o_totalprice"])
+
+    def km(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        ym = pc.add(pc.multiply(pc.cast(pc.year(od), pa.int64()), 100),
+                    pc.cast(pc.month(od), pa.int64()))
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "order_month": ym,
+            "o_orderstatus": t["o_orderstatus"],
+            "one": pa.array(np.ones(len(cents), np.int64)),
+            "cents": pa.array(cents)})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["order_month", "o_orderstatus"],
+                           sum_cols={"one": "n_orders",
+                                     "cents": "revenue_cents"})
+
+
+SQL_ORDERS_STATUS_MONTH_MIX = f"""
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+         AS order_month,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS.format(x='o_totalprice')}) AS BIGINT)
+         AS revenue_cents
+FROM orders GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -20486,6 +20611,8 @@ QUERIES = {
     "part_type_price_stats": q_part_type_price_stats,
     "conv_role_mix_by_depth": q_conv_role_mix_by_depth,
     "supplier_nation_census": q_supplier_nation_census,
+    "events_first_event_census": q_events_first_event_census,
+    "orders_status_month_mix": q_orders_status_month_mix,
 }
 
 # ----------------------------------------------------------- resumable
@@ -20888,4 +21015,6 @@ ORACLES = {
     "part_type_price_stats": SQL_PART_TYPE_PRICE_STATS,
     "conv_role_mix_by_depth": SQL_CONV_ROLE_MIX_BY_DEPTH,
     "supplier_nation_census": SQL_SUPPLIER_NATION_CENSUS,
+    "events_first_event_census": SQL_EVENTS_FIRST_EVENT_CENSUS,
+    "orders_status_month_mix": SQL_ORDERS_STATUS_MONTH_MIX,
 }

@@ -2715,3 +2715,61 @@ def test_supplier_nation_census(tmp_path):
     got = {r.n_name: (r.n_suppliers, r.n_negative, r.balance_cents)
            for r in out.itertuples()}
     assert got == {"FRANCE": (2, 1, 750), "KENYA": (1, 0, 400)}
+
+
+def test_events_first_event_census(tmp_path):
+    """First-touch pins: the first event is the (ts, event_id)-min (a
+    same-ts tie resolves to the LOWER event_id), and event counts sum
+    across blocks."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_first_event_census,
+    )
+
+    d = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    rows = [  # (eid, user, type, ts)
+        (5, 1, "view", d), (6, 1, "purchase", d + S),   # first = view
+        (2, 2, "purchase", d), (3, 2, "view", d),        # tie → eid 2
+        (9, 3, "signup", d + 9 * S),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[3] for r in rows]),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": [r[2] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_first_event_census(str(tmp_path)).to_pandas()
+    got = {r.first_type: (r.n_users, r.sum_events)
+           for r in out.itertuples()}
+    assert got == {"view": (1, 2), "purchase": (1, 2), "signup": (1, 1)}
+
+
+def test_orders_status_month_mix(tmp_path):
+    """Status-mix pins: months separate, statuses separate, cents
+    exact."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_orders_status_month_mix,
+    )
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1] * 3, pa.int64()),
+        "o_orderstatus": ["O", "F", "O"],
+        "o_totalprice": pa.array([10.0, 20.0, 40.0]),
+        "o_orderdate": pa.array(np.array(
+            ["2024-02-01", "2024-02-10", "2024-03-01"],
+            dtype="datetime64[us]")),
+        "o_orderpriority": ["1-URGENT"] * 3,
+    }), tmp_path / "orders.parquet")
+    out = q_orders_status_month_mix(str(tmp_path)).to_pandas()
+    got = {(r.order_month, r.o_orderstatus): (r.n_orders, r.revenue_cents)
+           for r in out.itertuples()}
+    assert got == {(202402, "O"): (1, 1000), (202402, "F"): (1, 2000),
+                   (202403, "O"): (1, 4000)}
