@@ -162,6 +162,18 @@ BENCH_QUERIES = [
     "events_type_hour_entropy_parts",
     "lineitem_discount_bands",
     "customer_balance_segments",
+    "events_session_depth_hist",
+    "lineitem_return_rate_by_month",
+    "multimodal_video_motion_profile",
+    "docs_shouting_screen",
+    "orders_ship_sla_by_priority",
+    "emb_quant_norm_hist",
+    "conv_episode_count_hist",
+    "part_type_price_stats",
+    "conv_role_mix_by_depth",
+    "supplier_nation_census",
+    "events_first_event_census",
+    "orders_status_month_mix",
 ]
 
 
