@@ -265,3 +265,39 @@ def test_stickiness_random_differential(ray_session, tmp_path):
         out = QUERIES["events_stickiness_parts"](sf).to_pandas()
         assert out.iloc[0].tolist() == _naive_stickiness(rows), \
             f"seed={seed}"
+
+
+def _naive_first_event(rows):
+    per = {}
+    for i, (u, t, et, *_) in enumerate(rows):
+        per.setdefault(u, []).append((t, i, et))
+    out = {}
+    for u, evs in per.items():
+        evs.sort()
+        ft = evs[0][2]
+        k = out.setdefault(ft, [0, 0])
+        k[0] += 1
+        k[1] += len(evs)
+    return {k: tuple(v) for k, v in out.items()}
+
+
+def test_first_event_census_random_differential(ray_session, tmp_path):
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(40, 250))
+        # coarse timestamps force plenty of (ts) ties → the event_id
+        # tie-break is exercised (event_id = row index here)
+        rows = [(int(rng.integers(0, 12)),
+                 int(rng.integers(0, 30)) * 1_000_000,
+                 ["view", "click", "purchase", "signup"]
+                 [int(rng.integers(0, 4))])
+                for _ in range(n)]
+        d = tmp_path / f"fe{seed}"
+        d.mkdir()
+        sf = _events(d, rows)
+        out = QUERIES["events_first_event_census"](sf).to_pandas()
+        got = {r.first_type: (r.n_users, r.sum_events)
+               for r in out.itertuples()}
+        assert got == _naive_first_event(rows), f"seed={seed}"
