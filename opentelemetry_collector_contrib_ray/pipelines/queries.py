@@ -20257,6 +20257,155 @@ FROM orders GROUP BY 1, 2
 
 
 
+def q_conv_tool_next_role(sf_dir: str):
+    """Who consumes tool output — for every tool-call turn, the ROLE
+    of the next turn in the same conversation (tool→assistant is the
+    normal loop; tool→tool is chaining; tool→user means the result
+    was surfaced raw; conversation-final calls count as 'none'):
+    the handback matrix of an agent harness, per tool.
+
+    Shape: narrow (conv, ts, event_id, tool, role) rows through ONE
+    conv-hash exchange; per-partition lexsort + one-row shift pairs
+    adjacent turns with no per-conversation loop; ≤ |tools|·|roles|
+    compact fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _add_part(["conv_id"], 64)(pa.table({
+            "conv_id": t["conv_id"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "eid": pc.cast(t["event_id"], pa.int64()),
+            "tool": t["tool"],
+            "role": t["role"]}))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["conv_id", "ts_us", "eid"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        tool = g["tool"].to_numpy()
+        role = g["role"].to_numpy()
+        nxt = np.empty(len(g), dtype=object)
+        if len(g):
+            nxt[:-1] = role[1:]
+            nxt[-1] = "none"
+            same = np.zeros(len(g), bool)
+            same[:-1] = conv[:-1] == conv[1:]
+            nxt = np.where(same, nxt, "none")
+        mask = tool != ""
+        out = (pd.DataFrame({"tool": tool[mask],
+                             "next_role": nxt[mask], "one": 1})
+               .groupby(["tool", "next_role"], as_index=False)
+               .agg(one=("one", "sum")))
+        return pa_from_pandas(out)
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["tool", "next_role"], sum_cols={"one": "n_calls"})
+
+
+SQL_CONV_TOOL_NEXT_ROLE = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, nx AS (
+  SELECT tool, coalesce(lead(role) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx), 'none')
+           AS next_role
+  FROM transcripts
+)
+SELECT tool, next_role, CAST(count(*) AS BIGINT) AS n_calls
+FROM nx WHERE tool <> '' GROUP BY 1, 2
+"""
+)
+
+
+def q_multimodal_audio_clipping(sf_dir: str):
+    """Clipping census over REAL WAV payloads — the silence op's
+    loud-side sibling: per clip, samples at ≥ 99% full scale
+    (|i16| ≥ 32440 — recorder saturation) and the exact peak |i16|
+    (the normalization headroom a loudness pass needs). The DuckDB
+    twin re-decodes the int16 stream and re-runs both tests.
+
+    Shape: decode + one vectorized threshold/max kernel per block,
+    zero exchange."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (MM_ORACLE_DIR, AudioDecoder,
+                                     ensure_mm_oracle_tables)
+
+    ensure_mm_oracle_tables()
+
+    def clip_stats(t: pa.Table) -> pa.Table:
+        col = t["waveform"]
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        offs = np.asarray(c.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        n = len(lens)
+        i16 = np.abs(np.round(np.asarray(c.flatten(), dtype=np.float64)
+                              * 32768.0)).astype(np.int64)
+        clipped = np.zeros(n, np.int64)
+        peak = np.zeros(n, np.int64)
+        nz = np.flatnonzero(lens > 0)
+        if len(i16) and len(nz):
+            clipped[nz] = np.add.reduceat((i16 >= 32440)
+                                          .astype(np.int64),
+                                          offs[:-1][nz])
+            peak[nz] = np.maximum.reduceat(i16, offs[:-1][nz])
+        return pa.table({
+            "media_id": pa.array(t["media_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "n_samples": pa.array(lens.astype(np.int64)),
+            "n_clipped": pa.array(clipped),
+            "peak_abs": pa.array(peak)})
+
+    return (rd.read_parquet(f"{MM_ORACLE_DIR}/audio.parquet")
+            .map_batches(AudioDecoder(), batch_format="pyarrow",
+                         batch_size=64)
+            .map_batches(clip_stats, batch_format="pyarrow"))
+
+
+def _audio_clipping_sql() -> str:
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    hexd = "0123456789ABCDEF"
+    return f"""
+WITH audio_files AS (
+  SELECT media_id, hex(payload) AS hx,
+         (octet_length(payload) - 44) // 2 AS n_samp
+  FROM read_parquet('{MM_ORACLE_DIR}/audio.parquet')
+), smp AS (
+  SELECT media_id, hx, n_samp, unnest(range(0, n_samp)) AS i
+  FROM audio_files
+), smpv AS (
+  SELECT media_id, n_samp,
+    ((strpos('{hexd}', substr(hx, 2 * (44 + 2 * i) + 1, 1)) - 1) * 16
+     + (strpos('{hexd}', substr(hx, 2 * (44 + 2 * i) + 2, 1)) - 1))
+    + 256 * ((strpos('{hexd}', substr(hx, 2 * (45 + 2 * i) + 1, 1)) - 1) * 16
+             + (strpos('{hexd}', substr(hx, 2 * (45 + 2 * i) + 2, 1)) - 1)) AS u
+  FROM smp
+), sgn AS (
+  SELECT media_id, n_samp,
+         abs(u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END) AS a
+  FROM smpv
+)
+SELECT media_id,
+       CAST(max(n_samp) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN a >= 32440 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(max(a) AS BIGINT) AS peak_abs
+FROM sgn GROUP BY media_id
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -20613,6 +20762,8 @@ QUERIES = {
     "supplier_nation_census": q_supplier_nation_census,
     "events_first_event_census": q_events_first_event_census,
     "orders_status_month_mix": q_orders_status_month_mix,
+    "conv_tool_next_role": q_conv_tool_next_role,
+    "multimodal_audio_clipping": q_multimodal_audio_clipping,
 }
 
 # ----------------------------------------------------------- resumable
@@ -21017,4 +21168,6 @@ ORACLES = {
     "supplier_nation_census": SQL_SUPPLIER_NATION_CENSUS,
     "events_first_event_census": SQL_EVENTS_FIRST_EVENT_CENSUS,
     "orders_status_month_mix": SQL_ORDERS_STATUS_MONTH_MIX,
+    "conv_tool_next_role": SQL_CONV_TOOL_NEXT_ROLE,
+    "multimodal_audio_clipping": _audio_clipping_sql(),
 }

@@ -2773,3 +2773,68 @@ def test_orders_status_month_mix(tmp_path):
            for r in out.itertuples()}
     assert got == {(202402, "O"): (1, 1000), (202402, "F"): (1, 2000),
                    (202403, "O"): (1, 4000)}
+
+
+def test_conv_tool_next_role():
+    """Handback pins: the next turn must be in the SAME conversation
+    (a conversation-final tool call reads 'none', the first turn of
+    the next conversation never pairs), and non-tool turns don't
+    count as calls."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b"],
+        "event_id": [1, 2, 3, 4, 5],
+        "role": ["tool", "assistant", "tool", "user", "tool"],
+        "text": [""] * 5,
+        "tool": ["browser", "", "db_query", "", "browser"],
+        # a: browser→assistant, db_query conv-final → none
+        # b: user turn (no tool), browser conv-final → none
+        "ts": [base, base + S, base + 2 * S, base, base + S],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_tool_next_role("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {(r.tool, r.next_role): r.n_calls for r in out.itertuples()}
+    assert got == {("browser", "assistant"): 1, ("db_query", "none"): 1,
+                   ("browser", "none"): 1}
+
+
+def test_audio_clip_stats_threshold():
+    """Clipping pins through the REAL encode→decode path: a 0.995 FS
+    sample (encoder quantizes at ·32767) exceeds the 32440 clip
+    threshold, a 0.5 FS sample does not, and the recovered |i16| peak
+    is exact."""
+    from opentelemetry_collector_contrib_ray.stages.codecs import encode_wav
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        AudioDecoder,
+    )
+
+    w1 = np.array([0.995, -0.5, 0.1], np.float64)
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "media_type": ["audio/wav"],
+        "payload": pa.array([encode_wav(w1, 8000)], pa.large_binary()),
+        "meta.width": pa.array([0], pa.int32()),
+        "meta.height": pa.array([0], pa.int32()),
+        "meta.sample_rate": pa.array([8000], pa.int32()),
+        "meta.duration_ms": pa.array([1], pa.int32()),
+    })
+    dec = AudioDecoder()(t)
+    col = dec["waveform"]
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    i16 = np.abs(np.round(np.asarray(c.flatten(), np.float64)
+                          * 32768.0)).astype(np.int64)
+    expect = [int(round(abs(v) * 32767)) for v in w1]
+    assert i16.tolist() == expect
+    assert (i16 >= 32440).sum() == 1      # only the 0.995 sample clips
+    assert i16.max() == expect[0]
