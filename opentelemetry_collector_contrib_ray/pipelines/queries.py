@@ -20406,6 +20406,133 @@ FROM sgn GROUP BY media_id
 
 
 
+def q_events_active_days_hist(sf_dir: str):
+    """Activity-intensity histogram — distinct active days per user,
+    bucketed min(days, 19): the streaks op measures persistence
+    (consecutive days); this measures total engagement volume — the
+    two axes a lifecycle segmentation crosses.
+
+    Shape: the streaks rail — per-block distinct (user, day)
+    combiner, ONE user-hash exchange, per-partition re-distinct +
+    count, ≤ 20-bucket compact fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        tt = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.divide(us, 86_400_000_000)})
+        return _add_part(["user_id"], 64)(
+            tt.group_by(["user_id", "day"]).aggregate([]))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user_id", "day"])
+        cnt = g.groupby("user_id", sort=False).size() \
+            .to_numpy(np.int64)
+        return pa.table({
+            "days_bucket": pa.array(np.minimum(cnt, 19)),
+            "one": pa.array(np.ones(len(cnt), np.int64)),
+            "d": pa.array(cnt)})
+
+    return compact_groupby(
+        ds.map_batches(days, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["days_bucket"],
+        sum_cols={"one": "n_users", "d": "sum_days"})
+
+
+SQL_EVENTS_ACTIVE_DAYS_HIST = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), c AS (
+  SELECT user_id, count(*) AS days FROM d GROUP BY 1
+)
+SELECT CAST(least(days, 19) AS BIGINT) AS days_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(days) AS BIGINT) AS sum_days
+FROM c GROUP BY 1
+"""
+
+
+def q_docs_junk_census(sf_dir: str):
+    """Junk census — the one-row first-look report before any
+    curation pass: total docs, empty docs, whitespace-only docs,
+    short docs (< 20 chars), and the exact corpus character mass.
+    Whitespace means the census's ASCII set [ \t\n\r], identical
+    in the RE2 twin.
+
+    Shape: fully per-batch (one UCS4 classification pass), single
+    compact fold, zero exchange."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def census(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        a = txt.to_numpy(zero_copy_only=False).astype("U")
+        n = len(a)
+        m = a.dtype.itemsize // 4 if n else 0
+        if not n:
+            z = pa.array([], pa.int64())
+            return pa.table({"n_docs": z, "n_empty": z, "n_ws_only": z,
+                             "n_short": z, "sum_chars": z})
+        if m:
+            cp = a.view(np.uint32).reshape(n, m)
+            real = cp != 0
+            ws = (cp == 32) | (cp == 9) | (cp == 10) | (cp == 13)
+            lens = real.sum(1).astype(np.int64)
+            nonws = (real & ~ws).sum(1).astype(np.int64)
+        else:
+            lens = np.zeros(n, np.int64)
+            nonws = np.zeros(n, np.int64)
+        empty = lens == 0
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "n_empty": pa.array([int(empty.sum())], pa.int64()),
+            "n_ws_only": pa.array([int(((nonws == 0) & ~empty).sum())],
+                                  pa.int64()),
+            "n_short": pa.array([int((lens < 20).sum())], pa.int64()),
+            "sum_chars": pa.array([int(lens.sum())], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+            for c in ("n_docs", "n_empty", "n_ws_only", "n_short",
+                      "sum_chars")})
+
+    return (ds.map_batches(census, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(fold, batch_format="pyarrow",
+                           batch_size=None))
+
+
+SQL_DOCS_JUNK_CENSUS = r"""
+WITH c AS (
+  SELECT coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS len,
+         length(regexp_replace(coalesce(text, ''), '[ 	
+]', '',
+                               'g')) AS nonws
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN len = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty,
+       CAST(SUM(CASE WHEN len > 0 AND nonws = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ws_only,
+       CAST(SUM(CASE WHEN len < 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_short,
+       CAST(SUM(len) AS BIGINT) AS sum_chars
+FROM c
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -20764,6 +20891,8 @@ QUERIES = {
     "orders_status_month_mix": q_orders_status_month_mix,
     "conv_tool_next_role": q_conv_tool_next_role,
     "multimodal_audio_clipping": q_multimodal_audio_clipping,
+    "events_active_days_hist": q_events_active_days_hist,
+    "docs_junk_census": q_docs_junk_census,
 }
 
 # ----------------------------------------------------------- resumable
@@ -21170,4 +21299,6 @@ ORACLES = {
     "orders_status_month_mix": SQL_ORDERS_STATUS_MONTH_MIX,
     "conv_tool_next_role": SQL_CONV_TOOL_NEXT_ROLE,
     "multimodal_audio_clipping": _audio_clipping_sql(),
+    "events_active_days_hist": SQL_EVENTS_ACTIVE_DAYS_HIST,
+    "docs_junk_census": SQL_DOCS_JUNK_CENSUS,
 }

@@ -2838,3 +2838,54 @@ def test_audio_clip_stats_threshold():
     assert i16.tolist() == expect
     assert (i16 >= 32440).sum() == 1      # only the 0.995 sample clips
     assert i16.max() == expect[0]
+
+
+def test_events_active_days_hist(tmp_path):
+    """Active-days pins: same-day repeats collapse, the bucket clamps
+    at 19, and gaps don't matter (total, not consecutive)."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_active_days_hist,
+    )
+
+    d0 = np.datetime64("2024-01-01T06:00:00", "us")
+    D = np.timedelta64(1, "D")
+    H = np.timedelta64(1, "h")
+    rows = [(1, d0), (1, d0 + H), (1, d0 + 5 * D)]    # 2 active days
+    rows += [(2, d0 + k * 2 * D) for k in range(25)]  # 25 days → 19
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_active_days_hist(str(tmp_path)).to_pandas()
+    got = {r.days_bucket: (r.n_users, r.sum_days)
+           for r in out.itertuples()}
+    assert got == {2: (1, 2), 19: (1, 25)}
+
+
+def test_docs_junk_census(tmp_path):
+    """Junk-census pins: empty and whitespace-only are disjoint
+    classes, short counts chars not bytes, and the char mass is
+    exact."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_junk_census,
+    )
+
+    texts = ["", "  \t\n", "short one", "é" * 25]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": texts,
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_junk_census(str(tmp_path)).to_pandas()
+    assert out.iloc[0].tolist() == [4, 1, 1, 3, 0 + 4 + 9 + 25]
