@@ -174,6 +174,10 @@ BENCH_QUERIES = [
     "supplier_nation_census",
     "events_first_event_census",
     "orders_status_month_mix",
+    "conv_tool_next_role",
+    "multimodal_audio_clipping",
+    "events_active_days_hist",
+    "docs_junk_census",
 ]
 
 
