@@ -20516,7 +20516,8 @@ WITH c AS (
   SELECT coalesce(text, '') AS t,
          length(coalesce(text, '')) AS len,
          length(regexp_replace(coalesce(text, ''), '[ 	
-]', '',
+
+]', '',
                                'g')) AS nonws
   FROM documents
 )
@@ -20529,6 +20530,234 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
          AS n_short,
        CAST(SUM(len) AS BIGINT) AS sum_chars
 FROM c
+"""
+
+
+
+def q_events_resurrection_census(sf_dir: str):
+    """Resurrection census — each user's LONGEST gap between
+    consecutive active days, bucketed by week-decades
+    (min(gap_days // 7, 9)); bucket 0 holds the never-lapsed: the
+    winback-campaign sizing report (how much of the audience has
+    already proven it comes back after N quiet weeks) — the
+    complement of the streaks (persistence) and active-days (volume)
+    axes.
+
+    Shape: the distinct-(user, day) combiner rail, ONE user-hash
+    exchange, vectorized per-partition diff of each user's sorted
+    day set, ≤ 10-bucket compact fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        tt = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.divide(us, 86_400_000_000)})
+        return _add_part(["user_id"], 64)(
+            tt.group_by(["user_id", "day"]).aggregate([]))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        if not len(u):
+            z = pa.array([], pa.int64())
+            return pa.table({"gap_bucket": z, "one": z, "gap": z})
+        same = np.zeros(len(u), bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = np.where(same, np.append([0], np.diff(d)) - 1, 0)
+        mx = pd.DataFrame({"u": u, "g": gaps}).groupby("u")["g"].max() \
+            .to_numpy(np.int64)
+        return pa.table({
+            "gap_bucket": pa.array(np.minimum(mx // 7, 9)),
+            "one": pa.array(np.ones(len(mx), np.int64)),
+            "gap": pa.array(mx)})
+
+    return compact_groupby(
+        ds.map_batches(days, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["gap_bucket"],
+        sum_cols={"one": "n_users", "gap": "sum_gap_days"})
+
+
+SQL_EVENTS_RESURRECTION_CENSUS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), g AS (
+  SELECT user_id,
+         coalesce(day - lag(day) OVER (PARTITION BY user_id
+                                       ORDER BY day) - 1, 0) AS gap
+  FROM d
+), m AS (
+  SELECT user_id, max(gap) AS mx FROM g GROUP BY 1
+)
+SELECT CAST(least(mx // 7, 9) AS BIGINT) AS gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(mx) AS BIGINT) AS sum_gap_days
+FROM m GROUP BY 1
+"""
+
+
+def q_docs_source_lang_matrix(sf_dir: str):
+    """Source × language census with exact character mass — the
+    corpus-composition table every mixture decision starts from
+    (which source feeds which language, and with how much text —
+    doc counts alone hide a source of stubs).
+
+    Shape: one length kernel, ≤ |sources|·|langs| compact fold, zero
+    exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["source", "lang", "text"])
+
+    def km(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({
+            "source": t["source"],
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "chars": pc.cast(pc.utf8_length(txt), pa.int64())})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["source", "lang"],
+                           sum_cols={"one": "n_docs",
+                                     "chars": "sum_chars"})
+
+
+SQL_DOCS_SOURCE_LANG_MATRIX = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+
+def q_events_daily_volatility_parts(sf_dir: str):
+    """Day-over-day volatility — the total-variation panel per event
+    type: (n_days, sum |Δdaily|, max |Δdaily|) over consecutive
+    PRESENT days' count deltas (an absent day is a boundary, not a
+    zero — the series a dashboard actually plots): the trend-noise
+    measure that decides whether a daily alert needs smoothing,
+    complementing MAD (spread) and CUSUM (level shift).
+
+    Shape: the compact (type, day) daily fold, then one vectorized
+    sorted-diff pass over that single compact block."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(us, 86_400_000_000),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    td = compact_groupby(ds.map_batches(daily, batch_format="pyarrow"),
+                         ["event_type", "day"], sum_cols={"one": "n"})
+
+    def vol(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["event_type", "day"])
+        et = df["event_type"].to_numpy()
+        day = df["day"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        same = np.zeros(len(df), bool)
+        if len(df):
+            same[1:] = (et[1:] == et[:-1]) & (day[1:] == day[:-1] + 1)
+        delta = np.abs(np.append([0], np.diff(n)))
+        delta = np.where(same, delta, 0)
+        out = (pd.DataFrame({"event_type": et, "one": 1, "d": delta,
+                             "m": delta})
+               .groupby("event_type", as_index=False)
+               .agg(n_days=("one", "sum"), sum_abs_delta=("d", "sum"),
+                    max_abs_delta=("m", "max")))
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return td.map_batches(vol, batch_format="pyarrow", batch_size=None)
+
+
+SQL_EVENTS_DAILY_VOLATILITY_PARTS = """
+WITH td AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type,
+         CASE WHEN day = lag(day) OVER w + 1
+              THEN abs(n - lag(n) OVER w) ELSE 0 END AS delta
+  FROM td WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(delta) AS BIGINT) AS sum_abs_delta,
+       CAST(MAX(delta) AS BIGINT) AS max_abs_delta
+FROM d GROUP BY 1
+"""
+
+
+def q_multimodal_image_aspect_census(sf_dir: str):
+    """Aspect-ratio census over the media metadata — (aspect band,
+    n_images, sum_pixels) where the band is the integer 100·w // h
+    clamped to [25, 400]: the crop/resize-policy input (a corpus of
+    extreme strips needs different tiling than near-squares), read
+    from metadata columns with NO decode — the cheap pre-screen
+    before any pixel work.
+
+    Shape: pure metadata kernel, ≤ bands compact fold, zero decode,
+    zero exchange."""
+    import ray.data as rd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.multimodal import (MM_ORACLE_DIR,
+                                     ensure_mm_oracle_tables)
+
+    ensure_mm_oracle_tables()
+    ds = rd.read_parquet(f"{MM_ORACLE_DIR}/media.parquet",
+                         columns=["meta.width", "meta.height"])
+
+    def km(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["meta.width"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = pc.cast(t["meta.height"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        band = np.clip(100 * w // np.maximum(h, 1), 25, 400)
+        return pa.table({
+            "aspect_band": pa.array(band.astype(np.int64)),
+            "one": pa.array(np.ones(len(w), np.int64)),
+            "px": pa.array((w * h).astype(np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["aspect_band"],
+                           sum_cols={"one": "n_images",
+                                     "px": "sum_pixels"})
+
+
+def _image_aspect_sql() -> str:
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    return f"""
+WITH m AS (
+  SELECT CAST("meta.width" AS BIGINT) AS w,
+         CAST("meta.height" AS BIGINT) AS h
+  FROM read_parquet('{MM_ORACLE_DIR}/media.parquet')
+)
+SELECT CAST(least(greatest(100 * w // greatest(h, 1), 25), 400)
+            AS BIGINT) AS aspect_band,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(SUM(w * h) AS BIGINT) AS sum_pixels
+FROM m GROUP BY 1
 """
 
 
@@ -20893,6 +21122,10 @@ QUERIES = {
     "multimodal_audio_clipping": q_multimodal_audio_clipping,
     "events_active_days_hist": q_events_active_days_hist,
     "docs_junk_census": q_docs_junk_census,
+    "events_resurrection_census": q_events_resurrection_census,
+    "docs_source_lang_matrix": q_docs_source_lang_matrix,
+    "events_daily_volatility_parts": q_events_daily_volatility_parts,
+    "multimodal_image_aspect_census": q_multimodal_image_aspect_census,
 }
 
 # ----------------------------------------------------------- resumable
@@ -21301,4 +21534,8 @@ ORACLES = {
     "multimodal_audio_clipping": _audio_clipping_sql(),
     "events_active_days_hist": SQL_EVENTS_ACTIVE_DAYS_HIST,
     "docs_junk_census": SQL_DOCS_JUNK_CENSUS,
+    "events_resurrection_census": SQL_EVENTS_RESURRECTION_CENSUS,
+    "docs_source_lang_matrix": SQL_DOCS_SOURCE_LANG_MATRIX,
+    "events_daily_volatility_parts": SQL_EVENTS_DAILY_VOLATILITY_PARTS,
+    "multimodal_image_aspect_census": _image_aspect_sql(),
 }

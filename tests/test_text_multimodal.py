@@ -2889,3 +2889,118 @@ def test_docs_junk_census(tmp_path):
     pq.write_table(t, tmp_path / "documents.parquet")
     out = q_docs_junk_census(str(tmp_path)).to_pandas()
     assert out.iloc[0].tolist() == [4, 1, 1, 3, 0 + 4 + 9 + 25]
+
+
+def test_events_resurrection_census(tmp_path):
+    """Resurrection pins: the gap is BETWEEN active days (adjacent
+    days gap 0), the max gap wins, single-day users read gap 0, and
+    the bucket is week-decades clamped at 9."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_resurrection_census,
+    )
+
+    d0 = np.datetime64("2024-01-01T06:00:00", "us")
+    D = np.timedelta64(1, "D")
+    rows = [(1, d0), (1, d0 + 1 * D), (1, d0 + 10 * D)]  # max gap 8 → b1
+    rows += [(2, d0)]                                    # gap 0 → b0
+    rows += [(3, d0), (3, d0 + 100 * D)]                 # 99 → b9
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_resurrection_census(str(tmp_path)).to_pandas()
+    got = {r.gap_bucket: (r.n_users, r.sum_gap_days)
+           for r in out.itertuples()}
+    assert got == {1: (1, 8), 0: (1, 0), 9: (1, 99)}
+
+
+def test_docs_source_lang_matrix(tmp_path):
+    """Matrix pins: cells separate on both keys and char mass counts
+    characters."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_source_lang_matrix,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["abc", "dé", "xyzzy"],
+        "lang": ["en", "fr", "en"],
+        "source": ["web", "web", "books"],
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_source_lang_matrix(str(tmp_path)).to_pandas()
+    got = {(r.source, r.lang): (r.n_docs, r.sum_chars)
+           for r in out.itertuples()}
+    assert got == {("web", "en"): (1, 3), ("web", "fr"): (1, 2),
+                   ("books", "en"): (1, 5)}
+
+
+def test_events_daily_volatility_parts(tmp_path):
+    """Volatility pins: an absent day is a BOUNDARY (its delta is 0,
+    not a spike to/from zero), and sum/max read exact |Δ|."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_daily_volatility_parts,
+    )
+
+    d0 = np.datetime64("2024-01-01T00:00:00", "us")
+    D = np.timedelta64(1, "D")
+    rows = []
+    # type a: days 0,1,2 counts 2,5,1 → deltas 3,4 → sum 7 max 4
+    for day, cnt in [(0, 2), (1, 5), (2, 1)]:
+        rows += [("a", d0 + day * D)] * cnt
+    # type b: days 0 and 5 (gap) counts 4,9 → no adjacent pair → 0
+    for day, cnt in [(0, 4), (5, 9)]:
+        rows += [("b", d0 + day * D)] * cnt
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": [r[0] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_daily_volatility_parts(str(tmp_path)).to_pandas()
+    got = {r.event_type: (r.n_days, r.sum_abs_delta, r.max_abs_delta)
+           for r in out.itertuples()}
+    assert got == {"a": (3, 7, 4), "b": (2, 0, 0)}
+
+
+def test_multimodal_image_aspect_census():
+    """Aspect pins over the real media table: bands clamp to
+    [25, 400], every image lands exactly once, and pixel mass is
+    exact."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_multimodal_image_aspect_census,
+    )
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ensure_mm_oracle_tables,
+    )
+
+    d = ensure_mm_oracle_tables()
+    out = q_multimodal_image_aspect_census("unused").to_pandas()
+    meta = pq.read_table(f"{d}/media.parquet",
+                         columns=["meta.width", "meta.height"])
+    w = meta["meta.width"].to_numpy().astype(np.int64)
+    h = meta["meta.height"].to_numpy().astype(np.int64)
+    assert out["n_images"].sum() == len(w)
+    assert out["sum_pixels"].sum() == int((w * h).sum())
+    assert out["aspect_band"].between(25, 400).all()
+    band = np.clip(100 * w // np.maximum(h, 1), 25, 400)
+    import collections
+    exp = collections.Counter(band.tolist())
+    got = dict(zip(out["aspect_band"], out["n_images"]))
+    assert got == dict(exp)
