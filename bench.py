@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "multimodal_audio_clipping",
     "events_active_days_hist",
     "docs_junk_census",
+    "events_resurrection_census",
+    "docs_source_lang_matrix",
+    "events_daily_volatility_parts",
+    "multimodal_image_aspect_census",
 ]
 
 
