@@ -20762,6 +20762,154 @@ FROM m GROUP BY 1
 
 
 
+def q_logs_template_conv_spread(sf_dir: str):
+    """Template spread — for each Drain-lite template (digit runs
+    masked to ``#``), how many DISTINCT conversations emit it and how
+    many lines total: the corpus-wide-vs-conversation-local split
+    (a template in thousands of conversations is infrastructure
+    chatter to rate-limit; one confined to a single conversation is
+    that conversation's own payload) — the dimension plain template
+    mining collapses.
+
+    Shape: per-block distinct (template, conv) combiner bounds the
+    ONE template-hash exchange at templates × convs × blocks narrow
+    rows (re-distincted per partition); line counts ride the same
+    partials; text never shuffles."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def mask(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        tpl = pc.replace_substring_regex(txt, r"[0-9]+", "#")
+        tt = pa.table({"template": tpl, "conv_id": t["conv_id"]})
+        g = tt.group_by(["template", "conv_id"]).aggregate(
+            [([], "count_all")])
+        g = g.rename_columns(["template", "conv_id", "n"])
+        return _add_part(["template"], 64)(g)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("template", as_index=False)
+               .agg(convs=("conv_id", "nunique"), lines=("n", "sum")))
+        out["convs"] = out["convs"].astype(np.int64)
+        out["lines"] = out["lines"].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return compact_groupby(
+        ds.map_batches(mask, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["template"],
+        sum_cols={"convs": "n_convs", "lines": "n_lines"})
+
+
+SQL_LOGS_TEMPLATE_CONV_SPREAD = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, m AS (
+  SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template,
+         conv_id
+  FROM transcripts
+)
+SELECT template,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM m GROUP BY 1
+"""
+)
+
+
+def q_orders_cadence_hist(sf_dir: str):
+    """Customer order-cadence histogram — per repeat customer, the
+    LOWER-MEDIAN gap in days between consecutive orders, bucketed by
+    week-decades min(median_gap // 7, 9): the replenishment-rhythm
+    segmentation behind reorder nudges (the mean gap is wrecked by
+    one long pause; the median order statistic is the honest
+    cadence). Customers with a single order are out of scope.
+
+    Shape: narrow (cust, orderdate-day) rows through ONE custkey-hash
+    exchange; per-partition lexsort → consecutive diffs → a SECOND
+    vectorized lexsort on (cust, gap) picks each customer's
+    ⌈g/2⌉-th smallest gap by rank arithmetic (no per-customer loop);
+    ≤ 10-bucket compact fold. The twin selects the same k-th order
+    statistic by row_number — not an interpolating quantile."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey",
+                                               "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.int64())
+        return _add_part(["o_custkey"], 64)(pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "day": pc.divide(us, 86_400_000_000)}))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "day"], kind="mergesort")
+        c = g["o_custkey"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        same = np.zeros(len(c), bool)
+        if len(c):
+            same[1:] = c[1:] == c[:-1]
+        gaps = np.append([0], np.diff(d))[same] \
+            if len(c) else np.zeros(0, np.int64)
+        gc = c[same]
+        if not len(gc):
+            z = pa.array([], pa.int64())
+            return pa.table({"cadence_bucket": z, "one": z, "med": z})
+        order = np.lexsort((gaps, gc))
+        gs, cs = gaps[order], gc[order]
+        new = np.ones(len(cs), bool)
+        new[1:] = cs[1:] != cs[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(cs)))
+        # lower median = the ceil(n/2)-th smallest = index (n+1)//2 - 1
+        pick = starts + (cnt + 1) // 2 - 1
+        med = gs[pick]
+        return pa.table({
+            "cadence_bucket": pa.array(np.minimum(med // 7, 9)),
+            "one": pa.array(np.ones(len(med), np.int64)),
+            "med": pa.array(med.astype(np.int64))})
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["cadence_bucket"],
+        sum_cols={"one": "n_customers", "med": "sum_median_gap"})
+
+
+SQL_ORDERS_CADENCE_HIST = """
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+), g AS (
+  SELECT o_custkey, day - lag(day) OVER w AS gap
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day)
+), gg AS (
+  SELECT o_custkey, gap,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY gap) AS r,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM g WHERE gap IS NOT NULL
+), med AS (
+  SELECT o_custkey, gap AS m FROM gg WHERE r = (n + 1) // 2
+)
+SELECT CAST(least(m // 7, 9) AS BIGINT) AS cadence_bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(m) AS BIGINT) AS sum_median_gap
+FROM med GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -21126,6 +21274,8 @@ QUERIES = {
     "docs_source_lang_matrix": q_docs_source_lang_matrix,
     "events_daily_volatility_parts": q_events_daily_volatility_parts,
     "multimodal_image_aspect_census": q_multimodal_image_aspect_census,
+    "logs_template_conv_spread": q_logs_template_conv_spread,
+    "orders_cadence_hist": q_orders_cadence_hist,
 }
 
 # ----------------------------------------------------------- resumable
@@ -21538,4 +21688,6 @@ ORACLES = {
     "docs_source_lang_matrix": SQL_DOCS_SOURCE_LANG_MATRIX,
     "events_daily_volatility_parts": SQL_EVENTS_DAILY_VOLATILITY_PARTS,
     "multimodal_image_aspect_census": _image_aspect_sql(),
+    "logs_template_conv_spread": SQL_LOGS_TEMPLATE_CONV_SPREAD,
+    "orders_cadence_hist": SQL_ORDERS_CADENCE_HIST,
 }

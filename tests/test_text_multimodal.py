@@ -3004,3 +3004,63 @@ def test_multimodal_image_aspect_census():
     exp = collections.Counter(band.tolist())
     got = dict(zip(out["aspect_band"], out["n_images"]))
     assert got == dict(exp)
+
+
+def test_logs_template_conv_spread():
+    """Spread pins: distinct-conversation counts collapse repeats
+    within a conversation while line counts keep them, and digit
+    masking unifies variable text."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "b", "c"],
+        "event_id": [1, 2, 3, 4],
+        "role": ["user"] * 4,
+        # 'lat=5 ok' and 'lat=77 ok' mask to the same template
+        "text": ["lat=5 ok", "lat=77 ok", "lat=9 ok", "hello"],
+        "tool": [""] * 4,
+        "ts": [base] * 4,
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_logs_template_conv_spread("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.template: (r.n_convs, r.n_lines) for r in out.itertuples()}
+    assert got == {"lat=# ok": (2, 3), "hello": (1, 1)}
+
+
+def test_orders_cadence_hist(tmp_path):
+    """Cadence pins: single-order customers are out of scope, the
+    lower median picks the ⌈n/2⌉-th smallest gap (gaps [7, 100] →
+    7), and buckets are week-decades."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_orders_cadence_hist,
+    )
+
+    d0 = np.datetime64("2024-01-01", "us")
+    D = np.timedelta64(1, "D")
+    rows = [(1, d0), (1, d0 + 7 * D), (1, d0 + 107 * D),  # gaps 7,100 → med 7 → b1
+            (2, d0),                                       # single → out
+            (3, d0), (3, d0 + 70 * D)]                     # gap 70 → b9? 70//7=10→9
+    t = pa.table({
+        "o_orderkey": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderstatus": ["O"] * len(rows),
+        "o_totalprice": pa.array([1.0] * len(rows)),
+        "o_orderdate": pa.array([r[1] for r in rows]),
+        "o_orderpriority": ["1-URGENT"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = q_orders_cadence_hist(str(tmp_path)).to_pandas()
+    got = {r.cadence_bucket: (r.n_customers, r.sum_median_gap)
+           for r in out.itertuples()}
+    assert got == {1: (1, 7), 9: (1, 70)}
