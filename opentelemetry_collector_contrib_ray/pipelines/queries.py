@@ -20910,6 +20910,134 @@ FROM med GROUP BY 1
 
 
 
+def q_conv_tool_diversity_hist(sf_dir: str):
+    """Tool-diversity histogram — DISTINCT tools used per
+    conversation (0 for pure-chat threads), clamped min(k, 5): the
+    single-tool-vs-orchestration split of an agent corpus (a
+    harness change that collapses multi-tool conversations to one
+    tool shows up here first).
+
+    Shape: per-block distinct (conv, tool≠'') combiner + per-block
+    all-convs set, ONE conv-hash exchange, per-partition nunique,
+    ≤ 6-bucket compact fold. Conversations with no tool turns are
+    kept via the rail's conv set (distinct conv rows ride the same
+    exchange)."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "conv_id": t["conv_id"],
+            "tool": pc.fill_null(t["tool"], "")})
+        g = tt.group_by(["conv_id", "tool"]).aggregate([])
+        return _add_part(["conv_id"], 64)(g)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["conv_id", "tool"])
+        k = (g[g["tool"] != ""].groupby("conv_id").size()
+             .reindex(g["conv_id"].unique(), fill_value=0)
+             .to_numpy(np.int64))
+        return pa.table({
+            "tool_bucket": pa.array(np.minimum(k, 5)),
+            "one": pa.array(np.ones(len(k), np.int64)),
+            "tools": pa.array(k)})
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["tool_bucket"],
+        sum_cols={"one": "n_convs", "tools": "sum_tools"})
+
+
+SQL_CONV_TOOL_DIVERSITY_HIST = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, k AS (
+  SELECT conv_id,
+         count(DISTINCT CASE WHEN tool <> '' THEN tool END) AS tools
+  FROM transcripts GROUP BY 1
+)
+SELECT CAST(least(tools, 5) AS BIGINT) AS tool_bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(tools) AS BIGINT) AS sum_tools
+FROM k GROUP BY 1
+"""
+)
+
+
+def q_events_user_type_concentration_hist(sf_dir: str):
+    """Per-user behavioral concentration — the integer percent
+    collision ratio 100·Σk² // n² of each user's event-type mix
+    (100 = single-type specialist, → 100/|types| = uniform
+    generalist), histogrammed in decade buckets min(p // 10, 9):
+    the specialist-vs-generalist audience split, computed with no
+    floats anywhere.
+
+    Shape: per-block (user, type) count combiners bound the ONE
+    user-hash exchange; per-partition re-sum + one np.unique pass
+    builds every user's Σk² vectorized; ≤ 10-bucket fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["user_id",
+                                               "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+        g = tt.group_by(["user_id", "event_type"]).aggregate(
+            [("one", "sum")])
+        g = g.rename_columns(["user_id", "event_type", "one"])
+        return _add_part(["user_id"], 64)(g)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = (g.groupby(["user_id", "event_type"], as_index=False)
+             ["one"].sum())
+        per = (g.assign(sq=lambda d: d["one"] ** 2)
+               .groupby("user_id")
+               .agg(n=("one", "sum"), ssq=("sq", "sum")))
+        n = per["n"].to_numpy(np.int64)
+        ssq = per["ssq"].to_numpy(np.int64)
+        p = 100 * ssq // (n * n)
+        return pa.table({
+            "conc_bucket": pa.array(np.minimum(p // 10, 9)),
+            "one": pa.array(np.ones(len(p), np.int64)),
+            "pct": pa.array(p)})
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["conc_bucket"],
+        sum_cols={"one": "n_users", "pct": "sum_pct"})
+
+
+SQL_EVENTS_USER_TYPE_CONCENTRATION_HIST = """
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS k
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT user_id, SUM(k) AS n, SUM(k * k) AS ssq FROM ut GROUP BY 1
+), p AS (
+  SELECT 100 * ssq // (n * n) AS pct FROM per
+)
+SELECT CAST(least(pct // 10, 9) AS BIGINT) AS conc_bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(pct) AS BIGINT) AS sum_pct
+FROM p GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -21276,6 +21404,8 @@ QUERIES = {
     "multimodal_image_aspect_census": q_multimodal_image_aspect_census,
     "logs_template_conv_spread": q_logs_template_conv_spread,
     "orders_cadence_hist": q_orders_cadence_hist,
+    "conv_tool_diversity_hist": q_conv_tool_diversity_hist,
+    "events_user_type_concentration_hist": q_events_user_type_concentration_hist,
 }
 
 # ----------------------------------------------------------- resumable
@@ -21690,4 +21820,6 @@ ORACLES = {
     "multimodal_image_aspect_census": _image_aspect_sql(),
     "logs_template_conv_spread": SQL_LOGS_TEMPLATE_CONV_SPREAD,
     "orders_cadence_hist": SQL_ORDERS_CADENCE_HIST,
+    "conv_tool_diversity_hist": SQL_CONV_TOOL_DIVERSITY_HIST,
+    "events_user_type_concentration_hist": SQL_EVENTS_USER_TYPE_CONCENTRATION_HIST,
 }

@@ -3064,3 +3064,66 @@ def test_orders_cadence_hist(tmp_path):
     got = {r.cadence_bucket: (r.n_customers, r.sum_median_gap)
            for r in out.itertuples()}
     assert got == {1: (1, 7), 9: (1, 70)}
+
+
+def test_conv_tool_diversity_hist():
+    """Diversity pins: pure-chat conversations count in bucket 0,
+    repeated use of one tool is still diversity 1, and ≥5 clamps."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [("a", ""), ("a", ""),                      # 0 tools
+            ("b", "browser"), ("b", "browser"),        # 1
+            ("c", "browser"), ("c", "db_query"),       # 2
+            ("d", "t1"), ("d", "t2"), ("d", "t3"),
+            ("d", "t4"), ("d", "t5"), ("d", "t6")]     # 6 → bucket 5
+    df = pd.DataFrame({
+        "conv_id": [r[0] for r in rows],
+        "event_id": list(range(len(rows))),
+        "role": ["user"] * len(rows),
+        "text": [""] * len(rows),
+        "tool": [r[1] for r in rows],
+        "ts": [base] * len(rows),
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_tool_diversity_hist("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.tool_bucket: (r.n_convs, r.sum_tools)
+           for r in out.itertuples()}
+    assert got == {0: (1, 0), 1: (1, 1), 2: (1, 2), 5: (1, 6)}
+
+
+def test_events_user_type_concentration_hist(tmp_path):
+    """Concentration pins: a single-type user reads 100% (bucket 9 by
+    the 10-decade clamp), a perfect 2-way split reads 50% (bucket 5),
+    and the ratio is the exact integer floor."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_user_type_concentration_hist,
+    )
+
+    d = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [(1, "view")] * 4                    # 100 → bucket 9
+    rows += [(2, "view")] * 2 + [(2, "click")] * 2   # 50 → bucket 5
+    rows += [(3, "view"), (3, "click"), (3, "error")]  # 3/9→33 → b3
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([d] * len(rows)),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": [r[1] for r in rows],
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_user_type_concentration_hist(str(tmp_path)).to_pandas()
+    got = {r.conc_bucket: (r.n_users, r.sum_pct)
+           for r in out.itertuples()}
+    assert got == {9: (1, 100), 5: (1, 50), 3: (1, 33)}
