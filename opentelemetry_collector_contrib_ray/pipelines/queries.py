@@ -21038,6 +21038,170 @@ FROM p GROUP BY 1
 
 
 
+def q_docs_word_len_bands(sf_dir: str):
+    """Mean-word-length bands — per doc, the integer floor of
+    total-token-chars / token-count (tokens = maximal non-whitespace
+    runs over the census's ASCII whitespace set), clamped at 19:
+    the gibberish/agglutination screen (normal prose sits at 4–7; a
+    band-15 doc is base64 soup, a band-1 doc is OCR confetti).
+    Tokenless docs are out of scope in both engines.
+
+    Shape: one UCS4 transition count per block (runs = ws→nonws
+    edges, fully vectorized), ≤ 20-band compact fold, zero
+    exchange. The twin counts runs by replacing each run with one
+    '#' and subtracting the whitespace length."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bands(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        a = txt.to_numpy(zero_copy_only=False).astype("U")
+        n = len(a)
+        m = a.dtype.itemsize // 4 if n else 0
+        if not n or not m:
+            z = pa.array([], pa.int64())
+            return pa.table({"band": z, "one": z, "tokens": z})
+        cp = a.view(np.uint32).reshape(n, m)
+        nonws = (cp != 0) & (cp != 32) & (cp != 9) & (cp != 10) \
+            & (cp != 13)
+        tchars = nonws.sum(1).astype(np.int64)
+        prev = np.zeros_like(nonws)
+        prev[:, 1:] = nonws[:, :-1]
+        runs = (nonws & ~prev).sum(1).astype(np.int64)
+        keep = runs > 0
+        band = np.minimum(tchars[keep] // runs[keep], 19)
+        return pa.table({
+            "band": pa.array(band),
+            "one": pa.array(np.ones(keep.sum(), np.int64)),
+            "tokens": pa.array(runs[keep])})
+
+    return compact_groupby(ds.map_batches(bands, batch_format="pyarrow"),
+                           ["band"],
+                           sum_cols={"one": "n_docs",
+                                     "tokens": "sum_tokens"})
+
+
+SQL_DOCS_WORD_LEN_BANDS = r"""
+WITH c AS (
+  SELECT length(regexp_replace(coalesce(text, ''), '[ 	
+
+]', '',
+                               'g')) AS tchars,
+         length(regexp_replace(coalesce(text, ''), '[^ 	
+
+]+', '#',
+                               'g'))
+           - (length(coalesce(text, ''))
+              - length(regexp_replace(coalesce(text, ''),
+                                      '[ 	
+
+]', '', 'g'))) AS runs
+  FROM documents
+)
+SELECT CAST(least(tchars // runs, 19) AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(runs) AS BIGINT) AS sum_tokens
+FROM c WHERE runs > 0 GROUP BY 1
+"""
+
+
+def q_emb_exact_dup_census(sf_dir: str):
+    """Exact duplicate-embedding census at 1e-4 quantization — rows
+    whose ENTIRE cents vector matches: the degenerate-encoder /
+    double-ingest screen an embedding store runs before ANN build
+    (duplicate vectors waste index space and bias k-NN votes).
+    (n_dup_groups, n_extra_rows, max_group), where extra rows is the
+    dedup saving. Grouping is on the full quantized vector — exact,
+    no hash collisions possible (the key ships whole).
+
+    Shape: per-block (vector-key, count) combiners via a zero-copy
+    void view (one C call, no per-row Python), ONE key-hash
+    exchange of those partials, 3-int panel fold. The twin groups by
+    the quantized LIST value itself."""
+    import pandas as pd
+
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        vals = np.asarray(c.flatten(), dtype=np.float64)
+        n = len(c)
+        if not n or not len(vals):
+            return pa.table({
+                "key": pa.array([], pa.binary()),
+                "__p": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64())})
+        d = len(vals) // n
+        cents = np.ascontiguousarray(
+            np.floor(vals * 10000.0 + 0.5).astype(np.int64)
+            .reshape(n, d))
+        # partition id: a deterministic function of the key ONLY (so
+        # equal vectors co-locate); grouping stays on the full exact
+        # key — the hash routes, it never identifies
+        mults = (2 * np.arange(d, dtype=np.uint64) + 1) * \
+            np.uint64(0x9E3779B97F4A7C15)
+        h = (cents.astype(np.uint64) * mults).sum(1, dtype=np.uint64)
+        keys = cents.view(np.dtype((np.void, d * 8))).ravel().tolist()
+        tt = pa.table({"key": pa.array([bytes(k) for k in keys],
+                                       pa.binary()),
+                       "one": pa.array(np.ones(n, np.int64)),
+                       "__p": pa.array((h % np.uint64(64))
+                                       .astype(np.int64))})
+        g = tt.group_by(["key", "__p"]).aggregate([("one", "sum")])
+        return g.rename_columns(["key", "__p", "one"])
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby("key", sort=False)["one"].sum() \
+            .to_numpy(np.int64)
+        dup = c[c >= 2]
+        return pa.table({
+            "n_dup_groups": pa.array([len(dup)], pa.int64()),
+            "n_extra_rows": pa.array([int((dup - 1).sum())],
+                                     pa.int64()),
+            "max_group": pa.array([int(dup.max()) if len(dup) else 0],
+                                  pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_dup_groups": pa.array(
+                [pc.sum(t["n_dup_groups"]).as_py() or 0], pa.int64()),
+            "n_extra_rows": pa.array(
+                [pc.sum(t["n_extra_rows"]).as_py() or 0], pa.int64()),
+            "max_group": pa.array(
+                [pc.max(t["max_group"]).as_py() or 0], pa.int64())})
+
+    return (ds.map_batches(pre, batch_format="pyarrow")
+              .groupby("__p")
+              .map_groups(arrow_out(fold), batch_format="pandas")
+              .repartition(1)
+              .map_batches(final, batch_format="pyarrow",
+                           batch_size=None))
+
+
+SQL_EMB_EXACT_DUP_CENSUS = """
+WITH v AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+                     AS BIGINT)) AS cv
+  FROM embeddings
+), g AS (
+  SELECT cv, count(*) AS c FROM v GROUP BY 1
+), d AS (
+  SELECT c FROM g WHERE c >= 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+       CAST(coalesce(SUM(c - 1), 0) AS BIGINT) AS n_extra_rows,
+       CAST(coalesce(MAX(c), 0) AS BIGINT) AS max_group
+FROM d
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -21406,6 +21570,8 @@ QUERIES = {
     "orders_cadence_hist": q_orders_cadence_hist,
     "conv_tool_diversity_hist": q_conv_tool_diversity_hist,
     "events_user_type_concentration_hist": q_events_user_type_concentration_hist,
+    "docs_word_len_bands": q_docs_word_len_bands,
+    "emb_exact_dup_census": q_emb_exact_dup_census,
 }
 
 # ----------------------------------------------------------- resumable
@@ -21822,4 +21988,6 @@ ORACLES = {
     "orders_cadence_hist": SQL_ORDERS_CADENCE_HIST,
     "conv_tool_diversity_hist": SQL_CONV_TOOL_DIVERSITY_HIST,
     "events_user_type_concentration_hist": SQL_EVENTS_USER_TYPE_CONCENTRATION_HIST,
+    "docs_word_len_bands": SQL_DOCS_WORD_LEN_BANDS,
+    "emb_exact_dup_census": SQL_EMB_EXACT_DUP_CENSUS,
 }

@@ -3127,3 +3127,54 @@ def test_events_user_type_concentration_hist(tmp_path):
     got = {r.conc_bucket: (r.n_users, r.sum_pct)
            for r in out.itertuples()}
     assert got == {9: (1, 100), 5: (1, 50), 3: (1, 33)}
+
+
+def test_docs_word_len_bands(tmp_path):
+    """Band pins: tokens are maximal non-ws runs (leading/trailing and
+    repeated whitespace add nothing), the band is the integer floor
+    mean, and tokenless docs are out of scope."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_word_len_bands,
+    )
+
+    texts = ["  ab   cd  ",      # 2 tokens, 4 chars → band 2
+             "abcdefgh",         # 1 token, 8 → band 8
+             "a bb ccc",         # 3 tokens, 6 chars → 2
+             " \t\n",            # tokenless → out
+             "x" * 100]          # band 100 → clamp 19
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_word_len_bands(str(tmp_path)).to_pandas()
+    got = {r.band: (r.n_docs, r.sum_tokens) for r in out.itertuples()}
+    assert got == {2: (2, 5), 8: (1, 1), 19: (1, 1)}
+
+
+def test_emb_exact_dup_census(tmp_path):
+    """Dup-census pins: equality is on the FULL quantized vector (a
+    1e-4-scale difference that survives quantization splits the
+    group), k copies contribute k−1 extras, and floats that quantize
+    equal collapse."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_emb_exact_dup_census,
+    )
+
+    vecs = [[0.5, 1.0], [0.5, 1.0], [0.5, 1.0],   # triple → 2 extra
+            [0.5, 1.1],                            # differs → clean
+            [0.25, 0.0], [0.25000002, 0.0]]        # quantize equal → pair
+    t = pa.table({
+        "vec_id": pa.array(list(range(1, len(vecs) + 1)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = q_emb_exact_dup_census(str(tmp_path)).to_pandas()
+    assert out.iloc[0].tolist() == [2, 3, 3]
