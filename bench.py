@@ -182,6 +182,12 @@ BENCH_QUERIES = [
     "docs_source_lang_matrix",
     "events_daily_volatility_parts",
     "multimodal_image_aspect_census",
+    "logs_template_conv_spread",
+    "orders_cadence_hist",
+    "conv_tool_diversity_hist",
+    "events_user_type_concentration_hist",
+    "docs_word_len_bands",
+    "emb_exact_dup_census",
 ]
 
 
