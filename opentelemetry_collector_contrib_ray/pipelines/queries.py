@@ -21202,6 +21202,133 @@ FROM d
 
 
 
+def q_conv_verbosity_amplification_hist(sf_dir: str):
+    """Verbosity amplification — per conversation, the integer
+    percent 100·assistant_chars // user_chars (how much text the
+    assistant produces per character of user input), in half-decade
+    buckets min(pct // 50, 9): the serving-cost amplification and
+    rambling-model screen. Conversations with no user characters are
+    out of scope in both engines.
+
+    Shape: per-block per-conv (user_chars, assistant_chars) sum
+    combiners bound the ONE conv-hash exchange; ≤ 10-bucket fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        ln = pc.cast(pc.utf8_length(txt), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False).astype("U16")
+        tt = pa.table({
+            "conv_id": t["conv_id"],
+            "u": pa.array(np.where(role == "user", ln, 0)),
+            "a": pa.array(np.where(role == "assistant", ln, 0))})
+        g = tt.group_by(["conv_id"]).aggregate([("u", "sum"),
+                                                ("a", "sum")])
+        return _add_part(["conv_id"], 64)(
+            g.rename_columns(["conv_id", "u", "a"]))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        per = g.groupby("conv_id", sort=False).agg(u=("u", "sum"),
+                                                   a=("a", "sum"))
+        u = per["u"].to_numpy(np.int64)
+        a = per["a"].to_numpy(np.int64)
+        keep = u > 0
+        pct = 100 * a[keep] // u[keep]
+        return pa.table({
+            "amp_bucket": pa.array(np.minimum(pct // 50, 9)),
+            "one": pa.array(np.ones(len(pct), np.int64)),
+            "pct": pa.array(pct)})
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["amp_bucket"],
+        sum_cols={"one": "n_convs", "pct": "sum_pct"})
+
+
+SQL_CONV_VERBOSITY_AMPLIFICATION_HIST = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, per AS (
+  SELECT conv_id,
+         SUM(CASE WHEN role = 'user' THEN length(text) ELSE 0 END)
+           AS u,
+         SUM(CASE WHEN role = 'assistant' THEN length(text) ELSE 0
+             END) AS a
+  FROM transcripts GROUP BY 1
+), p AS (
+  SELECT 100 * a // u AS pct FROM per WHERE u > 0
+)
+SELECT CAST(least(pct // 50, 9) AS BIGINT) AS amp_bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(pct) AS BIGINT) AS sum_pct
+FROM p GROUP BY 1
+"""
+)
+
+
+def q_part_size_price_moments(sf_dir: str):
+    """Size–price relationship moments — the exact integer cross-
+    moment monoid (n, Σs, Σc, Σs², Σc², Σs·c) of (p_size, retail
+    cents) over the part catalog: slope/correlation are driver
+    divisions — the does-bigger-cost-more check behind catalog
+    pricing audits, float-free like the repo's other moment panels.
+
+    Shape: one kernel + a single-row partial per block, one compact
+    fold, zero exchange."""
+    ds = read_table(sf_dir, "part", columns=["p_size",
+                                             "p_retailprice"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        sz = pc.cast(t["p_size"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        price = t["p_retailprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(sz)], pa.int64()),
+            "sum_s": pa.array([int(sz.sum())], pa.int64()),
+            "sum_c": pa.array([int(c.sum())], pa.int64()),
+            "sum_ss": pa.array([int((sz * sz).sum())], pa.int64()),
+            "sum_cc": pa.array([int((c * c).sum())], pa.int64()),
+            "sum_sc": pa.array([int((sz * c).sum())], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+            for c in ("n", "sum_s", "sum_c", "sum_ss", "sum_cc",
+                      "sum_sc")})
+
+    return (ds.map_batches(parts, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(fold, batch_format="pyarrow",
+                           batch_size=None))
+
+
+SQL_PART_SIZE_PRICE_MOMENTS = f"""
+WITH p AS (
+  SELECT CAST(p_size AS BIGINT) AS s,
+         {_CENTS.format(x='p_retailprice')} AS c
+  FROM part
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(s) AS BIGINT) AS sum_s,
+       CAST(SUM(c) AS BIGINT) AS sum_c,
+       CAST(SUM(s * s) AS BIGINT) AS sum_ss,
+       CAST(SUM(c * c) AS BIGINT) AS sum_cc,
+       CAST(SUM(s * c) AS BIGINT) AS sum_sc
+FROM p
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -21572,6 +21699,8 @@ QUERIES = {
     "events_user_type_concentration_hist": q_events_user_type_concentration_hist,
     "docs_word_len_bands": q_docs_word_len_bands,
     "emb_exact_dup_census": q_emb_exact_dup_census,
+    "conv_verbosity_amplification_hist": q_conv_verbosity_amplification_hist,
+    "part_size_price_moments": q_part_size_price_moments,
 }
 
 # ----------------------------------------------------------- resumable
@@ -21990,4 +22119,6 @@ ORACLES = {
     "events_user_type_concentration_hist": SQL_EVENTS_USER_TYPE_CONCENTRATION_HIST,
     "docs_word_len_bands": SQL_DOCS_WORD_LEN_BANDS,
     "emb_exact_dup_census": SQL_EMB_EXACT_DUP_CENSUS,
+    "conv_verbosity_amplification_hist": SQL_CONV_VERBOSITY_AMPLIFICATION_HIST,
+    "part_size_price_moments": SQL_PART_SIZE_PRICE_MOMENTS,
 }

@@ -3178,3 +3178,61 @@ def test_emb_exact_dup_census(tmp_path):
     pq.write_table(t, tmp_path / "embeddings.parquet")
     out = q_emb_exact_dup_census(str(tmp_path)).to_pandas()
     assert out.iloc[0].tolist() == [2, 3, 3]
+
+
+def test_conv_verbosity_amplification_hist():
+    """Amplification pins: the percent is the integer floor of
+    100·a//u, no-user-chars conversations are out of scope, and
+    sums survive conversation splits across blocks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [  # (conv, role, text)
+        ("a", "user", "xxxx"), ("a", "assistant", "y" * 10),  # 250 → b5
+        ("b", "user", "xx"), ("b", "assistant", "y"),         # 50 → b1
+        ("c", "assistant", "zzz"),                            # u=0 → out
+        ("d", "user", "x" * 100), ("d", "assistant", ""),     # 0 → b0
+    ]
+    df = pd.DataFrame({
+        "conv_id": [r[0] for r in rows],
+        "event_id": list(range(len(rows))),
+        "role": [r[1] for r in rows],
+        "text": [r[2] for r in rows],
+        "tool": [""] * len(rows),
+        "ts": [base] * len(rows),
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_verbosity_amplification_hist("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.amp_bucket: (r.n_convs, r.sum_pct) for r in out.itertuples()}
+    assert got == {5: (1, 250), 1: (1, 50), 0: (1, 0)}
+
+
+def test_part_size_price_moments(tmp_path):
+    """Moment pins: all six sums are exact integers over the cents
+    transform."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_part_size_price_moments,
+    )
+
+    t = pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": ["a", "b"],
+        "p_brand": ["B"] * 2,
+        "p_type": ["STEEL"] * 2,
+        "p_size": pa.array([2, 5], pa.int32()),
+        "p_retailprice": pa.array([10.0, 20.0]),
+    })
+    pq.write_table(t, tmp_path / "part.parquet")
+    out = q_part_size_price_moments(str(tmp_path)).to_pandas()
+    assert out.iloc[0].tolist() == [2, 7, 3000, 29, 5_000_000,
+                                    2 * 1000 + 5 * 2000]
