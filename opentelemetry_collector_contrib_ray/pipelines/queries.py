@@ -21329,6 +21329,66 @@ FROM p
 
 
 
+def q_events_mau_series(sf_dir: str):
+    """Monthly-active-users series — distinct users per calendar month
+    (plus the raw event count for context): THE top-line growth
+    metric. Months are year·100 + month from the same timestamp
+    fields in both engines; distinctness is exact, not sketched (the
+    HLL ops cover the approximate regime).
+
+    Shape: per-block distinct (user, month) combiner bounds the ONE
+    user-hash exchange; after it every (user, month) pair is
+    globally unique inside its partition, so per-month counts are
+    partition-local sums folding through the ≤ months compact
+    fold; event counts ride zero-exchange partials merged
+    driver-side by the same fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsa = pc.cast(t["ts"], pa.timestamp("us"))
+        ym = pc.add(pc.multiply(pc.cast(pc.year(tsa), pa.int64()),
+                                100),
+                    pc.cast(pc.month(tsa), pa.int64()))
+        tt = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "month": ym,
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+        g = tt.group_by(["user_id", "month"]).aggregate([("one",
+                                                          "sum")])
+        return _add_part(["user_id"], 64)(
+            g.rename_columns(["user_id", "month", "one"]))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        per = (g.groupby(["user_id", "month"], as_index=False)
+               ["one"].sum())
+        out = (per.groupby("month", as_index=False)
+               .agg(users=("user_id", "size"), ev=("one", "sum")))
+        out["users"] = out["users"].astype(np.int64)
+        out["ev"] = out["ev"].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["month"],
+        sum_cols={"users": "n_active_users", "ev": "n_events"})
+
+
+SQL_EVENTS_MAU_SERIES = """
+SELECT CAST(year(ts) * 100 + month(ts) AS BIGINT) AS month,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -21701,6 +21761,7 @@ QUERIES = {
     "emb_exact_dup_census": q_emb_exact_dup_census,
     "conv_verbosity_amplification_hist": q_conv_verbosity_amplification_hist,
     "part_size_price_moments": q_part_size_price_moments,
+    "events_mau_series": q_events_mau_series,
 }
 
 # ----------------------------------------------------------- resumable
@@ -22121,4 +22182,5 @@ ORACLES = {
     "emb_exact_dup_census": SQL_EMB_EXACT_DUP_CENSUS,
     "conv_verbosity_amplification_hist": SQL_CONV_VERBOSITY_AMPLIFICATION_HIST,
     "part_size_price_moments": SQL_PART_SIZE_PRICE_MOMENTS,
+    "events_mau_series": SQL_EVENTS_MAU_SERIES,
 }

@@ -301,3 +301,35 @@ def test_first_event_census_random_differential(ray_session, tmp_path):
         got = {r.first_type: (r.n_users, r.sum_events)
                for r in out.itertuples()}
         assert got == _naive_first_event(rows), f"seed={seed}"
+
+
+def test_emb_exact_dup_census_random_differential(ray_session, tmp_path):
+    """Dup-heavy random vectors through the real pipeline vs a naive
+    Counter over quantized tuples — the full-key exactness claim
+    exercised on collisions the synthetic corpus never produces."""
+    from collections import Counter
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n, d = int(rng.integers(50, 200)), 4
+        # draw from a TINY grid so exact duplicates are plentiful
+        vecs = rng.integers(0, 3, size=(n, d)).astype(np.float32) / 4.0
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, np.int32)),
+        })
+        dd = tmp_path / f"e{seed}"
+        dd.mkdir()
+        pq.write_table(t, dd / "embeddings.parquet")
+        out = QUERIES["emb_exact_dup_census"](str(dd)).to_pandas()
+        cents = np.floor(vecs.astype(np.float64) * 10000.0 + 0.5) \
+            .astype(np.int64)
+        cnt = Counter(map(tuple, cents))
+        dup = [c for c in cnt.values() if c >= 2]
+        assert out.iloc[0].tolist() == [
+            len(dup), sum(c - 1 for c in dup),
+            max(dup) if dup else 0], f"seed={seed}"

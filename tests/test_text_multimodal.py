@@ -3236,3 +3236,30 @@ def test_part_size_price_moments(tmp_path):
     out = q_part_size_price_moments(str(tmp_path)).to_pandas()
     assert out.iloc[0].tolist() == [2, 7, 3000, 29, 5_000_000,
                                     2 * 1000 + 5 * 2000]
+
+
+def test_events_mau_series(tmp_path):
+    """MAU pins: a user active in two months counts in both, repeats
+    within a month collapse, and event counts stay raw."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_mau_series,
+    )
+
+    rows = [(1, "2024-01-05"), (1, "2024-01-20"), (1, "2024-02-01"),
+            (2, "2024-01-31"), (3, "2024-02-15")]
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_mau_series(str(tmp_path)).to_pandas()
+    got = {r.month: (r.n_active_users, r.n_events)
+           for r in out.itertuples()}
+    assert got == {202401: (2, 3), 202402: (2, 2)}
