@@ -188,6 +188,9 @@ BENCH_QUERIES = [
     "events_user_type_concentration_hist",
     "docs_word_len_bands",
     "emb_exact_dup_census",
+    "conv_verbosity_amplification_hist",
+    "part_size_price_moments",
+    "events_mau_series",
 ]
 
 
