@@ -21389,6 +21389,168 @@ FROM events GROUP BY 1
 
 
 
+def q_multimodal_store_census(sf_dir: str):
+    """Blob-store census — per media type across the image, audio and
+    video tables: object count, exact payload byte mass, min/max
+    object size: the what's-in-my-store report a storage-tiering or
+    batch-size decision starts from, over metadata + octet lengths
+    only (NO decode).
+
+    Shape: three pruned reads union; per-block per-type (count, sum,
+    min, max) partials; one compact final — zero decode, zero wide
+    exchange."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..stages.multimodal import (MM_ORACLE_DIR,
+                                     ensure_mm_oracle_tables)
+
+    ensure_mm_oracle_tables()
+    parts = []
+    for tbl in ("media", "audio", "video"):
+        parts.append(rd.read_parquet(
+            f"{MM_ORACLE_DIR}/{tbl}.parquet",
+            columns=["media_type", "payload"]))
+    ds = parts[0].union(*parts[1:])
+
+    def census(t: pa.Table) -> pa.Table:
+        ln = pc.binary_length(t["payload"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"media_type": t["media_type"].to_numpy(
+            zero_copy_only=False), "b": ln})
+        out = (df.groupby("media_type", as_index=False)["b"]
+               .agg(n_objects="size", sum_bytes="sum",
+                    min_bytes="min", max_bytes="max"))
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = (df.groupby("media_type", as_index=False)
+               .agg(n_objects=("n_objects", "sum"),
+                    sum_bytes=("sum_bytes", "sum"),
+                    min_bytes=("min_bytes", "min"),
+                    max_bytes=("max_bytes", "max")))
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return pa_from_pandas(out)
+
+    return (ds.map_batches(census, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(final, batch_format="pyarrow",
+                           batch_size=None))
+
+
+def _store_census_sql() -> str:
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    sel = " UNION ALL ".join(
+        f"SELECT media_type, octet_length(payload) AS b "
+        f"FROM read_parquet('{MM_ORACLE_DIR}/{t}.parquet')"
+        for t in ("media", "audio", "video"))
+    return f"""
+WITH u AS ({sel})
+SELECT media_type, CAST(count(*) AS BIGINT) AS n_objects,
+       CAST(SUM(b) AS BIGINT) AS sum_bytes,
+       CAST(MIN(b) AS BIGINT) AS min_bytes,
+       CAST(MAX(b) AS BIGINT) AS max_bytes
+FROM u GROUP BY 1
+"""
+
+
+def q_conv_user_monologue_hist(sf_dir: str):
+    """User-monologue histogram — each conversation's LONGEST run of
+    consecutive user turns, clamped min(run, 5): the
+    is-anyone-answering signal (run ≥ 2 means the user had to follow
+    up unanswered at least once; long runs are the frustration
+    spiral a support queue alerts on).
+
+    Shape: narrow (conv, ts, eid, is_user) rows through ONE
+    conv-hash exchange; per-partition lexsort + the vectorized
+    run-length pass (same gaps-and-islands kernel family as
+    streaks); ≤ 6-bucket compact fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=False)
+
+    def prep(t: pa.Table) -> pa.Table:
+        role = t["role"].to_numpy(zero_copy_only=False).astype("U16")
+        return _add_part(["conv_id"], 64)(pa.table({
+            "conv_id": t["conv_id"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+            "eid": pc.cast(t["event_id"], pa.int64()),
+            "is_user": pa.array((role == "user").astype(np.int64))}))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["conv_id", "ts_us", "eid"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        isu = g["is_user"].to_numpy(np.int64).astype(bool)
+        n = len(g)
+        if not n:
+            z = pa.array([], pa.int64())
+            return pa.table({"run_bucket": z, "one": z, "runs": z})
+        new_conv = np.ones(n, bool)
+        new_conv[1:] = conv[1:] != conv[:-1]
+        # a user-run STARTS at a user turn on a conversation edge or
+        # after a non-user turn
+        start = isu.copy()
+        start[1:] = isu[1:] & (new_conv[1:] | ~isu[:-1])
+        rid = np.cumsum(start) - 1
+        run_len = np.bincount(rid[isu], minlength=int(start.sum())) \
+            if start.any() else np.zeros(0, np.int64)
+        cid = np.cumsum(new_conv) - 1
+        run_conv = cid[start]
+        per = pd.DataFrame({"c": run_conv, "l": run_len}) \
+            .groupby("c")["l"].max()
+        mx = per.reindex(np.arange(int(new_conv.sum())), fill_value=0) \
+            .to_numpy(np.int64)
+        return pa.table({
+            "run_bucket": pa.array(np.minimum(mx, 5)),
+            "one": pa.array(np.ones(len(mx), np.int64)),
+            "runs": pa.array(mx)})
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["run_bucket"],
+        sum_cols={"one": "n_convs", "runs": "sum_max_run"})
+
+
+SQL_CONV_USER_MONOLOGUE_HIST = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, o AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role = 'user' THEN 1 ELSE 0 END AS isu
+  FROM transcripts
+), grp AS (
+  SELECT conv_id, isu,
+         turn_idx - row_number() OVER (PARTITION BY conv_id, isu
+                                       ORDER BY turn_idx) AS gid
+  FROM o
+), runs AS (
+  SELECT conv_id, count(*) AS len FROM grp
+  WHERE isu = 1 GROUP BY conv_id, gid
+), per AS (
+  SELECT t.conv_id, coalesce(max(r.len), 0) AS mx
+  FROM (SELECT DISTINCT conv_id FROM transcripts) t
+  LEFT JOIN runs r USING (conv_id) GROUP BY 1
+)
+SELECT CAST(least(mx, 5) AS BIGINT) AS run_bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(SUM(mx) AS BIGINT) AS sum_max_run
+FROM per GROUP BY 1
+"""
+)
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -21762,6 +21924,8 @@ QUERIES = {
     "conv_verbosity_amplification_hist": q_conv_verbosity_amplification_hist,
     "part_size_price_moments": q_part_size_price_moments,
     "events_mau_series": q_events_mau_series,
+    "multimodal_store_census": q_multimodal_store_census,
+    "conv_user_monologue_hist": q_conv_user_monologue_hist,
 }
 
 # ----------------------------------------------------------- resumable
@@ -22183,4 +22347,6 @@ ORACLES = {
     "conv_verbosity_amplification_hist": SQL_CONV_VERBOSITY_AMPLIFICATION_HIST,
     "part_size_price_moments": SQL_PART_SIZE_PRICE_MOMENTS,
     "events_mau_series": SQL_EVENTS_MAU_SERIES,
+    "multimodal_store_census": _store_census_sql(),
+    "conv_user_monologue_hist": SQL_CONV_USER_MONOLOGUE_HIST,
 }

@@ -3263,3 +3263,70 @@ def test_events_mau_series(tmp_path):
     got = {r.month: (r.n_active_users, r.n_events)
            for r in out.itertuples()}
     assert got == {202401: (2, 3), 202402: (2, 2)}
+
+
+def test_conv_user_monologue_hist():
+    """Monologue pins: runs break at conversation edges and at any
+    non-user turn, a conversation with no user turns reads run 0, and
+    ≥5 clamps."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    rows = [  # (conv, role)
+        ("a", "user"), ("a", "user"), ("a", "assistant"), ("a", "user"),
+        # a: runs 2 then 1 → max 2
+        ("b", "assistant"), ("b", "tool"),       # b: 0
+        ("c", "user")] + [("d", "user")] * 7     # c: 1; d: 7 → clamp 5
+    df = pd.DataFrame({
+        "conv_id": [r[0] for r in rows],
+        "event_id": list(range(len(rows))),
+        "role": [r[1] for r in rows],
+        "text": [""] * len(rows),
+        "tool": [""] * len(rows),
+        "ts": [base + i * S for i in range(len(rows))],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_user_monologue_hist("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    got = {r.run_bucket: (r.n_convs, r.sum_max_run)
+           for r in out.itertuples()}
+    assert got == {2: (1, 2), 0: (1, 0), 1: (1, 1), 5: (1, 7)}
+
+
+def test_multimodal_store_census():
+    """Store-census pins over the real oracle tables: per-type object
+    counts and byte masses equal a direct metadata recompute."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_multimodal_store_census,
+    )
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        ensure_mm_oracle_tables,
+    )
+
+    d = ensure_mm_oracle_tables()
+    out = (q_multimodal_store_census("unused").to_pandas()
+           .set_index("media_type").sort_index())
+    import collections
+    exp = collections.defaultdict(list)
+    for tbl in ("media", "audio", "video"):
+        t = pq.read_table(f"{d}/{tbl}.parquet",
+                          columns=["media_type", "payload"])
+        for mt, p in zip(t["media_type"].to_pylist(),
+                         t["payload"].to_pylist()):
+            exp[mt].append(len(p))
+    for mt, sizes in exp.items():
+        row = out.loc[mt]
+        assert row["n_objects"] == len(sizes)
+        assert row["sum_bytes"] == sum(sizes)
+        assert row["min_bytes"] == min(sizes)
+        assert row["max_bytes"] == max(sizes)
