@@ -21551,6 +21551,126 @@ FROM per GROUP BY 1
 
 
 
+def q_customer_region_census(sf_dir: str):
+    """Customer footprint per REGION — count, negative-balance count
+    and netted cents per region name: the top-of-hierarchy rollup
+    over the nation census (region ⊃ nation ⊃ customer), resolved
+    through TWO size-gated tiny-dim broadcasts (5 regions, 25
+    nations) — never a shuffle.
+
+    Shape: one kernel + two gated dim attaches + ≤ 5-row compact
+    fold."""
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import gated_broadcast_join
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_nationkey", "c_acctbal"])
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_regionkey"])
+    reg = read_table(sf_dir, "region",
+                     columns=["r_regionkey", "r_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "one": pa.array(np.ones(len(cents), np.int64)),
+            "neg": pa.array((cents < 0).astype(np.int64)),
+            "cents": pa.array(cents)})
+
+    nat_p = nat.map_batches(
+        lambda t: pa.table({
+            "n_nationkey": pc.cast(t["n_nationkey"], pa.int64()),
+            "n_regionkey": pc.cast(t["n_regionkey"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    reg_p = reg.map_batches(
+        lambda t: pa.table({
+            "r_regionkey": pc.cast(t["r_regionkey"], pa.int64()),
+            "r_name": t["r_name"]}),
+        batch_format="pyarrow").materialize()
+
+    j = gated_broadcast_join(
+        cust.map_batches(prep, batch_format="pyarrow").materialize(),
+        nat_p, on="c_nationkey", right_on="n_nationkey", how="inner")
+    j = gated_broadcast_join(j.materialize(), reg_p,
+                             on="n_regionkey",
+                             right_on="r_regionkey", how="inner")
+
+    return compact_groupby(j, ["r_name"],
+                           sum_cols={"one": "n_customers",
+                                     "neg": "n_negative",
+                                     "cents": "balance_cents"})
+
+
+SQL_CUSTOMER_REGION_CENSUS = f"""
+WITH c AS (
+  SELECT c_nationkey, {_CENTS.format(x='c_acctbal')} AS cents
+  FROM customer
+)
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       CAST(SUM(cents) AS BIGINT) AS balance_cents
+FROM c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1
+"""
+
+
+def q_lineitem_tax_discount_matrix(sf_dir: str):
+    """Tax × discount joint band matrix — line counts and gross cents
+    per (tax cents band, discount cents band): the pricing-policy
+    interaction table (are high-tax jurisdictions also the
+    discounted ones?) the marginal band curves cannot show.
+
+    Shape: one kernel, ≤ 9×11 compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_discount", "l_tax"])
+
+    def km(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "tax_band": pa.array(np.floor(tax * 100.0 + 0.5)
+                                 .astype(np.int64)),
+            "disc_band": pa.array(np.floor(disc * 100.0 + 0.5)
+                                  .astype(np.int64)),
+            "one": pa.array(np.ones(len(price), np.int64)),
+            "gross": pa.array(np.floor(price * 100.0 + 0.5)
+                              .astype(np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["tax_band", "disc_band"],
+                           sum_cols={"one": "n_items",
+                                     "gross": "gross_cents"})
+
+
+SQL_LINEITEM_TAX_DISCOUNT_MATRIX = f"""
+WITH l AS (
+  SELECT {_CENTS.format(x='l_tax')} AS tax_band,
+         {_CENTS.format(x='l_discount')} AS disc_band,
+         {_CENTS.format(x='l_extendedprice')} AS pc
+  FROM lineitem
+)
+SELECT CAST(tax_band AS BIGINT) AS tax_band,
+       CAST(disc_band AS BIGINT) AS disc_band,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(pc) AS BIGINT) AS gross_cents
+FROM l GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -21926,6 +22046,8 @@ QUERIES = {
     "events_mau_series": q_events_mau_series,
     "multimodal_store_census": q_multimodal_store_census,
     "conv_user_monologue_hist": q_conv_user_monologue_hist,
+    "customer_region_census": q_customer_region_census,
+    "lineitem_tax_discount_matrix": q_lineitem_tax_discount_matrix,
 }
 
 # ----------------------------------------------------------- resumable
@@ -22349,4 +22471,6 @@ ORACLES = {
     "events_mau_series": SQL_EVENTS_MAU_SERIES,
     "multimodal_store_census": _store_census_sql(),
     "conv_user_monologue_hist": SQL_CONV_USER_MONOLOGUE_HIST,
+    "customer_region_census": SQL_CUSTOMER_REGION_CENSUS,
+    "lineitem_tax_discount_matrix": SQL_LINEITEM_TAX_DISCOUNT_MATRIX,
 }

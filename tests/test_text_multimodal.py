@@ -3330,3 +3330,65 @@ def test_multimodal_store_census():
         assert row["sum_bytes"] == sum(sizes)
         assert row["min_bytes"] == min(sizes)
         assert row["max_bytes"] == max(sizes)
+
+
+def test_customer_region_census(tmp_path):
+    """Region pins: the two-level dim resolution maps customer →
+    nation → region, and negatives net in cents."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_customer_region_census,
+    )
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": ["a", "b", "c"],
+        "c_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "c_acctbal": pa.array([10.0, -4.0, 6.0]),
+        "c_mktsegment": ["BUILDING"] * 3,
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": ["FRANCE", "GERMANY", "KENYA"],
+        "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": ["EUROPE", "AFRICA"],
+    }), tmp_path / "region.parquet")
+    out = q_customer_region_census(str(tmp_path)).to_pandas()
+    got = {r.r_name: (r.n_customers, r.n_negative, r.balance_cents)
+           for r in out.itertuples()}
+    assert got == {"EUROPE": (2, 1, 600), "AFRICA": (1, 0, 600)}
+
+
+def test_lineitem_tax_discount_matrix(tmp_path):
+    """Matrix pins: cells separate on both bands and gross cents are
+    exact."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_lineitem_tax_discount_matrix,
+    )
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([1] * 3, pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 3),
+        "l_extendedprice": pa.array([100.0, 50.0, 20.0]),
+        "l_discount": pa.array([0.05, 0.05, 0.0]),
+        "l_tax": pa.array([0.02, 0.08, 0.02]),
+        "l_returnflag": ["N"] * 3,
+        "l_linestatus": ["O"] * 3,
+        "l_shipdate": pa.array(np.array(["2024-01-01"] * 3,
+                                        dtype="datetime64[us]")),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = q_lineitem_tax_discount_matrix(str(tmp_path)).to_pandas()
+    got = {(r.tax_band, r.disc_band): (r.n_items, r.gross_cents)
+           for r in out.itertuples()}
+    assert got == {(2, 5): (1, 10000), (8, 5): (1, 5000),
+                   (2, 0): (1, 2000)}
