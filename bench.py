@@ -191,6 +191,10 @@ BENCH_QUERIES = [
     "conv_verbosity_amplification_hist",
     "part_size_price_moments",
     "events_mau_series",
+    "multimodal_store_census",
+    "conv_user_monologue_hist",
+    "customer_region_census",
+    "lineitem_tax_discount_matrix",
 ]
 
 
