@@ -21671,6 +21671,92 @@ FROM l GROUP BY 1, 2
 
 
 
+def q_events_ts_precision_audit(sf_dir: str):
+    """Timestamp-precision audit — per event type: how many
+    timestamps are exactly second-aligned and minute-aligned (zero
+    sub-second / sub-minute part): a spike of aligned timestamps is
+    the classic upstream-truncation bug (a gateway casting to
+    seconds), which silently breaks every sub-second latency metric
+    downstream. Integer modular arithmetic in both engines.
+
+    Shape: one kernel, ≤ |types| compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def km(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "one": pa.array(np.ones(len(us), np.int64)),
+            "sec": pa.array((us % 1_000_000 == 0).astype(np.int64)),
+            "minute": pa.array((us % 60_000_000 == 0)
+                               .astype(np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["event_type"],
+                           sum_cols={"one": "n_events",
+                                     "sec": "n_sec_aligned",
+                                     "minute": "n_min_aligned"})
+
+
+SQL_EVENTS_TS_PRECISION_AUDIT = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN epoch_us(ts) % 1000000 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sec_aligned,
+       CAST(SUM(CASE WHEN epoch_us(ts) % 60000000 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_min_aligned
+FROM events GROUP BY 1
+"""
+
+
+def q_events_id_continuity_audit(sf_dir: str):
+    """Event-id continuity audit — (n_events, min_id, max_id): with
+    sequential upstream ids, span − count is the dropped-record
+    count (the cheapest did-we-lose-data check an ingestion pipeline
+    runs after every backfill; the division/difference stays
+    driver-side so the panel is pure integers).
+
+    Shape: single-row (count, min, max) partials per block, one
+    compact fold, zero exchange."""
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        e = pc.cast(t["event_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if not len(e):
+            z = pa.array([], pa.int64())
+            return pa.table({"n_events": z, "min_id": z, "max_id": z})
+        return pa.table({
+            "n_events": pa.array([len(e)], pa.int64()),
+            "min_id": pa.array([int(e.min())], pa.int64()),
+            "max_id": pa.array([int(e.max())], pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_events": pa.array([pc.sum(t["n_events"]).as_py() or 0],
+                                 pa.int64()),
+            "min_id": pa.array([pc.min(t["min_id"]).as_py() or 0],
+                               pa.int64()),
+            "max_id": pa.array([pc.max(t["max_id"]).as_py() or 0],
+                               pa.int64())})
+
+    return (ds.map_batches(parts, batch_format="pyarrow")
+              .repartition(1)
+              .map_batches(fold, batch_format="pyarrow",
+                           batch_size=None))
+
+
+SQL_EVENTS_ID_CONTINUITY_AUDIT = """
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -22048,6 +22134,8 @@ QUERIES = {
     "conv_user_monologue_hist": q_conv_user_monologue_hist,
     "customer_region_census": q_customer_region_census,
     "lineitem_tax_discount_matrix": q_lineitem_tax_discount_matrix,
+    "events_ts_precision_audit": q_events_ts_precision_audit,
+    "events_id_continuity_audit": q_events_id_continuity_audit,
 }
 
 # ----------------------------------------------------------- resumable
@@ -22473,4 +22561,6 @@ ORACLES = {
     "conv_user_monologue_hist": SQL_CONV_USER_MONOLOGUE_HIST,
     "customer_region_census": SQL_CUSTOMER_REGION_CENSUS,
     "lineitem_tax_discount_matrix": SQL_LINEITEM_TAX_DISCOUNT_MATRIX,
+    "events_ts_precision_audit": SQL_EVENTS_TS_PRECISION_AUDIT,
+    "events_id_continuity_audit": SQL_EVENTS_ID_CONTINUITY_AUDIT,
 }

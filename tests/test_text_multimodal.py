@@ -3392,3 +3392,36 @@ def test_lineitem_tax_discount_matrix(tmp_path):
            for r in out.itertuples()}
     assert got == {(2, 5): (1, 10000), (8, 5): (1, 5000),
                    (2, 0): (1, 2000)}
+
+
+def test_events_ts_precision_and_id_continuity(tmp_path):
+    """Audit pins: minute-aligned implies second-aligned, a 500 ms
+    timestamp is neither, and the id panel reads exact count/min/max
+    across blocks."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_id_continuity_audit,
+        q_events_ts_precision_audit,
+    )
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    MS = np.timedelta64(1, "ms")
+    S = np.timedelta64(1, "s")
+    rows = [(7, base),              # minute+second aligned
+            (3, base + 30 * S),     # second aligned only
+            (9, base + 500 * MS)]   # neither
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([1] * 3, pa.int64()),
+        "event_type": ["view"] * 3,
+        "value": [1.0] * 3,
+        "props": ["{}"] * 3,
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_ts_precision_audit(str(tmp_path)).to_pandas()
+    r = out.iloc[0]
+    assert [r.n_events, r.n_sec_aligned, r.n_min_aligned] == [3, 2, 1]
+    out2 = q_events_id_continuity_audit(str(tmp_path)).to_pandas()
+    assert out2.iloc[0].tolist() == [3, 3, 9]
