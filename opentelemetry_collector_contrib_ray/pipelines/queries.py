@@ -21757,6 +21757,131 @@ FROM events
 
 
 
+def q_docs_quality_length_matrix(sf_dir: str):
+    """Quality × length matrix — Gopher pass/fail counts per
+    word-count decade (min(n_words // 10, 9)): the are-we-only-
+    dropping-short-docs view a filter review needs before shipping a
+    rule change (a filter that fails everything over 60 words is a
+    bug the marginal pass rate hides). Rides the SAME gopher_rules
+    stage and SQL CTE as the per-source rollup.
+
+    Shape: one gopher kernel per block, ≤ 10-row compact fold, zero
+    exchange."""
+    from ..stages.agg import compact_groupby
+    from ..stages.text import gopher_rules
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def km(t: pa.Table) -> pa.Table:
+        t = gopher_rules(t, min_words=10)
+        nw = pc.cast(t["n_words"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = pc.cast(t["gopher_pass"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "len_decade": pa.array(np.minimum(nw // 10, 9)),
+            "one": pa.array(np.ones(len(nw), np.int64)),
+            "ok": pa.array(ok)})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["len_decade"],
+                           sum_cols={"one": "n_docs",
+                                     "ok": "n_pass"})
+
+
+SQL_DOCS_QUALITY_LENGTH_MATRIX = _GOPHER_CTE + """
+SELECT CAST(least(n_words // 10, 9) AS BIGINT) AS len_decade,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words_ok*mean_word_len_ok*symbol_ratio_ok*bullet_ok
+                *ellipsis_ok*alpha_words_ok*stopwords_ok) AS BIGINT)
+         AS n_pass
+FROM f GROUP BY 1
+"""
+
+
+def q_events_intersession_gap_hist(sf_dir: str):
+    """Inter-session recovery-time histogram — the gap from one
+    session's END to the next session's START per user, in
+    day-decade buckets min(gap_s // 86400, 9): how long users stay
+    away between visits (the churn-model feature the resurrection
+    census summarizes at max; this keeps every gap).
+
+    Shape: session_windows' ONE user-hash exchange, then a second
+    narrow (user, start, end) exchange co-locates each user's
+    session list; per-partition lexsort + shift; ≤ 10-bucket
+    fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+    from ..stages.windows import session_windows
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    sess = session_windows(ds, "user_id", "ts", gap_s=7200)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _add_part(["user_id"], 64)(pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "start_us": pc.cast(pc.cast(t["session_start"],
+                                        pa.timestamp("us")),
+                                pa.int64()),
+            "end_us": pc.cast(pc.cast(t["session_end"],
+                                      pa.timestamp("us")),
+                              pa.int64())}))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "start_us"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        st = g["start_us"].to_numpy(np.int64)
+        en = g["end_us"].to_numpy(np.int64)
+        same = np.zeros(len(u), bool)
+        if len(u):
+            same[1:] = u[1:] == u[:-1]
+        gap = np.where(same, st - np.append([0], en[:-1]), 0)[same]
+        secs = gap // 1_000_000
+        return pa.table({
+            "gap_bucket": pa.array(np.minimum(secs // 86_400, 9)),
+            "one": pa.array(np.ones(len(secs), np.int64)),
+            "secs": pa.array(secs.astype(np.int64))})
+
+    return compact_groupby(
+        sess.map_batches(prep, batch_format="pyarrow")
+            .groupby("__p")
+            .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["gap_bucket"],
+        sum_cols={"one": "n_gaps", "secs": "sum_gap_seconds"})
+
+
+SQL_EVENTS_INTERSESSION_GAP_HIST = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new) OVER (PARTITION BY user_id ORDER BY ts, new
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), d AS (
+  SELECT user_id, sid, min(epoch_us(ts)) AS start_us,
+         max(epoch_us(ts)) AS end_us
+  FROM s GROUP BY 1, 2
+), g AS (
+  SELECT (start_us - lag(end_us) OVER (PARTITION BY user_id
+                                       ORDER BY start_us)) // 1000000
+           AS secs
+  FROM d
+)
+SELECT CAST(least(secs // 86400, 9) AS BIGINT) AS gap_bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(secs) AS BIGINT) AS sum_gap_seconds
+FROM g WHERE secs IS NOT NULL GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -22136,6 +22261,8 @@ QUERIES = {
     "lineitem_tax_discount_matrix": q_lineitem_tax_discount_matrix,
     "events_ts_precision_audit": q_events_ts_precision_audit,
     "events_id_continuity_audit": q_events_id_continuity_audit,
+    "docs_quality_length_matrix": q_docs_quality_length_matrix,
+    "events_intersession_gap_hist": q_events_intersession_gap_hist,
 }
 
 # ----------------------------------------------------------- resumable
@@ -22563,4 +22690,6 @@ ORACLES = {
     "lineitem_tax_discount_matrix": SQL_LINEITEM_TAX_DISCOUNT_MATRIX,
     "events_ts_precision_audit": SQL_EVENTS_TS_PRECISION_AUDIT,
     "events_id_continuity_audit": SQL_EVENTS_ID_CONTINUITY_AUDIT,
+    "docs_quality_length_matrix": SQL_DOCS_QUALITY_LENGTH_MATRIX,
+    "events_intersession_gap_hist": SQL_EVENTS_INTERSESSION_GAP_HIST,
 }

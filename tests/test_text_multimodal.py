@@ -3425,3 +3425,35 @@ def test_events_ts_precision_and_id_continuity(tmp_path):
     assert [r.n_events, r.n_sec_aligned, r.n_min_aligned] == [3, 2, 1]
     out2 = q_events_id_continuity_audit(str(tmp_path)).to_pandas()
     assert out2.iloc[0].tolist() == [3, 3, 9]
+
+
+def test_events_intersession_gap_hist(tmp_path):
+    """Gap pins: the gap runs END→next START (in-session time never
+    counts), single-session users contribute nothing, and ≥9-day
+    gaps clamp."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_events_intersession_gap_hist,
+    )
+
+    d0 = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    D = np.timedelta64(1, "D")
+    rows = [(1, d0), (1, d0 + 1 * H),          # session 1 (ends +1h)
+            (1, d0 + 1 * H + 26 * H),          # gap 26h → bucket 1
+            (2, d0),                           # single session → none
+            (3, d0), (3, d0 + 100 * D)]        # gap ~100d → bucket 9
+    t = pa.table({
+        "event_id": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": ["view"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = q_events_intersession_gap_hist(str(tmp_path)).to_pandas()
+    got = {r.gap_bucket: (r.n_gaps, r.sum_gap_seconds)
+           for r in out.itertuples()}
+    assert got == {1: (1, 26 * 3600), 9: (1, 100 * 86400)}
