@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     "conv_user_monologue_hist",
     "customer_region_census",
     "lineitem_tax_discount_matrix",
+    "events_ts_precision_audit",
+    "events_id_continuity_audit",
+    "docs_quality_length_matrix",
+    "events_intersession_gap_hist",
 ]
 
 
