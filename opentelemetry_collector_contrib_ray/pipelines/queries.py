@@ -21882,6 +21882,111 @@ FROM g WHERE secs IS NOT NULL GROUP BY 1
 
 
 
+def q_conv_tool_latency_slo(sf_dir: str):
+    """Tool-turnaround SLO attainment — per tool, how many call→next
+    turn gaps land within 10 s / within 60 s of the call (plus the
+    total): the pageable attainment rate the mean/max panel cannot
+    give (one slow outlier moves the mean; SLO burn is about
+    counts over thresholds). Same adjacent-pair rail and exclusion
+    rules as conv_tool_latency.
+
+    Shape: ONE conv-hash exchange + grouped shift, conditional
+    threshold columns, ≤ |tools| fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = transcripts_from_events(sf_dir, with_turn_idx=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _add_part(["conv_id"], 64)(pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "tool": t["tool"],
+            "us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                          pa.int64())}))
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nxt = g.groupby("conv_id", sort=False)["us"].shift(-1)
+        keep = (g["tool"].to_numpy() != "") & nxt.notna().to_numpy()
+        gap = (nxt.to_numpy()[keep] -
+               g["us"].to_numpy()[keep]).astype(np.int64)
+        return pa_from_pandas(pd.DataFrame({
+            "tool": g["tool"].to_numpy()[keep],
+            "one": np.ones(len(gap), np.int64),
+            "in10": (gap <= 10_000_000).astype(np.int64),
+            "in60": (gap <= 60_000_000).astype(np.int64)}))
+
+    return compact_groupby(
+        ds.map_batches(prep, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(pairs), batch_format="pandas"),
+        ["tool"],
+        sum_cols={"one": "n_pairs", "in10": "n_within_10s",
+                  "in60": "n_within_60s"})
+
+
+SQL_CONV_TOOL_LATENCY_SLO = (
+    TRANSCRIPTS_FROM_EVENTS_SQL
+    + """
+, nx AS (
+  SELECT tool,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx)
+           - epoch_us(ts) AS gap
+  FROM transcripts
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN gap <= 10000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_10s,
+       CAST(SUM(CASE WHEN gap <= 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_60s
+FROM nx WHERE tool <> '' AND gap IS NOT NULL GROUP BY 1
+"""
+)
+
+
+def q_lineitem_quantity_profile(sf_dir: str):
+    """Demand-quantity profile — per integer ordered quantity: line
+    count and exact gross cents (the order-size demand curve behind
+    Q17/Q18's small/large-quantity thresholds, as the full
+    distribution instead of one cut).
+
+    Shape: one kernel, ≤ 50-row compact fold, zero exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_quantity", "l_extendedprice"])
+
+    def km(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "quantity": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            "one": pa.array(np.ones(len(q), np.int64)),
+            "gross": pa.array(np.floor(price * 100.0 + 0.5)
+                              .astype(np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["quantity"],
+                           sum_cols={"one": "n_items",
+                                     "gross": "gross_cents"})
+
+
+SQL_LINEITEM_QUANTITY_PROFILE = f"""
+SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS quantity,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM({_CENTS.format(x='l_extendedprice')}) AS BIGINT)
+         AS gross_cents
+FROM lineitem GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -22263,6 +22368,8 @@ QUERIES = {
     "events_id_continuity_audit": q_events_id_continuity_audit,
     "docs_quality_length_matrix": q_docs_quality_length_matrix,
     "events_intersession_gap_hist": q_events_intersession_gap_hist,
+    "conv_tool_latency_slo": q_conv_tool_latency_slo,
+    "lineitem_quantity_profile": q_lineitem_quantity_profile,
 }
 
 # ----------------------------------------------------------- resumable
@@ -22692,4 +22799,6 @@ ORACLES = {
     "events_id_continuity_audit": SQL_EVENTS_ID_CONTINUITY_AUDIT,
     "docs_quality_length_matrix": SQL_DOCS_QUALITY_LENGTH_MATRIX,
     "events_intersession_gap_hist": SQL_EVENTS_INTERSESSION_GAP_HIST,
+    "conv_tool_latency_slo": SQL_CONV_TOOL_LATENCY_SLO,
+    "lineitem_quantity_profile": SQL_LINEITEM_QUANTITY_PROFILE,
 }

@@ -3457,3 +3457,67 @@ def test_events_intersession_gap_hist(tmp_path):
     got = {r.gap_bucket: (r.n_gaps, r.sum_gap_seconds)
            for r in out.itertuples()}
     assert got == {1: (1, 26 * 3600), 9: (1, 100 * 86400)}
+
+
+def test_conv_tool_latency_slo():
+    """SLO pins: the 10 s boundary is inclusive, conversation-final
+    calls are excluded, and 60 s catches what 10 s misses."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.pipelines import queries as Q
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(1, "s")
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "a", "a", "a", "b"],
+        "turn_idx": [0, 1, 2, 3, 4, 5, 0],
+        "tool": ["browser", "", "browser", "", "browser", "", "browser"],
+        "text": [""] * 7,
+        "role": ["tool", "assistant"] * 3 + ["tool"],
+        # gaps: 10 s (inclusive → in10), 30 s (in60 only), 120 s
+        # (neither); conv-final b call excluded
+        "ts": [base, base + 10 * S,
+               base + 100 * S, base + 130 * S,
+               base + 200 * S, base + 320 * S,
+               base],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    real = Q.transcripts_from_events
+    try:
+        Q.transcripts_from_events = lambda sf, with_turn_idx=True: ds
+        out = Q.q_conv_tool_latency_slo("unused").to_pandas()
+    finally:
+        Q.transcripts_from_events = real
+    r = out.set_index("tool").loc["browser"]
+    assert [r.n_pairs, r.n_within_10s, r.n_within_60s] == [3, 1, 2]
+
+
+def test_lineitem_quantity_profile(tmp_path):
+    """Quantity pins: quantities group on the rounded integer and
+    gross cents sum exactly."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_lineitem_quantity_profile,
+    )
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([1] * 3, pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([2.0, 2.0, 5.0]),
+        "l_extendedprice": pa.array([10.0, 30.0, 7.0]),
+        "l_discount": pa.array([0.0] * 3),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": ["N"] * 3,
+        "l_linestatus": ["O"] * 3,
+        "l_shipdate": pa.array(np.array(["2024-01-01"] * 3,
+                                        dtype="datetime64[us]")),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = q_lineitem_quantity_profile(str(tmp_path)).to_pandas()
+    got = {r.quantity: (r.n_items, r.gross_cents)
+           for r in out.itertuples()}
+    assert got == {2: (2, 4000), 5: (1, 700)}
