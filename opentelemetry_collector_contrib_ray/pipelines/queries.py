@@ -21987,6 +21987,101 @@ FROM lineitem GROUP BY 1
 
 
 
+def q_docs_length_gini_parts(sf_dir: str):
+    """Corpus length-inequality panel — the Gini integer parts of
+    per-doc character lengths ((n, Σlen, Σrank·len) over the
+    ascending (len, doc_id) total order): a high-Gini corpus packs
+    its mass into few giant docs (chunking and sampling decisions
+    change), the same exact-rank machinery as the user-concentration
+    panel, pointed at documents.
+
+    Shape: one length kernel, global_rank's compact bucket-count +
+    one row exchange, 3-int fold."""
+    from ..stages.windows import global_rank
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lens(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "len": pc.cast(pc.utf8_length(txt), pa.int64())})
+
+    ranked = global_rank(ds.map_batches(lens, batch_format="pyarrow"),
+                         ["len", "doc_id"], num_buckets=32)
+
+    def parts(t: pa.Table) -> pa.Table:
+        ln = t["len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_docs": pa.array([len(ln)], pa.int64()),
+            "sum_len": pa.array([int(ln.sum())], pa.int64()),
+            "sum_rank_weighted": pa.array([int((r * ln).sum())],
+                                          pa.int64())})
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([pc.sum(t[c]).as_py() or 0], pa.int64())
+            for c in ("n_docs", "sum_len", "sum_rank_weighted")})
+
+    return (ranked.map_batches(parts, batch_format="pyarrow")
+                  .repartition(1)
+                  .map_batches(fold, batch_format="pyarrow",
+                               batch_size=None))
+
+
+SQL_DOCS_LENGTH_GINI_PARTS = """
+WITH l AS (
+  SELECT doc_id, length(coalesce(text, '')) AS len FROM documents
+), r AS (
+  SELECT len, row_number() OVER (ORDER BY len, doc_id) AS i FROM l
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len) AS BIGINT) AS sum_len,
+       CAST(SUM(i * len) AS BIGINT) AS sum_rank_weighted
+FROM r
+"""
+
+
+def q_events_error_rate_by_dow(sf_dir: str):
+    """Error share by day of week — error counts against totals per
+    dow under the shared (epoch_day + 4) % 7 formula: the
+    is-the-weekend-worse reliability panel (thin weekend staffing
+    shows up here before it shows up in the postmortem).
+
+    Shape: one kernel with a conditional column, 7-row fold, zero
+    exchange."""
+    from ..stages.agg import compact_groupby
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def km(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        err = pc.equal(t["event_type"], "error") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dow": pa.array(((us // 86_400_000_000 + 4) % 7)
+                            .astype(np.int64)),
+            "one": pa.array(np.ones(len(us), np.int64)),
+            "err": pa.array(err.astype(np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["dow"],
+                           sum_cols={"one": "n_events",
+                                     "err": "n_errors"})
+
+
+SQL_EVENTS_ERROR_RATE_BY_DOW = """
+SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors
+FROM events GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -22370,6 +22465,8 @@ QUERIES = {
     "events_intersession_gap_hist": q_events_intersession_gap_hist,
     "conv_tool_latency_slo": q_conv_tool_latency_slo,
     "lineitem_quantity_profile": q_lineitem_quantity_profile,
+    "docs_length_gini_parts": q_docs_length_gini_parts,
+    "events_error_rate_by_dow": q_events_error_rate_by_dow,
 }
 
 # ----------------------------------------------------------- resumable
@@ -22801,4 +22898,6 @@ ORACLES = {
     "events_intersession_gap_hist": SQL_EVENTS_INTERSESSION_GAP_HIST,
     "conv_tool_latency_slo": SQL_CONV_TOOL_LATENCY_SLO,
     "lineitem_quantity_profile": SQL_LINEITEM_QUANTITY_PROFILE,
+    "docs_length_gini_parts": SQL_DOCS_LENGTH_GINI_PARTS,
+    "events_error_rate_by_dow": SQL_EVENTS_ERROR_RATE_BY_DOW,
 }

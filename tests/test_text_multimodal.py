@@ -3521,3 +3521,38 @@ def test_lineitem_quantity_profile(tmp_path):
     got = {r.quantity: (r.n_items, r.gross_cents)
            for r in out.itertuples()}
     assert got == {2: (2, 4000), 5: (1, 700)}
+
+
+def test_docs_length_gini_and_error_dow(tmp_path):
+    """Gini pins: ranks ascend over (len, doc_id) so equal lengths
+    tie-break deterministically; error-dow pins: only 'error' rows
+    count and the shared dow formula applies."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_length_gini_parts,
+        q_events_error_rate_by_dow,
+    )
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["aa", "aa", "bbbb"],   # lens 2,2,4 → ranks 1,2,3
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+    }), tmp_path / "documents.parquet")
+    out = q_docs_length_gini_parts(str(tmp_path)).to_pandas()
+    # Σ rank·len = 1·2 + 2·2 + 3·4 = 18
+    assert out.iloc[0].tolist() == [3, 8, 18]
+
+    mon = np.datetime64("2024-01-01T10:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([mon, mon, mon]),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": ["error", "view", "error"],
+        "value": [1.0] * 3,
+        "props": ["{}"] * 3,
+    }), tmp_path / "events.parquet")
+    out2 = q_events_error_rate_by_dow(str(tmp_path)).to_pandas()
+    got = {r.dow: (r.n_events, r.n_errors) for r in out2.itertuples()}
+    assert got == {1: (3, 2)}
