@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     "events_id_continuity_audit",
     "docs_quality_length_matrix",
     "events_intersession_gap_hist",
+    "conv_tool_latency_slo",
+    "lineitem_quantity_profile",
+    "docs_length_gini_parts",
+    "events_error_rate_by_dow",
 ]
 
 
