@@ -22082,6 +22082,120 @@ FROM events GROUP BY 1
 
 
 
+def q_docs_dup_rate_by_source(sf_dir: str):
+    """Exact-duplicate rate per source — for each source, documents
+    whose full text appears ≥ 2 times ANYWHERE in the corpus (the
+    cross-source mirror problem counts against both sources): the
+    which-feed-is-recycled report behind crawl budget decisions,
+    complementing the global dup_rate and the pairwise source
+    matrix.
+
+    Shape: the full text is the key (exact, like exact_dedup):
+    per-block (text, source) count partials bound the ONE text-hash
+    exchange; per-partition totals per text
+    are partition-local (same text co-locates), so the ≥2 flag
+    applies before the ≤ |sources| fold."""
+    import pandas as pd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import _add_part
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "text": pc.fill_null(pc.cast(t["text"], pa.string()), ""),
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+        g = tt.group_by(["text", "source"]).aggregate([("one", "sum")])
+        return _add_part(["text"], 64)(
+            g.rename_columns(["text", "source", "one"]))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        per = (g.groupby(["text", "source"], as_index=False)
+               ["one"].sum())
+        tot = per.groupby("text")["one"].sum()
+        per["dup"] = (tot.reindex(per["text"]).to_numpy(np.int64)
+                      >= 2).astype(np.int64)
+        out = (per.assign(d=per["one"] * per["dup"])
+               .groupby("source", as_index=False)
+               .agg(n=("one", "sum"), nd=("d", "sum")))
+        return pa_from_pandas(out)
+
+    return compact_groupby(
+        ds.map_batches(pre, batch_format="pyarrow")
+          .groupby("__p")
+          .map_groups(arrow_out(fold), batch_format="pandas"),
+        ["source"],
+        sum_cols={"n": "n_docs", "nd": "n_dup_docs"})
+
+
+SQL_DOCS_DUP_RATE_BY_SOURCE = """
+WITH t AS (
+  SELECT source, coalesce(text, '') AS text FROM documents
+), c AS (
+  SELECT text, count(*) AS tot FROM t GROUP BY 1
+)
+SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.tot >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs
+FROM t JOIN c USING (text) GROUP BY 1
+"""
+
+
+def q_orders_priority_segment_matrix(sf_dir: str):
+    """Priority × market-segment matrix — who orders URGENT: order
+    counts and exact cents per (customer segment, order priority),
+    with the customer dimension attached through the size-gated
+    broadcast (hash-join fallback above the gate).
+
+    Shape: one kernel + one gated dim attach + ≤ 5×5 compact
+    fold."""
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import gated_broadcast_join
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority",
+                                 "o_totalprice"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+            "one": pa.array(np.ones(len(price), np.int64)),
+            "cents": pa.array(np.floor(price * 100.0 + 0.5)
+                              .astype(np.int64))})
+
+    cust_p = cust.map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"],
+                                                 pa.int64()),
+                            "c_mktsegment": t["c_mktsegment"]}),
+        batch_format="pyarrow").materialize()
+
+    j = gated_broadcast_join(
+        orders.map_batches(prep, batch_format="pyarrow").materialize(),
+        cust_p, on="o_custkey", right_on="c_custkey", how="inner")
+
+    return compact_groupby(j, ["c_mktsegment", "o_orderpriority"],
+                           sum_cols={"one": "n_orders",
+                                     "cents": "revenue_cents"})
+
+
+SQL_ORDERS_PRIORITY_SEGMENT_MATRIX = f"""
+SELECT c.c_mktsegment, o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_CENTS.format(x='o.o_totalprice')}) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -22467,6 +22581,8 @@ QUERIES = {
     "lineitem_quantity_profile": q_lineitem_quantity_profile,
     "docs_length_gini_parts": q_docs_length_gini_parts,
     "events_error_rate_by_dow": q_events_error_rate_by_dow,
+    "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
+    "orders_priority_segment_matrix": q_orders_priority_segment_matrix,
 }
 
 # ----------------------------------------------------------- resumable
@@ -22900,4 +23016,6 @@ ORACLES = {
     "lineitem_quantity_profile": SQL_LINEITEM_QUANTITY_PROFILE,
     "docs_length_gini_parts": SQL_DOCS_LENGTH_GINI_PARTS,
     "events_error_rate_by_dow": SQL_EVENTS_ERROR_RATE_BY_DOW,
+    "docs_dup_rate_by_source": SQL_DOCS_DUP_RATE_BY_SOURCE,
+    "orders_priority_segment_matrix": SQL_ORDERS_PRIORITY_SEGMENT_MATRIX,
 }

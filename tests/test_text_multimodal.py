@@ -3556,3 +3556,62 @@ def test_docs_length_gini_and_error_dow(tmp_path):
     out2 = q_events_error_rate_by_dow(str(tmp_path)).to_pandas()
     got = {r.dow: (r.n_events, r.n_errors) for r in out2.itertuples()}
     assert got == {1: (3, 2)}
+
+
+def test_docs_dup_rate_by_source(tmp_path):
+    """Dup-rate pins: a cross-source mirror counts against BOTH
+    sources, within-source repeats all count, and unique docs
+    don't."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_docs_dup_rate_by_source,
+    )
+
+    texts_sources = [("mirror", "web"), ("mirror", "books"),
+                     ("twice", "web"), ("twice", "web"),
+                     ("unique", "books")]
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, len(texts_sources) + 1)),
+                           pa.int64()),
+        "text": [x[0] for x in texts_sources],
+        "lang": ["en"] * len(texts_sources),
+        "source": [x[1] for x in texts_sources],
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_docs_dup_rate_by_source(str(tmp_path)).to_pandas()
+    got = {r.source: (r.n_docs, r.n_dup_docs) for r in out.itertuples()}
+    assert got == {"web": (3, 3), "books": (2, 1)}
+
+
+def test_orders_priority_segment_matrix(tmp_path):
+    """Matrix pins: the segment attaches through the customer dim and
+    cells separate on both keys."""
+    import pyarrow.parquet as pq
+
+    from opentelemetry_collector_contrib_ray.pipelines.queries import (
+        q_orders_priority_segment_matrix,
+    )
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": ["a", "b"],
+        "c_nationkey": pa.array([0, 0], pa.int64()),
+        "c_acctbal": pa.array([1.0, 1.0]),
+        "c_mktsegment": ["BUILDING", "AUTOMOBILE"],
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderstatus": ["O"] * 3,
+        "o_totalprice": pa.array([10.0, 20.0, 40.0]),
+        "o_orderdate": pa.array(np.array(["2024-01-01"] * 3,
+                                         dtype="datetime64[us]")),
+        "o_orderpriority": ["1-URGENT", "5-LOW", "1-URGENT"],
+    }), tmp_path / "orders.parquet")
+    out = q_orders_priority_segment_matrix(str(tmp_path)).to_pandas()
+    got = {(r.c_mktsegment, r.o_orderpriority):
+           (r.n_orders, r.revenue_cents) for r in out.itertuples()}
+    assert got == {("BUILDING", "1-URGENT"): (1, 1000),
+                   ("BUILDING", "5-LOW"): (1, 2000),
+                   ("AUTOMOBILE", "1-URGENT"): (1, 4000)}
