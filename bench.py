@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "lineitem_quantity_profile",
     "docs_length_gini_parts",
     "events_error_rate_by_dow",
+    "docs_dup_rate_by_source",
+    "orders_priority_segment_matrix",
 ]
 
 
