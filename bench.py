@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "events_error_rate_by_dow",
     "docs_dup_rate_by_source",
     "orders_priority_segment_matrix",
+    "orders_price_exp_histogram",
 ]
 
 

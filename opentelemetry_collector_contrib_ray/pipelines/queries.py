@@ -22196,6 +22196,54 @@ GROUP BY 1, 2
 
 
 
+def q_orders_price_exp_histogram(sf_dir: str):
+    """Order-value exponential histogram per priority — power-of-2
+    cents buckets of o_totalprice through the audited
+    exponential_histogram stage (exact integer MSB correction, −1
+    zero bucket): the order-size distribution at a glance per
+    priority class, OTel-histogram-shaped so it drops straight into
+    the metrics sink path.
+
+    Shape: the stage's per-block (key, bucket) partials + compact
+    fold, zero wide exchange."""
+    from ..stages.agg import exponential_histogram
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+    return exponential_histogram(ds, "o_orderpriority", "o_totalprice")
+
+
+SQL_ORDERS_PRICE_EXP_HISTOGRAM = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), b0 AS (
+  SELECT o_orderpriority, cents,
+         CAST(floor(log2(greatest(cents, 1))) AS BIGINT) AS r
+  FROM c
+), b1 AS (
+  SELECT o_orderpriority, cents,
+         r - CASE WHEN (1::BIGINT << CAST(greatest(r, 0) AS INTEGER))
+                       > cents THEN 1 ELSE 0 END AS r2
+  FROM b0
+), b2 AS (
+  SELECT o_orderpriority, cents,
+         r2 + CASE WHEN (1::BIGINT << CAST(greatest(r2 + 1, 0)
+                                           AS INTEGER)) <= cents
+                   THEN 1 ELSE 0 END AS r3
+  FROM b1
+)
+SELECT o_orderpriority,
+       CAST(CASE WHEN cents <= 0 THEN -1 ELSE r3 END AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM b2 GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -22583,6 +22631,7 @@ QUERIES = {
     "events_error_rate_by_dow": q_events_error_rate_by_dow,
     "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
     "orders_priority_segment_matrix": q_orders_priority_segment_matrix,
+    "orders_price_exp_histogram": q_orders_price_exp_histogram,
 }
 
 # ----------------------------------------------------------- resumable
@@ -23018,4 +23067,5 @@ ORACLES = {
     "events_error_rate_by_dow": SQL_EVENTS_ERROR_RATE_BY_DOW,
     "docs_dup_rate_by_source": SQL_DOCS_DUP_RATE_BY_SOURCE,
     "orders_priority_segment_matrix": SQL_ORDERS_PRIORITY_SEGMENT_MATRIX,
+    "orders_price_exp_histogram": SQL_ORDERS_PRICE_EXP_HISTOGRAM,
 }
