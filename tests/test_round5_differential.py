@@ -333,3 +333,55 @@ def test_emb_exact_dup_census_random_differential(ray_session, tmp_path):
         assert out.iloc[0].tolist() == [
             len(dup), sum(c - 1 for c in dup),
             max(dup) if dup else 0], f"seed={seed}"
+
+
+def _naive_cadence(rows):
+    """rows: (custkey, day)"""
+    per = {}
+    for c, d in rows:
+        per.setdefault(c, []).append(d)
+    hist = {}
+    for days in per.values():
+        days = sorted(days)
+        gaps = [b - a for a, b in zip(days, days[1:])]
+        if not gaps:
+            continue
+        gaps.sort()
+        med = gaps[(len(gaps) + 1) // 2 - 1]
+        b = min(med // 7, 9)
+        k = hist.setdefault(b, [0, 0])
+        k[0] += 1
+        k[1] += med
+    return {k: tuple(v) for k, v in hist.items()}
+
+
+def test_orders_cadence_random_differential(ray_session, tmp_path):
+    """Randomized per-customer order days (with plenty of repeat-day
+    ties → zero gaps) through the real distributed rank-pick kernel
+    vs a naive sorted-gaps median."""
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(40, 200))
+        rows = [(int(rng.integers(0, 15)), int(rng.integers(0, 120)))
+                for _ in range(n)]
+        t = pa.table({
+            "o_orderkey": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": pa.array([1.0] * n),
+            "o_orderdate": pa.array(
+                (np.array([r[1] for r in rows], "timedelta64[D]")
+                 + np.datetime64("2024-01-01", "D")).astype(
+                     "datetime64[us]")),
+            "o_orderpriority": ["1-URGENT"] * n,
+        })
+        d = tmp_path / f"cad{seed}"
+        d.mkdir()
+        pq.write_table(t, d / "orders.parquet")
+        out = QUERIES["orders_cadence_hist"](str(d)).to_pandas()
+        got = {int(r.cadence_bucket): (int(r.n_customers),
+                                       int(r.sum_median_gap))
+               for r in out.itertuples()}
+        assert got == _naive_cadence(rows), f"seed={seed}"
