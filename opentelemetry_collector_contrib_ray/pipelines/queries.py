@@ -22244,6 +22244,118 @@ FROM b2 GROUP BY 1, 2
 
 
 
+def q_nation_participant_census(sf_dir: str):
+    """Marketplace-balance census per nation — customers vs suppliers
+    side by side (a nation heavy on one side of the market routes
+    cross-border; the balance drives Q7-style volume expectations):
+    two fact reads, each folded to ≤ 25 per-nation count rows BEFORE
+    the tiny dim attach — nothing wide anywhere.
+
+    Shape: two compact pre-folds + one gated 25-row dim broadcast +
+    a ≤ 25-row merge fold."""
+    from ..stages.agg import compact_groupby
+    from ..stages.joins import gated_broadcast_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    sup = read_table(sf_dir, "supplier", columns=["s_nationkey"])
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"])
+
+    def tag(col, cust_side):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "nationkey": pc.cast(t[col], pa.int64()),
+                "c": pa.array(np.full(n, 1 if cust_side else 0,
+                                      np.int64)),
+                "s": pa.array(np.full(n, 0 if cust_side else 1,
+                                      np.int64))})
+        return fn
+
+    both = (cust.map_batches(tag("c_nationkey", True),
+                             batch_format="pyarrow")
+            .union(sup.map_batches(tag("s_nationkey", False),
+                                   batch_format="pyarrow")))
+    per = compact_groupby(both, ["nationkey"],
+                          sum_cols={"c": "c", "s": "s"}).materialize()
+
+    nat_p = nat.map_batches(
+        lambda t: pa.table({"n_nationkey": pc.cast(t["n_nationkey"],
+                                                   pa.int64()),
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow").materialize()
+
+    j = gated_broadcast_join(per, nat_p, on="nationkey",
+                             right_on="n_nationkey", how="inner")
+    return compact_groupby(j, ["n_name"],
+                           sum_cols={"c": "n_customers",
+                                     "s": "n_suppliers"})
+
+
+SQL_NATION_PARTICIPANT_CENSUS = """
+WITH c AS (
+  SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS k, count(*) AS n FROM supplier GROUP BY 1
+)
+SELECT nn.n_name,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_customers,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_suppliers
+FROM nation nn
+LEFT JOIN c ON c.k = nn.n_nationkey
+LEFT JOIN s ON s.k = nn.n_nationkey
+WHERE coalesce(c.n, 0) + coalesce(s.n, 0) > 0
+"""
+
+
+def q_multimodal_audio_duration_hist(sf_dir: str):
+    """Clip-duration histogram from METADATA only (duration_ms in
+    50 ms bands): the batch-size/padding planner's input for an
+    audio training pipeline (ragged clip lengths decide bucketing
+    strategy), with zero decode — the audio sibling of the aspect
+    census.
+
+    Shape: pure metadata kernel, compact fold, zero decode, zero
+    exchange."""
+    import ray.data as rd
+
+    from ..stages.agg import compact_groupby
+    from ..stages.multimodal import (MM_ORACLE_DIR,
+                                     ensure_mm_oracle_tables)
+
+    ensure_mm_oracle_tables()
+    ds = rd.read_parquet(f"{MM_ORACLE_DIR}/audio.parquet",
+                         columns=["meta.duration_ms"])
+
+    def km(t: pa.Table) -> pa.Table:
+        ms = pc.cast(t["meta.duration_ms"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "band_50ms": pa.array((ms // 50).astype(np.int64)),
+            "one": pa.array(np.ones(len(ms), np.int64)),
+            "ms": pa.array(ms.astype(np.int64))})
+
+    return compact_groupby(ds.map_batches(km, batch_format="pyarrow"),
+                           ["band_50ms"],
+                           sum_cols={"one": "n_clips",
+                                     "ms": "sum_ms"})
+
+
+def _audio_duration_sql() -> str:
+    from ..stages.multimodal import MM_ORACLE_DIR
+
+    return f"""
+SELECT CAST(CAST("meta.duration_ms" AS BIGINT) // 50 AS BIGINT)
+         AS band_50ms,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(SUM(CAST("meta.duration_ms" AS BIGINT)) AS BIGINT)
+         AS sum_ms
+FROM read_parquet('{MM_ORACLE_DIR}/audio.parquet')
+GROUP BY 1
+"""
+
+
+
 QUERIES = {
     "parse_level_agg": q_parse_level_agg,
     "severity_counts": q_severity_counts,
@@ -22632,6 +22744,8 @@ QUERIES = {
     "docs_dup_rate_by_source": q_docs_dup_rate_by_source,
     "orders_priority_segment_matrix": q_orders_priority_segment_matrix,
     "orders_price_exp_histogram": q_orders_price_exp_histogram,
+    "nation_participant_census": q_nation_participant_census,
+    "multimodal_audio_duration_hist": q_multimodal_audio_duration_hist,
 }
 
 # ----------------------------------------------------------- resumable
@@ -23068,4 +23182,6 @@ ORACLES = {
     "docs_dup_rate_by_source": SQL_DOCS_DUP_RATE_BY_SOURCE,
     "orders_priority_segment_matrix": SQL_ORDERS_PRIORITY_SEGMENT_MATRIX,
     "orders_price_exp_histogram": SQL_ORDERS_PRICE_EXP_HISTOGRAM,
+    "nation_participant_census": SQL_NATION_PARTICIPANT_CENSUS,
+    "multimodal_audio_duration_hist": _audio_duration_sql(),
 }
