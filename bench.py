@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "docs_dup_rate_by_source",
     "orders_priority_segment_matrix",
     "orders_price_exp_histogram",
+    "nation_participant_census",
+    "multimodal_audio_duration_hist",
 ]
 
 
